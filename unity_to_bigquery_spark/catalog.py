@@ -1,0 +1,58 @@
+"""Fixture-table catalog: canonical loaders for the driver-generated
+parquet tables (TESTDATA.md / FIXTURES.md).
+
+All queries in the engine load inputs through :func:`load_table` so that
+type normalization happens exactly once:
+
+- ``events.ts`` is written as parquet ``timestamp[ns]``, which Spark 4
+  refuses to read natively. We flip the runtime conf
+  ``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw
+  nanosecond longs to microsecond timestamps — the same truncation
+  DuckDB applies when it casts ``timestamp_ns`` to ``timestamp`` — so
+  both engines see identical values (verified: 2024-01-01
+  00:09:58.778549 on both sides).
+
+Scale note: loaders return plain lazy DataFrames — no caching, no
+collect. At 100 TB these would be external-table scans; Catalyst still
+gets full pushdown/pruning because nothing materializes here.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing types (see module docstring)."""
+    if name == "events":
+        # Runtime-settable legacy conf: read TIMESTAMP(NANOS) as long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

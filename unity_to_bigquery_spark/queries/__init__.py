@@ -1,0 +1,15 @@
+"""Declared query inventory — importing this package registers every
+query into :mod:`unity_to_bigquery_spark.registry`.
+"""
+
+from unity_to_bigquery_spark.queries import (  # noqa: F401
+    aggregates,
+    events,
+    joins,
+    llm,
+    pipeline,
+    scalars,
+    setops,
+    tpch,
+    windows,
+)
