@@ -6,18 +6,25 @@ app_id) — a SELECT … ORDER BY ts DESC + fetchone), turned into a
 set-based operator: for EVERY left row, the latest right row at or
 before the left timestamp.
 
-Scale notes (100 TB): the implementation is join-then-rank. The equi-key
-join shuffles both sides by key once; the ``row_number`` reuses the same
-hash partitioning (no second shuffle — Catalyst sees compatible
-distributions). Skewed keys are handled by AQE skew-join splitting. For
-bounded time-skew, pre-bucketing both sides by (key, time_bucket) turns
-this into a co-located join; that variant is unnecessary at test scale.
+Scale design: the naive formulation (equi-join on key + range predicate
++ row_number) materializes |left_rows_per_key| × |right_rows_per_key|
+intermediate rows — quadratic in key hotness, lethal at 100 TB. The
+implementation here is the union/carry-forward algorithm instead:
+union both sides tagged, sort within key by (ts, side), and carry the
+last-seen right payload forward with ``last(..., ignorenulls=True)``.
+Cost: ONE shuffle + sort of |left|+|right| rows, zero blowup,
+AQE-skew-splittable. This is the same plan shape DuckDB/Pandas asof
+merge use, expressed as a Catalyst window.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_PAYLOAD = "__asof_payload"
 
 
 def asof_join(
@@ -26,28 +33,43 @@ def asof_join(
     on: list[str],
     left_ts: str,
     right_ts: str,
+    payload: list[str],
     how: str = "inner",
 ) -> DataFrame:
-    """For each left row, attach the single latest right row with
-    ``right.right_ts <= left.left_ts``, matching on equi-keys ``on``.
+    """For each left row, attach ``payload`` columns from the single
+    latest right row with ``right.right_ts <= left.left_ts``, matching
+    on equi-keys ``on``.
 
-    Right columns keep their names; callers should pre-select/alias to
-    avoid collisions. ``how='left'`` keeps unmatched left rows.
+    ``payload`` names must not collide with left column names. On ties
+    in ``right_ts`` within a key, the row with the greatest payload
+    struct (field order = [right_ts, *payload]) wins — deterministic
+    given any unique payload column. ``how='left'`` keeps unmatched
+    left rows with null payload; ``'inner'`` drops them.
     """
-    left = left.withColumn("__asof_lid", F.monotonically_increasing_id())
-    joined = left.join(
-        right,
-        on=[left[k] == right[k] for k in on] + [right[right_ts] <= left[left_ts]],
-        how="left" if how == "left" else "inner",
+    lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    rhs = (
+        right.select(
+            *on,
+            F.lit(0).alias(_SIDE),
+            F.col(right_ts).alias(_TS),
+            F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload]).alias(
+                _PAYLOAD
+            ),
+        )
     )
-    for k in on:
-        joined = joined.drop(right[k])
-    w = Window.partitionBy("__asof_lid").orderBy(F.desc(right_ts))
-    return (
-        joined.withColumn("__asof_rn", F.row_number().over(w))
-        .filter(F.col("__asof_rn") == 1)
-        .drop("__asof_rn", "__asof_lid")
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_PAYLOAD).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carried = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    out = carried.filter(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_PAYLOAD).isNotNull())
+    for c in payload:
+        out = out.withColumn(c, F.col(f"{_PAYLOAD}.{c}"))
+    return out.drop(_SIDE, _TS, _PAYLOAD)
 
 
 def interval_join(

@@ -1,1 +1,237 @@
-"""(populated incrementally)"""
+"""Aggregation-family declared queries (SURVEY.md §2B Aggregations).
+
+Covers: count distinct (+approx as property-checked), rollup, cube,
+GROUPING SETS (SQL surface), collect_list/collect_set (order-normalized),
+moment statistics (both an exactly-portable manual formulation and the
+builtins), exact percentiles, and pivot.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table, register_views
+from unity_to_bigquery_spark.functions.canonical import dsum, sql_dsum
+from unity_to_bigquery_spark.registry import query
+
+
+@query(
+    "a_count_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="COUNT(DISTINCT) per group (Spark plans expand+two-phase agg).",
+    tags=("aggregate",),
+)
+def a_count_distinct_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "a_approx_count_distinct",
+    oracle=None,  # HLL sketch is engine-specific; bounds property-tested in tests/test_properties.py
+    doc="approx_count_distinct (HyperLogLog++) — scale path for 100 TB distincts.",
+    tags=("aggregate", "approx"),
+)
+def a_approx_count_distinct(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@query(
+    "a_rollup_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with grouping_id disambiguating subtotal levels.",
+    tags=("aggregate", "rollup"),
+)
+def a_rollup_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+@query(
+    "a_cube_quantities",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dims incl. cross-marginals.",
+    tags=("aggregate", "cube"),
+)
+def a_cube_quantities(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "a_grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS through the engine's SQL surface.",
+    tags=("aggregate", "sql"),
+)
+def a_grouping_sets_sql(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "a_collect_suppliers_per_nation",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list(s_name)), '|')          AS suppliers,
+           array_to_string(list_sort(list(DISTINCT s_nationkey)), '|') AS natkeys
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="collect_list/collect_set order-normalized via array_sort→string.",
+    tags=("aggregate", "collect"),
+)
+def a_collect_suppliers_per_nation(spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.array_join(F.array_sort(F.collect_set("s_nationkey")), "|").alias("natkeys"),
+        )
+    )
+
+
+@query(
+    "a_stats_exact_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)                    AS sum_q,
+           CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE)       AS sum_q2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100          AS sum_p,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice + 0.5) AS BIGINT)) AS DOUBLE)    AS sum_p2,
+           CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exactly-portable raw moments (fixed-point sums) from which "
+        "variance/stddev/corr derive deterministically on any engine."
+    ),
+    tags=("aggregate", "stats"),
+)
+def a_stats_exact_moments(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("long")).cast("double").alias("sum_q"),
+        F.sum((q * q).cast("long")).cast("double").alias("sum_q2"),
+        (F.sum(F.floor(p * 100 + 0.5).cast("long")).cast("double") / 100).alias("sum_p"),
+        F.sum(F.floor(p * p + 0.5).cast("long")).cast("double").alias("sum_p2"),
+        (F.sum(F.floor(q * p * 100 + 0.5).cast("long")).cast("double") / 100).alias("sum_qp"),
+    )
+
+
+@query(
+    "a_stats_builtin",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6)    AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6)      AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Builtin moment aggregates (verified value-stable at sf0.01).",
+    tags=("aggregate", "stats"),
+)
+def a_stats_builtin(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+    )
+
+
+@query(
+    "a_percentiles_exact",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5)  AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Exact interpolated percentiles (integral data → portable).",
+    tags=("aggregate", "percentile"),
+)
+def a_percentiles_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
+_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@query(
+    "a_pivot_docs",
+    oracle="SELECT lang, "
+    + ", ".join(
+        f"COUNT(CASE WHEN source = '{s}' THEN 1 END) AS {s}" for s in _SOURCES
+    )
+    + " FROM documents GROUP BY lang",
+    doc="Pivot lang×source counts (fixed pivot-value list → no extra scan).",
+    tags=("aggregate", "pivot"),
+)
+def a_pivot_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .pivot("source", _SOURCES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _SOURCES)
+    )

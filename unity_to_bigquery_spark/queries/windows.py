@@ -1,1 +1,221 @@
-"""(populated incrementally)"""
+"""Window-function declared queries (SURVEY.md §2B Windows).
+
+Covers ranking (row_number/rank/dense_rank/ntile), analytic (lag/lead/
+first/last), frame specs (running sums, moving averages), top-k per
+group, and gap-based sessionization — each with a total order inside
+every partition (unique tiebreak) so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.operators.windows import sessionize, topk_per_group
+from unity_to_bigquery_spark.registry import query
+
+
+@query(
+    "w_rank_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER()  OVER w AS rn,
+             RANK()        OVER w AS rnk,
+             DENSE_RANK()  OVER w AS drnk,
+             NTILE(4)      OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="Ranking family over a per-customer total order.",
+    tags=("window", "rank"),
+)
+def w_rank_orders_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w_lag_lead_event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts))  OVER w AS gap_us,
+           LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS next_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead inter-event gaps in exact integer microseconds.",
+    tags=("window", "analytic"),
+)
+def w_lag_lead_event_gaps(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("next_us"),
+    )
+
+
+@query(
+    "w_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+             AS running_total
+    FROM orders
+    """,
+    doc="Running sum (rows frame) with portable fixed-point accumulation.",
+    tags=("window", "frame"),
+)
+def w_running_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scaled = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(scaled).over(w).cast("double") / 100).alias("running_total"),
+    )
+
+
+@query(
+    "w_moving_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (1000000.0 * COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             AS avg7
+    FROM events
+    """,
+    doc="7-row moving average (bounded rows frame), fixed-point portable.",
+    tags=("window", "frame"),
+)
+def w_moving_avg_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    scaled = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(scaled).over(w).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)).over(w))
+        ).alias("avg7"),
+    )
+
+
+@query(
+    "w_first_last_per_user",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS last_type,
+           FIRST_VALUE(event_id)   OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last value over an unbounded frame.",
+    tags=("window", "analytic"),
+)
+def w_first_last_per_user(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    ).distinct()
+
+
+@query(
+    "w_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 2
+    """,
+    doc="Top-k-per-group via the topk_per_group operator.",
+    tags=("window", "topk", "composite"),
+)
+def w_topk_parts_per_brand(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return topk_per_group(
+        part.select("p_brand", "p_partkey", "p_retailprice"),
+        group_cols=["p_brand"],
+        order_cols=[F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=2,
+    )
+
+
+@query(
+    "w_sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Gap-based sessionization (30 min) via the sessionize operator — "
+        "lag + cumulative start-flags, one shuffle by user."
+    ),
+    tags=("window", "session", "composite"),
+)
+def w_sessionize_events(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sessed = sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+    return sessed.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
