@@ -1,0 +1,125 @@
+"""Deduplication operators for LLM data pipelines: exact, n-gram
+Jaccard, SimHash, and MinHash-LSH near-dup.
+
+Scale design notes (100 TB):
+- exact_dedup: one hash-shuffle on the content hash; survivor choice is
+  min(id) via window row_number (deterministic). No collects.
+- shingle/jaccard: shingling is a pure projection (codegen); pairwise
+  Jaccard is only ever evaluated on candidate pairs produced by an
+  index (LSH buckets) or an explicit pairing — never all-pairs.
+- simhash: explode(words) × explode(32 bits) → two hash aggregates.
+  Entirely JVM-side; the per-doc cost is O(words × 32) codegen rows,
+  shuffled once by doc_id. Near-dup = small Hamming distance.
+- minhash_lsh: pyspark.ml MinHashLSH with fixed seed; banded buckets →
+  approxSimilarityJoin shuffles by band hash, the standard
+  sub-quadratic near-dup at scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from unity_to_bigquery_spark.llm.text import words_col
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id row per exact text; adds ``content_md5``,
+    ``content_sha256`` and ``n_copies``.
+    """
+    w = Window.partitionBy(text).orderBy(id_col)
+    return (
+        df.withColumn("content_md5", F.md5(F.col(text)))
+        .withColumn("content_sha256", F.sha2(F.col(text), 256))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy(text)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (pure codegen)."""
+    w = words_col(text)
+    # transform over 1..len-n+1; empty array when too short
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard6(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns, fixed-point ×1e6."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.floor(inter / union * 1000000.0 + 0.5).cast("long")
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """32-bit SimHash per document from md5-derived word hashes.
+
+    Portable across engines: word hash = first 15 hex chars of md5 as a
+    60-bit integer; bit votes ±1 per word occurrence; simhash bit b set
+    iff the vote sum is positive.
+    """
+    words = df.select(id_col, F.explode(words_col(text)).alias("w"))
+    hashed = words.select(
+        id_col, F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    bits = hashed.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    votes = bits.groupBy(id_col, "b").agg(
+        F.sum(
+            F.when(F.expr("(h div shiftleft(1L, b)) % 2") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long bitmasks (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH over 3-gram word
+    shingles. Returns (id_a, id_b, jaccard_distance) with id_a < id_b.
+    Deterministic for a fixed seed. Sub-quadratic: candidates come from
+    LSH band-bucket joins, not an all-pairs product.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_distance")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

@@ -1,0 +1,170 @@
+"""Embedding similarity search: exact brute-force cosine top-k (the
+correctness baseline) and two scale paths — BucketedRandomProjection
+LSH and a deterministic IVF (inverted-file) index.
+
+Scale design (100 TB of embeddings):
+- Brute force is O(|queries| × |corpus|) with the query side broadcast:
+  right for small query batches / reranking, never for corpus×corpus.
+- IVF: centroid assignment is a broadcast argmin (one scan, no
+  shuffle); probing reduces candidate sets to nprobe/ncells of the
+  corpus. Centroids here are deterministic seed vectors; production
+  would run k-means — the Spark plumbing is identical.
+- All vector math is JVM higher-order functions (zip_with/aggregate) —
+  codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dbl(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (portable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _dbl(x) * _dbl(y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine6(a: Column, b: Column) -> Column:
+    """Cosine similarity as a ×1e6 fixed-point long (rank-stable)."""
+    return F.floor(cosine(a, b) * 1000000.0 + 0.5).cast("long")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank by (cosine6 desc, id) per query. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id))
+    scored = scored.withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos6", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) via a
+    broadcast argmin — adds ``cell_id``. One scan, no shuffle.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", cosine6(F.col(vec_col), F.col("__cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest cells per
+    query, exact cosine within probed cells only.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = centroids.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
+    qcells = q.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "__qvec", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probed), on="cell_id").filter(
+        F.col(id_col) != F.col(query_id)
+    )
+    scored = cand.withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos6", "rank")
+    )
+
+
+def brp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate neighbors via BucketedRandomProjectionLSH (seeded).
+    Euclidean-LSH is the stock Spark ANN; returns approx nearest by
+    L2 distance for each query id.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(id_col, array_to_vector(F.col(vec_col)).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    qfeats = queries.select(
+        F.col(id_col).alias("query_id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    pairs = model.approxSimilarityJoin(qfeats, feats, float("inf"), distCol="l2")
+    scored = pairs.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col(f"datasetB.{id_col}").alias(id_col),
+        F.col("l2"),
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )

@@ -1,1 +1,172 @@
-"""(populated incrementally)"""
+"""Event-stream declared queries — the batch-equivalent faces of the
+streaming surface (SURVEY.md §2B Streaming): tumbling/sliding/session
+windows, routing through a broadcast dimension (reference A9), and
+watermark-based incremental continuation (reference A12). The true
+``readStream`` flavors are differentially tested in
+``tests/test_streaming.py``; these batch twins are the oracle-checkable
+semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.functions.canonical import dsum, sql_dsum
+from unity_to_bigquery_spark.registry import query
+
+
+@query(
+    "e_tumbling_hour",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregate (streaming groupBy(window) twin).",
+    tags=("events", "window-agg"),
+)
+def e_tumbling_hour(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e_sliding_hour_30m",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL 30 MINUTE),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+    GROUP BY 1
+    """,
+    doc="Sliding window (1h length, 30m slide): each event lands in 2 windows.",
+    tags=("events", "window-agg"),
+)
+def e_sliding_hour_30m(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+@query(
+    "e_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Builtin session_window (30 min gap) — streaming-native sessionization.",
+    tags=("events", "session"),
+)
+def e_session_window_builtin(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "e_routing_dim",
+    oracle=f"""
+    SELECT COALESCE(d.dataset, 'misc_events') AS dataset,
+           COUNT(*) AS n, {sql_dsum('e.value')} AS total_value
+    FROM events e
+    LEFT JOIN (VALUES ('purchase', 'revenue_events'),
+                      ('signup',   'growth_events'),
+                      ('error',    'ops_events')) AS d(event_type, dataset)
+      ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+    doc=(
+        "Per-key sink routing through a broadcast dimension with fallback — "
+        "the reference's project→dataset dispatch (Unity_to_BigQuery.py:143-150) "
+        "as a join instead of if/elif."
+    ),
+    tags=("events", "routing", "broadcast"),
+)
+def e_routing_dim(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("purchase", "revenue_events"), ("signup", "growth_events"), ("error", "ops_events")],
+        ["event_type", "dataset"],
+    )
+    return (
+        events.join(F.broadcast(dim), on="event_type", how="left")
+        .groupBy(F.coalesce("dataset", F.lit("misc_events")).alias("dataset"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "e_incremental_after_watermark",
+    oracle="""
+    WITH wm AS (
+      SELECT event_type, MAX(ts) AS watermark
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           strftime(wm.watermark, '%Y-%m-%d %H:%M:%S') AS watermark,
+           COUNT(*) AS n_new
+    FROM events e JOIN wm ON e.event_type = wm.event_type
+    WHERE e.ts > wm.watermark
+    GROUP BY e.event_type, strftime(wm.watermark, '%Y-%m-%d %H:%M:%S')
+    """,
+    doc=(
+        "Incremental continuation: process only rows past the stored "
+        "watermark (reference A12 continueFrom semantics, "
+        "Unity_to_BigQuery.py:63-66,155-160)."
+    ),
+    tags=("events", "incremental"),
+)
+def e_incremental_after_watermark(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    wm = (
+        events.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("watermark"))
+    )
+    return (
+        events.join(F.broadcast(wm), on="event_type")
+        .filter(F.col("ts") > F.col("watermark"))
+        .groupBy(
+            "event_type",
+            F.date_format("watermark", "yyyy-MM-dd HH:mm:ss").alias("watermark"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )

@@ -1,1 +1,301 @@
-"""(populated incrementally)"""
+"""LLM-data-pipeline declared queries (BASELINE.json north star):
+dedup (exact / n-gram Jaccard / SimHash / MinHash-LSH), similarity
+search (exact cosine top-k, IVF, LSH), and text analysis (quality
+features, language ID, token counts, fingerprints).
+
+Oracle-expressible variants carry DuckDB SQL; the ML-backed ones
+(MinHash-LSH, BRP-LSH) are property-tested in tests/test_llm.py and
+rows-only-checked by the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.llm.dedup import (
+    exact_dedup,
+    jaccard6,
+    minhash_lsh_pairs,
+    shingles,
+    simhash32,
+)
+from unity_to_bigquery_spark.llm.similarity import brp_lsh_topk, brute_force_topk, ivf_topk
+from unity_to_bigquery_spark.llm.text import (
+    BPE_ISH_PATTERN,
+    PUNCT_PATTERN,
+    fingerprint,
+    lang_id,
+    quality_features,
+)
+from unity_to_bigquery_spark.registry import query
+
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    SELECT doc_id, source, content_md5, content_sha256, n_copies FROM (
+      SELECT doc_id, source,
+             md5(text)                                   AS content_md5,
+             sha256(text)                                AS content_sha256,
+             COUNT(*)     OVER (PARTITION BY text)       AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup: min-id survivor per content hash (one shuffle).",
+    tags=("llm", "dedup"),
+)
+def d_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "doc_id", "source", "content_md5", "content_sha256", "n_copies"
+    )
+
+
+@query(
+    "d_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [] END AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(FLOOR(len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+                      * 1000000.0 + 0.5) AS BIGINT) AS jaccard6
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc=(
+        "3-gram shingle Jaccard on adjacent-id candidate pairs (pair "
+        "generation stands in for an LSH bucket join; the measure is the "
+        "real n-gram Jaccard operator)."
+    ),
+    tags=("llm", "dedup", "jaccard"),
+)
+def d_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text").alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jaccard6(F.col("a.s"), F.col("b.s")).alias("jaccard6"),
+    )
+
+
+@query(
+    "d_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashes AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM words
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc=(
+        "32-bit SimHash from md5-derived word hashes — portable bit "
+        "votes, fully JVM-side (explode + two hash aggregates)."
+    ),
+    tags=("llm", "dedup", "simhash"),
+)
+def d_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs)
+
+
+@query(
+    "d_minhash_lsh",
+    oracle=None,  # LSH banding is engine-specific; property-tested in tests/test_llm.py
+    doc="MinHash-LSH near-dup candidate pairs (seeded, sub-quadratic).",
+    tags=("llm", "dedup", "lsh"),
+)
+def d_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, max_jaccard_distance=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard_distance") * 1000000.0 + 0.5).alias("dist6")
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       s -> s[1]::DOUBLE * s[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos6, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "Exact cosine top-5 neighbors for a broadcast query batch — the "
+        "brute-force baseline every ANN variant is measured against."
+    ),
+    tags=("llm", "similarity"),
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=None,  # approx by construction; recall property-tested vs exact
+    doc="IVF-index approximate top-k (16 deterministic cells, nprobe=4).",
+    tags=("llm", "similarity", "ann"),
+)
+def sim_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=4)
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=None,  # approx by construction; recall property-tested vs exact
+    doc="BucketedRandomProjection-LSH approximate neighbors (seeded).",
+    tags=("llm", "similarity", "ann"),
+)
+def sim_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brp_lsh_topk(emb, queries, k=5)
+
+
+@query(
+    "t_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                          AS n_chars,
+           len(string_split(text, ' '))                          AS n_words,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))    AS n_bpe_tokens,
+           CAST(FLOOR(len(regexp_extract_all(text, '[.,!?;:]')) * 1000.0 / length(text) + 0.5) AS BIGINT)
+             AS punct_per_kchar,
+           CAST(FLOOR(len(list_intersect(string_split(text, ' '), ['the','of','and','to','in']))::DOUBLE
+                      * 1000000.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS stopword_ratio6,
+           CAST(FLOOR((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                      * 1000000.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS mean_word_len6
+    FROM documents
+    """,
+    doc="Quality-scoring features: lengths, token counts, punct density, stopword ratio.",
+    tags=("llm", "text"),
+)
+def t_quality_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_bpe_tokens",
+        "punct_per_kchar",
+        "stopword_ratio6",
+        "mean_word_len6",
+    )
+
+
+@query(
+    "t_lang_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w,
+             regexp_matches(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, lang, has_cjk,
+             len(list_intersect(w, ['the','of','and','to','in']))  AS v_en,
+             len(list_intersect(w, ['el','la','de','que','y']))    AS v_es,
+             len(list_intersect(w, ['der','die','und','das','ist'])) AS v_de,
+             len(list_intersect(w, ['le','et','les','des','un']))  AS v_fr
+      FROM feat
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN v_es > v_en AND v_es >= v_de AND v_es >= v_fr THEN 'es'
+                WHEN v_de > v_en AND v_de >= v_fr THEN 'de'
+                WHEN v_fr > v_en THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM votes
+    """,
+    doc="Heuristic language ID (script check + stopword vote).",
+    tags=("llm", "text", "langid"),
+)
+def t_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "t_token_count_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)                 AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+           MAX(len(string_split(text, ' ')))                                 AS max_doc_tokens,
+           MIN(len(string_split(text, ' ')))                                 AS min_doc_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus token accounting per source (whitespace + BPE-ish).",
+    tags=("llm", "text", "tokens"),
+)
+def t_token_count_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.sum(w).alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(BPE_ISH_PATTERN))).alias("bpe_tokens"),
+        F.max(w).alias("max_doc_tokens"),
+        F.min(w).alias("min_doc_tokens"),
+    )
+
+
+@query(
+    "t_fingerprint_clusters",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fprint
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*)                 AS n_docs,
+           COUNT(DISTINCT fprint)   AS n_distinct_fprints
+    FROM fp GROUP BY source
+    """,
+    doc="Word-set fingerprint clustering (key-collapse dedup signal).",
+    tags=("llm", "text", "fingerprint"),
+)
+def t_fingerprint_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint("text").alias("fprint"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fprint").alias("n_distinct_fprints"),
+        )
+    )

@@ -1,1 +1,252 @@
-"""(populated incrementally)"""
+"""Scalar-function declared queries (SURVEY.md §2B Scalar functions):
+string / date-time / math / conditional / array / higher-order / map /
+JSON families, each exercised over fixture columns with portable
+outputs (transcendental results fixed-point-floored; dates formatted).
+
+Row-level sampling uses deterministic key-modulo filters so outputs
+stay bounded at any scale factor while still covering value diversity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.registry import query
+
+
+@query(
+    "f_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+           upper(c_mktsegment)                    AS seg_upper,
+           lower(c_name)                          AS name_lower,
+           length(c_name)                         AS name_len,
+           substring(c_name, 1, 8)                AS name_prefix,
+           c_mktsegment || ':' || c_name          AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'C')       AS short_name,
+           split_part(c_name, '#', 2)             AS after_hash,
+           CASE WHEN c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS is_std
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    doc="String family: regexp_extract, case, length, substring, concat, pad, replace, split_part, LIKE.",
+    tags=("scalar", "string"),
+)
+def f_string_ops(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("cust_num"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_replace("c_name", "Customer", "C").alias("short_name"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.when(F.col("c_name").like("Customer#%"), 1).otherwise(0).alias("is_std"),
+    )
+
+
+@query(
+    "f_date_ops",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS y,
+           month(o_orderdate)                                  AS m,
+           day(o_orderdate)                                    AS d,
+           quarter(o_orderdate)                                AS q,
+           isodow(o_orderdate)                                 AS dow_iso,
+           CAST(epoch(o_orderdate) AS BIGINT)                  AS epoch_s,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')         AS month_end,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="Date/time family (generalizes reference date arithmetic, Unity_to_BigQuery.py:52-53,157).",
+    tags=("scalar", "datetime"),
+)
+def f_date_ops(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+@query(
+    "f_math_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25)                                   AS abs_dev,
+           CAST(pow(l_quantity, 2) AS DOUBLE)                     AS qty_sq,
+           CAST(FLOOR(sqrt(l_extendedprice) * 1000000.0 + 0.5) AS BIGINT) AS sqrt_p6,
+           CAST(FLOOR(ln(l_extendedprice)   * 1000000.0 + 0.5) AS BIGINT) AS ln_p6,
+           CAST(FLOOR(log10(l_extendedprice)* 1000000.0 + 0.5) AS BIGINT) AS log10_p6,
+           l_orderkey % 7                                         AS mod7,
+           sign(l_discount - 0.05)                                AS disc_sign,
+           CAST(FLOOR(l_quantity - 25.5) AS BIGINT)               AS flr,
+           CAST(CEIL(l_quantity - 25.5)  AS BIGINT)               AS cl,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)     AS price_cents,
+           l_orderkey // 100                                      AS okey_div
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+    doc="Math family; transcendentals fixed-point-floored for portability.",
+    tags=("scalar", "math"),
+)
+def f_math_ops(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.floor(F.sqrt(p) * 1000000.0 + 0.5).alias("sqrt_p6"),
+        F.floor(F.log(p) * 1000000.0 + 0.5).alias("ln_p6"),
+        F.floor(F.log10(p) * 1000000.0 + 0.5).alias("log10_p6"),
+        F.pmod("l_orderkey", F.lit(7)).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.floor(F.col("l_quantity") - 25.5).alias("flr"),
+        F.ceil(F.col("l_quantity") - 25.5).alias("cl"),
+        F.floor(p * 100 + 0.5).alias("price_cents"),
+        F.expr("l_orderkey div 100").alias("okey_div"),
+    )
+
+
+@query(
+    "f_conditional_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS value_bucket,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'problem'
+                ELSE 'engagement' END AS funnel,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Conditional expressions (reference routing A9 analogue).",
+    tags=("scalar", "conditional"),
+)
+def f_conditional_buckets(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.when(F.col("value") < 10, "low")
+            .when(F.col("value") < 100, "mid")
+            .otherwise("high")
+            .alias("value_bucket"),
+            F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+            .when(F.col("event_type") == "error", "problem")
+            .otherwise("engagement")
+            .alias("funnel"),
+        )
+        .groupBy("value_bucket", "funnel")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "f_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS n_words,
+           len(list_distinct(string_split(text, ' ')))          AS n_distinct,
+           array_to_string((list_sort(list_distinct(string_split(text, ' '))))[1:3], ',') AS first3,
+           CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END AS has_the
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+    doc="Array family: split, size, distinct, sort, slice, contains.",
+    tags=("scalar", "array"),
+)
+def f_array_ops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(words)), 1, 3), ",").alias("first3"),
+        F.when(F.array_contains(words, "the"), 1).otherwise(0).alias("has_the"),
+    )
+
+
+@query(
+    "f_hof_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(FLOOR(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sumsq6,
+           CAST(FLOOR(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                                              s -> s[1]::DOUBLE * s[2]::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS revdot6,
+           CAST(FLOOR(embedding[1]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS first6,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings WHERE vec_id % 13 = 0
+    """,
+    doc=(
+        "Higher-order array functions (transform/aggregate/zip_with/"
+        "filter) — the JVM-side vector math used by similarity search."
+    ),
+    tags=("scalar", "array", "hof"),
+)
+def f_hof_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 13 == 0)
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    sumsq = F.aggregate(
+        F.transform(e, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    revdot = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda a, b: dbl(a) * dbl(b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(sumsq * 1000000.0 + 0.5).alias("sumsq6"),
+        F.floor(revdot * 1000000.0 + 0.5).alias("revdot6"),
+        F.floor(dbl(F.element_at(e, 1)) * 1000000.0 + 0.5).alias("first6"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "f_map_json_ops",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',')  AS keys_str,
+           CAST(json_extract(props, '$.k') AS BIGINT)         AS k_val,
+           json_extract_string(props, '$.k')                  AS k_str,
+           to_json(struct_pack(t := event_type, k := CAST(json_extract(props, '$.k') AS BIGINT))) AS repacked
+    FROM events WHERE event_id % 53 = 0
+    """,
+    doc=(
+        "Map + JSON families over the opaque event payloads (mirrors the "
+        "reference's NDJSON passthrough, Unity_to_BigQuery.py:136-141)."
+    ),
+    tags=("scalar", "map", "json"),
+)
+def f_map_json_ops(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 53 == 0)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_str"),
+        k_val.alias("k_val"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        F.to_json(F.struct(F.col("event_type").alias("t"), k_val.alias("k"))).alias("repacked"),
+    )
