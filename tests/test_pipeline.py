@@ -1,0 +1,119 @@
+"""Pipeline-semantics tests (SURVEY.md §5 item 3): incremental
+checkpoint/continuation over a synthetic landing zone, including the
+exactly-once ordering fix for the reference's at-most-once sink bug
+(SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.plans.pipeline import CheckpointTable, run_incremental_job
+from unity_to_bigquery_spark.sources.landing import read_landing_events
+
+PROJECTS = ["proj_a", "proj_b"]
+REPORTS = ["appStart", "transaction"]
+
+
+def _write_batch(spark, sf_dir, root: str, project: str, report: str, batch: str, lo: int, hi: int):
+    """Lay out one landing batch: <root>/<project>/<report>/<batch>/*.json.gz
+    (directory scheme from Unity_to_BigQuery.py:106)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") % 100 >= lo) & (F.col("event_id") % 100 < hi))
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    path = os.path.join(root, project, report, batch)
+    events.coalesce(1).write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+@pytest.fixture()
+def landing(tmp_path, spark, sf_dir):
+    root = str(tmp_path / "landing")
+    for p in PROJECTS:
+        for r in REPORTS:
+            _write_batch(spark, sf_dir, root, p, r, "2024-01-01_job1", 0, 50)
+    return root
+
+
+def test_landing_scan_recovers_partitions(spark, sf_dir, landing):
+    df = read_landing_events(spark, landing)
+    combos = {
+        (r.project_id, r.report_type)
+        for r in df.select("project_id", "report_type").distinct().collect()
+    }
+    assert combos == {(p, r) for p in PROJECTS for r in REPORTS}
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0
+
+
+def test_incremental_job_processes_only_new_batches(spark, sf_dir, landing, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+
+    n1 = run_incremental_job(spark, landing, sink, ckpt)
+    assert n1 == 4  # 2 projects × 2 reports
+    count1 = spark.read.parquet(sink).count()
+
+    # Re-run with no new files → zero batches, sink unchanged (A12 semantics)
+    assert run_incremental_job(spark, landing, sink, ckpt) == 0
+    assert spark.read.parquet(sink).count() == count1
+
+    # Drop one new batch → only it is processed (continueFrom analogue)
+    _write_batch(spark, sf_dir, landing, "proj_a", "appStart", "2024-01-02_job2", 50, 60)
+    assert run_incremental_job(spark, landing, sink, ckpt) == 1
+    sunk = spark.read.parquet(sink)
+    assert sunk.count() > count1
+    assert sunk.filter(F.col("batch_id") == "2024-01-02_job2").count() > 0
+
+
+def test_checkpoint_latest_lookup(spark, sf_dir, landing, tmp_path):
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+    assert ckpt.latest("proj_a", "appStart") is None  # A18: empty bootstrap
+    run_incremental_job(spark, landing, str(tmp_path / "sink"), ckpt)
+    assert ckpt.latest("proj_a", "appStart") == "2024-01-01_job1"
+    assert ckpt.latest("nope", "appStart") is None
+
+
+def test_no_checkpoint_on_sink_failure(spark, sf_dir, landing, tmp_path, monkeypatch):
+    """The §3.3 fix: if the sink write throws, nothing is checkpointed,
+    so the batch is retried next run (the reference would have recorded
+    it as done and lost the data)."""
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real_parquet = DataFrameWriter.parquet
+
+    def exploding_parquet(self, path, **kw):
+        if "sink_fail" in path:
+            raise RuntimeError("simulated sink outage")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", exploding_parquet)
+    with pytest.raises(RuntimeError, match="simulated sink outage"):
+        run_incremental_job(spark, landing, str(tmp_path / "sink_fail"), ckpt)
+    assert ckpt.read().count() == 0  # nothing marked done
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    # Retry after outage processes everything
+    assert run_incremental_job(spark, landing, str(tmp_path / "sink_ok"), ckpt) == 4
+
+
+def test_routing_dim_applied(spark, sf_dir, landing, tmp_path):
+    dim = spark.createDataFrame(
+        [("proj_a", "Hammer_Jump")], ["project_id", "dataset"]
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+    run_incremental_job(spark, landing, sink, ckpt, routing_dim=dim)
+    out = spark.read.parquet(sink)
+    ds = {
+        (r.project_id, r.dataset)
+        for r in out.select("project_id", "dataset").distinct().collect()
+    }
+    assert ds == {("proj_a", "Hammer_Jump"), ("proj_b", "misc")}

@@ -1,0 +1,108 @@
+"""Differential streaming tests (SURVEY.md §5): each streaming flavor on
+a closed input must equal its batch twin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.streaming.stream import (
+    dedup_within_watermark,
+    run_available_now,
+    run_foreach_batch_idempotent,
+    running_counts_stateful,
+    stream_events,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, spark, sf_dir):
+    path = str(tmp_path / "events_parquet")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    assert stream.isStreaming
+    agg = tumbling_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), "tumbling_sink")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("tumbling_sink").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path):
+    # Duplicate the whole input once → dedup must restore original count
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+    n_raw = spark.read.parquet(dup_dir).count()
+    n_unique = base.select("event_id").distinct().count()
+    assert n_raw == 2 * n_unique
+
+    stream = stream_events(spark, dup_dir)
+    run_available_now(
+        dedup_within_watermark(stream).select("event_id"),
+        str(tmp_path / "ckpt"),
+        "dedup_sink",
+    )
+    out = spark.table("dedup_sink")
+    assert out.count() == n_unique
+    assert out.distinct().count() == n_unique
+
+
+def test_stateful_running_counts_equal_batch(spark, sf_dir, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    counts = running_counts_stateful(stream)
+    run_available_now(counts, str(tmp_path / "ckpt"), "stateful_sink", output_mode="update")
+    # update-mode memory sink: last emission per user is the final count
+    got = {
+        r.user_id: r.n_events
+        for r in spark.table("stateful_sink")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    sink = str(tmp_path / "sink")
+    run_foreach_batch_idempotent(stream, str(tmp_path / "ckpt"), sink)
+    n = spark.read.parquet(sink).count()
+    assert n == spark.read.parquet(events_dir).count()
+
+    # Re-run with the SAME checkpoint: nothing new → no duplicates
+    run_foreach_batch_idempotent(
+        stream_events(spark, events_dir), str(tmp_path / "ckpt"), sink
+    )
+    assert spark.read.parquet(sink).count() == n
+
+    # Fresh checkpoint replaying the same input overwrites its batch dir
+    # (idempotent-by-batch-id) instead of doubling the sink.
+    run_foreach_batch_idempotent(
+        stream_events(spark, events_dir), str(tmp_path / "ckpt2"), sink
+    )
+    assert spark.read.parquet(sink).count() == n

@@ -11,5 +11,6 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     scalars,
     setops,
     tpch,
+    udfs,
     windows,
 )

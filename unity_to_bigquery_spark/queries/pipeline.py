@@ -1,1 +1,103 @@
-"""(populated incrementally)"""
+"""Pipeline/IO declared queries: sink+scan round-trips proving the
+reference's IO surface (SURVEY.md §2B Scans/sources/sinks) with
+oracle-checkable results — the write paths are exercised inside the
+query, then the read-back aggregate must match DuckDB computing the
+same aggregate on the original table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.functions.canonical import dsum, sql_dsum
+from unity_to_bigquery_spark.registry import query
+from unity_to_bigquery_spark.sources.landing import read_csv_with_header, read_ndjson
+
+
+def _tmp(name: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "u2bq_spark_roundtrips")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
+@query(
+    "p_partitioned_parquet_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "Partitioned parquet sink (reference A8 directory layout) + "
+        "read-back: partition values survive the round-trip losslessly."
+    ),
+    tags=("pipeline", "sink"),
+)
+def p_partitioned_parquet_roundtrip(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    path = _tmp(f"lineitem_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "p_ndjson_gz_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Gzipped-NDJSON sink + schema'd scan (reference A4/A10 format: "
+        "gunzip + NEWLINE_DELIMITED_JSON) — timestamps travel as strings."
+    ),
+    tags=("pipeline", "ndjson"),
+)
+def p_ndjson_gz_roundtrip(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    path = _tmp(f"events_ndjson_{os.path.basename(sf_dir.rstrip('/'))}")
+    events.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = read_ndjson(
+        spark,
+        path,
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query(
+    "p_csv_header_roundtrip",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="CSV-with-header sink + header-skipping scan (reference A10 skip_leading_rows).",
+    tags=("pipeline", "csv"),
+)
+def p_csv_header_roundtrip(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    path = _tmp(f"nation_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv_with_header(
+        spark, path, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )

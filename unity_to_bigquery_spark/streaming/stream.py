@@ -1,0 +1,128 @@
+"""Structured Streaming flavor of the incremental pipeline
+(SURVEY.md §2B Streaming): file-source micro-batches over the landing
+dir with Trigger.AvailableNow (the reference's poll-until-complete loop
+A2 + continueFrom A12 become engine-managed checkpoints), watermarked
+window aggregates, streaming dedup, arbitrary stateful processing, and
+an idempotent foreachBatch sink (A11 exactly-once).
+
+Everything here is differentially tested against the batch twins in
+tests/test_streaming.py — the streaming result on a closed input must
+equal the batch result.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_STREAM_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source micro-batch stream over a landing directory of
+    parquet event files (schema pinned — streaming requires it).
+    """
+    return spark.readStream.schema(EVENTS_STREAM_DDL).parquet(path)
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type. The watermark
+    bounds state: rows later than it are dropped, state for closed
+    windows is evicted — the knob that keeps 100 TB streams finite.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup by event_id, state bounded by the watermark
+    (dropDuplicatesWithinWatermark — late replays beyond the watermark
+    age out of state instead of accumulating forever).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def _running_count_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: running event count per user."""
+    (user_id,) = key
+    count = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        count += len(pdf)
+    state.update((count,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [count]})
+
+
+def running_counts_stateful(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op (applyInPandasWithState): per-user running
+    counts maintained across micro-batches in keyed state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT",
+        stateStructType="n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    query_df: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str,
+    output_mode: str | None = None,
+) -> None:
+    """Drain everything currently available (Trigger.AvailableNow) into
+    an in-memory sink table, then stop — the hermetic test harness for
+    incremental semantics (replaces the reference's 5 s poll loop,
+    Unity_to_BigQuery.py:166-171). ``output_mode`` defaults to
+    ``complete`` for aggregating plans, ``append`` otherwise; stateful
+    update-mode operators must pass ``"update"``.
+    """
+    if output_mode is None:
+        output_mode = "complete" if _has_agg(query_df) else "append"
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def run_foreach_batch_idempotent(
+    stream: DataFrame, checkpoint_dir: str, sink_root: str
+) -> None:
+    """Exactly-once sink via idempotent-by-batch-id writes: each
+    micro-batch lands in its own directory keyed by batch id with
+    overwrite mode, so a replayed batch (post-crash re-delivery)
+    overwrites its previous attempt instead of duplicating (the A11
+    checkpoint-after-sink contract)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_root}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
