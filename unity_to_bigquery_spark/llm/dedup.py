@@ -111,7 +111,11 @@ def minhash_lsh_pairs(
 
     sh = df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh)
+    # Persist the featurized side: the self-join references it twice and
+    # would otherwise recompute shingling+TF+minhash per side (observed
+    # 4× wall-clock). At cluster scale this persist is a disk-backed
+    # StorageLevel or a staged parquet materialization.
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_distance")
