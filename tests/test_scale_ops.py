@@ -1,0 +1,74 @@
+"""Scale-path operators: salted aggregation/join equivalence and
+bucketed-join shuffle elimination (the 100 TB design levers, exercised
+and plan-verified at test scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.operators.skew import replicated_salt_join, salted_aggregate
+from unity_to_bigquery_spark.plans.bucketing import bucketed_join, write_bucketed
+
+
+def test_salted_aggregate_equals_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        sum_cols={"sum_qty": "l_quantity"},
+        salt_col="l_orderkey",
+        n_salt=16,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+    got = {r.l_returnflag: (r.n, r.sum_qty) for r in salted.collect()}
+    want = {r.l_returnflag: (r.n, r.sum_qty) for r in direct.collect()}
+    assert got == want
+
+
+def test_replicated_salt_join_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = replicated_salt_join(
+        li, orders, key="l_orderkey", salt_col="l_quantity", n_salt=8
+    )
+    plain = li.join(orders, on="l_orderkey")
+    assert salted.count() == plain.count()
+    g1 = {r.o_orderpriority: r.n for r in salted.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    g2 = {r.o_orderpriority: r.n for r in plain.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert g1 == g2
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_b", "o_orderkey", n_buckets=8
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey", n_buckets=8
+    )
+    # At toy scale Catalyst prefers broadcasting the small side (and
+    # rightly so) — disable broadcast so the bucketed path is planned,
+    # as it would be for two 100 TB fact tables.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+    assert "Bucketed: true" in plan, f"bucketed scan not used:\n{plan[:800]}"
+    # correctness: same row count as the shuffled join
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    assert joined.count() == plain.count()

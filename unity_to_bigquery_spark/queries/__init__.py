@@ -11,6 +11,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     scalars,
     setops,
     tpch,
+    tpch2,
     udfs,
     windows,
 )
