@@ -106,3 +106,44 @@ def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
         stream_events(spark, events_dir), str(tmp_path / "ckpt2"), sink
     )
     assert spark.read.parquet(sink).count() == n
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition
+    (purchases joined to errors by the same user within the next hour),
+    differentially equal to the batch join on a closed input."""
+    import pyspark.sql.functions as F
+
+    purchases = (
+        stream_events(spark, events_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    errors = (
+        stream_events(spark, events_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("e_id"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = purchases.join(
+        errors,
+        F.expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR"),
+    ).select("p_id", "e_id")
+    run_available_now(joined, str(tmp_path / "ckpt"), "ss_join_sink")
+    got = {(r.p_id, r.e_id) for r in spark.table("ss_join_sink").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("event_id").alias("e_id"))
+    want = {
+        (r.p_id, r.e_id)
+        for r in p.join(
+            e, F.expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR")
+        ).select("p_id", "e_id").collect()
+    }
+    assert got == want and len(want) > 0

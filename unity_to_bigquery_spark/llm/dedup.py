@@ -127,3 +127,76 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def minhash_lsh_pairs_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Pure-DataFrame MinHash-LSH near-dup pairs — no pyspark.ml, fully
+    engine-portable (md5-derived hash family), therefore DuckDB-oracle
+    verifiable end-to-end, unlike the ML variant.
+
+    Pipeline: distinct 3-gram shingles → k md5-family minhashes per doc
+    (explode shingles × k, two hash aggregates) → band keys (md5 of the
+    band's signature slice) → self-join on (band, key) for candidates →
+    exact Jaccard verification on candidates only.
+
+    Scale: signatures cost O(shingles × k) codegen rows + one shuffle by
+    (doc, i); the candidate join shuffles by band key (tiny); Jaccard
+    runs only on candidate pairs — the standard sub-quadratic shape.
+    """
+    r = k // bands
+    sh_arrays = df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0)
+    sh_rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
+    hx = sh_rows.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "s",
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit("#"), F.col("i"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    sig = hx.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+    bk = (
+        sig.withColumn("band", F.expr(f"i div {r}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"].cast("string"),
+                    ),
+                )
+            ).alias("key")
+        )
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard6(F.col("sh_a"), F.col("sh_b")).alias("jaccard6"))
+    )

