@@ -29,7 +29,11 @@ def main() -> None:
     unknown = [n for n in names if n not in registry]
     if unknown:
         sys.exit(f"bench: unknown queries {unknown}; known: {sorted(registry)}")
-    spark = get_spark(app_name="bench")
+    # No console progress bar: the driver parses our single stdout JSON
+    # line and \r-progress frames must never interleave with it.
+    spark = get_spark(
+        app_name="bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers so per-query numbers measure the

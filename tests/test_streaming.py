@@ -147,3 +147,29 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir, tmp_path):
         ).select("p_id", "e_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, events_dir, tmp_path):
+    """Streaming session_window aggregation (30 min gap) on a closed
+    input equals the batch session_window result."""
+    import pyspark.sql.functions as F
+
+    stream = stream_events(spark, events_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n")
+    )
+    run_available_now(agg, str(tmp_path / "ckpt"), "session_sink")
+    got = {
+        (r.user_id, r.session_start, r.n) for r in spark.table("session_sink").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n")
+    )
+    want = {(r.user_id, r.session_start, r.n) for r in batch.collect()}
+    assert got == want and len(want) > 0

@@ -150,7 +150,11 @@ def minhash_lsh_pairs_df(
     runs only on candidate pairs — the standard sub-quadratic shape.
     """
     r = k // bands
-    sh_arrays = df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0)
+    # persisted: referenced by signature generation AND both sides of
+    # the Jaccard verify join (3 evaluations otherwise)
+    sh_arrays = (
+        df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0).persist()
+    )
     sh_rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
     hx = sh_rows.select(
         id_col,
