@@ -1,0 +1,59 @@
+"""A15/A16/A17 behavioral tests: config validation names missing keys,
+path expansion applies, error hook records and re-raises."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from unity_to_bigquery_spark.plans.ops_support import (
+    ConfigError,
+    ErrorNotifier,
+    load_config,
+    run_with_notification,
+)
+
+
+def _write(tmp_path, cfg):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+GOOD = {
+    "postgres_username": "u",
+    "postgres_pass": "p",
+    "postgres_host": "h",
+    "unity_project_id": ["proj-1"],
+    "local_collection_path": "~/data",
+}
+
+
+def test_load_config_expands_and_validates(tmp_path):
+    cfg = load_config(_write(tmp_path, GOOD))
+    assert not cfg["local_collection_path"].startswith("~")
+
+
+def test_load_config_names_missing_keys(tmp_path):
+    bad = dict(GOOD, postgres_host="", unity_project_id=[])
+    with pytest.raises(ConfigError) as ei:
+        load_config(_write(tmp_path, bad))
+    assert "postgres_host" in str(ei.value)
+    assert "unity_project_id" in str(ei.value)
+
+
+def test_error_notifier_records_and_reraises():
+    outbox = []
+    n = ErrorNotifier(sink=lambda ch, msg: outbox.append((ch, msg)))
+
+    def boom():
+        raise RuntimeError("export job failed")
+
+    with pytest.raises(RuntimeError):
+        run_with_notification(n, boom)
+    assert n.sent == [("#analytics_feed", "RuntimeError: export job failed")]
+    assert outbox == n.sent
+
+    assert run_with_notification(n, lambda: 42) == 42
+    assert len(n.sent) == 1  # success path notifies nothing

@@ -173,3 +173,32 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, events_dir, tmp_pa
     )
     want = {(r.user_id, r.session_start, r.n) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_static_broadcast_join(spark, sf_dir, events_dir, tmp_path):
+    """Stream-static join: streaming events enriched against a static
+    broadcast dimension (the reference's A9 routing, streaming flavor)."""
+    import pyspark.sql.functions as F
+
+    dim = spark.createDataFrame(
+        [("purchase", "revenue"), ("error", "ops")], ["event_type", "dataset"]
+    )
+    stream = stream_events(spark, events_dir)
+    routed = (
+        stream.join(F.broadcast(dim), on="event_type", how="left")
+        .withColumn("dataset", F.coalesce("dataset", F.lit("misc")))
+        .groupBy("dataset")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_available_now(routed, str(tmp_path / "ckpt"), "routed_sink")
+    got = {(r.dataset, r.n) for r in spark.table("routed_sink").collect()}
+    want = {
+        (r.dataset, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), on="event_type", how="left")
+        .withColumn("dataset", F.coalesce("dataset", F.lit("misc")))
+        .groupBy("dataset")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) == 3

@@ -1,0 +1,73 @@
+"""Operational support surfaces from the reference (SURVEY.md §2A
+A15/A16/A17): error notification, config validation, and path
+expansion — driver-side concerns, restated without the reference's
+shell-out and hardcoded-path defects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+# The reference's required-config guard (Unity_to_BigQuery.py:24-29)
+REQUIRED_CONFIG_KEYS = (
+    "postgres_username",
+    "postgres_pass",
+    "postgres_host",
+    "unity_project_id",
+    "local_collection_path",
+)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def load_config(path: str, required: tuple[str, ...] = REQUIRED_CONFIG_KEYS) -> dict:
+    """A16/A17: parse + validate the JSON config and expand user paths.
+    Unlike the reference (hardcoded path at Unity_to_BigQuery.py:194,
+    falsy-check that conflates missing and empty), missing keys are
+    reported by name.
+    """
+    with open(os.path.expanduser(path)) as fh:
+        cfg = json.load(fh)
+    missing = [k for k in required if not cfg.get(k)]
+    if missing:
+        raise ConfigError(f"config missing/empty keys: {missing}")
+    if "local_collection_path" in cfg:
+        cfg["local_collection_path"] = os.path.expanduser(cfg["local_collection_path"])
+    return cfg
+
+
+@dataclass
+class ErrorNotifier:
+    """A15: error-notification hook (the reference shells out curl to a
+    Slack webhook, slack_notifier.py:5-11 — an injection-prone
+    os.system call). Here: a pluggable callback; the default collects
+    messages so tests and retries can observe them. A production sink
+    posts JSON via an HTTP client, never a shell.
+    """
+
+    channel: str = "#analytics_feed"
+    sink: Callable[[str, str], None] | None = None
+    sent: list[tuple[str, str]] = field(default_factory=list)
+
+    def notify(self, error: str) -> None:
+        self.sent.append((self.channel, error))
+        if self.sink is not None:
+            self.sink(self.channel, error)
+
+
+def run_with_notification(notifier: ErrorNotifier, fn: Callable, *args, **kwargs):
+    """The reference's outer try/except→Slack shape
+    (Unity_to_BigQuery.py:213-215): per-job failures notify and
+    re-raise; callers decide whether the run continues (the reference
+    continued accidentally via TypeError — here it is explicit).
+    """
+    try:
+        return fn(*args, **kwargs)
+    except Exception as exc:
+        notifier.notify(f"{type(exc).__name__}: {exc}")
+        raise

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.catalog import load_table, register_views
 from unity_to_bigquery_spark.registry import query
 
 
@@ -276,4 +276,70 @@ def f_null_ops(spark, sf_dir):
         F.greatest("l_quantity", F.col("l_tax") * 100).alias("biggest"),
         F.least("l_quantity", F.col("l_extendedprice") / 1000).alias("smallest"),
         F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("neutral")).alias("flag_label"),
+    )
+
+
+@query(
+    "f_sql_frontend_q01",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "SQL-frontend parity: the flagship aggregation submitted as SQL "
+        "text through spark.sql over registered views — same Catalyst "
+        "plan as the DataFrame form."
+    ),
+    tags=("sql",),
+)
+def f_sql_frontend_q01(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "f_explode_variants",
+    oracle="""
+    SELECT doc_id, pos, word FROM (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ) WHERE doc_id % 83 = 0 AND pos < 4
+    """,
+    doc="posexplode (table-generating projection) with position output.",
+    tags=("scalar", "generator"),
+)
+def f_explode_variants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 83 == 0)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("pos") < 4)
+    )
+
+
+@query(
+    "f_sample_deterministic",
+    oracle=None,  # Bernoulli sampling is engine-specific; bounds checked here
+    doc="Seeded Bernoulli sample — rows-only + sanity bounds (10% ±5pp).",
+    tags=("scalar", "sample"),
+)
+def f_sample_deterministic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.sample(fraction=0.1, seed=42)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.floor(F.count(F.lit(1)) * 10).alias("approx_total"),
     )
