@@ -38,9 +38,13 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def shingles(text: Column | str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (pure codegen)."""
-    w = words_col(text)
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words-array
+    column. ``w`` must be a plain column reference, not an inline
+    ``split(...)`` expression: Catalyst does not common-subexpression-
+    eliminate inside lambda bodies, so an inline split re-tokenizes the
+    whole document once per ``element_at`` — observed 16× slower.
+    """
     # transform over 1..len-n+1; empty array when too short
     return F.when(
         F.size(w) >= n,
@@ -53,6 +57,24 @@ def shingles(text: Column | str = "text", n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def with_shingles(
+    df: DataFrame, text: str = "text", out: str = "sh", n: int = 3
+) -> DataFrame:
+    """Attach distinct n-gram shingles, splitting the text exactly once."""
+    return (
+        df.withColumn("__words", words_col(text))
+        .withColumn(out, shingles_from_words(F.col("__words"), n))
+        .drop("__words")
+    )
+
+
+def shingles(text: Column | str = "text", n: int = 3) -> Column:
+    """Expression form of shingling — prefer :func:`with_shingles`,
+    which materializes the words array first (see shingles_from_words).
+    """
+    return shingles_from_words(words_col(text), n)
 
 
 def jaccard6(a: Column, b: Column) -> Column:
@@ -109,7 +131,7 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0)
+    sh = with_shingles(df, text).select(id_col, "sh").filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     # Persist the featurized side: the self-join references it twice and
     # would otherwise recompute shingling+TF+minhash per side (observed
@@ -153,7 +175,7 @@ def minhash_lsh_pairs_df(
     # persisted: referenced by signature generation AND both sides of
     # the Jaccard verify join (3 evaluations otherwise)
     sh_arrays = (
-        df.select(id_col, shingles(text).alias("sh")).filter(F.size("sh") > 0).persist()
+        with_shingles(df, text).select(id_col, "sh").filter(F.size("sh") > 0).persist()
     )
     sh_rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
     hx = sh_rows.select(
@@ -184,6 +206,7 @@ def minhash_lsh_pairs_df(
             ).alias("key")
         )
     )
+    bk = bk.persist()  # both sides of the candidate self-join
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(

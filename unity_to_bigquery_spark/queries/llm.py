@@ -79,7 +79,9 @@ def d_exact_dedup(spark, sf_dir):
 )
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles("text").alias("s"))
+    from unity_to_bigquery_spark.llm.dedup import with_shingles
+
+    sh = with_shingles(docs, out="s").select("doc_id", "s")
     a = sh.alias("a")
     b = sh.alias("b")
     return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
