@@ -45,9 +45,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable legacy conf: read TIMESTAMP(NANOS) as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # Integer division — ns longs (~1.7e18) exceed double's 2^53
-        # mantissa, so a float divide here silently loses microseconds.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Only the driver-generated fixtures carry ns-longs; re-written
+        # copies (scale replicas, sinks) already have real timestamps.
+        if df.schema["ts"].dataType.typeName() == "long":
+            # Integer division — ns longs (~1.7e18) exceed double's 2^53
+            # mantissa, so a float divide would silently lose microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
