@@ -35,13 +35,13 @@ QUERIES = [
     "a_rollup_revenue",
 ]
 
-# key columns to offset per replica so fact→fact joins don't explode
+# key columns to offset per replica so fact→fact joins don't explode;
+# documents/embeddings are NOT replicated (id-duplicating copies would
+# corrupt the LLM queries' pair semantics)
 OFFSETS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
-    "documents": [],
-    "embeddings": [],
 }
 
 
@@ -68,9 +68,13 @@ def main() -> None:
         app_name="scale-smoke", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    # _SUCCESS marker written after ALL tables: a partially-built dir
+    # (crashed build) must not be silently reused
+    done_marker = f"{out_dir}/_BUILD_COMPLETE"
+    if not os.path.exists(done_marker):
         t0 = time.perf_counter()
         build(spark, out_dir, reps)
+        open(done_marker, "w").close()
         print(f"# built x{reps} dataset in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     registry = all_queries()

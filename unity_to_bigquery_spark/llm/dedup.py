@@ -136,7 +136,10 @@ def minhash_lsh_pairs(
     # Persist the featurized side: the self-join references it twice and
     # would otherwise recompute shingling+TF+minhash per side (observed
     # 4× wall-clock). At cluster scale this persist is a disk-backed
-    # StorageLevel or a staged parquet materialization.
+    # StorageLevel or a staged parquet materialization. Known tradeoff:
+    # the cache outlives the returned (lazy) DataFrame — long-lived
+    # sessions invoking this repeatedly should spark.catalog.clearCache()
+    # between runs.
     feats = tf.transform(sh).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feats)

@@ -194,8 +194,10 @@ def allpairs_cosine6(
         id_col, "__nrm", F.posexplode(F.col(vec_col)).alias("pos", "v")
     ).withColumn("v", _dbl(F.col("v")))
     # The fixture table arrives as ONE input split; without an explicit
-    # repartition every joined row is produced by a single task.
-    a = flat.repartition(32, id_col).select(
+    # repartition every joined row is produced by a single task. Honor
+    # the session's configured parallelism rather than a literal.
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = flat.repartition(n_part, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__nrm").alias("na"),
         F.col("pos"), F.col("v").alias("va"),
     )

@@ -61,8 +61,15 @@ def replicated_salt_join(
 ) -> DataFrame:
     """Equi-join with the large side's hot keys spread across ``n_salt``
     reducers and the small side replicated to every salt value.
-    Exactly equivalent to ``large.join(small, key, how)``.
+    Exactly equivalent to ``large.join(small, key, how)`` for how in
+    {inner, left, left_semi, left_anti}. Right/full outer are rejected:
+    an unmatched small-side row would surface once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"replicated_salt_join does not support how={how!r}: unmatched "
+            "small-side rows would be emitted n_salt times"
+        )
     lsalted = large.withColumn(_SALT, _det_salt(F.col(salt_col), n_salt))
     rreplicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -41,10 +41,17 @@ class CheckpointTable:
         self.path = path
 
     def read(self) -> DataFrame:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
-        except Exception:  # first run: table does not exist yet (A18 bootstrap)
-            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        except AnalysisException as exc:
+            # ONLY a missing table means "first run" (A18 bootstrap). A
+            # corrupted/unreadable checkpoint must fail loudly — treating
+            # it as empty would silently reprocess every batch.
+            if "PATH_NOT_FOUND" in str(exc):
+                return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+            raise
 
     def latest(self, project_id: str, report_type: str):
         """Latest completed batch for one (project, report) — the A3
@@ -108,8 +115,16 @@ def run_incremental_job(
     if not batch_rows:
         return 0
 
+    # Pin the batch set BEFORE writing: the landing scan is lazy, and a
+    # batch arriving between this collect and the write would otherwise
+    # be sunk without being checkpointed (then re-sunk next run —
+    # duplicates). Filtering on the collected ids makes the write and
+    # the checkpoint describe exactly the same batches.
+    pinned_ids = [r.batch_id for r in batch_rows]
+    pinned_events = new_events.filter(F.col("batch_id").isin(pinned_ids))
+
     # Sink FIRST (idempotent append partitioned by batch provenance)…
-    new_events.write.mode("append").partitionBy("project_id", "report_type").parquet(
+    pinned_events.write.mode("append").partitionBy("project_id", "report_type").parquet(
         sink_path
     )
     # …checkpoint ONLY after the sink commit returned (fixes §3.3).

@@ -69,6 +69,9 @@ def e_sliding_hour_30m(spark, sf_dir):
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- strict > : Spark's session_window MERGES an event that
+             -- lands exactly gap after its predecessor (verified
+             -- empirically; tests/test_edge_semantics.py)
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
                   THEN 1 ELSE 0 END AS is_new

@@ -95,9 +95,13 @@ def set_intersect_customers(spark, sf_dir):
     tags=("setop",),
 )
 def set_except_customers(spark, sf_dir):
-    return _jan(spark, sf_dir).select("o_custkey").exceptAll(
+    # subtract() is EXCEPT DISTINCT. exceptAll().distinct() is NOT: a
+    # key present in both sides with higher left multiplicity survives
+    # the multiset difference and the distinct, but EXCEPT removes it
+    # (18 such custkeys exist at sf0.1).
+    return _jan(spark, sf_dir).select("o_custkey").subtract(
         _feb(spark, sf_dir).select("o_custkey")
-    ).distinct()
+    )
 
 
 @query(

@@ -77,8 +77,22 @@ def u_grouped_agg_pandas_udf(spark, sf_dir):
     def second_max(v: pd.Series) -> float:
         return float(v.nlargest(2).iloc[-1])
 
+    @F.pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(second_max("value").alias("second_max"))
+    return (
+        events.groupBy("user_id")
+        # count must also be a pandas UDF — Spark refuses to mix
+        # grouped-agg pandas UDFs with JVM aggregates in one agg
+        .agg(second_max("value").alias("second_max"), pd_count("value").alias("__n"))
+        # single-event users have no second-largest; the oracle's rn=2
+        # filter drops them, so must we (nlargest(2) of 1 row yields
+        # the max, which would be wrong)
+        .filter(F.col("__n") >= 2)
+        .drop("__n")
+    )
 
 
 @query(
