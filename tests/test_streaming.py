@@ -202,3 +202,39 @@ def test_stream_static_broadcast_join(spark, sf_dir, events_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_streaming_over_gz_ndjson_landing(spark, sf_dir, tmp_path):
+    """readStream over the gzipped-NDJSON landing layout (the literal
+    §2B streaming source row) equals a batch read of the same files."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.sources.landing import EVENTS_LANDING_DDL
+
+    landing = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    ev.coalesce(2).write.mode("overwrite").option("compression", "gzip").json(landing)
+
+    stream = (
+        spark.readStream.schema(EVENTS_LANDING_DDL)
+        .json(landing)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    assert stream.isStreaming
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_available_now(agg, str(tmp_path / "ckpt"), "gz_landing_sink", output_mode="complete")
+    got = {(r.event_type, r.n) for r in spark.table("gz_landing_sink").collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

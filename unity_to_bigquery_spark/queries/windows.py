@@ -219,3 +219,42 @@ def w_sessionize_events(spark, sf_dir):
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+@query(
+    "w_range_frame_price_band",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY FLOOR(o_totalprice * 100 + 0.5)
+                      RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+             AS band_total,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY FLOOR(o_totalprice * 100 + 0.5)
+                          RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+             AS band_n
+    FROM orders
+    """,
+    doc=(
+        "RANGE frame (value-based window): per customer, total of orders "
+        "priced within 50k below the current order. Ordering key is the "
+        "fixed-point cents value so both engines see identical longs; "
+        "RANGE frames include peers, which ROWS frames would split."
+    ),
+    tags=("window", "frame", "range"),
+)
+def w_range_frame_price_band(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(cents)
+        .rangeBetween(-5000000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / 100).alias("band_total"),
+        F.count(F.lit(1)).over(w).alias("band_n"),
+    )
