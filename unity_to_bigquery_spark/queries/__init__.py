@@ -12,6 +12,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     setops,
     tpch,
     tpch2,
+    tpch3,
     udfs,
     windows,
 )

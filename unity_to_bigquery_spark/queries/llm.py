@@ -383,3 +383,22 @@ def sim_embed_neardup_pairs(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return allpairs_cosine6(emb, min_cos6=300000)
+
+
+@query(
+    "d_dedup_clusters",
+    oracle=None,  # iterative fixpoint (unbounded diameter) — property-tested in tests/test_clusters.py
+    doc=(
+        "Near-dup clustering: connected components (iterative min-label "
+        "propagation) over the pure-DF MinHash pairs, then one survivor "
+        "per cluster — the keep-list stage of a dedup pipeline."
+    ),
+    tags=("llm", "dedup", "iterative"),
+)
+def d_dedup_clusters(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.clusters import dedup_survivors
+    from unity_to_bigquery_spark.llm.dedup import minhash_lsh_pairs_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_df(docs).filter(F.col("jaccard6") >= 500000)
+    return dedup_survivors(docs.select("doc_id"), pairs)
