@@ -40,10 +40,15 @@ def connected_components(
     """Label every node in ``ids`` with the minimum node id reachable
     through ``edges`` (undirected). Returns (id_col, component).
     """
+    # Persist the (static) edge set once: every iteration's convergence
+    # count is an action, and without this the ENTIRE upstream pipeline
+    # that produced the edges (e.g. the MinHash candidate generator)
+    # re-executes per round — observed 59 s vs 11 s on the dedup query.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .persist()
     )
     labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
 
@@ -63,12 +68,20 @@ def connected_components(
                 F.col("component").alias("__old"),
             )
         )
+        # Materialize each round (labels are one row per node — small
+        # relative to edges) and cut lineage periodically so round N
+        # doesn't replay rounds 1..N-1.
+        new_labels = new_labels.persist()
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("component") < F.col("__old")).count()
+        old = labels
         labels = new_labels.drop("__old")
+        if it > 0:
+            old.unpersist()
         if changed == 0:
             break
+    sym.unpersist()
     return labels.withColumnRenamed("u", id_col)
 
 
