@@ -238,3 +238,46 @@ def test_streaming_over_gz_ndjson_landing(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data_across_batches(spark, sf_dir, tmp_path):
+    """True late-data semantics: batch 1 advances the watermark; a
+    second AvailableNow run delivering events older than the watermark
+    must NOT resurrect already-closed windows in the append output."""
+    import pyspark.sql.functions as F
+
+    src_dir = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events")
+    recent = events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    late = events.filter(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    recent.write.mode("overwrite").parquet(src_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = stream_events(spark, src_dir)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # second delivery: only LATE events (weeks behind the watermark)
+    late.write.mode("append").parquet(src_dir)
+    drain()
+    out = spark.read.parquet(out_dir)
+    # no window older than Jan 20 may appear after the late delivery
+    stale = out.filter(F.col("ws") < F.lit("2024-01-19 00:00:00").cast("timestamp")).count()
+    assert stale == 0, "late events resurrected closed windows"
+    assert out.count() > 0  # the recent windows did emit

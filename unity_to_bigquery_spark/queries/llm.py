@@ -402,3 +402,56 @@ def d_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs_df(docs).filter(F.col("jaccard6") >= 500000)
     return dedup_survivors(docs.select("doc_id"), pairs)
+
+
+@query(
+    "t_quality_filter",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             length(text)                  AS n_chars,
+             len(string_split(text, ' '))  AS n_words,
+             CAST(FLOOR(len(regexp_extract_all(text, '[.,!?;:]')) * 1000.0 / length(text) + 0.5) AS BIGINT)
+               AS punct_per_kchar,
+             CAST(FLOOR(len(list_intersect(string_split(text, ' '), ['the','of','and','to','in']))::DOUBLE
+                        * 1000000.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS stop6
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1 ELSE 0 END
+           + CASE WHEN punct_per_kchar <= 100 THEN 1 ELSE 0 END
+           + CASE WHEN stop6 >= 10000 THEN 1 ELSE 0 END AS quality_score
+      FROM feat
+    )
+    SELECT source,
+           COUNT(*)                                            AS n_docs,
+           CAST(SUM(CASE WHEN quality_score >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(quality_score) AS BIGINT)                  AS total_score
+    FROM scored GROUP BY source
+    """,
+    doc=(
+        "End-to-end quality FILTER: heuristic features -> integer score "
+        "-> keep/drop threshold -> per-source keep rates. The decision "
+        "stage a training-data pipeline bolts onto quality_features."
+    ),
+    tags=("llm", "text", "filter"),
+)
+def t_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feat = quality_features(docs)
+    score = (
+        F.when(F.col("n_words") >= 20, 1).otherwise(0)
+        + F.when(F.col("n_chars").between(100, 10000), 1).otherwise(0)
+        + F.when(F.col("punct_per_kchar") <= 100, 1).otherwise(0)
+        + F.when(F.col("stopword_ratio6") >= 10000, 1).otherwise(0)
+    )
+    return (
+        feat.withColumn("quality_score", score)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("quality_score") >= 3, 1).otherwise(0)).alias("n_kept"),
+            F.sum("quality_score").alias("total_score"),
+        )
+    )
