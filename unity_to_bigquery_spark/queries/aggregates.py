@@ -235,3 +235,48 @@ def a_pivot_docs(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, _SOURCES)
     )
+
+
+@query(
+    "a_countmin_sketch",
+    oracle="""
+    WITH coords AS (
+      SELECT event_type AS k, t.i AS hash_row,
+             ('0x' || substring(md5(event_type || '#' || t.i), 1, 15))::BIGINT % 64 AS bucket
+      FROM events, generate_series(0, 3) t(i)
+    ), sketch AS (
+      SELECT hash_row, bucket, COUNT(*) AS cnt FROM coords GROUP BY hash_row, bucket
+    ), probes AS (
+      SELECT DISTINCT e.event_type, t.i AS hash_row,
+             ('0x' || substring(md5(e.event_type || '#' || t.i), 1, 15))::BIGINT % 64 AS bucket
+      FROM events e, generate_series(0, 3) t(i)
+    ), est AS (
+      SELECT p.event_type, MIN(COALESCE(s.cnt, 0)) AS cms_estimate
+      FROM probes p LEFT JOIN sketch s ON p.hash_row = s.hash_row AND p.bucket = s.bucket
+      GROUP BY p.event_type
+    )
+    SELECT e.event_type, t.true_count, e.cms_estimate
+    FROM est e JOIN (SELECT event_type, COUNT(*) AS true_count
+                     FROM events GROUP BY event_type) t
+      ON e.event_type = t.event_type
+    """,
+    doc=(
+        "Count-Min Sketch as pure relational dataflow (portable md5 "
+        "hash family; d=4, w=64): sublinear frequency summary whose "
+        "construction AND estimates are oracle-verified. Estimates "
+        "over-count only (CMS guarantee), exact here since 5 keys "
+        "collide with nothing."
+    ),
+    tags=("aggregate", "sketch"),
+)
+def a_countmin_sketch(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.sketches import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "event_type")
+    keys = events.select("event_type").distinct()
+    est = cms_estimate(sketch, keys, "event_type")
+    truth = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(truth, on="event_type").select(
+        "event_type", "true_count", "cms_estimate"
+    )

@@ -173,3 +173,53 @@ def e_incremental_after_watermark(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
+
+
+@query(
+    "e_rollup_cascade",
+    oracle=f"""
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_v6,
+             MIN(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS min_v6,
+             MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS max_v6
+      FROM events GROUP BY 1, 2
+    ), hour AS (
+      SELECT time_bucket(INTERVAL '1 hour', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sum_v6) AS BIGINT) AS sum_v6,
+             MIN(min_v6) AS min_v6, MAX(max_v6) AS max_v6
+      FROM minute GROUP BY 1, 2
+    )
+    SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS day_start, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sum_v6) AS DOUBLE) / 1000000.0 AS total_value,
+           CAST(MIN(min_v6) AS DOUBLE) / 1000000.0 AS min_value,
+           CAST(MAX(max_v6) AS DOUBLE) / 1000000.0 AS max_value
+    FROM (SELECT time_bucket(INTERVAL '1 day', bucket) AS bucket, event_type,
+                 n, sum_v6, min_v6, max_v6 FROM hour) x
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Hypertable rollup cascade: raw events aggregate ONCE at minute "
+        "grain; hour and day levels derive by merging partials (the "
+        "continuous-aggregate pattern — coarse windows never rescan raw "
+        "data at 100 TB). Oracle mirrors the full cascade."
+    ),
+    tags=("events", "rollup", "composite"),
+)
+def e_rollup_cascade(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.rollups import rollup_coarser, rollup_finest
+
+    events = load_table(spark, sf_dir, "events")
+    minute = rollup_finest(events, window="1 minute")
+    hour = rollup_coarser(minute, "1 hour")
+    day = rollup_coarser(hour, "1 day")
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("day_start"),
+        "event_type",
+        "n",
+        (F.col("sum_v6").cast("double") / 1000000.0).alias("total_value"),
+        (F.col("min_v6").cast("double") / 1000000.0).alias("min_value"),
+        (F.col("max_v6").cast("double") / 1000000.0).alias("max_value"),
+    )
