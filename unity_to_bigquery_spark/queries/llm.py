@@ -455,3 +455,105 @@ def t_quality_filter(spark, sf_dir):
             F.sum("quality_score").alias("total_score"),
         )
     )
+
+
+@query(
+    "sim_quantize_sq8",
+    oracle="""
+    WITH stats AS (
+      SELECT vec_id, label, embedding,
+             list_min(list_transform(embedding, x -> x::DOUBLE)) AS lo,
+             list_max(list_transform(embedding, x -> x::DOUBLE)) AS hi
+      FROM embeddings
+    ), err AS (
+      SELECT label,
+             list_max(list_transform(embedding,
+               x -> abs(x::DOUBLE - (lo + FLOOR((x::DOUBLE - lo) / (hi - lo) * 255.0 + 0.5) * (hi - lo) / 255.0))
+             )) AS max_err
+      FROM stats
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(FLOOR(MAX(max_err) * 100000000.0 + 0.5) AS BIGINT) AS worst_err8
+    FROM err GROUP BY label
+    """,
+    doc=(
+        "Scalar int8 quantization (SQ8): per-vector min/max scale, "
+        "quantize, reconstruct, bound the error — the 4x storage "
+        "compression step before ANN indexing at 100 TB. Quantization "
+        "grid is FLOOR-based so both engines produce identical codes."
+    ),
+    tags=("llm", "similarity", "quantization"),
+)
+def sim_quantize_sq8(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    lo = F.array_min(F.transform("embedding", dbl))
+    hi = F.array_max(F.transform("embedding", dbl))
+    stats = emb.select("vec_id", "label", "embedding", lo.alias("lo"), hi.alias("hi"))
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    recon_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                dbl(x)
+                - (
+                    F.col("lo")
+                    + F.floor((dbl(x) - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0 + 0.5)
+                    * scale
+                )
+            ),
+        )
+    )
+    return (
+        stats.select("label", recon_err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.floor(F.max("max_err") * 100000000.0 + 0.5).alias("worst_err8"),
+        )
+    )
+
+
+@query(
+    "t_bigram_stats",
+    oracle="""
+    WITH grams AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+    ), counted AS (
+      SELECT source, bigram, COUNT(*) AS n FROM grams GROUP BY source, bigram
+    )
+    SELECT source, bigram, n FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "Bigram language-model statistics: top-3 bigrams per source "
+        "(explode n-grams -> count -> windowed top-k). The counting "
+        "backbone of n-gram LM / contamination checks over a corpus."
+    ),
+    tags=("llm", "text", "ngram"),
+)
+def t_bigram_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(" ", F.element_at("ws", i), F.element_at("ws", i + 1)),
+            )
+        ).alias("bigram"),
+    )
+    counted = grams.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

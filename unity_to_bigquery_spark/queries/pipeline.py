@@ -101,3 +101,50 @@ def p_csv_header_roundtrip(spark, sf_dir):
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@query(
+    "p_deletion_propagation",
+    oracle="""
+    WITH del AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % 17 = 0)
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM customer) AS before_rows,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT uid FROM del)) AS after_rows
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT uid FROM del))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT uid FROM del))
+    """,
+    doc=(
+        "Deletion propagation (right-to-be-forgotten): one deletion "
+        "list anti-joined across every table referencing the subject — "
+        "per-table before/after row counts. At 100 TB each leg is a "
+        "broadcast anti-join; with Delta this becomes MERGE DELETE."
+    ),
+    tags=("pipeline", "deletion", "anti"),
+)
+def p_deletion_propagation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    deletions = cust.filter(F.col("c_custkey") % 17 == 0).select(
+        F.col("c_custkey").alias("uid")
+    )
+
+    def leg(df, key, name):
+        after = df.join(
+            F.broadcast(deletions), df[key] == deletions.uid, "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(name, df.count(), after)], "tbl STRING, before_rows BIGINT, after_rows BIGINT"
+        )
+
+    return (
+        leg(cust, "c_custkey", "customer")
+        .unionAll(leg(orders, "o_custkey", "orders"))
+        .unionAll(leg(events, "user_id", "events"))
+    )
