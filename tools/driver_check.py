@@ -2,6 +2,12 @@
 ``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()``
 on DuckDB at sf0.01 (or $SPARK_GRAFT_CHECK_SF_DIR), canonicalize, and
 compare. Usage: ``python tools/driver_check.py [name ...]``.
+
+``SPARK_GRAFT_HOSTILE=1`` runs the same protocol under a deliberately
+adversarial session (7 shuffle partitions, AQE off, non-UTC session TZ)
+to catch results that depend on partition count, adaptive planning, or
+the session timezone (CLAUDE.md hard rule 6; ``catalog.load_table``
+repins TZ to UTC itself).
 """
 
 from __future__ import annotations
@@ -22,7 +28,17 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(app_name="driver-check")
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        spark = get_spark(
+            app_name="driver-check-hostile",
+            shuffle_partitions=7,
+            extra_conf={
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.session.timeZone": "America/New_York",
+            },
+        )
+    else:
+        spark = get_spark(app_name="driver-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")

@@ -13,6 +13,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     tpch,
     tpch2,
     tpch3,
+    tpch4,
     udfs,
     windows,
 )
