@@ -14,6 +14,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     tpch2,
     tpch3,
     tpch4,
+    training,
     udfs,
     windows,
 )

@@ -1,0 +1,294 @@
+"""Training-data-pipeline declared queries (BASELINE.json north star,
+beyond the reference's surface): the corpus-preparation operators a
+large-scale LLM training pipeline runs between raw ingest (the
+reference's A1-A12 landing zone) and the trainer.
+
+All six are pure JVM-side dataflow (no Python UDFs) with DuckDB
+oracles. Scale notes per query; the common theme is that each is a
+scan + one shuffle (or zero, for the per-row filters), so they
+pipeline with the ingest job at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from unity_to_bigquery_spark.catalog import load_table
+from unity_to_bigquery_spark.llm.dedup import with_shingles
+from unity_to_bigquery_spark.registry import query
+
+
+def _portable_hash(c):
+    """First 15 hex chars of md5 as a non-negative BIGINT — the repo's
+    engine-portable hash family (same scheme as llm/dedup.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "t_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    s AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct, MAX(c) AS top_c
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(FLOOR((n_words - n_distinct) * 1000000.0 / n_words + 0.5) AS BIGINT)
+             AS repeated_frac6,
+           CAST(FLOOR(top_c * 1000000.0 / n_words + 0.5) AS BIGINT)
+             AS top_word_frac6,
+           ((n_words - n_distinct) * 1000000.0 / n_words < 800000.0
+            AND top_c * 1000000.0 / n_words < 300000.0) AS keep
+    FROM s
+    """,
+    doc=(
+        "Gopher-style repetition filter: repeated-word fraction and "
+        "top-word fraction per document, plus the keep/drop verdict. "
+        "Scale: explode + two hash aggregates keyed by doc_id — "
+        "map-side combine collapses the fan-out before the one shuffle."
+    ),
+    tags=("llm", "training", "quality"),
+)
+def t_repetition_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    c = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    rep = (F.col("n_words") - F.col("n_distinct")) * 1000000.0 / F.col("n_words")
+    top = F.col("top_c") * 1000000.0 / F.col("n_words")
+    return s.select(
+        "doc_id",
+        F.floor(rep + 0.5).cast("long").alias("repeated_frac6"),
+        F.floor(top + 0.5).cast("long").alias("top_word_frac6"),
+        ((rep < 800000.0) & (top < 300000.0)).alias("keep"),
+    )
+
+
+@query(
+    "p_train_test_split",
+    oracle="""
+    SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT source, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      FROM documents
+    ) GROUP BY split, source
+    """,
+    doc=(
+        "Deterministic 90/5/5 train/valid/test split by content-stable "
+        "hash of doc_id — the standard leakage-proof split (no RNG, "
+        "reproducible across runs and engines). Scale: per-row hash in "
+        "codegen, one shuffle for the count rollup."
+    ),
+    tags=("llm", "training", "split"),
+)
+def p_train_test_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    b = _portable_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "t_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ws) >= 3
+             THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    flag AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 97 <> 0
+    )
+    SELECT d.source, COUNT(*) AS n_train,
+           COUNT(f.doc_id) AS n_contaminated
+    FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    """,
+    doc=(
+        "Benchmark decontamination: flag training documents sharing any "
+        "3-gram shingle with the held-out set (docs with doc_id%97==0 "
+        "stand in for the benchmark). Scale: the benchmark shingle set "
+        "is small by construction -> broadcast semi-join against the "
+        "training shingle stream; no full shuffle of the corpus."
+    ),
+    tags=("llm", "training", "decontamination"),
+)
+def t_decontaminate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, n=3).select("doc_id", F.explode("sh").alias("s"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    flagged = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "t_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or x' || CAST(doc_id AS VARCHAR)
+                  || '@corp.example tel 555-0199' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+',
+                                             '<EMAIL>', 'g'),
+                              '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    doc=(
+        "PII scrubbing: count and redact email/phone patterns (a "
+        "deterministic synthetic PII suffix is appended so the fixture "
+        "corpus actually exercises the regexes; both engines see the "
+        "same bytes). Scale: per-row regex in codegen, zero shuffles."
+    ),
+    tags=("llm", "training", "pii"),
+)
+def t_pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or x"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example tel 555-0199"),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.]+"
+    phone = r"\d{3}-\d{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(phone)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "p_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, tokens,
+             CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS running
+      FROM t
+    )
+    SELECT source, CAST(FLOOR((running - 1) / 2048.0) AS BIGINT) AS chunk,
+           COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS chunk_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM r GROUP BY source, chunk
+    """,
+    doc=(
+        "Sequence packing (concat-then-chunk): documents are laid out in "
+        "stable doc_id order per source and cut into 2048-token chunks "
+        "by running token count — the standard way training examples are "
+        "packed from variable-length documents. Scale: one shuffle to "
+        "sort within source partitions (running-sum window), then a "
+        "partition-local rollup."
+    ),
+    tags=("llm", "training", "packing"),
+)
+def p_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("running", F.sum("tokens").over(w))
+    return (
+        r.withColumn("chunk", F.floor((F.col("running") - 1) / 2048.0).cast("long"))
+        .groupBy("source", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "p_stratified_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM (
+      SELECT source, n_chars
+      FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' || source), 1, 15))::BIGINT
+            % 1000 < 100
+    ) GROUP BY source
+    """,
+    doc=(
+        "Stratified 10% sample, deterministic per (doc_id, source) "
+        "stratum hash — reproducible downsampling for ablation corpora "
+        "(contrast f_sample_deterministic's Bernoulli RNG sampler). "
+        "Scale: per-row hash filter in codegen before any shuffle."
+    ),
+    tags=("llm", "training", "sampling"),
+)
+def p_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    h = _portable_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("source")))
+    return (
+        docs.filter(h % 1000 < 100)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
