@@ -281,3 +281,85 @@ def test_watermark_drops_late_data_across_batches(spark, sf_dir, tmp_path):
     stale = out.filter(F.col("ws") < F.lit("2024-01-19 00:00:00").cast("timestamp")).count()
     assert stale == 0, "late events resurrected closed windows"
     assert out.count() > 0  # the recent windows did emit
+
+
+def test_stateful_session_timeout_emits_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: an open session closes
+    (and is emitted exactly once) only after the watermark passes its
+    end + gap, driven across separate AvailableNow drains."""
+    import datetime as dt
+
+    from unity_to_bigquery_spark.streaming.stream import sessionize_stateful
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(event_id, user_id, hh, mm, day=1):
+        return (
+            event_id,
+            dt.datetime(2024, 1, day, hh, mm, 0),
+            user_id,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    from unity_to_bigquery_spark.streaming.stream import EVENTS_STREAM_DDL
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_DDL).write.mode("append").parquet(src_dir)
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def drain():
+        # memory sink can't recover a checkpoint across restarts;
+        # foreachBatch-append to parquet is the restartable pattern
+        stream = stream_events(spark, src_dir)
+        sessions = sessionize_stateful(stream, gap_seconds=1800, watermark="10 minutes")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+        except Exception:
+            return []
+
+    # day-1 morning: user 1 has events 10:00 + 10:10 (one session),
+    # user 2 has 10:05 (singleton session)
+    write([ev(1, 1, 10, 0), ev(2, 1, 10, 10), ev(3, 2, 10, 5)])
+    drain()
+    # evening events: watermark only ADVANCES after this batch runs, so
+    # the morning sessions are still open during this drain
+    write([ev(4, 1, 20, 0)])
+    drain()
+    # day-2 drain: watermark at batch start (19:50) is past every
+    # morning session's end + 30 min gap -> they time out and emit
+    write([ev(5, 2, 9, 0, day=2)])
+    emitted = drain()
+
+    def ms(hh, mm, day=1):
+        return int(dt.datetime(2024, 1, day, hh, mm, 0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    # user 1's morning session closed by GAP SPLIT (evening event in
+    # the same state update), user 2's morning session by TIMEOUT
+    assert (1, ms(10, 0), ms(10, 10), 2) in emitted, emitted
+    assert (2, ms(10, 5), ms(10, 5), 1) in emitted, emitted
+    # each session emitted exactly once across all drains
+    assert len([r for r in emitted if r[0] == 1 and r[1] == ms(10, 0)]) == 1
+    # user 1's evening singleton also closed: the day-2 event advanced
+    # the watermark and the AvailableNow no-data micro-batch fired its
+    # timer within the same drain
+    assert (1, ms(20, 0), ms(20, 0), 1) in emitted, emitted
+    assert len([r for r in emitted if r[0] == 1]) == 2
+    # user 2's day-2 session is still open (nothing advanced the
+    # watermark past it)
+    assert len([r for r in emitted if r[0] == 2]) == 1

@@ -303,9 +303,26 @@ def t_fingerprint_clusters(spark, sf_dir):
     )
 
 
-@query(
-    "d_minhash_lsh_df",
-    oracle="""
+def _minhash_oracle(k: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of llm/dedup.minhash_lsh_pairs_df: md5-seeded
+    universal hash family, k MIN aggregates, banded md5 keys."""
+    from unity_to_bigquery_spark.llm.dedup import MINHASH_P, minhash_affine
+
+    r = k // bands
+    sig_cols = ",\n             ".join(
+        "MIN(({a} * h0 + {b}) % {p}) AS mh{i}".format(
+            a=minhash_affine(i)[0], b=minhash_affine(i)[1], p=MINHASH_P, i=i
+        )
+        for i in range(k)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {bd} AS band, md5({key}) AS key FROM sig".format(
+            bd=bd,
+            key=" || ',' || ".join(f"mh{bd * r + j}::VARCHAR" for j in range(r)),
+        )
+        for bd in range(bands)
+    )
+    return f"""
     WITH sh AS (
       SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -316,14 +333,15 @@ def t_fingerprint_clusters(spark, sf_dir):
     ), shf AS (
       SELECT doc_id, s FROM sh WHERE len(s) > 0
     ), hx AS (
-      SELECT doc_id, i, ('0x' || substring(md5(u.sg || '#' || t.i), 1, 15))::BIGINT AS h
-      FROM (SELECT doc_id, unnest(s) AS sg FROM shf) u, generate_series(0, 15) t(i)
+      SELECT doc_id,
+             ('0x' || substring(md5(sg), 1, 15))::BIGINT % {MINHASH_P} AS h0
+      FROM (SELECT doc_id, unnest(s) AS sg FROM shf)
     ), sig AS (
-      SELECT doc_id, i, MIN(h) AS mh FROM hx GROUP BY doc_id, i
+      SELECT doc_id,
+             {sig_cols}
+      FROM hx GROUP BY doc_id
     ), bk AS (
-      SELECT doc_id, i // 4 AS band,
-             md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
-      FROM sig GROUP BY doc_id, i // 4
+      {band_rows}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -335,12 +353,17 @@ def t_fingerprint_clusters(spark, sf_dir):
     FROM cand c
     JOIN shf sa ON sa.doc_id = c.id_a
     JOIN shf sb ON sb.doc_id = c.id_b
-    """,
+    """
+
+
+@query(
+    "d_minhash_lsh_df",
+    oracle=_minhash_oracle(),
     doc=(
-        "Pure-DataFrame MinHash-LSH (k=16, 4 bands): portable md5 hash "
-        "family -> band-bucket candidates -> exact Jaccard verify. The "
-        "fully oracle-checked near-dup path (the pyspark.ml variant is "
-        "property-checked)."
+        "Pure-DataFrame MinHash-LSH (k=16, 4 bands): md5-seeded "
+        "universal hash family -> band-bucket candidates -> exact "
+        "Jaccard verify. The fully oracle-checked near-dup path (the "
+        "pyspark.ml variant is property-checked)."
     ),
     tags=("llm", "dedup", "lsh"),
 )

@@ -77,6 +77,86 @@ def running_counts_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stateful(stream: DataFrame, gap_seconds: int = 1800, watermark: str = "10 minutes") -> DataFrame:
+    """Custom gap-based sessionizer via applyInPandasWithState with an
+    EVENT-TIME TIMEOUT: per-user open-session state (start, end, count)
+    is extended by each micro-batch; when the watermark passes
+    session_end + gap the group times out, the CLOSED session is
+    emitted exactly once, and its state is freed.
+
+    This is the arbitrary-stateful analogue of the built-in
+    session_window aggregate (e_session_window_builtin) — the shape to
+    reach for when the per-session logic outgrows an aggregate (e.g.
+    carrying arbitrary accumulators). Gap splits are detected inside
+    the update function (so sessions close correctly even when the
+    closing evidence and the next session arrive in the same
+    micro-batch); the event-time timeout closes sessions that simply
+    go idle. State size: one (long,long,long) row per OPEN session;
+    the timeout is what bounds it on an unbounded 100 TB stream.
+
+    Timestamps are surfaced as epoch millis (engine-portable; hard
+    rule: no raw TIMESTAMP outputs).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def session_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def frame(sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start_ms": [s[0] for s in sessions],
+                    "session_end_ms": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield frame([(start_ms, end_ms, n)])
+            return
+        cur = list(state.get) if state.exists else None
+        ts_all = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_all.append(pdf["ts"].astype("int64") // 1_000_000)
+        closed: list[tuple[int, int, int]] = []
+        if ts_all:
+            for t in sorted(int(t) for t in pd.concat(ts_all)):
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_ms:
+                    closed.append(tuple(cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield frame(closed)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_fn,
+            outputStructType=(
+                "user_id BIGINT, session_start_ms BIGINT, "
+                "session_end_ms BIGINT, n_events BIGINT"
+            ),
+            stateStructType="start_ms BIGINT, end_ms BIGINT, n BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     query_df: DataFrame,
     checkpoint_dir: str,
