@@ -343,3 +343,76 @@ def f_sample_deterministic(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sampled"),
         F.floor(F.count(F.lit(1)) * 10).alias("approx_total"),
     )
+
+
+@query(
+    "f_url_ops",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)            AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1)     AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)            AS lang_param,
+           regexp_extract(regexp_extract(url, 'https?://([^/]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1)                  AS reg_domain
+    FROM (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id % 11 = 0
+    ) u
+    """,
+    doc=(
+        "URL parsing for corpus domain filtering: host/path/query-param "
+        "extraction (Spark parse_url, JVM-side) plus registrable-domain "
+        "suffix — the key of every domain-level quality/spam filter."
+    ),
+    tags=("scalar", "url", "training"),
+)
+def f_url_ops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+    )
+
+
+@query(
+    "f_bitwise_ops",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255                          AS low_byte,
+           p_partkey | 4096                         AS with_flag,
+           xor(p_partkey, 1431655765)               AS toggled,
+           p_partkey << 3                           AS shl3,
+           p_partkey >> 2                           AS shr2,
+           bit_count(p_partkey)                     AS popcount
+    FROM part WHERE p_partkey % 13 = 0
+    """,
+    doc="Bitwise family: AND/OR/XOR, shifts, popcount over keys.",
+    tags=("scalar", "bitwise"),
+)
+def f_bitwise_ops(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    k = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1431655765)).alias("toggled"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -258,3 +258,32 @@ def w_range_frame_price_band(spark, sf_dir):
         (F.sum(cents).over(w).cast("double") / 100).alias("band_total"),
         F.count(F.lit(1)).over(w).alias("band_n"),
     )
+
+
+@query(
+    "w_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(FLOOR(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank6,
+           CAST(FLOOR(cume_dist()    OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume6
+    FROM orders WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    doc=(
+        "Relative-position window functions (percent_rank, cume_dist), "
+        "fixed-point for cross-engine hashing. percent_rank is exact "
+        "rational arithmetic in both engines: (rank-1)/(n-1)."
+    ),
+    tags=("window",),
+)
+def w_percent_rank_cume_dist(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.percent_rank().over(w) * 1000000.0 + 0.5).cast("long").alias("pct_rank6"),
+        F.floor(F.cume_dist().over(w) * 1000000.0 + 0.5).cast("long").alias("cume6"),
+    )
