@@ -131,7 +131,11 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = with_shingles(df, text).select(id_col, "sh").filter(F.size("sh") > 0)
+    sh = (
+        with_shingles(ensure_min_partitions(df), text)
+        .select(id_col, "sh")
+        .filter(F.size("sh") > 0)
+    )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     # Persist the featurized side: the self-join references it twice and
     # would otherwise recompute shingling+TF+minhash per side (observed
@@ -152,6 +156,20 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def ensure_min_partitions(df: DataFrame, n: int = 8) -> DataFrame:
+    """Repartition ONLY if the input is under-partitioned (e.g. a
+    single-file toy table read as one partition — CLAUDE.md trap 5):
+    the shingle explode fan-out below would otherwise run single-
+    threaded before the first shuffle. On real multi-partition inputs
+    (any 100 TB scan) this is a no-op, so the extra shuffle is only
+    paid when it buys parallelism. n=8 measured faster than 32 at
+    sf0.1 — scheduling overhead dominates past the fan-out size.
+    """
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
@@ -193,7 +211,10 @@ def minhash_lsh_pairs_df(
     # persisted: referenced by signature generation AND both sides of
     # the Jaccard verify join (3 evaluations otherwise)
     sh_arrays = (
-        with_shingles(df, text).select(id_col, "sh").filter(F.size("sh") > 0).persist()
+        with_shingles(ensure_min_partitions(df), text)
+        .select(id_col, "sh")
+        .filter(F.size("sh") > 0)
+        .persist()
     )
     sh_rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
     h0 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % MINHASH_P
