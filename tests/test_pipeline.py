@@ -117,3 +117,29 @@ def test_routing_dim_applied(spark, sf_dir, landing, tmp_path):
         for r in out.select("project_id", "dataset").distinct().collect()
     }
     assert ds == {("proj_a", "Hammer_Jump"), ("proj_b", "misc")}
+
+
+def test_unity_export_source_partitions_and_determinism(spark):
+    """Python Data Source (A1/A2/A5 as an engine source): one partition
+    per exported file, deterministic rows, reference report-type domain."""
+    from unity_to_bigquery_spark.sources.unity_export import REPORT_TYPES, register
+
+    register(spark)
+
+    def read(jobs):
+        return (
+            spark.read.format("unity_export")
+            .option("project_id", "projX")
+            .option("num_jobs", str(jobs))
+            .option("rows_per_job", "50")
+            .load()
+        )
+
+    df = read(6)
+    assert df.rdd.getNumPartitions() == 6  # parallel "downloads"
+    rows1 = sorted(tuple(r) for r in df.collect())
+    rows2 = sorted(tuple(r) for r in read(6).collect())
+    assert rows1 == rows2 and len(rows1) == 300
+    assert {r[4] for r in rows1} <= set(REPORT_TYPES)
+    # event ids are dense per (job, row) — the checkpointable key space
+    assert {r[2] for r in rows1} == set(range(300))

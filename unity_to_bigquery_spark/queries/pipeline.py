@@ -148,3 +148,40 @@ def p_deletion_propagation(spark, sf_dir):
         .unionAll(leg(orders, "o_custkey", "orders"))
         .unionAll(leg(events, "user_id", "events"))
     )
+
+
+@query(
+    "p_unity_export_source",
+    oracle="""
+    SELECT 'proj0' AS project_id,
+           CAST(j AS INTEGER) AS job_id,
+           j * 100 + i AS event_id,
+           ('0x' || substring(md5('proj0#' || j || '#' || i), 1, 8))::BIGINT % 1000
+             AS user_id,
+           (['appStart','appRunning','deviceInfo','custom','transaction'])
+             [('0x' || substring(md5('proj0#' || j || '#' || i), 1, 8))::BIGINT % 5 + 1]
+             AS report_type,
+           ('0x' || substring(md5('proj0#' || j || '#' || i), 1, 8))::BIGINT % 10000
+             AS value_cents
+    FROM generate_series(0, 3) s(j), generate_series(0, 99) t(i)
+    """,
+    doc=(
+        "Custom Python Data Source (Spark 4 pyspark.sql.datasource) "
+        "simulating the reference's Unity Raw Data Export ingestion "
+        "(A1/A2/A5): one InputPartition per exported file, rows "
+        "md5-derived so the SOURCE ITSELF is oracle-verified — the "
+        "DuckDB side regenerates identical bytes from the same seeds."
+    ),
+    tags=("pipeline", "source", "datasource"),
+)
+def p_unity_export_source(spark, sf_dir):
+    from unity_to_bigquery_spark.sources.unity_export import register
+
+    register(spark)
+    return (
+        spark.read.format("unity_export")
+        .option("project_id", "proj0")
+        .option("num_jobs", "4")
+        .option("rows_per_job", "100")
+        .load()
+    )

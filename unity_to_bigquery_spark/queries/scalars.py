@@ -416,3 +416,38 @@ def f_bitwise_ops(spark, sf_dir):
         F.shiftright(k, 2).alias("shr2"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "f_variant_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)  AS k_val,
+           json_extract_string(props, '$.absent')      AS absent_val,
+           json_extract(props, '$')::VARCHAR           AS normalized,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END             AS k_bucket
+    FROM events WHERE event_id % 29 = 0
+    """,
+    doc=(
+        "VariantType (Spark 4) over the opaque event payloads: "
+        "parse_json -> variant, typed variant_get extraction, "
+        "try_variant_get on a missing path (NULL, no error), and "
+        "canonical JSON re-serialization. The variant binary encoding "
+        "is the scale path for semi-structured scans: parse once at "
+        "ingest, shredded typed access afterward (vs re-parsing JSON "
+        "text per predicate, as f_map_json_ops does)."
+    ),
+    tags=("scalar", "variant", "json"),
+)
+def f_variant_ops(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 29 == 0)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return events.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.absent", "string").alias("absent_val"),
+        F.to_json(v).alias("normalized"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
