@@ -363,3 +363,64 @@ def test_stateful_session_timeout_emits_closed_sessions(spark, tmp_path):
     # user 2's day-2 session is still open (nothing advanced the
     # watermark past it)
     assert len([r for r in emitted if r[0] == 2]) == 1
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas: typed ValueState accumulates across
+    micro-batches AND across restarts (two separate drains); the final
+    per-user stats equal the batch aggregate over all delivered data.
+
+    Requires google.protobuf (the TWS state-server wire format) —
+    skipped where that optional dep is absent (this container)."""
+    pytest.importorskip("google.protobuf")
+    from unity_to_bigquery_spark.streaming.stream import user_stats_tws
+
+    events = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_events(spark, src_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            user_stats_tws(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src_dir)
+    drain()
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src_dir)
+    drain()
+
+    out = spark.read.parquet(out_dir)
+    # latest emission per user (monotone n_events; batch_id breaks ties)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"), F.desc("n_events"))
+    got = {
+        (r.user_id): (r.n_events, r.total_cents)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -206,3 +206,52 @@ def run_foreach_batch_idempotent(
         .start()
     )
     q.awaitTermination()
+
+
+def user_stats_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, value-cents-total) via the Spark 4
+    transformWithStateInPandas API — the typed-state successor to
+    applyInPandasWithState: named state variables (ValueState here;
+    List/MapState and timers available on the same handle) live in the
+    state store per key and survive across micro-batches and restarts.
+
+    Cents use the repo's portable fixed-point scheme (FLOOR(x*100+0.5))
+    so the streaming result is bit-comparable with the batch twin.
+
+    Runtime dependency: google.protobuf (the TWS state-server wire
+    format ships outside pyspark). Absent protobuf this raises at
+    stream start; the applyInPandasWithState operators above cover the
+    same semantics without it.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._agg.exists():
+                n, cents = tuple(self._agg.get())
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+                )
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
