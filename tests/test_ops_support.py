@@ -57,3 +57,27 @@ def test_error_notifier_records_and_reraises():
 
     assert run_with_notification(n, lambda: 42) == 42
     assert len(n.sent) == 1  # success path notifies nothing
+
+
+def test_observe_quality_single_pass_metrics(spark, sf_dir):
+    """Observation metrics arrive with the action itself — no extra
+    scan — and match independently-computed values."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.plans.ops_support import observe_quality
+
+    events = load_table(spark, sf_dir, "events")
+    df, obs = observe_quality(
+        events,
+        rows=F.count(F.lit(1)),
+        null_props=F.sum(F.col("props").isNull().cast("long")),
+        max_value_cents=F.max(F.floor(F.col("value") * 100 + 0.5).cast("long")),
+    )
+    n = df.count()  # the only job
+    got = obs.get
+    assert got["rows"] == n
+    assert got["null_props"] == events.filter(F.col("props").isNull()).count()
+    assert got["max_value_cents"] == events.select(
+        F.max(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+    ).first()[0]

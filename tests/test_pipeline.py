@@ -143,3 +143,30 @@ def test_unity_export_source_partitions_and_determinism(spark):
     assert {r[4] for r in rows1} <= set(REPORT_TYPES)
     # event ids are dense per (job, row) — the checkpointable key space
     assert {r[2] for r in rows1} == set(range(300))
+
+
+def test_ndjson_malformed_record_policies(spark, tmp_path):
+    """Malformed landing lines: PERMISSIVE quarantines them in
+    _corrupt_record, DROPMALFORMED skips them, FAILFAST raises."""
+    import pytest
+
+    from unity_to_bigquery_spark.sources.landing import read_ndjson_with_quarantine
+
+    p = tmp_path / "landing.json"
+    good = ['{"event_id": 1, "value": 2.5}', '{"event_id": 2, "value": 0.5}']
+    bad = ['{"event_id": 3, "value": ', "not json at all"]
+    p.write_text("\n".join([good[0], bad[0], good[1], bad[1]]) + "\n")
+    ddl = "event_id BIGINT, value DOUBLE"
+
+    perm = read_ndjson_with_quarantine(spark, str(p), ddl).collect()
+    assert len(perm) == 4
+    quarantined = [r for r in perm if r._corrupt_record is not None]
+    assert len(quarantined) == 2
+    assert {r._corrupt_record for r in quarantined} == set(bad)
+    assert {r.event_id for r in perm if r._corrupt_record is None} == {1, 2}
+
+    dropped = read_ndjson_with_quarantine(spark, str(p), ddl, mode="DROPMALFORMED")
+    assert {r.event_id for r in dropped.collect()} == {1, 2}
+
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_ndjson_with_quarantine(spark, str(p), ddl, mode="FAILFAST").collect()

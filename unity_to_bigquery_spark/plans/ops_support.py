@@ -71,3 +71,25 @@ def run_with_notification(notifier: ErrorNotifier, fn: Callable, *args, **kwargs
     except Exception as exc:
         notifier.notify(f"{type(exc).__name__}: {exc}")
         raise
+
+
+def observe_quality(df, name: str = "qc", **metrics):
+    """Attach one-pass data-quality counters to a DataFrame via the
+    Observation API: the metrics ride along with whatever action the
+    caller runs — NO second scan, which at 100 TB is the difference
+    between free telemetry and doubling the job. Returns
+    (instrumented_df, observation); read observation.get AFTER an
+    action.
+
+    Default metrics when none given: row count. Usage:
+        df2, obs = observe_quality(df, nulls=F.sum(F.col("v").isNull().cast("long")))
+        df2.write.parquet(...); stats = obs.get
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    if not metrics:
+        metrics = {"rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    cols = [c.alias(alias) for alias, c in metrics.items()]
+    return df.observe(obs, *cols), obs

@@ -8,6 +8,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     joins,
     llm,
     pipeline,
+    recursive,
     scalars,
     setops,
     tpch,

@@ -280,3 +280,36 @@ def a_countmin_sketch(spark, sf_dir):
     return est.join(truth, on="event_type").select(
         "event_type", "true_count", "cms_estimate"
     )
+
+
+@query(
+    "a_unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(FLOOR(val * 100 + 0.5) AS BIGINT) AS cents
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 151 = 0
+    ) UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+    doc=(
+        "Unpivot/melt (inverse of a_pivot_docs): wide measure columns "
+        "to (metric, value) rows — pure projection+generate, no "
+        "shuffle; values fixed-pointed for cross-engine hashing."
+    ),
+    tags=("aggregate", "unpivot"),
+)
+def a_unpivot_measures(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 151 == 0)
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.floor(F.col("val") * 100 + 0.5).cast("long").alias("cents"),
+    )

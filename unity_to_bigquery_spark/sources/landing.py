@@ -74,3 +74,29 @@ def read_csv_with_header(spark: SparkSession, path: str, schema: StructType | st
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+def read_ndjson_with_quarantine(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """NDJSON scan with malformed-record policy — the robustness the
+    reference lacks (it streams payload bytes straight to BigQuery,
+    Unity_to_BigQuery.py:136-150; one bad line fails the whole load
+    job).
+
+    PERMISSIVE (default): bad lines null out and land verbatim in
+    ``_corrupt_record`` for quarantine — at 100 TB the pipeline must
+    keep moving and triage later. DROPMALFORMED: silently skip.
+    FAILFAST: error on first bad line (for landing contracts that must
+    hold).
+    """
+    full = schema + ", _corrupt_record STRING" if mode == "PERMISSIVE" else schema
+    return (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
