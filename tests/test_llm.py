@@ -111,3 +111,30 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     # L2-LSH ranks by euclidean; on roughly-normalized data overlap with
     # cosine top-k should be well above chance (5 of 500).
     assert _recall_at_k(rows, exact) >= 0.2
+
+
+def test_ivf_blocked_neardup_containment_and_recall(spark, sf_dir):
+    """Blocked pairs are a SUBSET of exact all-pairs (identical scores)
+    with usable recall on the fixture: co-cell near-dups survive."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
+    assigned = ivf_assign(emb, centroids, nassign=3).persist()
+    blocked = {
+        (r.id_a, r.id_b): r.cos6
+        for r in allpairs_cosine6(assigned, min_cos6=300000, block_col="cell_id").collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cos6
+        for r in allpairs_cosine6(emb, min_cos6=300000).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, score in blocked.items():
+        assert exact[pair] == score  # same math inside the block
+    assert len(exact) > 0
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} too low for top-3 cell blocking"

@@ -72,9 +72,13 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nassign: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine) via a
-    broadcast argmin — adds ``cell_id``. One scan, no shuffle.
+    """Assign each vector to its ``nassign`` nearest centroids (max
+    cosine) via a broadcast argmin — adds ``cell_id`` (one row per
+    assignment). One scan, no shuffle. nassign>1 is the standard
+    near-dup blocking trick: boundary vectors co-occur with both
+    neighborhoods, trading Σ|cell|² work for recall.
     """
     c = centroids.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cvec")
@@ -85,7 +89,7 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nassign)
         .drop("__rn", "__sim", "__cvec")
     )
 
@@ -175,6 +179,7 @@ def allpairs_cosine6(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos6: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine via posexplode + equi-join on element position —
     stays in whole-stage codegen instead of interpreted higher-order
@@ -183,15 +188,19 @@ def allpairs_cosine6(
 
     Scale shape: |pairs| × dim join rows through codegen, one hash agg
     on (id_a, id_b). At 100 TB this stage runs only on LSH/IVF-blocked
-    candidate pairs, never the full cross product.
+    candidate pairs, never the full cross product — pass ``block_col``
+    (e.g. an IVF ``cell_id``) to make the pairing per-block: the
+    position join then keys on (block, pos) and the quadratic term
+    drops from |N|² to Σ|cell|².
     """
+    keep = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     nrm = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
+        *keep,
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
     )
+    bkeep = [block_col] if block_col else []
     flat = nrm.select(
-        id_col, "__nrm", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        id_col, "__nrm", *bkeep, F.posexplode(F.col(vec_col)).alias("pos", "v")
     ).withColumn("v", _dbl(F.col("v")))
     # The fixture table arrives as ONE input split; without an explicit
     # repartition every joined row is produced by a single task. Honor
@@ -199,19 +208,19 @@ def allpairs_cosine6(
     n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     a = flat.repartition(n_part, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__nrm").alias("na"),
-        F.col("pos"), F.col("v").alias("va"),
+        *bkeep, F.col("pos"), F.col("v").alias("va"),
     )
     b = flat.select(
         F.col(id_col).alias("id_b"), F.col("__nrm").alias("nb"),
-        F.col("pos"), F.col("v").alias("vb"),
+        *bkeep, F.col("pos"), F.col("v").alias("vb"),
     )
     scored = (
         # broadcast the (bounded: n_vectors × dim rows) flattened side:
         # the pos-join then needs no shuffle, and the 16M joined rows are
         # map-side partial-aggregated before the (id_a, id_b) exchange
-        a.join(F.broadcast(b), on=["pos"])
+        a.join(F.broadcast(b), on=(bkeep + ["pos"]))
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b", "na", "nb", *bkeep)
         .agg(F.sum(F.col("va") * F.col("vb")).alias("__dot"))
         .select(
             "id_a",
@@ -223,4 +232,8 @@ def allpairs_cosine6(
     )
     if min_cos6 is not None:
         scored = scored.filter(F.col("cos6") >= min_cos6)
+    if block_col is not None:
+        # multi-assigned vectors can share >1 block; scores are
+        # identical per pair, so distinct collapses the duplicates
+        scored = scored.distinct()
     return scored

@@ -580,3 +580,26 @@ def t_bigram_stats(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "sim_ivf_neardup_pairs",
+    oracle=None,  # blocked-approximate by construction; containment + recall property-tested
+    doc=(
+        "Embedding near-dup pairs with IVF-cell blocking: vectors pair "
+        "only within their centroid cell, so the quadratic term drops "
+        "from N^2 to sum(|cell|^2) — the scale path whose exact twin is "
+        "sim_embed_neardup_pairs (tests/test_llm.py proves containment "
+        "and recall against it)."
+    ),
+    tags=("llm", "dedup", "similarity", "ann"),
+)
+def sim_ivf_neardup_pairs(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
+    # top-3 multi-assignment: boundary vectors co-occur with all three
+    # neighboring cells (recall 0.77 vs 0.21 single-assign at sf0.01)
+    assigned = ivf_assign(emb, centroids, nassign=3).persist()
+    return allpairs_cosine6(assigned, min_cos6=300000, block_col="cell_id")
