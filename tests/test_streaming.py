@@ -424,3 +424,69 @@ def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched rows emit eagerly;
+    unmatched left rows emit with nulls only after the watermark proves
+    no match can still arrive — state is then evicted."""
+    import datetime as dt
+
+    from unity_to_bigquery_spark.streaming.stream import EVENTS_STREAM_DDL
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def ev(event_id, user_id, etype, hh, mm, day=1):
+        return (event_id, dt.datetime(2024, 1, day, hh, mm), user_id, etype, 1.0, "{}")
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENTS_STREAM_DDL).write.mode("append").parquet(src_dir)
+
+    def drain():
+        stream = stream_events(spark, src_dir)
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                    F.col("event_id").alias("p_id"))
+            .withWatermark("p_ts", "10 minutes")
+        )
+        errors = (
+            stream.filter(F.col("event_type") == "error")
+            .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+                    F.col("event_id").alias("e_id"))
+            .withWatermark("e_ts", "10 minutes")
+        )
+        joined = purchases.join(
+            errors,
+            F.expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 30 MINUTES"),
+            "leftOuter",
+        ).select("p_id", "e_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {(r.p_id, r.e_id) for r in spark.read.parquet(out_dir).collect()}
+        except Exception:
+            return set()
+
+    # user 1: purchase 10:00 + error 10:15 (match); user 2: purchase
+    # 10:05, no error ever (unmatched -> null only after watermark)
+    write([ev(1, 1, "purchase", 10, 0), ev(2, 1, "error", 10, 15),
+           ev(3, 2, "purchase", 10, 5)])
+    got1 = drain()
+    assert (1, 2) in got1
+    assert (3, None) not in got1  # watermark hasn't closed its window yet
+    # much later events on BOTH sides: the join's global watermark is
+    # min(left, right), so each input must advance for nulls to emit
+    write([ev(4, 9, "purchase", 20, 0), ev(5, 8, "error", 20, 0)])
+    got2 = drain()
+    assert (3, None) in got2  # unmatched left row emitted exactly once
+    assert len([p for p in got2 if p[0] == 3]) == 1

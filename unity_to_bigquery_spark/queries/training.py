@@ -292,3 +292,78 @@ def p_stratified_sample(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
     )
+
+
+@query(
+    "p_corpus_pipeline",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source, text,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM feat
+      WHERE n_chars >= 50 AND n_words >= 10
+        AND n_distinct * 1000000.0 / n_words > 200000.0
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT source, n_words,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM deduped
+    )
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM split GROUP BY split, source
+    """,
+    doc=(
+        "End-to-end corpus preparation in ONE dataflow: quality gate "
+        "(length + lexical-diversity thresholds) -> exact dedup "
+        "(min-id survivor) -> deterministic 95/5 split -> per-(split, "
+        "source) doc/token totals. One window shuffle + one agg "
+        "shuffle; filters run in the scan. The composition the "
+        "individual t_*/d_*/p_* operators exist to serve."
+    ),
+    tags=("llm", "training", "pipeline"),
+)
+def p_corpus_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("n_chars"),
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    kept = feat.filter(
+        (F.col("n_chars") >= 50)
+        & (F.col("n_words") >= 10)
+        & (F.col("n_distinct") * 1000000.0 / F.col("n_words") > 200000.0)
+    )
+    deduped = (
+        kept.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    split = F.when(
+        _portable_hash(F.col("doc_id").cast("string")) % 100 < 95, "train"
+    ).otherwise("heldout")
+    return (
+        deduped.select(split.alias("split"), "source", "n_words")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("total_tokens"))
+    )
