@@ -223,3 +223,120 @@ def e_rollup_cascade(spark, sf_dir):
         (F.col("min_v6").cast("double") / 1000000.0).alias("min_value"),
         (F.col("max_v6").cast("double") / 1000000.0).alias("max_value"),
     )
+
+
+@query(
+    "e_funnel_conversion",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             MIN(e.ts) AS first_purchase_ts
+      FROM signups s
+      JOIN events e ON e.user_id = s.user_id
+        AND e.event_type = 'purchase'
+        AND e.ts > s.signup_ts
+        AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+      GROUP BY s.user_id
+    )
+    SELECT COUNT(*) AS n_signup_users,
+           COUNT(c.user_id) AS n_converted,
+           CAST(FLOOR(COUNT(c.user_id) * 1000000.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS conversion6
+    FROM signups s LEFT JOIN conv c ON s.user_id = c.user_id
+    """,
+    doc=(
+        "Funnel conversion: users whose first signup is followed by a "
+        "purchase within 7 days — the sequential-pattern analytics shape "
+        "(two aggregates + one interval join, all shuffled on user_id; "
+        "at scale the signups side is the small one and broadcasts)."
+    ),
+    tags=("events", "funnel"),
+)
+def e_funnel_conversion(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        signups.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id"), F.col("ts").alias("p_ts")
+            ),
+            on="user_id",
+        )
+        .filter(
+            (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    joined = signups.join(conv.select("user_id", "first_purchase_ts"), "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        F.floor(
+            F.count("first_purchase_ts") * 1000000.0 / F.count(F.lit(1)) + 0.5
+        ).cast("long").alias("conversion6"),
+    )
+
+
+@query(
+    "e_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    WHERE week_offset <= 4
+    GROUP BY cohort_week, week_offset
+    """,
+    doc=(
+        "Cohort retention: users grouped by first-seen week, counted "
+        "active at week offsets 0-4 — the standard retention triangle "
+        "(first-touch aggregate + distinct activity join, both shuffled "
+        "on user_id so they co-partition)."
+    ),
+    tags=("events", "cohort"),
+)
+def e_cohort_retention(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
