@@ -313,3 +313,32 @@ def a_unpivot_measures(spark, sf_dir):
         "metric",
         F.floor(F.col("val") * 100 + 0.5).cast("long").alias("cents"),
     )
+
+
+@query(
+    "a_listagg_ordered",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, '|' ORDER BY s_acctbal DESC, s_name) AS top_names
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "Ordered LISTAGG ... WITHIN GROUP (Spark 4): aggregate-internal "
+        "ordering (by balance desc, name tiebreak) — deterministic "
+        "without post-sorting the array, unlike a_collect_*'s "
+        "order-normalization."
+    ),
+    tags=("aggregate", "listagg"),
+)
+def a_listagg_ordered(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(s_name, '|')
+                 WITHIN GROUP (ORDER BY s_acctbal DESC, s_name) AS top_names
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
