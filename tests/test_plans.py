@@ -60,3 +60,37 @@ def test_no_cartesian_in_interval_join(spark, sf_dir):
     physical, _ = _plans(spark, sf_dir, "j_interval_ships_within_30d")
     assert "CartesianProduct" not in physical
     assert "BroadcastNestedLoopJoin" not in physical
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set must reach the training stream as a
+    broadcast semi-join — a shuffled join here would move the whole
+    corpus's shingles at 100 TB."""
+    physical, _ = _plans(spark, sf_dir, "t_decontaminate")
+    assert "BroadcastHashJoin" in physical and "LeftSemi" in physical
+
+
+def test_train_test_split_single_shuffle(spark, sf_dir):
+    """Hash-split + rollup: per-row hashing in the scan stage, exactly
+    one exchange (the groupBy)."""
+    physical, _ = _plans(spark, sf_dir, "p_train_test_split")
+    assert physical.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_pipeline_prunes_and_pushes(spark, sf_dir):
+    """The composite pipeline's length filter must reach the parquet
+    scan; only the columns it needs may be read."""
+    _, fmt = _plans(spark, sf_dir, "p_corpus_pipeline")
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,50)" in fmt or \
+           "GreaterThanOrEqual(n_chars,50)" in fmt
+    import re
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", fmt)
+    assert m and "lang" not in m.group(1)  # unused column pruned
+
+
+def test_sequence_packing_partitions_by_source(spark, sf_dir):
+    """The running-sum window shuffles once on source; the chunk rollup
+    reuses that partitioning (no second exchange on source alone)."""
+    physical, _ = _plans(spark, sf_dir, "p_sequence_packing")
+    assert physical.count("Exchange hashpartitioning") <= 2
+    assert "Window" in physical

@@ -298,8 +298,7 @@ def p_stratified_sample(spark, sf_dir):
     "p_corpus_pipeline",
     oracle="""
     WITH feat AS (
-      SELECT doc_id, source, text,
-             length(text) AS n_chars,
+      SELECT doc_id, source, text, n_chars,
              len(string_split(text, ' ')) AS n_words,
              len(list_distinct(string_split(text, ' '))) AS n_distinct
       FROM documents
@@ -338,13 +337,17 @@ def p_stratified_sample(spark, sf_dir):
 def p_corpus_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
+    # filter on the STORED n_chars column (== length(text) by fixture
+    # contract) so the length gate pushes into the parquet scan and
+    # row-group stats can skip — recomputing length(text) would hide
+    # the predicate behind a projection
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     feat = docs.select(
         "doc_id",
         "source",
         "text",
-        F.length("text").alias("n_chars"),
+        "n_chars",
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
     )
