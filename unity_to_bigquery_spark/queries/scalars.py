@@ -451,3 +451,80 @@ def f_variant_ops(spark, sf_dir):
         F.to_json(v).alias("normalized"),
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+@query(
+    "f_try_ops",
+    oracle="""
+    SELECT doc_id,
+           try_cast(s AS BIGINT) AS maybe_num,
+           CAST(FLOOR(COALESCE(n_chars / NULLIF(doc_id % 7, 0), -1.0) * 100 + 0.5) AS BIGINT)
+             AS ratio_c2,
+           try_cast('2024-' || lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '-01' AS DATE)
+             IS NOT NULL AS valid_month
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                  ELSE 'n' || CAST(doc_id AS VARCHAR) END AS s
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    """,
+    doc=(
+        "Error-safe function family (try_cast / try_divide): malformed "
+        "numerics, zero denominators, and invalid dates degrade to NULL "
+        "instead of failing the job — at 100 TB a single poisoned row "
+        "must never kill the pipeline (the ANSI-safe analogue of the "
+        "malformed-record quarantine on the scan side)."
+    ),
+    tags=("scalar", "try"),
+)
+def f_try_ops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    s = F.when(
+        F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string")
+    ).otherwise(F.concat(F.lit("n"), F.col("doc_id").cast("string")))
+    date_str = F.concat(
+        F.lit("2024-"),
+        F.lpad((F.col("doc_id") % 15).cast("string"), 2, "0"),
+        F.lit("-01"),
+    )
+    return docs.select(
+        "doc_id",
+        s.try_cast("bigint").alias("maybe_num"),
+        F.floor(
+            F.coalesce(
+                F.try_divide(F.col("n_chars"), F.col("doc_id") % 7), F.lit(-1.0)
+            )
+            * 100
+            + 0.5
+        ).cast("long").alias("ratio_c2"),
+        date_str.try_cast("date").isNotNull().alias("valid_month"),
+    )
+
+
+@query(
+    "a_histogram_bins",
+    oracle="""
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 7) AS bin,
+           COUNT(*) AS n,
+           CAST(FLOOR(MIN(value) * 100 + 0.5) AS BIGINT) AS min_c2,
+           CAST(FLOOR(MAX(value) * 100 + 0.5) AS BIGINT) AS max_c2
+    FROM events GROUP BY bin
+    """,
+    doc=(
+        "Equi-width histogram (8 bins of 25 over value, clamped): the "
+        "single-pass binning aggregate behind every profiling/quality "
+        "dashboard — floor arithmetic, portable across engines."
+    ),
+    tags=("aggregate", "histogram"),
+)
+def a_histogram_bins(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0).cast("long"), F.lit(0)), F.lit(7)
+    )
+    return events.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.min("value") * 100 + 0.5).cast("long").alias("min_c2"),
+        F.floor(F.max("value") * 100 + 0.5).cast("long").alias("max_c2"),
+    )
