@@ -94,3 +94,36 @@ def test_sequence_packing_partitions_by_source(spark, sf_dir):
     physical, _ = _plans(spark, sf_dir, "p_sequence_packing")
     assert physical.count("Exchange hashpartitioning") <= 2
     assert "Window" in physical
+
+
+# Whole-inventory plan audit: the slow paths must stay confined to the
+# queries that exist to prove them. Anything new that trips these lists
+# is a plan regression, not a style choice.
+ROW_PYTHON_ALLOWED = {"u_scalar_python_udf", "u_python_udtf"}
+# broadcast nested-loop is legitimate for explicit cross joins, theta
+# joins, scalar-subquery comparisons (1-row broadcast), and broadcast
+# query batches in similarity search
+BNLJ_ALLOWED = {
+    "j_cross_region_segment",
+    "j_theta_supplier_pecking",
+    "q11_important_supply_value",
+    "q22_global_sales_opportunity",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_ivf_neardup_pairs",
+}
+
+
+def test_no_unexpected_slow_paths_in_any_plan(spark, sf_dir):
+    from unity_to_bigquery_spark.registry import all_queries
+
+    offenders = {"BatchEvalPython": [], "CartesianProduct": [], "BroadcastNestedLoopJoin": []}
+    for name, q in sorted(all_queries().items()):
+        phys = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in phys and name not in ROW_PYTHON_ALLOWED:
+            offenders["BatchEvalPython"].append(name)
+        if "CartesianProduct" in phys:
+            offenders["CartesianProduct"].append(name)
+        if "BroadcastNestedLoopJoin" in phys and name not in BNLJ_ALLOWED:
+            offenders["BroadcastNestedLoopJoin"].append(name)
+    assert not any(offenders.values()), offenders
