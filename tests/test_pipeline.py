@@ -170,3 +170,49 @@ def test_ndjson_malformed_record_policies(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         read_ndjson_with_quarantine(spark, str(p), ddl, mode="FAILFAST").collect()
+
+
+def test_unity_export_streaming_source(spark, tmp_path):
+    """The export source as a STREAMING source: one micro-batch per
+    export job via SimpleDataSourceStreamReader; the offset is the
+    reference's continueFrom checkpoint, so a second drain with the
+    same checkpoint delivers nothing new."""
+    from unity_to_bigquery_spark.sources.unity_export import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.format("unity_export")
+            .option("project_id", "projS")
+            .option("max_jobs", "3")
+            .option("rows_per_job", "40")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    out1 = drain()
+    assert out1.count() == 120
+    assert out1.select("job_id").distinct().count() == 3
+    # batch flavor of the same source must agree row-for-row
+    batch = (
+        spark.read.format("unity_export")
+        .option("project_id", "projS")
+        .option("num_jobs", "3")
+        .option("rows_per_job", "40")
+        .load()
+    )
+    assert {tuple(r) for r in out1.collect()} == {tuple(r) for r in batch.collect()}
+    # resume from checkpoint: backlog already drained -> no new rows
+    out2 = drain()
+    assert out2.count() == 120

@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # The reference's five report types (Unity_to_BigQuery.py:191).
 REPORT_TYPES = ["appStart", "appRunning", "deviceInfo", "custom", "transaction"]
@@ -80,6 +85,9 @@ class UnityExportDataSource(DataSource):
     def reader(self, schema):
         return UnityExportReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return UnityExportStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source with a session."""
@@ -87,3 +95,47 @@ def register(spark) -> None:
         spark.dataSource.register(UnityExportDataSource)
     except Exception:
         pass  # already registered in this session
+
+
+class UnityExportStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: each ``read()`` delivers every export job
+    completed since the last offset (the reference's poll loop,
+    Unity_to_BigQuery.py:166-171, inverted — the engine asks for the
+    completed backlog instead of the driver sleeping on it). The
+    offset dict carries the next-undelivered job id: exactly the
+    reference's ``continueFrom`` checkpoint (A12), but managed by the
+    streaming checkpoint instead of a Postgres row.
+
+    ``max_jobs`` bounds the simulated backlog so AvailableNow drains
+    terminate; a live source would return an empty batch at the head
+    until the export service finishes another job.
+    """
+
+    def __init__(self, options):
+        self.project = options.get("project_id", "proj0")
+        self.rows_per_job = int(options.get("rows_per_job", "100"))
+        self.max_jobs = int(options.get("max_jobs", "4"))
+
+    def initialOffset(self) -> dict:
+        return {"next_job": 0}
+
+    def read(self, start: dict):
+        j = start["next_job"]
+        if j >= self.max_jobs:
+            return iter([]), start
+        # a LIST, not a generator: the runner's prefetch cache
+        # copy.copy()s the iterator between planning and execution
+        rows = [
+            export_row(self.project, job, i, self.rows_per_job)
+            for job in range(j, self.max_jobs)
+            for i in range(self.rows_per_job)
+        ]
+        return iter(rows), {"next_job": self.max_jobs}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for j in range(start["next_job"], end["next_job"]):
+            for i in range(self.rows_per_job):
+                yield export_row(self.project, j, i, self.rows_per_job)
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint-managed; nothing external to acknowledge
