@@ -528,3 +528,45 @@ def a_histogram_bins(spark, sf_dir):
         F.floor(F.min("value") * 100 + 0.5).cast("long").alias("min_c2"),
         F.floor(F.max("value") * 100 + 0.5).cast("long").alias("max_c2"),
     )
+
+
+@query(
+    "f_xml_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(regexp_extract(x, '<chars>([0-9]+)</chars>', 1) AS BIGINT) AS chars_val,
+           regexp_extract(x, '<src>([a-z0-9]+)</src>', 1)                  AS src_val,
+           regexp_extract(x, '<lang code="([a-z]+)"', 1)                   AS lang_attr
+    FROM (
+      SELECT doc_id,
+             '<doc><chars>' || CAST(n_chars AS VARCHAR) || '</chars><src>' || source
+               || '</src><lang code="' || lang || '"/></doc>' AS x
+      FROM documents WHERE doc_id % 23 = 0
+    )
+    """,
+    doc=(
+        "XML extraction (Spark 4): from_xml to a typed struct plus "
+        "xpath attribute access over synthesized per-row XML payloads "
+        "(semi-structured ingest the reference would pass opaque, like "
+        "its NDJSON). Oracle mirrors via regexp (DuckDB has no XML)."
+    ),
+    tags=("scalar", "xml"),
+)
+def f_xml_ops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    x = F.concat(
+        F.lit("<doc><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars><src>"),
+        F.col("source"),
+        F.lit('</src><lang code="'),
+        F.col("lang"),
+        F.lit('"/></doc>'),
+    )
+    parsed = F.from_xml(x, "chars BIGINT, src STRING")
+    return docs.select(
+        "doc_id",
+        parsed.getField("chars").alias("chars_val"),
+        parsed.getField("src").alias("src_val"),
+        F.xpath_string(x, F.lit("/doc/lang/@code")).alias("lang_attr"),
+    )
