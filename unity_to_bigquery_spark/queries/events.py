@@ -340,3 +340,54 @@ def e_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@query(
+    "e_gapfill_hours",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM bounds
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(a.n, 0) AS n
+    FROM spine s LEFT JOIN agg a ON s.h = a.h
+    """,
+    doc=(
+        "Time-spine gap filling (densification): an hourly spine from "
+        "min to max via sequence()+explode, left-joined against the "
+        "hourly counts so silent hours surface as explicit zeros — what "
+        "dashboards and anomaly detectors need from an event store. "
+        "Spine generation is O(hours) on the driver-free generate path; "
+        "the join broadcasts the (tiny) spine."
+    ),
+    tags=("events", "gapfill"),
+)
+def e_gapfill_hours(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    agg = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(agg, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
