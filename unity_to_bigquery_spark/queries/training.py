@@ -370,3 +370,32 @@ def p_corpus_pipeline(spark, sf_dir):
         .groupBy("split", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("total_tokens"))
     )
+
+
+@query(
+    "p_corpus_shuffle",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY md5('42#' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS position,
+           doc_id, source
+    FROM documents
+    """,
+    doc=(
+        "Deterministic global corpus shuffle: training-example order is "
+        "the sort of a seeded content hash — reproducible across runs/"
+        "engines (same seed -> same curriculum), yet uncorrelated with "
+        "ingest order. At scale this is a single range-partitioned "
+        "sort; changing the epoch seed reshuffles without rewriting "
+        "data. doc_id tiebreak keeps the total order unique."
+    ),
+    tags=("llm", "training", "shuffle"),
+)
+def p_corpus_shuffle(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42#"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return docs.select(
+        F.row_number().over(w).alias("position"), "doc_id", "source"
+    )
