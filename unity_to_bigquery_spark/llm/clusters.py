@@ -50,7 +50,20 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("component"))
+    # Round 0 for free: with identity labels the neighbor-min is just
+    # MIN(v) per node straight off the edge set — one aggregate, no
+    # labels-join, and no convergence count (round 0 always changes
+    # something unless the graph has no edges at all).
+    nbr0 = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    labels = (
+        ids.select(F.col(id_col).alias("u"))
+        .join(nbr0, on="u", how="left")
+        .select(
+            "u",
+            F.least(F.col("u"), F.coalesce("nbr_min", F.col("u"))).alias("component"),
+        )
+        .persist()
+    )
 
     for it in range(max_iter):
         neighbor_min = (
@@ -77,8 +90,7 @@ def connected_components(
         changed = new_labels.filter(F.col("component") < F.col("__old")).count()
         old = labels
         labels = new_labels.drop("__old")
-        if it > 0:
-            old.unpersist()
+        old.unpersist()  # every generation is persisted (incl. round 0)
         if changed == 0:
             break
     sym.unpersist()
