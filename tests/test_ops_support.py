@@ -81,3 +81,57 @@ def test_observe_quality_single_pass_metrics(spark, sf_dir):
     assert got["max_value_cents"] == events.select(
         F.max(F.floor(F.col("value") * 100 + 0.5).cast("long"))
     ).first()[0]
+
+
+def test_streaming_error_listener_notifies_on_failure(spark, tmp_path):
+    """A15, streaming flavor: a query that dies mid-batch lands in the
+    ErrorNotifier via the listener; a clean query notifies nothing."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.ops_support import (
+        ErrorNotifier,
+        streaming_error_listener,
+    )
+
+    notifier = ErrorNotifier(channel="#ops")
+    listener = streaming_error_listener(spark, notifier)
+    try:
+        src = str(tmp_path / "src")
+        spark.range(10).selectExpr("id AS event_id").write.parquet(src)
+        stream = spark.readStream.schema("event_id BIGINT").parquet(src)
+
+        def explode_batch(batch_df, batch_id):
+            raise RuntimeError("poisoned batch")
+
+        q = (
+            stream.writeStream.foreachBatch(explode_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+        # listener events are delivered asynchronously
+        for _ in range(40):
+            if notifier.sent:
+                break
+            time.sleep(0.25)
+        assert notifier.sent and "poisoned batch" in notifier.sent[0][1]
+        n_after_failure = len(notifier.sent)
+
+        ok = (
+            stream.writeStream.format("memory")
+            .queryName("listener_ok_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        ok.awaitTermination()
+        time.sleep(1.0)
+        assert len(notifier.sent) == n_after_failure  # clean run: no noise
+    finally:
+        spark.streams.removeListener(listener)

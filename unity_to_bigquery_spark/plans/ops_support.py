@@ -93,3 +93,31 @@ def observe_quality(df, name: str = "qc", **metrics):
     obs = Observation(name)
     cols = [c.alias(alias) for alias, c in metrics.items()]
     return df.observe(obs, *cols), obs
+
+
+def streaming_error_listener(spark, notifier: ErrorNotifier):
+    """A15 for the streaming plane: a StreamingQueryListener that routes
+    query-terminated-with-exception events into the ErrorNotifier —
+    the engine-managed replacement for wrapping every poll-loop
+    iteration in try/except (Unity_to_BigQuery.py:196-198,213-215).
+    Returns the listener (caller may removeListener when done).
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if event.exception is not None:
+                notifier.notify(f"streaming query {event.id} failed: {event.exception}")
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener
