@@ -25,6 +25,12 @@ from unity_to_bigquery_spark.session import get_spark  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
 QUERIES = [
+    "t_quality_features",
+    "t_lang_id",
+    "d_exact_dedup",
+    "d_simhash",
+    "d_minhash_lsh_df",
+    "p_corpus_pipeline",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
@@ -35,14 +41,21 @@ QUERIES = [
     "a_rollup_revenue",
 ]
 
-# key columns to offset per replica so fact→fact joins don't explode;
-# documents/embeddings are NOT replicated (id-duplicating copies would
-# corrupt the LLM queries' pair semantics)
+# key columns to offset per replica so fact→fact joins don't explode.
+# documents ARE replicated, with doc_id offset AND a per-replica salt
+# token appended to the text: replicas are then near- but not
+# exact-duplicates of each other, so dedup pair counts grow linearly
+# with corpus size instead of quadratically (exact copies would pair
+# every replica with every other). embeddings are NOT replicated —
+# identical vectors across replicas would make every cross-replica
+# pair cosine=1.0 and the near-dup output quadratic by construction.
 OFFSETS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
+    "documents": ["doc_id"],
 }
+SALTED_TEXT = {"documents": "text"}
 
 
 def build(spark, out_dir: str, reps: int) -> None:
@@ -54,6 +67,11 @@ def build(spark, out_dir: str, reps: int) -> None:
                 p = df
                 for key in OFFSETS[name]:
                     p = p.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+                if name in SALTED_TEXT:
+                    col = SALTED_TEXT[name]
+                    p = p.withColumn(
+                        col, F.concat(F.col(col), F.lit(f" replica{i}tok"))
+                    )
                 parts.append(p)
             from functools import reduce
 
