@@ -253,3 +253,53 @@ def j_interval_ships_within_30d(spark, sf_dir):
         left_end="ship_deadline",
     )
     return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_prompt"))
+
+
+@query(
+    "j_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id % 7 END AS k
+      FROM events WHERE event_id % 2 = 0
+    ),
+    b AS (
+      SELECT CASE WHEN g % 3 = 0 THEN NULL ELSE g END AS k,
+             'grp' || CAST(g AS VARCHAR) AS label
+      FROM generate_series(0, 6) t(g)
+    )
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k_str,
+           b.label, COUNT(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k, b.label
+    """,
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+        "match each other instead of vanishing — the semantics SCD "
+        "merges and checksum diffs need. Still a hash join on the "
+        "null-safe key, so it shuffles/broadcasts like any equi-join."
+    ),
+    tags=("join", "null-safe"),
+)
+def j_null_safe_join(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    a = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("event_id") % 7)
+        .alias("k"),
+    )
+    b = spark.range(0, 7).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("grp"), F.col("id").cast("string")).alias("label"),
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .groupBy(a.k.alias("__k"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("__k").cast("string"), F.lit("NULL")).alias("k_str"),
+            "label",
+            "n",
+        )
+    )
