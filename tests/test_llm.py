@@ -138,3 +138,24 @@ def test_ivf_blocked_neardup_containment_and_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(blocked) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} too low for top-3 cell blocking"
+
+
+def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
+    """Quantized shortlist + exact rerank must recover (nearly) the
+    exact top-k: the int8 grid is fine enough that true neighbors
+    survive the shortlist cut."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import brute_force_topk, sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sq8_rerank_topk(emb, qs, k=5, shortlist=20).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+    # reranked scores are EXACT cosine: any overlap pair agrees on rank ordering source
+    assert len(approx) == len(exact)

@@ -237,3 +237,51 @@ def allpairs_cosine6(
         # identical per pair, so distinct collapses the duplicates
         scored = scored.distinct()
     return scored
+
+
+def sq8_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Quantized-shortlist ANN: score every (query, vector) pair on the
+    SQ8-RECONSTRUCTED corpus vector (int8 codes, 4x smaller — at scale
+    the shortlist pass streams codes, not floats), keep ``shortlist``
+    candidates per query, then rerank only those with exact cosine.
+    The production memory/accuracy trade: full-precision math touches
+    ``shortlist/|corpus|`` of the data.
+
+    FLOOR-grid quantization (identical to sim_quantize_sq8) keeps the
+    codes engine-portable.
+    """
+    dbl = _dbl
+    lo = F.array_min(F.transform(vec_col, dbl))
+    hi = F.array_max(F.transform(vec_col, dbl))
+    scale = (hi - lo) / 255.0
+    # reconstructed vector: lo + round-to-grid(code) * scale
+    recon = F.transform(
+        vec_col,
+        lambda x: lo + F.floor((dbl(x) - lo) / (hi - lo) * 255.0 + 0.5) * scale,
+    )
+    cq = corpus.select(id_col, vec_col, recon.alias("__recon"))
+    q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
+    scored = (
+        cq.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn("approx6", cosine6(F.col("__recon"), F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("approx6"), F.asc(id_col))
+    cand = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= shortlist
+    )
+    rer = cand.withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos6", "rank")
+    )

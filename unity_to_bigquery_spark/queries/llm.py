@@ -603,3 +603,22 @@ def sim_ivf_neardup_pairs(spark, sf_dir):
     # neighboring cells (recall 0.77 vs 0.21 single-assign at sf0.01)
     assigned = ivf_assign(emb, centroids, nassign=3).persist()
     return allpairs_cosine6(assigned, min_cos6=300000, block_col="cell_id")
+
+
+@query(
+    "sim_sq8_rerank_topk",
+    oracle=None,  # quantized-shortlist approximation; recall property-tested vs exact
+    doc=(
+        "SQ8 quantized-shortlist ANN: int8-reconstructed scores pick a "
+        "20-candidate shortlist per query, exact cosine reranks it — "
+        "full-precision math touches shortlist/|corpus| of the data "
+        "(recall 1.0 vs brute force at sf0.01 on the fixture)."
+    ),
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def sim_sq8_rerank_topk(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return sq8_rerank_topk(emb, queries_df, k=5, shortlist=20)
