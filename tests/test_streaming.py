@@ -490,3 +490,64 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     got2 = drain()
     assert (3, None) in got2  # unmatched left row emitted exactly once
     assert len([p for p in got2 if p[0] == 3]) == 1
+
+
+def test_stateful_sessionizer_differential_vs_batch(spark, sf_dir, tmp_path):
+    """The stateful sessionizer, drained over a split delivery plus a
+    far-future flush, must produce EXACTLY the batch sessionization of
+    the fixture events (same 30-min gap)."""
+    from unity_to_bigquery_spark.operators.windows import sessionize
+    from unity_to_bigquery_spark.streaming.stream import sessionize_stateful
+
+    events = load_table(spark, sf_dir, "events")
+    mid = events.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    mid = F.timestamp_micros(F.lit(int(mid)))
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_events(spark, src_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800, watermark="10 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("ts") <= mid).write.mode("append").parquet(src_dir)
+    drain()
+    events.filter(F.col("ts") > mid).write.mode("append").parquet(src_dir)
+    drain()
+    # flush: one far-future event per side of the watermark closes all
+    flush = spark.createDataFrame(
+        [(10**12, events.agg(F.max("ts")).first()[0], 999999, "flush", 0.0, "{}")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    flush.write.mode("append").parquet(src_dir)
+    drain()
+
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in spark.read.parquet(out_dir).filter(F.col("user_id") != 999999).collect()
+    }
+    batch = (
+        sessionize(events, key="user_id", ts="ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            (F.unix_micros(F.min("ts")) / 1000).cast("long").alias("start_ms"),
+            (F.unix_micros(F.max("ts")) / 1000).cast("long").alias("end_ms"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {
+        (r.user_id, r.start_ms, r.end_ms, r.n) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
