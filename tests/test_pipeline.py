@@ -216,3 +216,27 @@ def test_unity_export_streaming_source(spark, tmp_path):
     # resume from checkpoint: backlog already drained -> no new rows
     out2 = drain()
     assert out2.count() == 120
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, sf_dir, tmp_path):
+    """A landing dir with a truncated/garbage file: default read fails,
+    ignoreCorruptFiles reads every healthy row — triage the bad file
+    offline instead of stalling the 100 TB job."""
+    import pytest
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    out = str(tmp_path / "landing")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    n = events.count()
+    events.write.parquet(out)
+    with open(f"{out}/part-99999-garbage.parquet", "wb") as f:
+        f.write(b"PAR1 this is not really parquet \x00\x01\x02")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(out).count()
+
+    healthy = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(out).count()
+    )
+    assert healthy == n
