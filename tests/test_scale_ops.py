@@ -72,3 +72,27 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir):
         )
     )
     assert joined.count() == plain.count()
+
+
+def test_global_enumerate_is_exact_total_order(spark, sf_dir):
+    """global_enumerate assigns the same positions a global-window
+    row_number would — contiguous 1..n in key order — without any
+    single-partition stage."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
+
+    # orders: o_orderkey is unique -> a valid total order (lineitem's
+    # (orderkey, linenumber) is NOT unique in the synthetic fixture)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    got = global_enumerate(orders, ["o_orderkey"], num_partitions=8)
+    want = orders.withColumn(
+        "position", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    g = {r.o_orderkey: r.position for r in got.collect()}
+    w = {r.o_orderkey: r.position for r in want.collect()}
+    assert g == w
+    n = len(w)
+    assert set(g.values()) == set(range(1, n + 1))

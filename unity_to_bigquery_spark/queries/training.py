@@ -384,18 +384,22 @@ def p_corpus_pipeline(spark, sf_dir):
         "Deterministic global corpus shuffle: training-example order is "
         "the sort of a seeded content hash — reproducible across runs/"
         "engines (same seed -> same curriculum), yet uncorrelated with "
-        "ingest order. At scale this is a single range-partitioned "
-        "sort; changing the epoch seed reshuffles without rewriting "
-        "data. doc_id tiebreak keeps the total order unique."
+        "ingest order. Positions come from operators/enumerate."
+        "global_enumerate: range-partitioned sort + per-partition "
+        "offsets, NOT a single-partition global window — the window "
+        "form is the classic scale cliff. Changing the epoch seed "
+        "reshuffles without rewriting data; doc_id tiebreak keeps the "
+        "total order unique."
     ),
     tags=("llm", "training", "shuffle"),
 )
 def p_corpus_shuffle(spark, sf_dir):
-    from pyspark.sql import Window
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
 
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.lit("42#"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return docs.select(
-        F.row_number().over(w).alias("position"), "doc_id", "source"
+    keyed = docs.withColumn(
+        "__shuffle_key", F.md5(F.concat(F.lit("42#"), F.col("doc_id").cast("string")))
+    )
+    return global_enumerate(keyed, ["__shuffle_key", "doc_id"]).select(
+        "position", "doc_id", "source"
     )
