@@ -240,3 +240,20 @@ def test_ignore_corrupt_files_skips_garbage(spark, sf_dir, tmp_path):
         spark.read.option("ignoreCorruptFiles", "true").parquet(out).count()
     )
     assert healthy == n
+
+
+def test_bigquery_sink_degrades_to_staging_parquet(spark, sf_dir, tmp_path):
+    """A10 sink: without the spark-bigquery-connector on the classpath
+    the sink stages Hive-layout parquet (what `bq load` consumes);
+    rows survive byte-identically and appends accumulate."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.sinks.bigquery import connector_available, write_events
+
+    assert not connector_available(spark)  # sandbox: no connector jar
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    sink = write_events(events, "analytics", "appStart", str(tmp_path / "bq"))
+    assert sink.startswith("staging-parquet:")
+    path = sink.split(":", 1)[1]
+    assert spark.read.parquet(path).count() == events.count()
+    write_events(events, "analytics", "appStart", str(tmp_path / "bq"))
+    assert spark.read.parquet(path).count() == 2 * events.count()
