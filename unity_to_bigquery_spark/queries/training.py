@@ -403,3 +403,69 @@ def p_corpus_shuffle(spark, sf_dir):
     return global_enumerate(keyed, ["__shuffle_key", "doc_id"]).select(
         "position", "doc_id", "source"
     )
+
+
+@query(
+    "t_lm_score",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || '#' || ws[i+1])) AS bg,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i])) AS w1
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    bg_counts AS (SELECT bg, COUNT(*) AS c_bg FROM grams GROUP BY bg),
+    w1_counts AS (SELECT w1, COUNT(*) AS c_w1 FROM grams GROUP BY w1),
+    scored AS (
+      SELECT g.doc_id,
+             -ln(b.c_bg::DOUBLE / u.c_w1::DOUBLE) AS nll
+      FROM grams g
+      JOIN bg_counts b ON g.bg = b.bg
+      JOIN w1_counts u ON g.w1 = u.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR(nll * 1000000.0 + 0.5) AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_nll6
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "LM-based quality score (CCNet-style): per-document average "
+        "negative log-likelihood under the corpus's own bigram model "
+        "P(w2|w1) = c(w1 w2)/c(w1 *). High avg_nll = improbable text "
+        "(gibberish/boilerplate) -> filter candidate. Scale: two count "
+        "aggregates over the bigram stream + two joins back keyed on "
+        "the bigram/unigram (the model tables are the small sides -> "
+        "broadcast at real scale); fixed-point NLL so the sum is "
+        "order-independent across engines."
+    ),
+    tags=("llm", "training", "quality", "lm"),
+)
+def t_lm_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn("ws", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.concat_ws("#", F.element_at("ws", i), F.element_at("ws", i + 1)).alias("bg"),
+                    F.element_at("ws", i).alias("w1"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.bg", "g.w1")
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    nll = -F.log(F.col("c_bg").cast("double") / F.col("c_w1").cast("double"))
+    scored = (
+        grams.join(bg_counts, "bg")
+        .join(w1_counts, "w1")
+        .select("doc_id", F.floor(nll * 1000000.0 + 0.5).cast("long").alias("nll6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.floor(F.sum("nll6") / F.count(F.lit(1))).cast("long").alias("avg_nll6"),
+    )
