@@ -111,6 +111,7 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk",
     "sim_ivf_topk",
     "sim_ivf_neardup_pairs",
+    "sim_sq8_rerank_topk",
 }
 
 
