@@ -391,3 +391,46 @@ def e_gapfill_hours(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "e_dau_wau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, user_id FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN daily.d = days.d THEN daily.user_id END) AS dau,
+           COUNT(DISTINCT daily.user_id) AS wau
+    FROM days
+    JOIN daily ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+    doc=(
+        "DAU / trailing-7-day WAU: rolling DISTINCT users can't ride a "
+        "window frame, so the scale shape is day-level pre-aggregation "
+        "(events collapse to (day, user) first — the big reduction) "
+        "followed by a 7-day range self-join over the tiny day-level "
+        "relation."
+    ),
+    tags=("events", "engagement"),
+)
+def e_dau_wau(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "day_d")
+    joined = days.join(
+        daily,
+        (F.col("d") >= F.date_sub(F.col("day_d"), 6)) & (F.col("d") <= F.col("day_d")),
+    )
+    return joined.groupBy("day_d").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    ).select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "dau", "wau")
