@@ -469,3 +469,49 @@ def t_lm_score(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.floor(F.sum("nll6") / F.count(F.lit(1))).cast("long").alias("avg_nll6"),
     )
+
+
+@query(
+    "p_incremental_dedup",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT i.source,
+           COUNT(*) AS n_incoming,
+           COUNT(CASE WHEN e.h IS NULL THEN 1 END) AS n_new
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    GROUP BY i.source
+    """,
+    doc=(
+        "Incremental-ingest dedup: an incoming batch anti-joined (by "
+        "content hash) against the already-ingested corpus — the "
+        "steady-state form of dedup once the corpus exists (full-corpus "
+        "passes are a bootstrap-only event). Scale: the corpus side "
+        "reduces to distinct 16-byte hashes before the join; at 100 TB "
+        "that hash index is the thing you keep hot."
+    ),
+    tags=("llm", "training", "dedup", "incremental"),
+)
+def p_incremental_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "source", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(existing, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("seen").isNull(), 1)).alias("n_new"),
+        )
+    )
