@@ -434,3 +434,70 @@ def e_dau_wau(spark, sf_dir):
         ).alias("dau"),
         F.countDistinct("user_id").alias("wau"),
     ).select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "dau", "wau")
+
+
+@query(
+    "e_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT d, event_type, n,
+             CAST(SUM(n) OVER w AS BIGINT)     AS s,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS sq,
+             COUNT(*) OVER w                    AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n,
+           CASE WHEN sq * k > s * s
+                THEN CAST(FLOOR((n * k - s) / sqrt(CAST(sq * k - s * s AS DOUBLE))
+                                * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS z6
+    FROM stats
+    """,
+    doc=(
+        "Windowed z-score anomaly signal over daily event volumes: "
+        "trailing-7-day mean/std from EXACT integer window sums "
+        "(k*n - s over sqrt(k*sq - s^2) — no float accumulation, so "
+        "the score is bit-identical across engines). The per-key "
+        "volume-anomaly monitor an ingest pipeline alerts on."
+    ),
+    tags=("events", "anomaly"),
+)
+def e_anomaly_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    stats = daily.select(
+        "d",
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    var_num = F.col("sq") * F.col("k") - F.col("s") * F.col("s")
+    z6 = F.floor(
+        (F.col("n") * F.col("k") - F.col("s"))
+        / F.sqrt(var_num.cast("double"))
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return stats.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.when(var_num > 0, z6).otherwise(F.lit(0)).alias("z6"),
+    )
