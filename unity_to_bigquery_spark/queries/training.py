@@ -515,3 +515,53 @@ def p_incremental_dedup(spark, sf_dir):
             F.count(F.when(F.col("seen").isNull(), 1)).alias("n_new"),
         )
     )
+
+
+@query(
+    "p_exact_quota_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('q#' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n_total
+      FROM documents
+    )
+    SELECT source,
+           COUNT(CASE WHEN rnk * 10 <= n_total THEN 1 END) AS n_heldout,
+           COUNT(CASE WHEN rnk * 10 >  n_total THEN 1 END) AS n_train,
+           CAST(SUM(CASE WHEN rnk * 10 <= n_total THEN n_chars ELSE 0 END) AS BIGINT)
+             AS heldout_chars
+    FROM ranked GROUP BY source
+    """,
+    doc=(
+        "Exact-quota stratified split: rank documents per stratum by a "
+        "seeded content hash and take exactly floor(10%) into the "
+        "held-out set — guaranteed split sizes, unlike threshold "
+        "sampling (p_stratified_sample) whose proportions only hold in "
+        "expectation. One window shuffle per stratum; deterministic "
+        "across engines."
+    ),
+    tags=("llm", "training", "split"),
+)
+def p_exact_quota_split(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("q#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wc).alias("n_total"),
+    )
+    heldout = F.col("rnk") * 10 <= F.col("n_total")
+    return ranked.groupBy("source").agg(
+        F.count(F.when(heldout, 1)).alias("n_heldout"),
+        F.count(F.when(~heldout, 1)).alias("n_train"),
+        F.sum(F.when(heldout, F.col("n_chars")).otherwise(0)).alias("heldout_chars"),
+    )
