@@ -622,3 +622,41 @@ def sim_sq8_rerank_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return sq8_rerank_topk(emb, queries_df, k=5, shortlist=20)
+
+
+@query(
+    "m_media_features_verified",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(FLOOR(list_sum(list_transform(split(text, ''), c -> ascii(c)))::DOUBLE
+                      / length(text) * 1000000.0 + 0.5) AS BIGINT) AS mean_byte6,
+           CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+           CAST(n_chars % 480 + 1 AS INTEGER) AS height
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+    doc=(
+        "Oracle-verified multimodal decode: the SAME mapInPandas "
+        "feature kernel as m_multimodal_features, hash-compared against "
+        "SQL recomputing byte length and mean byte value from the "
+        "(ASCII) payload — proof the Arrow-batch binary plumbing "
+        "delivers exact payload bytes to Python, not just plausible "
+        "shapes."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_media_features_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    feats = extract_features(synthesize_media(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.floor(F.col("mean_byte") * 1000000.0 + 0.5).cast("long").alias("mean_byte6"),
+        "width",
+        "height",
+    )
