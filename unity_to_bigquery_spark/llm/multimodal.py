@@ -34,7 +34,10 @@ FEATURE_SCHEMA = (
     "mean_byte DOUBLE, width INT, height INT"
 )
 
-FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_bytes BINARY, frame_sha1 STRING"
+FRAME_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, frame_bytes BINARY, frame_sha1 STRING, "
+    "frame_md5 STRING"
+)
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -105,7 +108,10 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_sha1": []}
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [],
+                "frame_sha1": [], "frame_md5": [],
+            }
             for _, row in pdf.iterrows():
                 if row["media_type"] != "video":
                     continue
@@ -118,6 +124,7 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
                     out["frame_idx"].append(i)
                     out["frame_bytes"].append(chunk)
                     out["frame_sha1"].append(hashlib.sha1(chunk).hexdigest())
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -660,3 +660,33 @@ def m_media_features_verified(spark, sf_dir):
         "width",
         "height",
     )
+
+
+@query(
+    "m_frame_sample_verified",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, text,
+             CAST(n_chars % 16 + 1 AS BIGINT) AS n_frames,
+             GREATEST(length(text) // (n_chars % 16 + 1), 1) AS fsize
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(i * fsize + 1 AS BIGINT), CAST(fsize AS BIGINT)))
+             AS frame_md5
+    FROM vids, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4)) AS i)
+    """,
+    doc=(
+        "Oracle-verified frame sampling: the 1->N mapInPandas chunker's "
+        "every-4th-frame md5s hash-compared against SQL substring "
+        "arithmetic over the same payload — byte-exact frame boundaries "
+        "through the Arrow expansion."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_frame_sample_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import sample_frames, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    frames = sample_frames(synthesize_media(docs), every_k=4)
+    return frames.select("doc_id", "frame_idx", "frame_md5")
