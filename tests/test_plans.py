@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     "sim_ivf_topk",
     "sim_ivf_neardup_pairs",
     "sim_sq8_rerank_topk",
+    # 7-day range self-join over the DAY-level relation (365 rows/yr);
+    # the events->day reduction happens before it
+    "e_dau_wau",
 }
 
 
