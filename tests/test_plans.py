@@ -131,3 +131,22 @@ def test_no_unexpected_slow_paths_in_any_plan(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in phys and name not in BNLJ_ALLOWED:
             offenders["BroadcastNestedLoopJoin"].append(name)
     assert not any(offenders.values()), offenders
+
+
+def test_all_query_outputs_are_primitive(spark, sf_dir):
+    """Hard rule 4: declared-query outputs are primitives only — no
+    array/struct/map/binary/decimal/timestamp column survives to the
+    driver's cross-engine hash compare."""
+    from unity_to_bigquery_spark.registry import all_queries
+
+    allowed = {
+        "string", "bigint", "int", "double", "boolean",
+        "long", "integer", "smallint", "tinyint", "float", "date",
+    }
+    bad = []
+    for name, q in sorted(all_queries().items()):
+        for f in q.spark(spark, sf_dir).schema.fields:
+            t = f.dataType.simpleString()
+            if t not in allowed:
+                bad.append((name, f.name, t))
+    assert not bad, bad
