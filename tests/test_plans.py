@@ -150,3 +150,29 @@ def test_all_query_outputs_are_primitive(spark, sf_dir):
             if t not in allowed:
                 bad.append((name, f.name, t))
     assert not bad, bad
+
+
+def test_join_strategy_hints_override_planner(spark, sf_dir):
+    """Hints are the manual override when statistics mislead at scale:
+    MERGE forces sort-merge where broadcast would win, SHUFFLE_HASH
+    forces a hash join, BROADCAST forces the small side broadcast."""
+    from unity_to_bigquery_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+
+    def plan(hint):
+        return (
+            spark.sql(
+                f"""
+                SELECT /*+ {hint}(n) */ COUNT(*)
+                FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                """
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "SortMergeJoin" in plan("MERGE")
+    assert "ShuffledHashJoin" in plan("SHUFFLE_HASH")
+    assert "BroadcastHashJoin" in plan("BROADCAST")
