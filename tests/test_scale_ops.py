@@ -96,3 +96,22 @@ def test_global_enumerate_is_exact_total_order(spark, sf_dir):
     assert g == w
     n = len(w)
     assert set(g.values()) == set(range(1, n + 1))
+
+
+def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
+    """approx_percentile's rank error is bounded by 1/accuracy — the
+    sketch answer must land within that rank window of the exact
+    percentile (the sublinear path for quantiles over 100 TB)."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    accuracy = 1000
+    approx = events.select(
+        F.percentile_approx("value", 0.5, accuracy).alias("p")
+    ).first()[0]
+    # rank of the approx answer must be within n/accuracy of the median rank
+    rank = events.filter(F.col("value") <= approx).count()
+    assert abs(rank - n / 2) <= max(n / accuracy, 1) + 1, (rank, n)
