@@ -342,3 +342,36 @@ def a_listagg_ordered(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "a_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                         FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)
+             AS cents_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Aggregate FILTER clause: per-aggregate predicates in one pass "
+        "over the data (the declarative form of conditional CASE-WHEN "
+        "aggregation) — still a single hash aggregate."
+    ),
+    tags=("aggregate", "filter"),
+)
+def a_filter_clause(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                             FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)
+                 AS cents_f
+        FROM orders GROUP BY o_orderpriority
+        """
+    )

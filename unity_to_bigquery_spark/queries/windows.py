@@ -287,3 +287,39 @@ def w_percent_rank_cume_dist(spark, sf_dir):
         F.floor(F.percent_rank().over(w) * 1000000.0 + 0.5).cast("long").alias("pct_rank6"),
         F.floor(F.cume_dist().over(w) * 1000000.0 + 0.5).cast("long").alias("cume6"),
     )
+
+
+@query(
+    "w_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           strftime(nth_value(o_orderdate, 2) OVER w, '%Y-%m-%d') AS second_date
+    FROM orders WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc=(
+        "nth_value window function over the full partition frame: the "
+        "'second event per entity' lookup (e.g. second purchase date "
+        "for conversion-lag analytics)."
+    ),
+    tags=("window",),
+)
+def w_nth_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.date_format(F.nth_value("o_orderdate", 2).over(w), "yyyy-MM-dd").alias(
+            "second_date"
+        ),
+    )
