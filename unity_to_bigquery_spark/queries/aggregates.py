@@ -375,3 +375,40 @@ def a_filter_clause(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "a_argmin_argmax",
+    oracle="""
+    SELECT n_name,
+           arg_max(s_name, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + s_suppkey) AS richest,
+           arg_min(s_name, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + s_suppkey) AS poorest,
+           CAST(FLOOR(MAX(s_acctbal) * 100 + 0.5) AS BIGINT)       AS top_bal_c2
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "argmin/argmax aggregates (min_by/max_by): the value of one "
+        "column at another's extremum, in ONE aggregate pass — no "
+        "self-join or window needed. The (cents, suppkey) composite is "
+        "packed into one BIGINT so the extremum is unique and both "
+        "engines agree on ties."
+    ),
+    tags=("aggregate", "argminmax"),
+)
+def a_argmin_argmax(spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    key = (
+        F.floor(F.col("s_acctbal") * 100 + 0.5).cast("long") * 10000000
+        + F.col("s_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", key).alias("richest"),
+            F.min_by("s_name", key).alias("poorest"),
+            F.floor(F.max("s_acctbal") * 100 + 0.5).cast("long").alias("top_bal_c2"),
+        )
+    )
