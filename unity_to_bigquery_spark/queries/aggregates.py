@@ -412,3 +412,24 @@ def a_argmin_argmax(spark, sf_dir):
             F.floor(F.max("s_acctbal") * 100 + 0.5).cast("long").alias("top_bal_c2"),
         )
     )
+
+
+@query(
+    "a_bool_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0)   AS all_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bool_and(l_extendedprice >= l_quantity) AS price_dominates
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Boolean aggregates (bool_and/bool_or): data-quality assertions as a one-pass aggregate.",
+    tags=("aggregate", "bool"),
+)
+def a_bool_aggs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_extendedprice") >= F.col("l_quantity")).alias("price_dominates"),
+    )
