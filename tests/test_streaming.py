@@ -551,3 +551,32 @@ def test_stateful_sessionizer_differential_vs_batch(spark, sf_dir, tmp_path):
         (r.user_id, r.start_ms, r.end_ms, r.n) for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_max_files_per_trigger_paces_micro_batches(spark, sf_dir, tmp_path):
+    """Ingest pacing: maxFilesPerTrigger=1 over a 4-file landing dir
+    must produce 4 micro-batches under AvailableNow (bounded work per
+    batch — the knob that keeps recovery storms from OOMing executors),
+    with no rows lost."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    n = events.count()
+    events.repartition(4).write.parquet(src)
+
+    batch_ids = []
+
+    def sink(batch_df, batch_id):
+        batch_ids.append((batch_id, batch_df.count()))
+
+    q = (
+        spark.readStream.schema("event_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_ids) == 4, batch_ids
+    assert sum(c for _, c in batch_ids) == n
