@@ -105,7 +105,7 @@ def d_ngram_jaccard(spark, sf_dir):
       GROUP BY doc_id, b
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
     doc=(

@@ -230,7 +230,7 @@ def f_hof_embeddings(spark, sf_dir):
            array_to_string(list_sort(json_keys(props)), ',')  AS keys_str,
            CAST(json_extract(props, '$.k') AS BIGINT)         AS k_val,
            json_extract_string(props, '$.k')                  AS k_str,
-           to_json(struct_pack(t := event_type, k := CAST(json_extract(props, '$.k') AS BIGINT))) AS repacked
+           CAST(to_json(struct_pack(t := event_type, k := CAST(json_extract(props, '$.k') AS BIGINT))) AS VARCHAR) AS repacked
     FROM events WHERE event_id % 53 = 0
     """,
     doc=(
