@@ -1,7 +1,11 @@
 """Benchmark harness: times every declared query at the bench scale
-factor and prints ONE JSON line for the driver
-(``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}``).
+factor and prints ONE SHORT JSON line for the driver
+(``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{headline subset}, "sf": ...}``). Full per-query timings go to
+``BENCH_LOCAL.json`` next to this file — round 1's ~5 KB stdout line
+overflowed the driver's capture window (BENCH_r01.json ``parsed:
+null``), so stdout stays under ~1 KB: only the BASELINE.md headline
+queries inline.
 
 Usage: ``python bench.py [query_name ...]`` — optional names restrict
 the set. Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
@@ -19,6 +23,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from unity_to_bigquery_spark.registry import all_queries
 from unity_to_bigquery_spark.session import get_spark
+
+
+# The BASELINE.md §"headline queries" set — kept inline on stdout so the
+# driver can compare per-query without the full 142-entry dict.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q21_waiting_suppliers",
+    "j_asof_last_order_before_event",
+    "w_sessionize_events",
+    "d_simhash",
+    "d_minhash_lsh",
+    "d_minhash_lsh_df",
+    "d_dedup_clusters",
+    "sim_cosine_topk",
+    "sim_embed_neardup_pairs",
+    "t_quality_features",
+    "u_grouped_map_apply_in_pandas",
+    "u_python_udtf",
+)
 
 
 def main() -> None:
@@ -56,19 +81,21 @@ def main() -> None:
             print(f"# bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup_sec": warmup_sec,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warmup_sec": warmup_sec,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "detail_file": "BENCH_LOCAL.json",
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({**payload, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(json.dumps(payload))
     spark.stop()
 
 
