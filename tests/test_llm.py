@@ -115,18 +115,17 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
 
 def test_ivf_blocked_neardup_containment_and_recall(spark, sf_dir):
     """Blocked pairs are a SUBSET of exact all-pairs (identical scores)
-    with usable recall on the fixture: co-cell near-dups survive."""
-    import pyspark.sql.functions as F
-
+    with usable recall on the fixture: co-cell near-dups survive. Uses
+    ivf_blocked_neardup — the SAME helper (same ncells/nassign) the
+    declared sim_ivf_neardup_pairs query runs, so this recall bar
+    covers the shipped query, not a lookalike."""
     from unity_to_bigquery_spark.catalog import load_table
-    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6, ivf_assign
+    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6, ivf_blocked_neardup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
-    assigned = ivf_assign(emb, centroids, nassign=3).persist()
     blocked = {
         (r.id_a, r.id_b): r.cos6
-        for r in allpairs_cosine6(assigned, min_cos6=300000, block_col="cell_id").collect()
+        for r in ivf_blocked_neardup(emb, min_cos6=300000).collect()
     }
     exact = {
         (r.id_a, r.id_b): r.cos6
@@ -137,7 +136,7 @@ def test_ivf_blocked_neardup_containment_and_recall(spark, sf_dir):
         assert exact[pair] == score  # same math inside the block
     assert len(exact) > 0
     recall = len(blocked) / len(exact)
-    assert recall >= 0.6, f"recall {recall:.2f} too low for top-3 cell blocking"
+    assert recall >= 0.55, f"recall {recall:.2f} too low for adaptive-cell top-4 blocking"
 
 
 def test_sq8_rerank_recall_vs_exact(spark, sf_dir):

