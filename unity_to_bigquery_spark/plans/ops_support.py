@@ -60,6 +60,34 @@ class ErrorNotifier:
             self.sink(self.channel, error)
 
 
+def webhook_sink(
+    webhook_url: str, post: Callable[..., object] | None = None
+) -> Callable[[str, str], None]:
+    """A15 default sink: POST the reference's exact payload shape
+    ``{"text": <message>}`` (slack_notifier.py:10) to a webhook URL —
+    as an HTTP client call with JSON encoding, not the reference's
+    ``os.system("curl --data '" + message + "'")`` (slack_notifier.py:11),
+    which both breaks and injects on quotes in the message. ``post`` is
+    injectable for tests; default is requests.post.
+
+    Usage: ``ErrorNotifier(sink=webhook_sink(url))``.
+    """
+    if post is None:
+        import requests
+
+        post = requests.post
+
+    def _send(channel: str, error: str) -> None:
+        post(
+            webhook_url,
+            json={"text": error},
+            headers={"Content-type": "application/json"},
+            timeout=10.0,
+        )
+
+    return _send
+
+
 def run_with_notification(notifier: ErrorNotifier, fn: Callable, *args, **kwargs):
     """The reference's outer try/except→Slack shape
     (Unity_to_BigQuery.py:213-215): per-job failures notify and

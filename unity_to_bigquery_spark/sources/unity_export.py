@@ -17,6 +17,13 @@ which makes even this custom source DuckDB-oracle-verifiable
 end-to-end (see queries/pipeline.p_unity_export_source). Swapping the
 generator for real HTTP GETs per file keeps the partitioning, schema,
 and parallelism contract identical.
+
+The real request/poll/download client for this protocol lives in
+sources/unity_http.py (UnityExportClient, injectable transport,
+unit-tested against a fake): it LANDS gunzipped NDJSON files which the
+declarative landing scan (sources/landing.py) then reads — the
+driver-side control plane and this executor-side data plane meet at
+the filesystem, exactly the reference's split.
 """
 
 from __future__ import annotations
