@@ -257,3 +257,56 @@ def test_bigquery_sink_degrades_to_staging_parquet(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == events.count()
     write_events(events, "analytics", "appStart", str(tmp_path / "bq"))
     assert spark.read.parquet(path).count() == 2 * events.count()
+
+
+def test_bigquery_connector_branch_writer_calls(spark, sf_dir, monkeypatch):
+    """A10 connector branch: with the connector 'present' (stubbed —
+    the jar needs network + GCP creds this sandbox lacks), write_events
+    must drive the DataFrameWriter with format=bigquery, the pinned
+    connector options, and the caller's mode, then save(). A fake
+    writer records the chain; connector_write_options is additionally
+    pinned as data so a drive-by edit can't silently change the sink
+    contract."""
+    import unity_to_bigquery_spark.sinks.bigquery as bq
+    from unity_to_bigquery_spark.catalog import load_table
+
+    assert bq.connector_write_options("analytics", "appStart") == {
+        "table": "analytics.appStart",
+        "writeMethod": "direct",
+    }
+
+    calls: dict = {}
+
+    class FakeWriter:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            calls.setdefault("options", {}).update(kw)
+            return self
+
+        def mode(self, m):
+            calls["mode"] = m
+            return self
+
+        def save(self):
+            calls["saved"] = True
+
+        def parquet(self, path):
+            calls["parquet"] = path
+
+    monkeypatch.setattr(bq, "connector_available", lambda s: True)
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    # patch the CONCRETE DataFrame class (pyspark 4 classic vs base)
+    monkeypatch.setattr(
+        type(events), "write", property(lambda self: FakeWriter())
+    )
+    sink = bq.write_events(events, "analytics", "appStart", "/unused", mode="overwrite")
+    assert sink == "bigquery:analytics.appStart"
+    assert calls == {
+        "format": "bigquery",
+        "options": {"table": "analytics.appStart", "writeMethod": "direct"},
+        "mode": "overwrite",
+        "saved": True,
+    }

@@ -30,6 +30,16 @@ def connector_available(spark) -> bool:
         return False
 
 
+def connector_write_options(dataset: str, table: str) -> dict[str, str]:
+    """The exact writer options the connector branch emits — kept as a
+    pure function so tests pin them without the connector jar.
+    ``writeMethod=direct`` is the Storage Write API (no GCS staging
+    bucket), the scalable default; the reference instead ran one
+    synchronous NEWLINE_DELIMITED_JSON load job per file
+    (bq_uploader.py:24-30)."""
+    return {"table": f"{dataset}.{table}", "writeMethod": "direct"}
+
+
 def write_events(
     df: DataFrame,
     dataset: str,
@@ -56,8 +66,7 @@ def write_events(
     if connector_available(spark):
         (
             df.write.format("bigquery")
-            .option("table", f"{dataset}.{table}")
-            .option("writeMethod", "direct")
+            .options(**connector_write_options(dataset, table))
             .mode(mode)
             .save()
         )
