@@ -39,6 +39,8 @@ QUERIES = [
     "w_sessionize_events",
     "e_tumbling_hour",
     "a_rollup_revenue",
+    "sim_cosine_topk",
+    "sim_ivf_neardup_pairs",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.
@@ -46,24 +48,32 @@ QUERIES = [
 # token appended to the text: replicas are then near- but not
 # exact-duplicates of each other, so dedup pair counts grow linearly
 # with corpus size instead of quadratically (exact copies would pair
-# every replica with every other). embeddings are NOT replicated —
-# identical vectors across replicas would make every cross-replica
-# pair cosine=1.0 and the near-dup output quadratic by construction.
+# every replica with every other). embeddings are replicated with
+# deterministic per-element NOISE (hash-derived, ±0.3) for the same
+# reason — identical vectors would make every cross-replica pair
+# cosine=1.0 — but capped at EMB_MAX_REPS: the IVF near-dup pair stage
+# is O(N^1.5) by design, so 100× data costs ~1000× base (~1 h on
+# local[32]); 10× (~31× base) is enough to verify the exponent, which
+# is the point of the smoke.
 OFFSETS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 SALTED_TEXT = {"documents": "text"}
+NOISED_VEC = {"embeddings": "embedding"}
+EMB_MAX_REPS = 10
 
 
 def build(spark, out_dir: str, reps: int) -> None:
     for name in TABLE_NAMES:
         df = load_table(spark, BASE_SF, name)
-        if name in OFFSETS and reps > 1:
+        n_reps = min(reps, EMB_MAX_REPS) if name in NOISED_VEC else reps
+        if name in OFFSETS and n_reps > 1:
             parts = []
-            for i in range(reps):
+            for i in range(n_reps):
                 p = df
                 for key in OFFSETS[name]:
                     p = p.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
@@ -71,6 +81,26 @@ def build(spark, out_dir: str, reps: int) -> None:
                     col = SALTED_TEXT[name]
                     p = p.withColumn(
                         col, F.concat(F.col(col), F.lit(f" replica{i}tok"))
+                    )
+                if name in NOISED_VEC and i > 0:
+                    vcol = NOISED_VEC[name]
+                    # deterministic ±0.3 jitter per (vector, element, replica)
+                    p = p.withColumn(
+                        vcol,
+                        F.transform(
+                            F.col(vcol),
+                            lambda x, j: (
+                                x.cast("double")
+                                + (
+                                    F.pmod(
+                                        F.hash(F.col(OFFSETS[name][0]), j, F.lit(i)),
+                                        F.lit(600),
+                                    ).cast("double")
+                                    / 1000.0
+                                    - 0.3
+                                )
+                            ).cast("float"),
+                        ),
                     )
                 parts.append(p)
             from functools import reduce
