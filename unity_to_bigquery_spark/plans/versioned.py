@@ -25,12 +25,15 @@ core of that idea with zero dependencies:
 Scale notes: a manifest is O(live files) JSON — fine to millions of
 files; past that, real formats checkpoint the log into parquet and
 split manifests (Iceberg's manifest lists), which is an encoding
-change, not a protocol change. Reads pass the file list to one
-``spark.read.parquet(*files)`` with ``basePath`` so Hive-style
-partition directories still yield partition columns AND partition
-pruning; planning cost is proportional to the file list exactly like
-any parquet scan, with zero directory-listing RPCs (the manifest
-replaces the listing — at cloud-object-store scale that's the win).
+change, not a protocol change. Reads pass the explicit leaf-file list
+to one ``spark.read.parquet(*files)`` with partition inference OFF —
+like Delta/Iceberg readers, the log (not directory layout) is the
+source of truth, so the partition column is stored IN the data files
+(the Hive-style ``__p_<col>=v`` directories exist only to group files
+for partition-scoped commits). Planning cost is proportional to the
+file list exactly like any parquet scan, with zero directory-listing
+RPCs (the manifest replaces the listing — at cloud-object-store scale
+that's the win).
 """
 
 from __future__ import annotations
@@ -45,6 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+# Directory-layout twin of the partition column. Spark's partitionBy
+# strips the column from file contents; a log-backed format needs it IN
+# the files (reads resolve explicit leaf files, no directory
+# inference), so we partition the layout by a duplicate and keep the
+# real column stored.
+_PART_DIR_PREFIX = "__p_"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -119,9 +128,11 @@ class VersionedTable:
             schema = m.get("schema") or "__empty STRING"
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, DATA_DIR, f) for f in m["files"]]
-        return self.spark.read.option(
-            "basePath", os.path.join(self.root, DATA_DIR)
-        ).parquet(*paths)
+        # Explicit leaf files: every path is its own root, so Spark
+        # infers no partition columns from the __p_* directories — the
+        # partition column comes from the file contents, and a file
+        # list from the log can mix txn directories freely.
+        return self.spark.read.parquet(*paths)
 
     # ---- writes ---------------------------------------------------------
 
@@ -131,10 +142,12 @@ class VersionedTable:
         until a manifest referencing these files is published."""
         txn = uuid.uuid4().hex[:12]
         target = os.path.join(self.root, DATA_DIR, f"txn-{txn}")
-        writer = df.write.mode("error")
         if self.partition_col:
-            writer = writer.partitionBy(self.partition_col)
-        writer.parquet(target)
+            dir_col = _PART_DIR_PREFIX + self.partition_col
+            df = df.withColumn(dir_col, F.col(self.partition_col))
+            df.write.mode("error").partitionBy(dir_col).parquet(target)
+        else:
+            df.write.mode("error").parquet(target)
         staged = []
         for dirpath, _dirs, files in os.walk(target):
             for f in files:
@@ -207,7 +220,7 @@ class VersionedTable:
         if not self.partition_col:
             raise ValueError("replace_where requires a partitioned table")
         staged = self._write_files(df)
-        wanted = {f"{self.partition_col}={v}" for v in partition_values}
+        wanted = {f"{_PART_DIR_PREFIX}{self.partition_col}={v}" for v in partition_values}
 
         def touched(path: str) -> bool:
             return any(seg in wanted for seg in path.split(os.sep))
