@@ -51,8 +51,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer division — ns longs (~1.7e18) exceed double's 2^53
             # mantissa, so a float divide would silently lose microseconds.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Fixture generations vary: some write parquet timestamp[us] with
+    # isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ while
+    # DuckDB reads a naive TIMESTAMP. Cast NTZ -> session-local TIMESTAMP
+    # (session TZ pinned to UTC above), so the wall-clock values are
+    # unchanged and functions like unix_micros/window() that require
+    # TIMESTAMP keep working. Both engines then see identical values.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
