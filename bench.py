@@ -90,6 +90,14 @@ def main() -> None:
                 print(f"# bench error {name}: {exc}", file=sys.stderr)
                 break
         timings[name] = best
+        # Several queries persist() intermediates (LSH inputs, iterative
+        # state). Across the full 142-query session those caches pile up
+        # in executor storage memory and late queries pay GC/spill for
+        # blocks they never use — measured: u_python_udtf 15.2 s in the
+        # full sweep vs 1.6 s in an 8-query run. Dropping dead caches
+        # between queries measures each query, not its predecessors'
+        # leftovers.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
