@@ -433,3 +433,37 @@ def a_bool_aggs(spark, sf_dir):
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.bool_and(F.col("l_extendedprice") >= F.col("l_quantity")).alias("price_dominates"),
     )
+
+
+@query(
+    "a_salted_hotkey_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty4
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Two-phase salted aggregation (operators/skew.salted_aggregate): "
+        "3 hot grouping keys spread across (key, salt) partials so no "
+        "reducer sees a whole key — the explicit fix for hot-key skew "
+        "that AQE cannot split inside a single group. Exactly equal to "
+        "the direct GROUP BY (algebraic aggregates only); sums use the "
+        "fixed-point scheme so both phases stay in exact BIGINT."
+    ),
+    tags=("aggregate", "skew"),
+)
+def a_salted_hotkey_agg(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__q4", F.floor(F.col("l_quantity") * 10000.0 + 0.5).cast("long")
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        sum_cols={"sum_qty4": "__q4"},
+        salt_col="l_orderkey",
+        n_salt=16,
+    )

@@ -303,3 +303,42 @@ def j_null_safe_join(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev2
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Salt-replicated equi-join (operators/skew.replicated_salt_join): "
+        "the large side gets a deterministic salt from a high-cardinality "
+        "column and the small side is replicated across all salt values, "
+        "spreading any hot join key over n_salt reducers while keeping "
+        "exact inner-join semantics — the explicit fallback when one key "
+        "dominates a shuffle and AQE's skew split cannot help (e.g. a "
+        "broadcast-too-big dimension with one mega-customer)."
+    ),
+    tags=("join", "skew"),
+)
+def j_salted_skew_join(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.skew import replicated_salt_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__p2", F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = replicated_salt_join(
+        li, orders, key="l_orderkey", salt_col="l_partkey", n_salt=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__p2").alias("rev2"),
+    )

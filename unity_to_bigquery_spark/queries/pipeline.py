@@ -185,3 +185,55 @@ def p_unity_export_source(spark, sf_dir):
         .option("rows_per_job", "100")
         .load()
     )
+
+
+@query(
+    "p_versioned_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    UNION ALL
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders
+    """,
+    doc=(
+        "Manifest-log table format round-trip (plans/versioned."
+        "VersionedTable): append pre-1996 orders (v1), append the rest "
+        "(v2), then time-travel-read v1 and latest — v1's aggregate must "
+        "equal the source filtered the same way, v2's the full table. "
+        "Commits are atomic (O_EXCL manifest publish), reads resolve one "
+        "immutable file list, so a concurrent writer can never break a "
+        "running scan — the lakehouse answer to the FileNotFound-mid-"
+        "scan class that partition-overwrite parquet needs "
+        "localCheckpoint discipline for."
+    ),
+    tags=("pipeline", "sink", "versioned"),
+)
+def p_versioned_time_travel(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    path = _tmp(f"versioned_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderdate") < cutoff))
+    t.commit_append(orders.filter(F.col("o_orderdate") >= cutoff))
+
+    def stats(df, version):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        ).select(F.lit(version).alias("version"), "n", "total2")
+
+    return stats(t.read(1), 1).unionByName(stats(t.read(), 2))
