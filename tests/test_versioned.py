@@ -165,3 +165,122 @@ def test_vacuum_gc_and_horizon(spark, root):
     assert _rows(t.read().select("k", "v")) == [(2, "b")]
     with pytest.raises(NoSuchVersionError):
         t.read(version=1)
+
+
+def test_changes_incremental_read(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_append(_df(spark, [(3, "c")]))
+    t.commit_append(_df(spark, [(4, "d"), (5, "e")]))
+    # each committed batch exactly once
+    assert _rows(t.changes(0, 1)) == [(1, "a"), (2, "b")]
+    assert _rows(t.changes(1, 2)) == [(3, "c")]
+    assert _rows(t.changes(2)) == [(4, "d"), (5, "e")]
+    # catch-up across several versions == union of the batches
+    assert _rows(t.changes(1)) == [(3, "c"), (4, "d"), (5, "e")]
+    # fully caught up -> empty with the table schema
+    empty = t.changes(3)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    with pytest.raises(NoSuchVersionError):
+        t.changes(3, 1)
+
+
+def test_changes_replace_where_emits_rewritten_partition(spark, root):
+    t = VersionedTable(spark, root, partition_col="ds")
+    t.commit_append(_df(spark, [(1, "a")], ds="d1"))
+    t.commit_append(_df(spark, [(2, "b")], ds="d2"))
+    t.commit_replace_where(_df(spark, [(9, "z")], ds="d1"), ["d1"])
+    # rewrite-as-upsert CDC: the delta is the partition's NEW state
+    assert _rows(t.changes(2)) == [(9, "z", "d1")]
+    # snapshot after the rewrite is still consistent
+    assert _rows(t.read()) == [(2, "b", "d2"), (9, "z", "d1")]
+
+
+def test_manifest_stats_collected_on_write(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (5, "b")]))
+    m = t.manifest()
+    assert m["files"], "files committed"
+    st = m["stats"]
+    # every committed file has k/v min-max from its parquet footer
+    for f in m["files"]:
+        assert st[f]["k"][0] <= st[f]["k"][1]
+        assert st[f]["v"][0] <= st[f]["v"][1]
+    ks = [st[f]["k"] for f in m["files"]]
+    assert min(lo for lo, _ in ks) == 1 and max(hi for _, hi in ks) == 5
+
+
+def test_read_pruned_skips_files_and_matches_filter(spark, root):
+    t = VersionedTable(spark, root)
+    # three single-partition commits -> three files with disjoint k ranges
+    t.commit_append(_df(spark, [(i, f"a{i}") for i in range(0, 10)]).coalesce(1))
+    t.commit_append(_df(spark, [(i, f"b{i}") for i in range(100, 110)]).coalesce(1))
+    t.commit_append(_df(spark, [(i, f"c{i}") for i in range(200, 210)]).coalesce(1))
+    total = len(t.manifest()["files"])
+    kept, skipped = t.prune_files("k", 100, 109)
+    assert skipped == total - 1 and len(kept) == 1
+    # pruned read == full-scan filter (skipping is only an optimization)
+    expected = _rows(t.read().filter("k BETWEEN 100 AND 109"))
+    assert _rows(t.read_pruned("k", 100, 109)) == expected
+    # open-ended bounds
+    assert _rows(t.read_pruned("k", 200, None)) == _rows(t.read().filter("k >= 200"))
+    assert _rows(t.read_pruned("k", None, 9)) == _rows(t.read().filter("k <= 9"))
+    # string-column pruning works off footer stats too
+    kept_v, skipped_v = t.prune_files("v", "c0", "c9")
+    assert skipped_v >= 1
+    # unknown column: conservatively keeps everything
+    kept_u, skipped_u = t.prune_files("nope", 1, 2)
+    assert skipped_u == 0 and len(kept_u) == total
+
+
+def test_read_pruned_empty_candidate_set(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]).coalesce(1))
+    df = t.read_pruned("k", 50, 60)
+    assert df.count() == 0 and set(df.columns) == {"k", "v"}
+
+
+def test_time_travel_keeps_old_stats(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]).coalesce(1))
+    t.commit_overwrite(_df(spark, [(100, "z")]).coalesce(1))
+    # v1's manifest still prunes with v1's stats
+    kept, skipped = t.prune_files("k", 100, 100, version=1)
+    assert (len(kept), skipped) == (0, 1)
+    kept2, _ = t.prune_files("k", 100, 100, version=2)
+    assert len(kept2) == 1
+
+
+def test_compact_preserves_content_and_reduces_files(spark, root):
+    t = VersionedTable(spark, root)
+    for i in range(4):
+        t.commit_append(_df(spark, [(i * 10 + j, f"r{i}_{j}") for j in range(3)]))
+    before = _rows(t.read())
+    n_before = len(t.manifest()["files"])
+    v = t.compact(target_files=1)
+    assert t.manifest()["op"] == "compact" and t.latest_version() == v
+    assert len(t.manifest()["files"]) < n_before
+    assert _rows(t.read()) == before
+    # pre-compaction snapshot still time-travels
+    assert len(t.manifest(v - 1)["files"]) == n_before
+    # compacted file carries fresh stats for pruning
+    st = t.manifest()["stats"]
+    assert all("k" in st[f] for f in t.manifest()["files"])
+
+
+def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    orig = t._write_files
+
+    def write_then_race(df):
+        staged = orig(df)
+        # an append sneaks in after compaction read its snapshot
+        VersionedTable(spark, root).commit_append(_df(spark, [(99, "sneak")]))
+        return staged
+
+    monkeypatch.setattr(t, "_write_files", write_then_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.compact()
+    # the racing append survived; nothing was lost
+    assert (99, "sneak") in _rows(VersionedTable(spark, root).read())

@@ -126,15 +126,28 @@ def main() -> None:
         print(f"# built x{reps} dataset in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     registry = all_queries()
+    # session warmup: JVM/codegen/Python-worker spin-up must not land in
+    # the first query's timing (same rationale as bench.py's warmup)
+    registry["q01_pricing_summary"].spark(spark, BASE_SF).count()
+    spark.catalog.clearCache()
+
+    def timed(q, data_dir: str, reps: int = 2) -> float:
+        """min-of-reps with cache hygiene between runs: LSH/iterative
+        queries persist() intermediates, and single-shot timings spike
+        3-5x under ambient load (same de-noising as bench.py)."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.spark(spark, data_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
+
     results = {}
     for name in QUERIES:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.spark(spark, BASE_SF).count()
-        base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        q.spark(spark, out_dir).count()
-        big = time.perf_counter() - t0
+        base = timed(q, BASE_SF)
+        big = timed(q, out_dir)
         results[name] = {
             "sf0.1_sec": round(base, 2),
             f"x{reps}_sec": round(big, 2),

@@ -134,7 +134,126 @@ class VersionedTable:
         # list from the log can mix txn directories freely.
         return self.spark.read.parquet(*paths)
 
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows in files ADDED after ``since_version``
+        up to ``to_version`` (default latest) — Iceberg's incremental
+        scan / Delta's streaming-source protocol as a batch API. The
+        consumer persists its last-processed version (the repo's
+        CheckpointTable is the natural home, reference A12's
+        ``continueFrom``) and gets each committed batch exactly once:
+
+            last = checkpoint.last()          # e.g. 2
+            df, now = t.changes(last), t.latest_version()
+            ... process df ...; checkpoint.advance(now)
+
+        Semantics: append commits emit exactly the appended rows;
+        replace_where/overwrite commits emit the NEW files' rows (the
+        rewritten state, not a diff — rewrite-as-upsert CDC). A pure
+        parquet scan of the added file list: no Python row path, scales
+        like any other read.
+        """
+        to_version = self.latest_version() if to_version is None else to_version
+        if to_version < since_version:
+            raise NoSuchVersionError(
+                f"to_version {to_version} < since_version {since_version}"
+            )
+        base = set(self.manifest(since_version)["files"]) if since_version else set()
+        m = self.manifest(to_version)
+        added = [f for f in m["files"] if f not in base]
+        if not added:
+            schema = m.get("schema") or "__empty STRING"
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, DATA_DIR, f) for f in added]
+        )
+
+    def prune_files(
+        self, col: str, lower, upper, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-stats data skipping: the relative files of a
+        snapshot whose [min, max] for ``col`` can intersect
+        [lower, upper] (None = unbounded side). Files with no recorded
+        stats for the column are conservatively kept. Returns
+        (candidate_files, n_skipped). Driver-side O(files) dict work on
+        the already-loaded manifest — zero storage RPCs, the same
+        planning model as Delta/Iceberg file skipping."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        kept, skipped = [], 0
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None:
+                lo, hi = s
+                if (upper is not None and lo is not None and lo > upper) or (
+                    lower is not None and hi is not None and hi < lower
+                ):
+                    skipped += 1
+                    continue
+            kept.append(f)
+        return kept, skipped
+
+    def read_pruned(
+        self, col: str, lower, upper, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col BETWEEN lower AND upper`` that skips
+        whole files via manifest stats BEFORE the scan, then applies the
+        exact row filter (skipping is an optimization, never a
+        correctness source). At cloud scale this is the difference
+        between listing+footer-probing every file and opening only the
+        files that can match."""
+        files, _ = self.prune_files(col, lower, upper, version)
+        if not files:
+            m = self.manifest(version)
+            schema = m.get("schema") or "__empty STRING"
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, DATA_DIR, f) for f in files]
+            )
+        c = F.col(col)
+        if lower is not None:
+            df = df.filter(c >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(c <= F.lit(upper))
+        return df
+
     # ---- writes ---------------------------------------------------------
+
+    @staticmethod
+    def _file_stats(path: str) -> dict:
+        """Per-column [min, max] from the parquet footer's row-group
+        statistics — the write-side stats collection every table format
+        does (Delta collects on write; Iceberg stores them in manifest
+        entries). Footer-only: no data pages are read. Columns without
+        usable stats (or non-JSON-portable types) are omitted; pruning
+        treats missing as unbounded."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        out: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name:  # nested — stats not comparable as a unit
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                    continue  # undecoded binary — not portable JSON
+                if isinstance(lo, (datetime.datetime, datetime.date)):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                cur = out.get(name)
+                if cur is None:
+                    out[name] = [lo, hi]
+                else:
+                    out[name] = [min(cur[0], lo), max(cur[1], hi)]
+        return out
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Stage immutable data files under a unique txn directory;
@@ -156,7 +275,33 @@ class VersionedTable:
                         os.path.relpath(os.path.join(dirpath, f),
                                         os.path.join(self.root, DATA_DIR))
                     )
-        return sorted(staged)
+        import pyarrow.parquet as pq
+
+        kept = []
+        self._staged_stats = {}
+        for f in sorted(staged):
+            full = os.path.join(self.root, DATA_DIR, f)
+            # Zero-row part files (empty write partitions) are dropped,
+            # not committed: they'd bloat the manifest with files every
+            # scan must still open — table formats commit data, not
+            # task-count artifacts.
+            if pq.ParquetFile(full).metadata.num_rows == 0:
+                os.remove(full)
+                continue
+            kept.append(f)
+            self._staged_stats[f] = self._file_stats(full)
+        return kept
+
+
+    def _stats_for(self, base: dict | None, files: list[str]) -> dict:
+        """Manifest stats for a new file list: carried-over files keep
+        the base manifest's entries, staged files contribute the stats
+        collected at write time. Files never gain stats retroactively
+        (missing = unbounded, pruning stays conservative)."""
+        merged = dict((base or {}).get("stats", {}))
+        merged.update(getattr(self, "_staged_stats", {}))
+        fs = set(files)
+        return {f: s for f, s in merged.items() if f in fs and s}
 
     def _publish(self, files: list[str], op: str, schema: str, retries: int = 20) -> int:
         """Atomically create the next manifest (O_CREAT|O_EXCL). On a
@@ -173,6 +318,7 @@ class VersionedTable:
                     "n_files": len(files),
                     "schema": schema,
                     "files": files,
+                    "stats": self._stats_for(None, files),
                 },
                 indent=0,
             )
@@ -260,6 +406,7 @@ class VersionedTable:
                 "n_files": len(files),
                 "schema": schema,
                 "files": files,
+                "stats": self._stats_for(base, files),
             },
             indent=0,
         )
@@ -271,6 +418,44 @@ class VersionedTable:
         return version
 
     # ---- maintenance ----------------------------------------------------
+
+    def compact(self, target_files: int = 1) -> int:
+        """Bin-pack the current snapshot into ``target_files`` files per
+        partition (table formats' OPTIMIZE): read the live file list,
+        rewrite coalesced, publish a commit whose file list is ONLY the
+        new files. Content is bit-identical row-wise; readers of older
+        versions keep their snapshot until vacuum. Concurrency: publish
+        is O_EXCL like any commit — if an append lands first, the
+        compaction retries on the new log would lose it, so we abort
+        instead (ConcurrentWriteError) and the caller re-runs; real
+        formats make the same choice (OPTIMIZE loses races, data wins).
+
+        The small-files problem this solves is a first-order cost at
+        100 TB: a manifest of millions of KB-files turns every scan
+        into metadata soup; periodic compaction keeps file count
+        proportional to data, not to commit count."""
+        snap = self.manifest()
+        if not snap["files"]:
+            return snap["version"]
+        df = self.read(snap["version"])
+        if self.partition_col:
+            df = df.repartition(target_files, F.col(self.partition_col))
+        else:
+            df = df.coalesce(target_files)
+        staged = self._write_files(df)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during compaction; re-run against the new log"
+            )
+        try:
+            return self._publish_once(
+                base, staged, "compact", snap.get("schema") or df.schema.simpleString()
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during compaction; re-run against the new log"
+            ) from None
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained version

@@ -237,3 +237,47 @@ def p_versioned_time_travel(spark, sf_dir):
         ).select(F.lit(version).alias("version"), "n", "total2")
 
     return stats(t.read(1), 1).unionByName(stats(t.read(), 2))
+
+
+@query(
+    "p_versioned_incremental_changes",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Incremental consumption off the manifest log (VersionedTable."
+        "changes): two append commits, then a consumer that already "
+        "processed v1 reads only the v2 delta — Iceberg incremental scan "
+        "/ Delta streaming-source semantics as a batch API, the exactly-"
+        "once continuation pattern of reference A12's continueFrom with "
+        "the version number as the checkpoint."
+    ),
+    tags=("pipeline", "versioned", "incremental"),
+)
+def p_versioned_incremental_changes(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    path = _tmp(f"versioned_changes_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderdate") < cutoff))
+    t.commit_append(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        t.changes(since_version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
