@@ -284,3 +284,35 @@ def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
         t.compact()
     # the racing append survived; nothing was lost
     assert (99, "sneak") in _rows(VersionedTable(spark, root).read())
+
+
+def test_merge_schema_additive_evolution(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    wide = spark.createDataFrame([(2, "b", 7.5)], "k INT, v STRING, score DOUBLE")
+    # without opt-in: rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.commit_append(wide)
+    v = t.commit_append(wide, merge_schema=True)
+    assert v == 2
+    # latest read: widened schema, old rows NULL-filled
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 7.5)}
+    # time travel to v1 keeps the ORIGINAL schema
+    assert set(t.read(1).columns) == {"k", "v"}
+    # incremental read of the delta carries the widened schema
+    assert _rows(t.changes(1)) == [(2, "b", 7.5)]
+
+
+def test_merge_schema_rejects_drops_and_type_changes(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="drops column"):
+        t.commit_append(
+            spark.createDataFrame([(2,)], "k INT"), merge_schema=True
+        )
+    with pytest.raises(ValueError, match="type changes|changes k"):
+        t.commit_append(
+            spark.createDataFrame([("x", "b")], "k STRING, v STRING"),
+            merge_schema=True,
+        )

@@ -119,20 +119,30 @@ class VersionedTable:
 
     # ---- reads ----------------------------------------------------------
 
+    def _scan(self, m: dict, files: list[str]) -> DataFrame:
+        """Scan an explicit file list under a manifest's LOGICAL schema
+        (the log, not file footers, is the source of truth — files
+        written before an additive schema evolution lack the new
+        columns and the reader fills them with NULL, exactly Delta/
+        Iceberg read semantics). Explicit leaf paths: every path is its
+        own root, so Spark infers no partition columns from the __p_*
+        directories and a file list can mix txn directories freely."""
+        if not files:
+            return self.spark.createDataFrame([], m.get("schema") or "__empty STRING")
+        from pyspark.sql.types import StructType
+
+        paths = [os.path.join(self.root, DATA_DIR, f) for f in files]
+        schema_str = m.get("schema")
+        if schema_str:
+            return self.spark.read.schema(StructType.fromDDL(schema_str)).parquet(*paths)
+        return self.spark.read.parquet(*paths)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its explicit
         file list. Later commits (even replace/vacuum of other
         versions) cannot affect this DataFrame's execution."""
         m = self.manifest(version)
-        if not m["files"]:
-            schema = m.get("schema") or "__empty STRING"
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, DATA_DIR, f) for f in m["files"]]
-        # Explicit leaf files: every path is its own root, so Spark
-        # infers no partition columns from the __p_* directories — the
-        # partition column comes from the file contents, and a file
-        # list from the log can mix txn directories freely.
-        return self.spark.read.parquet(*paths)
+        return self._scan(m, m["files"])
 
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read: rows in files ADDED after ``since_version``
@@ -160,12 +170,7 @@ class VersionedTable:
         base = set(self.manifest(since_version)["files"]) if since_version else set()
         m = self.manifest(to_version)
         added = [f for f in m["files"] if f not in base]
-        if not added:
-            schema = m.get("schema") or "__empty STRING"
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, DATA_DIR, f) for f in added]
-        )
+        return self._scan(m, added)
 
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
@@ -202,14 +207,7 @@ class VersionedTable:
         between listing+footer-probing every file and opening only the
         files that can match."""
         files, _ = self.prune_files(col, lower, upper, version)
-        if not files:
-            m = self.manifest(version)
-            schema = m.get("schema") or "__empty STRING"
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.parquet(
-                *[os.path.join(self.root, DATA_DIR, f) for f in files]
-            )
+        df = self._scan(self.manifest(version), files)
         c = F.col(col)
         if lower is not None:
             df = df.filter(c >= F.lit(lower))
@@ -334,22 +332,60 @@ class VersionedTable:
             return version
         raise ConcurrentWriteError(f"could not publish after {retries} attempts")
 
-    def commit_append(self, df: DataFrame) -> int:
+    def commit_append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append-only commit: blindly retryable under concurrency —
-        new files never conflict with anyone else's."""
+        new files never conflict with anyone else's.
+
+        ``merge_schema=True`` permits ADDITIVE evolution: the incoming
+        frame must carry every existing column with its exact type and
+        may add new ones; the manifest's logical schema widens and
+        older files read as NULL for the new columns (``_scan``). Type
+        changes and drops are rejected — destructive evolution is a
+        rewrite (commit_overwrite), not an append."""
         staged = self._write_files(df)
         schema = df.schema.simpleString()
         for _ in range(20):
             base = self.manifest()
             if base["version"] and base.get("schema") != schema:
-                raise ValueError(
-                    f"schema mismatch: table={base.get('schema')} append={schema}"
-                )
+                if not merge_schema:
+                    raise ValueError(
+                        f"schema mismatch: table={base.get('schema')} append={schema}"
+                    )
+                schema = self._merged_schema(base["schema"], df)
             try:
                 return self._publish_once(base, base["files"] + staged, "append", schema)
             except FileExistsError:
                 continue  # concurrent commit landed; merge onto the new log
         raise ConcurrentWriteError("append could not publish after 20 attempts")
+
+    @staticmethod
+    def _merged_schema(base_schema: str, df: DataFrame) -> str:
+        """Validate additive evolution and return the widened schema
+        DDL: every base field present in ``df`` with an identical type;
+        extra ``df`` fields appended in their incoming order."""
+        from pyspark.sql.types import StructType
+
+        base_fields = {f.name: f for f in StructType.fromDDL(base_schema).fields}
+        new_fields = {f.name: f for f in df.schema.fields}
+        missing = [n for n in base_fields if n not in new_fields]
+        if missing:
+            raise ValueError(
+                f"merge_schema append drops column(s) {missing}; "
+                "use commit_overwrite to rewrite the table"
+            )
+        for n, f in base_fields.items():
+            if new_fields[n].dataType != f.dataType:
+                raise ValueError(
+                    f"merge_schema append changes {n}: "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{new_fields[n].dataType.simpleString()}; type changes "
+                    "require commit_overwrite"
+                )
+        merged = StructType(
+            list(StructType.fromDDL(base_schema).fields)
+            + [f for f in df.schema.fields if f.name not in base_fields]
+        )
+        return merged.simpleString()
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Full-table replace: the new manifest references only the new
