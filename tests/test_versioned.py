@@ -316,3 +316,42 @@ def test_merge_schema_rejects_drops_and_type_changes(spark, root):
             spark.createDataFrame([("x", "b")], "k STRING, v STRING"),
             merge_schema=True,
         )
+
+
+def test_merge_upsert_semantics_and_file_pruning(spark, root):
+    t = VersionedTable(spark, root)
+    # two widely separated key ranges -> two files with disjoint stats
+    t.commit_append(_df(spark, [(i, f"lo{i}") for i in range(0, 5)]).coalesce(1))
+    t.commit_append(_df(spark, [(i, f"hi{i}") for i in range(1000, 1005)]).coalesce(1))
+    lo_files = set(t.manifest(1)["files"])
+    # updates touch only the high range: replace 1000, insert 2000
+    updates = _df(spark, [(1000, "UPDATED"), (2000, "NEW")])
+    v = t.merge_upsert(updates, key="k")
+    m = t.manifest(v)
+    assert m["op"] == "merge_upsert"
+    # low-range file carried over byte-identical (never rewritten)
+    assert lo_files <= set(m["files"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1000] == "UPDATED" and got[2000] == "NEW"
+    assert got[0] == "lo0" and len(got) == 11  # 5 lo + 5 hi (one replaced) + 1 new
+    # untouched keys in the touched file survive
+    assert got[1001] == "hi1001"
+    # pre-merge snapshot still time-travels
+    assert {r["k"] for r in t.read(2).collect()} == set(range(5)) | set(range(1000, 1005))
+
+
+def test_merge_upsert_into_empty_and_aborts_on_race(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    v = t.merge_upsert(_df(spark, [(1, "a")]), key="k")
+    assert v == 1 and _rows(t.read()) == [(1, "a")]
+    orig = t._write_files
+
+    def write_then_race(df):
+        staged = orig(df)
+        VersionedTable(spark, root).commit_append(_df(spark, [(50, "sneak")]))
+        return staged
+
+    monkeypatch.setattr(t, "_write_files", write_then_race)
+    with pytest.raises(ConcurrentWriteError):
+        t.merge_upsert(_df(spark, [(2, "b")]), key="k")
+    assert (50, "sneak") in _rows(VersionedTable(spark, root).read())

@@ -453,6 +453,61 @@ class VersionedTable:
             fh.write(payload)
         return version
 
+    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+        """Row-level MERGE (upsert by ``key``): rows whose key matches an
+        update are replaced, unmatched existing rows are untouched,
+        unmatched update rows are inserted.
+
+        The 100 TB property is WHICH files get rewritten: manifest
+        key-range stats prune the snapshot to the files that can
+        possibly contain a matched key; only those are read and
+        rewritten (their unmatched rows anti-joined out and re-staged
+        with the updates) — every other file is carried into the new
+        manifest byte-identical, zero IO. Delta/Iceberg MERGE does
+        exactly this two-phase find-touched-files / rewrite dance.
+
+        Concurrency: like compact, a commit landing mid-merge aborts
+        (ConcurrentWriteError) rather than risking a lost update —
+        re-run against the new log."""
+        snap = self.manifest()
+        if updates.schema.simpleString() != (snap.get("schema") or updates.schema.simpleString()):
+            raise ValueError(
+                f"merge schema mismatch: table={snap.get('schema')} "
+                f"updates={updates.schema.simpleString()}"
+            )
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        touched, _ = (
+            self.prune_files(key, bounds["lo"], bounds["hi"], snap["version"])
+            if bounds["lo"] is not None
+            else ([], 0)
+        )
+        untouched = [f for f in snap["files"] if f not in set(touched)]
+        if not snap["files"]:  # merge into empty table = plain insert
+            rewritten = updates
+        else:
+            survivors = self._scan(snap, touched).join(
+                updates.select(key).distinct(), on=key, how="left_anti"
+            )
+            # column order must match the table schema for the union
+            rewritten = survivors.select(*updates.columns).unionByName(updates)
+        staged = self._write_files(rewritten)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during merge; re-run against the new log"
+            )
+        try:
+            return self._publish_once(
+                base, untouched + staged, "merge_upsert",
+                snap.get("schema") or updates.schema.simpleString(),
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during merge; re-run against the new log"
+            ) from None
+
     # ---- maintenance ----------------------------------------------------
 
     def compact(self, target_files: int = 1) -> int:

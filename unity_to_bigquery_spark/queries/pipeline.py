@@ -281,3 +281,69 @@ def p_versioned_incremental_changes(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), merged AS (
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM merged GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Row-level MERGE on the manifest-log table (VersionedTable."
+        "merge_upsert): doubled-price updates replace their matched "
+        "rows, shifted-key rows insert, untouched rows survive — and "
+        "only files whose manifest key-range stats can contain a matched "
+        "key are rewritten (two-phase find-touched/rewrite, the "
+        "Delta/Iceberg MERGE shape). Final state must equal the oracle's "
+        "anti-join+union formulation of upsert."
+    ),
+    tags=("pipeline", "versioned", "merge"),
+)
+def p_versioned_merge_upsert(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    # two appends -> multiple files; key-range stats let the merge skip
+    # any file whose range cannot contain a matched key
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    upd = orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    t.merge_upsert(upd.unionByName(ins).select(*orders.columns), key="o_orderkey")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
