@@ -355,3 +355,23 @@ def test_merge_upsert_into_empty_and_aborts_on_race(spark, root, monkeypatch):
     with pytest.raises(ConcurrentWriteError):
         t.merge_upsert(_df(spark, [(2, "b")]), key="k")
     assert (50, "sneak") in _rows(VersionedTable(spark, root).read())
+
+
+def test_txn_idempotent_append(spark, root):
+    t = VersionedTable(spark, root)
+    v1 = t.commit_append(_df(spark, [(1, "a")]), txn=("ingest", 0))
+    # replay of the same batch id: no-op, no new version, no dup rows
+    v_replay = t.commit_append(_df(spark, [(1, "a")]), txn=("ingest", 0))
+    assert (v1, v_replay) == (1, 1)
+    assert _rows(t.read()) == [(1, "a")]
+    # next batch commits; an OLDER batch id replayed later is also a no-op
+    t.commit_append(_df(spark, [(2, "b")]), txn=("ingest", 1))
+    assert t.commit_append(_df(spark, [(1, "dup")]), txn=("ingest", 0)) == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # a DIFFERENT app's batch 0 is independent
+    t.commit_append(_df(spark, [(3, "c")]), txn=("other", 0))
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # txn state carries across intervening non-txn commits
+    t.commit_append(_df(spark, [(4, "d")]))
+    assert t.commit_append(_df(spark, [(9, "late")]), txn=("ingest", 1)) == t.latest_version()
+    assert (9, "late") not in _rows(t.read())

@@ -332,7 +332,12 @@ class VersionedTable:
             return version
         raise ConcurrentWriteError(f"could not publish after {retries} attempts")
 
-    def commit_append(self, df: DataFrame, merge_schema: bool = False) -> int:
+    def commit_append(
+        self,
+        df: DataFrame,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Append-only commit: blindly retryable under concurrency —
         new files never conflict with anyone else's.
 
@@ -341,11 +346,26 @@ class VersionedTable:
         may add new ones; the manifest's logical schema widens and
         older files read as NULL for the new columns (``_scan``). Type
         changes and drops are rejected — destructive evolution is a
-        rewrite (commit_overwrite), not an append."""
+        rewrite (commit_overwrite), not an append.
+
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT: if the
+        log already records a batch >= batch_id for app_id, the call is
+        a no-op returning the current version — Delta's txnAppId/
+        txnVersion protocol, which is what turns a replayed
+        foreachBatch micro-batch into exactly-once delivery
+        (streaming.stream.versioned_sink builds on this). The check
+        re-runs inside the retry loop, so two racing writers with the
+        same txn commit once."""
+        if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return self.latest_version()
         staged = self._write_files(df)
         schema = df.schema.simpleString()
         for _ in range(20):
             base = self.manifest()
+            if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+                for f in staged:  # lost an idempotency race: discard our stage
+                    os.remove(os.path.join(self.root, DATA_DIR, f))
+                return base["version"]
             if base["version"] and base.get("schema") != schema:
                 if not merge_schema:
                     raise ValueError(
@@ -353,7 +373,9 @@ class VersionedTable:
                     )
                 schema = self._merged_schema(base["schema"], df)
             try:
-                return self._publish_once(base, base["files"] + staged, "append", schema)
+                return self._publish_once(
+                    base, base["files"] + staged, "append", schema, txn=txn
+                )
             except FileExistsError:
                 continue  # concurrent commit landed; merge onto the new log
         raise ConcurrentWriteError("append could not publish after 20 attempts")
@@ -429,10 +451,22 @@ class VersionedTable:
                 continue
         raise ConcurrentWriteError("replace_where could not publish after 20 attempts")
 
-    def _publish_once(self, base: dict, files: list[str], op: str, schema: str) -> int:
+    def _publish_once(
+        self,
+        base: dict,
+        files: list[str],
+        op: str,
+        schema: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Single O_EXCL attempt at base.version+1 (raises
-        FileExistsError on a lost race — caller recomputes)."""
+        FileExistsError on a lost race — caller recomputes). ``txn``
+        records (app_id, batch_id) in the manifest's txns map; the map
+        carries forward so every commit preserves idempotency state."""
         version = base["version"] + 1
+        txns = dict(base.get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         payload = json.dumps(
             {
                 "version": version,
@@ -443,6 +477,7 @@ class VersionedTable:
                 "schema": schema,
                 "files": files,
                 "stats": self._stats_for(base, files),
+                "txns": txns,
             },
             indent=0,
         )

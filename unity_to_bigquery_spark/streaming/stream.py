@@ -208,6 +208,30 @@ def run_foreach_batch_idempotent(
     q.awaitTermination()
 
 
+def versioned_sink(table, app_id: str):
+    """foreachBatch function writing a stream into a
+    ``plans.versioned.VersionedTable`` with EXACTLY-ONCE delivery: each
+    micro-batch commits via ``commit_append(txn=(app_id, batch_id))``,
+    so a replayed batch (crash between sink write and checkpoint
+    advance — the reference's §3.3 double-load window, A11) is a no-op
+    instead of a duplicate. This is Delta's txnAppId/txnVersion
+    idempotent-writer protocol on the manifest log; unlike the
+    directory-overwrite sink above, the target stays a queryable,
+    time-travelable table while the stream runs.
+
+    Usage::
+
+        q = (stream.writeStream
+             .foreachBatch(versioned_sink(table, "events-ingest"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(batch_df, txn=(app_id, batch_id))
+
+    return write_batch
+
+
 def user_stats_tws(stream: DataFrame) -> DataFrame:
     """Per-user running (count, value-cents-total) via the Spark 4
     transformWithStateInPandas API — the typed-state successor to
