@@ -375,3 +375,37 @@ def test_txn_idempotent_append(spark, root):
     t.commit_append(_df(spark, [(4, "d")]))
     assert t.commit_append(_df(spark, [(9, "late")]), txn=("ingest", 1)) == t.latest_version()
     assert (9, "late") not in _rows(t.read())
+
+
+def test_cluster_by_zorder_enables_multi_column_skipping(spark, root):
+    t = VersionedTable(spark, root)
+    # appends sorted by k only: v-ranges per file are WIDE, so pruning
+    # on v skips nothing before clustering
+    rows = [(k, (k * 37) % 64) for k in range(64)]
+    half = len(rows) // 2
+    t.commit_append(
+        spark.createDataFrame(rows[:half], "k INT, v INT").coalesce(1)
+    )
+    t.commit_append(
+        spark.createDataFrame(rows[half:], "k INT, v INT").coalesce(1)
+    )
+    _, skipped_v_before = t.prune_files("v", 0, 7)
+    assert skipped_v_before == 0
+    before = _rows(t.read())
+
+    v = t.cluster_by(["k", "v"], target_files=8)
+    assert t.manifest()["op"] == "cluster_by"
+    assert _rows(t.read()) == before  # row-identical rewrite
+    n_files = len(t.manifest()["files"])
+    # after z-ordering BOTH dimensions prune
+    _, skipped_k = t.prune_files("k", 0, 7)
+    _, skipped_v = t.prune_files("v", 0, 7)
+    assert skipped_k > 0 and skipped_v > 0
+    # pruned reads stay exact
+    assert _rows(t.read_pruned("v", 0, 7)) == _rows(t.read().filter("v BETWEEN 0 AND 7"))
+    assert _rows(t.read_pruned("k", 50, 63)) == _rows(t.read().filter("k >= 50"))
+    # non-numeric clustering rejected
+    t2 = VersionedTable(spark, root + "2")
+    t2.commit_append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="numeric"):
+        t2.cluster_by(["v"])

@@ -583,6 +583,68 @@ class VersionedTable:
                 "commit landed during compaction; re-run against the new log"
             ) from None
 
+    def cluster_by(self, cols: list[str], target_files: int = 8, bits: int = 4) -> int:
+        """Rewrite the snapshot Z-ORDERED on ``cols`` (numeric): each
+        column is bucketed into 2^bits quantile-free width buckets over
+        its table-wide [min, max], the bucket bits are interleaved into
+        a single locality key, and the data is range-partitioned+sorted
+        on that key into ``target_files`` files. Every output file then
+        covers a TIGHT range on every clustered column simultaneously,
+        so ``prune_files``/``read_pruned`` skip effectively on ANY of
+        them — Delta's OPTIMIZE ZORDER / liquid clustering, built from
+        width_bucket + shiftleft + repartitionByRange (all codegen; the
+        one shuffle is the range exchange every global sort pays).
+
+        Publish/concurrency semantics are compact()'s: content is
+        row-identical, a racing commit aborts the clustering, data wins.
+        """
+        snap = self.manifest()
+        if not snap["files"]:
+            return snap["version"]
+        df = self.read(snap["version"])
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        zkey = F.lit(0).cast("long")
+        nb = 1 << bits
+        for j, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or not isinstance(lo, (int, float)):
+                raise ValueError(f"cluster_by needs non-null numeric columns; got {c}")
+            # width_bucket -> 1..nb (hi inclusive lands in nb); 0-base it
+            b = (
+                F.width_bucket(F.col(c), F.lit(lo), F.lit(hi + 1e-9), F.lit(nb)) - 1
+            ).cast("long")
+            for i in range(bits):
+                # bit i of column j interleaves to position i*len(cols)+j
+                zkey = zkey.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + j,
+                    )
+                )
+        clustered = (
+            df.withColumn("__z", zkey)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        staged = self._write_files(clustered)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during clustering; re-run against the new log"
+            )
+        try:
+            return self._publish_once(
+                base, staged, "cluster_by", snap.get("schema") or df.schema.simpleString()
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during clustering; re-run against the new log"
+            ) from None
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained version
         (retained = the most recent ``keep_last`` manifests). Old
