@@ -409,3 +409,51 @@ def test_cluster_by_zorder_enables_multi_column_skipping(spark, root):
     t2.commit_append(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="numeric"):
         t2.cluster_by(["v"])
+
+
+def test_equality_deletes_merge_on_read(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    n_data_files = len(t.manifest()["files"])
+    v = t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), key="k")
+    # no data file rewritten — the delete is one small key file
+    assert len(t.manifest()["files"]) == n_data_files
+    assert t.manifest()["op"] == "delete_where"
+    assert _rows(t.read()) == [(1, "a"), (3, "c")]
+    # time travel BEFORE the delete still sees the row
+    assert (2, "b") in _rows(t.read(v - 1))
+    # pruned reads respect deletes too
+    assert _rows(t.read_pruned("k", 1, 3)) == [(1, "a"), (3, "c")]
+
+
+def test_reinserted_key_survives_older_delete(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "old"), (2, "keep")]))
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), key="k")
+    # sequencing: the re-insert is NEWER than the delete -> must survive
+    t.commit_append(_df(spark, [(1, "new")]))
+    assert _rows(t.read()) == [(1, "new"), (2, "keep")]
+    # a second delete hits both generations it covers
+    t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), key="k")
+    assert _rows(t.read()) == [(1, "new")]
+
+
+def test_compact_materializes_deletes_and_vacuum_keeps_delete_files(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, f"r{i}") for i in range(6)]))
+    t.commit_delete_where(spark.createDataFrame([(0,), (5,)], "k INT"), key="k")
+    expected = _rows(t.read())
+    # vacuum keeping the delete-bearing version must NOT GC the key file
+    t2 = VersionedTable(spark, root)
+    t2.vacuum(keep_last=1)
+    assert _rows(t2.read()) == expected
+    v = t.compact(target_files=1)
+    m = t.manifest(v)
+    assert m["deletes"] == []  # materialized: merge-on-read debt repaid
+    assert _rows(t.read()) == expected
+    # merge_upsert on a table with deletes respects them
+    t3 = VersionedTable(spark, root + "_m")
+    t3.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t3.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), key="k")
+    t3.merge_upsert(_df(spark, [(2, "B")]), key="k")
+    assert _rows(t3.read()) == [(2, "B")]

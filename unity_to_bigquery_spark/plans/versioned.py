@@ -140,9 +140,43 @@ class VersionedTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its explicit
         file list. Later commits (even replace/vacuum of other
-        versions) cannot affect this DataFrame's execution."""
+        versions) cannot affect this DataFrame's execution. Equality
+        deletes (``commit_delete_where``) are applied merge-on-read."""
         m = self.manifest(version)
-        return self._scan(m, m["files"])
+        return self._scan_live(m, m["files"])
+
+    def _delete_keys(self, d: dict) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.root, DATA_DIR, d["file"])
+        )
+
+    def _scan_live(self, m: dict, files: list[str]) -> DataFrame:
+        """Deletes-aware scan: group ``files`` by WHICH equality deletes
+        apply (a delete applies to files added at or before its version
+        — Iceberg v2 sequencing, so a key re-inserted after the delete
+        survives), scan each group once, anti-join its applicable delete
+        keys (broadcast — delete key sets are small by construction),
+        and union. Group count is bounded by distinct delete versions +
+        1, not file count."""
+        deletes = m.get("deletes", [])
+        if not deletes or not files:
+            return self._scan(m, files)
+        fv = m.get("file_versions", {})
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            added = fv.get(f, 0)
+            key = tuple(i for i, d in enumerate(deletes) if added <= d["version"])
+            groups.setdefault(key, []).append(f)
+        out = None
+        for applicable, group_files in sorted(groups.items()):
+            df = self._scan(m, group_files)
+            for i in applicable:
+                d = deletes[i]
+                df = df.join(
+                    F.broadcast(self._delete_keys(d)), on=d["key"], how="left_anti"
+                )
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read: rows in files ADDED after ``since_version``
@@ -207,7 +241,7 @@ class VersionedTable:
         between listing+footer-probing every file and opening only the
         files that can match."""
         files, _ = self.prune_files(col, lower, upper, version)
-        df = self._scan(self.manifest(version), files)
+        df = self._scan_live(self.manifest(version), files)
         c = F.col(col)
         if lower is not None:
             df = df.filter(c >= F.lit(lower))
@@ -458,6 +492,7 @@ class VersionedTable:
         op: str,
         schema: str,
         txn: tuple[str, int] | None = None,
+        deletes_override: list | None = None,
     ) -> int:
         """Single O_EXCL attempt at base.version+1 (raises
         FileExistsError on a lost race — caller recomputes). ``txn``
@@ -467,6 +502,23 @@ class VersionedTable:
         txns = dict(base.get("txns", {}))
         if txn is not None:
             txns[txn[0]] = txn[1]
+        # sequence numbers: every data file remembers the version that
+        # added it, so equality deletes apply only to files at least as
+        # old as the delete (Iceberg v2 sequencing — a key re-inserted
+        # AFTER a delete must survive reads)
+        base_fv = base.get("file_versions", {})
+        file_versions = {f: base_fv.get(f, version) for f in files}
+        if deletes_override is not None:
+            deletes = deletes_override
+        else:
+            # carry forward only deletes that still apply to some file;
+            # a full rewrite (compact/cluster/overwrite: all-new files)
+            # naturally sheds them because it materialized their effect
+            deletes = [
+                d for d in base.get("deletes", []) if any(
+                    file_versions.get(f, version) <= d["version"] for f in files
+                )
+            ]
         payload = json.dumps(
             {
                 "version": version,
@@ -478,6 +530,8 @@ class VersionedTable:
                 "files": files,
                 "stats": self._stats_for(base, files),
                 "txns": txns,
+                "file_versions": file_versions,
+                "deletes": deletes,
             },
             indent=0,
         )
@@ -522,7 +576,7 @@ class VersionedTable:
         if not snap["files"]:  # merge into empty table = plain insert
             rewritten = updates
         else:
-            survivors = self._scan(snap, touched).join(
+            survivors = self._scan_live(snap, touched).join(
                 updates.select(key).distinct(), on=key, how="left_anti"
             )
             # column order must match the table schema for the union
@@ -542,6 +596,47 @@ class VersionedTable:
             raise ConcurrentWriteError(
                 "commit landed during merge; re-run against the new log"
             ) from None
+
+    def commit_delete_where(self, keys_df: DataFrame, key: str) -> int:
+        """Equality-delete commit (merge-on-read): stage the DISTINCT
+        key values as a delete file and publish a manifest that keeps
+        every data file untouched — reads anti-join the keys against
+        files added at or before this version (``_scan_live``). Deleting
+        a handful of rows from a 100 TB table costs one small file
+        write instead of rewriting every touched data file; compact()
+        later materializes the deletes and sheds them (copy-on-write
+        deferred to maintenance, exactly Iceberg v2 equality deletes /
+        Delta deletion vectors in spirit). GDPR-style erasure: the data
+        bytes persist until compact+vacuum, so the erasure SLA is the
+        maintenance cadence, not the commit."""
+        txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.root, DATA_DIR, txn_dir)
+        keys_df.select(key).distinct().coalesce(1).write.mode("error").parquet(target)
+        rel = [
+            os.path.relpath(os.path.join(dp, f), os.path.join(self.root, DATA_DIR))
+            for dp, _dirs, fs in os.walk(target)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        self._staged_stats = {}
+        for _ in range(20):
+            base = self.manifest()
+            if not base["files"]:
+                raise ValueError("delete from an empty table")
+            entry = [
+                {"file": r, "key": key, "version": base["version"] + 1} for r in rel
+            ]
+            try:
+                return self._publish_once(
+                    base,
+                    base["files"],
+                    "delete_where",
+                    base.get("schema"),
+                    deletes_override=base.get("deletes", []) + entry,
+                )
+            except FileExistsError:
+                continue  # blind-retryable: data file list is untouched
+        raise ConcurrentWriteError("delete could not publish after 20 attempts")
 
     # ---- maintenance ----------------------------------------------------
 
@@ -657,7 +752,9 @@ class VersionedTable:
         retained = vs[-keep_last:]
         live: set[str] = set()
         for v in retained:
-            live.update(self.manifest(v)["files"])
+            m = self.manifest(v)
+            live.update(m["files"])
+            live.update(d["file"] for d in m.get("deletes", []))
         deleted = []
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirs, files in os.walk(data_root):
