@@ -347,3 +347,93 @@ def p_versioned_merge_upsert(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_delete_where",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Equality-delete commit (VersionedTable.commit_delete_where): "
+        "the matched keys land in one small delete file, every data file "
+        "stays untouched, and the merge-on-read scan anti-joins the "
+        "broadcast key set — row deletion priced at one key-file write "
+        "instead of a table rewrite. The surviving aggregate must equal "
+        "the source with the keys filtered out."
+    ),
+    tags=("pipeline", "versioned", "delete"),
+)
+def p_versioned_delete_where(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_delete_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders)
+    t.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        key="o_orderkey",
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
+
+
+@query(
+    "p_versioned_zorder_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty4
+    FROM lineitem WHERE l_partkey BETWEEN 100 AND 500
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Z-order clustering + stats-pruned scan end-to-end "
+        "(VersionedTable.cluster_by / read_pruned): lineitem rewritten "
+        "with (l_partkey, l_suppkey) bucket bits interleaved, then a "
+        "partkey-range read that skips every file whose manifest "
+        "key-range cannot match before scanning, with the exact row "
+        "filter still applied — the result must equal the plain filtered "
+        "aggregate on the source."
+    ),
+    tags=("pipeline", "versioned", "zorder"),
+)
+def p_versioned_zorder_scan(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _tmp(f"versioned_zorder_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(li)
+    t.cluster_by(["l_partkey", "l_suppkey"], target_files=8)
+    return (
+        t.read_pruned("l_partkey", 100, 500)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_quantity") * 10000.0 + 0.5).cast("long")
+            ).alias("qty4"),
+        )
+    )

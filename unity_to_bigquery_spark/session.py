@@ -44,6 +44,11 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Write modern TIMESTAMP_MICROS, not legacy INT96: INT96 columns
+        # carry NO parquet min/max statistics, which silently disables
+        # every timestamp-based file-skipping path (footer pruning,
+        # VersionedTable manifest stats) and bloats files.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # Read int64 timestamp[ns] parquet (events.ts) without error;
         # values truncate to Spark's microsecond precision.
