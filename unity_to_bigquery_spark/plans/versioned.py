@@ -275,7 +275,10 @@ class VersionedTable:
                 st = c.statistics
                 if st is None or not st.has_min_max:
                     continue
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except (ValueError, NotImplementedError, OSError):
+                    continue  # undecodable stats: skip, pruning stays conservative
                 if isinstance(lo, bytes) or isinstance(hi, bytes):
                     continue  # undecoded binary — not portable JSON
                 if isinstance(lo, (datetime.datetime, datetime.date)):
