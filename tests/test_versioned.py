@@ -478,3 +478,85 @@ def test_timestamp_stats_prune_with_iso_bounds(spark, root):
     # row filter applies on the timestamp column itself (string bounds
     # coerce); exactly the 2025 row survives
     assert [r["k"] for r in got.collect()] == [2]
+
+
+def test_overwrite_preserves_txn_idempotency_state(spark, root):
+    """ADVICE r2: commit_overwrite used to publish a manifest WITHOUT
+    the txns map, so an overwrite between streamed micro-batches erased
+    exactly-once state and a replayed foreachBatch batch would commit
+    duplicate rows. The overwrite must carry the map forward."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]), txn=("ingest", 0))
+    t.commit_overwrite(_df(spark, [(9, "z")]))
+    assert t.manifest().get("txns", {}).get("ingest") == 0
+    # replay of batch 0 after the overwrite: still a no-op
+    v = t.latest_version()
+    assert t.commit_append(_df(spark, [(1, "dup")]), txn=("ingest", 0)) == v
+    assert _rows(t.read()) == [(9, "z")]
+    # overwrite sheds deletes (its files are all-new) but keeps txns
+    t.commit_delete_where(spark.createDataFrame([(9,)], "k INT"), key="k")
+    t.commit_overwrite(_df(spark, [(7, "q")]))
+    m = t.manifest()
+    assert m.get("deletes", []) == [] and m["txns"].get("ingest") == 0
+
+
+def test_changes_applies_equality_deletes(spark, root):
+    """ADVICE r2: changes() scanned added files with _scan, ignoring
+    equality deletes — a changes(0) bootstrap materialized deleted
+    rows. Deletes must sequence against the added files like read()."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))          # v1
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), key="k")  # v2
+    # bootstrap: deleted key must not appear
+    assert _rows(t.changes(0).select("k", "v")) == [(2, "b")]
+    # re-insert AFTER the delete: survives (Iceberg v2 sequencing)
+    t.commit_append(_df(spark, [(1, "a2")]))                   # v3
+    assert _rows(t.changes(0).select("k", "v")) == [(1, "a2"), (2, "b")]
+    # incremental window past the delete sees only the re-insert
+    assert _rows(t.changes(2).select("k", "v")) == [(1, "a2")]
+    # in-range delete filters in-range adds: add at v4, delete at v5
+    t.commit_append(_df(spark, [(5, "e"), (6, "f")]))          # v4
+    t.commit_delete_where(spark.createDataFrame([(5,)], "k INT"), key="k")  # v5
+    assert _rows(t.changes(3).select("k", "v")) == [(6, "f")]
+
+
+def test_read_pruned_single_snapshot_resolution(spark, root, monkeypatch):
+    """ADVICE r2: read_pruned resolved the manifest twice (prune + scan)
+    so a commit landing between the calls mixed snapshots. It must
+    resolve exactly once."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (200, "b")]))
+    calls = {"n": 0}
+    orig = t.manifest
+
+    def counting_manifest(version=None):
+        calls["n"] += 1
+        return orig(version)
+
+    monkeypatch.setattr(t, "manifest", counting_manifest)
+    got = t.read_pruned("k", 100, None)
+    assert calls["n"] == 1
+    assert [r["k"] for r in got.collect()] == [200]
+
+
+def test_merge_upsert_timestamp_key(spark, root):
+    """ADVICE r2: merge_upsert computed datetime bounds but manifest
+    stats store ISO strings — pruning raised TypeError for any
+    timestamp/date merge key. Normalized bounds must prune correctly."""
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, 'a' AS v").coalesce(1)
+    )
+    t.commit_append(
+        spark.sql("SELECT TIMESTAMP '2025-06-15 12:00:00' AS ts, 'b' AS v").coalesce(1)
+    )
+    before_files = set(t.manifest()["files"])
+    v = t.merge_upsert(
+        spark.sql("SELECT TIMESTAMP '2025-06-15 12:00:00' AS ts, 'B' AS v"),
+        key="ts",
+    )
+    got = sorted((str(r["ts"]), r["v"]) for r in t.read().collect())
+    assert got == [("2024-01-01 00:00:00", "a"), ("2025-06-15 12:00:00", "B")]
+    # stats pruning held: the 2024 file was carried over byte-identical
+    after = t.manifest(v)["files"]
+    assert any(f in before_files for f in after)

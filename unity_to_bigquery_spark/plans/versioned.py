@@ -70,6 +70,26 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
 
 
+def _iso_norm(v):
+    """JSON-portable stats encoding: temporal values become NAIVE-UTC
+    ISO-8601 strings (aware values are converted to UTC and the offset
+    dropped). Both the footer-derived manifest stats (_file_stats) and
+    driver-computed pruning bounds (merge_upsert) pass through here, so
+    prune_files always compares str-vs-str and lexicographic ==
+    chronological — mixing a datetime bound with a string stat would
+    TypeError, and mixing aware/naive ISO strings would mis-order at
+    the boundary."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 class VersionedTable:
     """A parquet table whose state is defined by its latest manifest.
 
@@ -192,9 +212,19 @@ class VersionedTable:
 
         Semantics: append commits emit exactly the appended rows;
         replace_where/overwrite commits emit the NEW files' rows (the
-        rewritten state, not a diff — rewrite-as-upsert CDC). A pure
-        parquet scan of the added file list: no Python row path, scales
-        like any other read.
+        rewritten state, not a diff — rewrite-as-upsert CDC). Equality
+        deletes (``commit_delete_where``) in ``to_version``'s manifest
+        ARE applied to the added files (same Iceberg-v2 sequencing as
+        ``read``), so a ``changes(0)`` bootstrap or an added-then-
+        deleted row never materializes in the batch. LIMITATION (add-
+        only CDC, documented, not silent): a delete does NOT retract
+        rows emitted to a PRIOR batch — this API carries no change-type
+        column. Consumers that must observe cross-batch deletions
+        should diff snapshots (``read(v1)``/``read(v2)`` anti-join) or
+        re-bootstrap; full CDF with retraction rows is a format
+        extension, not a protocol change. A pure parquet scan of the
+        added file list otherwise: no Python row path, scales like any
+        other read.
         """
         to_version = self.latest_version() if to_version is None else to_version
         if to_version < since_version:
@@ -204,7 +234,11 @@ class VersionedTable:
         base = set(self.manifest(since_version)["files"]) if since_version else set()
         m = self.manifest(to_version)
         added = [f for f in m["files"] if f not in base]
-        return self._scan(m, added)
+        # _scan_live, not _scan: deletes sequence against file add
+        # versions, so in-range deletes filter in-range added files while
+        # pre-range deletes (which can only target pre-range files) are
+        # naturally inert here.
+        return self._scan_live(m, added)
 
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
@@ -216,7 +250,15 @@ class VersionedTable:
         (candidate_files, n_skipped). Driver-side O(files) dict work on
         the already-loaded manifest — zero storage RPCs, the same
         planning model as Delta/Iceberg file skipping."""
-        m = self.manifest(version)
+        return self._prune(self.manifest(version), col, lower, upper)
+
+    @staticmethod
+    def _prune(m: dict, col: str, lower, upper) -> tuple[list[str], int]:
+        """prune_files against an ALREADY-RESOLVED manifest, so callers
+        that also scan (read_pruned) use one snapshot for both pruning
+        and deletes/file_versions — resolving twice would let a commit
+        landing in between mix an old file list with a new manifest's
+        delete state, breaking snapshot isolation."""
         stats = m.get("stats", {})
         kept, skipped = [], 0
         for f in m["files"]:
@@ -240,8 +282,9 @@ class VersionedTable:
         correctness source). At cloud scale this is the difference
         between listing+footer-probing every file and opening only the
         files that can match."""
-        files, _ = self.prune_files(col, lower, upper, version)
-        df = self._scan_live(self.manifest(version), files)
+        m = self.manifest(version)  # resolve ONCE: pruning and scan share it
+        files, _ = self._prune(m, col, lower, upper)
+        df = self._scan_live(m, files)
         c = F.col(col)
         if lower is not None:
             df = df.filter(c >= F.lit(lower))
@@ -259,8 +302,6 @@ class VersionedTable:
         entries). Footer-only: no data pages are read. Columns without
         usable stats (or non-JSON-portable types) are omitted; pruning
         treats missing as unbounded."""
-        import datetime
-
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
@@ -281,8 +322,7 @@ class VersionedTable:
                     continue  # undecodable stats: skip, pruning stays conservative
                 if isinstance(lo, bytes) or isinstance(hi, bytes):
                     continue  # undecoded binary — not portable JSON
-                if isinstance(lo, (datetime.datetime, datetime.date)):
-                    lo, hi = lo.isoformat(), hi.isoformat()
+                lo, hi = _iso_norm(lo), _iso_norm(hi)
                 cur = out.get(name)
                 if cur is None:
                     out[name] = [lo, hi]
@@ -343,37 +383,6 @@ class VersionedTable:
         merged.update(getattr(self, "_staged_stats", {}))
         fs = set(files)
         return {f: s for f, s in merged.items() if f in fs and s}
-
-    def _publish(self, files: list[str], op: str, schema: str, retries: int = 20) -> int:
-        """Atomically create the next manifest (O_CREAT|O_EXCL). On a
-        lost race, re-read the log and retry at the next version —
-        callers that cannot blindly retry validate BEFORE calling."""
-        for _ in range(retries):
-            version = self.latest_version() + 1
-            payload = json.dumps(
-                {
-                    "version": version,
-                    "parent": version - 1,
-                    "op": op,
-                    "ts": time.time(),
-                    "n_files": len(files),
-                    "schema": schema,
-                    "files": files,
-                    "stats": self._stats_for(None, files),
-                },
-                indent=0,
-            )
-            try:
-                fd = os.open(
-                    _manifest_path(self.root, version),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                continue  # lost the race — recompute against the new log
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
-            return version
-        raise ConcurrentWriteError(f"could not publish after {retries} attempts")
 
     def commit_append(
         self,
@@ -454,9 +463,21 @@ class VersionedTable:
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Full-table replace: the new manifest references only the new
-        files. Old versions stay readable until vacuum."""
+        files. Old versions stay readable until vacuum. Publishes via
+        ``_publish_once`` so the manifest's ``txns`` idempotency map
+        carries forward — an overwrite between streamed micro-batches
+        must not erase the exactly-once state ``versioned_sink`` relies
+        on (a replayed foreachBatch batch would otherwise double-commit).
+        Blindly retryable: an all-new file list conflicts with nothing."""
         staged = self._write_files(df)
-        return self._publish(staged, "overwrite", df.schema.simpleString())
+        schema = df.schema.simpleString()
+        for _ in range(20):
+            base = self.manifest()
+            try:
+                return self._publish_once(base, staged, "overwrite", schema)
+            except FileExistsError:
+                continue  # lost the race — republish on the new log
+        raise ConcurrentWriteError("overwrite could not publish after 20 attempts")
 
     def commit_replace_where(self, df: DataFrame, partition_values: list) -> int:
         """Partition-scoped rewrite (the upsert building block): drop
@@ -576,8 +597,11 @@ class VersionedTable:
         bounds = updates.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()
+        # _iso_norm: timestamp/date keys arrive as driver datetimes but
+        # manifest stats store ISO strings — normalize before pruning or
+        # the comparison TypeErrors (ADVICE r2).
         touched, _ = (
-            self.prune_files(key, bounds["lo"], bounds["hi"], snap["version"])
+            self._prune(snap, key, _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"]))
             if bounds["lo"] is not None
             else ([], 0)
         )
