@@ -38,12 +38,15 @@ from unity_to_bigquery_spark.registry import query
       SELECT doc_id, source,
              md5(text)                                   AS content_md5,
              sha256(text)                                AS content_sha256,
-             COUNT(*)     OVER (PARTITION BY text)       AS n_copies,
-             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             COUNT(*)     OVER (PARTITION BY sha256(text))       AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
       FROM documents
     ) WHERE rn = 1
     """,
-    doc="Exact dedup: min-id survivor per content hash (one shuffle).",
+    doc=(
+        "Exact dedup: min-id survivor per content hash — ONE exchange "
+        "keyed on the 64-byte sha256, not the document text."
+    ),
     tags=("llm", "dedup"),
 )
 def d_exact_dedup(spark, sf_dir):
