@@ -79,25 +79,37 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over Arrow batches of blobs."""
+def extract_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches of blobs.
+
+    ``passthrough`` names extra input columns carried through the
+    kernel unchanged (appended to the output schema with their input
+    types) — lets a caller keep JVM-computed columns (e.g. a pre-kernel
+    md5) on the same single scan instead of re-reading the source for a
+    join back."""
+    schema = FEATURE_SCHEMA
+    if passthrough:
+        schema += ", " + ", ".join(
+            f"{c} {media.schema[c].dataType.simpleString()}" for c in passthrough
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = pdf["payload"].map(_fake_decode)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": decoded.map(lambda d: d["n_bytes"]),
-                    "sha1": decoded.map(lambda d: d["sha1"]),
-                    "mean_byte": decoded.map(lambda d: d["mean_byte"]),
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": decoded.map(lambda d: d["n_bytes"]),
+                "sha1": decoded.map(lambda d: d["sha1"]),
+                "mean_byte": decoded.map(lambda d: d["mean_byte"]),
+                "width": pdf["meta"].map(lambda m: m["width"]),
+                "height": pdf["meta"].map(lambda m: m["height"]),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    return media.mapInPandas(batches, schema)
 
 
 def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
@@ -128,3 +140,46 @@ def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def materialize_blob_store(docs: DataFrame, root: str) -> None:
+    """Write one real payload file per row (``doc_<id>.bin``, bytes =
+    utf-8 of ``text``) under ``root`` — the on-disk layout an upstream
+    media-ingest job leaves in an object store. Executor-side
+    ``foreachPartition`` IO: every partition writes its own rows, the
+    driver never holds payloads, so the writer scales with executors
+    exactly like any sink. Re-runs start from a fresh directory
+    (immutable fixture semantics)."""
+    import os
+    import shutil
+
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            with open(os.path.join(root, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.select("doc_id", "text").foreachPartition(write_partition)
+
+
+def read_blob_store(spark, root: str) -> DataFrame:
+    """The literal ``spark.read.format('binaryFile')`` scan (SURVEY
+    §2B multimodal row): path/length/modificationTime/content columns,
+    doc_id recovered from the filename — the standard pattern for
+    joining an object-store media dump back to tabular metadata.
+    ``pathGlobFilter`` keeps stray non-payload files out of the scan."""
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes_meta"),
+        F.col("content").alias("payload"),
+    )

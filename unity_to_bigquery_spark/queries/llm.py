@@ -693,3 +693,76 @@ def m_frame_sample_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     frames = sample_frames(synthesize_media(docs), every_k=4)
     return frames.select("doc_id", "frame_idx", "frame_md5")
+
+
+@query(
+    "m_binaryfile_scan",
+    oracle="""
+    SELECT doc_id, source,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(FLOOR(list_sum(list_transform(split(text, ''), c -> ascii(c)))::DOUBLE
+                      / length(text) * 1000000.0 + 0.5) AS BIGINT) AS mean_byte6,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+    doc=(
+        "The literal spark.read.format('binaryFile') scan (SURVEY §2B "
+        "multimodal row, VERDICT r2 missing #1): real payload files are "
+        "materialized on executors (one doc_<id>.bin per row), scanned "
+        "back via binaryFile, joined to tabular metadata on the "
+        "filename-recovered doc_id, and fed through the SAME mapInPandas "
+        "feature kernel as m_media_features_verified with a JVM-side "
+        "pre-kernel md5 carried through — the oracle recomputes length, "
+        "mean byte and md5 from the source text, so a single byte lost "
+        "anywhere in write→scan→join→Arrow-kernel breaks the hash."
+    ),
+    tags=("multimodal", "pipeline", "source"),
+)
+def m_binaryfile_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        extract_features,
+        materialize_blob_store,
+        read_blob_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"blobs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    materialize_blob_store(docs, root)
+    blobs = read_blob_store(spark, root)
+    # metadata join on the filename-recovered key: plain equi-join (the
+    # metadata side is table-sized at 100 TB, not broadcastable)
+    meta = docs.select("doc_id", "source", "n_chars")
+    media = blobs.join(meta, "doc_id").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        "payload",
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            (F.col("n_chars") % 16 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+        F.md5("payload").alias("content_md5"),
+        "source",
+    )
+    feats = extract_features(media, passthrough=("source", "content_md5"))
+    return feats.select(
+        "doc_id",
+        "source",
+        "media_type",
+        "n_bytes",
+        F.floor(F.col("mean_byte") * 1000000.0 + 0.5).cast("long").alias("mean_byte6"),
+        "content_md5",
+    )
