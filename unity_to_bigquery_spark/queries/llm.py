@@ -170,13 +170,15 @@ def sim_cosine_topk(spark, sf_dir):
 @query(
     "sim_ivf_topk",
     oracle=None,  # approx by construction; recall property-tested vs exact
-    doc="IVF-index approximate top-k (16 deterministic cells, nprobe=4).",
+    doc="IVF-index approximate top-k (16 seeded-KMeans cells, nprobe=4).",
     tags=("llm", "similarity", "ann"),
 )
 def sim_ivf_topk(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import kmeans_centroids
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    centroids = emb.filter(F.col("vec_id") % 31 == 1).limit(16)
+    centroids = kmeans_centroids(emb, 16)
     return ivf_topk(emb, queries, centroids, k=5, nprobe=4)
 
 
