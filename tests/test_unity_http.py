@@ -234,3 +234,126 @@ def test_webhook_sink_posts_reference_payload_shape():
     assert url == "https://hooks.example/T00/B00/xyz"
     assert kw["json"] == {"text": msg}  # the reference's payload shape (:10)
     assert kw["headers"]["Content-type"] == "application/json"
+
+
+# ---- real-transport integration (VERDICT r2 next-round #7) ------------
+#
+# The fakes above prove the client logic; these prove the DEFAULT
+# RequestsTransport (sources/unity_http.py:64-90) actually speaks HTTP:
+# a stdlib http.server stands in for the Unity API on localhost, so the
+# requests adapter (basic auth header, JSON body encode, bytes
+# download) executes for real with zero external network. The live-API
+# smoke at the bottom is env-flag-gated and skips cleanly here.
+
+
+def _start_fake_unity_server(rows):
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    state = {"polls": 0, "auth_seen": [], "bodies": []}
+    payload = gz(rows)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("content-type", ctype)
+            self.send_header("content-length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            state["auth_seen"].append(self.headers.get("authorization", ""))
+            n = int(self.headers.get("content-length", 0))
+            state["bodies"].append(json.loads(self.rfile.read(n)))
+            self._send(200, json.dumps({"id": "job-http"}).encode())
+
+        def do_GET(self):
+            if self.path.endswith("/files/part-0.gz"):
+                self._send(200, payload, ctype="application/gzip")
+                return
+            state["polls"] += 1
+            if state["polls"] == 1:
+                body = {"status": "running"}
+            else:
+                port = self.server.server_address[1]
+                body = {
+                    "status": "completed",
+                    "result": {
+                        "fileList": [
+                            {
+                                "name": "part-0.gz",
+                                "url": f"http://127.0.0.1:{port}/files/part-0.gz",
+                            }
+                        ]
+                    },
+                }
+            self._send(200, json.dumps(body).encode())
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state, base64
+
+
+def test_requests_transport_end_to_end_against_local_server(tmp_path):
+    pytest.importorskip("requests")
+    from unity_to_bigquery_spark.sources.unity_http import (
+        RequestsTransport,
+        UnityExportClient,
+    )
+
+    rows = [{"ts": 1, "name": "level_up"}, {"ts": 2, "name": "purchase"}]
+    srv, state, base64 = _start_fake_unity_server(rows)
+    try:
+        port = srv.server_address[1]
+        client = UnityExportClient(
+            api_keys={PROJECT: "sekret"},
+            base_uri=f"http://127.0.0.1:{port}/api/v2/projects/",
+            transport=RequestsTransport(timeout=10.0),
+            sleep=lambda s: None,
+        )
+        job_id, written = client.collect(
+            PROJECT, "custom", str(tmp_path), "2026-08-01", "2026-08-02",
+            batch_date="2026-08-02",
+        )
+        assert job_id == "job-http"
+        assert len(written) == 1 and written[0].endswith("part-0.json")
+        got = [
+            json.loads(line) for line in open(written[0]).read().splitlines()
+        ]
+        assert got == rows  # gunzip of real HTTP bytes round-trips
+        # requests really sent basic auth (project_id:api_key) + JSON body
+        expect = base64.b64encode(f"{PROJECT}:sekret".encode()).decode()
+        assert state["auth_seen"][0] == f"Basic {expect}"
+        assert state["bodies"][0]["startDate"] == "2026-08-01"
+        assert state["polls"] >= 2  # poll loop really re-GETs until completed
+    finally:
+        srv.shutdown()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("UNITY_EXPORT_LIVE_PROJECT"),
+    reason="live Unity API smoke needs UNITY_EXPORT_LIVE_PROJECT / "
+    "UNITY_EXPORT_LIVE_KEY and outbound network",
+)
+def test_requests_transport_live_unity_api_smoke(tmp_path):
+    """Opt-in real-endpoint smoke (set UNITY_EXPORT_LIVE_PROJECT and
+    UNITY_EXPORT_LIVE_KEY): requests one day of custom events and
+    downloads whatever the account returns. Never runs in the sandbox."""
+    pytest.importorskip("requests")
+    from unity_to_bigquery_spark.sources.unity_http import UnityExportClient
+
+    project = os.environ["UNITY_EXPORT_LIVE_PROJECT"]
+    client = UnityExportClient(
+        api_keys={project: os.environ["UNITY_EXPORT_LIVE_KEY"]}
+    )
+    job_id, written = client.collect(
+        project, "custom", str(tmp_path), "2026-08-12", "2026-08-13",
+        batch_date="2026-08-13",
+    )
+    assert job_id
+    for p in written:
+        assert os.path.getsize(p) >= 0
