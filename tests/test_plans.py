@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it
     "e_dau_wau",
+    # 1-row broadcast corpus scalars (N, Σdl / feasible total T)
+    # attached via crossJoin — the correct plan for scalar stats
+    "t_bm25_topk",
+    "p_domain_mixture",
 }
 
 

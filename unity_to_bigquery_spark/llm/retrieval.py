@@ -1,0 +1,110 @@
+"""Corpus retrieval operators: inverted index statistics and BM25
+ranked keyword search over the ``documents`` table.
+
+Provenance: the reference (``/root/reference/Unity_to_BigQuery.py``)
+has no search surface — these extend the BASELINE.json north star
+("text analysis" over a training corpus) with the retrieval ops a
+training-data pipeline actually runs: term→document statistics for
+corpus inspection, and BM25 top-k for quality probes / decontamination
+lookups ("which training docs score highest for this benchmark
+query?").
+
+Scale design (100 TB):
+- postings are ONE explode + ONE hash aggregate keyed on
+  (doc_id, term) — map-side partial aggregation applies, no
+  countDistinct expand anywhere.
+- the per-query-term document frequencies and the 1-row corpus stats
+  are tiny by construction (bounded by the query's term count) and are
+  broadcast back; the only wide exchange is the postings aggregate.
+- BM25 scores are fixed-point (FLOOR at 1e-6) per (doc, term) BEFORE
+  the per-document sum, so the sum is a long aggregate —
+  order-independent across engines and cheaper than a double sum
+  (functions/canonical.py discipline).
+- top-k is orderBy+limit → Catalyst TakeOrderedAndProject (per-
+  partition heaps + driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def exploded_terms(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, dl, term) stream: whitespace tokenization, one row per
+    token occurrence, with the document's token count carried along."""
+    ws = F.split(F.col(text), " ")
+    return docs.select(F.col(id_col), F.size(ws).alias("dl"), F.explode(ws).alias("term"))
+
+
+def postings(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Term postings: (term, id, tf, dl). One exchange, keyed on the
+    (id, term) pair; dl rides in the grouping key (constant per doc)."""
+    ex = exploded_terms(docs, text=text, id_col=id_col)
+    return ex.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def inverted_index(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level index statistics per term: document frequency
+    ``df`` and corpus frequency ``cf``. Two cascaded hash aggregates —
+    the (id, term) pre-aggregate makes ``df`` a plain COUNT(*) instead
+    of a COUNT(DISTINCT) expand."""
+    tp = postings(docs, text=text, id_col=id_col)
+    return tp.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents for a bag-of-terms query.
+
+    score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Every double subexpression is written in the exact shape the DuckDB
+    oracle uses (same literals, same associativity) and floored to
+    1e-6 fixed point per (doc, term) before the long sum — see module
+    docstring. Returns (id, bm25_6, n_terms_hit) with a doc-id
+    tiebreak on the top-k.
+    """
+    ex = exploded_terms(docs, text=text, id_col=id_col)
+    qp = (
+        ex.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = qp.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text), " "))).alias("sum_dl"),
+    )
+    scored = qp.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    s6 = F.floor(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        scored.select(F.col(id_col), s6.alias("s6"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("s6").cast("long").alias("bm25_6"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_6"), F.col(id_col))
+        .limit(k)
+    )

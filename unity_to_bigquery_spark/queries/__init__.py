@@ -4,11 +4,13 @@ query into :mod:`unity_to_bigquery_spark.registry`.
 
 from unity_to_bigquery_spark.queries import (  # noqa: F401
     aggregates,
+    corpus,
     events,
     joins,
     llm,
     pipeline,
     recursive,
+    retrieval,
     scalars,
     setops,
     tpch,
