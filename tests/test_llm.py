@@ -205,3 +205,46 @@ def test_hll_mergeable_rollup_estimate_bounds(spark, sf_dir):
         assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (
             wk, est, exact[wk]
         )
+
+
+def test_semdedup_witness_soundness_and_minimality(spark, sf_dir):
+    """Every pruned vector has a lower-id same-cell witness with
+    cos6 >= tau; every kept vector has none — the two properties that
+    fully characterize the min-id-survivor rule."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import (
+        allpairs_cosine6,
+        semdedup_prune,
+    )
+
+    tau6 = 300000
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = semdedup_prune(emb, tau6=tau6).persist()
+    assert res.count() == emb.count()
+
+    # recompute witnesses exactly from the assignment the op emitted
+    withcell = emb.join(res.select("vec_id", "cell_id"), "vec_id")
+    pairs = allpairs_cosine6(withcell, min_cos6=tau6, block_col="cell_id")
+    witnessed = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    flags = {r.vec_id: r.pruned for r in res.collect()}
+    for vid, pruned in flags.items():
+        assert pruned == (vid in witnessed), (
+            f"vec {vid}: pruned={pruned} but witness={vid in witnessed}"
+        )
+
+
+def test_semdedup_prunes_planted_duplicates(spark, sf_dir):
+    """Exact clones (ids offset upward) are always pruned: an identical
+    vector lands in the same cell (identical centroid similarities,
+    deterministic tiebreak) and scores cos6=1e6 against its original."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.select((F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding")
+    res = semdedup_prune(emb.unionAll(clones), tau6=999999)
+    clone_rows = res.filter(F.col("vec_id") >= 100000).collect()
+    assert clone_rows and all(r.pruned for r in clone_rows)
+    # originals must never be pruned by their own clone (clone id is higher)
+    orig_pruned = res.filter((F.col("vec_id") < 100000) & F.col("pruned")).count()
+    assert orig_pruned == 0

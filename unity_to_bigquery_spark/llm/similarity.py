@@ -394,3 +394,51 @@ def sq8_rerank_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cos6", "rank")
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    tau6: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nassign: int = 1,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic deduplication by embedding clustering. A vector is PRUNED
+    iff some LOWER-id vector in its cluster has cosine ≥ tau (1e-6
+    fixed point); the min-id representative of every semantic
+    duplicate group survives. The witness rule is one-pass (no
+    iteration): pruning decisions depend only on lower-id neighbors'
+    EXISTENCE, not on whether those neighbors are themselves pruned —
+    the deterministic, embarrassingly-parallel variant of SemDeDup's
+    keep-one-per-group.
+
+    Returns (id, cell_id, pruned BOOLEAN) — one row per input vector.
+
+    Scale shape: identical envelope to ``ivf_blocked_neardup`` —
+    trained √N centroids, codegen position-join assignment
+    (O(N^1.5·dim)), per-cell pair scoring bounded by Σ|cell|². The
+    cluster-then-prune-within-cluster structure is exactly why SemDeDup
+    scales where all-pairs semantic dedup cannot: candidate pairs are
+    confined to cells. With ``nassign=1`` each vector belongs to one
+    cell, so output cardinality is the input cardinality.
+    """
+    n = emb.count()
+    ncells = max(16, int(n**0.5))
+    centroids = kmeans_centroids(
+        emb, ncells, id_col=id_col, vec_col=vec_col, corpus_count=n
+    )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, nassign=nassign).persist()
+    pairs = allpairs_cosine6(
+        assigned, id_col, vec_col, min_cos6=tau6, block_col="cell_id"
+    )
+    # allpairs emits id_a < id_b: the higher id always has the lower-id
+    # witness, so id_b is the pruned side
+    pruned = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(id_col, "cell_id")
+        .join(pruned.withColumn("__p", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "cell_id", F.coalesce(F.col("__p"), F.lit(False)).alias("pruned")
+        )
+    )

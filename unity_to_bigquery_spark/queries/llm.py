@@ -768,3 +768,26 @@ def m_binaryfile_scan(spark, sf_dir):
         F.floor(F.col("mean_byte") * 1000000.0 + 0.5).cast("long").alias("mean_byte6"),
         "content_md5",
     )
+
+
+@query(
+    "sim_semdedup_prune",
+    oracle=None,  # kmeans-clustered approximate op; witness soundness +
+    # minimality + planted-duplicate capture property-tested in
+    # tests/test_llm.py
+    doc=(
+        "SemDeDup semantic pruning (Abbas et al. 2023): cluster "
+        "embeddings with trained sqrt(N) centroids, prune every vector "
+        "with a lower-id cosine>=0.30 neighbor in its cell (min-id "
+        "survivor). One row per vector: (vec_id, cell_id, pruned). "
+        "Pair work is confined to cells -> linear in N at pinned cell "
+        "size, the property that makes semantic dedup feasible at "
+        "100 TB."
+    ),
+    tags=("llm", "dedup", "similarity", "semdedup"),
+)
+def sim_semdedup_prune(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, tau6=300000)
