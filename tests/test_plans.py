@@ -180,3 +180,46 @@ def test_join_strategy_hints_override_planner(spark, sf_dir):
     assert "SortMergeJoin" in plan("MERGE")
     assert "ShuffledHashJoin" in plan("SHUFFLE_HASH")
     assert "BroadcastHashJoin" in plan("BROADCAST")
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Scale lever: Catalyst's runtime bloom-filter injection. With a
+    selective filter on the build side of a shuffle join, the probe
+    side gains a might_contain(bloom) predicate BELOW the exchange —
+    at 100 TB this drops most of the fact-table shuffle volume before
+    it is written. The application-side size threshold defaults to
+    10 GB (sane in production); it is lowered here only so the toy
+    fixture qualifies."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys, "runtime bloom filter was not injected"
+        # the filter must sit on the lineitem (probe) side scan stage
+        probe_side = phys[phys.index("might_contain"):]
+        assert "l_orderkey" in probe_side.split("\n")[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
