@@ -608,3 +608,69 @@ def test_versioned_sink_exactly_once(spark, events_dir, tmp_path):
     # the sink target is a live queryable table: time travel + history work
     assert t.manifest()["op"] == "append"
     assert [h["op"] for h in t.history()].count("append") >= 1
+
+
+def test_streaming_incremental_dedup_into_versioned_table(spark, sf_dir, tmp_path):
+    """Streaming twin of p_incremental_dedup: micro-batches of documents
+    dedup against the corpus table (and within batch) as they land;
+    the drained table equals batch exact-dedup of all input, and a
+    second drain over late-arriving duplicates appends only new docs."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import dedup_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(30)
+    landing = str(tmp_path / "landing")
+    # three files: distinct docs, plus a file duplicating the first ten
+    d = docs.collect()
+    spark.createDataFrame(d[:10], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    spark.createDataFrame(d[10:20], docs.schema).coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    dups = [type(r)(doc_id=r.doc_id + 1000, text=r.text) for r in d[:10]]
+    spark.createDataFrame(dups, docs.schema).coalesce(1).write.mode("append").json(
+        landing
+    )
+
+    table = VersionedTable(spark, str(tmp_path / "corpus"))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_ingest_sink(table, "ingest"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = table.read().select("doc_id", "content_md5").collect()
+    # every content hash exactly once, and never a cloned id when the
+    # original text arrived in an earlier-or-same batch with smaller id
+    hashes = [r.content_md5 for r in got]
+    assert len(hashes) == len(set(hashes))
+    n_unique_texts = len({r.text for r in d[:20]})  # only d[:20] landed (+clones)
+    assert len(hashes) == n_unique_texts
+
+    # second drain: one genuinely new doc + re-sent duplicates
+    extra = [(5000, d[0].text), (5001, "a brand new never seen document")]
+    spark.createDataFrame(extra, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.mode("append").json(landing)
+    q2 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+        .writeStream.foreachBatch(dedup_ingest_sink(table, "ingest"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    final = table.read().select("doc_id", "content_md5").collect()
+    assert len(final) == n_unique_texts + 1
+    assert len({r.content_md5 for r in final}) == n_unique_texts + 1
+    assert 5001 in {r.doc_id for r in final} and 5000 not in {r.doc_id for r in final}

@@ -560,3 +560,73 @@ def test_merge_upsert_timestamp_key(spark, root):
     # stats pruning held: the 2024 file was carried over byte-identical
     after = t.manifest(v)["files"]
     assert any(f in before_files for f in after)
+
+
+def test_merge_upsert_txn_idempotent(spark, root):
+    """merge_upsert(txn=...) replays as a no-op: same (app, batch)
+    twice must not double-apply, and the version must not advance."""
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.sql("SELECT 1 AS k, 10 AS v").coalesce(1))
+    up = spark.sql("SELECT 1 AS k, 11 AS v")
+    v1 = t.merge_upsert(up, key="k", txn=("app", 5))
+    v2 = t.merge_upsert(spark.sql("SELECT 1 AS k, 999 AS v"), key="k", txn=("app", 5))
+    assert v2 == v1  # replay ignored
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, 11)]
+    # a LATER batch applies
+    v3 = t.merge_upsert(spark.sql("SELECT 1 AS k, 12 AS v"), key="k", txn=("app", 6))
+    assert v3 == v1 + 1
+    assert [(r.k, r.v) for r in t.read().collect()] == [(1, 12)]
+
+
+def test_continuous_aggregate_matches_full_recompute(spark, root, sf_dir):
+    """After N incremental refreshes (with interleaved replays), the
+    rollup equals a direct groupBy over everything committed."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    agg = ContinuousAggregate(
+        spark, src, os.path.join(root, "agg"),
+        key="event_type", measures={"sum_value6": "value"},
+    )
+    assert agg.refresh() == 0  # nothing to do on an empty source
+    for i in range(4):
+        src.commit_append(ev.filter(F.col("event_id") % 4 == i))
+        now = agg.refresh()
+        assert now == src.latest_version()
+        assert agg.refresh() == now  # replay is a no-op
+
+    got = {
+        r.event_type: (r.n, r.sum_value6) for r in agg.read().collect()
+    }
+    want = {
+        r.event_type: (r.n, r.sum_value6)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")).alias(
+                "sum_value6"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_continuous_aggregate_skips_unrefreshed_then_catches_up(spark, root):
+    """Multiple source commits between refreshes fold in one delta."""
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    agg = ContinuousAggregate(
+        spark, src, os.path.join(root, "agg"), key="k", measures={"s6": "x"}
+    )
+    src.commit_append(spark.sql("SELECT 'a' AS k, 1.5 AS x").coalesce(1))
+    src.commit_append(spark.sql("SELECT 'a' AS k, 2.5 AS x").coalesce(1))
+    src.commit_append(spark.sql("SELECT 'b' AS k, 1.0 AS x").coalesce(1))
+    assert agg.refresh() == 3
+    got = {r.k: (r.n, r.s6) for r in agg.read().collect()}
+    assert got == {"a": (2, 4000000), "b": (1, 1000000)}

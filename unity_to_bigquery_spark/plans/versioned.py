@@ -572,10 +572,19 @@ class VersionedTable:
             fh.write(payload)
         return version
 
-    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+    def merge_upsert(
+        self, updates: DataFrame, key: str, txn: tuple[str, int] | None = None
+    ) -> int:
         """Row-level MERGE (upsert by ``key``): rows whose key matches an
         update are replaced, unmatched existing rows are untouched,
         unmatched update rows are inserted.
+
+        ``txn=(app_id, batch_id)`` makes the merge IDEMPOTENT exactly
+        like ``commit_append``'s protocol: if the log already records a
+        batch >= batch_id for app_id the call is a no-op — what lets an
+        incremental consumer (plans/incremental_agg.py) fold a CDC batch
+        into state exactly once even if it crashes after publishing but
+        before its own bookkeeping.
 
         The 100 TB property is WHICH files get rewritten: manifest
         key-range stats prune the snapshot to the files that can
@@ -589,6 +598,8 @@ class VersionedTable:
         (ConcurrentWriteError) rather than risking a lost update —
         re-run against the new log."""
         snap = self.manifest()
+        if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return snap["version"]
         if updates.schema.simpleString() != (snap.get("schema") or updates.schema.simpleString()):
             raise ValueError(
                 f"merge schema mismatch: table={snap.get('schema')} "
@@ -624,6 +635,7 @@ class VersionedTable:
             return self._publish_once(
                 base, untouched + staged, "merge_upsert",
                 snap.get("schema") or updates.schema.simpleString(),
+                txn=txn,
             )
         except FileExistsError:
             raise ConcurrentWriteError(

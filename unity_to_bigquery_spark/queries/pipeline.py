@@ -437,3 +437,44 @@ def p_versioned_zorder_scan(spark, sf_dir):
             ).alias("qty4"),
         )
     )
+
+
+@query(
+    "p_continuous_aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value6
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Continuous aggregate (plans/incremental_agg): events land in "
+        "the source VersionedTable in three commits; after each commit "
+        "the rollup refreshes from changes() only — no source rescan — "
+        "merging per-key partials into the aggregate table with an "
+        "atomic txn-stamped merge (exactly-once, replay-safe). The "
+        "final rollup must equal a direct groupBy of all the data, "
+        "which is what the oracle computes."
+    ),
+    tags=("pipeline", "versioned", "incremental", "aggregate"),
+)
+def p_continuous_aggregate(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _tmp(f"contagg_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(base, "src"))
+    agg = ContinuousAggregate(
+        spark, src, os.path.join(base, "agg"),
+        key="event_type", measures={"sum_value6": "value"},
+    )
+    for i in range(3):
+        src.commit_append(events.filter(F.col("event_id") % 3 == i))
+        agg.refresh()
+        agg.refresh()  # immediate re-run must be a no-op (txn idempotency)
+    return agg.read().select("event_type", "n", "sum_value6")

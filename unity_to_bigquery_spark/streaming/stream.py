@@ -279,3 +279,45 @@ def user_stats_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dedup_ingest_sink(table, app_id: str, text_col: str = "text", id_col: str = "doc_id"):
+    """foreachBatch function for STREAMING INCREMENTAL DEDUP into a
+    ``plans.versioned.VersionedTable``: each micro-batch keeps the
+    min-id survivor per content hash within the batch, anti-joins the
+    survivors against the hashes already committed to the corpus, and
+    appends only genuinely new documents — the streaming twin of the
+    batch ``p_incremental_dedup`` (anti-join vs corpus hash index),
+    with the corpus table itself as the index.
+
+    Exactly-once: the append commits with ``txn=(app_id, batch_id)``
+    (Delta txnAppId/txnVersion protocol) so a replayed micro-batch is
+    a no-op — without it, a crash between sink write and checkpoint
+    advance would re-deliver the batch and re-insert its documents
+    (the reference's §3.3 at-most-once bug class, inverted).
+
+    Scale: the corpus probe reads ONLY ``content_md5`` (column pruning
+    drops the document bytes from the index scan); the in-batch window
+    and the anti-join both key on the 32-byte hash, never the text.
+    At 100 TB the anti-join is a shuffle on hash — or, with the corpus
+    bucketed by hash, a co-located join with no corpus-side shuffle.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = batch_df.withColumn("content_md5", F.md5(F.col(text_col)))
+        w = Window.partitionBy("content_md5").orderBy(id_col)
+        firsts = (
+            h.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if table.manifest()["files"]:
+            existing = table.read().select("content_md5").distinct()
+            firsts = firsts.join(existing, "content_md5", "left_anti")
+        # the anti-join moves its key first; pin the commit schema order
+        table.commit_append(
+            firsts.select(*batch_df.columns, "content_md5"), txn=(app_id, batch_id)
+        )
+
+    return write_batch
