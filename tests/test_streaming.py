@@ -674,3 +674,59 @@ def test_streaming_incremental_dedup_into_versioned_table(spark, sf_dir, tmp_pat
     assert len(final) == n_unique_texts + 1
     assert len({r.content_md5 for r in final}) == n_unique_texts + 1
     assert 5001 in {r.doc_id for r in final} and 5000 not in {r.doc_id for r in final}
+
+
+def test_versioned_table_streaming_source(spark, tmp_path):
+    """readStream over the manifest log: offsets are versions, each
+    drain delivers exactly the commits since the checkpoint (Delta
+    streaming-source protocol); a delete commit in range raises."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k, 'a' AS v").coalesce(1))
+    t.commit_append(spark.sql("SELECT 2 AS k, 'b' AS v").coalesce(1))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    # incremental: a third commit, second drain delivers ONLY it
+    t.commit_append(spark.sql("SELECT 3 AS k, 'c' AS v").coalesce(1))
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # a delete commit poisons the stream rather than replaying rows
+    t.commit_delete_where(spark.sql("SELECT 1 AS k"), key="k")
+    t.commit_append(spark.sql("SELECT 4 AS k, 'd' AS v").coalesce(1))
+    import pyspark.errors
+
+    try:
+        drain()
+        raised = False
+    except pyspark.errors.exceptions.base.PySparkException:
+        raised = True
+    except Exception:
+        raised = True
+    assert raised, "delete_where inside the consumed range must fail the stream"
