@@ -248,3 +248,50 @@ def test_semdedup_prunes_planted_duplicates(spark, sf_dir):
     # originals must never be pruned by their own clone (clone id is higher)
     orig_pruned = res.filter((F.col("vec_id") < 100000) & F.col("pruned")).count()
     assert orig_pruned == 0
+
+
+def test_kll_mergeable_quantiles_rank_error_bound(spark, sf_dir):
+    """The merged-sketch quantile estimates must sit within KLL's
+    normalized rank error of their targets (k=200 -> ~1.65%; assert a
+    conservative 3%) — checked against exact per-week ranks."""
+    from unity_to_bigquery_spark.catalog import load_table
+
+    got = {
+        r.week: (r.p50_est, r.p90_est, r.p99_est)
+        for r in all_queries()["e_kll_mergeable_quantiles"].spark(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("WEEK", F.date_trunc("DAY", "ts")), "yyyy-MM-dd").alias(
+            "week"
+        ),
+        "value",
+    )
+    for week, (p50, p90, p99) in got.items():
+        vals = sorted(r.value for r in events.filter(F.col("week") == week).collect())
+        n = len(vals)
+        assert n > 0
+        import bisect
+
+        for est, q in ((p50, 0.5), (p90, 0.9), (p99, 0.99)):
+            rank = bisect.bisect_right(vals, est) / n
+            assert abs(rank - q) <= 0.03, (week, q, est, rank)
+
+
+def test_theta_audience_overlap_matches_exact(spark, sf_dir):
+    """Theta intersection/difference estimates vs exact set algebra on
+    user_id (theta is near-exact until sketches saturate at k=4096 —
+    far above the fixture's cardinalities, so assert tight bounds)."""
+    from unity_to_bigquery_spark.catalog import load_table
+
+    row = all_queries()["e_theta_audience_overlap"].spark(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    p = {r.user_id for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    e = {r.user_id for r in ev.filter(F.col("event_type") == "error").select("user_id").distinct().collect()}
+
+    def close(est, exact):
+        return abs(est - exact) <= max(2, 0.05 * exact)
+
+    assert close(row.purchase_users, len(p))
+    assert close(row.error_users, len(e))
+    assert close(row.both_users, len(p & e))
+    assert close(row.purchase_only_users, len(p - e))

@@ -119,6 +119,8 @@ BNLJ_ALLOWED = {
     # attached via crossJoin — the correct plan for scalar stats
     "t_bm25_topk",
     "p_domain_mixture",
+    # two 1-row sketch relations crossed for set-algebra estimates
+    "e_theta_audience_overlap",
 }
 
 

@@ -532,3 +532,79 @@ def e_hll_mergeable_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_day_sketches"),
         )
     )
+
+
+@query(
+    "e_kll_mergeable_quantiles",
+    oracle=None,  # sketch estimates are rank-error-bounded, not exact;
+    # property test bounds the estimated quantiles' true ranks
+    doc=(
+        "Mergeable QUANTILE-sketch rollup (Apache DataSketches KLL, "
+        "Spark 4.1 kll_sketch_agg_double): per-day KLL sketches of "
+        "event value, merged to week grain with kll_merge_agg_double, "
+        "then p50/p90/p99 read off the merged sketch — the quantile "
+        "twin of e_hll_mergeable_rollup. At 100 TB this is how "
+        "latency/size percentiles roll up across time grains without "
+        "rescanning raw data: one fine-grain sketch pass, cheap "
+        "re-aggregatable merges above it (exact percentiles cannot "
+        "merge; percentile_approx cannot re-aggregate its results)."
+    ),
+    tags=("events", "sketch", "rollup", "quantiles"),
+)
+def e_kll_mergeable_quantiles(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(F.date_trunc("DAY", "ts").alias("day"), "value")
+        .groupBy("day")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+    )
+    merged = daily.groupBy(
+        F.date_format(F.date_trunc("WEEK", "day"), "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.kll_merge_agg_double("sk").alias("wk"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    return merged.select(
+        "week",
+        "n_day_sketches",
+        F.kll_sketch_get_n_double("wk").alias("n_values"),
+        F.kll_sketch_get_quantile_double("wk", F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double("wk", F.lit(0.9)).alias("p90_est"),
+        F.kll_sketch_get_quantile_double("wk", F.lit(0.99)).alias("p99_est"),
+    )
+
+
+@query(
+    "e_theta_audience_overlap",
+    oracle=None,  # sketch estimates; property-tested against exact overlap
+    doc=(
+        "Theta-sketch set algebra (Apache DataSketches, Spark 4.1): "
+        "per-event-type sketches of user_id, then audience "
+        "INTERSECTION and DIFFERENCE estimates across types — "
+        "purchase AND error, purchase MINUS error — without touching "
+        "raw data twice. HLL can only union; theta sketches are the "
+        "100 TB answer to overlap/retention questions (how many users "
+        "who did X also did Y) as mergeable state."
+    ),
+    tags=("events", "sketch", "setops"),
+)
+def e_theta_audience_overlap(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sk = (
+        events.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .persist()  # tiny (one sketch per type); referenced twice below
+    )
+    a = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("a"))
+    b = sk.filter(F.col("event_type") == "error").select(F.col("sk").alias("b"))
+    both = a.crossJoin(b)
+    return both.select(
+        F.theta_sketch_estimate(F.col("a")).cast("long").alias("purchase_users"),
+        F.theta_sketch_estimate(F.col("b")).cast("long").alias("error_users"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b"))
+        .cast("long")
+        .alias("both_users"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b"))
+        .cast("long")
+        .alias("purchase_only_users"),
+    )
