@@ -630,3 +630,37 @@ def test_continuous_aggregate_skips_unrefreshed_then_catches_up(spark, root):
     assert agg.refresh() == 3
     got = {r.k: (r.n, r.s6) for r in agg.read().collect()}
     assert got == {"a": (2, 4000000), "b": (1, 1000000)}
+
+
+def test_check_constraints_enforced_and_carried(spark, root):
+    """Delta-style CHECK constraints: enforced on append/merge, NULL
+    passes (SQL CHECK), metadata survives unrelated commits, existing
+    violations block add_constraint, drop lifts enforcement."""
+    from unity_to_bigquery_spark.plans.versioned import ConstraintViolationError
+
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.sql("SELECT 1 AS k, 10 AS v").coalesce(1))
+    v = t.add_constraint("v_pos", "v > 0")
+    assert t.constraints() == {"v_pos": "v > 0"}
+
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.commit_append(spark.sql("SELECT 2 AS k, -5 AS v").coalesce(1))
+    assert t.latest_version() == v  # rejected commit left no trace
+
+    # NULL passes (standard CHECK semantics)
+    t.commit_append(spark.sql("SELECT 3 AS k, CAST(NULL AS INT) AS v").coalesce(1))
+    # constraint metadata carried through that commit
+    assert t.constraints() == {"v_pos": "v > 0"}
+
+    with pytest.raises(ConstraintViolationError):
+        t.merge_upsert(spark.sql("SELECT 1 AS k, -1 AS v"), key="k")
+
+    # existing data (v=10, NULL) violates v >= 100 → add refused
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("v_big", "v >= 100")
+
+    t.drop_constraint("v_pos")
+    t.commit_append(spark.sql("SELECT 4 AS k, -5 AS v").coalesce(1))
+    assert t.constraints() == {}
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, 10), (3, None), (4, -5)]

@@ -62,6 +62,10 @@ class ConcurrentWriteError(RuntimeError):
     retryable, e.g. replace-where on overlapping partitions)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A commit's rows violate a table CHECK constraint."""
+
+
 class NoSuchVersionError(ValueError):
     pass
 
@@ -384,6 +388,73 @@ class VersionedTable:
         fs = set(files)
         return {f: s for f, s in merged.items() if f in fs and s}
 
+    # ---- CHECK constraints (Delta-style table invariants) ---------------
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: SQL boolean expression}."""
+        return dict(self.manifest().get("constraints", {}))
+
+    def _enforce(self, df: DataFrame) -> None:
+        """Reject the commit if any incoming row violates a constraint.
+        SQL CHECK semantics: NULL passes (violation = expr IS FALSE).
+        One extra pass over the incoming batch per constraint-bearing
+        commit — the same price Delta pays; it never scans the table."""
+        for name, expr in self.manifest().get("constraints", {}).items():
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"constraint {name!r} ({expr}) violated, e.g. {bad[0].asDict()}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint: validates ALL current rows first
+        (one live scan), then publishes a metadata-only commit — the
+        file list is untouched, so the commit is blind-retryable."""
+        for _ in range(20):
+            base = self.manifest()
+            if name in base.get("constraints", {}):
+                raise ValueError(f"constraint {name!r} already exists")
+            if base["files"]:
+                bad = (
+                    self._scan_live(base, base["files"])
+                    .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise ConstraintViolationError(
+                        f"existing rows violate {name!r} ({expr}), "
+                        f"e.g. {bad[0].asDict()}"
+                    )
+            self._constraints_override = {**base.get("constraints", {}), name: expr}
+            try:
+                return self._publish_once(
+                    base, base["files"], "add_constraint", base.get("schema")
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._constraints_override = None
+        raise ConcurrentWriteError("add_constraint could not publish after 20 attempts")
+
+    def drop_constraint(self, name: str) -> int:
+        for _ in range(20):
+            base = self.manifest()
+            cs = dict(base.get("constraints", {}))
+            if name not in cs:
+                raise ValueError(f"no constraint {name!r}")
+            del cs[name]
+            self._constraints_override = cs
+            try:
+                return self._publish_once(
+                    base, base["files"], "drop_constraint", base.get("schema")
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._constraints_override = None
+        raise ConcurrentWriteError("drop_constraint could not publish after 20 attempts")
+
     def commit_append(
         self,
         df: DataFrame,
@@ -410,6 +481,7 @@ class VersionedTable:
         same txn commit once."""
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
+        self._enforce(df)
         staged = self._write_files(df)
         schema = df.schema.simpleString()
         for _ in range(20):
@@ -469,6 +541,7 @@ class VersionedTable:
         must not erase the exactly-once state ``versioned_sink`` relies
         on (a replayed foreachBatch batch would otherwise double-commit).
         Blindly retryable: an all-new file list conflicts with nothing."""
+        self._enforce(df)
         staged = self._write_files(df)
         schema = df.schema.simpleString()
         for _ in range(20):
@@ -487,6 +560,7 @@ class VersionedTable:
         commits merge cleanly on retry."""
         if not self.partition_col:
             raise ValueError("replace_where requires a partitioned table")
+        self._enforce(df)
         staged = self._write_files(df)
         wanted = {f"{_PART_DIR_PREFIX}{self.partition_col}={v}" for v in partition_values}
 
@@ -532,6 +606,11 @@ class VersionedTable:
         txns = dict(base.get("txns", {}))
         if txn is not None:
             txns[txn[0]] = txn[1]
+        constraints = (
+            self._constraints_override
+            if getattr(self, "_constraints_override", None) is not None
+            else base.get("constraints", {})
+        )
         # sequence numbers: every data file remembers the version that
         # added it, so equality deletes apply only to files at least as
         # old as the delete (Iceberg v2 sequencing — a key re-inserted
@@ -562,6 +641,7 @@ class VersionedTable:
                 "txns": txns,
                 "file_versions": file_versions,
                 "deletes": deletes,
+                "constraints": constraints,
             },
             indent=0,
         )
@@ -600,6 +680,7 @@ class VersionedTable:
         snap = self.manifest()
         if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
             return snap["version"]
+        self._enforce(updates)  # survivors already passed at their commit
         if updates.schema.simpleString() != (snap.get("schema") or updates.schema.simpleString()):
             raise ValueError(
                 f"merge schema mismatch: table={snap.get('schema')} "
