@@ -664,3 +664,44 @@ def test_check_constraints_enforced_and_carried(spark, root):
     assert t.constraints() == {}
     got = sorted((r.k, r.v) for r in t.read().collect())
     assert got == [(1, 10), (3, None), (4, -5)]
+
+
+def test_distinct_set_index_prunes_interleaved_categories(spark, root, sf_dir):
+    """Each file holds exactly one source category but doc_ids (and the
+    lexicographic source range) interleave — min/max prunes nothing,
+    the distinct-set index prunes every non-matching file."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # doc_id is opted in too but exceeds the cardinality cap per file,
+    # so it must record nothing (conservative fallback to min/max)
+    t = VersionedTable(spark, root, distinct_index_cols=("source", "doc_id"))
+    # one commit per source bucket -> files are single-category
+    for bucket in range(4):
+        t.commit_append(
+            docs.filter(F.pmod(F.xxhash64("source"), F.lit(4)) == bucket).coalesce(1)
+        )
+    m = t.manifest()
+    assert any(
+        "distinct:source" in s for s in m["stats"].values()
+    ), "distinct sets missing from manifest"
+
+    some_source = docs.select("source").first().source
+    files, skipped = t.prune_files_eq("source", [some_source])
+    assert skipped >= 1, "no file was skipped by the distinct-set index"
+    got = sorted(r.doc_id for r in t.read_pruned_eq("source", [some_source]).collect())
+    want = sorted(
+        r.doc_id for r in docs.filter(F.col("source") == some_source).collect()
+    )
+    assert got == want
+
+    # a value that exists nowhere prunes every file
+    files, skipped = t.prune_files_eq("source", ["no_such_source"])
+    assert files == [] and skipped == len(m["files"])
+
+    # high-cardinality column exceeded the cap -> falls back to min/max
+    assert all(
+        "distinct:doc_id" not in s for s in m["stats"].values()
+    )

@@ -108,10 +108,23 @@ class VersionedTable:
         t.vacuum(keep_last=2)                # GC unreferenced files
     """
 
-    def __init__(self, spark: SparkSession, root: str, partition_col: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_col: str | None = None,
+        distinct_index_cols: tuple[str, ...] = (),
+    ):
         self.spark = spark
         self.root = root
         self.partition_col = partition_col
+        # opt-in write-side distinct-set index for LOW-cardinality
+        # columns: per file, the exact value set (when ≤ _DISTINCT_CAP)
+        # lands in the manifest, giving equality/IN file skipping where
+        # min/max is useless (interleaved categories make every file's
+        # range cover everything). The write path pays one extra
+        # single-column read per staged file — only for the named cols.
+        self.distinct_index_cols = tuple(distinct_index_cols)
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -277,6 +290,49 @@ class VersionedTable:
             kept.append(f)
         return kept, skipped
 
+    @staticmethod
+    def _prune_eq(m: dict, col: str, values: list) -> tuple[list[str], int]:
+        """Equality/IN file skipping: prefer the exact ``distinct:col``
+        value set (opt-in, ``distinct_index_cols``); fall back to the
+        min/max range; keep files with neither. The distinct set is what
+        skips files when categories interleave — every file then spans
+        the full min..max range and range stats prune nothing."""
+        stats = m.get("stats", {})
+        vset = set(values)
+        kept, skipped = [], 0
+        for f in m["files"]:
+            s = stats.get(f, {})
+            ds = s.get(f"distinct:{col}")
+            if ds is not None:
+                if not vset.intersection(ds):
+                    skipped += 1
+                    continue
+            else:
+                rng = s.get(col)
+                if rng is not None and not any(
+                    (rng[0] is None or rng[0] <= _iso_norm(v))
+                    and (rng[1] is None or _iso_norm(v) <= rng[1])
+                    for v in values
+                ):
+                    skipped += 1
+                    continue
+            kept.append(f)
+        return kept, skipped
+
+    def prune_files_eq(
+        self, col: str, values: list, version: int | None = None
+    ) -> tuple[list[str], int]:
+        return self._prune_eq(self.manifest(version), col, values)
+
+    def read_pruned_eq(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col IN (values)`` with distinct-set file
+        skipping before the scan and the exact row filter after it."""
+        m = self.manifest(version)
+        files, _ = self._prune_eq(m, col, values)
+        return self._scan_live(m, files).filter(F.col(col).isin(list(values)))
+
     def read_pruned(
         self, col: str, lower, upper, version: int | None = None
     ) -> DataFrame:
@@ -297,6 +353,32 @@ class VersionedTable:
         return df
 
     # ---- writes ---------------------------------------------------------
+
+    _DISTINCT_CAP = 16
+
+    @classmethod
+    def _distinct_sets(cls, path: str, cols: tuple[str, ...]) -> dict:
+        """Exact per-file value sets for the opted-in low-cardinality
+        columns, stored as ``distinct:<col>`` stat entries. A column
+        exceeding the cap in this file records nothing (conservative)."""
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out = {}
+        pf = pq.ParquetFile(path)
+        present = {c for c in cols if c in pf.schema_arrow.names}
+        for col in present:
+            vals = set()
+            over = False
+            for batch in pf.iter_batches(columns=[col]):
+                vals.update(batch.column(0).to_pylist())
+                if len(vals) > cls._DISTINCT_CAP:
+                    over = True
+                    break
+            if not over and None not in vals:
+                out[f"distinct:{col}"] = sorted(vals)
+        return out
 
     @staticmethod
     def _file_stats(path: str) -> dict:
@@ -374,7 +456,10 @@ class VersionedTable:
                 os.remove(full)
                 continue
             kept.append(f)
-            self._staged_stats[f] = self._file_stats(full)
+            self._staged_stats[f] = {
+                **self._file_stats(full),
+                **self._distinct_sets(full, self.distinct_index_cols),
+            }
         return kept
 
 
