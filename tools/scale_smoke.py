@@ -48,6 +48,14 @@ QUERIES = [
     "a_rollup_revenue",
     "sim_cosine_topk",
     "sim_ivf_neardup_pairs",
+    # round-3 additions
+    "t_inverted_index",
+    "t_bm25_topk",
+    "d_chunk_dedup",
+    "p_domain_mixture",
+    "t_vocab_topk",
+    "sim_semdedup_prune",
+    "e_kll_mergeable_quantiles",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.
