@@ -730,3 +730,56 @@ def test_versioned_table_streaming_source(spark, tmp_path):
     except Exception:
         raised = True
     assert raised, "delete_where inside the consumed range must fail the stream"
+
+
+def test_streaming_neardup_ingest(spark, tmp_path):
+    """Fuzzy streaming ingest: exact and near duplicates of already-
+    ingested docs are rejected by the signature index; novel docs are
+    admitted; the whole flow is deterministic (md5-seeded hashes)."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import neardup_ingest_sink
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    other = "one two three four five six seven eight nine ten eleven " \
+            "twelve thirteen fourteen fifteen sixteen"
+    rows1 = [(1, base), (2, other)]
+    near = base.replace("epsilon", "EPSILON")  # 1 of 20 words changed
+    rows2 = [
+        (10, base),          # exact dup of 1 -> must be rejected
+        (11, near),          # near dup of 1 -> must be rejected
+        (12, "completely different words nothing shared here at all "
+             "brand new content stream landing zone"),
+    ]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(rows1, "doc_id BIGINT, text STRING").coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+
+    docs_t = VersionedTable(spark, str(tmp_path / "docs"))
+    idx_t = VersionedTable(spark, str(tmp_path / "idx"))
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", "1")
+            .json(landing)
+            .writeStream.foreachBatch(neardup_ingest_sink(docs_t, idx_t, "nd"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(r.doc_id for r in docs_t.read().collect()) == [1, 2]
+
+    spark.createDataFrame(rows2, "doc_id BIGINT, text STRING").coalesce(1).write.mode(
+        "append"
+    ).json(landing)
+    drain()
+    got = sorted(r.doc_id for r in docs_t.read().collect())
+    assert got == [1, 2, 12], got
+    # index holds band rows only for admitted docs
+    idx_ids = {r.doc_id for r in idx_t.read().select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 12}

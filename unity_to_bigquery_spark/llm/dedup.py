@@ -269,3 +269,59 @@ def minhash_lsh_pairs_df(
         .join(sb, "id_b")
         .select("id_a", "id_b", jaccard6(F.col("sh_a"), F.col("sh_b")).alias("jaccard6"))
     )
+
+
+def minhash_signature_df(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 16
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>) MinHash signatures — the same portable
+    md5-seeded universal-hash family as minhash_lsh_pairs_df, packaged
+    as an array for storage in a signature index (streaming near-dup
+    ingest). One explode + one k-way MIN aggregate, map-side combined."""
+    sh = with_shingles(ensure_min_partitions(df), text).select(id_col, "sh").filter(
+        F.size("sh") > 0
+    )
+    rows = sh.select(id_col, F.explode("sh").alias("s"))
+    h0 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    rows = rows.select(id_col, h0.alias("h0"))
+    mins = []
+    for i in range(k):
+        a, b = minhash_affine(i)
+        mins.append(F.min((F.col("h0") * a + b) % MINHASH_P).alias(f"mh{i}"))
+    sig = rows.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def band_key_rows(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a signature frame into (id, band, key, sig) LSH bucket
+    rows — ``key`` is the md5 of the band's signature slice, the join
+    key of the candidate lookup."""
+    r = k // bands
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.element_at("sig", bd * r + j + 1).cast("string") for j in range(r)],
+            )
+        )
+        for bd in range(bands)
+    ]
+    return sig.select(
+        id_col, F.posexplode(F.array(*keys)).alias("band", "key"), "sig"
+    )
+
+
+def sig_agreement6(a, b) -> "Column":
+    """Estimated Jaccard from two equal-length MinHash signatures:
+    fraction of agreeing components, 1e-6 fixed point."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return F.floor(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.size(a)
+        * 1000000.0
+        + 0.5
+    ).cast("long")

@@ -321,3 +321,83 @@ def dedup_ingest_sink(table, app_id: str, text_col: str = "text", id_col: str = 
         )
 
     return write_batch
+
+
+def neardup_ingest_sink(
+    docs_table,
+    index_table,
+    app_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    tau6: int = 500000,
+):
+    """foreachBatch STREAMING NEAR-DUP dedup: the fuzzy twin of
+    ``dedup_ingest_sink``. Each micro-batch computes MinHash signatures
+    (portable md5-seeded family, llm/dedup.py), looks up candidate
+    near-duplicates by LSH band key — against BOTH the accumulated
+    signature index and the batch itself — verifies candidates by
+    signature agreement (estimated Jaccard ≥ tau), and admits only
+    genuinely novel documents: survivors land in ``docs_table``, their
+    (band, key, sig) rows in ``index_table``.
+
+    Scale shape: the index probe is an equi-join on the 32-byte band
+    key (at 100 TB: bucket the index table by key for a co-located
+    probe); signature verification runs only on band-collision
+    candidates; the index stores k longs × bands rows per doc, never
+    shingles or text. Exactly-once: both commits are txn-stamped per
+    batch (docs first, then index) — a crash between them replays the
+    batch, the docs commit no-ops, and the index commit completes,
+    converging to the consistent state.
+    """
+    from unity_to_bigquery_spark.llm.dedup import (
+        band_key_rows,
+        minhash_signature_df,
+        sig_agreement6,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sig = minhash_signature_df(batch_df, id_col=id_col, text=text_col, k=k)
+        keys = band_key_rows(sig, id_col=id_col, k=k, bands=bands).persist()
+
+        # in-batch: higher id dies when it collides with a lower id
+        a, b = keys.alias("a"), keys.alias("b")
+        in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            )
+            .filter(sig_agreement6(F.col("a.sig"), F.col("b.sig")) >= tau6)
+            .select(F.col(f"a.{id_col}").alias(id_col))
+        )
+        dropped = in_batch
+        if index_table.manifest()["files"]:
+            idx = index_table.read()
+            vs_index = (
+                keys.alias("n")
+                .join(
+                    idx.alias("i"),
+                    (F.col("n.band") == F.col("i.band"))
+                    & (F.col("n.key") == F.col("i.key")),
+                )
+                .filter(sig_agreement6(F.col("n.sig"), F.col("i.sig")) >= tau6)
+                .select(F.col(f"n.{id_col}").alias(id_col))
+            )
+            dropped = dropped.unionByName(vs_index)
+        dropped = dropped.distinct()
+
+        keep_docs = batch_df.join(dropped, id_col, "left_anti")
+        docs_table.commit_append(
+            keep_docs.select(*batch_df.columns), txn=(app_id, batch_id)
+        )
+        keep_keys = keys.join(dropped, id_col, "left_anti")
+        index_table.commit_append(
+            keep_keys.select(id_col, "band", "key", "sig"),
+            txn=(f"{app_id}#index", batch_id),
+        )
+        keys.unpersist()
+
+    return write_batch
