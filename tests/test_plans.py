@@ -225,3 +225,44 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark):
+    """Scale lever: AQE's runtime skew-join handling — the automatic
+    complement to the manual salting operators (operators/skew.py).
+    A hot key concentrating ~all rows in one shuffle partition must be
+    split at runtime: the final adaptive plan marks the join
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead below it.
+    Thresholds are lowered only so the toy volume qualifies; the
+    mechanism is byte-size-relative and scale-free."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 500000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 100).select((F.col("id") % 7 + 1).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(0, 200).select((F.col("id") % 8).alias("k"), F.lit("x").alias("w"))
+        j = left.join(right, "k").groupBy().count()
+        j.collect()  # AQE decisions exist only in the FINAL executed plan
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in phys
+        assert "skew=true" in phys, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

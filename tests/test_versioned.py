@@ -705,3 +705,23 @@ def test_distinct_set_index_prunes_interleaved_categories(spark, root, sf_dir):
     assert all(
         "distinct:doc_id" not in s for s in m["stats"].values()
     )
+
+
+def test_maintain_policy_compacts_only_when_fragmented(spark, root):
+    """maintain(): metadata-cheap no-op on a healthy table; compaction
+    + vacuum when small files accumulate; content identical after."""
+    t = VersionedTable(spark, root)
+    for i in range(10):
+        t.commit_append(spark.sql(f"SELECT {i} AS k").coalesce(1))
+    before = sorted(r.k for r in t.read().collect())
+    n_files = len(t.manifest()["files"])
+    assert n_files == 10
+
+    rep = t.maintain(max_small_files=8, vacuum_keep=1)
+    assert rep["compacted"] and rep["n_small"] == 10 and rep["vacuumed"]
+    assert len(t.manifest()["files"]) == 1
+    assert sorted(r.k for r in t.read().collect()) == before
+
+    v = t.latest_version()
+    rep2 = t.maintain(max_small_files=8, vacuum_keep=1)
+    assert not rep2["compacted"] and t.latest_version() == v  # healthy: no commit

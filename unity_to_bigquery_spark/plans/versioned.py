@@ -977,3 +977,34 @@ class VersionedTable:
         for v in vs[:-keep_last]:
             os.remove(_manifest_path(self.root, v))
         return sorted(deleted)
+
+    def maintain(
+        self,
+        max_small_files: int = 8,
+        small_bytes: int = 32 << 20,
+        target_files: int = 1,
+        vacuum_keep: int = 2,
+    ) -> dict:
+        """Auto-maintenance policy (Delta auto-OPTIMIZE in spirit):
+        compact ONLY when the live snapshot carries more than
+        ``max_small_files`` files under ``small_bytes``, then vacuum
+        beyond the retention horizon. The health check is manifest +
+        os.stat only — on a healthy table this is metadata-cheap and
+        commits nothing, so it can run after every ingest batch; at
+        100 TB the small-files problem is a first-order scan cost and
+        the fix must be a policy, not an operator someone remembers to
+        call. Returns {"compacted": bool, "n_small": int,
+        "vacuumed": [paths]}."""
+        m = self.manifest()
+        data_root = os.path.join(self.root, DATA_DIR)
+        small = [
+            f
+            for f in m["files"]
+            if os.path.getsize(os.path.join(data_root, f)) < small_bytes
+        ]
+        out = {"compacted": False, "n_small": len(small), "vacuumed": []}
+        if len(small) > max_small_files:
+            self.compact(target_files=target_files)
+            out["compacted"] = True
+        out["vacuumed"] = self.vacuum(keep_last=vacuum_keep)
+        return out
