@@ -295,3 +295,30 @@ def test_theta_audience_overlap_matches_exact(spark, sf_dir):
     assert close(row.error_users, len(e))
     assert close(row.both_users, len(p & e))
     assert close(row.purchase_only_users, len(p - e))
+
+
+def test_ivf2_hierarchical_recall(spark, sf_dir):
+    """Two-level IVF: deterministic, plausible recall vs exact, and the
+    descent respects the hierarchy (every result vector's fine cell is
+    reachable — sanity via result containment in the corpus)."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import ivf2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2)
+    rows = {(r.query_id, r.vec_id) for r in got.collect()}
+    again = {(r.query_id, r.vec_id) for r in ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2).collect()}
+    assert rows == again  # seeded end to end
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    recall = len(rows & exact) / len(exact)
+    # measured: 0.64 at sf0.001 (flat IVF 0.72), 0.52 at sf0.01 —
+    # identical to flat IVF there; the coarse level costs little recall
+    # on this fixture while cutting assignment to O(N·√C)
+    assert recall >= 0.4, recall
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert {v for _, v in rows} <= ids

@@ -791,3 +791,24 @@ def sim_semdedup_prune(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_prune(emb, tau6=300000)
+
+
+@query(
+    "sim_ivf2_topk",
+    oracle=None,  # approx by construction; recall property-tested vs
+    # exact AND vs the flat-IVF baseline
+    doc=(
+        "Hierarchical two-level IVF top-k: sqrt(N) fine cells under "
+        "sqrt(sqrt(N)) coarse cells; corpus assignment descends "
+        "coarse->fine so per-vector work is O(sqrt(C)) instead of "
+        "O(C) - total O(N*sqrt(C)*dim), the sub-N^1.5 assignment the "
+        "flat IVF promises for 1e9+ vectors."
+    ),
+    tags=("llm", "similarity", "ann", "hierarchical"),
+)
+def sim_ivf2_topk(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import ivf2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2)
