@@ -221,3 +221,116 @@ def t_vocab_topk(spark, sf_dir):
         global_enumerate(top, ["neg_n", "token"], position_col="vocab_id")
         .select("token", "n", F.col("vocab_id").cast("long").alias("vocab_id"))
     )
+
+
+@query(
+    "t_feature_hash_embed",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(w), 1, 8))::BIGINT % 16        AS dim,
+             CASE WHEN (('0x' || substring(md5(w), 1, 8))::BIGINT // 16) % 2 = 1
+                  THEN 1 ELSE -1 END                               AS sgn
+      FROM words
+    ),
+    dims AS (
+      SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           CAST(COALESCE(SUM(CASE WHEN dim = 0 THEN v END), 0) AS BIGINT) AS d0,
+           CAST(COALESCE(SUM(CASE WHEN dim = 1 THEN v END), 0) AS BIGINT) AS d1,
+           CAST(COALESCE(SUM(CASE WHEN dim = 2 THEN v END), 0) AS BIGINT) AS d2,
+           CAST(COALESCE(SUM(CASE WHEN dim = 3 THEN v END), 0) AS BIGINT) AS d3,
+           CAST(FLOOR(sqrt(SUM(v * v)) * 1000000.0 + 0.5) AS BIGINT)      AS norm6
+    FROM dims GROUP BY doc_id
+    """,
+    doc=(
+        "In-engine text embeddings via the hashing trick (feature "
+        "hashing, Weinberger et al. 2009): each word hashes to one of "
+        "16 signed dimensions (md5-derived, engine-portable), per-doc "
+        "dimension sums form the embedding. Exact integer arithmetic "
+        "until the final norm (sqrt of an exact integer is "
+        "bit-identical across engines, then fixed-point floored) — a "
+        "fully oracle-verifiable embedding generator, and the cheap "
+        "JVM-side stand-in where a model-based encoder is not worth "
+        "its Python round-trip."
+    ),
+    tags=("llm", "embeddings", "hashing"),
+)
+def t_feature_hash_embed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    hashed = words.select(
+        "doc_id",
+        (h % 16).alias("dim"),
+        F.when((F.floor(h / 16) % 2) == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    dims = hashed.groupBy("doc_id", "dim").agg(F.sum("sgn").cast("long").alias("v"))
+    return dims.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("dim") == i, F.col("v"))), F.lit(0))
+            .cast("long")
+            .alias(f"d{i}")
+            for i in range(4)
+        ],
+        F.floor(F.sqrt(F.sum(F.col("v") * F.col("v"))) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("norm6"),
+    )
+
+
+@query(
+    "t_quality_logit",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(FLOOR(
+             1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_words
+                                + 2.0 * (CAST(n_distinct AS DOUBLE) / n_words))))
+             * 1000000.0 + 0.5) AS BIGINT) AS quality6,
+           CASE WHEN 1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_words
+                                + 2.0 * (CAST(n_distinct AS DOUBLE) / n_words)))) >= 0.5
+                THEN TRUE ELSE FALSE END AS keep
+    FROM feats
+    """,
+    doc=(
+        "Model-based quality filtering (fastText-classifier shape, "
+        "public technique): a fixed-weight logistic score over cheap "
+        "lexical features (length, type-token ratio), thresholded "
+        "into a keep/drop decision — the linear-model stage of a "
+        "CCNet/fastText quality pipeline, computed entirely JVM-side. "
+        "Weights are public constants; swapping in trained weights "
+        "changes no plan shape."
+    ),
+    tags=("llm", "quality", "model"),
+)
+def t_quality_logit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+    )
+    z = (
+        F.lit(-3.0)
+        + F.lit(0.01) * F.col("n_words")
+        + F.lit(2.0) * (F.col("n_distinct").cast("double") / F.col("n_words"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.floor(score * 1000000.0 + F.lit(0.5)).cast("long").alias("quality6"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
