@@ -783,3 +783,38 @@ def test_streaming_neardup_ingest(spark, tmp_path):
     # index holds band rows only for admitted docs
     idx_ids = {r.doc_id for r in idx_t.read().select("doc_id").distinct().collect()}
     assert idx_ids == {1, 2, 12}
+
+
+def test_versioned_streaming_source_skip_delete_commits(spark, tmp_path):
+    """skip_delete_commits=true (Delta skipChangeCommits analogue):
+    the stream survives a delete commit and keeps delivering appends."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k, 'a' AS v").coalesce(1))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .option("skip_delete_commits", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.commit_delete_where(spark.sql("SELECT 1 AS k"), key="k")
+    t.commit_append(spark.sql("SELECT 2 AS k, 'b' AS v").coalesce(1))
+    drain()  # must not raise; delivers only the new append
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b")]

@@ -88,6 +88,13 @@ class _FilePartition(InputPartition):
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["path"]
+        # Delta's skipChangeCommits analogue: deliver added files and
+        # IGNORE delete commits in range (consumer accepts that rows
+        # retracted after delivery are not re-retracted) instead of
+        # failing the stream.
+        self.skip_deletes = (
+            str(options.get("skip_delete_commits", "false")).lower() == "true"
+        )
         # manifest access without a SparkSession (driver-side JSON IO)
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
@@ -108,13 +115,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         lo, hi = start["version"], end["version"]
         m_end = self._t.manifest(hi)
-        for h in self._t.history():
-            if lo < h["version"] <= hi and h["op"] == "delete_where":
-                raise ValueError(
-                    f"version {h['version']} is a delete_where commit: the "
-                    "streaming source is append-only (re-bootstrap consumers "
-                    "after deletes, or consume via the batch changes() API)"
-                )
+        if not self.skip_deletes:
+            for h in self._t.history():
+                if lo < h["version"] <= hi and h["op"] == "delete_where":
+                    raise ValueError(
+                        f"version {h['version']} is a delete_where commit: the "
+                        "streaming source is append-only (re-bootstrap "
+                        "consumers after deletes, consume via the batch "
+                        "changes() API, or opt in to "
+                        "skip_delete_commits=true)"
+                    )
         base = set(self._t.manifest(lo)["files"]) if lo else set()
         fields = _ddl_field_names(m_end["schema"])
         return [
