@@ -44,6 +44,11 @@ HEADLINE = (
     "t_quality_features",
     "u_grouped_map_apply_in_pandas",
     "u_python_udtf",
+    # round-3 flagships
+    "t_bm25_topk",
+    "d_chunk_dedup",
+    "sim_semdedup_prune",
+    "p_continuous_aggregate",
 )
 
 

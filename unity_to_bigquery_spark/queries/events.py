@@ -608,3 +608,116 @@ def e_theta_audience_overlap(spark, sf_dir):
         .cast("long")
         .alias("purchase_only_users"),
     )
+
+
+@query(
+    "e_trend_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 - 19700 AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)    AS n,
+             CAST(SUM(x) AS BIGINT)      AS sx,
+             CAST(SUM(y) AS BIGINT)      AS sy,
+             CAST(SUM(x * x) AS BIGINT)  AS sxx,
+             CAST(SUM(x * y) AS BIGINT)  AS sxy,
+             CAST(MAX(x) AS BIGINT)      AS max_x
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(
+             (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+             * 1000000.0 + 0.5) AS BIGINT) AS slope6,
+           CAST(FLOOR(
+             ((CAST(sy AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx) / n
+              + (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * (max_x + 1))
+             * 1000000.0 + 0.5) AS BIGINT) AS forecast_next6
+    FROM s
+    """,
+    doc=(
+        "Per-type linear trend + next-day forecast over daily event "
+        "counts. Least-squares slope/intercept are computed from EXACT "
+        "integer sums (n, Σx, Σy, Σx², Σxy — all BIGINT, "
+        "order-independent) with one final double division, instead of "
+        "the engines' regr_slope aggregates whose double partial sums "
+        "are accumulation-order-dependent and hash-unstable across "
+        "engines. Two cascaded hash aggregates; x is days-since-2024 "
+        "epoch to keep products in exact-double range."
+    ),
+    tags=("events", "forecast", "regression"),
+)
+def e_trend_forecast(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp(F.date_trunc("DAY", "ts")) / F.lit(86400))
+            - F.lit(19700)
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.max("x").cast("long").alias("max_x"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    fcast = intercept + slope * (F.col("max_x") + F.lit(1))
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(slope * 1000000.0 + F.lit(0.5)).cast("long").alias("slope6"),
+        F.floor(fcast * 1000000.0 + F.lit(0.5)).cast("long").alias("forecast_next6"),
+    )
+
+
+@query(
+    "e_path_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY n DESC, prev_type, next_type LIMIT 20
+    """,
+    doc=(
+        "User path analysis: top event-type transition bigrams "
+        "(prev → next per user session ordering, unique (ts, event_id) "
+        "tiebreak). One window shuffle on user_id, one hash aggregate, "
+        "TakeOrderedAndProject top-20 with a total-order tiebreak."
+    ),
+    tags=("events", "paths", "window"),
+)
+def e_path_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )
