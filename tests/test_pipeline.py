@@ -310,3 +310,41 @@ def test_bigquery_connector_branch_writer_calls(spark, sf_dir, monkeypatch):
         "mode": "overwrite",
         "saved": True,
     }
+
+
+def test_ndjson_gz_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """Write-side Python Data Source: df.write.format('ndjson_gz')
+    stages per-partition gz shards under temp names and publishes them
+    atomically on commit (two-phase committer contract); the engine's
+    own landing scan reads the result back byte-equal."""
+    import os
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.sinks.ndjson_gz import register
+    from unity_to_bigquery_spark.sources.landing import read_ndjson
+
+    register(spark)
+    out = str(tmp_path / "landing_out")
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(3)
+    )
+    df.write.format("ndjson_gz").mode("append").option("path", out).save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    shards = [f for f in files if f.endswith(".json.gz")]
+    assert len(shards) == 3 and not any(f.startswith("_tmp-") for f in shards)
+
+    back = read_ndjson(spark, out, schema="doc_id BIGINT, source STRING, text STRING")
+    got = sorted((r.doc_id, r.source, r.text) for r in back.collect())
+    want = sorted((r.doc_id, r.source, r.text) for r in df.collect())
+    assert got == want
+
+    # overwrite mode replaces previous shards instead of accumulating
+    df.limit(5).repartition(1).write.format("ndjson_gz").mode("overwrite").option(
+        "path", out
+    ).save()
+    again = read_ndjson(spark, out, schema="doc_id BIGINT, source STRING, text STRING")
+    assert again.count() == 5
