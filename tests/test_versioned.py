@@ -725,3 +725,54 @@ def test_maintain_policy_compacts_only_when_fragmented(spark, root):
     v = t.latest_version()
     rep2 = t.maintain(max_small_files=8, vacuum_keep=1)
     assert not rep2["compacted"] and t.latest_version() == v  # healthy: no commit
+
+
+def test_restore_rolls_back_without_losing_history(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_overwrite(_df(spark, [(9, "z")]))
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert _rows(t.read().select("k", "v")) == [(1, "a")]
+    # history intact: the overwritten state is still time-travelable
+    assert _rows(t.read(version=2).select("k", "v")) == [(9, "z")]
+    # stats restored too: pruning works against the restored snapshot
+    files, _ = t.prune_files("k", 5, 10)
+    assert files == []  # restored file's k-range is [1,1]
+
+
+def test_clone_shallow_and_deep(spark, root, tmp_path):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+
+    sh = t.clone_to(spark, str(tmp_path / "shallow"), shallow=True)
+    assert _rows(sh.read().select("k", "v")) == [(1, "a"), (2, "b")]
+    # metadata-only: no data files under the clone's own data dir
+    import os as _os
+
+    assert not any(
+        f.endswith(".parquet")
+        for _dp, _dn, fs in _os.walk(str(tmp_path / "shallow" / "data"))
+        for f in fs
+    )
+    # clone commits never touch the source
+    sh.commit_append(_df(spark, [(3, "c")]))
+    assert t.read().count() == 2 and sh.read().count() == 3
+
+    dp = t.clone_to(spark, str(tmp_path / "deep"), shallow=False)
+    assert _rows(dp.read().select("k", "v")) == [(1, "a"), (2, "b")]
+    # deep clone survives source vacuum/removal
+    t.commit_overwrite(_df(spark, [(9, "z")]))
+    t.vacuum(keep_last=1)
+    assert _rows(dp.read().select("k", "v")) == [(1, "a"), (2, "b")]
+
+    # stats carried: clone prunes like the source did
+    files, skipped = dp.prune_files("k", 10, 20)
+    assert files == []
+
+    # delete-bearing snapshots refuse to clone (sequencing)
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit_append(_df(spark, [(1, "a")]))
+    t2.commit_delete_where(spark.sql("SELECT 1 AS k"), key="k")
+    with pytest.raises(ValueError, match="delete-free"):
+        t2.clone_to(spark, str(tmp_path / "c2"))

@@ -1008,3 +1008,82 @@ class VersionedTable:
             out["compacted"] = True
         out["vacuumed"] = self.vacuum(keep_last=vacuum_keep)
         return out
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: publish a NEW commit whose file list (and
+        schema/deletes state) is that of an older version — rollback
+        without losing history. Data files are shared, not copied;
+        vacuum respects whatever the retained manifests reference.
+        Blind-retryable (referenced files are immutable)."""
+        target = self.manifest(version)  # raises NoSuchVersionError
+        for _ in range(20):
+            base = self.manifest()
+            self._staged_stats = dict(target.get("stats", {}))
+            try:
+                return self._publish_once(
+                    base,
+                    target["files"],
+                    f"restore({version})",
+                    target.get("schema"),
+                    deletes_override=target.get("deletes", []),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._staged_stats = {}
+        raise ConcurrentWriteError("restore could not publish after 20 attempts")
+
+    def clone_to(self, spark_or_none, dest_root: str, shallow: bool = True) -> "VersionedTable":
+        """Table CLONE (Delta CLONE semantics): create an independent
+        table at ``dest_root`` whose v1 is this table's live snapshot.
+
+        ``shallow=True`` references the SOURCE's data files by absolute
+        path — metadata-only, instant at any size, the dev/test-sandbox
+        tool (caveat as in Delta: vacuuming the source breaks shallow
+        clones). ``shallow=False`` copies the live files — an
+        independent physical table. Either way the clone's manifest log
+        starts fresh: commits to the clone never touch the source.
+
+        Requires a delete-free snapshot: live equality deletes carry
+        version sequencing the flattened clone log cannot represent
+        (a naive copy would resurrect deleted rows or delete post-
+        delete re-inserts) — run ``compact()`` first to materialize
+        merge-on-read state."""
+        import shutil
+
+        src = self.manifest()
+        if src.get("deletes"):
+            raise ValueError(
+                "clone requires a delete-free snapshot: compact() first to "
+                "materialize merge-on-read deletes"
+            )
+        dest = VersionedTable(spark_or_none or self.spark, dest_root,
+                              partition_col=self.partition_col)
+        staged = []
+        dest._staged_stats = {}
+        src_stats = src.get("stats", {})
+        for f in src["files"]:
+            src_abs = os.path.join(self.root, DATA_DIR, f)
+            if shallow:
+                # absolute-path reference outside the clone's data dir
+                rel = os.path.relpath(src_abs, os.path.join(dest_root, DATA_DIR))
+            else:
+                rel = f
+                dst_abs = os.path.join(dest_root, DATA_DIR, f)
+                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                shutil.copy2(src_abs, dst_abs)
+            staged.append(rel)
+            if f in src_stats:
+                dest._staged_stats[rel] = src_stats[f]
+        base = dest.manifest()
+        if base["version"]:
+            raise ValueError(f"clone destination {dest_root} is not empty")
+        dest._publish_once(
+            base,
+            staged,
+            f"clone({'shallow' if shallow else 'deep'})",
+            src.get("schema"),
+            deletes_override=[],
+        )
+        dest._staged_stats = {}
+        return dest
