@@ -818,3 +818,40 @@ def test_versioned_streaming_source_skip_delete_commits(spark, tmp_path):
     drain()  # must not raise; delivers only the new append
     got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_ndjson_gz_streaming_sink(spark, sf_dir, tmp_path):
+    """writeStream.format('ndjson_gz'): the custom streaming sink
+    drains the stream into batch-id-deterministic gz shards readable
+    by the landing scan; a checkpointed re-drain adds nothing."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.sinks.ndjson_gz import register
+    from unity_to_bigquery_spark.sources.landing import read_ndjson
+
+    register(spark)
+    src_dir = str(tmp_path / "src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.write.parquet(src_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id BIGINT, source STRING")
+            .parquet(src_dir)
+            .writeStream.format("ndjson_gz")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    back = read_ndjson(spark, out, schema="doc_id BIGINT, source STRING")
+    want = sorted((r.doc_id, r.source) for r in docs.collect())
+    assert sorted((r.doc_id, r.source) for r in back.collect()) == want
+
+    drain()  # nothing new -> no duplicates
+    back2 = read_ndjson(spark, out, schema="doc_id BIGINT, source STRING")
+    assert sorted((r.doc_id, r.source) for r in back2.collect()) == want

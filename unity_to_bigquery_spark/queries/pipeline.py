@@ -478,3 +478,44 @@ def p_continuous_aggregate(spark, sf_dir):
         agg.refresh()
         agg.refresh()  # immediate re-run must be a no-op (txn idempotency)
     return agg.read().select("event_type", "n", "sum_value6")
+
+
+@query(
+    "p_file_lineage_metadata",
+    oracle="""
+    SELECT source,
+           CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY source
+    """,
+    doc=(
+        "File lineage via the _metadata hidden column: documents are "
+        "written partitioned by source with maxRecordsPerFile=100 (one "
+        "writer task, so each source yields exactly ceil(n/100) "
+        "files), read back, and per-source file counts recovered from "
+        "_metadata.file_name — the engine-native lineage surface "
+        "(generalizes the reference's filename bookkeeping, "
+        "Unity_to_BigQuery.py:131-132/A6). The oracle derives the "
+        "expected layout arithmetically from the source table."
+    ),
+    tags=("pipeline", "lineage", "metadata"),
+)
+def p_file_lineage_metadata(spark, sf_dir):
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = _tmp(f"flineage_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        docs.coalesce(1)
+        .write.option("maxRecordsPerFile", 100)
+        .partitionBy("source")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "source", F.col("_metadata.file_name").alias("fname")
+    )
+    return back.groupBy("source").agg(
+        F.countDistinct("fname").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -78,6 +79,43 @@ class NdjsonGzWriter(DataSourceWriter):
                 pass
 
 
+class NdjsonGzStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: shard names are DETERMINISTIC per
+    (batch_id, partition index), so a replayed micro-batch (crash
+    between sink commit and checkpoint advance) overwrites its own
+    previous attempt instead of duplicating — idempotent-by-batch-id,
+    the same exactly-once contract as
+    streaming.stream.run_foreach_batch_idempotent, here spoken through
+    the engine's native streaming-sink protocol."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex[:12]}.json.gz")
+        n = 0
+        with gzip.open(tmp, "wt", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages, batchId: int):
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                self.path, f"batch-{batchId:05d}-part-{i:05d}.json.gz"
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
 class NdjsonGzDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,6 +123,9 @@ class NdjsonGzDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return NdjsonGzWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return NdjsonGzStreamWriter(self.options)
 
 
 def register(spark) -> None:
