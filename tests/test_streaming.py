@@ -855,3 +855,65 @@ def test_ndjson_gz_streaming_sink(spark, sf_dir, tmp_path):
     drain()  # nothing new -> no duplicates
     back2 = read_ndjson(spark, out, schema="doc_id BIGINT, source STRING")
     assert sorted((r.doc_id, r.source) for r in back2.collect()) == want
+
+
+def test_versioned_streaming_source_rate_limit(spark, tmp_path):
+    """max_versions_per_batch paces STEADY-STATE consumption: commits
+    landing while the stream runs are consumed at most 2 versions per
+    micro-batch. (The first batch of a run is unpaced — the engine
+    asks latestOffset before initialOffset, and AvailableNow captures
+    one target; documented in the reader.)"""
+    import time as _time
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 100 AS k").coalesce(1))
+
+    sink = str(tmp_path / "sink")
+
+    def sink_batch(df, bid):
+        if df.count():
+            df.write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", str(tmp_path / "tbl"))
+        .option("max_versions_per_batch", "2")
+        .load()
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    deadline = _time.time() + 60
+    while _time.time() < deadline and rows() < 1:
+        _time.sleep(0.3)
+    assert rows() >= 1  # cold-start batch drained
+
+    # 5 commits land while the stream runs: steady-state pacing caps
+    # each subsequent micro-batch at 2 versions (2 rows here)
+    for i in range(5):
+        t.commit_append(spark.sql(f"SELECT {i} AS k").coalesce(1))
+    while _time.time() < deadline and rows() < 6:
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == [0, 1, 2, 3, 4, 100]
+    paced = [
+        p_["numInputRows"]
+        for p_ in q.recentProgress[1:]  # skip the unpaced cold-start batch
+        if p_["numInputRows"] > 0
+    ]
+    assert paced and all(n <= 2 for n in paced), paced

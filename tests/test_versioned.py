@@ -776,3 +776,18 @@ def test_clone_shallow_and_deep(spark, root, tmp_path):
     t2.commit_delete_where(spark.sql("SELECT 1 AS k"), key="k")
     with pytest.raises(ValueError, match="delete-free"):
         t2.clone_to(spark, str(tmp_path / "c2"))
+
+
+def test_version_at_timestamp_time_travel(spark, root):
+    import time as _time
+
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    ts_between = _time.time()
+    _time.sleep(0.02)
+    t.commit_append(_df(spark, [(2, "b")]))
+    assert t.version_at(ts_between) == 1
+    assert t.version_at(_time.time()) == 2
+    assert _rows(t.read(t.version_at(ts_between)).select("k", "v")) == [(1, "a")]
+    with pytest.raises(NoSuchVersionError):
+        t.version_at(0.0)

@@ -1087,3 +1087,20 @@ class VersionedTable:
         )
         dest._staged_stats = {}
         return dest
+
+    def version_at(self, ts: float) -> int:
+        """Timestamp-based time travel (Delta's TIMESTAMP AS OF):
+        the latest version whose commit time is <= ``ts`` (unix
+        seconds). Raises NoSuchVersionError when ts precedes the first
+        commit. Multi-table consistency: reading several tables
+        ``read(version_at(T))`` pins them all to the same wall-clock
+        instant — the cross-table snapshot a report pipeline needs."""
+        best = None
+        for v in self.versions():
+            if self.manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise NoSuchVersionError(
+                f"no version at or before ts={ts} in {self.root}"
+            )
+        return best

@@ -95,6 +95,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self.skip_deletes = (
             str(options.get("skip_delete_commits", "false")).lower() == "true"
         )
+        # Delta's maxFilesPerTrigger analogue at commit granularity:
+        # bound how many source VERSIONS one micro-batch may consume, so
+        # a long-idle consumer catching up on a large backlog paces its
+        # batches instead of materializing the whole backlog at once.
+        self.max_versions = int(options.get("max_versions_per_batch", "0"))
         # manifest access without a SparkSession (driver-side JSON IO)
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
@@ -103,10 +108,23 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     # ---- offsets are manifest versions ------------------------------
     def initialOffset(self) -> dict:
+        self._consumed = 0
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        return {"version": self._t.latest_version()}
+        latest = self._t.latest_version()
+        if self.max_versions > 0:
+            # pace against the last planned/committed offset. The engine
+            # asks for latestOffset once BEFORE initialOffset (observed
+            # call order, Spark 4.1) and Trigger.AvailableNow captures a
+            # single target up front (no admission control in the Python
+            # source API yet), so pacing is a STEADY-STATE property:
+            # the first micro-batch of a run is unpaced; every
+            # subsequent batch consumes at most max_versions commits.
+            floor = getattr(self, "_consumed", None)
+            if floor is not None:
+                latest = min(latest, floor + self.max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         import os
@@ -114,6 +132,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from unity_to_bigquery_spark.plans.versioned import DATA_DIR
 
         lo, hi = start["version"], end["version"]
+        # the engine's planned start is authoritative — feed the pacing
+        # floor (covers checkpoint restarts, where initialOffset is
+        # never called)
+        self._consumed = max(getattr(self, "_consumed", 0) or 0, lo)
         m_end = self._t.manifest(hi)
         if not self.skip_deletes:
             for h in self._t.history():
@@ -142,7 +164,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             yield tuple(row[f] for f in partition.fields)
 
     def commit(self, end: dict) -> None:
-        pass  # the streaming checkpoint is the consumer's bookkeeping
+        # the streaming checkpoint owns durability; remembering the
+        # committed offset here only feeds the pacing computation
+        self._consumed = end["version"]
 
 
 def register(spark) -> None:
