@@ -334,3 +334,56 @@ def t_quality_logit(spark, sf_dir):
         F.floor(score * 1000000.0 + F.lit(0.5)).cast("long").alias("quality6"),
         (score >= F.lit(0.5)).alias("keep"),
     )
+
+
+@query(
+    "p_dp_noisy_counts",
+    oracle="""
+    WITH cnts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    u AS (
+      SELECT source, n,
+             (('0x' || substring(md5('dp#' || source), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u01
+      FROM cnts
+    )
+    SELECT source, n,
+           CAST(FLOOR(
+             (n + (CASE WHEN u01 >= 0.5 THEN -2.0 ELSE 2.0 END)
+                  * ln(1.0 - 2.0 * abs(u01 - 0.5)))
+             * 1000000.0 + 0.5) AS BIGINT) AS noisy6
+    FROM u
+    """,
+    doc=(
+        "Differentially-private aggregate release (Laplace mechanism, "
+        "eps=0.5, sensitivity 1 -> scale b=2): per-source counts plus "
+        "Laplace noise drawn by inverse-CDF from a SEEDED md5-uniform "
+        "(u in (0,1) strictly, so ln's argument is strictly positive) "
+        "- the privacy-preserving stats-release stage of a data "
+        "pipeline, deterministic across engines and runs. Production "
+        "would draw fresh randomness per release; the mechanism, "
+        "plan shape, and fixed-point release format are identical."
+    ),
+    tags=("llm", "privacy", "dp"),
+)
+def p_dp_noisy_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u01 = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp#"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.when(u01 >= 0.5, F.lit(-2.0)).otherwise(F.lit(2.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u01 - F.lit(0.5)))
+    )
+    return cnts.select(
+        "source",
+        "n",
+        F.floor((F.col("n") + noise) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("noisy6"),
+    )
