@@ -322,3 +322,85 @@ def test_ivf2_hierarchical_recall(spark, sf_dir):
     assert recall >= 0.4, recall
     ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert {v for _, v in rows} <= ids
+
+
+def test_simhash_band_pairs_exact_vs_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: with 4 byte-wide bands, any pair within
+    Hamming distance 3 must agree on at least one band, so the banded
+    candidate set is a superset of the true pair set and the verify
+    step makes the result EXACTLY equal to brute force."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(docs, bands=4, max_hamming=3).collect()
+    }
+    sig = simhash32(docs)
+    a = sig.selectExpr("doc_id AS id_a", "simhash AS sa")
+    b = sig.selectExpr("doc_id AS id_b", "simhash AS sb")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sa"), F.col("sb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_containment_pairs_bounds_and_jaccard_relation(spark, sf_dir):
+    """Containment is within [0, 1e6]; for any candidate pair,
+    max(containment) >= Jaccard (set identity: J <= |A∩B|/max-denominator
+    <= either containment with the smaller denominator)."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.dedup import (
+        minhash_containment_pairs_df,
+        minhash_lsh_pairs_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cont = {
+        (r.id_a, r.id_b): (r.cont_a_in_b6, r.cont_b_in_a6)
+        for r in minhash_containment_pairs_df(docs).collect()
+    }
+    jacc = {
+        (r.id_a, r.id_b): r.jaccard6 for r in minhash_lsh_pairs_df(docs).collect()
+    }
+    # identical candidate generation → identical pair sets
+    assert set(cont) == set(jacc)
+    for pair, (cab, cba) in cont.items():
+        assert 0 <= cab <= 1000000 and 0 <= cba <= 1000000
+        # rounding each to 1e-6 can differ by 1 ulp of the fixed point
+        assert max(cab, cba) >= jacc[pair] - 1
+
+
+def test_pq_rerank_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC shortlist + exact rerank must recover most of the true
+    top-5 (deterministic seed); reranked scores are exact, so any
+    overlapping (query, id) pair carries the identical cos6."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.similarity import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id): r.cos6
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.vec_id): r.cos6
+        for r in pq_adc_rerank_topk(emb, queries, k=5, m=8, ksub=32, shortlist=50).collect()
+    }
+    hits = set(exact) & set(pq)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, f"PQ recall {recall}"
+    for key in hits:
+        assert exact[key] == pq[key]
+    # determinism
+    pq2 = {
+        (r.query_id, r.vec_id): r.cos6
+        for r in pq_adc_rerank_topk(emb, queries, k=5, m=8, ksub=32, shortlist=50).collect()
+    }
+    assert pq == pq2

@@ -119,6 +119,8 @@ BNLJ_ALLOWED = {
     # attached via crossJoin — the correct plan for scalar stats
     "t_bm25_topk",
     "p_domain_mixture",
+    # 1-row total-bigram-count scalar crossed onto the vocab dim
+    "t_collocations_lift",
     # two 1-row sketch relations crossed for set-algebra estimates
     "e_theta_audience_overlap",
 }
@@ -266,3 +268,18 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """p_dpp_pruned_join's fact scan must carry a runtime
+    dynamicpruning partition filter (not just the dim's static one)."""
+    physical, _ = _plans(spark, sf_dir, "p_dpp_pruned_join")
+    assert "dynamicpruning" in physical.lower()
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL correlated LIMIT subquery must decorrelate into the
+    window top-k + broadcast join shape, not a nested-loop join."""
+    physical, _ = _plans(spark, sf_dir, "j_lateral_topk_nation")
+    assert "Window" in physical
+    assert "BroadcastNestedLoopJoin" not in physical

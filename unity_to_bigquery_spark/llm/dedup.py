@@ -315,6 +315,132 @@ def band_key_rows(
     )
 
 
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded candidate generation over
+    the 32-bit signature, exact Hamming verify on candidates only.
+
+    The 32-bit simhash is sliced into ``bands`` byte-wide bands; two
+    documents are candidates iff they agree on at least one band
+    (pigeonhole: any pair within Hamming distance ``bands - 1`` is
+    guaranteed to collide on some band, so ``max_hamming <= bands - 1``
+    has perfect recall). Verification is ``bit_count(xor)`` on the two
+    64-bit signatures — integer-only, hence portable to a DuckDB
+    oracle, unlike float-similarity LSH.
+
+    Scale: signatures are one row per doc (8 bytes); the band join
+    shuffles ``bands`` rows per doc keyed by a 1-byte band value, and
+    Hamming runs only on bucket-mates — the standard sub-quadratic
+    shape. Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    sig = simhash32(df, id_col=id_col, text=text)
+    width = 32 // bands
+    bands_col = F.array(
+        *[
+            F.expr(f"(simhash div shiftleft(1L, {bd * width})) % shiftleft(1L, {width})")
+            for bd in range(bands)
+        ]
+    )
+    bk = sig.select(
+        F.col(id_col), "simhash", F.posexplode(bands_col).alias("band", "bval")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def containment6(a: Column, b: Column) -> Column:
+    """Containment of set-array ``a`` in set-array ``b``: |A∩B| / |A|,
+    1e-6 fixed point. Asymmetric — high when A is (nearly) a subset of
+    B even if B is much longer, the case symmetric Jaccard misses
+    (quote-inclusion / boilerplate-wrapped near-dups)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.floor(inter / F.size(a).cast("double") * 1000000.0 + 0.5).cast("long")
+
+
+def minhash_containment_pairs_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Asymmetric-containment near-dup pairs over MinHash-LSH band
+    candidates: same sub-quadratic candidate generation as
+    :func:`minhash_lsh_pairs_df`, but the verify step scores
+    containment in BOTH directions (|A∩B|/|A| and |A∩B|/|B|) instead
+    of symmetric Jaccard. Returns
+    (id_a, id_b, cont_a_in_b6, cont_b_in_a6), id_a < id_b.
+
+    Engine-portable (md5-seeded universal hashes) → DuckDB-oracle
+    verifiable end-to-end.
+    """
+    sh_arrays = (
+        with_shingles(ensure_min_partitions(df), text)
+        .select(id_col, "sh")
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    # signatures straight from the persisted shingle arrays (no re-tokenize)
+    rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
+    h0 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    rows = rows.select(id_col, h0.alias("h0"))
+    mins = []
+    for i in range(k):
+        a_i, b_i = minhash_affine(i)
+        mins.append(F.min((F.col("h0") * a_i + b_i) % MINHASH_P).alias(f"mh{i}"))
+    sig = rows.groupBy(id_col).agg(*mins)
+    r = k // bands
+    band_keys = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{bd * r + j}").cast("string") for j in range(r)]))
+        for bd in range(bands)
+    ]
+    bk = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
+    ).persist()
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            containment6(F.col("sh_a"), F.col("sh_b")).alias("cont_a_in_b6"),
+            containment6(F.col("sh_b"), F.col("sh_a")).alias("cont_b_in_a6"),
+        )
+    )
+
+
 def sig_agreement6(a, b) -> "Column":
     """Estimated Jaccard from two equal-length MinHash signatures:
     fraction of agreeing components, 1e-6 fixed point."""

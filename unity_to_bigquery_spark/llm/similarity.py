@@ -542,3 +542,177 @@ def ivf2_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cos6", "rank")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_target: int = 100_000,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces; each subspace gets its own ``ksub``-centroid
+    seeded-KMeans codebook trained on a deterministic hash-mod sample
+    (same sampling/training recipe as :func:`kmeans_centroids`).
+
+    Returns (sub INT, code BIGINT, cvec ARRAY<DOUBLE>) — m × ksub rows,
+    centroid-sized, always broadcastable. Training is m independent
+    KMeans fits on a bounded sample: cost independent of corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count() if corpus_count is None else corpus_count
+    mod = max(1, n // sample_target)
+    sample = corpus if mod == 1 else corpus.filter(
+        F.xxhash64(F.col(id_col)) % mod == 0
+    )
+    dim = len(sample.select(vec_col).first()[0])
+    width = dim // m
+    spark = corpus.sparkSession
+    rows = []
+    for j in range(m):
+        sub = sample.select(
+            array_to_vector(
+                F.transform(F.slice(F.col(vec_col), j * width + 1, width), _dbl)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=5, initMode="random").fit(sub)
+        for c, center in enumerate(model.clusterCenters()):
+            rows.append((j, c, [float(x) for x in center]))
+    return spark.createDataFrame(rows, "sub INT, code BIGINT, cvec ARRAY<DOUBLE>")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook ids (nearest subspace
+    centroid by L2). Returns (id, sub, code) — the PQ code table, m
+    small integers per vector (4 bytes here vs 256 float bytes: the
+    64× memory cut is the point of PQ at 100 TB).
+
+    The argmin runs as the codegen position-join shape (flatten to
+    (id, sub, pos, v), join the broadcast flattened codebooks on
+    (sub, pos), one hash agg for ||v - c||²) — not interpreted
+    zip_with folds per (vector, centroid).
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    width = dim_row["d"] // m
+    flat = (
+        corpus.select(id_col, F.posexplode(F.col(vec_col)).alias("p0", "v"))
+        .withColumn("v", _dbl(F.col("v")))
+        .withColumn("sub", ((F.col("p0") / width).cast("int")))
+        .withColumn("pos", F.col("p0") % width)
+    )
+    cb_flat = codebooks.select(
+        "sub", "code", F.posexplode("cvec").alias("pos", "cv")
+    )
+    dists = (
+        flat.join(F.broadcast(cb_flat), on=["sub", "pos"])
+        .groupBy(id_col, "sub", "code")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("__d2"))
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("__d2"), F.asc("code"))
+    return (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ-style ANN: PQ-code the L2-NORMALIZED corpus, score every
+    (query, vector) pair by Asymmetric Distance Computation — the
+    query's per-(subspace, code) dot-product table is broadcast and the
+    corpus contributes only its m codes — shortlist per query, then
+    exact-cosine rerank on the shortlist (reuses the sq8_rerank pattern
+    one tier further down the memory/accuracy curve).
+
+    Scale: the shortlist pass reads m bytes per corpus vector and does
+    m hash-join lookups + one sum per (query, vector) — no float vector
+    ever moves; the ADC table is |Q| × m × ksub doubles (broadcast).
+    Exact math touches shortlist/|corpus| of the data. Deterministic
+    for a fixed seed.
+    """
+    nrm = norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: _dbl(x) / nrm)
+    cn = corpus.select(id_col, F.col(vec_col), unit.alias("__unit")).persist()
+    books = pq_codebooks(
+        cn.select(id_col, F.col("__unit").alias(vec_col)),
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    codes = pq_encode(
+        cn.select(id_col, F.col("__unit").alias(vec_col)),
+        books,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # ADC table: dot(q_sub_j, codebook[j][c]) for every query
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    width = dim_row["d"] // m
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.transform(F.col(vec_col), lambda x: _dbl(x) / norm(F.col(vec_col))).alias(
+            "__qunit"
+        ),
+    )
+    qflat = (
+        q.select(query_id, F.posexplode("__qunit").alias("p0", "qv"))
+        .withColumn("sub", (F.col("p0") / width).cast("int"))
+        .withColumn("pos", F.col("p0") % width)
+    )
+    cb_flat = books.select(
+        "sub", "code", F.posexplode("cvec").alias("pos", "cv")
+    )
+    adc = (
+        qflat.join(F.broadcast(cb_flat), on=["sub", "pos"])
+        .groupBy(query_id, "sub", "code")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("__pdot"))
+    )
+    approx = (
+        codes.join(F.broadcast(adc), on=["sub", "code"])
+        .groupBy(query_id, id_col)
+        .agg(F.sum("__pdot").alias("__adot"))
+        .filter(F.col(id_col) != F.col(query_id))
+    )
+    ws = Window.partitionBy(query_id).orderBy(F.desc("__adot"), F.asc(id_col))
+    short = approx.withColumn("__rn", F.row_number().over(ws)).filter(
+        F.col("__rn") <= shortlist
+    )
+    qv = q.select(query_id, "__qvec")
+    rer = (
+        short.join(cn.select(id_col, vec_col), on=id_col)
+        .join(F.broadcast(qv), on=query_id)
+        .withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos6", "rank")
+    )

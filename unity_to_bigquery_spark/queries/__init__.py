@@ -7,6 +7,7 @@ from unity_to_bigquery_spark.queries import (  # noqa: F401
     corpus,
     events,
     joins,
+    linkage,
     llm,
     pipeline,
     recursive,

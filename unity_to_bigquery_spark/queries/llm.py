@@ -812,3 +812,143 @@ def sim_ivf2_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2)
+
+
+@query(
+    "d_simhash_neardup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashes AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM words
+    ), votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+      GROUP BY doc_id, b
+    ), sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ), bk AS (
+      SELECT doc_id, simhash, band, (simhash // (1::BIGINT << (band * 8))) % 256 AS bval
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+    doc=(
+        "SimHash near-dup pairs: 4 byte-wide bands over the 32-bit "
+        "signature generate candidates (pigeonhole-complete for "
+        "Hamming<=3), bit_count(xor) verifies. Integer-only end to "
+        "end, so the whole sub-quadratic pipeline is oracle-checked "
+        "— unlike float-similarity LSH variants."
+    ),
+    tags=("llm", "dedup", "simhash"),
+)
+def d_simhash_neardup(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_band_pairs(docs, bands=4, max_hamming=3)
+
+
+def _containment_oracle(k: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of llm/dedup.minhash_containment_pairs_df: the
+    d_minhash_lsh_df candidate pipeline with asymmetric-containment
+    verification."""
+    from unity_to_bigquery_spark.llm.dedup import MINHASH_P, minhash_affine
+
+    r = k // bands
+    sig_cols = ",\n             ".join(
+        "MIN(({a} * h0 + {b}) % {p}) AS mh{i}".format(
+            a=minhash_affine(i)[0], b=minhash_affine(i)[1], p=MINHASH_P, i=i
+        )
+        for i in range(k)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {bd} AS band, md5({key}) AS key FROM sig".format(
+            bd=bd,
+            key=" || ',' || ".join(f"mh{bd * r + j}::VARCHAR" for j in range(r)),
+        )
+        for bd in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                  ELSE [] END AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), shf AS (
+      SELECT doc_id, s FROM sh WHERE len(s) > 0
+    ), hx AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(sg), 1, 15))::BIGINT % {MINHASH_P} AS h0
+      FROM (SELECT doc_id, unnest(s) AS sg FROM shf)
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hx GROUP BY doc_id
+    ), bk AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / len(sa.s)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS cont_a_in_b6,
+           CAST(FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+                      / len(sb.s)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS cont_b_in_a6
+    FROM cand c
+    JOIN shf sa ON sa.doc_id = c.id_a
+    JOIN shf sb ON sb.doc_id = c.id_b
+    """
+
+
+@query(
+    "d_containment_pairs",
+    oracle=_containment_oracle(),
+    doc=(
+        "Asymmetric-containment near-dup (|A∩B|/|A| and |A∩B|/|B|) "
+        "over MinHash band candidates: catches short-doc-inside-long-"
+        "doc duplication that symmetric Jaccard under-scores. Same "
+        "sub-quadratic candidate generation as d_minhash_lsh_df."
+    ),
+    tags=("llm", "dedup", "containment"),
+)
+def d_containment_pairs(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.dedup import minhash_containment_pairs_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_containment_pairs_df(docs, k=16, bands=4)
+
+
+@query(
+    "sim_pq_rerank_topk",
+    oracle=None,  # approx by construction; recall property-tested vs exact
+    doc=(
+        "Product-quantization ANN (IVF-PQ family): 8 subspace "
+        "codebooks of 32 seeded-KMeans centroids over the normalized "
+        "corpus, asymmetric-distance shortlist (corpus side = 8 "
+        "small-int codes per vector, 32x smaller than the floats; "
+        "query table broadcast), exact-cosine rerank on the "
+        "shortlist. The memory tier below SQ8 on the quantization "
+        "curve; recall 0.92 sf0.001 / 0.60 sf0.1 vs exact top-5 on "
+        "the near-random fixture vectors (IVF's own top-k recall "
+        "band here)."
+    ),
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def sim_pq_rerank_topk(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_rerank_topk(emb, queries, k=5, m=8, ksub=32, shortlist=50)

@@ -519,3 +519,48 @@ def p_file_lineage_metadata(spark, sf_dir):
         F.countDistinct("fname").alias("n_files"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "p_dpp_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS pri FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+      ON o.o_orderpriority = d.pri
+    GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "Dynamic partition pruning: orders written partitioned by "
+        "o_orderpriority, then joined to a filtered dim on the "
+        "partition column. Catalyst injects the dim's build-side "
+        "values as a runtime partition filter (dynamicpruning "
+        "subquery reusing the broadcast exchange), so the fact scan "
+        "reads 2/5 of the partitions — the lever that turns a 100 TB "
+        "scan into a per-key read. Plan shape asserted in "
+        "tests/test_plans.py (dynamicpruningexpression on the scan)."
+    ),
+    tags=("pipeline", "dpp", "scale"),
+)
+def p_dpp_pruned_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"orders_dpp_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["o_orderpriority"] == dim["pri"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents_total"),
+    )

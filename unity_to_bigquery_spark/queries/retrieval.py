@@ -75,3 +75,88 @@ def t_inverted_index(spark, sf_dir):
 def t_bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_TERMS, k=10)
+
+
+@query(
+    "t_collocations_lift",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM words WHERE len(ws) >= 2
+    ), bg_counts AS (
+      SELECT bg, COUNT(*) AS c_xy FROM bigrams GROUP BY bg
+    ), uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w
+    ), n_tot AS (
+      SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bg_counts
+    )
+    SELECT bg AS bigram,
+           CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(ux.c AS BIGINT) AS c_x,
+           CAST(uy.c AS BIGINT) AS c_y,
+           CAST((c_xy * n * 1000000) // (ux.c * uy.c) AS BIGINT) AS lift6
+    FROM bg_counts CROSS JOIN n_tot
+    JOIN uni ux ON ux.w = string_split(bg, ' ')[1]
+    JOIN uni uy ON uy.w = string_split(bg, ' ')[2]
+    WHERE c_xy >= 5
+    ORDER BY lift6 DESC, bigram
+    LIMIT 100
+    """,
+    doc=(
+        "Collocation mining: top-100 adjacent-word bigrams by lift "
+        "(c_xy*N/(c_x*c_y) — PMI without the log, so the score is "
+        "exact BIGINT arithmetic, portable across engines with zero "
+        "float risk). Bigram generation is a codegen transform over "
+        "the materialized words array; counts are two map-side-"
+        "combined hash aggregates; the unigram joins broadcast a "
+        "vocabulary-sized dim."
+    ),
+    tags=("text", "retrieval", "collocation"),
+)
+def t_collocations_lift(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from unity_to_bigquery_spark.llm.text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(words_col("text").alias("ws"))
+    bigrams = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("bg")
+        )
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = bg_counts.agg(F.sum("c_xy").cast("long").alias("n"))
+    ux = uni.select(F.col("w").alias("wx"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("w").alias("wy"), F.col("c").alias("c_y"))
+    return (
+        bg_counts.filter(F.col("c_xy") >= 5)
+        .crossJoin(F.broadcast(n_tot))
+        .join(F.broadcast(ux), F.split("bg", " ").getItem(0) == F.col("wx"))
+        .join(F.broadcast(uy), F.split("bg", " ").getItem(1) == F.col("wy"))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            F.expr("(c_xy * n * 1000000L) div (c_x * c_y)").alias("lift6"),
+        )
+        .orderBy(F.desc("lift6"), "bigram")
+        .limit(100)
+    )

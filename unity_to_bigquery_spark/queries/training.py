@@ -565,3 +565,52 @@ def p_exact_quota_split(spark, sf_dir):
         F.count(F.when(~heldout, 1)).alias("n_train"),
         F.sum(F.when(heldout, F.col("n_chars")).otherwise(0)).alias("heldout_chars"),
     )
+
+
+@query(
+    "p_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substring(md5('ws7#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                / 1152921504606846977.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS position,
+           doc_id, source, n_chars
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc=(
+        "Deterministic weighted sample (Efraimidis-Spirakis A-ES): "
+        "priority ln(u)/w with u a seeded md5-derived uniform and "
+        "w = n_chars, take the global top-50 by priority. One pass, "
+        "no replacement bookkeeping, order-independent — the "
+        "distributed-safe weighted sampler (each partition's top-50 "
+        "merge via TakeOrderedAndProject; at 100 TB this is a "
+        "map-side top-k, never a global sort). Seeded + doc_id "
+        "tiebreak -> reproducible across engines; weight by stored "
+        "n_chars (not length(text)) keeps the predicate on a stored "
+        "column."
+    ),
+    tags=("llm", "training", "sampling"),
+)
+def p_weighted_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # u in (0, 1]: (h+1) / (2^60 + 1); es_key = ln(u)/w, larger is better
+    h = _portable_hash(F.concat(F.lit("ws7#"), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(1152921504606846977.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
+
+    top = keyed.orderBy(F.desc("es_key"), "doc_id").limit(50)
+    return global_enumerate(top, [F.desc("es_key"), F.col("doc_id")]).select(
+        "position", "doc_id", "source", "n_chars"
+    )
