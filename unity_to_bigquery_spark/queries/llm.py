@@ -952,3 +952,39 @@ def sim_pq_rerank_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_adc_rerank_topk(emb, queries, k=5, m=8, ksub=32, shortlist=50)
+
+
+@query(
+    "p_neardup_scrub",
+    oracle=f"""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN (
+      SELECT DISTINCT id_b FROM ({_minhash_oracle()}) WHERE jaccard6 >= 850000
+    ) rm ON rm.id_b = d.doc_id
+    WHERE rm.id_b IS NULL
+    """,
+    doc=(
+        "End-to-end near-dup scrub: the corpus minus every document "
+        "with a LOWER-id near-duplicate witness (banded-MinHash pair, "
+        "verified Jaccard >= 0.85) — detect -> remove in one "
+        "declarative plan, min-id survivor per near-dup group (the "
+        "one-pass witness rule, same shape as SemDeDup pruning). "
+        "Candidate generation is the sub-quadratic band join; the "
+        "removal is a left-anti hash join on doc_id."
+    ),
+    tags=("llm", "dedup", "scrub"),
+)
+def p_neardup_scrub(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.dedup import minhash_lsh_pairs_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    removals = (
+        minhash_lsh_pairs_df(docs, k=16, bands=4)
+        .filter(F.col("jaccard6") >= 850000)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(removals, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )

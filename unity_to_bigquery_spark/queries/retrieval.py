@@ -160,3 +160,49 @@ def t_collocations_lift(spark, sf_dir):
         .orderBy(F.desc("lift6"), "bigram")
         .limit(100)
     )
+
+
+@query(
+    "t_oov_rate",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM w GROUP BY w
+    ), vocab AS (
+      SELECT w FROM cnt ORDER BY c DESC, w LIMIT 500
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           CAST((COUNT(*) FILTER (WHERE v.w IS NULL) * 1000000)
+                // COUNT(*) AS BIGINT) AS oov_rate6
+    FROM w LEFT JOIN vocab v ON w.w = v.w
+    GROUP BY source
+    """,
+    doc=(
+        "Out-of-vocabulary rate per source against the corpus's own "
+        "top-500 vocabulary (count desc, word tiebreak) — the "
+        "coverage metric a tokenizer build is judged by. Vocabulary "
+        "is a bounded top-k (broadcastable at any corpus size); the "
+        "rate is exact integer arithmetic."
+    ),
+    tags=("text", "retrieval", "vocab"),
+)
+def t_oov_rate(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from unity_to_bigquery_spark.llm.text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(words_col("text")).alias("w"))
+    cnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.desc("c"), "w").limit(500).select(F.col("w").alias("vw"))
+    joined = words.join(F.broadcast(vocab), words["w"] == F.col("vw"), "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("vw").isNull(), 1)).cast("long").alias("n_oov"),
+        F.expr(
+            "CAST((count(CASE WHEN vw IS NULL THEN 1 END) * 1000000L)"
+            " div count(1) AS BIGINT)"
+        ).alias("oov_rate6"),
+    )

@@ -614,3 +614,52 @@ def p_weighted_sample(spark, sf_dir):
     return global_enumerate(top, [F.desc("es_key"), F.col("doc_id")]).select(
         "position", "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "p_curriculum_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM documents
+    ), deciled AS (
+      SELECT doc_id, CAST(((r - 1) * 10) // n AS BIGINT) AS decile FROM ranked
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY decile,
+                              md5('cur42#' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS position,
+           doc_id, decile
+    FROM deciled
+    """,
+    doc=(
+        "Curriculum ordering: rank docs by a difficulty proxy (stored "
+        "n_chars, longest first), cut into 10 equal-count deciles via "
+        "rank arithmetic (floor((r-1)*10/N) — NOT ntile, whose "
+        "remainder placement differs across engines), then order "
+        "decile-by-decile with a seeded shuffle inside each. Both "
+        "enumerations run through operators/enumerate."
+        "global_enumerate (range sort + offsets), never a "
+        "single-partition global window."
+    ),
+    tags=("llm", "training", "curriculum"),
+)
+def p_curriculum_order(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ranked = global_enumerate(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.col("doc_id")],
+        position_col="__r",
+    )
+    deciled = ranked.select(
+        "doc_id",
+        (((F.col("__r") - 1) * 10) / F.lit(n)).cast("long").alias("decile"),
+        F.md5(F.concat(F.lit("cur42#"), F.col("doc_id").cast("string"))).alias("__k"),
+    )
+    return global_enumerate(
+        deciled, [F.col("decile"), F.col("__k"), F.col("doc_id")]
+    ).select("position", "doc_id", "decile")

@@ -323,3 +323,56 @@ def w_nth_value(spark, sf_dir):
             "second_date"
         ),
     )
+
+
+@query(
+    "w_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER w2 AS valid_to_us,
+           (LEAD(epoch_us(ts)) OVER w2 IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "SCD Type-2 dimension build from an event log: per-user "
+        "event_type change points become versioned validity intervals "
+        "[valid_from, valid_to) with an is_current flag — the "
+        "slowly-changing-dimension construction every warehouse "
+        "needs, as two window passes over one user_id partitioning "
+        "(Catalyst plans a single exchange). Unique (ts, event_id) "
+        "tiebreak; timestamps surfaced as exact integer micros."
+    ),
+    tags=("window", "scd2"),
+)
+def w_scd2_intervals(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
