@@ -404,3 +404,52 @@ def test_pq_rerank_recall_vs_exact(spark, sf_dir):
         for r in pq_adc_rerank_topk(emb, queries, k=5, m=8, ksub=32, shortlist=50).collect()
     }
     assert pq == pq2
+
+
+def test_textrank_matches_numpy_power_iteration(spark, sf_dir):
+    """TextRank ranks must match an exact NumPy implementation of the
+    same weighted-PageRank recurrence (same graph, damping, rounds)
+    within fixed-point tolerance."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.retrieval import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.word: r.rank6 for r in textrank_keywords(docs).collect()}
+
+    # rebuild the graph exactly: adjacent bigrams, symmetric, w >= 2
+    texts = [r.text for r in docs.select("text").collect()]
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                cnt[(a, b)] += 1
+    sym = Counter()
+    for (a, b), c in cnt.items():
+        sym[(a, b)] += c
+        sym[(b, a)] += c
+    sym = {e: c for e, c in sym.items() if c >= 2}
+    nodes = sorted({u for u, _ in sym})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for (u, v), c in sym.items():
+        outw[idx[u]] += c
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        new = np.full(n, (1.0 - d) / n)
+        contrib = np.zeros(n)
+        for (u, v), c in sym.items():
+            contrib[idx[v]] += r[idx[u]] * c / outw[idx[u]]
+        r = new + d * contrib
+    expect = {u: r[idx[u]] for u in nodes}
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp6 = {w: int(np.floor(v * 1e6 + 0.5)) for w, v in top}
+    assert set(got) == set(exp6)
+    for w in got:
+        assert abs(got[w] - exp6[w]) <= 2, (w, got[w], exp6[w])

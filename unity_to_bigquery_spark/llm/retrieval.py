@@ -108,3 +108,96 @@ def bm25_topk(
         .orderBy(F.desc("bm25_6"), F.col(id_col))
         .limit(k)
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text: str = "text",
+    damping: float = 0.85,
+    iters: int = 10,
+    topk: int = 20,
+    min_edge_count: int = 2,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    paper): weighted PageRank over the word co-occurrence graph built
+    from adjacent-word bigrams. Returns the top ``topk`` words by rank
+    with 1e-6 fixed-point scores (word tiebreak).
+
+    Spark shape: the graph is two hash aggregates (bigram counts ->
+    symmetric weighted edges); each PageRank round is one join
+    (edges x ranks, shuffled on the node key) + one sum aggregate.
+    Static relations (edges, out-weights) are persisted once; rank
+    generations are persisted per round and lineage is cut with
+    localCheckpoint mid-loop (same discipline as
+    llm/clusters.connected_components — rule: iterative loops must not
+    replay round 1..N-1 upstream work each round). Rounds are a fixed
+    ``iters`` (no convergence action), so the whole loop is ~2*iters
+    narrow-keyed shuffles over node-sized relations: vocabulary-sized,
+    NOT corpus-sized — this is why TextRank scales to any corpus whose
+    vocabulary fits a shuffle, independent of document count.
+
+    Approximate by construction (float fixed-point iteration):
+    property-tested against an exact NumPy power iteration, not
+    DuckDB-oracled.
+    """
+    from pyspark.sql import Window
+
+    from unity_to_bigquery_spark.llm.text import words_col
+
+    ws = docs.select(words_col(text).alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("u"),
+                    F.element_at("ws", i + 1).alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").filter(F.col("u") != F.col("v"))
+    counts = bigrams.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    sym = (
+        counts.unionAll(
+            counts.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") >= min_edge_count)
+        .persist()
+    )
+    outw = sym.groupBy("u").agg(F.sum("w").alias("outw")).persist()
+    nodes = outw.select("u")
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("u", F.lit(1.0 / n_nodes).alias("r")).persist()
+    for it in range(iters):
+        contrib = (
+            sym.join(outw, "u")
+            .join(ranks, "u")
+            .select(
+                F.col("v").alias("u2"),
+                (F.col("r") * F.col("w") / F.col("outw")).alias("c"),
+            )
+        )
+        agg = contrib.groupBy("u2").agg(F.sum("c").alias("in_sum"))
+        new_ranks = (
+            nodes.join(agg, nodes.u == F.col("u2"), "left")
+            .select(
+                "u",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                    "r"
+                ),
+            )
+            .persist()
+        )
+        if (it + 1) % 5 == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        old = ranks
+        ranks = new_ranks
+        old.unpersist()
+    scored = ranks.select(
+        F.col("u").alias("word"),
+        F.floor(F.col("r") * 1000000.0 + 0.5).cast("long").alias("rank6"),
+    )
+    return scored.orderBy(F.desc("rank6"), "word").limit(topk)

@@ -206,3 +206,23 @@ def t_oov_rate(spark, sf_dir):
             " div count(1) AS BIGINT)"
         ).alias("oov_rate6"),
     )
+
+
+@query(
+    "t_textrank_keywords",
+    oracle=None,  # float fixed-point iteration; differentially tested
+    # against an exact NumPy power iteration in tests/test_llm.py
+    doc=(
+        "TextRank keyword extraction (Mihalcea & Tarau 2004): weighted "
+        "PageRank (d=0.85, 10 rounds) over the adjacent-word "
+        "co-occurrence graph; top-20 words by rank. Each round is one "
+        "vocabulary-sized join + sum — corpus size only enters "
+        "through the one-time bigram count."
+    ),
+    tags=("text", "retrieval", "graph"),
+)
+def t_textrank_keywords(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.retrieval import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(docs)
