@@ -49,6 +49,11 @@ HEADLINE = (
     "d_chunk_dedup",
     "sim_semdedup_prune",
     "p_continuous_aggregate",
+    # round-3 batch 2/3 flagships
+    "d_simhash_neardup",
+    "p_neardup_scrub",
+    "t_textrank_keywords",
+    "sim_pq_rerank_topk",
 )
 
 

@@ -791,3 +791,45 @@ def test_version_at_timestamp_time_travel(spark, root):
     assert _rows(t.read(t.version_at(ts_between)).select("k", "v")) == [(1, "a")]
     with pytest.raises(NoSuchVersionError):
         t.version_at(0.0)
+
+
+def test_export_manifest_interop_and_pinning(spark, tmp_path):
+    """export_manifest lists exactly the snapshot's live files; DuckDB
+    scans those paths directly and matches the table read; later
+    commits don't mutate an existing export; delete-bearing snapshots
+    are refused."""
+    import duckdb
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    df = spark.range(100).selectExpr("id", "id % 5 AS k", "id * 2 AS v")
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(df)
+    export = t.export_manifest()
+    paths = [ln.strip() for ln in open(export)]
+    assert paths == sorted(paths) and paths
+    con = duckdb.connect()
+    duck_n, duck_sum = con.execute(
+        "SELECT COUNT(*), SUM(v) FROM read_parquet(?)", [paths]
+    ).fetchone()
+    rows = t.read(1).agg({"v": "sum"}).collect()[0][0]
+    assert duck_n == 100 and int(duck_sum) == int(rows)
+
+    before = open(export, "rb").read()
+    t.commit_append(df.limit(3))
+    assert open(export, "rb").read() == before  # pinned: v1 export untouched
+    export2 = t.export_manifest()  # latest export sees both commits
+    paths2 = [ln.strip() for ln in open(export2)]
+    assert set(paths) < set(paths2)
+    n2 = con.execute(
+        "SELECT COUNT(*) FROM read_parquet(?)", [paths2]
+    ).fetchone()[0]
+    assert n2 == 103
+    # re-export is content-stable
+    assert open(t.export_manifest(1), "rb").read() == before
+
+    t.commit_delete_where(df.limit(2).select("id"), key="id")
+    import pytest
+
+    with pytest.raises(ValueError, match="delete-free"):
+        t.export_manifest()

@@ -56,6 +56,19 @@ QUERIES = [
     "t_vocab_topk",
     "sim_semdedup_prune",
     "e_kll_mergeable_quantiles",
+    # round-3 batch 2/3 additions
+    "d_simhash_neardup",
+    "d_containment_pairs",
+    "p_neardup_scrub",
+    "j_fuzzy_part_match",
+    "j_lateral_topk_nation",
+    "t_collocations_lift",
+    "t_oov_rate",
+    "p_weighted_sample",
+    "w_scd2_intervals",
+    "p_curriculum_order",
+    "t_textrank_keywords",
+    "sim_pq_rerank_topk",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.

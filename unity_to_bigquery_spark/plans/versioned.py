@@ -1104,3 +1104,35 @@ class VersionedTable:
                 f"no version at or before ts={ts} in {self.root}"
             )
         return best
+
+    def export_manifest(self, version: int | None = None) -> str:
+        """Snapshot export for external engines (Delta ``GENERATE
+        symlink_format_manifest`` analogue): write the snapshot's live
+        data-file paths — one absolute path per line — to
+        ``<root>/_exports/manifest-v<version>.txt`` and return that
+        path. Any parquet reader (DuckDB, Trino, Presto) can then scan
+        exactly this snapshot without understanding the manifest log;
+        the export names a pinned version, so later commits never
+        change what an external reader sees.
+
+        Written temp-then-rename (atomic on POSIX) and content-stable:
+        re-exporting the same version rewrites identical bytes.
+        Requires a delete-free snapshot (same guard as shallow clone):
+        merge-on-read equality deletes cannot be represented as a bare
+        file list — ``compact()`` first to materialize them.
+        """
+        m = self.manifest(version)
+        if m.get("deletes"):
+            raise ValueError(
+                "export requires a delete-free snapshot: compact() first to "
+                "materialize merge-on-read deletes"
+            )
+        out_dir = os.path.join(self.root, "_exports")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"manifest-v{m['version']}.txt")
+        tmp = out + ".tmp"
+        with open(tmp, "w") as fh:
+            for f in sorted(m["files"]):
+                fh.write(os.path.join(self.root, DATA_DIR, f) + "\n")
+        os.replace(tmp, out)
+        return out

@@ -564,3 +564,49 @@ def p_dpp_pruned_join(spark, sf_dir):
         .cast("long")
         .alias("cents_total"),
     )
+
+
+@query(
+    "p_versioned_export_manifest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Snapshot export for external engines (Delta GENERATE "
+        "symlink_format_manifest analogue): commit orders to a "
+        "VersionedTable, export the pinned file list, then scan "
+        "EXACTLY the exported paths (not the table API) and "
+        "aggregate — proving the export names the complete snapshot. "
+        "A later commit must not change what the export reads "
+        "(exercised here: a second commit lands after the export). "
+        "DuckDB-side interop (duckdb reading the exported parquet "
+        "paths directly) is asserted in tests/test_versioned.py."
+    ),
+    tags=("pipeline", "versioned", "export"),
+)
+def p_versioned_export_manifest(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_export_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders)
+    export = t.export_manifest()
+    # a later commit must not affect what the export describes
+    t.commit_append(orders.limit(7))
+    with open(export) as fh:
+        paths = [ln.strip() for ln in fh if ln.strip()]
+    back = spark.read.parquet(*paths)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+            "total2"
+        ),
+    )
