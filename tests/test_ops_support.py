@@ -135,3 +135,26 @@ def test_streaming_error_listener_notifies_on_failure(spark, tmp_path):
         assert len(notifier.sent) == n_after_failure  # clean run: no noise
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_plan_backfill_windows_covers_range_exactly():
+    from datetime import date
+
+    from unity_to_bigquery_spark.plans.ops_support import plan_backfill_windows
+
+    w = plan_backfill_windows(date(2025, 1, 1), date(2025, 3, 15), max_days=30)
+    # contiguous, non-overlapping, exact cover, all within the cap
+    assert w[0][0] == date(2025, 1, 1) and w[-1][1] == date(2025, 3, 15)
+    for (s1, e1), (s2, e2) in zip(w, w[1:]):
+        assert e1 == s2
+    assert all((e - s).days <= 30 and (e - s).days >= 1 for s, e in w)
+    assert sum((e - s).days for s, e in w) == (date(2025, 3, 15) - date(2025, 1, 1)).days
+    # degenerate cases
+    assert plan_backfill_windows(date(2025, 1, 1), date(2025, 1, 1)) == []
+    assert plan_backfill_windows(date(2025, 1, 2), date(2025, 1, 1)) == []
+    one = plan_backfill_windows(date(2025, 1, 1), date(2025, 1, 2))
+    assert one == [(date(2025, 1, 1), date(2025, 1, 2))]
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_backfill_windows(date(2025, 1, 1), date(2025, 2, 1), max_days=0)

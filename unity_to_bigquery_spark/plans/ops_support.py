@@ -149,3 +149,34 @@ def streaming_error_listener(spark, notifier: ErrorNotifier):
     listener = _Listener()
     spark.streams.addListener(listener)
     return listener
+
+
+def plan_backfill_windows(start_date, end_date, max_days: int = 30):
+    """Split a historical backfill range into export-sized windows.
+
+    The reference's export API caps history at 30 days and the script
+    simply requests ``today - timedelta(days=30)`` once, silently
+    dropping anything older (Unity_to_BigQuery.py:157, README.md:20).
+    A correct backfill instead walks the full range in ``max_days``
+    chunks, oldest first, each window feeding one export request whose
+    completion is checkpointed (A11/A12) before the next — so a crash
+    resumes at the first un-checkpointed window, never re-exporting or
+    skipping history.
+
+    Returns a list of (window_start, window_end) date pairs, end
+    exclusive, covering [start_date, end_date) exactly with no overlap;
+    empty when start >= end. Driver-side metadata planning (a dozen
+    tuples), not a data-plane operator.
+    """
+    from datetime import timedelta
+
+    if max_days < 1:
+        raise ValueError("max_days must be >= 1")
+    windows = []
+    cur = start_date
+    step = timedelta(days=max_days)
+    while cur < end_date:
+        nxt = min(cur + step, end_date)
+        windows.append((cur, nxt))
+        cur = nxt
+    return windows
