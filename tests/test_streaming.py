@@ -917,3 +917,49 @@ def test_versioned_streaming_source_rate_limit(spark, tmp_path):
         if p_["numInputRows"] > 0
     ]
     assert paced and all(n <= 2 for n in paced), paced
+
+
+def test_continuous_aggregate_stream_is_live_and_exactly_once(spark, tmp_path):
+    """Streaming-driven materialized view: draining the versioned
+    stream refreshes the rollup to match a full recompute; a new
+    source commit + second drain folds only the delta; re-draining
+    with nothing new changes nothing."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import continuous_aggregate_stream
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit_append(
+        spark.sql("SELECT 'a' AS k, CAST(1.5 AS DOUBLE) AS x UNION ALL SELECT 'b', CAST(2.0 AS DOUBLE)").coalesce(1)
+    )
+    src.commit_append(spark.sql("SELECT 'a' AS k, CAST(0.25 AS DOUBLE) AS x").coalesce(1))
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="k", measures={"sum_x6": "x"}
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = continuous_aggregate_stream(agg, ckpt)
+        q.awaitTermination()
+
+    def rollup():
+        return {
+            r.k: (r.n, r.sum_x6) for r in agg.table.read().collect()
+        }
+
+    drain()
+    assert rollup() == {"a": (2, 1750000), "b": (1, 2000000)}
+    assert agg.last_refreshed() == 2
+
+    # live: new commit, second drain folds only the delta
+    src.commit_append(spark.sql("SELECT 'b' AS k, CAST(0.5 AS DOUBLE) AS x").coalesce(1))
+    drain()
+    assert rollup() == {"a": (2, 1750000), "b": (2, 2500000)}
+    assert agg.last_refreshed() == 3
+
+    # idle drain: no source change -> no rollup commit
+    v_before = agg.table.latest_version()
+    drain()
+    assert agg.table.latest_version() == v_before

@@ -183,3 +183,27 @@ def read_blob_store(spark, root: str) -> DataFrame:
         F.col("length").alias("n_bytes_meta"),
         F.col("content").alias("payload"),
     )
+
+
+def payload_hashes(media: DataFrame) -> DataFrame:
+    """Python-side content hash per blob: (doc_id, media_type,
+    payload_md5) with the md5 computed by hashlib over the raw binary
+    payload inside a mapInPandas kernel — the building block for
+    media-level exact dedup. The hash travels Arrow-batched; at 100 TB
+    the payload column never leaves the executor (only the 32-char
+    hash is shuffled downstream)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_md5": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, "doc_id BIGINT, media_type STRING, payload_md5 STRING")

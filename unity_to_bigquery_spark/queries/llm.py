@@ -992,3 +992,34 @@ def p_neardup_scrub(spark, sf_dir):
     return docs.join(removals, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "m_blob_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc=(
+        "Media-level exact dedup: blob payloads hashed PYTHON-side "
+        "(hashlib over the raw binary through the Arrow batch path — "
+        "proving byte-exact binary transfer), then the standard "
+        "min-id-survivor groupBy on the 32-char hash. Only hashes "
+        "shuffle; payload bytes never leave the map stage. Oracle "
+        "recomputes the same md5 from the source text the blobs were "
+        "synthesized from."
+    ),
+    tags=("multimodal", "dedup", "udf"),
+)
+def m_blob_dedup(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import payload_hashes, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = payload_hashes(synthesize_media(docs))
+    return hashes.groupBy("payload_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("survivor_id"),
+    )

@@ -401,3 +401,37 @@ def neardup_ingest_sink(
         keys.unpersist()
 
     return write_batch
+
+
+def continuous_aggregate_stream(agg, checkpoint_dir: str):
+    """LIVE materialized view: drive ``ContinuousAggregate.refresh()``
+    from a Structured Streaming query over the source table's manifest
+    log (the versioned_table stream source) with
+    ``Trigger.AvailableNow`` — commit-to-rollup maintenance without a
+    scheduler.
+
+    The micro-batch ROWS are only the trigger: ``refresh()`` re-reads
+    the delta by SOURCE VERSION (``changes(last, now)``) and folds it
+    under a version-keyed txn commit, so exactly-once stays anchored
+    to the manifest log, not to Spark batch ids — a replayed batch
+    after checkpoint loss re-runs refresh() as a no-op rather than
+    double-counting. Returns the started query; callers await it.
+    """
+    from unity_to_bigquery_spark.sources import versioned_stream
+
+    versioned_stream.register(agg.spark)
+    stream = (
+        agg.spark.readStream.format("versioned_table")
+        .option("path", agg.source.root)
+        .load()
+    )
+
+    def fold(_df, _batch_id):
+        agg.refresh()
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
