@@ -833,3 +833,77 @@ def test_export_manifest_interop_and_pinning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="delete-free"):
         t.export_manifest()
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """set_partitioning changes FUTURE write layout without rewriting
+    history; mixed-layout reads stay correct; replace_where refuses
+    when pre-evolution files may hold touched rows, allows when stats
+    prove disjointness, and works fully after compact() rewrites the
+    table under the current spec; a fresh instance with no constructor
+    hint picks up the evolved spec from the log."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    df1 = spark.range(10).selectExpr(
+        "CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS k1",
+        "CAST(id % 3 AS INT) AS k2",
+        "id AS v",
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"), partition_col="k1")
+    t.commit_append(df1.coalesce(1))
+    assert t.current_partition_col() == "k1"
+
+    t.set_partitioning("k2")
+    assert t.current_partition_col() == "k2"
+
+    # a fresh handle with NO constructor hint reads the spec off the log
+    t2 = VersionedTable(spark, str(tmp_path / "tbl"))
+    assert t2.current_partition_col() == "k2"
+
+    # future writes lay out under the new spec; old files untouched
+    df2 = spark.range(10, 20).selectExpr(
+        "'c' AS k1", "CAST(3 + id % 2 AS INT) AS k2", "id AS v"
+    )
+    t2.commit_append(df2.coalesce(1))
+    newest = [
+        f for f in t2.manifest()["files"]
+        if f not in set(t.manifest(2)["files"])
+    ]
+    assert newest and all("__p_k2=" in f for f in newest)
+    assert sum(1 for f in t2.manifest()["files"] if "__p_k1=" in f) > 0
+
+    # mixed-layout read: everything present
+    assert t2.read().count() == 20
+    assert t2.read().filter(F.col("k2") == 3).count() == \
+        df2.filter(F.col("k2") == 3).count()
+
+    # replace_where on a k2 value present in pre-evolution files: refuse
+    with pytest.raises(ValueError, match="predates the current partition spec"):
+        t2.commit_replace_where(
+            spark.range(0).selectExpr("'x' AS k1", "CAST(0 AS INT) AS k2", "id AS v"),
+            [0],
+        )
+    # ...but a value provably OUTSIDE old files' k2 range is allowed
+    repl = spark.sql(
+        "SELECT 'c' AS k1, CAST(4 AS INT) AS k2, CAST(99 AS BIGINT) AS v"
+    )
+    t2.commit_replace_where(repl.coalesce(1), [4])
+    assert t2.read().filter("k2 = 4").count() == 1
+    assert t2.read().count() == 20 - df2.filter("k2 = 4").count() + 1
+
+    # compact rewrites everything under the current spec: replace_where
+    # on any k2 value now works
+    t2.compact(target_files=1)
+    assert all("__p_k2=" in f for f in t2.manifest()["files"])
+    n_before = t2.read().count()
+    n_k2_0 = t2.read().filter("k2 = 0").count()
+    t2.commit_replace_where(
+        spark.sql("SELECT 'z' AS k1, CAST(0 AS INT) AS k2, CAST(1000 AS BIGINT) AS v""").coalesce(1),
+        [0],
+    )
+    assert t2.read().count() == n_before - n_k2_0 + 1

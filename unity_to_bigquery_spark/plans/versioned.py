@@ -70,6 +70,9 @@ class NoSuchVersionError(ValueError):
     pass
 
 
+_UNSET = object()  # sentinel: "no partition-spec override in flight"
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -147,6 +150,46 @@ class VersionedTable:
                 return json.load(fh)
         except FileNotFoundError:
             raise NoSuchVersionError(f"no version {version} in {self.root}") from None
+
+    def current_partition_col(self) -> str | None:
+        """The table's CURRENT partition spec: the latest manifest's
+        recorded spec when present (set at publish / evolved via
+        :meth:`set_partitioning`), else the constructor argument —
+        so a reader/writer opening an evolved table with no
+        constructor hint still lays out new files correctly."""
+        m = self.manifest()
+        if "partition_col" in m:
+            return m["partition_col"]
+        return self.partition_col
+
+    def set_partitioning(self, col: str | None) -> int:
+        """PARTITION SPEC EVOLUTION (Iceberg-style): a metadata-only
+        commit that changes the layout of FUTURE writes. Existing files
+        keep their old directory layout and remain fully readable —
+        scans are layout-independent (explicit file lists; the
+        partition column is stored in the data files themselves), so
+        no rewrite happens. Partition-scoped operations
+        (``commit_replace_where``) on a mixed-layout table refuse
+        unless pre-evolution files provably contain no rows for the
+        touched partitions (footer stats); ``compact()`` rewrites the
+        whole table under the current spec and clears the mixture."""
+        for _ in range(20):
+            base = self.manifest()
+            self._partition_override = col
+            try:
+                v = self._publish_once(
+                    base, base["files"], f"set_partitioning({col})",
+                    base.get("schema"),
+                )
+                self.partition_col = col
+                return v
+            except FileExistsError:
+                continue
+            finally:
+                self._partition_override = _UNSET
+        raise ConcurrentWriteError(
+            "set_partitioning could not publish after 20 attempts"
+        )
 
     def history(self) -> list[dict]:
         return [
@@ -428,9 +471,10 @@ class VersionedTable:
         self.spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        if self.partition_col:
-            dir_col = _PART_DIR_PREFIX + self.partition_col
-            df = df.withColumn(dir_col, F.col(self.partition_col))
+        pc = self.current_partition_col()
+        if pc:
+            dir_col = _PART_DIR_PREFIX + pc
+            df = df.withColumn(dir_col, F.col(pc))
             df.write.mode("error").partitionBy(dir_col).parquet(target)
         else:
             df.write.mode("error").parquet(target)
@@ -643,14 +687,36 @@ class VersionedTable:
         Raises ConcurrentWriteError if another commit touched the SAME
         partitions between snapshot and publish; disjoint concurrent
         commits merge cleanly on retry."""
-        if not self.partition_col:
+        pc = self.current_partition_col()
+        if not pc:
             raise ValueError("replace_where requires a partitioned table")
         self._enforce(df)
         staged = self._write_files(df)
-        wanted = {f"{_PART_DIR_PREFIX}{self.partition_col}={v}" for v in partition_values}
+        wanted = {f"{_PART_DIR_PREFIX}{pc}={v}" for v in partition_values}
+        spec_prefix = f"{_PART_DIR_PREFIX}{pc}="
 
         def touched(path: str) -> bool:
             return any(seg in wanted for seg in path.split(os.sep))
+
+        def under_spec(path: str) -> bool:
+            return any(seg.startswith(spec_prefix) for seg in path.split(os.sep))
+
+        def provably_disjoint(m: dict, f: str) -> bool:
+            """A pre-evolution (or unpartitioned) file is safe to keep
+            only if footer stats prove it holds NO rows for the touched
+            partitions — same logic as equality file-skipping."""
+            s = m.get("stats", {}).get(f, {})
+            ds = s.get(f"distinct:{pc}")
+            if ds is not None:
+                return not set(partition_values).intersection(ds)
+            rng = s.get(pc)
+            if rng is not None:
+                return not any(
+                    (rng[0] is None or rng[0] <= _iso_norm(v))
+                    and (rng[1] is None or _iso_norm(v) <= rng[1])
+                    for v in partition_values
+                )
+            return False  # no stats: cannot prove anything
 
         snap = self.manifest()
         for _ in range(20):
@@ -665,6 +731,14 @@ class VersionedTable:
                             f"partition(s) {sorted(wanted)} modified concurrently"
                         )
                 snap = base
+            for f in base["files"]:
+                if not under_spec(f) and not provably_disjoint(base, f):
+                    raise ValueError(
+                        f"file {f} predates the current partition spec "
+                        f"({pc}) and its stats cannot prove it holds no "
+                        f"rows for {sorted(partition_values)} — compact() "
+                        "to rewrite the table under the current spec first"
+                    )
             keep = [f for f in base["files"] if not touched(f)]
             try:
                 return self._publish_once(
@@ -695,6 +769,11 @@ class VersionedTable:
             self._constraints_override
             if getattr(self, "_constraints_override", None) is not None
             else base.get("constraints", {})
+        )
+        override = getattr(self, "_partition_override", _UNSET)
+        partition_col = (
+            override if override is not _UNSET
+            else base.get("partition_col", self.partition_col)
         )
         # sequence numbers: every data file remembers the version that
         # added it, so equality deletes apply only to files at least as
@@ -727,6 +806,7 @@ class VersionedTable:
                 "file_versions": file_versions,
                 "deletes": deletes,
                 "constraints": constraints,
+                "partition_col": partition_col,
             },
             indent=0,
         )
@@ -870,8 +950,9 @@ class VersionedTable:
         if not snap["files"]:
             return snap["version"]
         df = self.read(snap["version"])
-        if self.partition_col:
-            df = df.repartition(target_files, F.col(self.partition_col))
+        pc = self.current_partition_col()
+        if pc:
+            df = df.repartition(target_files, F.col(pc))
         else:
             df = df.coalesce(target_files)
         staged = self._write_files(df)
@@ -1058,7 +1139,7 @@ class VersionedTable:
                 "materialize merge-on-read deletes"
             )
         dest = VersionedTable(spark_or_none or self.spark, dest_root,
-                              partition_col=self.partition_col)
+                              partition_col=self.current_partition_col())
         staged = []
         dest._staged_stats = {}
         src_stats = src.get("stats", {})
