@@ -376,3 +376,74 @@ def w_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+@query(
+    "w_scd2_asof_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), states AS (
+      SELECT user_id, event_type, event_id, ts AS vf,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM changes
+    ), probes AS (
+      SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS t FROM events
+    )
+    SELECT p.event_id, p.user_id,
+           s.event_type AS state_1h,
+           epoch_us(s.vf) AS since_us
+    FROM probes p JOIN states s
+      ON s.user_id = p.user_id AND s.vf <= p.t AND (s.vt IS NULL OR p.t < s.vt)
+    """,
+    doc=(
+        "Temporal dimension lookup: for every event, the user's SCD2 "
+        "state one hour later — the fact-to-versioned-dim join every "
+        "warehouse does against slowly-changing dimensions. Runs as "
+        "the single-shuffle union-carry-forward as-of join "
+        "(operators/joins.asof_join), NOT a range nested-loop; the "
+        "oracle expresses the identical semantics as interval "
+        "containment over the lead()-closed intervals."
+    ),
+    tags=("window", "scd2", "asof"),
+)
+def w_scd2_asof_lookup(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("change_id"),
+            F.col("event_type").alias("state_1h"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    probes = events.select(
+        "event_id", "user_id", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t")
+    )
+    joined = asof_join(
+        probes,
+        changes,
+        on=["user_id"],
+        left_ts="t",
+        right_ts="cts",
+        payload=["change_id", "state_1h"],
+    )
+    # since_us: recover the matched change's timestamp via change_id
+    cts = changes.select("change_id", F.unix_micros("cts").alias("since_us"))
+    return joined.join(cts, "change_id").select(
+        "event_id", "user_id", "state_1h", "since_us"
+    )
