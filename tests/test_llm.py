@@ -454,3 +454,37 @@ def test_textrank_matches_numpy_power_iteration(spark, sf_dir):
     assert set(got) == set(exp6)
     for w in got:
         assert abs(got[w] - exp6[w]) <= 2, (w, got[w], exp6[w])
+
+
+def test_fpgrowth_size2_matches_exact_pair_counts(spark, sf_dir):
+    """pyspark.ml FPGrowth at minSupport s must emit exactly the
+    size-2 itemsets whose exact co-occurrence count >= ceil(s * n),
+    with identical frequencies — the ML frequent-itemset surface
+    validated against the oracle-checked relational computation."""
+    import math
+
+    from pyspark.ml.fpm import FPGrowth
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    n = baskets.count()
+    s = 3.0 / n  # support equivalent to "co-ordered in >= 3 baskets"
+    model = FPGrowth(itemsCol="items", minSupport=s, minConfidence=0.5).fit(baskets)
+    fp2 = {
+        (min(r.items), max(r.items)): r.freq
+        for r in model.freqItemsets.filter(F.size("items") == 2).collect()
+    }
+    exact_q = __import__(
+        "unity_to_bigquery_spark.registry", fromlist=["all_queries"]
+    ).all_queries()["a_basket_pairs"]
+    exact = {
+        (r.part_a, r.part_b): r.n_baskets
+        for r in exact_q.spark(spark, sf_dir).collect()
+    }
+    thresh = math.ceil(s * n)
+    assert thresh == 3
+    assert fp2 == exact

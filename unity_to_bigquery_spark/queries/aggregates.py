@@ -467,3 +467,50 @@ def a_salted_hotkey_agg(spark, sf_dir):
         salt_col="l_orderkey",
         n_salt=16,
     )
+
+
+@query(
+    "a_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey
+    ), ex AS (
+      SELECT l_orderkey, unnest(items) AS p FROM baskets
+    )
+    SELECT a.p AS part_a, b.p AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM ex a JOIN ex b
+      ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING COUNT(*) >= 3
+    """,
+    doc=(
+        "Market-basket pair mining: part pairs co-ordered in >= 3 "
+        "orders. Distinct items per basket first (bounded basket "
+        "width), in-basket self-join keyed on the order — work is "
+        "sum(|basket|^2), never a corpus cross product — then one "
+        "hash aggregate on the pair. tests/test_llm.py proves "
+        "pyspark.ml FPGrowth's size-2 itemsets reproduce exactly "
+        "this relation at the equivalent support threshold."
+    ),
+    tags=("aggregate", "basket", "fpm"),
+)
+def a_basket_pairs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ex = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .select("l_orderkey", F.explode("items").alias("p"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 3)
+    )
