@@ -488,3 +488,47 @@ def test_fpgrowth_size2_matches_exact_pair_counts(spark, sf_dir):
     thresh = math.ceil(s * n)
     assert thresh == 3
     assert fp2 == exact
+
+
+def test_prefixspan_length2_matches_exact_sequence_counts(spark, sf_dir):
+    """pyspark.ml PrefixSpan at the equivalent minSupport must emit
+    exactly the length-2 singleton patterns whose exact ordered-pair
+    user support >= 3, with identical frequencies."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    from unity_to_bigquery_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.orderBy("ts", "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.col("event_type").alias("t")
+                        )
+                    )
+                ),
+                lambda s: F.array(s["t"]),
+            ).alias("sequence")
+        )
+    )
+    n = seqs.count()
+    ps = PrefixSpan(
+        minSupport=3.0 / n, maxPatternLength=2, sequenceCol="sequence"
+    )
+    got = {
+        (r.sequence[0][0], r.sequence[1][0]): r.freq
+        for r in ps.findFrequentSequentialPatterns(seqs).collect()
+        if len(r.sequence) == 2
+    }
+    exact_q = __import__(
+        "unity_to_bigquery_spark.registry", fromlist=["all_queries"]
+    ).all_queries()["e_seq_pairs"]
+    exact = {
+        (r.type_a, r.type_b): r.n_users
+        for r in exact_q.spark(spark, sf_dir).collect()
+    }
+    assert got == exact

@@ -721,3 +721,54 @@ def e_path_transitions(spark, sf_dir):
         .orderBy(F.desc("n"), "prev_type", "next_type")
         .limit(20)
     )
+
+
+@query(
+    "e_seq_pairs",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    GROUP BY a.event_type, b.event_type
+    HAVING COUNT(DISTINCT a.user_id) >= 3
+    """,
+    doc=(
+        "Sequential-pattern pair mining: (A then B) event-type "
+        "patterns supported by >= 3 users, via a per-user ordered "
+        "self-join (total order = (ts, event_id)) and a distinct-user "
+        "count. Work is sum(|user timeline|^2) inside the user key — "
+        "never a global product. tests/test_llm.py proves pyspark.ml "
+        "PrefixSpan's length-2 singleton patterns reproduce exactly "
+        "this relation at the equivalent support."
+    ),
+    tags=("events", "sequence", "fpm"),
+)
+def e_seq_pairs(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    a = events.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("id_a"),
+    ).alias("a")
+    b = events.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (
+            (F.col("ts_a") < F.col("ts_b"))
+            | ((F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b")))
+        ),
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.countDistinct(F.col("a.user_id")).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= 3)
+    )
