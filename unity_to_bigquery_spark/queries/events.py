@@ -772,3 +772,67 @@ def e_seq_pairs(spark, sf_dir):
         .agg(F.countDistinct(F.col("a.user_id")).cast("long").alias("n_users"))
         .filter(F.col("n_users") >= 3)
     )
+
+
+@query(
+    "e_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+             COUNT(*) AS o
+      FROM events GROUP BY event_type, cohort
+    ), margins AS (
+      SELECT event_type, cohort, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY cohort)     AS col_tot,
+             SUM(o) OVER ()                        AS n
+      FROM obs
+    )
+    SELECT event_type, cohort, CAST(o AS BIGINT) AS observed,
+           CAST(FLOOR(row_tot * col_tot / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS expected6,
+           CAST(FLOOR(
+             (o - row_tot * col_tot / CAST(n AS DOUBLE))
+             * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+             / (row_tot * col_tot / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS chi2_contrib6
+    FROM margins
+    """,
+    doc=(
+        "Chi-square independence audit: observed vs expected counts "
+        "for the event_type x cohort contingency table, with each "
+        "cell's chi2 contribution — the data-drift / A-B "
+        "sample-ratio-mismatch test over exact integer margins "
+        "(window sums share one pass; expected values derive from "
+        "the same double arithmetic in both engines, floored to "
+        "1e-6)."
+    ),
+    tags=("events", "statistics"),
+)
+def e_chi2_independence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    obs = (
+        events.select("event_type", (F.col("user_id") % 4).cast("long").alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wall = Window.partitionBy()
+    m = (
+        obs.withColumn("row_tot", F.sum("o").over(wr))
+        .withColumn("col_tot", F.sum("o").over(wc))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "cohort",
+        F.col("o").cast("long").alias("observed"),
+        F.floor(e * 1000000.0 + 0.5).cast("long").alias("expected6"),
+        F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("chi2_contrib6"),
+    )
