@@ -610,3 +610,50 @@ def p_versioned_export_manifest(spark, sf_dir):
             "total2"
         ),
     )
+
+
+@query(
+    "p_versioned_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Partition spec evolution end-to-end: commit pre-1996 orders "
+        "under an o_orderstatus layout, evolve the spec to "
+        "o_orderpriority (metadata-only), commit the rest under the "
+        "new layout, then aggregate the MIXED-LAYOUT snapshot — must "
+        "equal the source table exactly. Reads are layout-independent "
+        "(explicit file lists + partition column stored in data "
+        "files), which is why evolution needs no history rewrite."
+    ),
+    tags=("pipeline", "versioned", "evolution"),
+)
+def p_versioned_partition_evolution(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    path = _tmp(f"versioned_specevo_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path, partition_col="o_orderstatus")
+    t.commit_append(orders.filter(F.col("o_orderdate") < cutoff))
+    t.set_partitioning("o_orderpriority")
+    # a FRESH handle (no constructor hint) must pick the spec off the log
+    t2 = VersionedTable(spark, path)
+    t2.commit_append(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        t2.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+                "total2"
+            ),
+        )
+    )
