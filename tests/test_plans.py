@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
     "q11_important_supply_value",
     "q22_global_sales_opportunity",
     "sim_cosine_topk",
+    "sim_semantic_decontaminate",
     "sim_ivf_topk",
     "sim_ivf_neardup_pairs",
     "sim_sq8_rerank_topk",

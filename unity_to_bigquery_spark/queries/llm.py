@@ -1023,3 +1023,58 @@ def m_blob_dedup(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_copies"),
         F.min("doc_id").cast("long").alias("survivor_id"),
     )
+
+
+@query(
+    "sim_semantic_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), corpus AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings WHERE vec_id % 97 <> 0
+    ), flagged AS (
+      SELECT DISTINCT c.vec_id
+      FROM corpus c JOIN bench b ON TRUE
+      WHERE CAST(FLOOR(
+              list_sum(list_transform(list_zip(c.embedding, b.embedding),
+                                      s -> s[1]::DOUBLE * s[2]::DOUBLE))
+              / (c.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) >= 350000
+    )
+    SELECT c.vec_id, (f.vec_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN flagged f ON c.vec_id = f.vec_id
+    """,
+    doc=(
+        "SEMANTIC decontamination: flag training vectors whose cosine "
+        "to ANY held-out benchmark vector (vec_id % 97 = 0 stands in "
+        "for the benchmark embedding set) reaches 0.35 — the "
+        "embedding-space complement of the shingle-overlap "
+        "t_decontaminate. The benchmark side is small by construction "
+        "-> broadcast against the corpus stream, exact cosine in "
+        "codegen; at 100 TB the corpus is never shuffled, and a "
+        "larger benchmark drops into the IVF-blocked path "
+        "(sim_ivf_neardup_pairs) unchanged."
+    ),
+    tags=("llm", "similarity", "decontamination"),
+)
+def sim_semantic_decontaminate(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import cosine6
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    flagged = (
+        corpus.crossJoin(F.broadcast(bench))
+        .filter(cosine6(F.col("embedding"), F.col("bvec")) >= 350000)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return corpus.join(flagged, "vec_id", "left").select(
+        "vec_id", F.coalesce("__hit", F.lit(False)).alias("contaminated")
+    )
