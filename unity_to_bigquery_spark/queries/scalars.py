@@ -570,3 +570,77 @@ def f_xml_ops(spark, sf_dir):
         parsed.getField("src").alias("src_val"),
         F.xpath_string(x, F.lit("/doc/lang/@code")).alias("lang_attr"),
     )
+
+
+@query(
+    "f_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS disc_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN "
+        "expr): the discounted-price function declared IN SQL, then "
+        "used inside an aggregate. Catalyst inlines the body into the "
+        "plan — full codegen, no Python boundary — which is exactly "
+        "why SQL UDFs are the scale-safe default over F.udf. Oracle "
+        "inlines the same expression."
+    ),
+    tags=("function", "sql-udf"),
+)
+def f_sql_udf(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_sqludf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(p * (1.0 - d) * 100.0 + 0.5) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS disc_cents
+        FROM _sqludf_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "f_collation_ci",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT MIN(seg) AS rep, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(seg)
+    """,
+    doc=(
+        "Case-insensitive string collation (Spark 4 COLLATE "
+        "UNICODE_CI): a deterministically case-mangled segment column "
+        "grouped under the CI collation — upper/lower variants land "
+        "in one group without materializing a normalized key. The "
+        "group representative is the binary MIN of the original "
+        "strings (deterministic in both engines); the oracle models "
+        "the same partition with lower()."
+    ),
+    tags=("function", "collation"),
+)
+def f_collation_ci(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    mixed = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    return (
+        mixed.groupBy(F.expr("seg COLLATE UNICODE_CI").alias("__g"))
+        .agg(
+            F.min(F.col("seg")).alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("rep", "n")
+    )
