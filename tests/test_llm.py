@@ -532,3 +532,20 @@ def test_prefixspan_length2_matches_exact_sequence_counts(spark, sf_dir):
         for r in exact_q.spark(spark, sf_dir).collect()
     }
     assert got == exact
+
+
+def test_skyline_operator_definition_and_duplicates(spark):
+    """Skyline invariants on a crafted frame: no output row is
+    dominated, every non-dominated input row (including duplicated
+    frontier points) survives."""
+    from unity_to_bigquery_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 1.0, 5), (2, 2.0, 4), (3, 3.0, 3),   # frontier chain
+        (4, 3.0, 3),                              # duplicate frontier point
+        (5, 2.0, 5), (6, 4.0, 4), (7, 9.0, 9),   # dominated
+        (8, 0.5, 9),                              # frontier (cheap, big)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, price DOUBLE, size INT").repartition(3)
+    got = {r.id for r in skyline(df, ["price", "size"]).collect()}
+    assert got == {1, 2, 3, 4, 8}

@@ -514,3 +514,43 @@ def a_basket_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
         .filter(F.col("n_baskets") >= 3)
     )
+
+
+@query(
+    "a_pareto_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT) AS price2,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+    doc=(
+        "Skyline / Pareto frontier (SKYLINE OF, Borzsonyi ICDE'01 — "
+        "no relational primitive exists): parts not dominated on "
+        "(retail price, size), both minimized. Two-phase distributed "
+        "operator (operators/skyline.py): lossless per-batch local "
+        "skylines via mapInPandas, then the exact frontier over the "
+        "frontier-sized union via a single grouped-map. The oracle is "
+        "the NOT EXISTS strict-domination definition itself."
+    ),
+    tags=("aggregate", "skyline", "pareto"),
+)
+def a_pareto_skyline(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.skyline import skyline
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline(
+        part.select("p_partkey", "p_name", "p_retailprice", "p_size"),
+        dims=["p_retailprice", "p_size"],
+    )
+    return sky.select(
+        "p_partkey",
+        "p_name",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long").alias("price2"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
