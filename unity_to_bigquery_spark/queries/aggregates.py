@@ -554,3 +554,56 @@ def a_pareto_skyline(spark, sf_dir):
         F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long").alias("price2"),
         F.col("p_size").cast("long").alias("p_size"),
     )
+
+
+@query(
+    "a_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS cum,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(FLOOR(MIN(p) FILTER (WHERE cum >= tot / 2.0) * 100.0 + 0.5) AS BIGINT)
+             AS wmedian2
+    FROM w GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact weighted median (quantity-weighted price per return "
+        "flag): the smallest price whose cumulative weight reaches "
+        "half the group total, under a unique total order — one "
+        "partitioned window pass + one aggregate, no sort-collect. "
+        "The cumulative float sums add in the identical order in both "
+        "engines (same ORDER BY), so the comparison is cross-engine "
+        "safe."
+    ),
+    tags=("aggregate", "statistics", "median"),
+)
+def a_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum("l_quantity").over(wc).alias("cum"),
+        F.sum("l_quantity").over(wt).alias("tot"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.floor(
+            F.min(F.when(F.col("cum") >= F.col("tot") / 2.0, F.col("p"))) * 100.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("wmedian2")
+    )
