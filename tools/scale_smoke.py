@@ -69,6 +69,13 @@ QUERIES = [
     "p_curriculum_order",
     "t_textrank_keywords",
     "sim_pq_rerank_topk",
+    # round-3 batch 4 additions
+    "a_basket_pairs",
+    "e_seq_pairs",
+    "e_chi2_independence",
+    "a_pareto_skyline",
+    "a_weighted_median",
+    "sim_semantic_decontaminate",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.

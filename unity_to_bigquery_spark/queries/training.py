@@ -663,3 +663,35 @@ def p_curriculum_order(spark, sf_dir):
     return global_enumerate(
         deciled, [F.col("decile"), F.col("__k"), F.col("doc_id")]
     ).select("position", "doc_id", "decile")
+
+
+@query(
+    "p_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           (n < 5) AS suppress
+    FROM g
+    """,
+    doc=(
+        "k-anonymity audit (k=5) over the (nation, segment) "
+        "quasi-identifier: equivalence-class sizes with a suppression "
+        "flag for classes an aggregate release would have to withhold "
+        "— the census-style disclosure-control complement to the "
+        "Laplace release (p_dp_noisy_counts). One hash aggregate."
+    ),
+    tags=("llm", "training", "privacy"),
+)
+def p_k_anonymity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("suppress", F.col("n") < 5)
+    )
