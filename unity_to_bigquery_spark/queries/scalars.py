@@ -644,3 +644,33 @@ def f_collation_ci(spark, sf_dir):
         )
         .select("rep", "n")
     )
+
+
+@query(
+    "f_execute_immediate",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 1000.0
+    GROUP BY n_name
+    """,
+    doc=(
+        "Dynamic SQL (Spark 4 EXECUTE IMMEDIATE ... USING): the query "
+        "text assembled at runtime with a positional parameter bound "
+        "server-side — the injection-safe alternative to string "
+        "concatenation the reference's config-driven dispatch would "
+        "want. Catalyst plans the inner statement normally "
+        "(broadcast nation, pushed filter)."
+    ),
+    tags=("function", "dynamic-sql"),
+)
+def f_execute_immediate(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_ei_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_ei_nation")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers "
+        "FROM _ei_customer JOIN _ei_nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal > ? GROUP BY n_name' "
+        "USING 1000.0"
+    )

@@ -447,3 +447,51 @@ def w_scd2_asof_lookup(spark, sf_dir):
     return joined.join(cts, "change_id").select(
         "event_id", "user_id", "state_1h", "since_us"
     )
+
+
+@query(
+    "w_locf_imputation",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(COALESCE(
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) * 100.0 + 0.5) AS BIGINT) AS locf2
+    FROM sparse
+    """,
+    doc=(
+        "Last-observation-carried-forward imputation: a "
+        "deterministically sparsified measure (every third event "
+        "NULLed) repaired by last_value IGNORE NULLS over the per-user "
+        "timeline — the standard sensor/telemetry gap repair, one "
+        "partitioned window pass. Users whose first readings are NULL "
+        "fall back to 0."
+    ),
+    tags=("window", "imputation"),
+)
+def w_locf_imputation(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sparse = events.withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.floor(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)) * 100.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("locf2"),
+    )
