@@ -963,3 +963,47 @@ def test_continuous_aggregate_stream_is_live_and_exactly_once(spark, tmp_path):
     v_before = agg.table.latest_version()
     drain()
     assert agg.table.latest_version() == v_before
+
+
+def test_scd2_dim_sink_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Feeding the event log through scd2_dim_sink in 3 time-ordered
+    micro-batches must produce exactly the batch-computed SCD2
+    dimension (w_scd2_intervals), and replaying a batch is a no-op."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.registry import all_queries
+    from unity_to_bigquery_spark.streaming.stream import scd2_dim_sink
+
+    events = load_table(spark, sf_dir, "events")
+    # time-ordered batches: split on ts terciles (per-user order holds)
+    t1, t2 = events.selectExpr(
+        "percentile(unix_micros(ts), 0.33) AS a", "percentile(unix_micros(ts), 0.66) AS b"
+    ).first()
+    batches = [
+        events.filter(F.unix_micros("ts") <= t1),
+        events.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        events.filter(F.unix_micros("ts") > t2),
+    ]
+    dim = VersionedTable(spark, str(tmp_path / "scd2dim"))
+    sink = scd2_dim_sink(dim, "scd2-test")
+    for i, b in enumerate(batches):
+        sink(b, i)
+    got = {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in dim.read().collect()
+    }
+    expect = {
+        (r.user_id, r.event_type, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in all_queries()["w_scd2_intervals"].spark(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # exactly-once: replaying the final batch changes nothing
+    v = dim.latest_version()
+    sink(batches[-1], 2)
+    assert dim.latest_version() == v and {
+        (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in dim.read().collect()
+    } == expect

@@ -435,3 +435,110 @@ def continuous_aggregate_stream(agg, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_dim_sink(dim_table, app_id: str):
+    """foreachBatch sink maintaining a TYPE-2 dimension incrementally
+    from an event stream: rows
+    (dim_key, user_id, state, valid_from_us, valid_to_us, is_current).
+
+    Per micro-batch (events must arrive per-user in event-time order —
+    pair with a watermark + dropLate upstream, same contract as any
+    append-only SCD2 loader):
+
+    1. join the batch's users to their OPEN interval in the dim;
+    2. change-point detection inside the batch with the open state
+       seeding the first lag (so a batch whose events all match the
+       open state writes NOTHING);
+    3. emit: the closed version of the open interval (same dim_key →
+       update) plus the batch's new intervals, the last one open.
+
+    All set-based (windows + joins, no collects); the single
+    ``merge_upsert(txn=(app_id, batch_id))`` makes replays no-ops —
+    crash-safe exactly-once, same protocol as the continuous
+    aggregate. Work per batch: the batch itself + the OPEN rows of the
+    touched users (stats-pruned merge) — never the dim's history.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch_df, batch_id: int):
+        evs = batch_df.select("user_id", "event_type", "ts", "event_id")
+        if not evs.take(1):
+            return
+        have_dim = bool(dim_table.manifest()["files"])
+        if have_dim:
+            open_iv = (
+                dim_table.read()
+                .filter(F.col("is_current"))
+                .join(evs.select("user_id").distinct(), "user_id", "left_semi")
+                .select(
+                    "user_id",
+                    F.col("state").alias("__open_state"),
+                    F.col("valid_from_us").alias("__open_from"),
+                )
+            )
+        else:
+            open_iv = None
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seeded = evs.withColumn("__prev", F.lag("event_type").over(w))
+        if open_iv is not None:
+            seeded = seeded.join(open_iv, "user_id", "left").withColumn(
+                "__prev", F.coalesce("__prev", "__open_state")
+            )
+        else:
+            seeded = seeded.withColumn(
+                "__open_state", F.lit(None).cast("string")
+            ).withColumn("__open_from", F.lit(None).cast("long"))
+        changes = seeded.filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type"))
+        )
+        wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        new_iv = changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(wc)).alias("valid_to_us"),
+            F.lead("ts").over(wc).isNull().alias("is_current"),
+            "__open_from",
+        )
+        # close the touched users' open intervals at their first change
+        wfirst = Window.partitionBy("user_id").orderBy("valid_from_us")
+        first_change = (
+            new_iv.withColumn("__rn", F.row_number().over(wfirst))
+            .filter((F.col("__rn") == 1) & F.col("__open_from").isNotNull())
+            .select(
+                "user_id",
+                F.col("__open_from").alias("valid_from_us"),
+                F.col("valid_from_us").alias("__close_at"),
+            )
+        )
+        closed = None
+        if open_iv is not None:
+            closed = (
+                dim_table.read()
+                .filter(F.col("is_current"))
+                .join(first_change, ["user_id", "valid_from_us"])
+                .select(
+                    "user_id",
+                    "state",
+                    "valid_from_us",
+                    F.col("__close_at").alias("valid_to_us"),
+                    F.lit(False).alias("is_current"),
+                )
+            )
+        out = new_iv.select(
+            "user_id", "state", "valid_from_us", "valid_to_us", "is_current"
+        )
+        if closed is not None:
+            out = out.unionByName(closed)
+        out = out.withColumn(
+            "dim_key",
+            F.concat_ws("#", F.col("user_id").cast("string"),
+                        F.col("valid_from_us").cast("string")),
+        ).select(
+            "dim_key", "user_id", "state", "valid_from_us", "valid_to_us",
+            "is_current",
+        )
+        dim_table.merge_upsert(out, "dim_key", txn=(app_id, int(batch_id)))
+
+    return write_batch
