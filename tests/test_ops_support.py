@@ -158,3 +158,51 @@ def test_plan_backfill_windows_covers_range_exactly():
 
     with pytest.raises(ValueError):
         plan_backfill_windows(date(2025, 1, 1), date(2025, 2, 1), max_days=0)
+
+
+def test_backfill_windows_checkpointed_resume(spark, tmp_path):
+    """End-to-end backfill orchestration: the window planner + the
+    checkpoint table give crash-safe resume — each window is recorded
+    once, a re-run after a mid-backfill crash processes only the
+    remaining windows, and a full re-run processes nothing."""
+    from datetime import date
+
+    from unity_to_bigquery_spark.plans.ops_support import plan_backfill_windows
+    from unity_to_bigquery_spark.plans.pipeline import CheckpointTable
+
+    windows = plan_backfill_windows(date(2025, 1, 1), date(2025, 4, 1), max_days=30)
+    assert len(windows) >= 3
+    ckpt = CheckpointTable(spark, str(tmp_path / "ckpt"))
+    processed = []
+
+    def run_backfill(crash_after: int | None = None) -> int:
+        """Process un-checkpointed windows oldest-first; optionally
+        crash after N windows. Returns windows processed this run."""
+        done = {r.batch_id for r in ckpt.read().collect()}
+        n = 0
+        for ws, we in windows:
+            wid = f"{ws.isoformat()}_{we.isoformat()}"
+            if wid in done:
+                continue
+            processed.append(wid)  # the export/ingest would run here
+            ckpt.append(
+                spark.createDataFrame(
+                    [(wid, "p1", "backfill")],
+                    "batch_id STRING, project_id STRING, report_type STRING",
+                )
+            )
+            n += 1
+            if crash_after is not None and n >= crash_after:
+                raise RuntimeError("simulated crash")
+        return n
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        run_backfill(crash_after=1)
+    assert len(processed) == 1
+    # resume: remaining windows only, no re-processing of window 1
+    assert run_backfill() == len(windows) - 1
+    assert processed == [f"{a.isoformat()}_{b.isoformat()}" for a, b in windows]
+    # idempotent: nothing left
+    assert run_backfill() == 0
