@@ -226,3 +226,71 @@ def t_textrank_keywords(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return textrank_keywords(docs)
+
+
+@query(
+    "t_zipf_slope",
+    oracle="""
+    WITH cnt AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), ranked AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY c DESC, w)) AS x, ln(c) AS y
+      FROM cnt ORDER BY c DESC, w LIMIT 500
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0 + 0.5)
+                AS BIGINT) AS slope6,
+           CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                      * 1000000.0 + 0.5) AS BIGINT) AS intercept6
+    FROM s
+    """,
+    doc=(
+        "Zipf-law fit: least-squares slope of ln(frequency) vs "
+        "ln(rank) over the top-500 vocabulary — the corpus-statistics "
+        "health check (natural language sits near slope -1; word-soup "
+        "fixtures flatter). The regression runs over a bounded "
+        "500-row relation; ranks come from the scalable enumeration, "
+        "never a corpus-sized global window."
+    ),
+    tags=("text", "retrieval", "zipf"),
+)
+def t_zipf_slope(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.text import words_col
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(words_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "w").limit(500)
+    ranked = global_enumerate(top, [F.desc("c"), F.col("w")], position_col="r").select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.floor(slope * 1000000.0 + 0.5).cast("long").alias("slope6"),
+        F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("intercept6"),
+    )
