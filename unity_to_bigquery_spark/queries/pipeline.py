@@ -657,3 +657,77 @@ def p_versioned_partition_evolution(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "p_dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_priority_accepted',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderpriority NOT IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+    doc=(
+        "Declarative data-quality expectations (dbt tests / Delta Live "
+        "Tables expectations shape): primary-key uniqueness, NOT NULL, "
+        "two referential-integrity checks (anti-join, never a row "
+        "explode), and an accepted-values domain check — evaluated in "
+        "one plan, one row of violation counts per check. The "
+        "write-path complement is VersionedTable CHECK constraints "
+        "(enforced at commit); this is the audit-the-existing-data "
+        "side."
+    ),
+    tags=("pipeline", "quality", "expectations"),
+)
+def p_dq_expectations(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    )
+    nn = orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(F.lit("orders_custkey_not_null").alias("check_name"), "n_violations")
+    fk1 = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit("orders_custkey_fk").alias("check_name"), "n_violations"
+    )
+    accepted = orders.filter(
+        ~F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit("orders_priority_accepted").alias("check_name"), "n_violations"
+    )
+    fk2 = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit("lineitem_order_fk").alias("check_name"), "n_violations"
+    )
+    return pk.unionByName(nn).unionByName(fk1).unionByName(accepted).unionByName(fk2)
