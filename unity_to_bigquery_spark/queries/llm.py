@@ -1078,3 +1078,105 @@ def sim_semantic_decontaminate(spark, sf_dir):
     return corpus.join(flagged, "vec_id", "left").select(
         "vec_id", F.coalesce("__hit", F.lit(False)).alias("contaminated")
     )
+
+
+@query(
+    "p_release_funnel",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text FROM documents WHERE n_chars BETWEEN 100 AND 10000
+    ), exact_surv AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), scrub_rm AS (
+      SELECT DISTINCT id_b FROM ({_minhash_oracle()}) WHERE jaccard6 >= 850000
+    ), scrubbed AS (
+      SELECT e.doc_id, e.text FROM exact_surv e
+      LEFT JOIN scrub_rm r ON r.id_b = e.doc_id WHERE r.id_b IS NULL
+    ), sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(ws) >= 3
+             THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [] END) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 97 <> 0
+    ), final AS (
+      SELECT s.doc_id FROM scrubbed s
+      LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+      WHERE c.doc_id IS NULL AND s.doc_id % 97 <> 0
+    )
+    SELECT 1 AS stage, 'raw' AS name,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL SELECT 2, 'quality_filter',
+           CAST((SELECT COUNT(*) FROM quality) AS BIGINT)
+    UNION ALL SELECT 3, 'exact_dedup',
+           CAST((SELECT COUNT(*) FROM exact_surv) AS BIGINT)
+    UNION ALL SELECT 4, 'neardup_scrub',
+           CAST((SELECT COUNT(*) FROM scrubbed) AS BIGINT)
+    UNION ALL SELECT 5, 'decontaminated_release',
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT)
+    """,
+    doc=(
+        "The corpus-release funnel as ONE declarative plan: raw -> "
+        "stored-column quality filter -> exact dedup (min-id per "
+        "content hash) -> banded-MinHash near-dup scrub -> benchmark "
+        "decontamination (shingle overlap, held-out docs excluded) — "
+        "with the stage-by-stage document counts a data release "
+        "publishes as its audit trail. Every stage reuses the "
+        "individually-oracled operator; the funnel proves they "
+        "compose."
+    ),
+    tags=("llm", "training", "release"),
+)
+def p_release_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from unity_to_bigquery_spark.llm.dedup import minhash_lsh_pairs_df, with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars").between(100, 10000))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_surv = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    scrub_rm = (
+        minhash_lsh_pairs_df(docs, k=16, bands=4)
+        .filter(F.col("jaccard6") >= 850000)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    scrubbed = exact_surv.join(scrub_rm, "doc_id", "left_anti")
+    sh = with_shingles(docs, n=3).select("doc_id", F.explode("sh").alias("s"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+    contaminated = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = (
+        scrubbed.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+    )
+
+    def stage(i, name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("name"), "n_docs"
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "quality_filter", quality))
+        .unionByName(stage(3, "exact_dedup", exact_surv))
+        .unionByName(stage(4, "neardup_scrub", scrubbed))
+        .unionByName(stage(5, "decontaminated_release", final))
+    )
