@@ -140,8 +140,6 @@ def textrank_keywords(
     property-tested against an exact NumPy power iteration, not
     DuckDB-oracled.
     """
-    from pyspark.sql import Window
-
     from unity_to_bigquery_spark.llm.text import words_col
 
     ws = docs.select(words_col(text).alias("ws")).filter(F.size("ws") >= 2)

@@ -23,7 +23,6 @@ from unity_to_bigquery_spark.llm.dedup import (
 from unity_to_bigquery_spark.llm.similarity import brp_lsh_topk, brute_force_topk, ivf_topk
 from unity_to_bigquery_spark.llm.text import (
     BPE_ISH_PATTERN,
-    PUNCT_PATTERN,
     fingerprint,
     lang_id,
     quality_features,
