@@ -76,6 +76,13 @@ QUERIES = [
     "a_pareto_skyline",
     "a_weighted_median",
     "sim_semantic_decontaminate",
+    # round-3 closing additions
+    "w_scd2_asof_lookup",
+    "w_locf_imputation",
+    "t_zipf_slope",
+    "p_dq_expectations",
+    "m_blob_dedup",
+    "p_release_funnel",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.
