@@ -190,7 +190,13 @@ def textrank_keywords(
             .persist()
         )
         if (it + 1) % 5 == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # Unpersist the pre-checkpoint frame: rebinding to the
+            # localCheckpoint result would otherwise leave the persisted
+            # original orphaned (next round's unpersist releases only the
+            # checkpointed frame) — the in-sweep GC trap of rule 13.
+            pre_ckpt = new_ranks
+            new_ranks = pre_ckpt.localCheckpoint(eager=True)
+            pre_ckpt.unpersist()
         old = ranks
         ranks = new_ranks
         old.unpersist()

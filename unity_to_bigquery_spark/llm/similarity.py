@@ -578,26 +578,32 @@ def pq_codebooks(
         F.xxhash64(F.col(id_col)) % mod == 0
     )
     rows_py = sample.select(id_col, vec_col).collect()  # bounded: <= sample_target rows
+    if not rows_py:
+        raise ValueError("pq_codebooks: empty training sample — corpus has no rows")
     rows_py.sort(key=lambda r: r[0])
     mat = np.array([[float(x) for x in r[1]] for r in rows_py])
     dim = mat.shape[1]
     width = dim // m
+    # A sample smaller than ksub can't seed ksub distinct centroids:
+    # train k_eff <= sample size, then pad codes by cycling the trained
+    # centroids so the (sub, code) key space stays dense for encode/ADC.
+    k_eff = min(ksub, mat.shape[0])
     spark = corpus.sparkSession
     out = []
     for j in range(m):
         sub = mat[:, j * width : (j + 1) * width]
         rng = np.random.RandomState(seed + j)
-        init_idx = rng.permutation(sub.shape[0])[:ksub]
+        init_idx = rng.permutation(sub.shape[0])[:k_eff]
         cents = sub[init_idx].copy()
         for _ in range(5):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for c in range(ksub):
+            for c in range(k_eff):
                 members = sub[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)
         for c in range(ksub):
-            out.append((j, c, [float(x) for x in cents[c]]))
+            out.append((j, c, [float(x) for x in cents[c % k_eff]]))
     return spark.createDataFrame(out, "sub INT, code BIGINT, cvec ARRAY<DOUBLE>")
 
 
@@ -667,9 +673,19 @@ def pq_adc_rerank_topk(
     Exact math touches shortlist/|corpus| of the data. Deterministic
     for a fixed seed.
     """
-    nrm = norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: _dbl(x) / nrm)
-    cn = corpus.select(id_col, F.col(vec_col), unit.alias("__unit")).persist()
+    # Materialize the norm BEFORE the transform lambda: Catalyst does no
+    # CSE inside higher-order lambdas, so norm(vec) referenced in the
+    # lambda re-evaluates the O(dim) aggregate per ELEMENT (O(dim^2)
+    # interpreted work per corpus vector) — same fix as the :146 pattern.
+    cn = (
+        corpus.select(id_col, F.col(vec_col))
+        .withColumn("__nrm", norm(F.col(vec_col)))
+        .withColumn(
+            "__unit", F.transform(F.col(vec_col), lambda x: _dbl(x) / F.col("__nrm"))
+        )
+        .drop("__nrm")
+        .persist()
+    )
     books = pq_codebooks(
         cn.select(id_col, F.col("__unit").alias(vec_col)),
         m=m,
@@ -688,12 +704,16 @@ def pq_adc_rerank_topk(
     # ADC table: dot(q_sub_j, codebook[j][c]) for every query
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     width = dim_row["d"] // m
-    q = queries.select(
-        F.col(id_col).alias(query_id),
-        F.col(vec_col).alias("__qvec"),
-        F.transform(F.col(vec_col), lambda x: _dbl(x) / norm(F.col(vec_col))).alias(
-            "__qunit"
-        ),
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnrm"),
+        )
+        .withColumn(
+            "__qunit", F.transform(F.col("__qvec"), lambda x: _dbl(x) / F.col("__qnrm"))
+        )
+        .drop("__qnrm")
     )
     qflat = (
         q.select(query_id, F.posexplode("__qunit").alias("p0", "qv"))

@@ -721,6 +721,17 @@ class VersionedTable:
         snap = self.manifest()
         for _ in range(20):
             base = self.manifest()
+            # A concurrent set_partitioning commit is metadata-only (same
+            # file set), invisible to the file diff below, but it
+            # invalidates pc/wanted/under_spec/provably_disjoint and the
+            # layout of our already-staged files — check the spec on
+            # every attempt, not just when the version moved.
+            if base.get("partition_col", self.partition_col) != pc:
+                raise ConcurrentWriteError(
+                    f"partition spec evolved concurrently (was {pc!r}, "
+                    f"now {base.get('partition_col')!r}) — retry "
+                    "replace_where under the new spec"
+                )
             if base["version"] != snap["version"]:
                 # someone committed meanwhile: only safe if they didn't
                 # touch our partitions

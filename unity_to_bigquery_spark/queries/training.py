@@ -657,7 +657,9 @@ def p_curriculum_order(spark, sf_dir):
     )
     deciled = ranked.select(
         "doc_id",
-        (((F.col("__r") - 1) * 10) / F.lit(n)).cast("long").alias("decile"),
+        # Integer `div`, not double `/` + cast('long'): rules 2/11 forbid
+        # relying on double->BIGINT truncation semantics in oracled output.
+        F.expr(f"((__r - 1) * 10) div {int(n)}").alias("decile"),
         F.md5(F.concat(F.lit("cur42#"), F.col("doc_id").cast("string"))).alias("__k"),
     )
     return global_enumerate(
