@@ -1,0 +1,224 @@
+"""Full CDC with retractions (VersionedTable.changes_with_type) and the
+signed ContinuousAggregate fold — the Delta CDF `_change_type` protocol
+(VERDICT r3 next-round #1). Invariant exercised throughout: folding the
+feed with sign(+1/-1) from version 0 reproduces the live snapshot's
+aggregates exactly, commit by commit."""
+
+from __future__ import annotations
+
+import pytest
+
+from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+CT = VersionedTable.CDC_TYPE_COL
+CV = VersionedTable.CDC_VERSION_COL
+
+
+def _feed(t, since=0, to=None):
+    return sorted(
+        tuple(r)
+        for r in t.changes_with_type(since, to)
+        .select("k", "v", CT, CV)
+        .collect()
+    )
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k INT, v STRING")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_appends_emit_inserts_with_commit_version(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_append(_df(spark, [(3, "c")]))
+    assert _feed(t) == [
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (3, "c", "insert", 2),
+    ]
+    # windowed read: only the second commit
+    assert _feed(t, since=1) == [(3, "c", "insert", 2)]
+
+
+def test_delete_where_emits_retraction_of_then_live_rows(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    assert _feed(t, since=1) == [(2, "b", "delete", 2)]
+    # a second delete of the SAME key retracts nothing (already dead)
+    t.commit_delete_where(spark.createDataFrame([(2,), (3,)], "k INT"), "k")
+    assert _feed(t, since=2) == [(3, "c", "delete", 3)]
+
+
+def test_reinsert_after_delete_sequences_correctly(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    t.commit_append(_df(spark, [(1, "a2")]))
+    assert _feed(t) == [
+        (1, "a", "delete", 2),
+        (1, "a", "insert", 1),
+        (1, "a2", "insert", 3),
+    ]
+    # net fold == live snapshot
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a2")]
+
+
+def test_rewrite_commits_emit_delete_plus_insert(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_overwrite(_df(spark, [(2, "b2"), (3, "c")]))
+    assert _feed(t, since=1) == [
+        (1, "a", "delete", 2),
+        (2, "b", "delete", 2),
+        (2, "b2", "insert", 2),
+        (3, "c", "insert", 2),
+    ]
+
+
+def test_compact_and_cluster_emit_nothing(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_append(_df(spark, [(2, "b")]))
+    v = t.compact()
+    assert _feed(t, since=2, to=v) == []
+    t2 = VersionedTable(spark, root + "2")
+    t2.commit_append(_df(spark, [(i, str(i)) for i in range(20)]))
+    v2 = t2.cluster_by(["k"], target_files=2)
+    assert _feed(t2, since=1, to=v2) == []
+
+
+def test_delete_then_compact_feed_still_folds_to_live(spark, root):
+    """Compact MATERIALIZES pending deletes (content-identical to the
+    live view) — the feed must not re-emit them."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    t.compact()
+    feed = _feed(t)
+    assert feed == [
+        (1, "a", "delete", 2),
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+    ]
+
+
+def test_restore_reverting_a_delete_emits_revival_inserts(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))  # v1
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")  # v2
+    t.restore(1)  # v3: key 1 lives again
+    assert _feed(t, since=2) == [(1, "a", "insert", 3)]
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+
+
+def test_merge_upsert_emits_self_canceling_rewrite_cdc(spark, root):
+    t = VersionedTable(spark, root, partition_col="k")
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge_upsert(_df(spark, [(2, "b2"), (3, "c")]), "k")
+    feed = _feed(t, since=1)
+    # every removed row retracted, every new-file row inserted; the
+    # unchanged row (1,'a') either stays put or cancels delete+insert
+    net: dict = {}
+    for k, v, ct, _cv in feed:
+        net[(k, v)] = net.get((k, v), 0) + (1 if ct == "insert" else -1)
+    live = {(1, "a"): 1, (2, "b2"): 1, (3, "c"): 1, (2, "b"): -1}
+    live = {kv: n for kv, n in live.items() if n}
+    assert {kv: n for kv, n in net.items() if n} == {
+        (2, "b"): -1,
+        (2, "b2"): 1,
+        (3, "c"): 1,
+    }
+
+
+def test_signed_fold_equals_snapshot_groupby_at_every_version(spark, root):
+    """The headline invariant: fold(changes_with_type(0, v)) ==
+    groupBy(read(v)) for EVERY v across a mixed commit history."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id INT, g INT, x DOUBLE"
+    ))
+    t.commit_delete_where(
+        spark.createDataFrame([(i,) for i in range(0, 30, 5)], "id INT"), "id"
+    )
+    t.commit_append(spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30, 40)], "id INT, g INT, x DOUBLE"
+    ))
+    t.commit_overwrite(spark.createDataFrame(
+        [(i, i % 2, float(2 * i)) for i in range(10)], "id INT, g INT, x DOUBLE"
+    ))
+    t.commit_delete_where(spark.createDataFrame([(4,), (6,)], "id INT"), "id")
+    for v in range(1, t.latest_version() + 1):
+        feed = t.changes_with_type(0, v)
+        sign = F.when(F.col(CT) == "delete", F.lit(-1)).otherwise(F.lit(1))
+        folded = (
+            feed.groupBy("g")
+            .agg(
+                F.sum(sign).alias("n"),
+                F.sum(sign * F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+            )
+            .filter(F.col("n") != 0)
+        )
+        direct = t.read(v).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+        )
+        assert sorted(map(tuple, folded.collect())) == sorted(
+            map(tuple, direct.collect())
+        ), f"fold != snapshot at version {v}"
+
+
+def test_continuous_aggregate_with_deletes_tracks_live_snapshot(spark, root, tmp_path):
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, handle_deletes=True,
+    )
+    src.commit_append(spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id INT, g INT, x DOUBLE"
+    ))
+    agg.refresh()
+    agg.refresh()  # idempotent no-op
+    src.commit_delete_where(
+        spark.createDataFrame([(i,) for i in range(0, 30, 2)], "id INT"), "id"
+    )
+    agg.refresh()
+    # delete EVERYTHING in group 0 -> tombstone must not surface
+    src.commit_delete_where(
+        spark.createDataFrame([(i,) for i in range(30) if i % 3 == 0], "id INT"),
+        "id",
+    )
+    agg.refresh()
+    direct = src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+    )
+    assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert agg.read().filter("n = 0").count() == 0
+    # a revived key after a full tombstone resurfaces
+    src.commit_append(spark.createDataFrame([(100, 0, 7.5)], "id INT, g INT, x DOUBLE"))
+    agg.refresh()
+    assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect()))[0] == (
+        0, 1, 7500000,
+    )
+
+
+def test_empty_range_returns_typed_empty_feed(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    out = t.changes_with_type(1, 1)
+    assert out.count() == 0
+    assert CT in out.columns and CV in out.columns

@@ -37,9 +37,15 @@ class ContinuousAggregate:
     of ``key`` with ``n`` (row count) and a 1e-6 fixed-point long sum
     per entry of ``measures`` ({out_col: source_double_col}).
 
-    Requires an append-only source (``changes()`` is add-only CDC — a
-    documented limitation of the format; sources that rewrite history
-    need a re-bootstrap, exactly as with Delta CDF consumers).
+    With the default ``handle_deletes=False`` the source must be
+    append-only (``changes()`` is add-only CDC). ``handle_deletes=True``
+    switches the refresh to the full change feed
+    (``changes_with_type()``) and folds retraction rows as NEGATIVE
+    deltas — delete_where / rewrite commits then keep the rollup exact.
+    A key whose count reaches zero persists as an ``n=0`` tombstone in
+    storage (one atomic merge commit keeps exactly-once; a separate
+    delete commit would break it) and ``read()`` filters tombstones out,
+    so the rollup always equals a full groupBy of the live snapshot.
     """
 
     def __init__(
@@ -49,11 +55,13 @@ class ContinuousAggregate:
         root: str,
         key: str,
         measures: dict[str, str],
+        handle_deletes: bool = False,
     ):
         self.spark = spark
         self.source = source
         self.key = key
         self.measures = dict(measures)
+        self.handle_deletes = handle_deletes
         self.table = VersionedTable(spark, root)
 
     def last_refreshed(self) -> int:
@@ -67,6 +75,20 @@ class ContinuousAggregate:
         ]
         return delta.groupBy(self.key).agg(F.count(F.lit(1)).alias("n"), *sums)
 
+    def _delta_agg_signed(self, feed: DataFrame) -> DataFrame:
+        """Signed fold of a change feed: retraction rows contribute -1
+        to the count and subtract their fixed-point measure — the
+        standard materialized-view delta rule (insert +r, delete -r)."""
+        ct = VersionedTable.CDC_TYPE_COL
+        sign = F.when(F.col(ct) == F.lit("delete"), F.lit(-1)).otherwise(F.lit(1))
+        sums = [
+            F.sum(
+                sign * F.floor(F.col(src) * 1000000.0 + F.lit(0.5)).cast("long")
+            ).alias(out)
+            for out, src in self.measures.items()
+        ]
+        return feed.groupBy(self.key).agg(F.sum(sign).alias("n"), *sums)
+
     def refresh(self) -> int:
         """Fold all source commits since the last refresh into the
         rollup; returns the source version now reflected. No-op when
@@ -75,7 +97,10 @@ class ContinuousAggregate:
         now = self.source.latest_version()
         if now <= last:
             return last
-        d = self._delta_agg(self.source.changes(last, now))
+        if self.handle_deletes:
+            d = self._delta_agg_signed(self.source.changes_with_type(last, now))
+        else:
+            d = self._delta_agg(self.source.changes(last, now))
         cols = [self.key, "n", *self.measures.keys()]
         if self.table.manifest()["files"]:
             cur = self.table.read()
@@ -96,4 +121,10 @@ class ContinuousAggregate:
         return now
 
     def read(self) -> DataFrame:
-        return self.table.read()
+        df = self.table.read()
+        if self.handle_deletes:
+            # tombstones (fully-retracted keys) are storage detail,
+            # never a result row — filtered here so the rollup equals a
+            # full groupBy of the live snapshot
+            df = df.filter(F.col("n") != 0)
+        return df

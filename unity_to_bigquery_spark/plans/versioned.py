@@ -300,6 +300,196 @@ class VersionedTable:
         # naturally inert here.
         return self._scan_live(m, added)
 
+    # ---- full CDC (retraction rows) ---------------------------------
+
+    CDC_TYPE_COL = "_change_type"
+    CDC_VERSION_COL = "_commit_version"
+
+    def _cdc_applicable(self, m: dict, f: str) -> tuple:
+        """The delete entries of manifest ``m`` that apply to file ``f``
+        (added at or before the delete's version — Iceberg v2
+        sequencing), as a hashable signature for grouping."""
+        fv = m.get("file_versions", {}).get(f, 0)
+        return tuple(
+            sorted(
+                (d["file"], d["key"], d["version"])
+                for d in m.get("deletes", [])
+                if fv <= d["version"]
+            )
+        )
+
+    def _cdc_delete_key_values(self, d: tuple, cap: int = 10_000) -> list | None:
+        """Driver-side values of a delete-key file (for _prune_eq file
+        skipping). Delete files are tiny by construction
+        (commit_delete_where stages DISTINCT keys, coalesce(1)); a file
+        over ``cap`` rows returns None and pruning is skipped."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, DATA_DIR, d[0])
+        pf = pq.ParquetFile(path)
+        if pf.metadata.num_rows > cap:
+            return None
+        return pq.read_table(path, columns=[d[1]]).column(0).to_pylist()
+
+    def _cdc_match_any(self, df: DataFrame, entries: tuple) -> DataFrame:
+        """Rows of ``df`` matched by AT LEAST ONE delete entry, without
+        duplicates: peel entries sequentially (hit rows exit via the
+        semi-join, the anti-joined remainder feeds the next entry), so
+        the union is disjoint — a row matching two entries emits once."""
+        out, remaining = None, df
+        for d in entries:
+            keys = F.broadcast(self._delete_keys({"file": d[0], "key": d[1]}))
+            hit = remaining.join(keys, on=d[1], how="left_semi")
+            out = hit if out is None else out.unionByName(hit)
+            remaining = remaining.join(keys, on=d[1], how="left_anti")
+        return out if out is not None else df.limit(0)
+
+    def _cdc_anti_all(self, df: DataFrame, entries: tuple) -> DataFrame:
+        for d in entries:
+            df = df.join(
+                F.broadcast(self._delete_keys({"file": d[0], "key": d[1]})),
+                on=d[1],
+                how="left_anti",
+            )
+        return df
+
+    def _cdc_commit_frames(self, m_prev: dict, m_v: dict, v: int) -> list[DataFrame]:
+        """Change rows for ONE commit as (frame, is_insert) emissions.
+
+        Per-file formulation that is uniform across every op: for each
+        file, compare the delete-entry set applying to it before (A) vs
+        after (B) the commit.
+
+        - file only in ``m_v``   -> its live-under-B rows are inserts
+        - file only in ``m_prev``-> its live-under-A rows are deletes
+        - file in both, A != B   -> rows live under A but dead under B
+          are deletes (new equality deletes); rows dead under A but
+          live under B are inserts (a restore reverting a delete).
+          A == B contributes nothing and is never scanned.
+
+        Files are grouped by (A, B) signature so plan size is bounded
+        by distinct delete-state transitions, not file count (same
+        bounding argument as ``_scan_live``). For the common pure
+        delete commit (A subset of B, no file churn) the candidate
+        files are additionally pruned by the new keys' distinct/range
+        stats before any scan.
+        """
+        prev_files = set(m_prev["files"])
+        cur_files = set(m_v["files"])
+        groups: dict[tuple, list[str]] = {}
+        for f in m_prev["files"]:
+            a = self._cdc_applicable(m_prev, f)
+            b = self._cdc_applicable(m_v, f) if f in cur_files else None
+            if b is not None and a == b:
+                continue
+            groups.setdefault((a, b), []).append(f)
+        for f in m_v["files"]:
+            if f not in prev_files:
+                groups.setdefault((None, self._cdc_applicable(m_v, f)), []).append(f)
+        frames: list[DataFrame] = []
+
+        def stamp(df: DataFrame, change: str) -> None:
+            frames.append(
+                df.withColumn(self.CDC_TYPE_COL, F.lit(change)).withColumn(
+                    self.CDC_VERSION_COL, F.lit(v).cast("long")
+                )
+            )
+
+        for (a, b), files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            if a is None:
+                stamp(self._cdc_anti_all(self._scan(m_v, files), b), "insert")
+                continue
+            if b is None:
+                stamp(self._cdc_anti_all(self._scan(m_prev, files), a), "delete")
+                continue
+            new_entries = tuple(d for d in b if d not in a)
+            gone_entries = tuple(d for d in a if d not in b)
+            if new_entries:
+                cand = files
+                vals: list = []
+                for d in new_entries:
+                    dv = self._cdc_delete_key_values(d)
+                    if dv is None or (vals and d[1] != new_entries[0][1]):
+                        vals = []
+                        break
+                    vals.extend(dv)
+                if vals:
+                    pruned_m = {"files": cand, "stats": m_v.get("stats", {})}
+                    cand, _ = self._prune_eq(pruned_m, new_entries[0][1], vals)
+                if cand:
+                    live_a = self._cdc_anti_all(self._scan(m_v, cand), a)
+                    stamp(self._cdc_match_any(live_a, new_entries), "delete")
+            if gone_entries:
+                live_b = self._cdc_anti_all(self._scan(m_v, files), b)
+                stamp(self._cdc_match_any(live_b, gone_entries), "insert")
+        return frames
+
+    # live-content-identical rewrites: the live view before == after,
+    # so they emit no change rows (Delta CDF's OPTIMIZE behavior)
+    _CDC_NOOP_OPS = ("compact", "cluster_by")
+
+    def changes_with_type(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Full change-data-feed with RETRACTIONS — the Delta CDF
+        ``_change_type`` protocol (public Delta docs: table_changes /
+        readChangeFeed) over this format's manifest log, closing
+        ``changes()``'s documented add-only limitation: every commit in
+        ``(since_version, to_version]`` emits its exact row-level
+        effect, so a row delivered in one batch and deleted two commits
+        later IS retracted with a ``_change_type='delete'`` row.
+
+        Output = table columns + ``_change_type`` ('insert'|'delete')
+        + ``_commit_version`` (BIGINT). Folding the feed with
+        sign(+1/-1) weights reproduces any per-key aggregate of the
+        live snapshot exactly (ContinuousAggregate.refresh does this);
+        updates surface as delete+insert pairs (rewrite CDC — this
+        format has no row identity, so no update_pre/postimage).
+
+        Semantics per commit: appends emit their rows as inserts;
+        ``delete_where`` emits the then-live rows matching the new keys
+        as deletes (earlier deletes already retracted them — no double
+        retraction); rewrites (overwrite / replace_where / merge_upsert
+        / restore) emit removed files' live rows as deletes and new
+        files' rows as inserts (self-canceling for untouched rows under
+        a signed fold); compact/cluster_by are live-content-identical
+        and emit nothing; restores that REVERT an equality delete emit
+        the revived rows as inserts.
+
+        Scale: driver work is manifest arithmetic; each commit scans
+        only its own delta files (delete commits additionally prune
+        candidates by the delete keys' distinct/range stats before
+        scanning), and delete-key files join broadcast. Plan size is
+        linear in the number of commits consumed — a consumer paging a
+        long backlog should bound its (since, to] windows, exactly as
+        with Delta CDF batches.
+        """
+        to_version = self.latest_version() if to_version is None else to_version
+        if to_version < since_version:
+            raise NoSuchVersionError(
+                f"to_version {to_version} < since_version {since_version}"
+            )
+        m_prev = self.manifest(since_version)
+        schema = m_prev.get("schema")
+        frames: list[DataFrame] = []
+        for v in range(since_version + 1, to_version + 1):
+            m_v = self.manifest(v)
+            schema = m_v.get("schema") or schema
+            if str(m_v.get("op", "")).startswith(self._CDC_NOOP_OPS):
+                m_prev = m_v
+                continue
+            frames.extend(self._cdc_commit_frames(m_prev, m_v, v))
+            m_prev = m_v
+        if not frames:
+            empty = self.spark.createDataFrame([], schema or "__empty STRING")
+            return empty.withColumn(
+                self.CDC_TYPE_COL, F.lit(None).cast("string")
+            ).withColumn(self.CDC_VERSION_COL, F.lit(None).cast("long"))
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
     ) -> tuple[list[str], int]:
