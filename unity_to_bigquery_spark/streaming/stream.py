@@ -420,11 +420,14 @@ def continuous_aggregate_stream(agg, checkpoint_dir: str):
     from unity_to_bigquery_spark.sources import versioned_stream
 
     versioned_stream.register(agg.spark)
-    stream = (
-        agg.spark.readStream.format("versioned_table")
-        .option("path", agg.source.root)
-        .load()
+    reader = agg.spark.readStream.format("versioned_table").option(
+        "path", agg.source.root
     )
+    if getattr(agg, "handle_deletes", False):
+        # delete commits must flow (as retraction rows) instead of
+        # failing the stream — refresh() folds them with signed weights
+        reader = reader.option("emit_change_types", "true")
+    stream = reader.load()
 
     def fold(_df, _batch_id):
         agg.refresh()
