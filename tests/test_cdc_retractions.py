@@ -216,6 +216,37 @@ def test_continuous_aggregate_with_deletes_tracks_live_snapshot(spark, root, tmp
     )
 
 
+def test_commit_replace_keys_atomic_slice_replace(spark, root):
+    """commit_replace_keys: one commit that drops every row for the
+    named key values and appends the new slice — staged rows may reuse
+    deleted keys (the delete sequences at the parent version)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (1, "a1"), (2, "b"), (3, "c")]))
+    v = t.commit_replace_keys(
+        _df(spark, [(1, "A"), (1, "A1"), (1, "A2")]),
+        spark.createDataFrame([(1,)], "k INT"),
+        "k",
+        txn=("scd2", 7),
+    )
+    assert sorted(tuple(r) for r in t.read().collect()) == [
+        (1, "A"), (1, "A1"), (1, "A2"), (2, "b"), (3, "c"),
+    ]
+    # replay is a no-op
+    assert t.commit_replace_keys(
+        _df(spark, [(1, "ZZZ")]), spark.createDataFrame([(1,)], "k INT"), "k",
+        txn=("scd2", 7),
+    ) == v
+    assert t.read().filter("v = 'ZZZ'").count() == 0
+    # CDC of the replace commit: old slice retracted, new slice inserted
+    assert _feed(t, since=1, to=v) == [
+        (1, "A", "insert", 2),
+        (1, "A1", "insert", 2),
+        (1, "A2", "insert", 2),
+        (1, "a", "delete", 2),
+        (1, "a1", "delete", 2),
+    ]
+
+
 def test_empty_range_returns_typed_empty_feed(spark, root):
     t = VersionedTable(spark, root)
     t.commit_append(_df(spark, [(1, "a")]))

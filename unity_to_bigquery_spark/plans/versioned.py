@@ -1130,6 +1130,80 @@ class VersionedTable:
                 continue  # blind-retryable: data file list is untouched
         raise ConcurrentWriteError("delete could not publish after 20 attempts")
 
+    def commit_replace_keys(
+        self,
+        df: DataFrame,
+        delete_values_df: DataFrame,
+        delete_key: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """ATOMIC key-scoped replace, merge-on-read: ONE commit that
+        (a) equality-deletes every existing row whose ``delete_key`` is
+        in ``delete_values_df`` and (b) appends ``df``'s rows. The
+        delete entry is sequenced at the PARENT version, so it applies
+        only to pre-existing files and never to the rows staged here —
+        the staged rows may freely reuse deleted key values.
+
+        This is the write primitive for localized rebuilds (SCD2 repair
+        under late deletes: drop a user's whole slice, append the
+        recomputed one) where a delete commit followed by an append
+        would leave a torn state on a crash in between. ``txn`` gives
+        the usual exactly-once replay protection. Concurrency note: a
+        retry after a concurrent commit re-sequences the delete at the
+        new parent, so concurrently-landed rows matching the keys are
+        replaced too — last-writer-wins on the key range, which is what
+        "replace" means.
+
+        Cost model matches commit_delete_where + commit_append: no data
+        file is rewritten; the old rows die merge-on-read and compact()
+        materializes later.
+        """
+        if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return self.latest_version()
+        self._enforce(df)
+        staged = self._write_files(df)
+        staged_stats = self._staged_stats
+        txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.root, DATA_DIR, txn_dir)
+        delete_values_df.select(delete_key).distinct().coalesce(1).write.mode(
+            "error"
+        ).parquet(target)
+        key_files = [
+            os.path.relpath(os.path.join(dp, f), os.path.join(self.root, DATA_DIR))
+            for dp, _dirs, fs in os.walk(target)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        schema = df.schema.simpleString()
+        for _ in range(20):
+            base = self.manifest()
+            self._staged_stats = staged_stats
+            if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+                for f in staged + key_files:
+                    os.remove(os.path.join(self.root, DATA_DIR, f))
+                return base["version"]
+            if base["version"] and base.get("schema") != schema:
+                raise ValueError(
+                    f"schema mismatch: table={base.get('schema')} "
+                    f"replace_keys={schema}"
+                )
+            entries = [
+                {"file": r, "key": delete_key, "version": base["version"]}
+                for r in key_files
+            ]
+            try:
+                return self._publish_once(
+                    base,
+                    base["files"] + staged,
+                    "replace_keys",
+                    schema,
+                    txn=txn,
+                    deletes_override=base.get("deletes", []) + entries,
+                )
+            except FileExistsError:
+                continue  # re-sequence the delete at the new parent
+        raise ConcurrentWriteError("replace_keys could not publish after 20 attempts")
+
     # ---- maintenance ----------------------------------------------------
 
     def compact(self, target_files: int = 1) -> int:

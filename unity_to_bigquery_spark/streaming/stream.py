@@ -545,3 +545,78 @@ def scd2_dim_sink(dim_table, app_id: str):
         dim_table.merge_upsert(out, "dim_key", txn=(app_id, int(batch_id)))
 
     return write_batch
+
+
+def scd2_rebuild_intervals(evs: DataFrame) -> DataFrame:
+    """Batch SCD2 interval build keyed for the dim table — the same
+    two-window construction as queries/windows.w_scd2_intervals, with
+    the sink's dim_key/state column shape. Cost: one exchange on
+    user_id for events of the REBUILT users only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        evs.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    iv = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    return iv.select(
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"),
+            F.col("valid_from_us").cast("string"),
+        ).alias("dim_key"),
+        "user_id", "state", "valid_from_us", "valid_to_us", "is_current",
+    )
+
+
+def scd2_dim_sink_cdc(dim_table, source_table, app_id: str):
+    """Change-feed-aware SCD2 maintenance (VERDICT r3 #8): pair with a
+    ``versioned_table`` stream reading ``source_table`` with
+    ``emit_change_types=true``.
+
+    - An insert-only micro-batch maintains the dimension incrementally —
+      exactly ``scd2_dim_sink``'s plan (open-interval close + append).
+    - A batch carrying ``_change_type='delete'`` retractions (a
+      late-arriving deletion of events already folded into the
+      dimension) triggers a LOCALIZED REBUILD: every user present in
+      the batch has their slice recomputed from the source's live
+      events — intervals around the removed events merge/close/re-open
+      as the data dictates, including vanishing entirely when a user
+      has no events left — and swapped in with ONE atomic
+      ``commit_replace_keys`` (drop the user's old slice + append the
+      recomputed one in the same manifest publish, txn-stamped).
+
+    Scale: repair work is bounded by the touched users' event history
+    (semi-join pushdown on user_id), never the dimension or the corpus;
+    the common insert-only path stays delta-sized. Crash between
+    nothing: both paths are single atomic commits with the same
+    (app_id, batch_id) txn, so replays are no-ops.
+    """
+    incremental = scd2_dim_sink(dim_table, app_id)
+    ct = "_change_type"
+
+    def write_batch(batch_df, batch_id: int):
+        if not batch_df.take(1):
+            return
+        if not batch_df.filter(F.col(ct) == "delete").take(1):
+            incremental(batch_df.drop(ct, "_commit_version"), batch_id)
+            return
+        users = batch_df.select("user_id").distinct()
+        live = (
+            source_table.read()
+            .join(users, "user_id", "left_semi")
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+        rebuilt = scd2_rebuild_intervals(live)
+        dim_table.commit_replace_keys(
+            rebuilt, users, "user_id", txn=(app_id, int(batch_id))
+        )
+
+    return write_batch
