@@ -247,6 +247,57 @@ def test_commit_replace_keys_atomic_slice_replace(spark, root):
     ]
 
 
+def test_multikey_delete_prune_guard_never_prunes_wrong_column(spark, root):
+    """A commit introducing delete entries on DIFFERENT key columns,
+    where the first (sort-ordered) entry's key file is EMPTY, must not
+    prune candidate files against the wrong column (ADVICE r4 #3 —
+    previously the empty first file left ``vals`` falsy, so the second
+    entry's values pruned against entry #1's column and silently
+    dropped retraction rows). Pruning now aborts whenever entries
+    disagree on the key column."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unity_to_bigquery_spark.plans.versioned import DATA_DIR
+
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, 100, "a"), (2, 200, "b")], "k INT, j INT, v STRING"
+        ).coalesce(1)
+    )
+    m1 = t.manifest(1)
+    # hand-stage two delete-key files whose names force the adversarial
+    # sort order: the EMPTY key-k file first, the key-j file second
+    d = os.path.join(root, DATA_DIR)
+    pq.write_table(
+        pa.table({"k": pa.array([], type=pa.int32())}),
+        os.path.join(d, "a-empty-k.parquet"),
+    )
+    pq.write_table(
+        pa.table({"j": pa.array([200], type=pa.int32())}),
+        os.path.join(d, "b-keys-j.parquet"),
+    )
+    m2 = dict(m1)
+    m2["version"] = 2
+    m2["op"] = "delete_where"
+    m2["deletes"] = [
+        {"file": "a-empty-k.parquet", "key": "k", "version": 2},
+        {"file": "b-keys-j.parquet", "key": "j", "version": 2},
+    ]
+    frames = t._cdc_commit_frames(m1, m2, 2)
+    rows = sorted(
+        tuple(r)
+        for f in frames
+        for r in f.select("k", "j", "v", CT, CV).collect()
+    )
+    # j=200 (value OUTSIDE the data file's k-range [1,2], so pruning
+    # against column k would skip the file) must still be retracted
+    assert rows == [(2, 200, "b", "delete", 2)]
+
+
 def test_empty_range_returns_typed_empty_feed(spark, root):
     t = VersionedTable(spark, root)
     t.commit_append(_df(spark, [(1, "a")]))

@@ -820,6 +820,138 @@ def test_versioned_streaming_source_skip_delete_commits(spark, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+def test_versioned_streaming_source_rejects_replace_keys(spark, tmp_path):
+    """The append-only guard trips on ANY commit publishing equality
+    deletes — commit_replace_keys, not just delete_where (ADVICE r4):
+    a default stream must not silently deliver the appended slice while
+    never retracting the replaced rows."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.sql("SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'").coalesce(1)
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.commit_replace_keys(
+        spark.sql("SELECT 1 AS k, 'a2' AS v").coalesce(1),
+        spark.sql("SELECT 1 AS k"),
+        "k",
+    )
+    try:
+        drain()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "replace_keys inside the consumed range must fail the stream"
+
+
+def test_versioned_cdc_stream_null_keys_after_schema_evolution(spark, tmp_path):
+    """CDC stream over a table whose delete key was ADDED by additive
+    schema evolution: files predating the evolution lack the key column
+    entirely — the stream NULL-fills (row.get, not row[k]) and NULL
+    never matches a delete key (even an explicit NULL key value),
+    mirroring the batch feed's SQL join-on-key semantics (ADVICE r4)."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k").coalesce(1))  # no k2 column
+    t.commit_append(
+        spark.sql(
+            "SELECT 2 AS k, 'x' AS k2 UNION ALL SELECT 3, 'y'"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    # delete on the evolved column; an explicit NULL key value must
+    # match nothing (SQL semantics), not the NULL-filled old rows
+    t.commit_delete_where(
+        spark.createDataFrame([("x",), (None,)], "k2 STRING"), "k2"
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", str(tmp_path / "tbl"))
+        .option("emit_change_types", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = sorted(
+        (r.k, r.k2, r._change_type, r._commit_version)
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        (r.k, r.k2, r._change_type, r._commit_version)
+        for r in t.changes_with_type(0).collect()
+    )
+    assert feed == batch
+    assert (2, "x", "delete", 3) in feed
+    # the pre-evolution row (k2 IS NULL) was NOT retracted
+    assert (1, None, "delete", 3) not in feed
+
+
+def test_scd2_cdc_rebuild_pins_to_batch_end_version(spark, tmp_path):
+    """The delete-repair rebuild reads the source AT the batch's end
+    commit version, not the live snapshot (ADVICE r4): a source commit
+    landing between offset planning and foreachBatch execution must not
+    leak into the rebuilt slice — it is delivered and folded in the
+    NEXT micro-batch."""
+    import datetime as dt
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import scd2_dim_sink_cdc
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    dim = VersionedTable(spark, str(tmp_path / "dim"))
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(eid, uid, st, t0 + dt.timedelta(hours=h)) for eid, uid, st, h in rows],
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP",
+        ).coalesce(1)
+
+    src.commit_append(mk([(1, 1, "a", 0), (2, 1, "b", 1)]))  # v1
+    src.commit_delete_where(
+        spark.createDataFrame([(2,)], "event_id BIGINT"), "event_id"
+    )  # v2
+    # the batch a stream would plan at end-offset v2
+    batch_df = src.changes_with_type(0, 2)
+    # a LATE commit lands before foreachBatch runs
+    src.commit_append(mk([(3, 1, "c", 2)]))  # v3
+    scd2_dim_sink_cdc(dim, src, "pin-test")(batch_df, 0)
+    got = sorted((r.state, r.is_current) for r in dim.read().collect())
+    # version-2 view only: user 1 = a@0 open; the v3 'c' event must NOT
+    # appear (a live-snapshot rebuild would close 'a' and open 'c')
+    assert got == [("a", True)], got
+
+
 def test_versioned_streaming_source_emit_change_types(spark, tmp_path):
     """emit_change_types=true (Delta readChangeFeed analogue): delete
     and rewrite commits flow as retraction rows instead of failing the

@@ -406,14 +406,20 @@ class VersionedTable:
             gone_entries = tuple(d for d in a if d not in b)
             if new_entries:
                 cand = files
+                # pruning is sound only when EVERY entry shares one key
+                # column — tracked explicitly (not via `vals` emptiness:
+                # an empty first key file would let a different-keyed
+                # entry's values prune against the wrong column and skip
+                # files that contain matching rows)
                 vals: list = []
+                prunable = True
                 for d in new_entries:
                     dv = self._cdc_delete_key_values(d)
-                    if dv is None or (vals and d[1] != new_entries[0][1]):
-                        vals = []
+                    if dv is None or d[1] != new_entries[0][1]:
+                        prunable = False
                         break
                     vals.extend(dv)
-                if vals:
+                if prunable and vals:
                     pruned_m = {"files": cand, "stats": m_v.get("stats", {})}
                     cand, _ = self._prune_eq(pruned_m, new_entries[0][1], vals)
                 if cand:

@@ -183,15 +183,29 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if self.emit_changes:
             return self._cdc_partitions(lo, hi, m_end)
         if not self.skip_deletes:
-            for h in self._t.history():
-                if lo < h["version"] <= hi and h["op"] == "delete_where":
+            # append-only contract: raise on ANY commit that publishes new
+            # equality-delete entries — matching op names would miss ops
+            # that also delete (commit_replace_keys, a restore
+            # reintroducing deletes), silently delivering the appended
+            # slice while never retracting the replaced rows.
+            dsig = lambda m: {  # noqa: E731
+                (d["file"], d["key"], d["version"])
+                for d in m.get("deletes") or []
+            }
+            prev_sig = dsig(self._t.manifest(lo))
+            for v in range(lo + 1, hi + 1):
+                m_v = self._t.manifest(v)
+                sig = dsig(m_v)
+                if sig - prev_sig:
                     raise ValueError(
-                        f"version {h['version']} is a delete_where commit: the "
-                        "streaming source is append-only (re-bootstrap "
-                        "consumers after deletes, consume via the batch "
-                        "changes() API, or opt in to "
-                        "skip_delete_commits=true)"
+                        f"version {v} ({m_v.get('op')}) publishes equality "
+                        "deletes: the streaming source is append-only "
+                        "(re-bootstrap consumers after deletes, consume via "
+                        "the batch changes() API, opt in to "
+                        "skip_delete_commits=true, or read the change feed "
+                        "with emit_change_types=true)"
                     )
+                prev_sig = sig
         base = set(self._t.manifest(lo)["files"]) if lo else set()
         fields = _ddl_field_names(m_end["schema"])
         return [
@@ -272,10 +286,23 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             ]
             table = pq.read_table(partition.path)
             tail = (partition.change, partition.version)
+
+            # row.get (not row[k]): files predating an additive schema
+            # evolution lack the key column — NULL-fill like the batch
+            # _scan. None NEVER matches (SQL join-on-key semantics: the
+            # batch changes_with_type's anti/semi joins never match NULL;
+            # Python's `None in {None}` is True and would diverge).
+            def _hits(row, pairs):
+                for s, k in pairs:
+                    v = row.get(k)
+                    if v is not None and v in s:
+                        return True
+                return False
+
             for row in table.to_pylist():
-                if any(row[k] in s for s, k in anti):
+                if _hits(row, anti):
                     continue
-                if match and not any(row[k] in s for s, k in match):
+                if match and not _hits(row, match):
                     continue
                 yield tuple(row.get(f) for f in partition.fields) + tail
             return

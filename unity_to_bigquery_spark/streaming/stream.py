@@ -609,8 +609,16 @@ def scd2_dim_sink_cdc(dim_table, source_table, app_id: str):
             incremental(batch_df.drop(ct, "_commit_version"), batch_id)
             return
         users = batch_df.select("user_id").distinct()
+        # pin the rebuild to the BATCH's end version, not the live
+        # snapshot: source commits landing between offset planning and
+        # this foreachBatch call would otherwise get baked into the
+        # rebuilt slice, then redelivered as inserts next batch — the
+        # incremental re-fold against the already-advanced open interval
+        # yields a spurious change point, a backwards valid_to, and
+        # duplicate dim_key rows. (Bounded collect: one scalar.)
+        end_v = batch_df.agg(F.max("_commit_version")).first()[0]
         live = (
-            source_table.read()
+            source_table.read(version=int(end_v))
             .join(users, "user_id", "left_semi")
             .select("user_id", "event_type", "ts", "event_id")
         )
