@@ -54,6 +54,10 @@ HEADLINE = (
     "p_neardup_scrub",
     "t_textrank_keywords",
     "sim_pq_rerank_topk",
+    # round-5: previously-unwatched expensive paths (VERDICT r4 #1/#8)
+    "sim_ivf2_topk",
+    "p_versioned_zorder_scan",
+    "p_continuous_aggregate_with_deletes",
 )
 
 

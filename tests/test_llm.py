@@ -17,8 +17,12 @@ QUERIES = all_queries()
 def test_approx_count_distinct_bounds(spark, sf_dir):
     rows = QUERIES["a_approx_count_distinct"].spark(spark, sf_dir).collect()
     for r in rows:
-        # rsd=0.02 → generous 10% acceptance band
-        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.1 * r.exact_customers)
+        # rsd=0.02; RECORDED max relative error 0.79% (sf0.001) /
+        # 0.85% (sf0.01), round-5 measurement — band pinned at 2.5% so
+        # a silent estimator regression trips this, not just a gross one
+        assert abs(r.approx_customers - r.exact_customers) <= max(
+            2, 0.025 * r.exact_customers
+        )
 
 
 def test_minhash_lsh_pairs_properties(spark, sf_dir):
@@ -202,7 +206,10 @@ def test_hll_mergeable_rollup_estimate_bounds(spark, sf_dir):
     }
     assert set(approx) == set(exact)
     for wk, est in approx.items():
-        assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (
+        # RECORDED: zero error at sf0.001 AND sf0.01 (HLL++ sparse mode
+        # is exact at these weekly cardinalities) — band pinned at 1%
+        # so any estimator/merge regression is visible
+        assert abs(est - exact[wk]) <= max(1, 0.01 * exact[wk]), (
             wk, est, exact[wk]
         )
 
@@ -274,7 +281,10 @@ def test_kll_mergeable_quantiles_rank_error_bound(spark, sf_dir):
 
         for est, q in ((p50, 0.5), (p90, 0.9), (p99, 0.99)):
             rank = bisect.bisect_right(vals, est) / n
-            assert abs(rank - q) <= 0.03, (week, q, est, rank)
+            # RECORDED max rank error: 1.00% (sf0.001) / 0.31% (sf0.01),
+            # round-5 measurement; k=200's theoretical bound is ~1.65%.
+            # Band pinned at 1.5%.
+            assert abs(rank - q) <= 0.015, (week, q, est, rank)
 
 
 def test_theta_audience_overlap_matches_exact(spark, sf_dir):
@@ -289,7 +299,9 @@ def test_theta_audience_overlap_matches_exact(spark, sf_dir):
     e = {r.user_id for r in ev.filter(F.col("event_type") == "error").select("user_id").distinct().collect()}
 
     def close(est, exact):
-        return abs(est - exact) <= max(2, 0.05 * exact)
+        # RECORDED: zero error at sf0.001 AND sf0.01 (theta is exact
+        # below its k=4096 saturation) — band pinned at 1% / ±1
+        return abs(est - exact) <= max(1, 0.01 * exact)
 
     assert close(row.purchase_users, len(p))
     assert close(row.error_users, len(e))
@@ -306,9 +318,9 @@ def test_ivf2_hierarchical_recall(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    got = ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2)
+    got = ivf2_topk(emb, queries, k=5)
     rows = {(r.query_id, r.vec_id) for r in got.collect()}
-    again = {(r.query_id, r.vec_id) for r in ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2).collect()}
+    again = {(r.query_id, r.vec_id) for r in ivf2_topk(emb, queries, k=5).collect()}
     assert rows == again  # seeded end to end
 
     exact = {
@@ -316,10 +328,13 @@ def test_ivf2_hierarchical_recall(spark, sf_dir):
         for r in brute_force_topk(emb, queries, k=5).collect()
     }
     recall = len(rows & exact) / len(exact)
-    # measured: 0.64 at sf0.001 (flat IVF 0.72), 0.52 at sf0.01 —
-    # identical to flat IVF there; the coarse level costs little recall
-    # on this fixture while cutting assignment to O(N·√C)
-    assert recall >= 0.4, recall
+    # round-5 sweep (BASELINE.md §ivf2): defaults (wprobe=3, nprobe=8)
+    # measure 0.88 on this 5-query fixture at sf0.001 (0.84 at sf0.01)
+    # vs the old (2,4)'s 0.64/0.52; flat IVF at the same probe budget
+    # is 0.80/0.84 — the remaining gap is the documented coarse
+    # mis-assignment cost of O(N·√C) assignment. Floor has slack only
+    # for fixture regeneration across rounds (the pipeline is seeded).
+    assert recall >= 0.7, recall
     ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert {v for _, v in rows} <= ids
 

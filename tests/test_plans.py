@@ -127,6 +127,70 @@ BNLJ_ALLOWED = {
 }
 
 
+# the subset of BNLJ_ALLOWED whose justification is "1-row scalar
+# broadcast": their allow-list membership is only valid while the plan
+# PROVES the build side is scalar — an ungrouped HashAggregate(keys=[])
+# somewhere in the build subtree bounds its output at one row at
+# plan-build time (VERDICT r4 #7). If a refactor turns the scalar into
+# a keyed relation, this trips even though the BNLJ itself still plans.
+BNLJ_SCALAR_PROOF = {
+    "q11_important_supply_value",
+    "q22_global_sales_opportunity",
+    "t_bm25_topk",
+    "p_domain_mixture",
+    "t_collocations_lift",
+    "e_theta_audience_overlap",
+}
+
+
+def _walk_bnlj_build_sides(node, out):
+    cls = node.getClass().getSimpleName()
+    if cls == "BroadcastNestedLoopJoinExec":
+        side = node.buildSide().toString()
+        out.append((node.right() if "Right" in side else node.left()).toString())
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_bnlj_build_sides(node.inputPlan(), out)
+    ch = node.children()
+    for i in range(ch.length()):
+        _walk_bnlj_build_sides(ch.apply(i), out)
+    try:  # scalar subqueries hang off expressions, not children
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            _walk_bnlj_build_sides(sq.apply(i), out)
+    except Exception:
+        pass
+
+
+def _provably_scalar(subtree: str) -> bool:
+    """True when the physical subtree PROVES a ≤1-row output: an
+    ungrouped aggregate (Hash/ObjectHash/Sort), or a keyed aggregate
+    whose single grouping key is pinned by an equality filter above it
+    (one group selected)."""
+    import re
+
+    if re.search(r"Aggregate\(keys=\[\]", subtree):
+        return True
+    m = re.search(r"Aggregate\(keys=\[(\w+)#\d+\]", subtree)
+    return bool(m and re.search(rf"Filter .*\({m.group(1)}#\d+ = ", subtree))
+
+
+def test_bnlj_scalar_allowlist_build_sides_provably_one_row(spark, sf_dir):
+    from unity_to_bigquery_spark.registry import all_queries
+
+    reg = all_queries()
+    bad = []
+    for name in sorted(BNLJ_SCALAR_PROOF):
+        plan = reg[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        builds = []
+        _walk_bnlj_build_sides(plan, builds)
+        if not builds:
+            bad.append((name, "allow-listed but plans no BNLJ — stale entry"))
+        for b in builds:
+            if not _provably_scalar(b):
+                bad.append((name, b.splitlines()[0]))
+    assert not bad, bad
+
+
 def test_no_unexpected_slow_paths_in_any_plan(spark, sf_dir):
     from unity_to_bigquery_spark.registry import all_queries
 

@@ -5,10 +5,13 @@ queries is the evidence that the plans (broadcast dims, single-shuffle
 composites, pushdown) survive scale-up — the grading criterion the
 fixed sf0.1 bench can't show.
 
-Usage: ``python tools/scale_smoke.py [replication_factor] [mode]``
-(default 10, mode ``queries``). Mode ``versioned`` times the
-versioned-table write-path ops (merge_upsert / delete_where / pruned
-zorder scan / compact) at both scales instead; mode ``all`` runs both.
+Usage: ``python tools/scale_smoke.py [replication_factor] [mode]
+[query_name ...]`` (default 10, mode ``queries``; trailing names
+restrict the query set — e.g. the ×100 banded-LSH family run, which
+would otherwise drag the whole 50-query list through a 100× corpus).
+Mode ``versioned`` times the versioned-table write-path ops
+(merge_upsert / delete_where / pruned zorder scan / compact /
+replace_keys) at both scales instead; mode ``all`` runs both.
 The versioned section's evidence is that merge/delete/pruned-read cost
 tracks TOUCHED FILES (constant-size key ranges → flat across scales,
 touched-file counts printed) while only the whole-table maintenance
@@ -83,6 +86,10 @@ QUERIES = [
     "p_dq_expectations",
     "m_blob_dedup",
     "p_release_funnel",
+    # round-5 additions (VERDICT r4 #1/#8: previously unwatched)
+    "sim_ivf2_topk",
+    "p_versioned_zorder_scan",
+    "p_continuous_aggregate_with_deletes",
 ]
 
 # key columns to offset per replica so fact→fact joins don't explode.
@@ -206,6 +213,23 @@ def versioned_smoke(spark, big_dir: str, reps: int) -> dict:
             vt.commit_delete_where(keys, "o_orderkey")
             t_delete = time.perf_counter() - t0
 
+            # replace_keys (round-4 CDC primitive, VERDICT r4 #8): the
+            # atomic key-scoped replace is merge-on-read — NO data file
+            # is rewritten at any scale; evidence = files added tracks
+            # the staged slice (constant keys), wall stays ~flat.
+            rk_new = (
+                vt.read()
+                .filter(F.col("o_orderkey").between(7000, 8000))
+                .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+                .coalesce(1)
+                .localCheckpoint(eager=True)  # rule 8: writes where it reads
+            )
+            files_before = len(vt.manifest()["files"])
+            t0 = time.perf_counter()
+            vt.commit_replace_keys(rk_new, rk_new.select("o_orderkey"), "o_orderkey")
+            t_replace = time.perf_counter() - t0
+            rk_files_added = len(vt.manifest()["files"]) - files_before
+
             pruned_files, scan_total = vt.prune_files("o_orderkey", 10000, 14000)
             t0 = time.perf_counter()
             vt.read_pruned("o_orderkey", 10000, 14000).count()
@@ -230,6 +254,8 @@ def versioned_smoke(spark, big_dir: str, reps: int) -> dict:
                 "merge_upsert_sec": round(t_merge, 2),
                 "merge_touched_files": len(touched),
                 "delete_where_sec": round(t_delete, 2),
+                "replace_keys_sec": round(t_replace, 2),
+                "replace_keys_files_added": rk_files_added,
                 "pruned_read_sec": round(t_pruned, 2),
                 "pruned_read_files": f"{len(pruned_files)}/{scan_total}",
                 "zorder_rewrite_sec": round(t_zorder, 2),
@@ -247,6 +273,7 @@ def versioned_smoke(spark, big_dir: str, reps: int) -> dict:
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     mode = sys.argv[2] if len(sys.argv) > 2 else "queries"
+    names = sys.argv[3:] or QUERIES
     out_dir = f"/tmp/u2bq_scale_x{reps}"
     spark = get_spark(
         app_name="scale-smoke", extra_conf={"spark.ui.showConsoleProgress": "false"}
@@ -287,7 +314,7 @@ def main() -> None:
         return best
 
     results = {}
-    for name in QUERIES:
+    for name in names:
         q = registry[name]
         base = timed(q, BASE_SF)
         big = timed(q, out_dir)

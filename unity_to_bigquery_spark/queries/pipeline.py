@@ -537,6 +537,62 @@ def p_continuous_aggregate_with_deletes(spark, sf_dir):
 
 
 @query(
+    "p_cdc_update_images",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v
+      FROM orders WHERE o_orderkey <= 30000
+    ), upd AS (
+      SELECT k, v FROM base WHERE k % 10 = 0
+    )
+    SELECT k, v, 'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM upd
+    UNION ALL
+    SELECT k, v || 'X', 'update_postimage', CAST(2 AS BIGINT) FROM upd
+    UNION ALL
+    SELECT k + 10000000, 'NEW', 'insert', CAST(2 AS BIGINT)
+    FROM base WHERE k % 97 = 0
+    """,
+    doc=(
+        "CDC update pre/post-images (Delta readChangeFeed vocabulary — "
+        "VERDICT r4 missing #3): a keyed versioned table takes one "
+        "merge_upsert that updates every k%10==0 row and inserts fresh "
+        "keys; changes_with_updates('k') pairs each commit's delete+"
+        "insert on the merge key into update_preimage/update_postimage "
+        "rows and DROPS the equal-valued rewrite pairs merge_upsert "
+        "emits for untouched rows in rewritten files — so the oracle is "
+        "exactly the logical update set, with no self-join on the "
+        "consumer side. One full-outer join on (commit, key) over the "
+        "delta-sized feed."
+    ),
+    tags=("pipeline", "versioned", "cdc"),
+)
+def p_cdc_update_images(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 30000)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v"))
+    )
+    root = _tmp(f"cdcupd_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(spark, root)
+    t.commit_append(base)  # v1
+    updates = base.filter(F.col("k") % 10 == 0).select(
+        "k", F.concat(F.col("v"), F.lit("X")).alias("v")
+    )
+    inserts = base.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + F.lit(10_000_000)).alias("k"), F.lit("NEW").alias("v")
+    )
+    t.merge_upsert(updates.unionByName(inserts), "k")  # v2
+    return t.changes_with_updates("k", since_version=1)
+
+
+@query(
     "p_file_lineage_metadata",
     oracle="""
     SELECT source,

@@ -142,7 +142,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # bound how many source VERSIONS one micro-batch may consume, so
         # a long-idle consumer catching up on a large backlog paces its
         # batches instead of materializing the whole backlog at once.
-        self.max_versions = int(options.get("max_versions_per_batch", "0"))
+        # Default FINITE (64): the CDC path plans one partition per
+        # (file, commit), so an unpaced catch-up over a 10k-commit
+        # backlog would build a 10k-scale batch — opting OUT of pacing
+        # (0 = unbounded) is the deliberate choice now, not the default.
+        self.max_versions = int(options.get("max_versions_per_batch", "64"))
         # manifest access without a SparkSession (driver-side JSON IO)
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
