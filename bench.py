@@ -4,18 +4,34 @@ factor and prints ONE SHORT JSON line for the driver
 {headline subset}, "sf": ...}``). Full per-query timings go to
 ``BENCH_LOCAL.json`` next to this file — round 1's ~5 KB stdout line
 overflowed the driver's capture window (BENCH_r01.json ``parsed:
-null``), so stdout stays under ~1 KB: only the BASELINE.md headline
-queries inline.
+null``), so stdout stays under 1 KB: only the BASELINE.md headline
+queries inline, values rounded to 2 decimals and capped at 999.99
+(a >1000 s single query at sf0.1 is a catastrophic failure either
+way), no warmup/detail fields (those live in BENCH_LOCAL.json).
+
+Noise defense (VERDICT r5 #3): single-shot timings on this host spike
+3-10x under ambient load (CLAUDE.md rule 14; BENCH_r05 recorded two
+false headline breaches that cleared standalone). After the sweep,
+any headline that breached its BASELINE gate is re-run standalone in
+a FRESH process (``python bench.py <name>``, itself min-of-2); the
+reproduced number replaces the sweep number in the stdout line, and
+``"reran": <count>`` marks how many were re-run (a count, not a name
+list: 3 of these query names alone would blow the 1024 B stdout
+contract — names + both timings are in BENCH_LOCAL.json's
+``reran_detail``).
 
 Usage: ``python bench.py [query_name ...]`` — optional names restrict
 the set. Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-``SPARK_GRAFT_CPUS`` (default 32).
+``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_BENCH_REPS``
+(default 2), ``SPARK_GRAFT_BENCH_NO_RERUN=1`` disables the breach
+rerun (set automatically in rerun subprocesses).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,7 +42,7 @@ from unity_to_bigquery_spark.session import get_spark
 
 
 # The BASELINE.md §"headline queries" set — kept inline on stdout so the
-# driver can compare per-query without the full 142-entry dict.
+# driver can compare per-query without the full per-query dict.
 HEADLINE = (
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -60,6 +76,92 @@ HEADLINE = (
     "p_continuous_aggregate_with_deletes",
 )
 
+# BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
+# took <= max(2*pin, pin + 0.75) per BASELINE.md's acceptance rule.
+# tests/test_bench_contract.py asserts PINS keys == HEADLINE.
+PINS = {
+    "q01_pricing_summary": 0.36,
+    "q03_shipping_priority": 1.04,
+    "q05_local_supplier_volume": 0.76,
+    "q21_waiting_suppliers": 1.70,
+    "j_asof_last_order_before_event": 0.81,
+    "w_sessionize_events": 0.41,
+    "d_simhash": 0.42,
+    "d_minhash_lsh": 5.08,
+    "d_minhash_lsh_df": 0.81,
+    "d_dedup_clusters": 1.98,
+    "sim_cosine_topk": 0.69,
+    "sim_embed_neardup_pairs": 0.62,
+    "sim_ivf_neardup_pairs": 4.60,
+    "t_quality_features": 0.20,
+    "u_grouped_map_apply_in_pandas": 2.50,
+    "u_python_udtf": 1.28,
+    "t_bm25_topk": 0.45,
+    "d_chunk_dedup": 0.44,
+    "sim_semdedup_prune": 1.60,
+    "p_continuous_aggregate": 1.33,
+    "d_simhash_neardup": 2.08,
+    "p_neardup_scrub": 1.78,
+    "t_textrank_keywords": 5.00,
+    "sim_pq_rerank_topk": 2.36,
+    "sim_ivf2_topk": 6.39,
+    "p_versioned_zorder_scan": 2.42,
+    "p_continuous_aggregate_with_deletes": 7.25,
+}
+
+# Rerunning more than this many breaches means the whole sweep ran on a
+# loaded machine; the first few reruns still document that honestly
+# without doubling total bench wall-clock (each rerun pays ~15 s of
+# fresh-JVM startup).
+MAX_RERUNS = 8
+
+
+def gate(pin: float) -> float:
+    """BASELINE.md acceptance threshold for a pinned headline."""
+    return max(2.0 * pin, pin + 0.75)
+
+
+def breaching_headlines(timings: dict[str, float]) -> list[str]:
+    """Headline queries whose sweep timing exceeds the BASELINE gate."""
+    return [
+        n
+        for n in HEADLINE
+        if n in timings and timings[n] > gate(PINS[n])
+    ]
+
+
+def rerun_standalone(name: str, timeout_sec: float = 600.0) -> float | None:
+    """Re-measure one query in a fresh process (min-of-2 inside).
+
+    Returns the standalone timing, or None if the subprocess failed —
+    callers keep the sweep number in that case.
+    """
+    env = dict(os.environ, SPARK_GRAFT_BENCH_NO_RERUN="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True,
+            text=True,
+            timeout=timeout_sec,
+            env=env,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        took = parsed.get("queries", {}).get(name)
+        if isinstance(took, (int, float)) and took >= 0:
+            return float(took)
+    return None
+
+
+def emit_value(took: float) -> float:
+    """Bound a per-query stdout value: 2 decimals, capped at 999.99."""
+    return round(min(took, 999.99), 2)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,7 +179,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers so per-query numbers measure the
-    # query, not session startup (startup cost reported separately).
+    # query, not session startup (startup cost reported in BENCH_LOCAL).
     t0 = time.perf_counter()
     registry["q01_pricing_summary"].spark(spark, sf_dir).count()
     warmup_sec = round(time.perf_counter() - t0, 3)
@@ -105,31 +207,61 @@ def main() -> None:
                 break
         timings[name] = best
         # Several queries persist() intermediates (LSH inputs, iterative
-        # state). Across the full 142-query session those caches pile up
+        # state). Across the full-sweep session those caches pile up
         # in executor storage memory and late queries pay GC/spill for
         # blocks they never use — measured: u_python_udtf 15.2 s in the
         # full sweep vs 1.6 s in an 8-query run. Dropping dead caches
         # between queries measures each query, not its predecessors'
         # leftovers.
         spark.catalog.clearCache()
+    spark.stop()
+
+    # Breach rerun (VERDICT r5 #3): reproduce any gate breach standalone
+    # before the driver records it. Only in full-sweep mode — explicit
+    # name args ARE the standalone protocol already.
+    sweep_timings = dict(timings)
+    reran_detail: dict[str, dict[str, float]] = {}
+    if not sys.argv[1:] and not os.environ.get("SPARK_GRAFT_BENCH_NO_RERUN"):
+        for name in breaching_headlines(timings)[:MAX_RERUNS]:
+            repro = rerun_standalone(name)
+            if repro is not None:
+                reran_detail[name] = {
+                    "sweep": timings[name],
+                    "standalone": repro,
+                }
+                timings[name] = repro
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
         "metric": "declared_query_wall_clock_total",
-        "value": total,
+        "value": round(min(total, 99999.99), 2),
         "unit": "sec",
-        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "queries": {
+            n: emit_value(timings[n]) for n in HEADLINE if n in timings
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "warmup_sec": warmup_sec,
         "n_queries": len(timings),
         "n_errors": sum(1 for t in timings.values() if t < 0),
-        "detail_file": "BENCH_LOCAL.json",
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    if reran_detail:
+        payload["reran"] = len(reran_detail)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
     with open(detail_path, "w") as fh:
-        json.dump({**payload, "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                **payload,
+                "queries": timings,
+                "sweep_queries": sweep_timings,
+                "reran_detail": reran_detail,
+                "warmup_sec": warmup_sec,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(payload))
-    spark.stop()
 
 
 if __name__ == "__main__":
