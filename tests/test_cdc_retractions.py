@@ -411,3 +411,61 @@ def test_versioned_stream_default_pacing_is_finite():
         {"path": "/nonexistent", "max_versions_per_batch": "0"}
     )
     assert r0.max_versions == 0  # explicit opt-out still available
+
+
+def test_continuous_aggregate_pages_long_idle_catchup(spark, root, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): a catch-up spanning more commits than
+    CDC_MAX_COMMITS must page, not raise — the documented long-idle
+    continuous-aggregate scenario. Cap shrunk to 2 so 7 backlogged
+    commits force 4 pages; the paged result must equal a direct
+    groupBy of the live snapshot and stamp the final source version."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    monkeypatch.setattr(VersionedTable, "CDC_MAX_COMMITS", 2)
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, handle_deletes=True,
+    )
+    for i in range(5):
+        src.commit_append(spark.createDataFrame(
+            [(10 * i + j, j % 2, float(i + j)) for j in range(4)],
+            "id INT, g INT, x DOUBLE",
+        ))
+    src.commit_delete_where(
+        spark.createDataFrame([(0,), (11,), (22,)], "id INT"), "id"
+    )
+    src.commit_append(spark.createDataFrame(
+        [(99, 1, 2.25)], "id INT, g INT, x DOUBLE"
+    ))
+    assert src.latest_version() == 7
+    # direct changes_with_type over the whole window still raises...
+    with pytest.raises(ValueError, match="max_commits"):
+        src.changes_with_type(0, 7)
+    # ...but refresh pages through it
+    assert agg.refresh() == 7
+    direct = src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+    )
+    assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert agg.last_refreshed() == 7
+    assert agg.refresh() == 7  # replay no-op
+    # explicit page-size override also honored
+    src.commit_append(spark.createDataFrame(
+        [(100, 0, 1.0), (101, 1, 3.0)], "id INT, g INT, x DOUBLE"
+    ))
+    assert agg.refresh(max_commits=1) == 8
+    direct2 = src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+    )
+    assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect())) == sorted(
+        map(tuple, direct2.collect())
+    )
+    with pytest.raises(ValueError, match="max_commits"):
+        agg.refresh(max_commits=0)

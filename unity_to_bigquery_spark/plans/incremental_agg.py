@@ -89,16 +89,36 @@ class ContinuousAggregate:
         ]
         return feed.groupBy(self.key).agg(F.sum(sign).alias("n"), *sums)
 
-    def refresh(self) -> int:
+    def refresh(self, max_commits: int | None = None) -> int:
         """Fold all source commits since the last refresh into the
         rollup; returns the source version now reflected. No-op when
-        already current (and when called twice — txn idempotency)."""
+        already current (and when called twice — txn idempotency).
+
+        A catch-up longer than ``max_commits`` (default
+        ``VersionedTable.CDC_MAX_COMMITS``) is PAGED: each page folds
+        ≤max_commits commits in its own atomic merge commit, so the
+        long-idle scenario never hits the CDC window cap and a crash
+        between pages resumes from the last committed page (folds over
+        consecutive pages compose exactly — the CDC-level composition
+        is unit-tested in test_cdc_retractions)."""
+        page = (
+            VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
+        )
+        if page < 1:
+            raise ValueError(f"max_commits must be >= 1, got {page}")
         last = self.last_refreshed()
         now = self.source.latest_version()
-        if now <= last:
-            return last
+        while last < now:
+            last = self._refresh_window(last, min(last + page, now))
+        return last
+
+    def _refresh_window(self, last: int, now: int) -> int:
+        """Fold source commits in ``(last, now]`` as one atomic merge
+        commit stamped txn=(app, now)."""
         if self.handle_deletes:
-            d = self._delta_agg_signed(self.source.changes_with_type(last, now))
+            d = self._delta_agg_signed(
+                self.source.changes_with_type(last, now, max_commits=now - last)
+            )
         else:
             d = self._delta_agg(self.source.changes(last, now))
         cols = [self.key, "n", *self.measures.keys()]
