@@ -99,7 +99,7 @@ PINS = {
     "t_bm25_topk": 0.45,
     "d_chunk_dedup": 0.44,
     "sim_semdedup_prune": 1.60,
-    "p_continuous_aggregate": 1.33,
+    "p_continuous_aggregate": 2.10,  # re-pinned r6 (BASELINE.md note)
     "d_simhash_neardup": 2.08,
     "p_neardup_scrub": 1.78,
     "t_textrank_keywords": 5.00,

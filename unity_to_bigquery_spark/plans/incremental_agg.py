@@ -137,6 +137,15 @@ class ContinuousAggregate:
             updates = merged.select(*cols)
         else:
             updates = d.select(*cols)
+        # merge_upsert executes this updates plan twice (key-bounds agg
+        # for file pruning, then the file write). A persist() of
+        # updates was tried to dedupe that (r6) and measured SLOWER at
+        # sf0.1 (min-of-3 2.65 s vs 1.9-2.0 s unpersisted, alternating
+        # A/B in one session): the delta is toy-sized here, so the
+        # extra cache stage per refresh costs more than the re-scan
+        # saves. At real scale the delta fold is aggregate-sized (one
+        # row per touched key) either way — revisit persist only if a
+        # wide-key workload shows the double execution in job timings.
         self.table.merge_upsert(updates, self.key, txn=(_APP, now))
         return now
 
