@@ -136,3 +136,94 @@ def test_y4m_roundtrip_and_frame_boundaries():
     assert np.array_equal(d["frames"].reshape(-1), exp)
     with pytest.raises(ValueError, match="colorspace"):
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + b"\0" * 24)
+
+
+def test_png_roundtrip_all_filter_types():
+    """PNG encode/decode round-trip; the writer's row%5 filter cycle
+    means every image with h>=5 exercises all five unfilter paths."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import _write_png, decode_image
+
+    rng = np.random.RandomState(11)
+    for h, w in ((9, 9), (5, 1), (1, 4), (30, 47)):
+        rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        fmt, w2, h2, back = decode_image(_write_png(rgb))
+        assert (fmt, w2, h2) == ("png", w, h)
+        assert np.array_equal(back, rgb), f"{h}x{w} round-trip mismatch"
+
+
+def test_png_unfilter_spec_anchored():
+    """Hand-built IDAT streams with HAND-COMPUTED filter bytes from the
+    PNG 1.2 spec (§6.3-6.6) — catches compensating writer/decoder bugs
+    a round-trip cannot: if both sides shared a wrong Sub/Average/Paeth
+    formula, these constants would not decode to the raw rows."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+    )
+
+    row0 = [10, 20, 30, 40, 60, 80]  # 2 RGB pixels
+    row1 = [15, 25, 35, 55, 75, 95]
+
+    def build(f0, l0, f1, l1):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        data = bytes([f0] + l0 + [f1] + l1)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(data))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    want = np.array([row0, row1], dtype=np.uint8).reshape(2, 2, 3)
+    cases = [
+        # Sub on row0: f(x)=raw(x)-raw(x-3); Up on row1: raw1-raw0
+        (1, [10, 20, 30, 30, 40, 50], 2, [5, 5, 5, 15, 15, 15]),
+        # None on row0; Average on row1: f(x)=raw-floor((left+prior)/2)
+        (0, row0, 3, [10, 15, 20, 28, 33, 38]),
+        # None on row0; Paeth on row1 (predictor resolves to prior here)
+        (0, row0, 4, [5, 5, 5, 15, 15, 15]),
+    ]
+    for f0, l0, f1, l1 in cases:
+        fmt, w, h, px = decode_png(build(f0, l0, f1, l1))
+        assert (fmt, w, h) == ("png", 2, 2)
+        assert np.array_equal(px, want), f"filter pair ({f0},{f1})"
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import decode_png, synthesize_png
+
+    good = synthesize_png(3, 50)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + good[4:])
+
+
+def test_png_ramp_matches_closed_form_and_dispatch():
+    """The synthesize_png ramp decodes to v(i)=(41*doc_id+i)%256 —
+    the closed form m_png_decode_verified's DuckDB oracle re-derives —
+    and decode_real dispatches PNG magic to the image decoder."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import synthesize_png
+
+    for doc_id, n_chars in ((0, 0), (9, 77), (4242, 1023)):
+        payload = synthesize_png(doc_id, n_chars)
+        d = decode_real(payload, "image")
+        w, h = n_chars % 40 + 9, n_chars % 30 + 9
+        assert (d["format"], d["width"], d["height"]) == ("png", w, h)
+        a = (41 * doc_id) % 256
+        want = ((a + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(d["pixels"], want)

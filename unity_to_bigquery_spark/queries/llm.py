@@ -829,6 +829,73 @@ def m_image_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_png_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, width, height, a,
+             CAST(width AS BIGINT) * height * 3 AS n_px,
+             a + CAST(width AS BIGINT) * height * 3 AS m1
+      FROM d
+    )
+    SELECT doc_id, 'png' AS fmt, width, height, n_px,
+           (32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+             - ((a * (a - 1)) // 2) AS byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + n_px // 2) % 256 AS INTEGER) AS mid_px,
+           CAST((a + n_px - 1) % 256 AS INTEGER) AS last_px,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256, 0), 64))
+             - LEAST(GREATEST(a, 0), 64) AS h0,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 64, 0), 64))
+             - LEAST(GREATEST(a - 64, 0), 64) AS h1,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 128, 0), 64))
+             - LEAST(GREATEST(a - 128, 0), 64) AS h2,
+           (64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 192, 0), 64))
+             - LEAST(GREATEST(a - 192, 0), 64) AS h3,
+           (((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+             - ((a * (a - 1)) // 2)) * 1000000) // n_px AS mean_fp6
+    FROM e
+    """,
+    doc=(
+        "REAL PNG decode, oracle-verified, stdlib-only (VERDICT r5 #5 — "
+        "PNG is the format real multimodal corpora actually ship): "
+        "procedural 8-bit truecolor PNGs are written executor-side with "
+        "the filter type CYCLING row%5 (None/Sub/Up/Average/Paeth — "
+        "every image with h>=5 exercises all five unfilter paths), then "
+        "llm/multimodal.decode_png chunk-walks with CRC-32 verification, "
+        "zlib-decompresses IDAT, and sequentially unfilters per the PNG "
+        "1.2 spec. The pixel ramp v(i)=(41*doc_id+i)%256 has closed-form "
+        "sums/histograms the oracle re-derives analytically; positional "
+        "probes (first/mid/last) catch any unfilter drift. Writer forward-"
+        "filters vectorized over RAW bytes, decoder reconstructs "
+        "sequentially per spec — deliberately different constructions, "
+        "plus hand-computed spec-example tests, so mirrored bugs cannot "
+        "self-cancel. fmt comes from the DECODER's magic detection."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_png_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # single-file table reads as ONE partition (CLAUDE.md rule 5); the
+    # PNG unfilter has genuinely sequential per-row work, so spread the
+    # synth+decode kernels across cores — measured 2.5 s -> 0.6 s at
+    # sf0.1 (the other m_* decoders are pure-vectorized and don't need
+    # this; PNG's Average/Paeth rows can't be).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_png_media(docs))
+
+
+@query(
     "m_wav_decode_verified",
     oracle="""
     WITH d AS (
