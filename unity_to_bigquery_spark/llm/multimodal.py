@@ -9,10 +9,12 @@ Two decode tiers coexist:
   BMP and binary PPM images (``decode_image``), with procedural writers
   (``synthesize_image``) whose pixel stats a SQL oracle re-derives
   analytically — ``image_decode_stats`` is oracle-verified end to end.
-- `_fake_decode`, a clearly-marked deterministic byte-stat stand-in used
-  by the generic feature kernel for payloads in COMPRESSED formats this
-  container cannot decode (JPEG/MP3/H.264 would need PIL/ffmpeg);
-  swapping it for a real library is a one-function change.
+- `_byte_stats`, the DECODE-FREE kernel behind ``extract_features``:
+  container-agnostic byte statistics (length, sha1, mean byte) that
+  never claim pixel/sample semantics — the honest operation for
+  payloads in formats no codec here handles (JPEG/MP3/H.264 would
+  need PIL/ffmpeg). Queries that claim real decode use ``decode_real``
+  (the m_*_decode_verified family), never this kernel.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one
 batch per core, not one blob per row; `spark.sql.execution.arrow.
@@ -67,9 +69,11 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """FAKE decode kernel (deterministic): real pipelines put
-    PIL.Image.open / soundfile.read / av.open here."""
+def _byte_stats(payload: bytes) -> dict:
+    """Decode-free payload BYTE statistics (length/sha1/mean byte) —
+    exact over the raw bytes, but no pixel/sample semantics. Real
+    decodes go through ``decode_real``; pipelines with PIL/soundfile/
+    av would add decoded stats as a separate kernel."""
     return {
         "n_bytes": len(payload),
         "sha1": hashlib.sha1(payload).hexdigest(),
@@ -80,10 +84,11 @@ def _fake_decode(payload: bytes) -> dict:
 def decode_real(payload: bytes, media_type: str) -> dict:
     """REAL codec dispatch (VERDICT r3 #5 / r4 #2): no fake byte stats —
     the payload's container header is parsed and actual pixels/samples
-    come back. Uncompressed public formats only (no codec libraries in
-    this container): 24-bit BMP and binary PPM (P6) for images, PCM WAV
-    for audio, YUV4MPEG2 (C444) for video. Unknown magic raises
-    ValueError — honestly unsupported, not silently faked."""
+    come back. Public formats implemented here without codec libraries:
+    24-bit BMP, binary PPM (P6), and 8-bit truecolor PNG (stdlib zlib)
+    for images, PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown
+    magic raises ValueError — honestly unsupported, not silently
+    faked."""
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
         fmt, w, h, px = decode_image(payload)
         return {"format": fmt, "width": w, "height": h, "pixels": px}
@@ -714,7 +719,11 @@ def y4m_decode_stats(media: DataFrame) -> DataFrame:
 
 
 def extract_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
-    """mapInPandas feature extraction over Arrow batches of blobs.
+    """mapInPandas BYTE-STAT feature extraction over Arrow batches of
+    blobs — decode-free by design (``_byte_stats``): n_bytes/sha1/
+    mean_byte are exact functions of the raw payload, width/height
+    passthrough from metadata. Content-aware decode features live in
+    the m_*_decode_verified queries via ``decode_real``.
 
     ``passthrough`` names extra input columns carried through the
     kernel unchanged (appended to the output schema with their input
@@ -729,7 +738,7 @@ def extract_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> Dat
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf["payload"].map(_fake_decode)
+            decoded = pdf["payload"].map(_byte_stats)
             out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],

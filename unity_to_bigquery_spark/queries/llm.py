@@ -642,12 +642,13 @@ def sim_sq8_rerank_topk(spark, sf_dir):
     FROM documents WHERE doc_id % 7 = 0
     """,
     doc=(
-        "Oracle-verified multimodal decode: the SAME mapInPandas "
-        "feature kernel as m_multimodal_features, hash-compared against "
-        "SQL recomputing byte length and mean byte value from the "
-        "(ASCII) payload — proof the Arrow-batch binary plumbing "
-        "delivers exact payload bytes to Python, not just plausible "
-        "shapes."
+        "Oracle-verified multimodal BYTE-STAT plumbing (no decode "
+        "claimed — real container decode is the m_*_decode_verified "
+        "family): the SAME decode-free mapInPandas byte-stat kernel as "
+        "m_multimodal_features, hash-compared against SQL recomputing "
+        "byte length and mean byte value from the (ASCII) payload — "
+        "proof the Arrow-batch binary plumbing delivers exact payload "
+        "bytes to Python, not just plausible shapes."
     ),
     tags=("multimodal", "udf"),
 )
@@ -713,8 +714,8 @@ def m_frame_sample_verified(spark, sf_dir):
         "multimodal row, VERDICT r2 missing #1): real payload files are "
         "materialized on executors (one doc_<id>.bin per row), scanned "
         "back via binaryFile, joined to tabular metadata on the "
-        "filename-recovered doc_id, and fed through the SAME mapInPandas "
-        "feature kernel as m_media_features_verified with a JVM-side "
+        "filename-recovered doc_id, and fed through the SAME decode-free "
+        "mapInPandas byte-stat kernel as m_media_features_verified with a JVM-side "
         "pre-kernel md5 carried through — the oracle recomputes length, "
         "mean byte and md5 from the source text, so a single byte lost "
         "anywhere in write→scan→join→Arrow-kernel breaks the hash."

@@ -154,7 +154,12 @@ def u_python_udtf(spark, sf_dir):
 @query(
     "m_multimodal_features",
     oracle=None,  # binary plumbing; shapes/determinism tested in tests/test_multimodal.py
-    doc="Multimodal: binary payload + metadata struct → mapInPandas feature extraction.",
+    doc=(
+        "Multimodal: binary payload + metadata struct → mapInPandas "
+        "BYTE-STAT extraction (length/sha1/mean byte — decode-free by "
+        "design; real container decode is the m_*_decode_verified "
+        "family via decode_real)."
+    ),
     tags=("multimodal",),
 )
 def m_multimodal_features(spark, sf_dir):
