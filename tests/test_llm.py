@@ -283,8 +283,11 @@ def test_kll_mergeable_quantiles_rank_error_bound(spark, sf_dir):
             rank = bisect.bisect_right(vals, est) / n
             # RECORDED max rank error: 1.00% (sf0.001) / 0.31% (sf0.01),
             # round-5 measurement; k=200's theoretical bound is ~1.65%.
-            # Band pinned at 1.5%.
-            assert abs(rank - q) <= 0.015, (week, q, est, rank)
+            # Band pinned AT the theoretical bound rounded up (2%), not
+            # at the recorded fixture-specific max: fixtures regenerate
+            # across rounds (CLAUDE.md rule 12) and a within-spec sketch
+            # must not fail on a new draw (ADVICE r5).
+            assert abs(rank - q) <= 0.02, (week, q, est, rank)
 
 
 def test_theta_audience_overlap_matches_exact(spark, sf_dir):

@@ -1384,3 +1384,110 @@ def test_scd2_dim_sink_incremental_equals_batch(spark, sf_dir, tmp_path):
         (r.user_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current)
         for r in dim.read().collect()
     } == expect
+
+
+def test_versioned_streaming_source_compact_no_redelivery(spark, tmp_path):
+    """ADVICE r5: a compact inside the consumed window is live-content-
+    identical — the per-commit walk must deliver NOTHING for its file
+    churn (the old end-vs-base diff re-delivered every compacted row),
+    while a later append still delivers exactly its own rows."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k, 'a' AS v").coalesce(1))
+    t.commit_append(spark.sql("SELECT 2 AS k, 'b' AS v").coalesce(1))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.compact(target_files=1)
+    t.commit_append(spark.sql("SELECT 3 AS k, 'c' AS v").coalesce(1))
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")], got  # no duplicates
+
+
+def test_versioned_streaming_source_rejects_rewrite_commits(spark, tmp_path):
+    """ADVICE r5: delete-FREE rewrites (merge_upsert churns files
+    without publishing equality deletes) must fail the append-only
+    stream — silently re-delivering the rewritten files would
+    duplicate every untouched row in them."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.sql("SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'b'").coalesce(1)
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.merge_upsert(spark.sql("SELECT 1 AS k, 'a2' AS v").coalesce(1), "k")
+    try:
+        drain()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "merge_upsert inside the consumed range must fail the stream"
+
+
+def test_versioned_streaming_source_starting_version(spark, tmp_path):
+    """starting_version=N (Delta startingVersion analogue): the stream
+    consumes (N, ...] only — the bounded-bootstrap path after a batch
+    backfill, and the only bound on the first micro-batch."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k, 'a' AS v").coalesce(1))
+    t.commit_append(spark.sql("SELECT 2 AS k, 'b' AS v").coalesce(1))
+    t.commit_append(spark.sql("SELECT 3 AS k, 'c' AS v").coalesce(1))
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", str(tmp_path / "tbl"))
+        .option("starting_version", "2")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(3, "c")], got

@@ -16,10 +16,17 @@ Scale/design notes:
   backfill should use the batch ``changes()``/``read()`` path, which
   scans parquet natively in the JVM.
 - Append-only contract, like Delta's streaming source without
-  ``skipChangeCommits``: a delete_where commit inside a consumed range
-  raises rather than silently replaying rows the batch API would have
-  filtered — at-least-once delivery of retracted rows is corruption,
-  not a degraded mode.
+  ``skipChangeCommits``: any commit inside a consumed range that
+  deletes OR rewrites live rows (delete_where, replace_keys,
+  merge_upsert, overwrite, restore) raises rather than silently
+  replaying or dropping rows; compact/cluster_by file churn is
+  live-content-identical and delivers nothing (per-commit walk, not an
+  end-vs-base file diff). ``skip_delete_commits=true`` mirrors Delta's
+  skipChangeCommits: change commits are skipped whole.
+  ``starting_version=N`` (Delta startingVersion) begins the stream
+  after manifest version N — the bounded-bootstrap path for long
+  histories and the only bound on a run's FIRST micro-batch
+  (max_versions_per_batch pacing is steady-state only).
 - ``emit_change_types=true`` lifts that contract the RIGHT way (Delta's
   readChangeFeed analogue): every micro-batch row carries
   ``_change_type`` ('insert'|'delete') and ``_commit_version``, with
@@ -147,6 +154,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # backlog would build a 10k-scale batch — opting OUT of pacing
         # (0 = unbounded) is the deliberate choice now, not the default.
         self.max_versions = int(options.get("max_versions_per_batch", "64"))
+        # Delta's startingVersion analogue: begin the stream AFTER this
+        # manifest version (consume (starting_version, ...]) — the
+        # bounded-bootstrap recipe for long histories: backfill with the
+        # batch read()/changes() API, then stream from the backfilled
+        # version. Also the only way to bound the FIRST batch: the
+        # engine's first latestOffset call precedes initialOffset and
+        # AvailableNow captures one target up front, so max_versions
+        # pacing is steady-state only (see latestOffset).
+        self.start_version = int(options.get("starting_version", "0"))
         # manifest access without a SparkSession (driver-side JSON IO)
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
@@ -155,8 +171,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
     # ---- offsets are manifest versions ------------------------------
     def initialOffset(self) -> dict:
-        self._consumed = 0
-        return {"version": 0}
+        self._consumed = self.start_version
+        return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         latest = self._t.latest_version()
@@ -165,10 +181,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # asks for latestOffset once BEFORE initialOffset (observed
             # call order, Spark 4.1) and Trigger.AvailableNow captures a
             # single target up front (no admission control in the Python
-            # source API yet), so pacing is a STEADY-STATE property:
-            # the first micro-batch of a run is unpaced; every
-            # subsequent batch consumes at most max_versions commits.
+            # source API yet), so pacing is STEADY-STATE ONLY (ADVICE
+            # r5): the first micro-batch of a run — fresh start OR
+            # checkpoint restart — is unpaced, and an AvailableNow run
+            # drains to its captured target regardless. Bounding a
+            # long-idle first batch requires starting_version (batch-
+            # backfill first), which also seeds the floor here on a
+            # fresh start.
             floor = getattr(self, "_consumed", None)
+            if floor is None and self.start_version:
+                floor = self.start_version
             if floor is not None:
                 latest = min(latest, floor + self.max_versions)
         return {"version": latest}
@@ -186,37 +208,56 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         m_end = self._t.manifest(hi)
         if self.emit_changes:
             return self._cdc_partitions(lo, hi, m_end)
-        if not self.skip_deletes:
-            # append-only contract: raise on ANY commit that publishes new
-            # equality-delete entries — matching op names would miss ops
-            # that also delete (commit_replace_keys, a restore
-            # reintroducing deletes), silently delivering the appended
-            # slice while never retracting the replaced rows.
-            dsig = lambda m: {  # noqa: E731
-                (d["file"], d["key"], d["version"])
-                for d in m.get("deletes") or []
-            }
-            prev_sig = dsig(self._t.manifest(lo))
-            for v in range(lo + 1, hi + 1):
-                m_v = self._t.manifest(v)
-                sig = dsig(m_v)
-                if sig - prev_sig:
+        # Append-only path: walk PER COMMIT (not end-vs-base file diff —
+        # ADVICE r5: an end-vs-base diff re-delivers rows whenever a
+        # rewrite in the window churns files). Per commit:
+        # - compact/cluster_by are live-content-identical: their file
+        #   churn delivers nothing (rows already delivered from the
+        #   pre-rewrite files).
+        # - any OTHER change to the delete-entry signature or the live
+        #   file set beyond pure addition (delete_where, replace_keys,
+        #   merge_upsert, overwrite, replace_where, restore) breaks the
+        #   append-only contract: raise by default; with
+        #   skip_delete_commits=true the whole commit is skipped —
+        #   Delta skipChangeCommits semantics (the consumer accepts
+        #   missing retractions AND missing rewrites).
+        # - pure appends (and metadata-only commits) deliver exactly
+        #   the files they added.
+        from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+        dsig = lambda m: {  # noqa: E731
+            (d["file"], d["key"], d["version"]) for d in m.get("deletes") or []
+        }
+        fields = _ddl_field_names(m_end["schema"])
+        parts: list[_FilePartition] = []
+        m_prev = self._t.manifest(lo)
+        for v in range(lo + 1, hi + 1):
+            m_v = self._t.manifest(v)
+            if str(m_v.get("op", "")).startswith(VersionedTable._CDC_NOOP_OPS):
+                m_prev = m_v
+                continue
+            prev_files = set(m_prev["files"])
+            removed = prev_files - set(m_v["files"])
+            is_change = bool(removed) or dsig(m_v) != dsig(m_prev)
+            if is_change:
+                if not self.skip_deletes:
                     raise ValueError(
-                        f"version {v} ({m_v.get('op')}) publishes equality "
-                        "deletes: the streaming source is append-only "
+                        f"version {v} ({m_v.get('op')}) deletes or rewrites "
+                        "live rows: the streaming source is append-only "
                         "(re-bootstrap consumers after deletes, consume via "
                         "the batch changes() API, opt in to "
                         "skip_delete_commits=true, or read the change feed "
                         "with emit_change_types=true)"
                     )
-                prev_sig = sig
-        base = set(self._t.manifest(lo)["files"]) if lo else set()
-        fields = _ddl_field_names(m_end["schema"])
-        return [
-            _FilePartition(os.path.join(self.root, DATA_DIR, f), fields)
-            for f in m_end["files"]
-            if f not in base
-        ]
+                m_prev = m_v  # skipChangeCommits: drop the whole commit
+                continue
+            parts.extend(
+                _FilePartition(os.path.join(self.root, DATA_DIR, f), fields)
+                for f in m_v["files"]
+                if f not in prev_files
+            )
+            m_prev = m_v
+        return parts
 
     def _cdc_partitions(self, lo: int, hi: int, m_end: dict):
         """Per-commit change partitions — the driver-side mirror of
