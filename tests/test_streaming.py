@@ -1491,3 +1491,75 @@ def test_versioned_streaming_source_starting_version(spark, tmp_path):
     q.awaitTermination()
     got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
     assert got == [(3, "c")], got
+
+
+def test_cdc_stream_update_images_match_batch(spark, tmp_path):
+    """Delta-CDF-style STREAMING update images (VERDICT r5 #7): drain
+    the emit_change_types stream with foreachBatch applying
+    classify_update_images — micro-batches are commit-aligned (offsets
+    are versions), so the per-(commit, key) pairing must reproduce the
+    batch changes_with_updates feed exactly, across a multi-commit
+    history updating the same keys twice."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(1, 9)], "k INT, v STRING"
+        ).coalesce(1)
+    )  # v1
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(k, f"v{k}X") for k in (2, 4, 6)], "k INT, v STRING"
+        ).coalesce(1),
+        "k",
+    )  # v2: updates
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(4, "v4XY"), (99, "NEW")], "k INT, v STRING"
+        ).coalesce(1),
+        "k",
+    )  # v3: same-key re-update + fresh insert
+    t.commit_delete_where(spark.createDataFrame([(6,)], "k INT"), "k")  # v4
+
+    sink = str(tmp_path / "sink")
+
+    def classify(df, bid):
+        out = VersionedTable.classify_update_images(df, "k")
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", str(tmp_path / "tbl"))
+        .option("emit_change_types", "true")
+        .option("max_versions_per_batch", "1")  # force multiple batches
+        .load()
+        .writeStream.foreachBatch(classify)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("k", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in t.changes_with_updates("k", since_version=0)
+        .select("k", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert got == want, f"stream drain != batch feed\ngot={got}\nwant={want}"
+    # sanity: the same-key chain is present (preimage of v3 = postimage of v2)
+    by = {(r[0], r[2], r[3]): r[1] for r in got}
+    assert by[(4, "update_postimage", 2)] == "v4X"
+    assert by[(4, "update_preimage", 3)] == "v4X"
+    assert by[(4, "update_postimage", 3)] == "v4XY"
+    assert by[(99, "insert", 3)] == "NEW"
+    assert by[(6, "delete", 4)] == "v6X"

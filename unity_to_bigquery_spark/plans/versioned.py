@@ -555,17 +555,32 @@ class VersionedTable:
         already does.
         """
         feed = self.changes_with_type(since_version, to_version, max_commits)
+        return self.classify_update_images(feed, key, include_unchanged)
+
+    @classmethod
+    def classify_update_images(
+        cls, feed: DataFrame, key: str, include_unchanged: bool = False
+    ) -> DataFrame:
+        """The (commit, key) pre/post pairing behind
+        :meth:`changes_with_updates`, usable on ANY insert/delete
+        change feed carrying ``_change_type``/``_commit_version`` — in
+        particular a CDC STREAM micro-batch (``emit_change_types=true``
+        source + foreachBatch), which is commit-aligned by
+        construction (offsets are versions, so a commit never splits
+        across micro-batches) and therefore pairs exactly like the
+        batch feed. Mirrors Delta CDF's streaming read surfacing
+        update_preimage/update_postimage rows."""
         cols = [
             c for c in feed.columns
-            if c not in (self.CDC_TYPE_COL, self.CDC_VERSION_COL)
+            if c not in (cls.CDC_TYPE_COL, cls.CDC_VERSION_COL)
         ]
         others = [c for c in cols if c != key]
-        pre = feed.filter(F.col(self.CDC_TYPE_COL) == "delete").select(
-            F.col(self.CDC_VERSION_COL), key,
+        pre = feed.filter(F.col(cls.CDC_TYPE_COL) == "delete").select(
+            F.col(cls.CDC_VERSION_COL), key,
             *[F.col(c).alias(f"__pre_{c}") for c in others],
         )
-        post = feed.filter(F.col(self.CDC_TYPE_COL) == "insert").select(
-            F.col(self.CDC_VERSION_COL), key,
+        post = feed.filter(F.col(cls.CDC_TYPE_COL) == "insert").select(
+            F.col(cls.CDC_VERSION_COL), key,
             *[F.col(c).alias(f"__post_{c}") for c in others],
         )
         # presence markers (NULL-safe: data columns may legitimately be
@@ -573,7 +588,7 @@ class VersionedTable:
         # unchanged-ness with eqNullSafe)
         pre2 = pre.withColumn("__has_pre", F.lit(1))
         post2 = post.withColumn("__has_post", F.lit(1))
-        j = pre2.join(post2, on=[self.CDC_VERSION_COL, key], how="full_outer")
+        j = pre2.join(post2, on=[cls.CDC_VERSION_COL, key], how="full_outer")
         unchanged = F.lit(True)
         for c in others:
             unchanged = unchanged & F.col(f"__pre_{c}").eqNullSafe(
@@ -590,19 +605,19 @@ class VersionedTable:
             *[F.col(f"__pre_{c}").alias(c) for c in others],
             F.when(has_post, F.lit("update_preimage"))
             .otherwise(F.lit("delete"))
-            .alias(self.CDC_TYPE_COL),
-            F.col(self.CDC_VERSION_COL),
+            .alias(cls.CDC_TYPE_COL),
+            F.col(cls.CDC_VERSION_COL),
         )
         post_rows = j.filter((has_post & ~has_pre) | keep_update).select(
             F.col(key),
             *[F.col(f"__post_{c}").alias(c) for c in others],
             F.when(has_pre, F.lit("update_postimage"))
             .otherwise(F.lit("insert"))
-            .alias(self.CDC_TYPE_COL),
-            F.col(self.CDC_VERSION_COL),
+            .alias(cls.CDC_TYPE_COL),
+            F.col(cls.CDC_VERSION_COL),
         )
         return pre_rows.unionByName(post_rows).select(
-            *cols, self.CDC_TYPE_COL, self.CDC_VERSION_COL
+            *cols, cls.CDC_TYPE_COL, cls.CDC_VERSION_COL
         )
 
     def prune_files(

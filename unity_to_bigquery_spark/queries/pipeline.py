@@ -593,6 +593,70 @@ def p_cdc_update_images(spark, sf_dir):
 
 
 @query(
+    "p_cdc_update_images_multi",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS v
+      FROM orders WHERE o_orderkey <= 30000
+    )
+    SELECT k, v AS v2, 'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, v || 'A', 'update_postimage', CAST(2 AS BIGINT)
+    FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, v || 'A', 'update_preimage', CAST(3 AS BIGINT)
+    FROM base WHERE k % 20 = 0
+    UNION ALL
+    SELECT k, v || 'AB', 'update_postimage', CAST(3 AS BIGINT)
+    FROM base WHERE k % 20 = 0
+    UNION ALL
+    SELECT k, v || 'AB', 'update_preimage', CAST(4 AS BIGINT)
+    FROM base WHERE k % 40 = 0
+    UNION ALL
+    SELECT k, v || 'ABC', 'update_postimage', CAST(4 AS BIGINT)
+    FROM base WHERE k % 40 = 0
+    """,
+    doc=(
+        "CDC update images across a MULTI-commit window on the SAME "
+        "keys (VERDICT r5 #7): three sequential merge_upserts update "
+        "nested key subsets (k%10, k%20, k%40 — each a subset of the "
+        "last), so every k%40 key carries THREE pre/post pairs in one "
+        "changes_with_updates window, each pair's preimage being the "
+        "prior commit's postimage. The oracle enumerates the exact "
+        "per-commit pairs; any cross-commit bleed (pairing a delete "
+        "from commit N with an insert from commit M) or a wrong "
+        "preimage chain breaks the hash. Column aliased v2 to avoid "
+        "colliding with p_cdc_update_images' result shape."
+    ),
+    tags=("pipeline", "versioned", "cdc"),
+)
+def p_cdc_update_images_multi(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 30000)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v"))
+    )
+    root = _tmp(f"cdcupdm_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(spark, root)
+    t.commit_append(base)  # v1
+    for mod, suffix in ((10, "A"), (20, "AB"), (40, "ABC")):  # v2, v3, v4
+        t.merge_upsert(
+            base.filter(F.col("k") % mod == 0).select(
+                "k", F.concat(F.col("v"), F.lit(suffix)).alias("v")
+            ),
+            "k",
+        )
+    return t.changes_with_updates("k", since_version=1).withColumnRenamed("v", "v2")
+
+
+@query(
     "p_file_lineage_metadata",
     oracle="""
     SELECT source,

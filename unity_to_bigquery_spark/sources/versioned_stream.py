@@ -34,7 +34,12 @@ Scale/design notes:
   rows they killed — same per-file delete-set-diff semantics as the
   batch ``VersionedTable.changes_with_type``. A signed fold of the
   stream reproduces the live snapshot; ``continuous_aggregate_stream``
-  pairs this with a handle_deletes ContinuousAggregate.
+  pairs this with a handle_deletes ContinuousAggregate. For Delta-CDF-
+  style STREAMING update images, apply
+  ``VersionedTable.classify_update_images(batch_df, key)`` in
+  foreachBatch: micro-batches are commit-aligned (offsets are
+  versions), so the per-(commit, key) pairing reproduces the batch
+  ``changes_with_updates`` feed exactly (tested: drain ≡ batch).
 """
 
 from __future__ import annotations
