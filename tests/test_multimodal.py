@@ -60,12 +60,19 @@ def test_real_codec_dispatch_and_unknown_magic():
         synthesize_y4m,
     )
 
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
     assert decode_real(synthesize_image(2, 40)[1], "image")["format"] == "bmp"
     assert decode_real(synthesize_image(3, 40)[1], "image")["format"] == "ppm"
+    assert decode_real(synthesize_png(4, 40), "image")["format"] == "png"
+    assert decode_real(synthesize_jpeg(5, 40), "image")["format"] == "jpeg"
     assert decode_real(synthesize_wav(1, 40), "audio")["format"] == "wav"
     assert decode_real(synthesize_y4m(1, 40), "video")["format"] == "y4m"
     with pytest.raises(ValueError, match="unsupported"):
-        decode_real(b"\xff\xd8\xff\xe0jpegheader", "image")
+        decode_real(b"\x1aE\xdf\xa3matroska-ebml", "video")
 
 
 def test_bmp_roundtrip_padding_and_orientation():
@@ -227,3 +234,118 @@ def test_png_ramp_matches_closed_form_and_dispatch():
         a = (41 * doc_id) % 256
         want = ((a + np.arange(w * h * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
         assert np.array_equal(d["pixels"], want)
+
+
+def test_jpeg_huffman_codes_spec_anchored():
+    """Canonical Huffman assignment (T.81 Annex C) against the
+    PUBLISHED Annex K DC-luminance code table — catches a mirrored
+    writer/reader canonicalization bug a round-trip cannot."""
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_canonical_codes,
+    )
+
+    enc, dec = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # Annex K.3.1: category -> (code, length)
+    assert enc[0] == (0b00, 2)
+    assert enc[1] == (0b010, 3)
+    assert enc[2] == (0b011, 3)
+    assert enc[5] == (0b110, 3)
+    assert enc[6] == (0b1110, 4)
+    assert enc[7] == (0b11110, 5)
+    assert enc[11] == (0b111111110, 9)
+    assert dec[(9, 0b111111110)] == 11
+
+
+def test_jpeg_magnitude_extend_spec_examples():
+    """F.1.2.1 magnitude categories and the EXTEND inverse."""
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _jpeg_extend,
+        _jpeg_magnitude,
+    )
+
+    cases = [(0, 0, 0), (1, 1, 1), (-1, 1, 0), (3, 2, 3), (-3, 2, 0),
+             (-2, 2, 1), (7, 3, 7), (-7, 3, 0), (127, 7, 127), (-128, 8, 127)]
+    for v, t_want, bits_want in cases:
+        t, bits = _jpeg_magnitude(v)
+        assert (t, bits) == (t_want, bits_want), v
+        assert _jpeg_extend(bits, t) == v, v
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """A 0xFF byte in the entropy stream must be stuffed with 0x00 on
+    write and unstuffed on read."""
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    bw = _JpegBitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0xAB, 8)
+    data = bw.flush()
+    assert data == b"\xff\x00\xab"
+    br = _JpegBitReader(data)
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bits(8) == 0xAB
+
+
+def test_jpeg_flat_tile_exact_and_lossy_bounds():
+    """Flat 8x8 tiles are DC-only under the DC=8 quant table ->
+    integer-exact decode (the oracle's foundation); smooth gradients
+    stay within a tight error bound under the standard table (the AC/
+    zigzag/Huffman path end-to-end)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_jpeg_gray,
+        decode_jpeg,
+        synthesize_jpeg,
+    )
+
+    for doc_id, n_chars in ((0, 0), (11, 321), (999, 64)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg(doc_id, n_chars))
+        wb, hb = n_chars % 6 + 2, n_chars % 4 + 2
+        a = (59 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        want = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), np.uint8))
+        assert (fmt, w, h) == ("jpeg", 8 * wb, 8 * hb)
+        assert np.array_equal(px, want), doc_id
+
+    x = np.linspace(0, 255, 48)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    _, _, _, back = decode_jpeg(_write_jpeg_gray(smooth))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 8
+
+    # non-multiple-of-8 dims: edge-padded encode, cropped decode
+    g = np.arange(17 * 23, dtype=np.int64).astype(np.uint8).reshape(17, 23)
+    _, w2, h2, back2 = decode_jpeg(_write_jpeg_gray(g))
+    assert (w2, h2) == (23, 17)
+    assert back2.shape == (17, 23)
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import struct
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import decode_jpeg, synthesize_jpeg
+
+    good = synthesize_jpeg(1, 40)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG" + good)
+    # progressive (SOF2) must raise, not mis-decode
+    sof0 = b"\xff\xc0"
+    assert sof0 in good
+    prog = good.replace(sof0, b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # 3-component (color) SOF is unsupported
+    idx = good.index(sof0)
+    length = struct.unpack_from(">H", good, idx + 2)[0]
+    body = bytearray(good[idx + 4 : idx + 2 + length])
+    body[5] = 3  # ncomp
+    color = good[: idx + 2] + struct.pack(">H", length) + bytes(body) + good[idx + 2 + length :]
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg(color)

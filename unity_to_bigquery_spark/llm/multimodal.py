@@ -4,11 +4,13 @@ Arrow-batched ``mapInPandas`` stages.
 
 Two decode tiers coexist:
 
-- REAL codecs for uncompressed public containers, implemented here with
-  header parsing + array reconstruction (no external libraries): 24-bit
-  BMP and binary PPM images (``decode_image``), with procedural writers
-  (``synthesize_image``) whose pixel stats a SQL oracle re-derives
-  analytically — ``image_decode_stats`` is oracle-verified end to end.
+- REAL codecs for public containers, implemented here with header
+  parsing + array reconstruction (no external libraries): 24-bit BMP,
+  binary PPM, 8-bit truecolor PNG (stdlib zlib + all 5 filter types),
+  and grayscale baseline JPEG (T.81 Huffman/zigzag/DCT) for images,
+  PCM WAV for audio, YUV4MPEG2 for video — each with procedural
+  writers whose decoded stats a SQL oracle re-derives analytically
+  (the m_*_decode_verified queries are oracle-verified end to end).
 - `_byte_stats`, the DECODE-FREE kernel behind ``extract_features``:
   container-agnostic byte statistics (length, sha1, mean byte) that
   never claim pixel/sample semantics — the honest operation for
@@ -92,14 +94,17 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
         fmt, w, h, px = decode_image(payload)
         return {"format": fmt, "width": w, "height": h, "pixels": px}
+    if payload[:2] == b"\xff\xd8":
+        fmt, w, h, px = decode_jpeg(payload)
+        return {"format": fmt, "width": w, "height": h, "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
-        "engine decodes BMP/PPM/PNG/WAV/Y4M natively; other compressed "
-        "codecs (JPEG/MP3/H.264) need PIL/ffmpeg"
+        "engine decodes BMP/PPM/PNG/grayscale-baseline-JPEG/WAV/Y4M "
+        "natively; other codecs (color JPEG/MP3/H.264) need PIL/ffmpeg"
     )
 
 
@@ -417,6 +422,425 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+# ---- real image codec: baseline JPEG (grayscale, stdlib-only) ---------
+#
+# Baseline sequential DCT JPEG per ITU-T T.81: marker segments (SOI/
+# APP0/DQT/SOF0/DHT/SOS/EOI), Annex-K standard Huffman tables, zigzag,
+# DC differential + AC run-length entropy coding with 0xFF byte
+# stuffing, float64 orthonormal DCT/IDCT. Grayscale (1 component) —
+# the honest subset implementable exactly without a color-subsampling
+# matrix of cases; color JPEGs raise.
+#
+# Exactness argument for the oracle query: a CONSTANT 8x8 block has
+# only a DC coefficient (8*(v-128) under the orthonormal DCT). With a
+# quant table whose DC entry is 8, the quantized DC is exactly v-128
+# (integer), so decode reproduces the block VALUE-EXACTLY — flat-tile
+# images round-trip losslessly and a SQL oracle can re-derive every
+# stat in closed form (m_jpeg_decode_verified). Non-flat content is
+# lossy as in any JPEG; the AC/zigzag/Huffman path is exercised by
+# round-trip property tests with an error bound plus spec-anchored
+# Huffman/bit-reader unit tests.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.3 typical luminance Huffman tables
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K.1 luminance quantization table (natural, row-major order)
+_JPEG_STD_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# DC=8 makes constant blocks integer-exact (see header comment); AC
+# entries are irrelevant for flat tiles (all AC coefficients are 0)
+# but kept standard so mixed content still encodes sanely.
+_JPEG_EXACT_DC_QUANT = [8] + _JPEG_STD_QUANT[1:]
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0, :] = 1.0
+    scale = np.full((8, 1), np.sqrt(2.0 / 8.0))
+    scale[0, 0] = np.sqrt(1.0 / 8.0)
+    return c * scale
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Annex C canonical Huffman code assignment: (symbol -> (code,
+    length)) for the encoder and ((length, code) -> symbol) for the
+    decoder."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return enc, dec
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # skip the stuffed 0x00
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, dec_table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = dec_table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended-bits) for a DC diff / AC value per F.1.2."""
+    if v == 0:
+        return 0, 0
+    t = abs(v).bit_length()
+    bits = v if v > 0 else v + (1 << t) - 1
+    return t, bits
+
+
+def _jpeg_extend(bits: int, t: int) -> int:
+    """Inverse of _jpeg_magnitude (spec EXTEND procedure)."""
+    if t == 0:
+        return 0
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+def _write_jpeg_gray(gray, quant=None) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as baseline JFIF JPEG.
+    Non-multiple-of-8 dims are edge-padded (decoder crops)."""
+    import struct
+
+    import numpy as np
+
+    quant = list(quant if quant is not None else _JPEG_STD_QUANT)
+    h, w = gray.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.empty((ph, pw), dtype=np.float64)
+    img[:h, :w] = gray
+    img[h:, :w] = gray[-1:, :]
+    img[:, w:] = img[:, w - 1 : w]
+    img -= 128.0
+
+    C = _jpeg_dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = C @ block @ C.T
+            qc = np.round(coef / q).astype(np.int64)
+            zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+            t, bits = _jpeg_magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = dc_enc[t]
+            bw.write(code, length)
+            if t:
+                bw.write(bits, t)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                t, bits = _jpeg_magnitude(zz[i])
+                code, length = ac_enc[(run << 4) | t]
+                bw.write(code, length)
+                bw.write(bits, t)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_enc[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(quant[i] for i in _JPEG_ZIGZAG))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decode, stdlib-only: marker walk, DQT/DHT
+    table parse (canonical Huffman per Annex C), entropy decode with
+    byte unstuffing, dezigzag, dequantize, float64 IDCT, level shift +
+    clamp. Grayscale baseline sequential only — color/progressive
+    raise ValueError. Returns ("jpeg", w, h, (h, w) uint8 array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG payload (magic {payload[:2]!r})")
+    pos = 2
+    quant_tables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = None
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[i + 1 : i + 65])
+                nat = [0] * 64
+                for j, zi in enumerate(_JPEG_ZIGZAG):
+                    nat[zi] = zz[j]
+                quant_tables[tq] = nat
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                _, dec = _jpeg_canonical_codes(bits, vals)
+                huff[(tc, th)] = dec
+                i += 17 + n
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG (precision={prec}, components="
+                    f"{ncomp}): grayscale baseline only"
+                )
+            cid, sampling, comp_q = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xFFDA:
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + length
+            end = payload.rfind(b"\xff\xd9")
+            scan_data = payload[scan_start : end if end > 0 else len(payload)]
+            break
+        pos += 2 + length
+    if w is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    q = np.array(quant_tables[comp_q], dtype=np.float64).reshape(8, 8)
+    dc_dec, ac_dec = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    C = _jpeg_dct_matrix()
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.zeros((ph, pw), dtype=np.float64)
+    br = _JpegBitReader(scan_data)
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            zz = [0] * 64
+            t = br.read_symbol(dc_dec)
+            prev_dc += _jpeg_extend(br.read_bits(t), t)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = br.read_symbol(ac_dec)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                zz[i] = _jpeg_extend(br.read_bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for j, zi in enumerate(_JPEG_ZIGZAG):
+                coef[zi] = zz[j]
+            block = C.T @ (coef.reshape(8, 8) * q) @ C
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return "jpeg", w, h, out[:h, :w]
+
+
+def synthesize_jpeg(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile grayscale JPEG: ``wb = n_chars%6+2``,
+    ``hb = n_chars%4+2`` blocks of 8x8, tile j (raster order) filled
+    with ``v(j) = (a + j) % 256``, ``a = (59*doc_id) % 256`` — DC-only
+    blocks under the DC=8 quant table, hence VALUE-EXACT decode and a
+    closed-form DuckDB oracle (m_jpeg_decode_verified)."""
+    import numpy as np
+
+    wb = n_chars % 6 + 2
+    hb = n_chars % 4 + 2
+    a = (59 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+    return _write_jpeg_gray(gray, quant=_JPEG_EXACT_DC_QUANT)
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width INT, height INT, n_px BIGINT, "
+    "byte_sum BIGINT, first_px INT, mid_px INT, last_px INT, mean_fp6 BIGINT"
+)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real baseline JPEG
+    containers built executor-side in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode stats: full entropy-decode + IDCT per payload,
+    integer-exact sum and positional probes over the grayscale pixel
+    array (exact for the flat-tile fixtures — DC-only blocks)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in JPEG_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, px = decode_jpeg(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                n = int(flat.size)
+                s = int(flat.sum())
+                rows.append(
+                    (
+                        int(doc_id), fmt, w, h, n, s,
+                        int(flat[0]), int(flat[n // 2]), int(flat[-1]),
+                        s * 1_000_000 // n,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, JPEG_STATS_SCHEMA)
 
 
 # ---- real audio codec: PCM WAV ----------------------------------------

@@ -897,6 +897,72 @@ def m_png_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 6 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 59) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             64 * hb * wb AS n_px,
+             8 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w,
+             64 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                   - ((a * (a - 1)) // 2)) AS byte_sum,
+             (n_px // 2) // w AS mid_r,
+             (n_px // 2) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 8) * wb + mid_c // 8) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "REAL baseline JPEG decode, oracle-verified, stdlib-only: "
+        "grayscale baseline-sequential JFIF files (Annex-K standard "
+        "Huffman tables, zigzag, DC-differential + AC run-length "
+        "entropy coding, 0xFF byte stuffing, float64 orthonormal IDCT) "
+        "are written executor-side as flat-8x8-tile images whose tile "
+        "values follow v(j)=(59*doc_id+j)%256. Constant blocks carry "
+        "ONLY a DC coefficient (8*(v-128)); with the DC=8 quant table "
+        "the quantized DC is exactly v-128, so decode is VALUE-EXACT "
+        "and DuckDB re-derives every stat (sum, positional probes, "
+        "fixed-point mean) in closed form over the tile grid — a "
+        "Huffman, zigzag, dequant, IDCT, or level-shift bug breaks the "
+        "hash. The lossy AC path is exercised by round-trip property "
+        "tests (smooth-gradient error bound) plus spec-anchored "
+        "Huffman-code/EXTEND/byte-stuffing units. llm/multimodal.py "
+        "decode_jpeg; color/progressive JPEGs raise honestly."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        jpeg_decode_stats,
+        synthesize_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # single-file table reads as ONE partition (CLAUDE.md rule 5); the
+    # entropy decode is sequential per image, so spread the kernels
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return jpeg_decode_stats(synthesize_jpeg_media(docs))
+
+
+@query(
     "m_wav_decode_verified",
     oracle="""
     WITH d AS (
