@@ -341,11 +341,61 @@ def test_jpeg_rejects_unsupported_variants():
     prog = good.replace(sof0, b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(prog)
-    # 3-component (color) SOF is unsupported
+    # chroma subsampling (e.g. 4:2:0, sampling factor 0x22) is
+    # unsupported — must raise, not mis-reconstruct MCU geometry
     idx = good.index(sof0)
     length = struct.unpack_from(">H", good, idx + 2)[0]
     body = bytearray(good[idx + 4 : idx + 2 + length])
-    body[5] = 3  # ncomp
-    color = good[: idx + 2] + struct.pack(">H", length) + bytes(body) + good[idx + 2 + length :]
-    with pytest.raises(ValueError, match="grayscale"):
-        decode_jpeg(color)
+    body[7] = 0x22  # component 1 sampling factors
+    sub = good[: idx + 2] + struct.pack(">H", length) + bytes(body) + good[idx + 2 + length :]
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(sub)
+    # 4-component (CMYK-style) SOF is unsupported
+    body2 = bytearray(good[idx + 4 : idx + 2 + length])
+    body2[5] = 4  # ncomp
+    cmyk = good[: idx + 2] + struct.pack(">H", length) + bytes(body2) + good[idx + 2 + length :]
+    with pytest.raises(ValueError, match="grayscale or 4:4:4"):
+        decode_jpeg(cmyk)
+
+
+def test_jpeg_color_roundtrip_and_exact_tiles():
+    """4:4:4 color JPEG: interleaved Y/Cb/Cr MCUs with separate quant
+    tables and per-component DC predictors. Gray-valued flat tiles
+    decode VALUE-EXACTLY (BT.601 rows sum to 1/0/0 + DC-only blocks +
+    DC=8 quant); smooth color content stays within a tight bound; a
+    saturated-color image exercises nonzero chroma end-to-end."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_jpeg_color,
+        decode_jpeg,
+        synthesize_jpeg_color,
+    )
+
+    for doc_id, n_chars in ((0, 0), (13, 255), (777, 42)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg_color(doc_id, n_chars))
+        wb, hb = n_chars % 5 + 2, n_chars % 3 + 2
+        a = (67 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), np.uint8))
+        want = np.stack([gray, gray, gray], axis=-1)
+        assert (fmt, w, h) == ("jpeg", 8 * wb, 8 * hb)
+        assert px.shape == (8 * hb, 8 * wb, 3)
+        assert np.array_equal(px, want), doc_id
+
+    x = np.linspace(0, 255, 32)
+    smooth = np.stack(
+        [np.clip(np.add.outer(x, x) / 2, 0, 255),
+         np.tile(x, (32, 1)),
+         np.tile(x[:, None], (1, 32))], axis=-1,
+    ).astype(np.uint8)
+    _, _, _, back = decode_jpeg(_write_jpeg_color(smooth))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 16
+
+    # solid saturated red: flat per-plane (DC-only) but with chroma far
+    # from 128 — catches a chroma-plane swap or transform sign error
+    red = np.zeros((16, 16, 3), np.uint8)
+    red[:, :, 0] = 250
+    _, _, _, back2 = decode_jpeg(_write_jpeg_color(red))
+    err = np.abs(back2.astype(int) - red.astype(int)).max()
+    assert err <= 4, err  # DC quantization only

@@ -7,16 +7,18 @@ Two decode tiers coexist:
 - REAL codecs for public containers, implemented here with header
   parsing + array reconstruction (no external libraries): 24-bit BMP,
   binary PPM, 8-bit truecolor PNG (stdlib zlib + all 5 filter types),
-  and grayscale baseline JPEG (T.81 Huffman/zigzag/DCT) for images,
+  and baseline JPEG, grayscale + 4:4:4 color (T.81 Huffman/zigzag/
+  DCT/BT.601), for images,
   PCM WAV for audio, YUV4MPEG2 for video — each with procedural
   writers whose decoded stats a SQL oracle re-derives analytically
   (the m_*_decode_verified queries are oracle-verified end to end).
 - `_byte_stats`, the DECODE-FREE kernel behind ``extract_features``:
   container-agnostic byte statistics (length, sha1, mean byte) that
   never claim pixel/sample semantics — the honest operation for
-  payloads in formats no codec here handles (JPEG/MP3/H.264 would
-  need PIL/ffmpeg). Queries that claim real decode use ``decode_real``
-  (the m_*_decode_verified family), never this kernel.
+  payloads in formats no codec here handles (subsampled JPEG/MP3/
+  H.264 would need PIL/ffmpeg). Queries that claim real decode use
+  ``decode_real`` (the m_*_decode_verified family), never this
+  kernel.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one
 batch per core, not one blob per row; `spark.sql.execution.arrow.
@@ -87,10 +89,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     """REAL codec dispatch (VERDICT r3 #5 / r4 #2): no fake byte stats —
     the payload's container header is parsed and actual pixels/samples
     come back. Public formats implemented here without codec libraries:
-    24-bit BMP, binary PPM (P6), and 8-bit truecolor PNG (stdlib zlib)
-    for images, PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown
-    magic raises ValueError — honestly unsupported, not silently
-    faked."""
+    24-bit BMP, binary PPM (P6), 8-bit truecolor PNG (stdlib zlib),
+    and baseline JPEG — grayscale AND 4:4:4 color (T.81) — for images,
+    PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
+    raises ValueError — honestly unsupported, not silently faked."""
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
         fmt, w, h, px = decode_image(payload)
         return {"format": fmt, "width": w, "height": h, "pixels": px}
@@ -103,8 +105,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return decode_y4m(payload)
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
-        "engine decodes BMP/PPM/PNG/grayscale-baseline-JPEG/WAV/Y4M "
-        "natively; other codecs (color JPEG/MP3/H.264) need PIL/ffmpeg"
+        "engine decodes BMP/PPM/PNG/baseline-JPEG(gray+4:4:4)/WAV/Y4M "
+        "natively; other codecs (4:2:0 JPEG/MP3/H.264) need PIL/ffmpeg"
     )
 
 
@@ -169,14 +171,20 @@ def decode_image(payload: bytes):
     array in logical top-down row-major order — BMP's bottom-up BGR
     storage and row padding are undone here, exactly what PIL would
     hand back for the same file. Supports 24bpp BI_RGB BMP,
-    maxval-255 binary PPM, and 8-bit truecolor PNG (``decode_png``);
-    anything else raises ValueError."""
+    maxval-255 binary PPM, 8-bit truecolor PNG (``decode_png``), and
+    baseline JPEG (``decode_jpeg``; grayscale expanded to RGB exactly
+    like PIL's L->RGB convert); anything else raises ValueError."""
     import struct
 
     import numpy as np
 
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        fmt, w, h, px = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = np.stack([px, px, px], axis=-1)
+        return fmt, w, h, px
     if payload[:2] == b"BM":
         offset = struct.unpack_from("<I", payload, 10)[0]
         (hdr_size, w, h_signed, planes, bpp, comp) = struct.unpack_from(
@@ -596,84 +604,186 @@ def _jpeg_extend(bits: int, t: int) -> int:
     return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
 
 
+def _jpeg_pad_plane(plane):
+    """Edge-pad an (h, w) array to 8-multiples, level-shifted float64."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.empty((ph, pw), dtype=np.float64)
+    img[:h, :w] = plane
+    img[h:, :w] = plane[-1:, :]
+    img[:, w:] = img[:, w - 1 : w]
+    return img - 128.0
+
+
+def _jpeg_encode_block(bw, block, C, q, dc_enc, ac_enc, prev_dc: int) -> int:
+    """DCT + quantize + entropy-code one 8x8 block; returns the new DC
+    predictor for this component."""
+    import numpy as np
+
+    coef = C @ block @ C.T
+    qc = np.round(coef / q).astype(np.int64)
+    zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
+    t, bits = _jpeg_magnitude(zz[0] - prev_dc)
+    code, length = dc_enc[t]
+    bw.write(code, length)
+    if t:
+        bw.write(bits, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t, bits = _jpeg_magnitude(zz[i])
+        code, length = ac_enc[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _jpeg_headers(h, w, quants, ncomp) -> bytes:
+    """SOI..SOS marker prefix: one DQT per quant table, SOF0 with
+    ``ncomp`` 0x11-sampled components (component i uses quant table
+    min(i, len(quants)-1)), the two Annex-K luminance Huffman tables
+    shared by every component (legal — tables are self-described in
+    DHT and selected per-component in SOS)."""
+    import struct
+
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, quant in enumerate(quants):
+        out += _jpeg_seg(
+            0xFFDB, bytes([tq]) + bytes(quant[i] for i in _JPEG_ZIGZAG)
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, min(c, len(quants) - 1)])
+    out += _jpeg_seg(0xFFC0, sof)
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    out += _jpeg_seg(0xFFDA, sos + bytes([0, 63, 0]))
+    return out
+
+
 def _write_jpeg_gray(gray, quant=None) -> bytes:
     """Encode an (h, w) uint8 grayscale array as baseline JFIF JPEG.
     Non-multiple-of-8 dims are edge-padded (decoder crops)."""
-    import struct
-
     import numpy as np
 
     quant = list(quant if quant is not None else _JPEG_STD_QUANT)
     h, w = gray.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    img = np.empty((ph, pw), dtype=np.float64)
-    img[:h, :w] = gray
-    img[h:, :w] = gray[-1:, :]
-    img[:, w:] = img[:, w - 1 : w]
-    img -= 128.0
-
+    img = _jpeg_pad_plane(gray)
     C = _jpeg_dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
     dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = 0
+    ph, pw = img.shape
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = C @ block @ C.T
-            qc = np.round(coef / q).astype(np.int64)
-            zz = [int(qc.flat[i]) for i in _JPEG_ZIGZAG]
-            t, bits = _jpeg_magnitude(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, length = dc_enc[t]
-            bw.write(code, length)
-            if t:
-                bw.write(bits, t)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_enc[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                t, bits = _jpeg_magnitude(zz[i])
-                code, length = ac_enc[(run << 4) | t]
-                bw.write(code, length)
-                bw.write(bits, t)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_enc[0x00]  # EOB
-                bw.write(code, length)
-    scan = bw.flush()
+            prev_dc = _jpeg_encode_block(
+                bw, img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                C, q, dc_enc, ac_enc, prev_dc,
+            )
+    return _jpeg_headers(h, w, [quant], 1) + bw.flush() + b"\xff\xd9"
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
 
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(quant[i] for i in _JPEG_ZIGZAG))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    out += scan + b"\xff\xd9"  # EOI
-    return out
+def _rgb_to_ycbcr(rgb):
+    """ITU-R BT.601 full-range forward transform, float64."""
+    import numpy as np
+
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _write_jpeg_color(rgb, quant_y=None, quant_c=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline 4:4:4 color
+    JFIF JPEG (BT.601 YCbCr, per-component 0x11 sampling, interleaved
+    Y/Cb/Cr blocks per MCU, chroma on its own quant table)."""
+    import numpy as np
+
+    quant_y = list(quant_y if quant_y is not None else _JPEG_STD_QUANT)
+    quant_c = list(quant_c if quant_c is not None else _JPEG_STD_QUANT)
+    h, w, _ = rgb.shape
+    # level shift applies to every component (Y and the 128-centered
+    # Cb/Cr alike, both 0..255-ranged) — _jpeg_pad_plane does the -128
+    planes = [_jpeg_pad_plane(p) for p in _rgb_to_ycbcr(rgb)]
+    C = _jpeg_dct_matrix()
+    qs = [
+        np.array(quant_y, dtype=np.float64).reshape(8, 8),
+        np.array(quant_c, dtype=np.float64).reshape(8, 8),
+        np.array(quant_c, dtype=np.float64).reshape(8, 8),
+    ]
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    ph, pw = planes[0].shape
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):
+                prev[ci] = _jpeg_encode_block(
+                    bw,
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    C, qs[ci], dc_enc, ac_enc, prev[ci],
+                )
+    return (
+        _jpeg_headers(h, w, [quant_y, quant_c], 3) + bw.flush() + b"\xff\xd9"
+    )
 
 
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode, stdlib-only: marker walk, DQT/DHT
     table parse (canonical Huffman per Annex C), entropy decode with
     byte unstuffing, dezigzag, dequantize, float64 IDCT, level shift +
-    clamp. Grayscale baseline sequential only — color/progressive
-    raise ValueError. Returns ("jpeg", w, h, (h, w) uint8 array)."""
+    clamp. Baseline sequential, 0x11 sampling only: grayscale returns
+    ("jpeg", w, h, (h, w) uint8) and 4:4:4 color returns
+    ("jpeg", w, h, (h, w, 3) uint8 RGB via BT.601); progressive and
+    subsampled streams raise ValueError."""
     import struct
 
     import numpy as np
@@ -684,7 +794,9 @@ def decode_jpeg(payload: bytes):
     quant_tables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = comp_dc = comp_ac = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
+    scan_order: list[int] = []
     scan_data = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -718,59 +830,77 @@ def decode_jpeg(payload: bytes):
                 i += 17 + n
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG (precision={prec}, components="
-                    f"{ncomp}): grayscale baseline only"
+                    f"{ncomp}): grayscale or 4:4:4 color baseline only"
                 )
-            cid, sampling, comp_q = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xFFDA:
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
             scan_start = pos + 2 + length
             end = payload.rfind(b"\xff\xd9")
             scan_data = payload[scan_start : end if end > 0 else len(payload)]
             break
         pos += 2 + length
-    if w is None or scan_data is None:
+    if w is None or scan_data is None or not comps:
         raise ValueError("JPEG missing SOF0/SOS")
-    q = np.array(quant_tables[comp_q], dtype=np.float64).reshape(8, 8)
-    dc_dec, ac_dec = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    if scan_order != [cid for cid, _ in comps]:
+        raise ValueError("SOS component order differs from SOF0")
     C = _jpeg_dct_matrix()
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    img = np.zeros((ph, pw), dtype=np.float64)
+    ncomp = len(comps)
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    qs, dcs, acs = [], [], []
+    for cid, tq in comps:
+        qs.append(np.array(quant_tables[tq], dtype=np.float64).reshape(8, 8))
+        td, ta = scan_tables[cid]
+        dcs.append(huff[(0, td)])
+        acs.append(huff[(1, ta)])
     br = _JpegBitReader(scan_data)
-    prev_dc = 0
+    prev = [0] * ncomp
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            zz = [0] * 64
-            t = br.read_symbol(dc_dec)
-            prev_dc += _jpeg_extend(br.read_bits(t), t)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = br.read_symbol(ac_dec)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                zz[i] = _jpeg_extend(br.read_bits(size), size)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for j, zi in enumerate(_JPEG_ZIGZAG):
-                coef[zi] = zz[j]
-            block = C.T @ (coef.reshape(8, 8) * q) @ C
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return "jpeg", w, h, out[:h, :w]
+            for ci in range(ncomp):
+                zz = [0] * 64
+                t = br.read_symbol(dcs[ci])
+                prev[ci] += _jpeg_extend(br.read_bits(t), t)
+                zz[0] = prev[ci]
+                i = 1
+                while i < 64:
+                    rs = br.read_symbol(acs[ci])
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG AC coefficient index overflow")
+                    zz[i] = _jpeg_extend(br.read_bits(size), size)
+                    i += 1
+                coef = np.zeros(64, dtype=np.float64)
+                for j, zi in enumerate(_JPEG_ZIGZAG):
+                    coef[zi] = zz[j]
+                block = C.T @ (coef.reshape(8, 8) * qs[ci]) @ C
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    if ncomp == 1:
+        out = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return "jpeg", w, h, out[:h, :w]
+    y, cb, cr = (pl + 128.0 for pl in planes)
+    rgb = _ycbcr_to_rgb(y, cb, cr)
+    return "jpeg", w, h, rgb[:h, :w]
 
 
 def synthesize_jpeg(doc_id: int, n_chars: int) -> bytes:
@@ -787,6 +917,48 @@ def synthesize_jpeg(doc_id: int, n_chars: int) -> bytes:
     tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
     gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
     return _write_jpeg_gray(gray, quant=_JPEG_EXACT_DC_QUANT)
+
+
+def synthesize_jpeg_color(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile COLOR (4:4:4) JPEG with R=G=B tiles:
+    ``wb = n_chars%5+2``, ``hb = n_chars%3+2`` blocks, tile value
+    ``v(j) = (a + j) % 256``, ``a = (67*doc_id) % 256``. Gray-valued
+    pixels make the BT.601 transform exact (Y=v, Cb=Cr=128 — the
+    coefficient rows sum to 1/0/0), every block is DC-only, and the
+    DC=8 quant tables keep quantization exact — so the full 3-component
+    interleaved-MCU decode is VALUE-EXACT and closed-form oracle-able
+    (m_jpeg_color_decode_verified)."""
+    import numpy as np
+
+    wb = n_chars % 5 + 2
+    hb = n_chars % 3 + 2
+    a = (67 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    return _write_jpeg_color(
+        rgb, quant_y=_JPEG_EXACT_DC_QUANT, quant_c=_JPEG_EXACT_DC_QUANT
+    )
+
+
+def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real 4:4:4 color
+    baseline JPEGs built executor-side in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg_color(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 JPEG_STATS_SCHEMA = (

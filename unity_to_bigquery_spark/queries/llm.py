@@ -963,6 +963,76 @@ def m_jpeg_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg_color_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 5 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 3 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 67) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             192 * hb * wb AS n_px,
+             8 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w, m1,
+             192 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                    - ((a * (a - 1)) // 2)) AS byte_sum,
+             ((n_px // 2) // 3) // w AS mid_r,
+             ((n_px // 2) // 3) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 8) * wb + mid_c // 8) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           192 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256, 0), 64))
+                  - LEAST(GREATEST(a, 0), 64)) AS h0,
+           192 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 64, 0), 64))
+                  - LEAST(GREATEST(a - 64, 0), 64)) AS h1,
+           192 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 128, 0), 64))
+                  - LEAST(GREATEST(a - 128, 0), 64)) AS h2,
+           192 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 192, 0), 64))
+                  - LEAST(GREATEST(a - 192, 0), 64)) AS h3,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "REAL COLOR (4:4:4) baseline JPEG decode, oracle-verified: "
+        "3-component interleaved-MCU files (Y/Cb/Cr blocks per MCU, "
+        "separate luma/chroma quant tables, per-component DC "
+        "predictors, BT.601 color transform both ways) built and "
+        "decoded entirely by llm/multimodal.py. Fixtures are flat "
+        "R=G=B tiles: gray-valued pixels make the color transform "
+        "exact (Y=v, Cb=Cr=128 — coefficient rows sum to 1/0/0), "
+        "blocks are DC-only, and DC=8 quant keeps quantization exact, "
+        "so the decode is VALUE-EXACT end to end and DuckDB re-derives "
+        "sum/probes/histogram in closed form over the tile grid. A "
+        "wrong MCU interleave, chroma table selection, DC-predictor "
+        "mixup, or transform bug breaks the hash. Lossy color content "
+        "is covered by round-trip bound tests."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg_color_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_jpeg_color_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_jpeg_color_media(docs))
+
+
+@query(
     "m_wav_decode_verified",
     oracle="""
     WITH d AS (
