@@ -341,14 +341,15 @@ def test_jpeg_rejects_unsupported_variants():
     prog = good.replace(sof0, b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(prog)
-    # chroma subsampling (e.g. 4:2:0, sampling factor 0x22) is
-    # unsupported — must raise, not mis-reconstruct MCU geometry
+    # an unsupported sampling combination (0x22 on a GRAYSCALE stream —
+    # 4:2:0 is only meaningful with 3 components) must raise, not
+    # mis-reconstruct MCU geometry
     idx = good.index(sof0)
     length = struct.unpack_from(">H", good, idx + 2)[0]
     body = bytearray(good[idx + 4 : idx + 2 + length])
     body[7] = 0x22  # component 1 sampling factors
     sub = good[: idx + 2] + struct.pack(">H", length) + bytes(body) + good[idx + 2 + length :]
-    with pytest.raises(ValueError, match="subsampled"):
+    with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(sub)
     # 4-component (CMYK-style) SOF is unsupported
     body2 = bytearray(good[idx + 4 : idx + 2 + length])
@@ -399,3 +400,43 @@ def test_jpeg_color_roundtrip_and_exact_tiles():
     _, _, _, back2 = decode_jpeg(_write_jpeg_color(red))
     err = np.abs(back2.astype(int) - red.astype(int)).max()
     assert err <= 4, err  # DC quantization only
+
+
+def test_jpeg_420_roundtrip_and_exact_mcu_tiles():
+    """4:2:0 — the real-world dominant mode: 16x16 MCUs of 4 luma
+    blocks + half-res Cb/Cr (2x2 box-averaged / nearest-upsampled).
+    MCU-aligned gray-valued tiles decode VALUE-EXACTLY; smooth color
+    content stays within a lossy bound; odd (non-16-multiple) dims
+    pad/crop correctly."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_jpeg_color,
+        decode_jpeg,
+        synthesize_jpeg420,
+    )
+
+    for doc_id, n_chars in ((0, 0), (21, 77), (505, 31)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg420(doc_id, n_chars))
+        wb, hb = n_chars % 4 + 2, n_chars % 2 + 2
+        a = (71 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        gray = np.kron(tiles.reshape(hb, wb), np.ones((16, 16), np.uint8))
+        want = np.stack([gray, gray, gray], axis=-1)
+        assert (fmt, w, h) == ("jpeg", 16 * wb, 16 * hb)
+        assert np.array_equal(px, want), doc_id
+
+    x = np.linspace(0, 255, 32)
+    smooth = np.stack(
+        [np.clip(np.add.outer(x, x) / 2, 0, 255),
+         np.tile(x, (32, 1)),
+         np.tile(x[:, None], (1, 32))], axis=-1,
+    ).astype(np.uint8)
+    _, _, _, back = decode_jpeg(_write_jpeg_color(smooth, subsample="420"))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 24
+
+    g = np.tile(np.linspace(0, 200, 37, dtype=np.int64).astype(np.uint8), (23, 1))
+    rgb = np.stack([g, g, g], axis=-1)
+    _, w2, h2, back2 = decode_jpeg(_write_jpeg_color(rgb, subsample="420"))
+    assert (w2, h2) == (37, 23) and back2.shape == (23, 37, 3)
+    assert np.abs(back2.astype(int) - rgb.astype(int)).max() <= 16

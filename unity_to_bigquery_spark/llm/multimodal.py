@@ -15,7 +15,7 @@ Two decode tiers coexist:
 - `_byte_stats`, the DECODE-FREE kernel behind ``extract_features``:
   container-agnostic byte statistics (length, sha1, mean byte) that
   never claim pixel/sample semantics — the honest operation for
-  payloads in formats no codec here handles (subsampled JPEG/MP3/
+  payloads in formats no codec here handles (progressive JPEG/MP3/
   H.264 would need PIL/ffmpeg). Queries that claim real decode use
   ``decode_real`` (the m_*_decode_verified family), never this
   kernel.
@@ -90,7 +90,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     the payload's container header is parsed and actual pixels/samples
     come back. Public formats implemented here without codec libraries:
     24-bit BMP, binary PPM (P6), 8-bit truecolor PNG (stdlib zlib),
-    and baseline JPEG — grayscale AND 4:4:4 color (T.81) — for images,
+    and baseline JPEG — grayscale, 4:4:4, and 4:2:0 color (T.81) —
+    for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
@@ -105,8 +106,9 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return decode_y4m(payload)
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
-        "engine decodes BMP/PPM/PNG/baseline-JPEG(gray+4:4:4)/WAV/Y4M "
-        "natively; other codecs (4:2:0 JPEG/MP3/H.264) need PIL/ffmpeg"
+        "engine decodes BMP/PPM/PNG/baseline-JPEG(gray,4:4:4,4:2:0)/"
+        "WAV/Y4M natively; other codecs (progressive JPEG/MP3/H.264) "
+        "need PIL/ffmpeg"
     )
 
 
@@ -604,12 +606,14 @@ def _jpeg_extend(bits: int, t: int) -> int:
     return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
 
 
-def _jpeg_pad_plane(plane):
-    """Edge-pad an (h, w) array to 8-multiples, level-shifted float64."""
+def _jpeg_pad_plane(plane, mult: int = 8):
+    """Edge-pad an (h, w) array to ``mult``-multiples, level-shifted
+    float64 (mult=16 for the luma plane of a 4:2:0 encode)."""
     import numpy as np
 
     h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ph = (h + mult - 1) // mult * mult
+    pw = (w + mult - 1) // mult * mult
     img = np.empty((ph, pw), dtype=np.float64)
     img[:h, :w] = plane
     img[h:, :w] = plane[-1:, :]
@@ -661,14 +665,16 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def _jpeg_headers(h, w, quants, ncomp) -> bytes:
+def _jpeg_headers(h, w, quants, ncomp, samplings=None) -> bytes:
     """SOI..SOS marker prefix: one DQT per quant table, SOF0 with
-    ``ncomp`` 0x11-sampled components (component i uses quant table
-    min(i, len(quants)-1)), the two Annex-K luminance Huffman tables
-    shared by every component (legal — tables are self-described in
-    DHT and selected per-component in SOS)."""
+    per-component sampling factors (default 0x11 each; component i
+    uses quant table min(i, len(quants)-1)), the two Annex-K
+    luminance Huffman tables shared by every component (legal —
+    tables are self-described in DHT and selected per-component in
+    SOS)."""
     import struct
 
+    samplings = samplings or [0x11] * ncomp
     out = b"\xff\xd8"
     out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, quant in enumerate(quants):
@@ -677,7 +683,7 @@ def _jpeg_headers(h, w, quants, ncomp) -> bytes:
         )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, min(c, len(quants) - 1)])
+        sof += bytes([c + 1, samplings[c], min(c, len(quants) - 1)])
     out += _jpeg_seg(0xFFC0, sof)
     out += _jpeg_seg(
         0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -740,39 +746,73 @@ def _ycbcr_to_rgb(y, cb, cr):
     ).astype(np.uint8)
 
 
-def _write_jpeg_color(rgb, quant_y=None, quant_c=None) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline 4:4:4 color
-    JFIF JPEG (BT.601 YCbCr, per-component 0x11 sampling, interleaved
-    Y/Cb/Cr blocks per MCU, chroma on its own quant table)."""
+def _write_jpeg_color(rgb, quant_y=None, quant_c=None, subsample="444") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline color JFIF
+    JPEG (BT.601 YCbCr, chroma on its own quant table). subsample:
+    "444" interleaves one Y/Cb/Cr block per MCU; "420" (the dominant
+    real-world form) 2x2-box-averages the chroma planes and emits
+    16x16 MCUs of 4 Y blocks + Cb + Cr with Y sampling 0x22."""
     import numpy as np
 
     quant_y = list(quant_y if quant_y is not None else _JPEG_STD_QUANT)
     quant_c = list(quant_c if quant_c is not None else _JPEG_STD_QUANT)
     h, w, _ = rgb.shape
-    # level shift applies to every component (Y and the 128-centered
-    # Cb/Cr alike, both 0..255-ranged) — _jpeg_pad_plane does the -128
-    planes = [_jpeg_pad_plane(p) for p in _rgb_to_ycbcr(rgb)]
+    y, cb, cr = _rgb_to_ycbcr(rgb)
     C = _jpeg_dct_matrix()
-    qs = [
-        np.array(quant_y, dtype=np.float64).reshape(8, 8),
-        np.array(quant_c, dtype=np.float64).reshape(8, 8),
-        np.array(quant_c, dtype=np.float64).reshape(8, 8),
-    ]
+    qy = np.array(quant_y, dtype=np.float64).reshape(8, 8)
+    qc = np.array(quant_c, dtype=np.float64).reshape(8, 8)
     dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev = [0, 0, 0]
-    ph, pw = planes[0].shape
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(3):
-                prev[ci] = _jpeg_encode_block(
-                    bw,
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    C, qs[ci], dc_enc, ac_enc, prev[ci],
-                )
+    if subsample == "444":
+        # level shift applies to every component (Y and the 128-centered
+        # Cb/Cr alike, both 0..255-ranged) — _jpeg_pad_plane does the -128
+        planes = [_jpeg_pad_plane(p) for p in (y, cb, cr)]
+        qs = [qy, qc, qc]
+        ph, pw = planes[0].shape
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(3):
+                    prev[ci] = _jpeg_encode_block(
+                        bw,
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        C, qs[ci], dc_enc, ac_enc, prev[ci],
+                    )
+        return (
+            _jpeg_headers(h, w, [quant_y, quant_c], 3) + bw.flush() + b"\xff\xd9"
+        )
+    if subsample != "420":
+        raise ValueError(f"unsupported subsample mode {subsample!r}")
+    yp = _jpeg_pad_plane(y, mult=16)
+    ph, pw = yp.shape
+    # chroma: 2x2 box average of the (padded) full-res plane -> 8-mult
+    def down(p):
+        full = _jpeg_pad_plane(p, mult=16) + 128.0
+        return (
+            full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        )
+    cbp, crp = down(cb), down(cr)
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for sy in range(2):  # 4 luma blocks, raster order
+                for sx in range(2):
+                    r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                    prev[0] = _jpeg_encode_block(
+                        bw, yp[r0 : r0 + 8, c0 : c0 + 8],
+                        C, qy, dc_enc, ac_enc, prev[0],
+                    )
+            r0, c0 = my * 8, mx * 8
+            prev[1] = _jpeg_encode_block(
+                bw, cbp[r0 : r0 + 8, c0 : c0 + 8], C, qc, dc_enc, ac_enc, prev[1]
+            )
+            prev[2] = _jpeg_encode_block(
+                bw, crp[r0 : r0 + 8, c0 : c0 + 8], C, qc, dc_enc, ac_enc, prev[2]
+            )
     return (
-        _jpeg_headers(h, w, [quant_y, quant_c], 3) + bw.flush() + b"\xff\xd9"
+        _jpeg_headers(h, w, [quant_y, quant_c], 3, samplings=[0x22, 0x11, 0x11])
+        + bw.flush()
+        + b"\xff\xd9"
     )
 
 
@@ -837,9 +877,16 @@ def decode_jpeg(payload: bytes):
                 )
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, sampling, tq))
+            samplings = [sc for _, sc, _ in comps]
+            if not (
+                samplings == [0x11] * ncomp
+                or (ncomp == 3 and samplings == [0x22, 0x11, 0x11])
+            ):
+                raise ValueError(
+                    f"unsupported JPEG sampling {samplings}: 4:4:4 "
+                    "(all 0x11) or 4:2:0 (0x22,0x11,0x11) only"
+                )
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xFFDA:
@@ -855,46 +902,72 @@ def decode_jpeg(payload: bytes):
         pos += 2 + length
     if w is None or scan_data is None or not comps:
         raise ValueError("JPEG missing SOF0/SOS")
-    if scan_order != [cid for cid, _ in comps]:
+    if scan_order != [cid for cid, _, _ in comps]:
         raise ValueError("SOS component order differs from SOF0")
     C = _jpeg_dct_matrix()
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     ncomp = len(comps)
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
+    is420 = ncomp == 3 and comps[0][1] == 0x22
     qs, dcs, acs = [], [], []
-    for cid, tq in comps:
+    for cid, _, tq in comps:
         qs.append(np.array(quant_tables[tq], dtype=np.float64).reshape(8, 8))
         td, ta = scan_tables[cid]
         dcs.append(huff[(0, td)])
         acs.append(huff[(1, ta)])
     br = _JpegBitReader(scan_data)
     prev = [0] * ncomp
+
+    def read_block(ci: int):
+        zz = [0] * 64
+        t = br.read_symbol(dcs[ci])
+        prev[ci] += _jpeg_extend(br.read_bits(t), t)
+        zz[0] = prev[ci]
+        i = 1
+        while i < 64:
+            rs = br.read_symbol(acs[ci])
+            run, size = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                i += 16
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("JPEG AC coefficient index overflow")
+            zz[i] = _jpeg_extend(br.read_bits(size), size)
+            i += 1
+        coef = np.zeros(64, dtype=np.float64)
+        for j, zi in enumerate(_JPEG_ZIGZAG):
+            coef[zi] = zz[j]
+        return C.T @ (coef.reshape(8, 8) * qs[ci]) @ C
+
+    if is420:
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        yp = np.zeros((ph, pw), dtype=np.float64)
+        cbp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for sy in range(2):
+                    for sx in range(2):
+                        r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
+                        yp[r0 : r0 + 8, c0 : c0 + 8] = read_block(0)
+                r0, c0 = my * 8, mx * 8
+                cbp[r0 : r0 + 8, c0 : c0 + 8] = read_block(1)
+                crp[r0 : r0 + 8, c0 : c0 + 8] = read_block(2)
+        # nearest-neighbor chroma upsample (2x replicate)
+        cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+        cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+        rgb = _ycbcr_to_rgb(yp + 128.0, cb_up + 128.0, cr_up + 128.0)
+        return "jpeg", w, h, rgb[:h, :w]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
     for by in range(ph // 8):
         for bx in range(pw // 8):
             for ci in range(ncomp):
-                zz = [0] * 64
-                t = br.read_symbol(dcs[ci])
-                prev[ci] += _jpeg_extend(br.read_bits(t), t)
-                zz[0] = prev[ci]
-                i = 1
-                while i < 64:
-                    rs = br.read_symbol(acs[ci])
-                    run, size = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += run
-                    if i > 63:
-                        raise ValueError("JPEG AC coefficient index overflow")
-                    zz[i] = _jpeg_extend(br.read_bits(size), size)
-                    i += 1
-                coef = np.zeros(64, dtype=np.float64)
-                for j, zi in enumerate(_JPEG_ZIGZAG):
-                    coef[zi] = zz[j]
-                block = C.T @ (coef.reshape(8, 8) * qs[ci]) @ C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    read_block(ci)
+                )
     if ncomp == 1:
         out = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
         return "jpeg", w, h, out[:h, :w]
@@ -939,6 +1012,53 @@ def synthesize_jpeg_color(doc_id: int, n_chars: int) -> bytes:
     return _write_jpeg_color(
         rgb, quant_y=_JPEG_EXACT_DC_QUANT, quant_c=_JPEG_EXACT_DC_QUANT
     )
+
+
+def synthesize_jpeg420(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile 4:2:0 color JPEG with R=G=B tiles
+    aligned to the 16x16 MCU grid: ``wb = n_chars%4+2``,
+    ``hb = n_chars%2+2`` MCUs, tile value ``v(j) = (a + j) % 256``,
+    ``a = (71*doc_id) % 256``. Gray-valued MCU-aligned tiles keep
+    every stage exact (BT.601 rows sum to 1/0/0; the 2x2 chroma box
+    average of constant 128 is 128; constant blocks are DC-only;
+    DC=8 quant is integer-exact; nearest upsample of a constant is
+    itself), so the full 4:2:0 decode — 4-luma+2-chroma MCU
+    interleave, half-res chroma planes, upsample — is VALUE-EXACT and
+    closed-form oracle-able (m_jpeg420_decode_verified)."""
+    import numpy as np
+
+    wb = n_chars % 4 + 2
+    hb = n_chars % 2 + 2
+    a = (71 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((16, 16), dtype=np.uint8))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    return _write_jpeg_color(
+        rgb,
+        quant_y=_JPEG_EXACT_DC_QUANT,
+        quant_c=_JPEG_EXACT_DC_QUANT,
+        subsample="420",
+    )
+
+
+def synthesize_jpeg420_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real 4:2:0 color
+    baseline JPEGs built executor-side in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg420(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_color_media(docs: DataFrame) -> DataFrame:

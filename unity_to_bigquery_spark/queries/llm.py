@@ -1033,6 +1033,75 @@ def m_jpeg_color_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg420_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 2 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 71) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             768 * hb * wb AS n_px,
+             16 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w, m1,
+             768 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                    - ((a * (a - 1)) // 2)) AS byte_sum,
+             ((n_px // 2) // 3) // w AS mid_r,
+             ((n_px // 2) // 3) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(16 * wb AS INTEGER) AS width,
+           CAST(16 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 16) * wb + mid_c // 16) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           768 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256, 0), 64))
+                  - LEAST(GREATEST(a, 0), 64)) AS h0,
+           768 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 64, 0), 64))
+                  - LEAST(GREATEST(a - 64, 0), 64)) AS h1,
+           768 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 128, 0), 64))
+                  - LEAST(GREATEST(a - 128, 0), 64)) AS h2,
+           768 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 192, 0), 64))
+                  - LEAST(GREATEST(a - 192, 0), 64)) AS h3,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "REAL 4:2:0 color baseline JPEG decode, oracle-verified — the "
+        "subsampling mode real-world JPEGs overwhelmingly use: 16x16 "
+        "MCUs of 4 luma blocks (0x22 sampling) + one Cb + one Cr at "
+        "half resolution, 2x2 box-averaged on encode and nearest-"
+        "upsampled on decode. Fixtures are gray-valued flat tiles "
+        "ALIGNED to the MCU grid, which keeps every stage exact "
+        "(constant chroma 128 survives box-average and upsample; "
+        "DC-only blocks; DC=8 quant) — so the complete 4:2:0 pipeline "
+        "is value-exact and DuckDB re-derives all stats in closed "
+        "form. A wrong MCU block order, chroma-plane geometry, or "
+        "upsample bug breaks the hash. Lossy 4:2:0 content is covered "
+        "by round-trip bound tests."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg420_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_jpeg420_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_jpeg420_media(docs))
+
+
+@query(
     "m_wav_decode_verified",
     oracle="""
     WITH d AS (
