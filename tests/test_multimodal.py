@@ -440,3 +440,46 @@ def test_jpeg_420_roundtrip_and_exact_mcu_tiles():
     _, w2, h2, back2 = decode_jpeg(_write_jpeg_color(rgb, subsample="420"))
     assert (w2, h2) == (37, 23) and back2.shape == (23, 37, 3)
     assert np.abs(back2.astype(int) - rgb.astype(int)).max() <= 16
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTm restart protocol (T.81 E.2.4): byte-aligned markers
+    every N MCUs, DC predictors reset, marker index cycles mod 8. The
+    oracled fixtures embed restarts (synthesize_jpeg interval=3,
+    synthesize_jpeg420 interval=2), so the hash-compare covers them;
+    here: exactness with restarts, a >8-interval cycle wrap, and
+    corruption detection when a marker is missing or out of order."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _JPEG_EXACT_DC_QUANT,
+        _write_jpeg_gray,
+        decode_jpeg,
+        synthesize_jpeg,
+        synthesize_jpeg420,
+    )
+
+    assert synthesize_jpeg(1, 10).find(b"\xff\xdd") > 0
+    assert synthesize_jpeg420(1, 10).find(b"\xff\xdd") > 0
+
+    tiles = ((37 + np.arange(12)) % 256).astype(np.uint8)
+    g = np.kron(tiles.reshape(3, 4), np.ones((8, 8), np.uint8))
+    b = _write_jpeg_gray(g, quant=_JPEG_EXACT_DC_QUANT, restart_interval=2)
+    fmt, w, h, px = decode_jpeg(b)
+    assert np.array_equal(px, g)
+
+    # interval=1 over 25 MCUs: RST index wraps past 7
+    x = np.linspace(0, 255, 40)
+    smooth = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    b2 = _write_jpeg_gray(smooth, restart_interval=1)
+    _, _, _, back = decode_jpeg(b2)
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 8
+
+    import pytest
+
+    i = b2.find(b"\xff\xd0")
+    with pytest.raises(ValueError):
+        decode_jpeg(b2[:i] + b2[i + 2 :])  # missing restart marker
+    swapped = b2[:i] + b"\xff\xd5" + b2[i + 2 :]  # wrong index
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(swapped)

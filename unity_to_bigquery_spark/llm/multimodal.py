@@ -544,10 +544,22 @@ class _JpegBitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec: before a restart
+        marker the entropy stream is byte-aligned)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a raw 2-byte marker (NOT byte-stuffed) — restart
+        markers live inside the entropy-coded segment."""
+        self.align()
+        self.out.append(0xFF)
+        self.out.append(marker & 0xFF)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -578,6 +590,21 @@ class _JpegBitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, expect_m: int) -> None:
+        """Byte-align and consume the RST(expect_m) marker (T.81
+        E.2.4: discard partial byte, expect FFD0+m, reset happens in
+        the caller)."""
+        self.nbits = 0  # discard bits up to the byte boundary
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG truncated at restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + expect_m:
+            raise ValueError(
+                f"expected RST{expect_m} marker, found "
+                f"{b0:02x}{b1:02x} — corrupt or out-of-order restart"
+            )
+        self.pos += 2
 
     def read_symbol(self, dec_table: dict) -> int:
         code, length = 0, 0
@@ -665,7 +692,7 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def _jpeg_headers(h, w, quants, ncomp, samplings=None) -> bytes:
+def _jpeg_headers(h, w, quants, ncomp, samplings=None, restart_interval: int = 0) -> bytes:
     """SOI..SOS marker prefix: one DQT per quant table, SOF0 with
     per-component sampling factors (default 0x11 each; component i
     uses quant table min(i, len(quants)-1)), the two Annex-K
@@ -691,6 +718,8 @@ def _jpeg_headers(h, w, quants, ncomp, samplings=None) -> bytes:
     out += _jpeg_seg(
         0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
@@ -698,9 +727,12 @@ def _jpeg_headers(h, w, quants, ncomp, samplings=None) -> bytes:
     return out
 
 
-def _write_jpeg_gray(gray, quant=None) -> bytes:
+def _write_jpeg_gray(gray, quant=None, restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 grayscale array as baseline JFIF JPEG.
-    Non-multiple-of-8 dims are edge-padded (decoder crops)."""
+    Non-multiple-of-8 dims are edge-padded (decoder crops).
+    ``restart_interval=N`` emits a DRI segment and an RSTm marker
+    every N MCUs (DC predictors reset — T.81 restart protocol, what
+    real encoders use for error resilience/parallel decode)."""
     import numpy as np
 
     quant = list(quant if quant is not None else _JPEG_STD_QUANT)
@@ -713,13 +745,24 @@ def _write_jpeg_gray(gray, quant=None) -> bytes:
     bw = _JpegBitWriter()
     prev_dc = 0
     ph, pw = img.shape
+    n_mcu = 0
+    rst = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
             prev_dc = _jpeg_encode_block(
                 bw, img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                 C, q, dc_enc, ac_enc, prev_dc,
             )
-    return _jpeg_headers(h, w, [quant], 1) + bw.flush() + b"\xff\xd9"
+            n_mcu += 1
+    return (
+        _jpeg_headers(h, w, [quant], 1, restart_interval=restart_interval)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
 
 
 def _rgb_to_ycbcr(rgb):
@@ -746,7 +789,9 @@ def _ycbcr_to_rgb(y, cb, cr):
     ).astype(np.uint8)
 
 
-def _write_jpeg_color(rgb, quant_y=None, quant_c=None, subsample="444") -> bytes:
+def _write_jpeg_color(
+    rgb, quant_y=None, quant_c=None, subsample="444", restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline color JFIF
     JPEG (BT.601 YCbCr, chroma on its own quant table). subsample:
     "444" interleaves one Y/Cb/Cr block per MCU; "420" (the dominant
@@ -771,16 +816,26 @@ def _write_jpeg_color(rgb, quant_y=None, quant_c=None, subsample="444") -> bytes
         planes = [_jpeg_pad_plane(p) for p in (y, cb, cr)]
         qs = [qy, qc, qc]
         ph, pw = planes[0].shape
+        n_mcu, rst = 0, 0
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.emit_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    prev = [0, 0, 0]
                 for ci in range(3):
                     prev[ci] = _jpeg_encode_block(
                         bw,
                         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                         C, qs[ci], dc_enc, ac_enc, prev[ci],
                     )
+                n_mcu += 1
         return (
-            _jpeg_headers(h, w, [quant_y, quant_c], 3) + bw.flush() + b"\xff\xd9"
+            _jpeg_headers(
+                h, w, [quant_y, quant_c], 3, restart_interval=restart_interval
+            )
+            + bw.flush()
+            + b"\xff\xd9"
         )
     if subsample != "420":
         raise ValueError(f"unsupported subsample mode {subsample!r}")
@@ -793,8 +848,14 @@ def _write_jpeg_color(rgb, quant_y=None, quant_c=None, subsample="444") -> bytes
             full.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
         )
     cbp, crp = down(cb), down(cr)
+    n_mcu, rst = 0, 0
     for my in range(ph // 16):
         for mx in range(pw // 16):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            n_mcu += 1
             for sy in range(2):  # 4 luma blocks, raster order
                 for sx in range(2):
                     r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
@@ -810,7 +871,11 @@ def _write_jpeg_color(rgb, quant_y=None, quant_c=None, subsample="444") -> bytes
                 bw, crp[r0 : r0 + 8, c0 : c0 + 8], C, qc, dc_enc, ac_enc, prev[2]
             )
     return (
-        _jpeg_headers(h, w, [quant_y, quant_c], 3, samplings=[0x22, 0x11, 0x11])
+        _jpeg_headers(
+            h, w, [quant_y, quant_c], 3,
+            samplings=[0x22, 0x11, 0x11],
+            restart_interval=restart_interval,
+        )
         + bw.flush()
         + b"\xff\xd9"
     )
@@ -834,6 +899,7 @@ def decode_jpeg(payload: bytes):
     quant_tables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (Td, Ta)
     scan_order: list[int] = []
@@ -887,6 +953,8 @@ def decode_jpeg(payload: bytes):
                     f"unsupported JPEG sampling {samplings}: 4:4:4 "
                     "(all 0x11) or 4:2:0 (0x22,0x11,0x11) only"
                 )
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline sequential JPEG (SOF0) supported")
         elif marker == 0xFFDA:
@@ -915,6 +983,16 @@ def decode_jpeg(payload: bytes):
         acs.append(huff[(1, ta)])
     br = _JpegBitReader(scan_data)
     prev = [0] * ncomp
+    rst_state = [0, 0]  # [mcus decoded, next expected RST index]
+
+    def maybe_restart():
+        n, m = rst_state
+        if restart_interval and n and n % restart_interval == 0:
+            br.sync_restart(m)
+            rst_state[1] = (m + 1) % 8
+            for ci in range(ncomp):
+                prev[ci] = 0
+        rst_state[0] = n + 1
 
     def read_block(ci: int):
         zz = [0] * 64
@@ -947,6 +1025,7 @@ def decode_jpeg(payload: bytes):
         crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                maybe_restart()
                 for sy in range(2):
                     for sx in range(2):
                         r0, c0 = my * 16 + sy * 8, mx * 16 + sx * 8
@@ -964,6 +1043,7 @@ def decode_jpeg(payload: bytes):
     planes = [np.zeros((ph, pw), dtype=np.float64) for _ in comps]
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            maybe_restart()
             for ci in range(ncomp):
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     read_block(ci)
@@ -989,7 +1069,9 @@ def synthesize_jpeg(doc_id: int, n_chars: int) -> bytes:
     a = (59 * doc_id) % 256
     tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
     gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
-    return _write_jpeg_gray(gray, quant=_JPEG_EXACT_DC_QUANT)
+    # restart_interval=3: the oracled fixture also exercises the DRI/
+    # RSTm protocol (byte-align, predictor reset, marker-index cycle)
+    return _write_jpeg_gray(gray, quant=_JPEG_EXACT_DC_QUANT, restart_interval=3)
 
 
 def synthesize_jpeg_color(doc_id: int, n_chars: int) -> bytes:
@@ -1038,6 +1120,7 @@ def synthesize_jpeg420(doc_id: int, n_chars: int) -> bytes:
         quant_y=_JPEG_EXACT_DC_QUANT,
         quant_c=_JPEG_EXACT_DC_QUANT,
         subsample="420",
+        restart_interval=2,  # oracled fixture exercises restarts too
     )
 
 
