@@ -483,3 +483,90 @@ def test_jpeg_restart_markers():
     swapped = b2[:i] + b"\xff\xd5" + b2[i + 2 :]  # wrong index
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(swapped)
+
+
+def test_resize_nearest_and_bilinear_properties():
+    """Nearest: exact index rule (floor(dst*src/dst_dim)), identity at
+    same size, block structure on upscale. Bilinear: exact on constant
+    images, output within [min, max] of the input (convexity), exact
+    identity at same size, and averages a 2-pixel checker at 2x
+    downsample-free geometry."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        resize_bilinear,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    # identity
+    assert np.array_equal(resize_nearest(px, 12, 16), px)
+    assert np.array_equal(resize_bilinear(px, 12, 16), px)
+    # nearest downsample 2x == stride-2 sampling
+    assert np.array_equal(resize_nearest(px, 6, 8), px[::2, ::2])
+    # nearest upscale 2x == 2x2 block replication
+    up = resize_nearest(px, 24, 32)
+    assert np.array_equal(up, np.repeat(np.repeat(px, 2, axis=0), 2, axis=1))
+    # bilinear: constant image stays constant at any size
+    const = np.full((9, 7, 3), 77, np.uint8)
+    for oh, ow in ((3, 3), (18, 14), (5, 11)):
+        assert np.all(resize_bilinear(const, oh, ow) == 77)
+    # bilinear convexity: outputs within input range
+    out = resize_bilinear(px, 7, 9)
+    assert out.min() >= px.min() and out.max() <= px.max()
+    # bilinear 2x downsample of an aligned 2x2 checker = the mean
+    checker = np.zeros((4, 4, 3), np.uint8)
+    checker[::2, ::2] = 100
+    checker[1::2, 1::2] = 100
+    down = resize_bilinear(checker, 2, 2)
+    assert np.all(down == 50), down[..., 0]
+
+
+def test_png_gray_and_rgba_color_types():
+    """PNG color types 0 (grayscale, bpp=1) and 6 (RGBA, bpp=4):
+    the filter distance is bytes-per-pixel, so each type exercises
+    the unfilter code at its own bpp across all 5 filter types;
+    decode_image normalizes to RGB (gray replicated, alpha dropped,
+    the PIL convert conventions)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_png,
+        decode_image,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(19)
+    g = rng.randint(0, 256, size=(11, 7)).astype(np.uint8)
+    fmt, w, h, back = decode_png(_write_png(g))
+    assert (fmt, w, h, back.shape) == ("png", 7, 11, (11, 7))
+    assert np.array_equal(back, g)
+
+    rgba = rng.randint(0, 256, size=(10, 6, 4)).astype(np.uint8)
+    fmt, w, h, back4 = decode_png(_write_png(rgba))
+    assert back4.shape == (10, 6, 4)
+    assert np.array_equal(back4, rgba)
+
+    _, _, _, as_rgb = decode_image(_write_png(g))
+    assert as_rgb.shape == (11, 7, 3)
+    assert np.array_equal(as_rgb[:, :, 1], g)
+    _, _, _, rgb_only = decode_image(_write_png(rgba))
+    assert np.array_equal(rgb_only, rgba[:, :, :3])
+
+    import pytest
+    import struct
+    import zlib
+
+    from unity_to_bigquery_spark.llm.multimodal import _PNG_MAGIC, _png_chunk
+
+    # 16-bit depth and palette type still raise
+    for depth, color in ((16, 2), (8, 3)):
+        bad = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(bad)

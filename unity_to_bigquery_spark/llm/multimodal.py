@@ -181,7 +181,12 @@ def decode_image(payload: bytes):
     import numpy as np
 
     if payload[:8] == _PNG_MAGIC:
-        return decode_png(payload)
+        fmt, w, h, px = decode_png(payload)
+        if px.ndim == 2:  # grayscale -> RGB, like PIL L->RGB
+            px = np.stack([px, px, px], axis=-1)
+        elif px.shape[2] == 4:  # RGBA -> RGB, like PIL convert (alpha dropped)
+            px = px[:, :, :3]
+        return fmt, w, h, px
     if payload[:2] == b"\xff\xd8":
         fmt, w, h, px = decode_jpeg(payload)
         if px.ndim == 2:
@@ -268,25 +273,31 @@ def synthesize_png(doc_id: int, n_chars: int) -> bytes:
     return _write_png(raw.reshape(h, w, 3))
 
 
-def _write_png(rgb) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG,
-    filter type ``row % 5`` per scanline. Forward filtering reads only
-    RAW bytes (spec: filters operate on the original scanlines), so
-    every filter vectorizes."""
+def _write_png(img) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG, filter type ``row % 5``
+    per scanline: (h, w) -> grayscale (color type 0), (h, w, 3) ->
+    truecolor (2), (h, w, 4) -> truecolor+alpha (6). Forward filtering
+    reads only RAW bytes (spec: filters operate on the original
+    scanlines), so every filter vectorizes."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w, _ = rgb.shape
-    raw = rgb.reshape(h, w * 3).astype(np.int16)
-    zero_row = np.zeros(w * 3, dtype=np.int16)
+    if img.ndim == 2:
+        h, w = img.shape
+        bpp, color = 1, 0
+    else:
+        h, w, bpp = img.shape
+        color = {3: 2, 4: 6}[bpp]
+    raw = img.reshape(h, w * bpp).astype(np.int16)
+    zero_row = np.zeros(w * bpp, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         row = raw[y]
         prior = raw[y - 1] if y > 0 else zero_row
-        left = np.concatenate([np.zeros(3, dtype=np.int16), row[:-3]])
-        upleft = np.concatenate([np.zeros(3, dtype=np.int16), prior[:-3]])
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
         ftype = y % 5
         if ftype == 0:
             filt = row
@@ -305,7 +316,7 @@ def _write_png(rgb) -> bytes:
             filt = row - pred
         out.append(ftype)
         out.extend((filt % 256).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -319,8 +330,11 @@ def decode_png(payload: bytes):
     IHDR validation (8-bit truecolor, no interlace), IDAT concat +
     zlib.decompress, then spec-literal sequential unfiltering of all
     five filter types (PNG 1.2 §6: Recon from Filt + already-
-    reconstructed neighbors). Returns ("png", w, h, (h,w,3) uint8 RGB).
-    Anything but 8-bit color-type-2 non-interlaced raises ValueError."""
+    reconstructed neighbors; filter distance = bytes-per-pixel, so
+    every color type exercises the same code with its own bpp).
+    Returns ("png", w, h, native-channel uint8: (h,w) for grayscale,
+    (h,w,3) truecolor, (h,w,4) RGBA). 8-bit color types 0/2/6
+    non-interlaced only; palette/16-bit/interlaced raise ValueError."""
     import struct
     import zlib
 
@@ -346,18 +360,25 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color, comp, filt_method, interlace = ihdr
-    if (bit_depth, color, comp, filt_method, interlace) != (8, 2, 0, 0, 0):
+    if (
+        bit_depth != 8
+        or color not in (0, 2, 6)
+        or comp != 0
+        or filt_method != 0
+        or interlace != 0
+    ):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color}, "
-            f"interlace={interlace}): 8-bit truecolor non-interlaced only"
+            f"interlace={interlace}): 8-bit gray/truecolor/RGBA "
+            "non-interlaced only"
         )
-    stride = w * 3
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * bpp
     data = zlib.decompress(bytes(idat))
     if len(data) != h * (stride + 1):
         raise ValueError(
             f"PNG data length {len(data)} != expected {h * (stride + 1)}"
         )
-    bpp = 3
     # Reconstruction stays spec-sequential where the spec demands it
     # (Average/Paeth depend on already-reconstructed left neighbors)
     # but runs on bytearrays with local-variable int arithmetic — numpy
@@ -411,7 +432,9 @@ def decode_png(payload: bytes):
         rows.append(cur)
         prev = cur
     flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
-    return "png", w, h, flat.reshape(h, w, 3)
+    if bpp == 1:
+        return "png", w, h, flat.reshape(h, w)
+    return "png", w, h, flat.reshape(h, w, bpp)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
@@ -1216,6 +1239,85 @@ def jpeg_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+# ---- image resize (decode -> resample -> stats/re-encode) --------------
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array — the
+    PIL.Image.NEAREST rule ``src = floor(dst * src_dim / dst_dim)``.
+    Deterministic integer index math, so a SQL oracle can re-derive
+    the result exactly (m_image_resize_verified)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[rows[:, None], cols[None, :]]
+
+
+def resize_bilinear(px, out_h: int, out_w: int):
+    """Bilinear resize (align_corners=False / half-pixel-center
+    convention, the OpenCV/PIL default), float32 accumulation, rounded
+    to uint8. Lossy resampling — verified by property tests (exact on
+    constant images, monotone bounds), not a hash oracle."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    r = (np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5
+    c = (np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5
+    r0 = np.clip(np.floor(r).astype(np.int64), 0, h - 1)
+    c0 = np.clip(np.floor(c).astype(np.int64), 0, w - 1)
+    r1 = np.minimum(r0 + 1, h - 1)
+    c1 = np.minimum(c0 + 1, w - 1)
+    fr = np.clip(r - r0, 0.0, 1.0)[:, None, None]
+    fc = np.clip(c - c0, 0.0, 1.0)[None, :, None]
+    p00 = px[r0[:, None], c0[None, :]].astype(np.float64)
+    p01 = px[r0[:, None], c1[None, :]].astype(np.float64)
+    p10 = px[r1[:, None], c0[None, :]].astype(np.float64)
+    p11 = px[r1[:, None], c1[None, :]].astype(np.float64)
+    out = (
+        p00 * (1 - fr) * (1 - fc)
+        + p01 * (1 - fr) * fc
+        + p10 * fr * (1 - fc)
+        + p11 * fr * fc
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+RESIZE_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, out_w INT, out_h INT, n_px BIGINT, "
+    "byte_sum BIGINT, first_px INT, mid_px INT, last_px INT"
+)
+
+
+def image_resize_stats(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode -> nearest-resize to (out_w, out_h) -> integer-exact
+    stats, one mapInPandas stage (decode+resample fused per Arrow
+    batch — pixels never leave the executor, only ~60 bytes/row
+    shuffle at any corpus scale)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in RESIZE_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, _, _, px = decode_image(bytes(payload))
+                rs = resize_nearest(px, out_h, out_w)
+                flat = rs.reshape(-1).astype(np.int64)
+                n = int(flat.size)
+                rows.append(
+                    (
+                        int(doc_id), fmt, out_w, out_h, n, int(flat.sum()),
+                        int(flat[0]), int(flat[n // 2]), int(flat[-1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, RESIZE_STATS_SCHEMA)
 
 
 # ---- real audio codec: PCM WAV ----------------------------------------

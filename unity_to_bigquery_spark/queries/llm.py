@@ -1033,6 +1033,61 @@ def m_jpeg_color_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_image_resize_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CAST(n_chars % 48 + 12 AS BIGINT) AS w,
+             CAST(n_chars % 36 + 12 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.fmt,
+             (d.a + 3 * (((r.r * d.h) // 12) * d.w + ((c.c * d.w) // 16))
+              + ch.ch) % 256 AS v,
+             (r.r * 16 + c.c) * 3 + ch.ch AS idx
+      FROM d,
+           generate_series(0, 11) AS r(r),
+           generate_series(0, 15) AS c(c),
+           generate_series(0, 2) AS ch(ch)
+    )
+    SELECT doc_id, fmt,
+           CAST(16 AS INTEGER) AS out_w, CAST(12 AS INTEGER) AS out_h,
+           CAST(576 AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS byte_sum,
+           CAST(MAX(CASE WHEN idx = 0 THEN v END) AS INTEGER) AS first_px,
+           CAST(MAX(CASE WHEN idx = 288 THEN v END) AS INTEGER) AS mid_px,
+           CAST(MAX(CASE WHEN idx = 575 THEN v END) AS INTEGER) AS last_px
+    FROM px GROUP BY doc_id, fmt
+    """,
+    doc=(
+        "Image RESIZE, oracle-verified (the north-star multimodal "
+        "preprocessing op): real BMP/PPM containers are decoded and "
+        "nearest-neighbor-resampled to a fixed 16x12 thumbnail in ONE "
+        "fused mapInPandas stage (decode+resize per Arrow batch; "
+        "pixels die in the executor). Nearest resize is deterministic "
+        "integer index math (src = floor(dst*src_dim/dst_dim)), so "
+        "the DuckDB oracle re-derives every output pixel by brute "
+        "force over a generate_series grid and the hash covers the "
+        "full resample geometry — a transposed axis, off-by-one, or "
+        "wrong rounding rule breaks it. Bilinear (lossy float path) "
+        "ships alongside, property-tested in tests/test_multimodal."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_image_resize_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_resize_stats,
+        synthesize_image_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_resize_stats(synthesize_image_media(docs), out_w=16, out_h=12)
+
+
+@query(
     "m_jpeg420_decode_verified",
     oracle="""
     WITH d AS (
