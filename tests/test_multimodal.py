@@ -570,3 +570,54 @@ def test_png_gray_and_rgba_color_types():
         )
         with pytest.raises(ValueError, match="unsupported PNG"):
             decode_png(bad)
+
+
+def test_g711_expansion_cross_checked_and_wav_dispatch():
+    """G.711 mu-law/A-law expansion matches stdlib audioop on ALL 256
+    byte values (independent reference implementation — same proof
+    class as the wave-module cross-check), and decode_wav dispatches
+    format codes 7/6 to the right expander with linear int16 output."""
+    import warnings
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        alaw_to_linear,
+        decode_wav,
+        synthesize_g711,
+        ulaw_to_linear,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    allb = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(allb, 2), dtype="<i2")
+    assert [ulaw_to_linear(b) for b in range(256)] == list(ref_u)
+    assert [alaw_to_linear(b) for b in range(256)] == list(ref_a)
+
+    # spec landmark values
+    assert ulaw_to_linear(0x00) == -32124 and ulaw_to_linear(0x80) == 32124
+    assert ulaw_to_linear(0xFF) == 0 and ulaw_to_linear(0x7F) == 0
+    assert alaw_to_linear(0x55) == -8 and alaw_to_linear(0xD5) == 8
+    assert alaw_to_linear(0x2A) == -32256 and alaw_to_linear(0xAA) == 32256
+
+    du = decode_wav(synthesize_g711(2, 100))
+    da = decode_wav(synthesize_g711(3, 100))
+    assert (du["encoding"], da["encoding"]) == ("ulaw", "alaw")
+    assert du["sample_rate"] == 8000 and du["samples"].dtype == np.int16
+    # decode equals table-lookup of the synthesized byte ramp
+    n = 100 % 1024 + 64
+    a = (29 * 2) % 256
+    bytes_u = ((a + 13 * np.arange(n)) % 256).astype(int)
+    assert list(du["samples"]) == [ulaw_to_linear(b) for b in bytes_u]
+
+    import pytest
+
+    # unsupported format code still raises
+    bad = bytearray(synthesize_g711(2, 10))
+    bad[20] = 2  # ADPCM
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad))

@@ -1349,9 +1349,11 @@ def synthesize_wav(doc_id: int, n_chars: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """REAL PCM WAV decode: walk the RIFF chunk list, parse the fmt
-    chunk, and return the int16 sample array. PCM (format 1) 16-bit
-    only; compressed WAVs raise ValueError."""
+    """REAL WAV decode: walk the RIFF chunk list, parse the fmt
+    chunk, and return the int16 linear sample array. PCM16 (format 1)
+    plus G.711 mu-law (7) and A-law (6) companded audio — expanded
+    with the exact integer algorithms, audioop-cross-checked; other
+    formats raise ValueError."""
     import struct
 
     import numpy as np
@@ -1370,16 +1372,137 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+        encoding = "pcm16"
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 companded audio: expand via the 256-entry integer table
+        expand = ulaw_to_linear if audio_format == 7 else alaw_to_linear
+        table = np.array([expand(b) for b in range(256)], dtype=np.int16)
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+        encoding = "ulaw" if audio_format == 7 else "alaw"
+    else:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2")
     return {
         "format": "wav",
+        "encoding": encoding,
         "channels": channels,
         "sample_rate": rate,
         "n_samples": len(samples) // channels,
         "samples": samples,
     }
+
+
+# ---- real audio codec: G.711 mu-law / A-law WAV ------------------------
+#
+# The telephony companding codecs (ITU-T G.711): 8-bit logarithmic
+# bytes expand to 13/14-bit linear samples by pure integer arithmetic,
+# so decode is value-exact and closed-form SQL-oracle-able. WAV format
+# codes 7 (WAVE_FORMAT_MULAW) and 6 (WAVE_FORMAT_ALAW). Expansion is
+# cross-checked against stdlib audioop.ulaw2lin/alaw2lin in tests.
+
+
+def ulaw_to_linear(b: int) -> int:
+    """G.711 mu-law byte -> 16-bit linear (the Sun/CCITT reference
+    algorithm: complement, 3-bit exponent, 4-bit mantissa, bias 0x84).
+    """
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(b: int) -> int:
+    """G.711 A-law byte -> 16-bit linear (even-bit inversion 0x55,
+    segment 0/1 special cases per the spec)."""
+    a = b ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def synthesize_g711(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic G.711 WAV: even doc_ids get mu-law (format 7),
+    odd A-law (format 6); ``n = n_chars % 1024 + 64`` companded bytes
+    ``b(i) = (a + 13*i) % 256``, ``a = (29*doc_id) % 256``, at
+    8 kHz mono — a real RIFF container any telephony tool opens, with
+    an integer-exact expansion the SQL oracle re-derives
+    (m_g711_decode_verified)."""
+    import struct
+
+    import numpy as np
+
+    # n is CAPPED by construction so the oracle's constant
+    # generate_series bound (DuckDB allows no correlated/subquery
+    # bounds) stays valid under any fixture regeneration (rule 12)
+    n = n_chars % 1024 + 64
+    a = (29 * doc_id) % 256
+    data = (((a + 13 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)).tobytes()
+    fmt_code = 7 if doc_id % 2 == 0 else 6
+    rate, channels, bits = 8000, 1, 8
+    block = channels * bits // 8
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt_code, channels, rate,
+            rate * block, block, bits,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+G711_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, encoding STRING, sample_rate INT, "
+    "n_samples BIGINT, sample_sum BIGINT, first_s INT, mid_s INT, last_s INT"
+)
+
+
+def synthesize_g711_media(docs: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_g711(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def g711_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL G.711 decode stats: RIFF walk -> companded bytes -> exact
+    linear expansion -> integer sum + positional probes. The
+    ``encoding`` column comes from the DECODER's fmt-chunk parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in G711_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                s = d["samples"].astype("int64")
+                n = int(s.size)
+                rows.append(
+                    (
+                        int(doc_id), d["format"], d["encoding"],
+                        d["sample_rate"], n, int(s.sum()),
+                        int(s[0]), int(s[n // 2]), int(s[-1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, G711_STATS_SCHEMA)
 
 
 # ---- real video codec: YUV4MPEG2 (uncompressed) ------------------------

@@ -1157,6 +1157,76 @@ def m_jpeg420_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_g711_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 1024 + 64 AS BIGINT) AS n,
+             CAST((doc_id * 29) % 256 AS BIGINT) AS a,
+             CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS enc
+      FROM documents
+    ), ser AS (
+      -- generate_series allows only constant bounds in DuckDB; n is
+      -- capped at 1087 by construction (n_chars % 1024 + 64), so the
+      -- literal bound is always sufficient
+      SELECT i FROM generate_series(0, 1087) AS s(i)
+    ), sam AS (
+      SELECT d.doc_id, d.enc, d.n, ser.i,
+             255 - ((d.a + 13 * ser.i) % 256) AS u,
+             xor((d.a + 13 * ser.i) % 256, 85) AS a2
+      FROM d JOIN ser ON ser.i < d.n
+    ), lin AS (
+      SELECT doc_id, enc, n, i,
+             CASE WHEN enc = 'ulaw' THEN
+               CASE WHEN u >= 128
+                    THEN 132 - (((u % 16) * 8 + 132) << ((u % 128) // 16))
+                    ELSE (((u % 16) * 8 + 132) << ((u % 128) // 16)) - 132
+               END
+             ELSE
+               CASE WHEN a2 >= 128 THEN 1 ELSE -1 END *
+               CASE WHEN (a2 % 128) // 16 = 0
+                    THEN (a2 % 16) * 16 + 8
+                    ELSE ((a2 % 16) * 16 + 264) << (((a2 % 128) // 16) - 1)
+               END
+             END AS v
+      FROM sam
+    )
+    SELECT doc_id, 'wav' AS fmt, enc AS encoding,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           n AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MAX(CASE WHEN i = 0 THEN v END) AS INTEGER) AS first_s,
+           CAST(MAX(CASE WHEN i = n // 2 THEN v END) AS INTEGER) AS mid_s,
+           CAST(MAX(CASE WHEN i = n - 1 THEN v END) AS INTEGER) AS last_s
+    FROM lin GROUP BY doc_id, enc, n
+    """,
+    doc=(
+        "REAL G.711 mu-law/A-law WAV decode, oracle-verified: the "
+        "telephony companding codecs (WAV format codes 7/6) expand "
+        "8-bit logarithmic bytes to linear samples by pure integer "
+        "arithmetic (complement/xor, 3-bit exponent segments, bias) — "
+        "llm/multimodal.ulaw_to_linear/alaw_to_linear match stdlib "
+        "audioop on all 256 byte values (unit cross-check). Fixtures "
+        "alternate mu-law (even doc_ids) and A-law (odd); the DuckDB "
+        "oracle re-implements BOTH expansion formulas in SQL and "
+        "re-derives exact sums and positional probes over the "
+        "generated byte ramp. The encoding column comes from the "
+        "DECODER's fmt-chunk parse, not fixture metadata."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_g711_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        g711_decode_stats,
+        synthesize_g711_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return g711_decode_stats(synthesize_g711_media(docs))
+
+
+@query(
     "m_wav_decode_verified",
     oracle="""
     WITH d AS (
