@@ -335,12 +335,17 @@ def test_jpeg_rejects_unsupported_variants():
     good = synthesize_jpeg(1, 40)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG" + good)
-    # progressive (SOF2) must raise, not mis-decode
+    # SOF2 now dispatches to the progressive decoder; a baseline
+    # stream mutated to claim SOF2 is malformed (its single scan has
+    # Se=63 where a progressive DC scan demands Se=0) and must raise,
+    # not mis-decode
     sof0 = b"\xff\xc0"
     assert sof0 in good
-    prog = good.replace(sof0, b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(good.replace(sof0, b"\xff\xc2", 1))
+    # extended-sequential (SOF1) stays unsupported
     with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+        decode_jpeg(good.replace(sof0, b"\xff\xc1", 1))
     # an unsupported sampling combination (0x22 on a GRAYSCALE stream —
     # 4:2:0 is only meaningful with 3 components) must raise, not
     # mis-reconstruct MCU geometry
@@ -621,3 +626,112 @@ def test_g711_expansion_cross_checked_and_wav_dispatch():
     bad[20] = 2  # ADPCM
     with pytest.raises(ValueError, match="unsupported WAV"):
         decode_wav(bytes(bad))
+
+
+def test_jpeg_progressive_spectral_selection():
+    """Progressive (SOF2) decode: multi-scan band accumulation must
+    reconstruct IDENTICALLY to baseline for the same coefficients
+    (two entirely different entropy codings of the same data — a
+    compensating-bug-proof differential); flat tiles stay value-exact;
+    successive-approximation scans raise."""
+    import numpy as np
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _JPEG_EXACT_DC_QUANT,
+        _write_jpeg_gray,
+        _write_jpeg_gray_progressive,
+        decode_jpeg,
+        synthesize_jpeg_progressive,
+    )
+
+    for doc_id, n_chars in ((0, 0), (17, 200), (321, 45)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg_progressive(doc_id, n_chars))
+        wb, hb = n_chars % 7 + 2, n_chars % 3 + 2
+        a = (83 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        want = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), np.uint8))
+        assert (fmt, w, h) == ("jpeg", 8 * wb, 8 * hb)
+        assert np.array_equal(px, want), doc_id
+
+    rng = np.random.RandomState(23)
+    for shape in ((16, 16), (17, 23), (40, 40)):
+        g = rng.randint(0, 256, size=shape).astype(np.uint8)
+        _, _, _, base = decode_jpeg(_write_jpeg_gray(g))
+        _, _, _, prog = decode_jpeg(_write_jpeg_gray_progressive(g))
+        assert np.array_equal(base, prog), shape
+        # three-band split exercises different Ss/Se boundaries
+        _, _, _, prog3 = decode_jpeg(
+            _write_jpeg_gray_progressive(g, bands=((1, 2), (3, 20), (21, 63)))
+        )
+        assert np.array_equal(base, prog3), shape
+
+    # successive approximation honestly unsupported: set Al=1 in the
+    # first AC SOS of a progressive file
+    b = _write_jpeg_gray_progressive(np.zeros((8, 8), np.uint8))
+    sos_ac = b.index(b"\xff\xda", b.index(b"\xff\xda") + 2)
+    mut = bytearray(b)
+    mut[sos_ac + 9] = 0x01  # Ah=0, Al=1
+    with pytest.raises(ValueError, match="successive"):
+        decode_jpeg(bytes(mut))
+
+
+def test_jpeg_progressive_eobrun_multiblock():
+    """Hand-built AC scan using an EOB1 symbol (EOBRUN covering 2
+    blocks at once) — the decoder path our own encoder (which emits
+    plain EOBs) never produces: spec G.1.2.2 run-length extension."""
+    import struct
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_EXACT_DC_QUANT,
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _jpeg_canonical_codes,
+        _jpeg_magnitude,
+        _jpeg_seg,
+        decode_jpeg,
+    )
+
+    # 16x8 image = 2 blocks, both constant value 100 -> DC=100-128=-28.
+    # The baseline Annex-K AC table has no EOBn symbols beyond EOB0, so
+    # the scan carries its own custom DHT: two 2-bit codes, 00 -> 0x00
+    # (EOB0) and 01 -> 0x10 (EOB1) — tables are self-described in DHT,
+    # exactly how progressive encoders ship EOBn symbols.
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0x10]
+    ac_enc, _ = _jpeg_canonical_codes(ac_bits, ac_vals)
+    out = b"\xff\xd8"
+    out += _jpeg_seg(
+        0xFFDB, bytes([0]) + bytes(_JPEG_EXACT_DC_QUANT[i] for i in _JPEG_ZIGZAG)
+    )
+    out += _jpeg_seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += _jpeg_seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += _jpeg_seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    # DC scan: block1 diff=-28, block2 diff=0
+    bw = _JpegBitWriter()
+    for diff in (-28, 0):
+        t, bits = _jpeg_magnitude(diff)
+        code, length = dc_enc[t]
+        bw.write(code, length)
+        if t:
+            bw.write(bits, t)
+    out += _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush()
+    # AC scan 1-63: ONE EOB1 symbol (rs=0x10) + 1 appended bit (0)
+    # -> EOBRUN = (1<<1) - 1 + 0 = 1 extra block: covers BOTH blocks
+    bw = _JpegBitWriter()
+    code, length = ac_enc[0x10]
+    bw.write(code, length)
+    bw.write(0, 1)
+    out += _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+    out += b"\xff\xd9"
+
+    fmt, w, h, px = decode_jpeg(out)
+    assert (fmt, w, h) == ("jpeg", 16, 8)
+    assert np.all(px == 100), px

@@ -106,9 +106,9 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return decode_y4m(payload)
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
-        "engine decodes BMP/PPM/PNG/baseline-JPEG(gray,4:4:4,4:2:0)/"
-        "WAV/Y4M natively; other codecs (progressive JPEG/MP3/H.264) "
-        "need PIL/ffmpeg"
+        "engine decodes BMP/PPM/PNG/JPEG(baseline gray+4:4:4+4:2:0, "
+        "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
+        "(MP3/H.264) need PIL/ffmpeg"
     )
 
 
@@ -904,6 +904,25 @@ def _write_jpeg_color(
     )
 
 
+def _jpeg_sof_marker(payload: bytes) -> int:
+    """First SOFn marker code in the stream (segment walk, no entropy
+    data touched) — the baseline/progressive dispatch key."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            return marker
+        if marker in (0xFFD9, 0xFFDA):
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + length
+    raise ValueError("JPEG missing SOF marker")
+
+
 def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode, stdlib-only: marker walk, DQT/DHT
     table parse (canonical Huffman per Annex C), entropy decode with
@@ -918,6 +937,8 @@ def decode_jpeg(payload: bytes):
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG payload (magic {payload[:2]!r})")
+    if _jpeg_sof_marker(payload) == 0xFFC2:
+        return _decode_jpeg_progressive(payload)
     pos = 2
     quant_tables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -1077,6 +1098,282 @@ def decode_jpeg(payload: bytes):
     y, cb, cr = (pl + 128.0 for pl in planes)
     rgb = _ycbcr_to_rgb(y, cb, cr)
     return "jpeg", w, h, rgb[:h, :w]
+
+
+# ---- progressive JPEG (spectral selection, grayscale) ------------------
+#
+# T.81 Annex G progressive mode, spectral-selection flavor: a SOF2
+# frame whose coefficients arrive across MULTIPLE scans — first the DC
+# band, then AC bands (e.g. 1-5, then 6-63) — so a partial fetch shows
+# a coarse image. AC first-scans use the EOBRUN run-length extension
+# (an EOBn symbol ends 2^r - 1 + extra following blocks at once).
+# Successive approximation (Ah/Al bit-planes) is NOT implemented —
+# such scans raise honestly. Grayscale only (progressive color scans
+# are non-interleaved per component; out of scope).
+
+
+def _write_jpeg_gray_progressive(
+    gray, quant=None, bands=((1, 5), (6, 63))
+) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a progressive
+    (SOF2) JPEG: one DC scan, then one AC scan per ``bands`` entry
+    (spectral selection, Ah=Al=0). Each block's quantized
+    coefficients are computed once and sliced per scan; AC scans emit
+    a plain EOB (EOBRUN=1) per early-terminated block."""
+    import struct
+
+    import numpy as np
+
+    quant = list(quant if quant is not None else _JPEG_STD_QUANT)
+    h, w = gray.shape
+    img = _jpeg_pad_plane(gray)
+    C = _jpeg_dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    ph, pw = img.shape
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            coef = C @ img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ C.T
+            qc = np.round(coef / q).astype(np.int64)
+            blocks.append([int(qc.flat[i]) for i in _JPEG_ZIGZAG])
+
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xFFDB, bytes([0]) + bytes(quant[i] for i in _JPEG_ZIGZAG))
+    out += _jpeg_seg(
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+
+    # scan 1: DC band, baseline DC coding
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        t, bits = _jpeg_magnitude(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, length = dc_enc[t]
+        bw.write(code, length)
+        if t:
+            bw.write(bits, t)
+    out += _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.flush()
+
+    # AC band scans (spectral selection, Ah=Al=0)
+    for ss, se in bands:
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            last_nz = 0
+            for i in range(se, ss - 1, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            run = 0
+            for i in range(ss, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                t, bits = _jpeg_magnitude(zz[i])
+                code, length = ac_enc[(run << 4) | t]
+                bw.write(code, length)
+                bw.write(bits, t)
+                run = 0
+            if last_nz < se:
+                code, length = ac_enc[0x00]  # EOB (EOBRUN = 1)
+                bw.write(code, length)
+        out += _jpeg_seg(0xFFDA, bytes([1, 1, 0x00, ss, se, 0x00])) + bw.flush()
+    return out + b"\xff\xd9"
+
+
+def _jpeg_scan_end(payload: bytes, start: int) -> int:
+    """End offset of an entropy-coded segment: the next 0xFF byte not
+    followed by a stuffing 0x00 or a restart marker."""
+    pos = start
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive (SOF2) grayscale decode, spectral selection only:
+    accumulate each scan's band into per-block coefficient arrays
+    (DC scan = baseline DC coding; AC first-scans = run-length with
+    the EOBRUN extension), then dequantize + IDCT once at the end.
+    Successive-approximation scans (Ah or Al nonzero) raise."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    quant_tables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = None
+    blocks = None
+    nb = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[i + 1 : i + 65])
+                nat = [0] * 64
+                for j, zi in enumerate(_JPEG_ZIGZAG):
+                    nat[zi] = zz[j]
+                quant_tables[tq] = nat
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                _, dec = _jpeg_canonical_codes(bits, list(body[i + 17 : i + 17 + n]))
+                huff[(tc, th)] = dec
+                i += 17 + n
+        elif marker == 0xFFC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "progressive JPEG: grayscale only in this decoder"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled progressive JPEG unsupported")
+            comp_q = body[8]
+            nb = ((h + 7) // 8) * ((w + 7) // 8)
+            blocks = [[0] * 64 for _ in range(nb)]
+        elif marker == 0xFFDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError(
+                    "restart markers in progressive scans unsupported"
+                )
+        elif marker == 0xFFDA:
+            if blocks is None:
+                raise ValueError("SOS before SOF2")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se, a = body[3], body[4], body[5]
+            ah, al = a >> 4, a & 0x0F
+            if ah or al:
+                raise ValueError(
+                    "successive-approximation progressive scans "
+                    "unsupported (spectral selection only)"
+                )
+            scan_start = pos + 2 + length
+            scan_stop = _jpeg_scan_end(payload, scan_start)
+            br = _JpegBitReader(payload[scan_start:scan_stop])
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC progressive scan must have Se=0")
+                dc_dec = huff[(0, td)]
+                prev_dc = 0
+                for zz in blocks:
+                    t = br.read_symbol(dc_dec)
+                    prev_dc += _jpeg_extend(br.read_bits(t), t)
+                    zz[0] = prev_dc
+            else:  # AC band scan with EOBRUN
+                ac_dec = huff[(1, ta)]
+                eobrun = 0
+                for zz in blocks:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    i = ss
+                    while i <= se:
+                        rs = br.read_symbol(ac_dec)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                i += 16
+                                continue
+                            # EOBn: ends this + (2^r - 1 + extra) more
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        i += r
+                        if i > se:
+                            raise ValueError("AC band overflow")
+                        zz[i] = _jpeg_extend(br.read_bits(s), s)
+                        i += 1
+            pos = scan_stop
+            continue
+        pos += 2 + length
+    if blocks is None or w is None:
+        raise ValueError("progressive JPEG missing SOF2/scans")
+    C = _jpeg_dct_matrix()
+    q = np.array(quant_tables[comp_q], dtype=np.float64).reshape(8, 8)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.zeros((ph, pw), dtype=np.float64)
+    bi = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            coef = np.zeros(64, dtype=np.float64)
+            for j, zi in enumerate(_JPEG_ZIGZAG):
+                coef[zi] = blocks[bi][j]
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ (coef.reshape(8, 8) * q) @ C
+            )
+            bi += 1
+    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+    return "jpeg", w, h, out[:h, :w]
+
+
+def synthesize_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile PROGRESSIVE (SOF2) grayscale JPEG:
+    ``wb = n_chars%7+2``, ``hb = n_chars%3+2`` blocks, tile value
+    ``v(j) = (a + j) % 256``, ``a = (83*doc_id) % 256`` — DC-only
+    blocks make the multi-scan reconstruction VALUE-EXACT under the
+    DC=8 quant table (the AC band scans carry only EOBs), so the
+    spectral-selection scan protocol is closed-form oracle-able
+    (m_jpeg_prog_decode_verified)."""
+    import numpy as np
+
+    wb = n_chars % 7 + 2
+    hb = n_chars % 3 + 2
+    a = (83 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+    return _write_jpeg_gray_progressive(gray, quant=_JPEG_EXACT_DC_QUANT)
+
+
+def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg_progressive(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_jpeg(doc_id: int, n_chars: int) -> bytes:

@@ -963,6 +963,68 @@ def m_jpeg_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg_prog_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 7 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 3 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 83) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             64 * hb * wb AS n_px,
+             8 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w,
+             64 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                   - ((a * (a - 1)) // 2)) AS byte_sum,
+             (n_px // 2) // w AS mid_r,
+             (n_px // 2) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 8) * wb + mid_c // 8) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "REAL PROGRESSIVE (SOF2) JPEG decode, oracle-verified — the "
+        "web's coarse-to-fine JPEG flavor: coefficients arrive across "
+        "MULTIPLE scans (DC band first, then AC bands 1-5 and 6-63, "
+        "spectral selection) and the decoder accumulates per-block "
+        "coefficient state across scans, handling the EOBRUN "
+        "run-length extension, before one final dequant+IDCT. Flat-"
+        "tile fixtures are DC-only so the multi-scan reconstruction "
+        "is VALUE-EXACT and closed-form oracled; a scan-segmentation, "
+        "band-accumulation, or EOBRUN bug breaks the hash. Lossy "
+        "content is covered by a progressive==baseline differential "
+        "(identical quantized coefficients through two entirely "
+        "different entropy codings must reconstruct identically). "
+        "Successive-approximation scans raise honestly."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg_prog_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        jpeg_decode_stats,
+        synthesize_jpeg_progressive_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return jpeg_decode_stats(synthesize_jpeg_progressive_media(docs))
+
+
+@query(
     "m_jpeg_color_decode_verified",
     oracle="""
     WITH d AS (
