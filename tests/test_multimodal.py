@@ -735,3 +735,51 @@ def test_jpeg_progressive_eobrun_multiblock():
     fmt, w, h, px = decode_jpeg(out)
     assert (fmt, w, h) == ("jpeg", 16, 8)
     assert np.all(px == 100), px
+
+
+def test_y4m_motion_and_wav_energy_kernels():
+    """Motion and energy feature kernels against hand-computable
+    cases: a static clip has zero motion; a single hard cut has
+    motion exactly = the per-pixel diff; a constant signal has zero
+    crossings and n*v^2 energy; an alternating signal crosses at
+    every step."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_wav,
+        decode_y4m,
+        synthesize_tone,
+    )
+
+    # hand-built Y4M: 3 frames 4x2 C444, frame0==frame1 (static),
+    # frame2 = frame1 + 10 everywhere (a cut of uniform magnitude 10)
+    w, h = 4, 2
+    per = w * h * 3
+    f0 = bytes([50] * per)
+    f2 = bytes([60] * per)
+    clip = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+        + b"FRAME\n" + f0 + b"FRAME\n" + f0 + b"FRAME\n" + f2
+    )
+    d = decode_y4m(clip)
+    fr = d["frames"].astype(np.int64)
+    diffs = np.abs(fr[1:] - fr[:-1]).sum(axis=(1, 2, 3))
+    assert list(diffs) == [0, 10 * per]
+
+    # tone fixture: decode equals formula; a LONG window (n=764 ->
+    # span 147k, 2+ mod-65536 cycles) must cross zero at least twice,
+    # a short one (n=164, span 31k starting at -32583) not at all
+    dt = decode_wav(synthesize_tone(5, 700))
+    s = dt["samples"].astype(np.int64)
+    n = 700 % 768 + 64
+    a = (37 * 5) % 65536
+    want = ((a + 193 * np.arange(n)) % 65536) - 32768
+    assert np.array_equal(s, want)
+    assert int(((s[:-1] * s[1:]) < 0).sum()) >= 2
+    short = decode_wav(synthesize_tone(5, 100))["samples"].astype(np.int64)
+    assert int(((short[:-1] * short[1:]) < 0).sum()) == 0
+    # constant / alternating edge cases through the same feature math
+    const = np.full(10, 7, np.int64)
+    assert int(((const[:-1] * const[1:]) < 0).sum()) == 0
+    alt = np.array([5, -5] * 8, np.int64)
+    assert int(((alt[:-1] * alt[1:]) < 0).sum()) == len(alt) - 1

@@ -1690,6 +1690,89 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# ---- audio features: energy / zero-crossing rate ------------------------
+
+
+def synthesize_tone(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic PCM16 WAV 'tone': ``n = n_chars % 768 + 64``
+    samples ``v(i) = ((a + 193*i) % 65536) - 32768`` at 16 kHz — the
+    odd step makes the waveform cross zero often (exercising ZCR),
+    and n is CAPPED by construction so the oracle's constant
+    generate_series bound stays valid under fixture regeneration."""
+    import struct
+
+    import numpy as np
+
+    n = n_chars % 768 + 64
+    a = (37 * doc_id) % 65536
+    samples = (
+        ((a + 193 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+    ).astype("<i2")
+    data = samples.tobytes()
+    rate, channels, bits = 16000, 1, 16
+    block = channels * bits // 8
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * block, block, bits
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def synthesize_tone_media(docs: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_tone(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+WAV_ENERGY_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, n_samples BIGINT, energy BIGINT, "
+    "zero_crossings BIGINT, peak INT"
+)
+
+
+def wav_energy_stats(media: DataFrame) -> DataFrame:
+    """Audio ENERGY / ZCR features over decoded WAV — the VAD /
+    silence-trim primitives of audio corpus prep: exact integer sum of
+    squares (energy — RMS is sqrt(energy/n), left to the consumer:
+    a float sqrt in the oracle would break rule-2 cross-engine
+    exactness at these magnitudes), strict-sign zero-crossing count
+    (s[i]*s[i+1] < 0), and peak amplitude. Fused decode+feature
+    mapInPandas stage, stats-only shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in WAV_ENERGY_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                s = d["samples"].astype(np.int64)
+                n = int(s.size)
+                energy = int((s * s).sum())
+                zcr = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                peak = int(np.abs(s).max()) if n else 0
+                rows.append((int(doc_id), "wav", n, energy, zcr, peak))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, WAV_ENERGY_SCHEMA)
+
+
 # ---- real audio codec: G.711 mu-law / A-law WAV ------------------------
 #
 # The telephony companding codecs (ITU-T G.711): 8-bit logarithmic
@@ -2037,6 +2120,48 @@ def y4m_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, Y4M_STATS_SCHEMA)
+
+
+Y4M_MOTION_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, n_frames INT, frame_bytes BIGINT, "
+    "motion_sum BIGINT, mean_motion_fp6 BIGINT"
+)
+
+
+def y4m_motion_stats(media: DataFrame) -> DataFrame:
+    """Temporal-difference MOTION features over decoded Y4M clips —
+    the shot-boundary / static-clip detector primitive of video corpus
+    prep: per consecutive frame pair, the exact integer sum of
+    absolute plane-byte differences, totalled per clip, plus a
+    fixed-point per-byte mean. One fused decode+diff mapInPandas
+    stage; only ~50 bytes/row leave the executor."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in Y4M_MOTION_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_y4m(bytes(payload))
+                fr = d["frames"].astype(np.int64)
+                per_frame = int(fr[0].size) if len(fr) else 0
+                motion = (
+                    int(np.abs(fr[1:] - fr[:-1]).sum()) if len(fr) > 1 else 0
+                )
+                n_pairs = max(d["n_frames"] - 1, 1)
+                rows.append(
+                    (
+                        int(doc_id), "y4m", d["n_frames"], per_frame,
+                        motion,
+                        motion * 1_000_000 // (per_frame * n_pairs)
+                        if per_frame
+                        else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, Y4M_MOTION_SCHEMA)
 
 
 def extract_features(media: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:

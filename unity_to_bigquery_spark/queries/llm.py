@@ -1219,6 +1219,122 @@ def m_jpeg420_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_y4m_motion_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 24 + 8 AS BIGINT) AS w,
+             CAST(n_chars % 18 + 8 AS BIGINT) AS h,
+             CAST(n_chars % 6 + 2 AS BIGINT) AS nf,
+             CAST((doc_id * 53) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, w, h, nf, a,
+             w * h * 3 AS l,
+             (w * h * 3) % 256 AS p,
+             256 - (w * h * 3) % 256 AS t
+      FROM d
+    ), pairs AS (
+      SELECT e.doc_id, e.nf, e.l, e.p, e.t,
+             (e.a + f.f * e.l) % 256 AS s0
+      FROM e JOIN generate_series(0, 6) AS f(f) ON f.f < e.nf - 1
+    ), np_ AS (
+      SELECT doc_id, nf, l, p, t,
+             (l // 256) * t
+             + CASE WHEN s0 + p <= 256
+                    THEN GREATEST(0, LEAST(t, s0 + p) - s0)
+                    ELSE GREATEST(0, t - s0) + LEAST(t, s0 + p - 256)
+               END AS np
+      FROM pairs
+    ), agg AS (
+      SELECT doc_id, nf, l,
+             CAST(SUM(np * p + (l - np) * t) AS BIGINT) AS motion_sum
+      FROM np_ GROUP BY doc_id, nf, l
+    )
+    SELECT doc_id, 'y4m' AS fmt,
+           CAST(nf AS INTEGER) AS n_frames,
+           l AS frame_bytes,
+           motion_sum,
+           (motion_sum * 1000000) // (l * (nf - 1)) AS mean_motion_fp6
+    FROM agg
+    """,
+    doc=(
+        "Video MOTION features, oracle-verified: decoded Y4M clips -> "
+        "exact integer sum of absolute plane-byte differences between "
+        "consecutive frames (the shot-boundary / static-clip detector "
+        "primitive of video corpus prep), fused decode+diff in one "
+        "mapInPandas stage. For the ramp fixtures the per-position "
+        "frame delta is |(v+L)%256 - v%256| which takes only two "
+        "values (p and 256-p, p = frame_bytes mod 256), so the oracle "
+        "counts the below-threshold positions per pair in closed form "
+        "(mod-window clamp arithmetic, verified against numpy truth "
+        "over 240 parameter draws) — a frame-boundary, plane-order, or "
+        "accumulation bug breaks the hash."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_y4m_motion_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_y4m_media,
+        y4m_motion_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return y4m_motion_stats(synthesize_y4m_media(docs))
+
+
+@query(
+    "m_wav_energy_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 768 + 64 AS BIGINT) AS n,
+             CAST((doc_id * 37) % 65536 AS BIGINT) AS a
+      FROM documents
+    ), sam AS (
+      SELECT d.doc_id, d.n, s.i,
+             (d.a + 193 * s.i) % 65536 - 32768 AS v,
+             CASE WHEN s.i < d.n - 1
+                  THEN (d.a + 193 * (s.i + 1)) % 65536 - 32768
+             END AS v_next
+      FROM d JOIN generate_series(0, 831) AS s(i) ON s.i < d.n
+    )
+    SELECT doc_id, 'wav' AS fmt, n AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(
+             COALESCE(SUM(CASE WHEN v * v_next < 0 THEN 1 END), 0) AS BIGINT
+           ) AS zero_crossings,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak
+    FROM sam GROUP BY doc_id, n
+    """,
+    doc=(
+        "Audio ENERGY/ZCR features, oracle-verified (the VAD / "
+        "silence-trim primitives of audio corpus prep): real PCM16 "
+        "WAV 'tones' (step-193 mod-65536 ramps, so the waveform "
+        "crosses zero repeatedly) are decoded and reduced to exact "
+        "integer features — sum of squares, strict-sign zero-crossing "
+        "count (s[i]*s[i+1] < 0), peak amplitude — in one fused "
+        "decode+feature mapInPandas stage. The DuckDB oracle "
+        "regenerates every sample AND its successor from the closed "
+        "form over a constant-bounded series (fixture length capped "
+        "by construction) and re-derives all three features; a "
+        "sample-order or sign bug breaks the hash."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_wav_energy_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_tone_media,
+        wav_energy_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return wav_energy_stats(synthesize_tone_media(docs))
+
+
+@query(
     "m_g711_decode_verified",
     oracle="""
     WITH d AS (
