@@ -259,8 +259,9 @@ def test_semdedup_prunes_planted_duplicates(spark, sf_dir):
 
 def test_kll_mergeable_quantiles_rank_error_bound(spark, sf_dir):
     """The merged-sketch quantile estimates must sit within KLL's
-    normalized rank error of their targets (k=200 -> ~1.65%; assert a
-    conservative 3%) — checked against exact per-week ranks."""
+    normalized rank error of their targets (k=200 -> ~1.65%; assert
+    2%, the theoretical bound rounded up) — checked against exact
+    per-week ranks."""
     from unity_to_bigquery_spark.catalog import load_table
 
     got = {

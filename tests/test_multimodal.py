@@ -325,6 +325,37 @@ def test_jpeg_flat_tile_exact_and_lossy_bounds():
     assert back2.shape == (17, 23)
 
 
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — third-party encoders pad between segments. Inserting
+    fill bytes before every marker segment must decode identically
+    (ADVICE r6)."""
+    import struct
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import decode_jpeg, synthesize_jpeg
+
+    payload = synthesize_jpeg(7, 123)
+    # rebuild the stream with 0xFF fill bytes before each marker up to
+    # (and including) SOS; the entropy-coded segment is left untouched
+    out = bytearray(payload[:2])
+    pos = 2
+    while pos + 4 <= len(payload):
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        out += b"\xff\xff\xff"  # fill bytes (legal, contentless)
+        out += payload[pos : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDA:
+            out += payload[pos:]  # entropy data + EOI verbatim
+            break
+    _, w0, h0, want = decode_jpeg(payload)
+    fmt, w, h, px = decode_jpeg(bytes(out))
+    assert (fmt, w, h) == ("jpeg", w0, h0)
+    assert np.array_equal(px, want)
+
+
 def test_jpeg_rejects_unsupported_variants():
     import struct
 

@@ -1493,6 +1493,34 @@ def test_versioned_streaming_source_starting_version(spark, tmp_path):
     assert got == [(3, "c")], got
 
 
+def test_versioned_streaming_source_starting_version_validated(spark, tmp_path):
+    """A starting_version beyond the table's latest (or negative) must
+    raise at reader construction, not yield a silently empty stream
+    (ADVICE r6): latestOffset < initialOffset delivers nothing, which
+    hides a misconfigured backfill handoff."""
+    import pytest
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k").coalesce(1))
+    t.commit_append(spark.sql("SELECT 2 AS k").coalesce(1))
+
+    def reader(sv):
+        return VersionedTableStreamReader(
+            {"path": str(tmp_path / "tbl"), "starting_version": str(sv)}
+        )
+
+    with pytest.raises(ValueError, match="out of range"):
+        reader(3)
+    with pytest.raises(ValueError, match="out of range"):
+        reader(-1)
+    assert reader(2).initialOffset() == {"version": 2}
+
+
 def test_cdc_stream_update_images_match_batch(spark, tmp_path):
     """Delta-CDF-style STREAMING update images (VERDICT r5 #7): drain
     the emit_change_types stream with foreachBatch applying

@@ -913,6 +913,11 @@ def _jpeg_sof_marker(payload: bytes) -> int:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so third-party baseline streams
+        # that pad between segments still parse
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
             return marker
@@ -927,10 +932,14 @@ def decode_jpeg(payload: bytes):
     """REAL baseline JPEG decode, stdlib-only: marker walk, DQT/DHT
     table parse (canonical Huffman per Annex C), entropy decode with
     byte unstuffing, dezigzag, dequantize, float64 IDCT, level shift +
-    clamp. Baseline sequential, 0x11 sampling only: grayscale returns
-    ("jpeg", w, h, (h, w) uint8) and 4:4:4 color returns
-    ("jpeg", w, h, (h, w, 3) uint8 RGB via BT.601); progressive and
-    subsampled streams raise ValueError."""
+    clamp. Supported streams: baseline sequential grayscale and color
+    at 4:4:4 (all 0x11) or 4:2:0 ((0x22,0x11,0x11) — 16x16 MCUs,
+    half-resolution chroma), plus progressive (SOF2) GRAYSCALE via
+    spectral-selection dispatch to ``_decode_jpeg_progressive``.
+    Grayscale returns ("jpeg", w, h, (h, w) uint8); color returns
+    ("jpeg", w, h, (h, w, 3) uint8 RGB via BT.601). Anything else
+    (SOF1/SOF3, 4:2:2, 16-bit quant, progressive color) raises
+    ValueError with the unsupported feature named."""
     import struct
 
     import numpy as np
@@ -951,6 +960,11 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so third-party baseline streams
+        # that pad between segments still parse
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
@@ -1227,6 +1241,11 @@ def _decode_jpeg_progressive(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip them so third-party baseline streams
+        # that pad between segments still parse
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
@@ -1751,6 +1770,14 @@ def wav_energy_stats(media: DataFrame) -> DataFrame:
     squares (energy — RMS is sqrt(energy/n), left to the consumer:
     a float sqrt in the oracle would break rule-2 cross-engine
     exactness at these magnitudes), strict-sign zero-crossing count
+
+    Column semantics (deliberate, differs from ``decode_wav``):
+    ``n_samples`` here counts INTERLEAVED samples (frames × channels),
+    and energy/ZCR/peak fold over the same interleaved stream —
+    features are per-stream, not per-channel (for multichannel WAVs
+    ZCR also counts inter-channel sign flips; the fixtures are mono,
+    where the two definitions coincide). ``decode_wav``'s
+    ``n_samples`` is per-channel frame count.
     (s[i]*s[i+1] < 0), and peak amplitude. Fused decode+feature
     mapInPandas stage, stats-only shuffle."""
 

@@ -173,6 +173,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         self._t = VersionedTable.__new__(VersionedTable)
         self._t.root = self.root
+        # Validate the bootstrap version eagerly (ADVICE r6): a
+        # too-high starting_version would otherwise yield a silently
+        # EMPTY stream (latestOffset < initialOffset) — a misconfigured
+        # backfill handoff must fail loudly, not deliver nothing.
+        if self.start_version:
+            latest = self._t.latest_version()
+            if not (0 <= self.start_version <= latest):
+                raise ValueError(
+                    f"starting_version={self.start_version} out of range: "
+                    f"table {self.root} is at version {latest} "
+                    "(expected 0 <= starting_version <= latest)"
+                )
 
     # ---- offsets are manifest versions ------------------------------
     def initialOffset(self) -> dict:
