@@ -116,17 +116,18 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(
+def ivf_best_cells(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nassign: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``nassign`` nearest centroids (max
-    cosine) — adds ``cell_id`` (one row per assignment). nassign>1 is
-    the standard near-dup blocking trick: boundary vectors co-occur
-    with both neighborhoods, trading Σ|cell|² work for recall.
+    """The IVF assignment scorer: each vector's ``nassign`` nearest
+    centroids (max cosine) as (id, cell_id, sim6) — one row per
+    assignment, sim6 the 1e-6 fixed-point cosine to the assigned
+    centroid (the residual-quality number a persisted index stores for
+    drift accounting, llm/ann_index.py).
 
     The N×C scoring runs as a posexplode + broadcast position-join +
     hash agg — whole-stage codegen end to end. The obvious
@@ -160,16 +161,35 @@ def ivf_assign(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    best = (
+    return (
         sims.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nassign)
-        .select(F.col(id_col), F.col("cell_id"))
+        .select(F.col(id_col), F.col("cell_id"), F.col("__sim").alias("sim6"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nassign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nassign`` nearest centroids (max
+    cosine) — adds ``cell_id`` (one row per assignment). nassign>1 is
+    the standard near-dup blocking trick: boundary vectors co-occur
+    with both neighborhoods, trading Σ|cell|² work for recall.
+    Scoring plan: see :func:`ivf_best_cells` (shared with the
+    persisted-index build/refresh path).
+    """
+    best = ivf_best_cells(corpus, centroids, id_col, vec_col, nassign).select(
+        id_col, "cell_id"
     )
     return corpus.join(best, on=id_col)
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def ivf_search(
+    assigned: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 5,
@@ -178,10 +198,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """IVF approximate top-k: probe the ``nprobe`` nearest cells per
-    query, exact cosine within probed cells only.
-    """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    """The PROBE half of IVF top-k, over an already-assigned corpus
+    (``assigned`` carries ``cell_id`` alongside the vector): probe the
+    ``nprobe`` nearest cells per query, exact cosine within probed
+    cells only. Shared verbatim by the in-query path (:func:`ivf_topk`)
+    and the persisted index (llm/ann_index.py) — serving from a stored
+    assignment is THE SAME plan as serving from a fresh one, which is
+    what makes the index/fresh differential test an identity."""
     c = centroids.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("__cvec"))
     q = queries.select(F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"))
     qcells = q.crossJoin(F.broadcast(c)).withColumn(
@@ -202,6 +225,27 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cos6", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k with IN-QUERY assignment: assign the whole
+    corpus against ``centroids``, then :func:`ivf_search`. Production
+    pipelines amortize the assignment by persisting it
+    (llm/ann_index.AnnIndex) — this form exists for one-shot queries
+    and as the equivalence baseline the index is tested against."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ivf_search(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col, query_id
     )
 
 

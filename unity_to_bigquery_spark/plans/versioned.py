@@ -982,21 +982,35 @@ class VersionedTable:
         )
         return merged.simpleString()
 
-    def commit_overwrite(self, df: DataFrame) -> int:
+    def commit_overwrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """Full-table replace: the new manifest references only the new
         files. Old versions stay readable until vacuum. Publishes via
         ``_publish_once`` so the manifest's ``txns`` idempotency map
         carries forward — an overwrite between streamed micro-batches
         must not erase the exactly-once state ``versioned_sink`` relies
         on (a replayed foreachBatch batch would otherwise double-commit).
-        Blindly retryable: an all-new file list conflicts with nothing."""
+        Blindly retryable: an all-new file list conflicts with nothing.
+
+        ``txn=(app_id, batch_id)`` follows commit_append's idempotency
+        protocol (no-op if the log already records batch >= batch_id
+        for app_id) — what lets a full REBUILD of derived state (e.g.
+        an ANN index retrain, llm/ann_index.py) both replace every row
+        and advance its source-version bookmark in one atomic commit."""
+        if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return self.latest_version()
         self._enforce(df)
         staged = self._write_files(df)
         schema = df.schema.simpleString()
         for _ in range(20):
             base = self.manifest()
+            if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
+                for f in staged:  # lost an idempotency race: discard our stage
+                    os.remove(os.path.join(self.root, DATA_DIR, f))
+                return base["version"]
             try:
-                return self._publish_once(base, staged, "overwrite", schema)
+                return self._publish_once(base, staged, "overwrite", schema, txn=txn)
             except FileExistsError:
                 continue  # lost the race — republish on the new log
         raise ConcurrentWriteError("overwrite could not publish after 20 attempts")
