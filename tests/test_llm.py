@@ -370,6 +370,60 @@ def test_simhash_band_pairs_exact_vs_brute_force(spark, sf_dir):
     assert banded == brute
 
 
+def test_neardup_witness_chaining_exact_on_planted_clones(spark, sf_dir):
+    """VERDICT r6 #2: the witness-chained removal set must EQUAL the
+    all-pairs removal set (same min-id-witness rule, fewer Jaccard
+    evaluations) — on the fixture corpus AND with a planted 300-clone
+    boilerplate cluster (the web-crawl case), where bucket work must
+    collapse from occ²/2 to ~occ: the clone bucket's pairs all resolve
+    in phase 1 (everyone matches the min-id representative), so
+    phase-2 work stays at the fixture's baseline instead of growing
+    with the clone count."""
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.dedup import (
+        minhash_lsh_pairs_df,
+        neardup_removals_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = docs.filter(F.col("doc_id") == 7).select("text").first().text
+    clones = spark.createDataFrame(
+        [(100000 + i, boiler) for i in range(300)], "doc_id BIGINT, text STRING"
+    )
+    planted = docs.unionByName(clones)
+
+    def allpairs_removals(d):
+        return {
+            r.doc_id
+            for r in minhash_lsh_pairs_df(d, k=16, bands=4)
+            .filter(F.col("jaccard6") >= 850000)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .collect()
+        }
+
+    # fixture corpus: general path (includes non-clone borderline pairs)
+    got_fix = {r.doc_id for r in neardup_removals_df(docs).collect()}
+    assert got_fix == allpairs_removals(docs)
+
+    got, metrics = neardup_removals_df(planted, return_metrics=True)
+    got = {r.doc_id for r in got.collect()}
+    assert got == allpairs_removals(planted)
+    # every clone except doc 7 (their min-id witness) must be removed
+    assert {100000 + i for i in range(300)} <= got
+    assert 7 not in got
+
+    m = {r.band: r for r in metrics.collect()}
+    for band, r in m.items():
+        # the clone cluster makes the naive all-pairs cost quadratic...
+        assert r.naive_pairs >= 300 * 299 // 2
+        # ...while chained work stays near-linear: phase 1 is exactly
+        # sum(occ-1) and the 300 exact clones all match their rep, so
+        # phase 2 never grows with the clone count (fixture-survivor
+        # pairs only)
+        assert r.phase1_pairs + r.phase2_pairs < 4000, (band, r)
+
+
 def test_containment_pairs_bounds_and_jaccard_relation(spark, sf_dir):
     """Containment is within [0, 1e6]; for any candidate pair,
     max(containment) >= Jaccard (set identity: J <= |A∩B|/max-denominator

@@ -280,6 +280,183 @@ def minhash_lsh_pairs_df(
     )
 
 
+def _shingle_band_rows(
+    df: DataFrame, id_col: str, text: str, k: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the banded-MinHash pipelines: persisted
+    (id, shingles) arrays and persisted (id, band, key) LSH bucket rows
+    (md5-seeded universal hashes, k MIN aggregates, banded md5 keys —
+    identical math to minhash_lsh_pairs_df, hence the same DuckDB CTE
+    oracles apply)."""
+    r = k // bands
+    sh_arrays = (
+        with_shingles(ensure_min_partitions(df), text)
+        .select(id_col, "sh")
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    rows = sh_arrays.select(id_col, F.explode("sh").alias("s"))
+    h0 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    rows = rows.select(id_col, h0.alias("h0"))
+    mins = []
+    for i in range(k):
+        a_i, b_i = minhash_affine(i)
+        mins.append(F.min((F.col("h0") * a_i + b_i) % MINHASH_P).alias(f"mh{i}"))
+    sig = rows.groupBy(id_col).agg(*mins)
+    band_keys = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{bd * r + j}").cast("string") for j in range(r)]))
+        for bd in range(bands)
+    ]
+    bk = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
+    ).persist()  # bucket rows feed rep/member/survivor joins
+    return sh_arrays, bk
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-band LSH bucket occupancy accounting — the LOUD metrics
+    (VERDICT r6 #2: "no silent caps") that make a saturating band
+    visible before it turns quadratic: (band, n_buckets,
+    max_occupancy, naive_pairs, phase1_pairs) where naive_pairs is the
+    Σ occ·(occ-1)/2 the all-pairs verify would evaluate and
+    phase1_pairs = Σ (occ-1) is the witness-chained fast path's cost.
+    Watch max_occupancy → corpus/n_buckets: when a band saturates,
+    widen bands (see simhash_band_pairs' band-width law). Fully
+    SQL-expressible → DuckDB-oracled as d_lsh_bucket_stats."""
+    _sh, bk = _shingle_band_rows(df, id_col, text, k, bands)
+    occ = bk.groupBy("band", "key").agg(F.count(F.lit(1)).alias("occ"))
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("max_occupancy"),
+        F.sum(F.expr("(occ * (occ - 1)) div 2")).cast("long").alias("naive_pairs"),
+        F.sum(F.col("occ") - 1).cast("long").alias("phase1_pairs"),
+    ).select(
+        F.col("band").cast("long").alias("band"),
+        "n_buckets", "max_occupancy", "naive_pairs", "phase1_pairs",
+    )
+
+
+def neardup_removals_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    tau6: int = 850_000,
+    return_metrics: bool = False,
+):
+    """Near-dup REMOVAL ids (the scrub primitive) with WITNESS-CHAINED
+    bucket verification — VERDICT r6 #2: a web crawl's 10k-replica
+    boilerplate cluster lands in one LSH bucket, and the all-pairs
+    verify pays ~k²/2 Jaccard evaluations for an answer ("everyone but
+    the min id goes") that needs k-1.
+
+    Removal rule (UNCHANGED vs the all-pairs formulation — the DuckDB
+    oracle stays the same): drop doc x iff some band bucket contains a
+    lower-id member y with verified jaccard6(x, y) >= tau6.
+
+    Two-phase verification, exactly removal-equivalent:
+
+    - Phase 1 (the clone fast path): verify every bucket member against
+      its bucket's MIN-ID representative only — k-1 pairs per bucket.
+      A member matching the rep is removed (the rep IS a lower-id
+      witness). In a k-clone bucket all k-1 members match here and
+      phase 2 gets nothing: bucket work collapses from k²/2 to k-1.
+    - Phase 2 (exactness repair, survivors only): Jaccard is not
+      transitive, so a member that does NOT match the rep may still
+      match some other lower-id bucket-mate (including one phase 1
+      removed). Each phase-1 SURVIVOR is verified against ALL lower-id
+      members of its bucket — |survivors|·occupancy pairs, which in
+      the dup-heavy regime the scrub exists for is near zero, and in
+      the no-dup regime is bounded by the same bucket occupancy the
+      band width already controls (15-bit bands, see
+      simhash_band_pairs).
+
+    Union(phase-1 matches, phase-2 matches) = the all-pairs removal
+    set: every pair the all-pairs scheme would have matched has its
+    id_b either rep-matched (phase 1) or a survivor checked against
+    the exact same lower-id set (phase 2). Proven equal to brute force
+    on a planted-clone fixture in tests/test_llm.py, and the scrub
+    query's unchanged oracle hash-checks it at sf0.01/0.1.
+
+    With ``return_metrics=True`` also returns a per-band occupancy
+    accounting frame — (band, n_buckets, max_occupancy,
+    naive_pairs, phase1_pairs, phase2_pairs) — the LOUD bucket
+    accounting that makes a saturating band (occupancy growing toward
+    corpus/buckets) visible instead of silently quadratic; surfaced as
+    the oracled query ``d_lsh_bucket_stats`` (naive/phase1 columns;
+    phase2 needs the verify result so it is diff-tested).
+    """
+    sh_arrays, bk = _shingle_band_rows(df, id_col, text, k, bands)
+    rep = bk.groupBy("band", "key").agg(F.min(id_col).alias("rep_id"))
+    mem = bk.join(rep, ["band", "key"]).filter(F.col(id_col) > F.col("rep_id"))
+
+    sa = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", jaccard6(F.col("sh_a"), F.col("sh_b")).alias("j6"))
+        )
+
+    # phase 1: member vs bucket representative (distinct pairs verified
+    # once even when the same (rep, member) co-occurs in several bands)
+    p1_pairs = mem.select(
+        F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
+    ).distinct()
+    p1 = verify(p1_pairs).persist()  # reused: removals + survivor status
+    removed1 = p1.filter(F.col("j6") >= tau6).select(F.col("id_b").alias(id_col))
+
+    # per-bucket survivors: bucket rows whose rep check failed
+    surv = mem.join(
+        p1.filter(F.col("j6") < tau6),
+        (mem["rep_id"] == p1["id_a"]) & (mem[id_col] == p1["id_b"]),
+    ).select("band", "key", F.col(id_col).alias("__x"), "rep_id")
+
+    # phase 2: survivor vs every lower-id bucket-mate except the rep
+    # (already checked); pairs deduped across buckets before verify
+    lower = bk.select("band", "key", F.col(id_col).alias("__y"))
+    p2_pairs = (
+        surv.join(lower, ["band", "key"])
+        .filter((F.col("__y") < F.col("__x")) & (F.col("__y") != F.col("rep_id")))
+        .select(F.col("__y").alias("id_a"), F.col("__x").alias("id_b"))
+        .distinct()
+    )
+    p2 = verify(p2_pairs)
+    removed2 = p2.filter(F.col("j6") >= tau6).select(F.col("id_b").alias(id_col))
+    removals = removed1.unionByName(removed2).distinct()
+    if not return_metrics:
+        return removals
+
+    occ = bk.groupBy("band", "key").agg(F.count(F.lit(1)).alias("occ"))
+    base = occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("max_occupancy"),
+        # integer-exact pair arithmetic (no double SUM — canonical.py)
+        F.sum(F.expr("(occ * (occ - 1)) div 2")).cast("long").alias("naive_pairs"),
+        F.sum(F.col("occ") - 1).cast("long").alias("phase1_pairs"),
+    )
+    p2_per_band = (
+        surv.join(lower, ["band", "key"])
+        .filter((F.col("__y") < F.col("__x")) & (F.col("__y") != F.col("rep_id")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("phase2_pairs"))
+    )
+    metrics = base.join(p2_per_band, "band", "left").select(
+        "band", "n_buckets", "max_occupancy", "naive_pairs", "phase1_pairs",
+        F.coalesce(F.col("phase2_pairs"), F.lit(0)).cast("long").alias("phase2_pairs"),
+    )
+    return removals, metrics
+
+
 def minhash_signature_df(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 16
 ) -> DataFrame:
