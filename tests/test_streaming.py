@@ -1252,8 +1252,14 @@ def test_versioned_streaming_source_rate_limit(spark, tmp_path):
     sink = str(tmp_path / "sink")
 
     def sink_batch(df, bid):
-        if df.count():
-            df.write.mode("append").parquet(sink)
+        # ONE action per batch: a count()-then-write sink executes the
+        # source scan twice and numInputRows double-counts the batch,
+        # which is what the pacing assertion below reads
+        rows = df.collect()
+        if rows:
+            df.sparkSession.createDataFrame(rows, df.schema).write.mode(
+                "append"
+            ).parquet(sink)
 
     q = (
         spark.readStream.format("versioned_table")
@@ -1519,6 +1525,116 @@ def test_versioned_streaming_source_starting_version_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="out of range"):
         reader(-1)
     assert reader(2).initialOffset() == {"version": 2}
+
+
+def test_bounded_bootstrap_paces_first_batch_after_idle_gap(spark, tmp_path):
+    """VERDICT r6 #6: a consumer waking up on a long-idle backlog must
+    never materialize an unbounded first micro-batch. bounded_bootstrap
+    snapshots the backlog as ONE batch read and opens the stream at the
+    handoff version with the pacing floor seeded — so EVERY micro-batch
+    (including the first, the case plain readStream can't bound) spans
+    at most max_versions_per_batch commits. 36-commit idle gap +
+    12 post-handoff commits at page 4 here; the mechanism is
+    commit-count-independent (offsets are manifest versions)."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import bounded_bootstrap
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    one = spark.sql("SELECT CAST(0 AS BIGINT) AS k").coalesce(1)
+    for i in range(36):  # the idle-gap backlog (one row per commit)
+        t.commit_append(one.select((F.lit(i)).cast("long").alias("k")))
+
+    backfill, stream, handoff = bounded_bootstrap(
+        spark, str(tmp_path / "tbl"), max_versions_per_batch=4
+    )
+    assert handoff == 36
+    assert backfill.count() == 36  # the whole backlog, one batch scan
+
+    for i in range(36, 48):  # live commits after the handoff
+        t.commit_append(one.select((F.lit(i)).cast("long").alias("k")))
+
+    batch_sizes: dict[int, int] = {}
+    seen: list[int] = []
+
+    def sink(df, bid):
+        rows = df.collect()
+        batch_sizes[bid] = len(rows)
+        seen.extend(r.k for r in rows)
+
+    # processing trigger, not AvailableNow: pacing advances the cap one
+    # step per trigger (bounded_bootstrap docstring) — AvailableNow
+    # would capture a single paced target and stop after 4 commits
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 90
+    while _time.time() < deadline and len(seen) < 12:
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    # every micro-batch — the FIRST of the run included, the case plain
+    # readStream cannot bound — spans <= 4 commits
+    assert batch_sizes and max(batch_sizes.values()) <= 4, batch_sizes
+    # the handoff is a fence: stream delivered exactly the post-backfill
+    # rows, no overlap with the snapshot, nothing missed
+    assert sorted(seen) == list(range(36, 48))
+
+
+def test_paced_stream_survives_full_page_batches_and_restart(spark, tmp_path):
+    """Regression for the pacing wedge: with the floor fed from a
+    batch's START, any batch spanning exactly max_versions_per_batch
+    commits computed the next cap as floor+max == the offset just
+    committed and the stream never planned another batch. The floor
+    must advance to the planned END (partitions() is the only progress
+    signal — the Python runner never calls commit()). Scenario: a paced
+    starting_version stream whose every batch is a FULL page, drained
+    across a checkpoint restart."""
+    import time as _time
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    one = spark.sql("SELECT CAST(0 AS BIGINT) AS k").coalesce(1)
+    for i in range(9):
+        t.commit_append(one.select(F.lit(i).cast("long").alias("k")))
+
+    seen: list[int] = []
+
+    def fb(df, bid):
+        seen.extend(r.k for r in df.collect())
+
+    def run(expect_total, secs):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .option("starting_version", "3")
+            .option("max_versions_per_batch", "3")  # 6 pending = 2 FULL pages
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + secs
+        while _time.time() < deadline and len(seen) < expect_total:
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+
+    run(6, 60)  # (3, 9] in two full 3-commit pages — wedged before the fix
+    assert sorted(seen) == list(range(3, 9)), seen
+
+    for i in range(9, 15):
+        t.commit_append(one.select(F.lit(i).cast("long").alias("k")))
+    run(12, 60)  # restart: two more full pages from the checkpoint
+    assert sorted(seen) == list(range(3, 15)), seen
 
 
 def test_cdc_stream_update_images_match_batch(spark, tmp_path):
