@@ -205,6 +205,9 @@ def test_png_unfilter_spec_anchored():
 
 
 def test_png_rejects_corrupt_and_unsupported():
+    import struct
+    import zlib
+
     import pytest
 
     from unity_to_bigquery_spark.llm.multimodal import decode_png, synthesize_png
@@ -216,6 +219,84 @@ def test_png_rejects_corrupt_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
+    # 16-bit depth: still honestly unsupported (palette + Adam7 no
+    # longer are) — rebuild IHDR with depth 16 and a fresh CRC
+    deep = bytearray(good)
+    deep[24] = 16  # bit-depth byte inside IHDR
+    crc = zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF
+    deep[29:33] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bytes(deep))
+    # palette stream missing its PLTE chunk fails loudly
+    from unity_to_bigquery_spark.llm.multimodal import _write_png
+
+    import numpy as np
+
+    pal_png = _write_png(
+        np.zeros((4, 4), np.uint8), palette=np.zeros((16, 3), np.uint8)
+    )
+    plte_at = pal_png.index(b"PLTE") - 4
+    plte_len = struct.unpack_from(">I", pal_png, plte_at)[0]
+    no_plte = pal_png[:plte_at] + pal_png[plte_at + 12 + plte_len :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+
+def test_png_palette_and_adam7_roundtrip():
+    """Palette (color type 3) decode maps indices through PLTE; Adam7
+    containers reproduce the byte-identical raster of their plain
+    twins across color types and edge geometries (1xN, Nx1, sizes
+    where several passes are empty)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_png,
+        decode_png,
+        synthesize_png,
+        synthesize_png_adam7,
+        synthesize_png_palette,
+    )
+
+    # fixture pair: interlaced == plain, decoded through disjoint paths
+    for doc_id, n_chars in ((0, 0), (11, 321), (999, 64)):
+        f1, w1, h1, p1 = decode_png(synthesize_png(doc_id, n_chars))
+        f2, w2, h2, p2 = decode_png(synthesize_png_adam7(doc_id, n_chars))
+        assert (w1, h1) == (w2, h2)
+        assert np.array_equal(p1, p2)
+
+    # palette fixture closed form
+    for doc_id, n_chars in ((4, 55), (123, 777)):
+        fmt, w, h, px = decode_png(synthesize_png_palette(doc_id, n_chars))
+        a = (41 * doc_id) % 256
+        idx = (a + np.arange(w * h)) % 256
+        j = np.arange(256)
+        pal = np.stack(
+            [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        assert px.shape == (h, w, 3)
+        assert np.array_equal(px, pal[idx].reshape(h, w, 3))
+
+    # edge geometries x color types x containers (deterministic pixels)
+    pal = (np.arange(256 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(256, 3)
+    for h, w in ((1, 1), (1, 7), (7, 1), (8, 8), (9, 9), (2, 3)):
+        flat = (np.arange(h * w * 4, dtype=np.int64) * 29 % 256).astype(np.uint8)
+        cases = [
+            (flat[: h * w].reshape(h, w), None),          # gray
+            (flat[: h * w * 3].reshape(h, w, 3), None),   # RGB
+            (flat.reshape(h, w, 4), None),                # RGBA
+            (flat[: h * w].reshape(h, w), pal),           # palette
+        ]
+        for img, p in cases:
+            want = pal[img] if p is not None else img
+            for interlace in (False, True):
+                _f, ww, hh, px = decode_png(
+                    _write_png(img, palette=p, interlace=interlace)
+                )
+                assert (ww, hh) == (w, h)
+                assert np.array_equal(px, want), (h, w, img.shape, interlace)
 
 
 def test_png_ramp_matches_closed_form_and_dispatch():
@@ -596,8 +677,9 @@ def test_png_gray_and_rgba_color_types():
 
     from unity_to_bigquery_spark.llm.multimodal import _PNG_MAGIC, _png_chunk
 
-    # 16-bit depth and palette type still raise
-    for depth, color in ((16, 2), (8, 3)):
+    # 16-bit depth still raises (palette is supported as of r7 —
+    # covered in test_png_palette_and_adam7_roundtrip)
+    for depth, color in ((16, 2), (16, 0)):
         bad = (
             _PNG_MAGIC
             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0))

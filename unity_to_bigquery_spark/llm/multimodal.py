@@ -89,9 +89,9 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     """REAL codec dispatch (VERDICT r3 #5 / r4 #2): no fake byte stats —
     the payload's container header is parsed and actual pixels/samples
     come back. Public formats implemented here without codec libraries:
-    24-bit BMP, binary PPM (P6), 8-bit truecolor PNG (stdlib zlib),
-    and baseline JPEG — grayscale, 4:4:4, and 4:2:0 color (T.81) —
-    for images,
+    24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib zlib; gray/
+    truecolor/RGBA/PALETTE, non-interlaced + Adam7), and baseline JPEG
+    — grayscale, 4:4:4, and 4:2:0 color (T.81) — for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
@@ -106,7 +106,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return decode_y4m(payload)
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
-        "engine decodes BMP/PPM/PNG/JPEG(baseline gray+4:4:4+4:2:0, "
+        "engine decodes BMP/PPM/PNG(gray/truecolor/RGBA/palette, "
+        "plain+Adam7)/JPEG(baseline gray+4:4:4+4:2:0, "
         "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
         "(MP3/H.264) need PIL/ffmpeg"
     )
@@ -273,25 +274,17 @@ def synthesize_png(doc_id: int, n_chars: int) -> bytes:
     return _write_png(raw.reshape(h, w, 3))
 
 
-def _write_png(img) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG, filter type ``row % 5``
-    per scanline: (h, w) -> grayscale (color type 0), (h, w, 3) ->
-    truecolor (2), (h, w, 4) -> truecolor+alpha (6). Forward filtering
+def _png_filter_image(img2d, bpp: int) -> bytes:
+    """Forward-filter one (sub-)image, filter type ``row % 5`` per
+    scanline. ``img2d`` is the (h, w*bpp) RAW byte matrix. Filtering
     reads only RAW bytes (spec: filters operate on the original
     scanlines), so every filter vectorizes."""
-    import struct
-    import zlib
-
     import numpy as np
 
-    if img.ndim == 2:
-        h, w = img.shape
-        bpp, color = 1, 0
-    else:
-        h, w, bpp = img.shape
-        color = {3: 2, 4: 6}[bpp]
-    raw = img.reshape(h, w * bpp).astype(np.int16)
-    zero_row = np.zeros(w * bpp, dtype=np.int16)
+    raw = img2d.astype(np.int16)
+    h = raw.shape[0]
+    width_b = raw.shape[1]
+    zero_row = np.zeros(width_b, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         row = raw[y]
@@ -316,80 +309,89 @@ def _write_png(img) -> bytes:
             filt = row - pred
         out.append(ftype)
         out.extend((filt % 256).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return bytes(out)
 
 
-def decode_png(payload: bytes):
-    """REAL PNG decode, stdlib-only: chunk walk with CRC-32 verify,
-    IHDR validation (8-bit truecolor, no interlace), IDAT concat +
-    zlib.decompress, then spec-literal sequential unfiltering of all
-    five filter types (PNG 1.2 §6: Recon from Filt + already-
-    reconstructed neighbors; filter distance = bytes-per-pixel, so
-    every color type exercises the same code with its own bpp).
-    Returns ("png", w, h, native-channel uint8: (h,w) for grayscale,
-    (h,w,3) truecolor, (h,w,4) RGBA). 8-bit color types 0/2/6
-    non-interlaced only; palette/16-bit/interlaced raise ValueError."""
+def _write_png(img, palette=None, interlace: bool = False) -> bytes:
+    """Encode a uint8 array as an 8-bit PNG: (h, w) -> grayscale
+    (color type 0), (h, w, 3) -> truecolor (2), (h, w, 4) ->
+    truecolor+alpha (6); with ``palette`` (an (n, 3) uint8 array),
+    (h, w) holds palette INDICES -> color type 3 with a PLTE chunk.
+    ``interlace=True`` writes Adam7: the seven §8.2 reduced passes are
+    each forward-filtered independently (row%5 cycle restarting per
+    pass) and concatenated into IDAT."""
     import struct
     import zlib
 
     import numpy as np
 
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError(f"not a PNG payload (magic {payload[:8]!r})")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, bit_depth, color, comp, filt_method, interlace = ihdr
-    if (
-        bit_depth != 8
-        or color not in (0, 2, 6)
-        or comp != 0
-        or filt_method != 0
-        or interlace != 0
-    ):
-        raise ValueError(
-            f"unsupported PNG (depth={bit_depth}, color={color}, "
-            f"interlace={interlace}): 8-bit gray/truecolor/RGBA "
-            "non-interlaced only"
+    if img.ndim == 2:
+        h, w = img.shape
+        bpp, color = 1, (3 if palette is not None else 0)
+    else:
+        h, w, bpp = img.shape
+        color = {3: 2, 4: 6}[bpp]
+    raw = img.reshape(h, w, bpp)
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = raw[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out.extend(
+                _png_filter_image(sub.reshape(sub.shape[0], -1), bpp)
+            )
+        filtered = bytes(out)
+    else:
+        filtered = _png_filter_image(raw.reshape(h, w * bpp), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        chunks += _png_chunk(
+            b"PLTE", np.asarray(palette, dtype=np.uint8).reshape(-1).tobytes()
         )
-    bpp = {0: 1, 2: 3, 6: 4}[color]
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(filtered, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# Adam7 pass geometry (PNG 1.2 §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(data: bytes, offset: int, w: int, h: int, bpp: int) -> bytes:
+    """Spec-literal sequential unfiltering of one (sub-)image: ``h``
+    scanlines of ``w*bpp`` bytes each, each preceded by its filter-type
+    byte, starting at ``offset`` in the decompressed stream (PNG 1.2
+    §6: Recon from Filt + already-reconstructed neighbors; filter
+    distance = bpp). Returns the h*w*bpp reconstructed bytes — shared
+    by the non-interlaced path (one call) and Adam7 (one call per
+    non-empty pass: each pass filters independently, prior row resets).
+
+    Reconstruction stays spec-sequential where the spec demands it
+    (Average/Paeth depend on already-reconstructed left neighbors)
+    but runs on bytearrays with local-variable int arithmetic — numpy
+    scalar indexing in this loop measured ~15x slower end-to-end
+    (38 s -> ~2.5 s single-partition at sf0.1). Sub is exactly a
+    per-channel prefix sum mod 256, so it vectorizes; Up is a full-row
+    wrapping add."""
+    import numpy as np
+
     stride = w * bpp
-    data = zlib.decompress(bytes(idat))
-    if len(data) != h * (stride + 1):
+    need = h * (stride + 1)
+    if offset + need > len(data):
         raise ValueError(
-            f"PNG data length {len(data)} != expected {h * (stride + 1)}"
+            f"PNG data length {len(data)} < expected {offset + need}"
         )
-    # Reconstruction stays spec-sequential where the spec demands it
-    # (Average/Paeth depend on already-reconstructed left neighbors)
-    # but runs on bytearrays with local-variable int arithmetic — numpy
-    # scalar indexing in this loop measured ~15x slower end-to-end
-    # (38 s -> ~2.5 s single-partition at sf0.1). Sub is exactly a
-    # per-channel prefix sum mod 256, so it vectorizes; Up is a full-row
-    # wrapping add.
     rows: list[bytes] = []
     prev = bytes(stride)
     for y in range(h):
-        base = y * (stride + 1)
+        base = offset + y * (stride + 1)
         ftype = data[base]
         filt = data[base + 1 : base + 1 + stride]
         if ftype == 0:
@@ -431,10 +433,176 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG filter type {ftype} out of range")
         rows.append(cur)
         prev = cur
-    flat = np.frombuffer(b"".join(rows), dtype=np.uint8)
-    if bpp == 1:
-        return "png", w, h, flat.reshape(h, w)
-    return "png", w, h, flat.reshape(h, w, bpp)
+    return b"".join(rows)
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode, stdlib-only: chunk walk with CRC-32 verify,
+    IHDR validation, IDAT concat + zlib.decompress, then spec-literal
+    sequential unfiltering of all five filter types (``_png_unfilter``).
+    Supported: 8-bit color types 0 (gray), 2 (truecolor), 6 (RGBA) and
+    3 (PALETTE — PLTE chunk parsed, indices unfilter at bpp=1 and map
+    through the palette to RGB), each both NON-INTERLACED and ADAM7
+    interlaced (7 independently-filtered reduced passes, deinterlaced
+    by the §8.2 pass geometry). Returns ("png", w, h, uint8 array:
+    (h,w) grayscale, (h,w,3) truecolor/palette, (h,w,4) RGBA).
+    16-bit/sub-byte depths raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a PNG payload (magic {payload[:8]!r})")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError(f"PNG PLTE length {length} invalid")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color, comp, filt_method, interlace = ihdr
+    if (
+        bit_depth != 8
+        or color not in (0, 2, 3, 6)
+        or comp != 0
+        or filt_method != 0
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color}, "
+            f"interlace={interlace}): 8-bit gray/truecolor/palette/RGBA, "
+            "non-interlaced or Adam7 only"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("PNG color type 3 missing PLTE chunk")
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    data = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(data) != h * (w * bpp + 1):
+            raise ValueError(
+                f"PNG data length {len(data)} != expected {h * (w * bpp + 1)}"
+            )
+        flat = np.frombuffer(_png_unfilter(data, 0, w, h, bpp), dtype=np.uint8)
+        img = flat.reshape(h, w) if bpp == 1 else flat.reshape(h, w, bpp)
+    else:
+        # Adam7: 7 consecutive sub-images, each filtered independently;
+        # empty passes (zero width or height) contribute no bytes
+        img = np.zeros((h, w) if bpp == 1 else (h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = np.frombuffer(
+                _png_unfilter(data, offset, pw, ph, bpp), dtype=np.uint8
+            )
+            offset += ph * (pw * bpp + 1)
+            sub = sub.reshape(ph, pw) if bpp == 1 else sub.reshape(ph, pw, bpp)
+            img[y0::dy, x0::dx] = sub
+        if offset != len(data):
+            raise ValueError(
+                f"PNG Adam7 data length {len(data)} != consumed {offset}"
+            )
+    if color == 3:
+        if int(img.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        img = plte[img]  # (h, w) indices -> (h, w, 3) RGB
+    return "png", w, h, img
+
+
+def synthesize_png_palette(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic PALETTE (color type 3) PNG: indices are the ramp
+    ``idx(i) = (41*doc_id + i) % 256`` over ``w = n_chars%40+9``,
+    ``h = n_chars%30+9`` (same geometry/filter-cycle coverage as
+    :func:`synthesize_png`); the 256-entry palette is the closed form
+    ``palette[j] = ((7j + doc_id) % 256, (11j + 2*doc_id) % 256,
+    (13j + 5) % 256)`` — decoded RGB stats are exactly SQL-derivable
+    because the ramp visits each index residue floor/ceil(n/256) times
+    (a 256-row constant generate_series join in the oracle)."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    idx = ((a + np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return _write_png(idx.reshape(h, w), palette=pal)
+
+
+def synthesize_png_adam7(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic ADAM7-INTERLACED truecolor PNG: the SAME logical
+    pixels as :func:`synthesize_png` (ramp v(i) = (41*doc_id+i) % 256),
+    stored as the seven §8.2 reduced passes, each independently
+    filtered. Decoding must reproduce the plain raster exactly, so the
+    existing ramp oracle applies verbatim while the decode path is the
+    completely different pass-geometry walk."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    raw = (
+        (a + np.arange(w * h * 3, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, w, 3)
+    return _write_png(raw, interlace=True)
+
+
+def synthesize_png_palette_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): palette PNGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "png",
+                    "payload": [
+                        synthesize_png_palette(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def synthesize_png_adam7_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): Adam7 PNGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "png",
+                    "payload": [
+                        synthesize_png_adam7(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
