@@ -559,6 +559,60 @@ def test_jpeg_420_roundtrip_and_exact_mcu_tiles():
     assert np.abs(back2.astype(int) - rgb.astype(int)).max() <= 16
 
 
+def test_jpeg_422_roundtrip_and_exact_mcu_tiles():
+    """4:2:2 — the common camera/video-frame mode: 16x8 MCUs of 2 luma
+    blocks + half-HORIZONTAL-res Cb/Cr (1x2 box-averaged /
+    horizontally nearest-upsampled). MCU-aligned gray-valued tiles
+    decode VALUE-EXACTLY (fixture embeds DRI/RST3); smooth color stays
+    within a lossy bound; odd dims pad/crop; the vertical axis must
+    stay full-resolution (a 4:2:0-style vertical average would smear
+    a horizontal edge — asserted sharp)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_jpeg_color,
+        decode_jpeg,
+        synthesize_jpeg422,
+    )
+
+    for doc_id, n_chars in ((0, 0), (21, 77), (505, 31)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg422(doc_id, n_chars))
+        wb, hb = n_chars % 4 + 2, n_chars % 3 + 2
+        a = (83 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 16), np.uint8))
+        want = np.stack([gray, gray, gray], axis=-1)
+        assert (fmt, w, h) == ("jpeg", 16 * wb, 8 * hb)
+        assert np.array_equal(px, want), doc_id
+
+    x = np.linspace(0, 255, 32)
+    smooth = np.stack(
+        [np.clip(np.add.outer(x, x) / 2, 0, 255),
+         np.tile(x, (32, 1)),
+         np.tile(x[:, None], (1, 32))], axis=-1,
+    ).astype(np.uint8)
+    _, _, _, back = decode_jpeg(_write_jpeg_color(smooth, subsample="422"))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 24
+
+    g = np.tile(np.linspace(0, 200, 37, dtype=np.int64).astype(np.uint8), (23, 1))
+    rgb = np.stack([g, g, g], axis=-1)
+    _, w2, h2, back2 = decode_jpeg(_write_jpeg_color(rgb, subsample="422"))
+    assert (w2, h2) == (37, 23) and back2.shape == (23, 37, 3)
+    assert np.abs(back2.astype(int) - rgb.astype(int)).max() <= 16
+
+    # vertical chroma must be FULL resolution: a gray image whose rows
+    # alternate between two CHROMA-distinct colors every 8 rows is
+    # block-aligned, so 4:2:2 reproduces it exactly — any vertical
+    # chroma averaging (a 4:2:0 bug) would blend the two colors
+    band = np.zeros((16, 16, 3), np.uint8)
+    band[:8] = (200, 60, 60)
+    band[8:] = (60, 200, 60)
+    _, _, _, back3 = decode_jpeg(
+        _write_jpeg_color(band, subsample="422")
+    )
+    assert np.abs(back3.astype(int) - band.astype(int)).max() <= 3
+
+
 def test_jpeg_restart_markers():
     """DRI/RSTm restart protocol (T.81 E.2.4): byte-aligned markers
     every N MCUs, DC predictors reset, marker index cycles mod 8. The

@@ -91,7 +91,7 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     come back. Public formats implemented here without codec libraries:
     24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib zlib; gray/
     truecolor/RGBA/PALETTE, non-interlaced + Adam7), and baseline JPEG
-    — grayscale, 4:4:4, and 4:2:0 color (T.81) — for images,
+    — grayscale, 4:4:4, 4:2:0, and 4:2:2 color (T.81) — for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
     if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
@@ -107,7 +107,7 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
         "engine decodes BMP/PPM/PNG(gray/truecolor/RGBA/palette, "
-        "plain+Adam7)/JPEG(baseline gray+4:4:4+4:2:0, "
+        "plain+Adam7)/JPEG(baseline gray+4:4:4+4:2:0+4:2:2, "
         "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
         "(MP3/H.264) need PIL/ffmpeg"
     )
@@ -824,14 +824,17 @@ def _jpeg_extend(bits: int, t: int) -> int:
     return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
 
 
-def _jpeg_pad_plane(plane, mult: int = 8):
-    """Edge-pad an (h, w) array to ``mult``-multiples, level-shifted
-    float64 (mult=16 for the luma plane of a 4:2:0 encode)."""
+def _jpeg_pad_plane(plane, mult: int = 8, mult_w: int | None = None):
+    """Edge-pad an (h, w) array to ``mult``-multiples (``mult_w``
+    overrides the width multiple — 4:2:2 MCUs are 16 wide x 8 tall),
+    level-shifted float64 (mult=16 for the luma plane of a 4:2:0
+    encode)."""
     import numpy as np
 
     h, w = plane.shape
+    mw = mult if mult_w is None else mult_w
     ph = (h + mult - 1) // mult * mult
-    pw = (w + mult - 1) // mult * mult
+    pw = (w + mw - 1) // mw * mw
     img = np.empty((ph, pw), dtype=np.float64)
     img[:h, :w] = plane
     img[h:, :w] = plane[-1:, :]
@@ -987,7 +990,10 @@ def _write_jpeg_color(
     JPEG (BT.601 YCbCr, chroma on its own quant table). subsample:
     "444" interleaves one Y/Cb/Cr block per MCU; "420" (the dominant
     real-world form) 2x2-box-averages the chroma planes and emits
-    16x16 MCUs of 4 Y blocks + Cb + Cr with Y sampling 0x22."""
+    16x16 MCUs of 4 Y blocks + Cb + Cr with Y sampling 0x22; "422"
+    (the common camera/video-frame form) halves chroma HORIZONTALLY
+    only (1x2 box average) and emits 16x8 MCUs of 2 Y blocks + Cb +
+    Cr with Y sampling 0x21."""
     import numpy as np
 
     quant_y = list(quant_y if quant_y is not None else _JPEG_STD_QUANT)
@@ -1024,6 +1030,46 @@ def _write_jpeg_color(
         return (
             _jpeg_headers(
                 h, w, [quant_y, quant_c], 3, restart_interval=restart_interval
+            )
+            + bw.flush()
+            + b"\xff\xd9"
+        )
+    if subsample == "422":
+        yp = _jpeg_pad_plane(y, mult=8, mult_w=16)
+        ph, pw = yp.shape
+
+        # chroma: 1x2 horizontal box average of the (padded) full-res plane
+        def downh(p):
+            full = _jpeg_pad_plane(p, mult=8, mult_w=16) + 128.0
+            return full.reshape(ph, pw // 2, 2).mean(axis=2) - 128.0
+
+        cbp, crp = downh(cb), downh(cr)
+        n_mcu, rst = 0, 0
+        for my in range(ph // 8):
+            for mx in range(pw // 16):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.emit_marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    prev = [0, 0, 0]
+                n_mcu += 1
+                for sx in range(2):  # 2 luma blocks, left then right
+                    r0, c0 = my * 8, mx * 16 + sx * 8
+                    prev[0] = _jpeg_encode_block(
+                        bw, yp[r0 : r0 + 8, c0 : c0 + 8],
+                        C, qy, dc_enc, ac_enc, prev[0],
+                    )
+                r0, c0 = my * 8, mx * 8
+                prev[1] = _jpeg_encode_block(
+                    bw, cbp[r0 : r0 + 8, c0 : c0 + 8], C, qc, dc_enc, ac_enc, prev[1]
+                )
+                prev[2] = _jpeg_encode_block(
+                    bw, crp[r0 : r0 + 8, c0 : c0 + 8], C, qc, dc_enc, ac_enc, prev[2]
+                )
+        return (
+            _jpeg_headers(
+                h, w, [quant_y, quant_c], 3,
+                samplings=[0x21, 0x11, 0x11],
+                restart_interval=restart_interval,
             )
             + bw.flush()
             + b"\xff\xd9"
@@ -1101,12 +1147,13 @@ def decode_jpeg(payload: bytes):
     table parse (canonical Huffman per Annex C), entropy decode with
     byte unstuffing, dezigzag, dequantize, float64 IDCT, level shift +
     clamp. Supported streams: baseline sequential grayscale and color
-    at 4:4:4 (all 0x11) or 4:2:0 ((0x22,0x11,0x11) — 16x16 MCUs,
-    half-resolution chroma), plus progressive (SOF2) GRAYSCALE via
+    at 4:4:4 (all 0x11), 4:2:0 ((0x22,0x11,0x11) — 16x16 MCUs,
+    half-resolution chroma) or 4:2:2 ((0x21,0x11,0x11) — 16x8 MCUs,
+    half-horizontal chroma), plus progressive (SOF2) GRAYSCALE via
     spectral-selection dispatch to ``_decode_jpeg_progressive``.
     Grayscale returns ("jpeg", w, h, (h, w) uint8); color returns
     ("jpeg", w, h, (h, w, 3) uint8 RGB via BT.601). Anything else
-    (SOF1/SOF3, 4:2:2, 16-bit quant, progressive color) raises
+    (SOF1/SOF3, 4:1:1, 16-bit quant, progressive color) raises
     ValueError with the unsupported feature named."""
     import struct
 
@@ -1173,11 +1220,12 @@ def decode_jpeg(payload: bytes):
             samplings = [sc for _, sc, _ in comps]
             if not (
                 samplings == [0x11] * ncomp
-                or (ncomp == 3 and samplings == [0x22, 0x11, 0x11])
+                or (ncomp == 3 and samplings in ([0x22, 0x11, 0x11], [0x21, 0x11, 0x11]))
             ):
                 raise ValueError(
                     f"unsupported JPEG sampling {samplings}: 4:4:4 "
-                    "(all 0x11) or 4:2:0 (0x22,0x11,0x11) only"
+                    "(all 0x11), 4:2:0 (0x22,0x11,0x11) or 4:2:2 "
+                    "(0x21,0x11,0x11) only"
                 )
         elif marker == 0xFFDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1262,6 +1310,28 @@ def decode_jpeg(payload: bytes):
         # nearest-neighbor chroma upsample (2x replicate)
         cb_up = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
         cr_up = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+        rgb = _ycbcr_to_rgb(yp + 128.0, cb_up + 128.0, cr_up + 128.0)
+        return "jpeg", w, h, rgb[:h, :w]
+
+    is422 = ncomp == 3 and comps[0][1] == 0x21
+    if is422:
+        # 16x8 MCUs: 2 luma blocks left-to-right + Cb + Cr at
+        # half HORIZONTAL resolution (vertical stays full)
+        ph, pw = (h + 7) // 8 * 8, (w + 15) // 16 * 16
+        yp = np.zeros((ph, pw), dtype=np.float64)
+        cbp = np.zeros((ph, pw // 2), dtype=np.float64)
+        crp = np.zeros((ph, pw // 2), dtype=np.float64)
+        for my in range(ph // 8):
+            for mx in range(pw // 16):
+                maybe_restart()
+                for sx in range(2):
+                    r0, c0 = my * 8, mx * 16 + sx * 8
+                    yp[r0 : r0 + 8, c0 : c0 + 8] = read_block(0)
+                r0, c0 = my * 8, mx * 8
+                cbp[r0 : r0 + 8, c0 : c0 + 8] = read_block(1)
+                crp[r0 : r0 + 8, c0 : c0 + 8] = read_block(2)
+        cb_up = np.repeat(cbp, 2, axis=1)
+        cr_up = np.repeat(crp, 2, axis=1)
         rgb = _ycbcr_to_rgb(yp + 128.0, cb_up + 128.0, cr_up + 128.0)
         return "jpeg", w, h, rgb[:h, :w]
 
@@ -1629,6 +1699,54 @@ def synthesize_jpeg420(doc_id: int, n_chars: int) -> bytes:
         subsample="420",
         restart_interval=2,  # oracled fixture exercises restarts too
     )
+
+
+def synthesize_jpeg422(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile 4:2:2 color JPEG with R=G=B tiles
+    aligned to the 16x8 MCU grid: ``wb = n_chars%4+2`` MCUs wide,
+    ``hb = n_chars%3+2`` MCUs tall, tile value ``v(j) = (a + j) % 256``,
+    ``a = (83*doc_id) % 256``. The same exactness argument as the
+    4:2:0 fixture (constant chroma 128 survives the 1x2 box average
+    and horizontal upsample; constant blocks are DC-only; DC=8 quant
+    is integer-exact), so the full 4:2:2 decode — 2-luma+2-chroma MCU
+    interleave, half-HORIZONTAL chroma planes, horizontal upsample —
+    is VALUE-EXACT and closed-form oracle-able
+    (m_jpeg422_decode_verified)."""
+    import numpy as np
+
+    wb = n_chars % 4 + 2
+    hb = n_chars % 3 + 2
+    a = (83 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 16), dtype=np.uint8))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    return _write_jpeg_color(
+        rgb,
+        quant_y=_JPEG_EXACT_DC_QUANT,
+        quant_c=_JPEG_EXACT_DC_QUANT,
+        subsample="422",
+        restart_interval=3,  # oracled fixture exercises restarts too
+    )
+
+
+def synthesize_jpeg422_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real 4:2:2 color
+    baseline JPEGs built executor-side in Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg422(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_jpeg420_media(docs: DataFrame) -> DataFrame:

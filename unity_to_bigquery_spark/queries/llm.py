@@ -1405,6 +1405,74 @@ def m_jpeg420_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg422_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 3 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 83) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             384 * hb * wb AS n_px,
+             16 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w, m1,
+             384 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                    - ((a * (a - 1)) // 2)) AS byte_sum,
+             ((n_px // 2) // 3) // w AS mid_r,
+             ((n_px // 2) // 3) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(16 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 8) * wb + mid_c // 16) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           384 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256, 0), 64))
+                  - LEAST(GREATEST(a, 0), 64)) AS h0,
+           384 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 64, 0), 64))
+                  - LEAST(GREATEST(a - 64, 0), 64)) AS h1,
+           384 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 128, 0), 64))
+                  - LEAST(GREATEST(a - 128, 0), 64)) AS h2,
+           384 * ((64 * (m1 // 256) + LEAST(GREATEST(m1 % 256 - 192, 0), 64))
+                  - LEAST(GREATEST(a - 192, 0), 64)) AS h3,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "REAL 4:2:2 color baseline JPEG decode, oracle-verified "
+        "(VERDICT r6 #4 — completes the subsampling triad; 4:2:2 is "
+        "the common camera/video-frame format): 16x8 MCUs of 2 luma "
+        "blocks (0x21 sampling) + one Cb + one Cr at half HORIZONTAL "
+        "resolution, 1x2 box-averaged on encode and horizontally "
+        "nearest-upsampled on decode, with DRI/RSTm restarts every 3 "
+        "MCUs embedded in the fixtures. Gray-valued flat tiles aligned "
+        "to the 16x8 MCU grid keep every stage value-exact (same "
+        "argument as 4:2:0), so DuckDB re-derives all stats in closed "
+        "form; a wrong MCU interleave, chroma geometry, or upsample "
+        "axis breaks the hash."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg422_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_jpeg422_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_jpeg422_media(docs))
+
+
+@query(
     "m_y4m_motion_verified",
     oracle="""
     WITH d AS (
