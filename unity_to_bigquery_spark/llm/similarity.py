@@ -701,72 +701,49 @@ def pq_encode(
     )
 
 
-def pq_adc_rerank_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m: int = 4,
-    ksub: int = 16,
-    shortlist: int = 20,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id: str = "query_id",
-    seed: int = 7,
+def unit_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """IVF-PQ-style ANN: PQ-code the L2-NORMALIZED corpus, score every
-    (query, vector) pair by Asymmetric Distance Computation — the
-    query's per-(subspace, code) dot-product table is broadcast and the
-    corpus contributes only its m codes — shortlist per query, then
-    exact-cosine rerank on the shortlist (reuses the sq8_rerank pattern
-    one tier further down the memory/accuracy curve).
-
-    Scale: the shortlist pass reads m bytes per corpus vector and does
-    m hash-join lookups + one sum per (query, vector) — no float vector
-    ever moves; the ADC table is |Q| × m × ksub doubles (broadcast).
-    Exact math touches shortlist/|corpus| of the data. Deterministic
-    for a fixed seed.
-    """
-    # Materialize the norm BEFORE the transform lambda: Catalyst does no
-    # CSE inside higher-order lambdas, so norm(vec) referenced in the
-    # lambda re-evaluates the O(dim) aggregate per ELEMENT (O(dim^2)
-    # interpreted work per corpus vector) — same fix as the :146 pattern.
-    cn = (
-        corpus.select(id_col, F.col(vec_col))
+    """(id, vec) -> (id, vec, __unit): L2-normalized copy alongside the
+    original. The norm materializes BEFORE the transform lambda:
+    Catalyst does no CSE inside higher-order lambdas, so norm(vec)
+    referenced in the lambda would re-evaluate the O(dim) aggregate per
+    ELEMENT."""
+    return (
+        df.select(id_col, F.col(vec_col))
         .withColumn("__nrm", norm(F.col(vec_col)))
         .withColumn(
             "__unit", F.transform(F.col(vec_col), lambda x: _dbl(x) / F.col("__nrm"))
         )
         .drop("__nrm")
-        .persist()
     )
-    books = pq_codebooks(
-        cn.select(id_col, F.col("__unit").alias(vec_col)),
-        m=m,
-        ksub=ksub,
-        id_col=id_col,
-        vec_col=vec_col,
-        seed=seed,
-    )
-    codes = pq_encode(
-        cn.select(id_col, F.col("__unit").alias(vec_col)),
-        books,
-        m=m,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    # ADC table: dot(q_sub_j, codebook[j][c]) for every query
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    width = dim_row["d"] // m
-    q = (
-        queries.select(
-            F.col(id_col).alias(query_id),
-            F.col(vec_col).alias("__qvec"),
-            norm(F.col(vec_col)).alias("__qnrm"),
-        )
-        .withColumn(
-            "__qunit", F.transform(F.col("__qvec"), lambda x: _dbl(x) / F.col("__qnrm"))
-        )
-        .drop("__qnrm")
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    books: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The SEARCH half of IVF-PQ top-k over existing (id, sub, code)
+    rows and (sub, code, cvec) codebooks: broadcast the queries'
+    per-(subspace, code) dot-product table (ADC), shortlist per query
+    from codes alone (no float vector moves), exact-cosine rerank the
+    shortlist against ``corpus`` vectors. Shared verbatim by the
+    in-query path (:func:`pq_adc_rerank_topk`) and the persisted index
+    (llm/ann_index.PqIndex) — same identity argument as ivf_search."""
+    width = dim // m
+    q = unit_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__unit").alias("__qunit"),
     )
     qflat = (
         q.select(query_id, F.posexplode("__qunit").alias("p0", "qv"))
@@ -793,7 +770,7 @@ def pq_adc_rerank_topk(
     )
     qv = q.select(query_id, "__qvec")
     rer = (
-        short.join(cn.select(id_col, vec_col), on=id_col)
+        short.join(corpus.select(id_col, vec_col), on=id_col)
         .join(F.broadcast(qv), on=query_id)
         .withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
     )
@@ -802,4 +779,55 @@ def pq_adc_rerank_topk(
         rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cos6", "rank")
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ-style ANN: PQ-code the L2-NORMALIZED corpus, score every
+    (query, vector) pair by Asymmetric Distance Computation — the
+    query's per-(subspace, code) dot-product table is broadcast and the
+    corpus contributes only its m codes — shortlist per query, then
+    exact-cosine rerank on the shortlist (reuses the sq8_rerank pattern
+    one tier further down the memory/accuracy curve).
+
+    Scale: the shortlist pass reads m bytes per corpus vector and does
+    m hash-join lookups + one sum per (query, vector) — no float vector
+    ever moves; the ADC table is |Q| × m × ksub doubles (broadcast).
+    Exact math touches shortlist/|corpus| of the data. Deterministic
+    for a fixed seed. IN-QUERY training form: production pipelines
+    persist books+codes once (llm/ann_index.PqIndex) and serve through
+    the same :func:`pq_adc_search`.
+    """
+    cn = unit_vectors(corpus, id_col, vec_col).persist()
+    books = pq_codebooks(
+        cn.select(id_col, F.col("__unit").alias(vec_col)),
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    codes = pq_encode(
+        cn.select(id_col, F.col("__unit").alias(vec_col)),
+        books,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    return pq_adc_search(
+        codes, books, cn.select(id_col, vec_col), queries, dim,
+        k=k, m=m, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, query_id=query_id,
     )
