@@ -204,3 +204,103 @@ def test_registered_query_runs(spark, sf_dir):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_index_served_equals_fresh_encode_under_stored_books(spark, sf_dir, tmp_path):
+    """PqIndex differential: after build(90%) + refresh(10%), serving
+    from STORED codes must be bit-identical to pq_adc_search over a
+    fresh full-corpus encode under the SAME stored codebooks — i.e.
+    incremental refresh ≡ full re-encode given fixed codebooks, and
+    the serve plan is shared verbatim."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.ann_index import PqIndex
+    from unity_to_bigquery_spark.llm.similarity import (
+        pq_adc_search,
+        pq_encode,
+        unit_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = PqIndex(spark, str(tmp_path / "pq"), src, m=4, ksub=16)
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    assert idx.refresh() == 2
+    assert idx.refresh() == 2  # idempotent no-op
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sorted(map(tuple, idx.topk(queries, k=5, shortlist=20).collect()))
+
+    books = idx.codebooks.read()
+    un = unit_vectors(emb).select("vec_id", F.col("__unit").alias("embedding"))
+    fresh_codes = pq_encode(un, books, m=4)
+    dim = emb.select(F.size("embedding")).first()[0]
+    fresh = sorted(
+        map(
+            tuple,
+            pq_adc_search(
+                fresh_codes, books, emb.select("vec_id", "embedding"),
+                queries, dim, k=5, m=4, shortlist=20,
+            ).collect(),
+        )
+    )
+    assert served == fresh
+    assert len(served) == 25
+    # codes table carries m rows per vector with the drift column
+    n_vecs = emb.count()
+    assert idx.codes.read().count() == 4 * n_vecs
+    assert idx.codes.read().filter(F.col("err6") < 0).count() == 0
+
+
+def test_pq_index_contracts_and_drift(spark, tmp_path):
+    """Build/refresh contracts mirror AnnIndex; quantization-error
+    drift: codebooks trained on two tight clusters quantize similar
+    refreshes with flat error and orthogonal refreshes with a large
+    rise -> retrain; rebuilding resets the epochs."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.ann_index import PqIndex
+
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    idx = PqIndex(spark, str(tmp_path / "pq"), src, m=4, ksub=8)
+    with pytest.raises(ValueError, match="empty"):
+        idx.build()
+    with pytest.raises(ValueError, match="build"):
+        idx.refresh()
+
+    a = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    shifted = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+    src.commit_append(
+        _clustered(spark, range(0, 100), a).unionByName(
+            _clustered(spark, range(100, 200), b)
+        )
+    )
+    idx.build()
+    assert idx.indexed_version() == 1
+
+    src.commit_append(
+        _clustered(spark, range(200, 260), a).unionByName(
+            _clustered(spark, range(260, 320), b)
+        )
+    )
+    idx.refresh()
+    assert not idx.should_retrain(min_new=50)  # single refresh epoch
+
+    src.commit_append(_clustered(spark, range(320, 440), shifted))
+    idx.refresh()
+    assert idx.should_retrain(min_new=50)
+    assert not idx.should_retrain(min_new=500)
+
+    # destructive commit -> loud rejection; rebuild absorbs it
+    src.commit_delete_where(
+        spark.createDataFrame([(3,)], "vec_id BIGINT"), "vec_id"
+    )
+    with pytest.raises(ValueError, match="retrain"):
+        idx.refresh()
+    idx.build()
+    epochs = idx.drift_stats().collect()
+    assert len(epochs) == 1 and epochs[0].n == 439
+    assert not idx.should_retrain(min_new=50)

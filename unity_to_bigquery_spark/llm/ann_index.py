@@ -77,10 +77,15 @@ from unity_to_bigquery_spark.llm.similarity import (
     ivf_best_cells,
     ivf_search,
     kmeans_centroids,
+    pq_adc_search,
+    pq_codebooks,
+    pq_encode,
+    unit_vectors,
 )
 from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
 _APP = "ann-index"
+_PQ_APP = "pq-index"
 
 
 class AnnIndex:
@@ -304,3 +309,197 @@ class AnnIndex:
         if len(refreshes) < 2:
             return False
         return refreshes[-1].mean_sim6 < refreshes[0].mean_sim6 - drop6
+
+
+class PqIndex:
+    """Persisted PRODUCT-QUANTIZATION index over an append-only
+    VersionedTable of embeddings — the memory tier below :class:`AnnIndex`
+    on the quantization curve (codes are m small ints per vector; the
+    shortlist pass never moves a float vector). Same protocol:
+
+        idx = PqIndex(spark, root, source)
+        idx.build()                # train codebooks + encode, once
+        idx.topk(queries, k=5)     # ADC shortlist + exact rerank
+        ...source.commit_append(new_vectors)...
+        idx.refresh()              # ENCODE only the delta (codebooks fixed)
+        if idx.should_retrain(): idx.build()
+
+    Storage: ``codebooks`` (sub, code, cvec — m×ksub rows, always
+    broadcastable) and ``codes`` (vec_id, sub, code, err6, src_version
+    — m rows per vector). ``err6`` is the per-(vector, subspace)
+    quantization error ‖u_sub − c‖² in 1e-6 fixed point: the PQ
+    analogue of AnnIndex's sim6, making drift ("do the codebooks still
+    fit incoming data?") one aggregate over the index. Serving joins
+    the (|Q|·shortlist)-sized rerank set back to the source snapshot
+    for exact vectors — PQ's whole point is NOT duplicating floats
+    into the index.
+
+    Refresh reads the manifest-log CDC like AnnIndex (paged atomic
+    idempotent merges, append-only contract enforced); the per-page
+    work is |delta| × m × ksub codegen rows — independent of corpus
+    size. Differential identity: serving uses the SAME
+    ``pq_adc_search`` plan as the in-query ``pq_adc_rerank_topk``, so
+    index-served ≡ freshly-encoded-under-the-stored-codebooks is exact
+    (pinned in tests/test_ann_index.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: VersionedTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 4,
+        ksub: int = 16,
+        seed: int = 7,
+    ):
+        self.spark = spark
+        self.source = source
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m = m
+        self.ksub = ksub
+        self.seed = seed
+        self.codebooks = VersionedTable(spark, os.path.join(root, "codebooks"))
+        self.codes = VersionedTable(spark, os.path.join(root, "codes"))
+
+    def indexed_version(self) -> int:
+        return self.codes.manifest().get("txns", {}).get(_PQ_APP, 0)
+
+    def _dim(self, df: DataFrame) -> int:
+        return df.select(F.size(self.vec_col).alias("d")).first()["d"]
+
+    def _code_rows(self, vecs: DataFrame, books: DataFrame, v: int) -> DataFrame:
+        """Encode L2-normalized ``vecs`` against ``books``; one row per
+        (vector, subspace) with the quantization error retained for
+        drift accounting (pq_encode's argmin recomputed distance would
+        be a second pass — fold it here via the codebook join)."""
+        un = unit_vectors(vecs, self.id_col, self.vec_col).select(
+            self.id_col, F.col("__unit").alias(self.vec_col)
+        )
+        enc = pq_encode(un, books, m=self.m, id_col=self.id_col,
+                        vec_col=self.vec_col)
+        # err6: ||u_sub - c||^2 of the CHOSEN code, via one more
+        # broadcast position join on (sub, code)
+        dim = self._dim(vecs)
+        width = dim // self.m
+        flat = (
+            un.select(self.id_col, F.posexplode(F.col(self.vec_col)).alias("p0", "v"))
+            .withColumn("sub", (F.col("p0") / width).cast("int"))
+            .withColumn("pos", F.col("p0") % width)
+        )
+        cb_flat = books.select("sub", "code", F.posexplode("cvec").alias("pos", "cv"))
+        err = (
+            enc.join(flat, on=[self.id_col, "sub"])
+            .join(F.broadcast(cb_flat), on=["sub", "code", "pos"])
+            .groupBy(self.id_col, "sub", "code")
+            .agg(
+                F.floor(
+                    F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
+                    * 1000000.0 + 0.5
+                ).cast("long").alias("err6")
+            )
+        )
+        return err.select(
+            self.id_col, "sub", "code", "err6",
+            F.lit(v).cast("long").alias("src_version"),
+        )
+
+    def build(self) -> int:
+        """Train per-subspace codebooks on the current source snapshot
+        (bounded hash-mod sample, driver-side Lloyd — pq_codebooks) and
+        encode every vector; atomic overwrite per table, same
+        bookmark/retrain semantics as AnnIndex.build."""
+        v = self.source.latest_version()
+        if v == 0:
+            raise ValueError("PqIndex.build: source table is empty")
+        snap = self.source.read(v)
+        un = unit_vectors(snap, self.id_col, self.vec_col).select(
+            self.id_col, F.col("__unit").alias(self.vec_col)
+        )
+        books = pq_codebooks(
+            un, m=self.m, ksub=self.ksub, id_col=self.id_col,
+            vec_col=self.vec_col, seed=self.seed,
+        )
+        self.codebooks.commit_overwrite(books)
+        rows = self._code_rows(snap, books, v)
+        if self.indexed_version() >= v:
+            self.codes.commit_overwrite(rows)
+        else:
+            self.codes.commit_overwrite(rows, txn=(_PQ_APP, v))
+        return v
+
+    def refresh(self, max_commits: int | None = None) -> int:
+        """Encode all vectors appended since the bookmark against the
+        STORED codebooks; paged atomic idempotent merges. Append-only
+        contract as AnnIndex.refresh."""
+        page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
+        if page < 1:
+            raise ValueError(f"max_commits must be >= 1, got {page}")
+        last = self.indexed_version()
+        if last == 0:
+            raise ValueError("PqIndex.refresh: build() the index first")
+        now = self.source.latest_version()
+        if last < now:
+            ok_ops = ("append",)
+            for v in range(last + 1, now + 1):
+                op = self.source.manifest(v).get("op", "")
+                if not (op.startswith("set_partitioning") or op in ok_ops):
+                    raise ValueError(
+                        f"PqIndex.refresh: source commit v{v} is '{op}' — "
+                        "retrain with build() to absorb destructive history"
+                    )
+        books = self.codebooks.read()
+        while last < now:
+            upto = min(last + page, now)
+            delta = self.source.changes(last, upto)
+            rows = self._code_rows(delta, books, upto)
+            # merge key is the vector id; a re-appeared id replaces all
+            # its m subspace rows (merge_upsert matches on the key only)
+            self.codes.merge_upsert(rows, self.id_col, txn=(_PQ_APP, upto))
+            last = upto
+        return last
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, shortlist: int = 20,
+        query_id: str = "query_id",
+    ) -> DataFrame:
+        """Serve via the shared pq_adc_search plan: broadcast ADC table,
+        shortlist from STORED codes (no floats move), exact-cosine
+        rerank of the (|Q|·shortlist)-sized set against the source
+        snapshot at the indexed version."""
+        v = self.indexed_version()
+        books = self.codebooks.read()
+        codes = self.codes.read().select(self.id_col, "sub", "code")
+        corpus = self.source.read(v).select(self.id_col, self.vec_col)
+        dim = self._dim(corpus)
+        return pq_adc_search(
+            codes, books, corpus, queries, dim,
+            k=k, m=self.m, shortlist=shortlist,
+            id_col=self.id_col, vec_col=self.vec_col, query_id=query_id,
+        )
+
+    def drift_stats(self) -> DataFrame:
+        """(src_version, n, mean_err6) per refresh epoch — mean PQ
+        quantization error of each epoch's vectors (summed over
+        subspaces), straight off the stored codes."""
+        per_vec = self.codes.read().groupBy(self.id_col, "src_version").agg(
+            F.sum("err6").alias("__e")
+        )
+        return per_vec.groupBy("src_version").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.avg("__e")).cast("long").alias("mean_err6"),
+        )
+
+    def should_retrain(self, rise6: int = 100_000, min_new: int = 50) -> bool:
+        """Retrain when the NEWEST refresh epoch's mean quantization
+        error rose more than ``rise6`` above the FIRST refresh epoch's
+        (out-of-sample vs out-of-sample, same train/held-out argument
+        as AnnIndex.should_retrain — build-epoch error is in-sample)."""
+        rows = sorted(
+            self.drift_stats().collect(), key=lambda r: r.src_version
+        )  # bounded: one row per refresh epoch
+        refreshes = [r for r in rows[1:] if r.n >= min_new]
+        if len(refreshes) < 2:
+            return False
+        return refreshes[-1].mean_err6 > refreshes[0].mean_err6 + rise6

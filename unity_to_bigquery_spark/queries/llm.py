@@ -1839,6 +1839,50 @@ def sim_index_topk(spark, sf_dir):
 
 
 @query(
+    "sim_index_pq_topk",
+    oracle=None,  # approx by construction; DIFFERENTIAL-tested: served
+    # results pinned bit-identical to a fresh full-corpus encode under
+    # the stored codebooks through the shared pq_adc_search plan
+    doc=(
+        "PERSISTED PQ index serving (llm/ann_index.PqIndex): train "
+        "per-subspace codebooks ONCE over a versioned embedding table "
+        "and store books + per-vector codes (m small ints, with the "
+        "per-subspace quantization error retained for drift "
+        "accounting); append new vectors; refresh ENCODES only the "
+        "delta against the stored codebooks via the manifest-log CDC; "
+        "serve via broadcast-ADC shortlist from stored codes (no "
+        "float vectors move) + exact-cosine rerank against the source "
+        "snapshot. The memory tier below the IVF index: the index "
+        "holds m ints per vector instead of the vector."
+    ),
+    tags=("llm", "similarity", "ann", "index", "pq", "versioned"),
+)
+def sim_index_pq_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import PqIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"pq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = PqIndex(spark, os.path.join(root, "index"), src, m=4, ksub=16)
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+    queries = emb.filter(F.col("vec_id") < 5)
+    return idx.topk(queries, k=5, shortlist=20)
+
+
+@query(
     "d_simhash_neardup",
     oracle="""
     WITH words AS (
