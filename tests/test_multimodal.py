@@ -904,6 +904,55 @@ def test_jpeg_progressive_eobrun_multiblock():
     assert np.all(px == 100), px
 
 
+def test_ima_adpcm_audioop_cross_check_and_wav_dispatch():
+    """The IMA ADPCM kernel must match stdlib audioop's adpcm2lin
+    arithmetic EXACTLY — same nibble stream, same initial state —
+    including clamp edges (audioop packs HIGH nibble first, WAV blocks
+    LOW first; the cross-check packs for audioop). decode_wav
+    dispatches format tag 0x11 through the block-header protocol:
+    sample 0 is the header predictor."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_wav,
+        ima_adpcm_expand,
+        synthesize_adpcm,
+    )
+
+    nib = [(3 + 5 * i) % 16 for i in range(400)]
+    packed = bytes((nib[2 * j] << 4) | nib[2 * j + 1] for j in range(200))
+    for state in (None, (100, 5), (-2000, 40), (32000, 88), (-32768, 0)):
+        want, _ = audioop.adpcm2lin(packed, 2, state)
+        want = np.frombuffer(want, dtype="<i2").tolist()
+        pred0, idx0 = state or (0, 0)
+        assert ima_adpcm_expand(nib, pred0, idx0) == want, state
+
+    for doc_id, n_chars in ((0, 0), (7, 123), (999, 64)):
+        d = decode_wav(synthesize_adpcm(doc_id, n_chars))
+        nbytes = n_chars % 120 + 16
+        assert d["encoding"] == "ima_adpcm"
+        assert d["channels"] == 1 and d["sample_rate"] == 8000
+        assert d["n_samples"] == 1 + 2 * nbytes
+        assert int(d["samples"][0]) == ((doc_id * 97) % 4096) - 2048
+
+    # stereo ADPCM and out-of-range step index fail loudly
+    mono = synthesize_adpcm(1, 10)
+    stereo = bytearray(mono)
+    fmt_at = mono.index(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_at + 2, 2)  # nChannels = 2
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(stereo))
+    bad = bytearray(mono)
+    data_at = mono.index(b"data") + 8
+    bad[data_at + 2] = 97  # header step index > 88
+    with pytest.raises(ValueError, match="out of range"):
+        decode_wav(bytes(bad))
+
+
 def test_y4m_motion_and_wav_energy_kernels():
     """Motion and energy feature kernels against hand-computable
     cases: a static clip has zero motion; a single hard cut has

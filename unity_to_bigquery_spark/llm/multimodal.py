@@ -2019,10 +2019,12 @@ def synthesize_wav(doc_id: int, n_chars: int) -> bytes:
 
 def decode_wav(payload: bytes) -> dict:
     """REAL WAV decode: walk the RIFF chunk list, parse the fmt
-    chunk, and return the int16 linear sample array. PCM16 (format 1)
-    plus G.711 mu-law (7) and A-law (6) companded audio — expanded
-    with the exact integer algorithms, audioop-cross-checked; other
-    formats raise ValueError."""
+    chunk, and return the int16 linear sample array. PCM16 (format 1),
+    G.711 mu-law (7) and A-law (6) companded audio — expanded with the
+    exact integer algorithms, audioop-cross-checked — and mono
+    IMA/DVI ADPCM (format 17, block-structured 4-bit differential
+    codes through the stateful step-table machine); other formats
+    raise ValueError."""
     import struct
 
     import numpy as np
@@ -2050,6 +2052,16 @@ def decode_wav(payload: bytes) -> dict:
         table = np.array([expand(b) for b in range(256)], dtype=np.int16)
         samples = table[np.frombuffer(data, dtype=np.uint8)]
         encoding = "ulaw" if audio_format == 7 else "alaw"
+    elif audio_format == 17 and bits == 4:
+        if channels != 1:
+            raise ValueError(
+                "IMA ADPCM: mono only (multichannel interleaves 4-byte "
+                "groups per channel — not implemented)"
+            )
+        samples = np.array(
+            decode_wav_adpcm_data(data, _block), dtype=np.int16
+        )
+        encoding = "ima_adpcm"
     else:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     return {
@@ -2263,6 +2275,132 @@ def g711_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, G711_STATS_SCHEMA)
+
+
+# ---- real audio codec: IMA/DVI ADPCM WAV --------------------------------
+#
+# IMA ADPCM (WAV format tag 0x11): 4-bit differential codes expand
+# through a STATEFUL integer machine (89-entry step table, per-code
+# index walk) — unlike G.711's stateless byte map, every sample
+# depends on the whole prefix. The kernel below matches stdlib
+# audioop's adpcm2lin arithmetic exactly (cross-checked in tests over
+# the same nibble stream and initial state); the DuckDB oracle runs
+# the SAME state machine as a recursive CTE, making even a stateful
+# codec hash-oracled.
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_expand(nibbles, pred: int, idx: int) -> list:
+    """IMA/DVI ADPCM expansion (IMA Recommended Practices / the
+    audioop kernel): for each 4-bit code, delta = step/8 (+step/4 if
+    bit0, +step/2 if bit1, +step if bit2), sign from bit3, predictor
+    clamped to int16, index walked by the 16-entry table and clamped
+    to [0, 88]. Pure integer arithmetic — value-exact."""
+    out = []
+    step_table, index_table = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    for code in nibbles:
+        step = step_table[idx]
+        delta = step >> 3
+        if code & 1:
+            delta += step >> 2
+        if code & 2:
+            delta += step >> 1
+        if code & 4:
+            delta += step
+        pred = pred - delta if code & 8 else pred + delta
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        idx += index_table[code]
+        idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+        out.append(pred)
+    return out
+
+
+def decode_wav_adpcm_data(data: bytes, block_align: int) -> list:
+    """Decode mono IMA-ADPCM WAV data: per ``block_align``-byte block,
+    a 4-byte header (int16 predictor — which IS sample 0 of the block
+    — uint8 step index, reserved) followed by nibble pairs, LOW nibble
+    first (the WAV byte order; audioop's raw stream is high-first —
+    the cross-check test swaps)."""
+    import struct
+
+    samples: list = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("IMA ADPCM block shorter than its header")
+        (pred,) = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"IMA ADPCM step index {idx} out of range")
+        samples.append(pred)
+        nibbles = []
+        for byte in block[4:]:
+            nibbles.append(byte & 0x0F)
+            nibbles.append(byte >> 4)
+        samples.extend(ima_adpcm_expand(nibbles, pred, idx))
+    return samples
+
+
+def synthesize_adpcm(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic single-block mono IMA-ADPCM WAV (format 0x11):
+    ``nbytes = n_chars % 120 + 16`` nibble-pair bytes (samples =
+    1 + 2*nbytes <= 271, capped so the oracle's recursion bound is
+    constant), header predictor ``((doc_id*97) % 4096) - 2048``, step
+    index ``(doc_id*11) % 89``, nibble ``c(i) = (a + 5*i) % 16`` with
+    ``a = (doc_id*13) % 16`` (gcd(5,16)=1 — every code value,
+    including all index-table walks, is exercised)."""
+    import struct
+
+    nbytes = n_chars % 120 + 16
+    pred0 = ((doc_id * 97) % 4096) - 2048
+    idx0 = (doc_id * 11) % 89
+    a = (doc_id * 13) % 16
+    nib = [(a + 5 * i) % 16 for i in range(2 * nbytes)]
+    body = bytes(nib[2 * j] | (nib[2 * j + 1] << 4) for j in range(nbytes))
+    data = struct.pack("<hBB", pred0, idx0, 0) + body
+    rate, block_align = 8000, len(data)
+    spb = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, rate, rate * block_align // spb, block_align, 4, 2, spb
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 28 + len(fmt) + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def synthesize_adpcm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, payload): IMA-ADPCM WAVs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_adpcm(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
 
 
 # ---- real video codec: YUV4MPEG2 (uncompressed) ------------------------

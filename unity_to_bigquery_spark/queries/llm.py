@@ -1588,6 +1588,94 @@ def m_wav_energy_verified(spark, sf_dir):
     return wav_energy_stats(synthesize_tone_media(docs))
 
 
+def _adpcm_oracle() -> str:
+    """Recursive-CTE DuckDB mirror of the IMA ADPCM state machine
+    (llm/multimodal.ima_adpcm_expand): the 89-entry step table and
+    16-entry index table inline as VALUES; each recursion step applies
+    the exact integer delta/clamp/index-walk for nibble
+    c(i) = (a + 5i) % 16. Stateful codecs ARE hash-oracle-able — the
+    oracle replays the whole prefix per document, set-based across all
+    documents at once."""
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+    )
+
+    steps_vals = ",".join(f"({i},{s})" for i, s in enumerate(_IMA_STEP_TABLE))
+    idx_vals = ",".join(f"({c},{d})" for c, d in enumerate(_IMA_INDEX_TABLE))
+    return f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             CAST((n_chars % 120 + 16) * 2 AS BIGINT) AS n_nib,
+             CAST(((doc_id * 97) % 4096) - 2048 AS BIGINT) AS pred0,
+             CAST((doc_id * 11) % 89 AS BIGINT) AS idx0,
+             CAST((doc_id * 13) % 16 AS BIGINT) AS a
+      FROM documents
+    ),
+    steps(si, step) AS (VALUES {steps_vals}),
+    idxt(code, di) AS (VALUES {idx_vals}),
+    r AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS i, pred0 AS pred, idx0 AS si, n_nib, a
+      FROM d
+      UNION ALL
+      SELECT r.doc_id, r.i + 1,
+             GREATEST(-32768, LEAST(32767,
+               r.pred
+               + CASE WHEN ((r.a + 5 * r.i) % 16) >= 8 THEN -1 ELSE 1 END
+                 * ((s.step // 8)
+                    + CASE WHEN ((r.a + 5 * r.i) % 16) % 2 = 1 THEN s.step // 4 ELSE 0 END
+                    + CASE WHEN (((r.a + 5 * r.i) % 16) // 2) % 2 = 1 THEN s.step // 2 ELSE 0 END
+                    + CASE WHEN (((r.a + 5 * r.i) % 16) // 4) % 2 = 1 THEN s.step ELSE 0 END))),
+             GREATEST(0, LEAST(88, r.si + t.di)),
+             r.n_nib, r.a
+      FROM r
+      JOIN steps s ON s.si = r.si
+      JOIN idxt t ON t.code = (r.a + 5 * r.i) % 16
+      WHERE r.i < r.n_nib
+    )
+    SELECT doc_id, 'wav' AS fmt, 'ima_adpcm' AS encoding,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           MAX(n_nib) + 1 AS n_samples,
+           CAST(SUM(pred) AS BIGINT) AS sample_sum,
+           CAST(MAX(CASE WHEN i = 0 THEN pred END) AS INTEGER) AS first_s,
+           CAST(MAX(CASE WHEN i = (n_nib + 1) // 2 THEN pred END) AS INTEGER) AS mid_s,
+           CAST(MAX(CASE WHEN i = n_nib THEN pred END) AS INTEGER) AS last_s
+    FROM r GROUP BY doc_id, n_nib
+    """
+
+
+@query(
+    "m_adpcm_decode_verified",
+    oracle=_adpcm_oracle(),
+    doc=(
+        "REAL IMA/DVI ADPCM WAV decode, oracle-verified — the first "
+        "STATEFUL codec with a hash oracle: 4-bit differential codes "
+        "expand through the 89-entry step-table machine where every "
+        "sample depends on the whole prefix (WAV format tag 0x11, "
+        "block header carrying the initial predictor/index). The "
+        "Python kernel matches stdlib audioop's adpcm2lin arithmetic "
+        "exactly (cross-checked over 400-nibble streams and clamp-"
+        "edge initial states); the DuckDB oracle REPLAYS the same "
+        "state machine as a recursive CTE (step/index tables inline "
+        "as VALUES, exact integer delta/clamp per step), set-based "
+        "across all documents at once. The encoding column comes from "
+        "the DECODER's fmt-chunk parse."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_adpcm_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        g711_decode_stats,
+        synthesize_adpcm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return g711_decode_stats(synthesize_adpcm_media(docs))
+
+
+
 @query(
     "m_g711_decode_verified",
     oracle="""
