@@ -304,3 +304,65 @@ def test_pq_index_contracts_and_drift(spark, tmp_path):
     epochs = idx.drift_stats().collect()
     assert len(epochs) == 1 and epochs[0].n == 439
     assert not idx.should_retrain(min_new=50)
+
+
+def test_streaming_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """ann_index_ingest_sink: draining an embedding stream through the
+    sink leaves the index AT the stream head with assignments equal to
+    a full batch assignment under the stored centroids, and serving
+    equals the in-query plan; a second drain (no new data) changes
+    nothing (txn replay protection)."""
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.streaming.stream import ann_index_ingest_sink
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    landing = str(tmp_path / "landing")
+    for lo, hi in ((0, 200), (200, 350), (350, 500)):
+        spark.createDataFrame(rows[lo:hi], emb.schema).coalesce(1).write.mode(
+            "append"
+        ).json(landing)
+
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    idx = AnnIndex(spark, str(tmp_path / "index"), src, ncells=8)
+
+    def drain():
+        q = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", "1")
+            .json(landing)
+            .writeStream.foreachBatch(ann_index_ingest_sink(idx, "ann-ingest"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert idx.indexed_version() == src.latest_version() >= 2
+    assert src.read().count() == 500
+
+    got = sorted(
+        (r[0], r[1], r[2])
+        for r in idx.assignments.read().select("vec_id", "cell_id", "sim6").collect()
+    )
+    want = sorted(
+        map(tuple, ivf_best_cells(src.read(), idx.centroid_frame()).collect())
+    )
+    assert got == want
+
+    v0 = idx.indexed_version()
+    n0 = idx.assignments.read().count()
+    drain()  # replay: nothing new
+    assert idx.indexed_version() == v0
+    assert idx.assignments.read().count() == n0 == 500
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = sorted(map(tuple, idx.topk(queries, k=5, nprobe=3).collect()))
+    fresh = sorted(
+        map(
+            tuple,
+            ivf_topk(src.read(), queries, idx.centroid_frame(), k=5, nprobe=3).collect(),
+        )
+    )
+    assert served == fresh

@@ -628,3 +628,35 @@ def scd2_dim_sink_cdc(dim_table, source_table, app_id: str):
         )
 
     return write_batch
+
+
+def ann_index_ingest_sink(index, app_id: str):
+    """foreachBatch function for STREAMING ANN-INDEX MAINTENANCE: each
+    micro-batch appends its embeddings to the index's SOURCE
+    VersionedTable exactly-once (txn protocol, like versioned_sink)
+    and incrementally refreshes the index — per-batch assignment cost
+    ∝ batch size (llm/ann_index refresh), so the index tracks the
+    stream head within one commit and similarity queries served from
+    it (AnnIndex.topk / PqIndex.topk) see new vectors as they land.
+
+    First-batch bootstrap: an unbuilt index is built() on the first
+    micro-batch (centroids/codebooks train on that batch). A
+    deployment with history should batch-backfill, build(), and hand
+    the stream off via ``sources.versioned_stream.bounded_bootstrap``
+    instead — the sink then only ever refreshes.
+
+    Exactly-once across replays: the source append carries
+    ``txn=(app_id, batch_id)`` (a replayed micro-batch no-ops) and the
+    refresh carries the index's own source-version bookmark, so a
+    crash anywhere between append, refresh, and checkpoint advance
+    re-runs as no-ops. Works with either index flavor — AnnIndex and
+    PqIndex share the build/refresh/indexed_version contract."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index.source.commit_append(batch_df, txn=(app_id, batch_id))
+        if index.indexed_version() == 0:
+            index.build()
+        else:
+            index.refresh()
+
+    return write_batch
