@@ -219,10 +219,10 @@ def test_png_rejects_corrupt_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
-    # 16-bit depth: still honestly unsupported (palette + Adam7 no
-    # longer are) — rebuild IHDR with depth 16 and a fresh CRC
+    # sub-byte depth: still honestly unsupported (palette, Adam7 and
+    # 16-bit no longer are) — rebuild IHDR with depth 4 and a fresh CRC
     deep = bytearray(good)
-    deep[24] = 16  # bit-depth byte inside IHDR
+    deep[24] = 4  # bit-depth byte inside IHDR
     crc = zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF
     deep[29:33] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="unsupported PNG"):
@@ -277,17 +277,23 @@ def test_png_palette_and_adam7_roundtrip():
         assert px.shape == (h, w, 3)
         assert np.array_equal(px, pal[idx].reshape(h, w, 3))
 
-    # edge geometries x color types x containers (deterministic pixels)
+    # edge geometries x color types x depths x containers
     pal = (np.arange(256 * 3, dtype=np.int64) * 37 % 256).astype(
         np.uint8
     ).reshape(256, 3)
     for h, w in ((1, 1), (1, 7), (7, 1), (8, 8), (9, 9), (2, 3)):
         flat = (np.arange(h * w * 4, dtype=np.int64) * 29 % 256).astype(np.uint8)
+        flat16 = (np.arange(h * w * 4, dtype=np.int64) * 2999 % 65536).astype(
+            np.uint16
+        )
         cases = [
             (flat[: h * w].reshape(h, w), None),          # gray
             (flat[: h * w * 3].reshape(h, w, 3), None),   # RGB
             (flat.reshape(h, w, 4), None),                # RGBA
             (flat[: h * w].reshape(h, w), pal),           # palette
+            (flat16[: h * w].reshape(h, w), None),        # 16-bit gray
+            (flat16[: h * w * 3].reshape(h, w, 3), None),  # 16-bit RGB
+            (flat16.reshape(h, w, 4), None),              # 16-bit RGBA
         ]
         for img, p in cases:
             want = pal[img] if p is not None else img
@@ -296,6 +302,7 @@ def test_png_palette_and_adam7_roundtrip():
                     _write_png(img, palette=p, interlace=interlace)
                 )
                 assert (ww, hh) == (w, h)
+                assert px.dtype == (np.uint8 if p is not None else img.dtype)
                 assert np.array_equal(px, want), (h, w, img.shape, interlace)
 
 
@@ -731,9 +738,9 @@ def test_png_gray_and_rgba_color_types():
 
     from unity_to_bigquery_spark.llm.multimodal import _PNG_MAGIC, _png_chunk
 
-    # 16-bit depth still raises (palette is supported as of r7 —
-    # covered in test_png_palette_and_adam7_roundtrip)
-    for depth, color in ((16, 2), (16, 0)):
+    # sub-byte depths and 16-bit PALETTE still raise (8-bit palette,
+    # Adam7 and 16-bit gray/truecolor/RGBA are supported as of r7)
+    for depth, color in ((4, 0), (2, 0), (1, 0), (16, 3)):
         bad = (
             _PNG_MAGIC
             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0))

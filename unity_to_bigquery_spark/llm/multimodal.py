@@ -313,38 +313,51 @@ def _png_filter_image(img2d, bpp: int) -> bytes:
 
 
 def _write_png(img, palette=None, interlace: bool = False) -> bytes:
-    """Encode a uint8 array as an 8-bit PNG: (h, w) -> grayscale
-    (color type 0), (h, w, 3) -> truecolor (2), (h, w, 4) ->
-    truecolor+alpha (6); with ``palette`` (an (n, 3) uint8 array),
-    (h, w) holds palette INDICES -> color type 3 with a PLTE chunk.
-    ``interlace=True`` writes Adam7: the seven §8.2 reduced passes are
-    each forward-filtered independently (row%5 cycle restarting per
-    pass) and concatenated into IDAT."""
+    """Encode an array as a PNG: (h, w) -> grayscale (color type 0),
+    (h, w, 3) -> truecolor (2), (h, w, 4) -> truecolor+alpha (6); with
+    ``palette`` (an (n, 3) uint8 array), (h, w) holds palette INDICES
+    -> color type 3 with a PLTE chunk. Bit depth follows the dtype:
+    uint8 -> 8, uint16 -> 16 (big-endian sample bytes; filter distance
+    doubles — PNG filters operate on BYTES at ceil(depth/8)*channels
+    spacing). ``interlace=True`` writes Adam7: the seven §8.2 reduced
+    passes are each forward-filtered independently (row%5 cycle
+    restarting per pass) and concatenated into IDAT."""
     import struct
     import zlib
 
     import numpy as np
 
+    depth = 16 if img.dtype == np.uint16 else 8
     if img.ndim == 2:
         h, w = img.shape
-        bpp, color = 1, (3 if palette is not None else 0)
+        ch, color = 1, (3 if palette is not None else 0)
     else:
-        h, w, bpp = img.shape
-        color = {3: 2, 4: 6}[bpp]
-    raw = img.reshape(h, w, bpp)
+        h, w, ch = img.shape
+        color = {3: 2, 4: 6}[ch]
+    if palette is not None and depth != 8:
+        raise ValueError("palette PNG indices are 8-bit only")
+    raw = img.reshape(h, w, ch)
+    bpp = ch * (depth // 8)
+
+    def byte_rows(sub):
+        """(h', w', ch) pixel slice -> (h', w'*bpp) byte matrix."""
+        h_, w_ = sub.shape[0], sub.shape[1]
+        if depth == 8:
+            return sub.reshape(h_, w_ * ch)
+        be = np.ascontiguousarray(sub.reshape(h_, w_ * ch)).astype(">u2")
+        return np.frombuffer(be.tobytes(), np.uint8).reshape(h_, w_ * bpp)
+
     if interlace:
         out = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = raw[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            out.extend(
-                _png_filter_image(sub.reshape(sub.shape[0], -1), bpp)
-            )
+            out.extend(_png_filter_image(byte_rows(sub), bpp))
         filtered = bytes(out)
     else:
-        filtered = _png_filter_image(raw.reshape(h, w * bpp), bpp)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+        filtered = _png_filter_image(byte_rows(raw), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
         chunks += _png_chunk(
@@ -440,13 +453,15 @@ def decode_png(payload: bytes):
     """REAL PNG decode, stdlib-only: chunk walk with CRC-32 verify,
     IHDR validation, IDAT concat + zlib.decompress, then spec-literal
     sequential unfiltering of all five filter types (``_png_unfilter``).
-    Supported: 8-bit color types 0 (gray), 2 (truecolor), 6 (RGBA) and
-    3 (PALETTE — PLTE chunk parsed, indices unfilter at bpp=1 and map
-    through the palette to RGB), each both NON-INTERLACED and ADAM7
-    interlaced (7 independently-filtered reduced passes, deinterlaced
-    by the §8.2 pass geometry). Returns ("png", w, h, uint8 array:
-    (h,w) grayscale, (h,w,3) truecolor/palette, (h,w,4) RGBA).
-    16-bit/sub-byte depths raise ValueError."""
+    Supported: color types 0 (gray), 2 (truecolor), 6 (RGBA) at depth
+    8 AND 16 (big-endian samples; filter distance = ceil(depth/8) ×
+    channels), plus 8-bit 3 (PALETTE — PLTE chunk parsed, indices
+    unfilter at bpp=1 and map through the palette to RGB), each both
+    NON-INTERLACED and ADAM7 interlaced (7 independently-filtered
+    reduced passes, deinterlaced by the §8.2 pass geometry). Returns
+    ("png", w, h, uint8/uint16 array: (h,w) grayscale, (h,w,3)
+    truecolor/palette, (h,w,4) RGBA). Sub-byte depths and 16-bit
+    palette raise ValueError."""
     import struct
     import zlib
 
@@ -477,43 +492,51 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color, comp, filt_method, interlace = ihdr
     if (
-        bit_depth != 8
+        bit_depth not in (8, 16)
         or color not in (0, 2, 3, 6)
+        or (bit_depth == 16 and color == 3)
         or comp != 0
         or filt_method != 0
         or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color}, "
-            f"interlace={interlace}): 8-bit gray/truecolor/palette/RGBA, "
-            "non-interlaced or Adam7 only"
+            f"interlace={interlace}): 8-bit gray/truecolor/palette/RGBA "
+            "or 16-bit gray/truecolor/RGBA, non-interlaced or Adam7 only"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 missing PLTE chunk")
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    # PNG filters operate on BYTES at ceil(depth/8)*channels spacing
+    bpp = ch * (bit_depth // 8)
+    pxdtype = np.uint8 if bit_depth == 8 else np.uint16
+
+    def pixels(raw: bytes, w_: int, h_: int):
+        if bit_depth == 8:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            arr = np.frombuffer(raw, dtype=">u2").astype(np.uint16)
+        return arr.reshape(h_, w_) if ch == 1 else arr.reshape(h_, w_, ch)
+
     data = zlib.decompress(bytes(idat))
     if interlace == 0:
         if len(data) != h * (w * bpp + 1):
             raise ValueError(
                 f"PNG data length {len(data)} != expected {h * (w * bpp + 1)}"
             )
-        flat = np.frombuffer(_png_unfilter(data, 0, w, h, bpp), dtype=np.uint8)
-        img = flat.reshape(h, w) if bpp == 1 else flat.reshape(h, w, bpp)
+        img = pixels(_png_unfilter(data, 0, w, h, bpp), w, h)
     else:
         # Adam7: 7 consecutive sub-images, each filtered independently;
         # empty passes (zero width or height) contribute no bytes
-        img = np.zeros((h, w) if bpp == 1 else (h, w, bpp), dtype=np.uint8)
+        img = np.zeros((h, w) if ch == 1 else (h, w, ch), dtype=pxdtype)
         offset = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub = np.frombuffer(
-                _png_unfilter(data, offset, pw, ph, bpp), dtype=np.uint8
-            )
+            sub = pixels(_png_unfilter(data, offset, pw, ph, bpp), pw, ph)
             offset += ph * (pw * bpp + 1)
-            sub = sub.reshape(ph, pw) if bpp == 1 else sub.reshape(ph, pw, bpp)
             img[y0::dy, x0::dx] = sub
         if offset != len(data):
             raise ValueError(
@@ -565,6 +588,43 @@ def synthesize_png_adam7(doc_id: int, n_chars: int) -> bytes:
         (a + np.arange(w * h * 3, dtype=np.int64)) % 256
     ).astype(np.uint8).reshape(h, w, 3)
     return _write_png(raw, interlace=True)
+
+
+def synthesize_png16(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic 16-BIT grayscale PNG: samples are the ramp
+    ``v(i) = (41*doc_id + i) % 65536`` over the standard geometry
+    (w = n%40+9, h = n%30+9); EVEN doc_ids write non-interlaced, ODD
+    doc_ids write Adam7 — one fixture family exercises both layouts at
+    depth 16 (filter distance 2, big-endian sample bytes), and the
+    mod-65536 ramp keeps every stat closed-form."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 65536
+    img = (
+        (a + np.arange(w * h, dtype=np.int64)) % 65536
+    ).astype(np.uint16).reshape(h, w)
+    return _write_png(img, interlace=bool(doc_id % 2))
+
+
+def synthesize_png16_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): 16-bit PNGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "png",
+                    "payload": [
+                        synthesize_png16(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_png_palette_media(docs: DataFrame) -> DataFrame:

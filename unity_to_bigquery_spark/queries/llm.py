@@ -1004,6 +1004,69 @@ def m_png_adam7_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_png16_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 65536 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      -- n = logical 16-bit samples; the stats kernel observes the
+      -- PIL-convention L->RGB expansion (decode_image), so counted
+      -- quantities triple and the flat mid probe lands at sample
+      -- ((3n)//2)//3 of the replicated array
+      SELECT doc_id, width, height, a,
+             CAST(width AS BIGINT) * height AS n,
+             a + CAST(width AS BIGINT) * height AS m1
+      FROM d
+    )
+    SELECT doc_id, 'png' AS fmt, width, height,
+           n * 3 AS n_px,
+           3 * ((2147450880 * (m1 // 65536) + ((m1 % 65536) * ((m1 % 65536) - 1)) // 2)
+                - ((a * (a - 1)) // 2)) AS byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + ((n * 3) // 2) // 3) % 65536 AS INTEGER) AS mid_px,
+           CAST((a + n - 1) % 65536 AS INTEGER) AS last_px,
+           3 * ((64 * (m1 // 65536) + LEAST(GREATEST(m1 % 65536, 0), 64))
+                - LEAST(GREATEST(a, 0), 64)) AS h0,
+           3 * ((64 * (m1 // 65536) + LEAST(GREATEST(m1 % 65536 - 64, 0), 64))
+                - LEAST(GREATEST(a - 64, 0), 64)) AS h1,
+           3 * ((64 * (m1 // 65536) + LEAST(GREATEST(m1 % 65536 - 128, 0), 64))
+                - LEAST(GREATEST(a - 128, 0), 64)) AS h2,
+           3 * ((64 * (m1 // 65536) + LEAST(GREATEST(m1 % 65536 - 192, 0), 64))
+                - LEAST(GREATEST(a - 192, 0), 64)) AS h3,
+           (((2147450880 * (m1 // 65536) + ((m1 % 65536) * ((m1 % 65536) - 1)) // 2)
+             - ((a * (a - 1)) // 2)) * 1000000) // n AS mean_fp6
+    FROM e
+    """,
+    doc=(
+        "16-BIT PNG decode, oracle-verified: grayscale samples on the "
+        "mod-65536 ramp, big-endian 2-byte samples with filter "
+        "distance 2 (PNG filters operate on bytes at "
+        "ceil(depth/8)*channels spacing — the classic 16-bit decoder "
+        "bug is filtering at distance 1). Even doc_ids are "
+        "non-interlaced, odd are ADAM7, so one query exercises both "
+        "layouts at depth 16 through the same closed-form oracle "
+        "(triangular sums at modulus 65536; h0..h3 count the narrow "
+        "sub-256 windows the stats kernel's >>6 bucketing observes at "
+        "16-bit range)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_png16_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_png16_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_png16_media(docs))
+
+
+@query(
     "m_png_palette_decode_verified",
     oracle="""
     WITH d AS (
