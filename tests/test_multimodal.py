@@ -840,14 +840,67 @@ def test_jpeg_progressive_spectral_selection():
         )
         assert np.array_equal(base, prog3), shape
 
-    # successive approximation honestly unsupported: set Al=1 in the
-    # first AC SOS of a progressive file
-    b = _write_jpeg_gray_progressive(np.zeros((8, 8), np.uint8))
+    # a refinement scan whose entropy data carries a magnitude > 1
+    # symbol is spec-invalid (G.1.2.3) and must raise, not mis-decode:
+    # claim Ah=1 on a first-scan stream that encodes size-2+ symbols
+    g2 = (np.arange(64, dtype=np.int64) * 31 % 256).astype(np.uint8).reshape(8, 8)
+    b = _write_jpeg_gray_progressive(g2, bands=((1, 63),))
     sos_ac = b.index(b"\xff\xda", b.index(b"\xff\xda") + 2)
     mut = bytearray(b)
-    mut[sos_ac + 9] = 0x01  # Ah=0, Al=1
-    with pytest.raises(ValueError, match="successive"):
+    mut[sos_ac + 9] = 0x10  # Ah=1, Al=0: refinement claimed over first-scan data
+    with pytest.raises(ValueError, match="magnitude"):
         decode_jpeg(bytes(mut))
+
+
+def test_jpeg_progressive_successive_approximation_equals_baseline():
+    """SUCCESSIVE APPROXIMATION (T.81 G.1.2): every bit plane down to
+    Al=0 is transmitted, so decoding the SA stream must be
+    BIT-IDENTICAL to decoding the baseline encoding of the same image
+    — through three different entropy codings (baseline run-length,
+    SA first scans at the point transform, SA refinement scans with
+    zero-history runs, lone sign bits, and correction bits riding EOB
+    runs). Random, gradient, and sparse (long cross-block EOBRUN)
+    content at Al = 1, 2, 3."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _write_jpeg_gray,
+        _write_jpeg_gray_progressive_sa,
+        decode_jpeg,
+        synthesize_jpeg_progressive_sa,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in ((8, 8), (16, 24), (17, 23), (48, 48), (9, 31)):
+        x = np.linspace(0, 255, w)
+        yv = np.linspace(0, 255, h)
+        img = np.clip(
+            np.add.outer(yv, x) / 2 + rng.randint(-40, 40, (h, w)), 0, 255
+        ).astype(np.uint8)
+        base = decode_jpeg(_write_jpeg_gray(img))[3]
+        for al in (1, 2, 3):
+            sa = decode_jpeg(_write_jpeg_gray_progressive_sa(img, al=al))[3]
+            assert np.array_equal(sa, base), (h, w, al)
+
+    # sparse content: long EOB runs spanning blocks, with correction
+    # bits buffered across the run in refinement scans
+    flat = np.full((64, 64), 130, np.uint8)
+    flat[5, 7] = 200
+    flat[40, 33] = 10
+    base = decode_jpeg(_write_jpeg_gray(flat))[3]
+    for al in (1, 2):
+        sa = decode_jpeg(_write_jpeg_gray_progressive_sa(flat, al=al))[3]
+        assert np.array_equal(sa, base), al
+
+    # fixture: DC-only tiles reassembled from 3 DC scans, value-exact
+    for doc_id, n_chars in ((0, 0), (11, 321), (999, 64)):
+        fmt, w, h, px = decode_jpeg(synthesize_jpeg_progressive_sa(doc_id, n_chars))
+        wb, hb = n_chars % 6 + 2, n_chars % 4 + 2
+        a = (101 * doc_id) % 256
+        tiles = ((a + np.arange(hb * wb)) % 256).astype(np.uint8)
+        want = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), np.uint8))
+        assert (fmt, w, h) == ("jpeg", 8 * wb, 8 * hb)
+        assert np.array_equal(px, want), doc_id
 
 
 def test_jpeg_progressive_eobrun_multiblock():

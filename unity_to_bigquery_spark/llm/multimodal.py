@@ -1259,7 +1259,8 @@ def decode_jpeg(payload: bytes):
     clamp. Supported streams: baseline sequential grayscale and color
     at 4:4:4 (all 0x11), 4:2:0 ((0x22,0x11,0x11) — 16x16 MCUs,
     half-resolution chroma) or 4:2:2 ((0x21,0x11,0x11) — 16x8 MCUs,
-    half-horizontal chroma), plus progressive (SOF2) GRAYSCALE via
+    half-horizontal chroma), plus progressive (SOF2) GRAYSCALE —
+    spectral selection and successive approximation — via
     spectral-selection dispatch to ``_decode_jpeg_progressive``.
     Grayscale returns ("jpeg", w, h, (h, w) uint8); color returns
     ("jpeg", w, h, (h, w, 3) uint8 RGB via BT.601). Anything else
@@ -1572,6 +1573,205 @@ def _write_jpeg_gray_progressive(
     return out + b"\xff\xd9"
 
 
+def _write_jpeg_gray_progressive_sa(
+    gray, quant=None, bands=((1, 5), (6, 63)), al: int = 1
+) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a FULL progressive
+    (SOF2) JPEG with spectral selection AND successive approximation —
+    the scan script real encoders emit: DC first at point transform
+    ``al`` then one DC refinement bit-plane per level down to 0; per
+    spectral band, an AC first scan at ``al`` then AC refinement scans
+    (T.81 G.1.2.2/G.1.2.3: runs count zero-HISTORY coefficients only,
+    newly-significant coefficients carry a lone sign bit, correction
+    bits for already-significant coefficients are buffered and emitted
+    after the next Huffman symbol, EOB runs accumulate ACROSS blocks
+    with their buffered bits). Because every bit plane down to 0 is
+    transmitted, the decoded result is BIT-IDENTICAL to the baseline
+    encoding of the same image (differential-tested)."""
+    import struct
+
+    import numpy as np
+
+    quant = list(quant if quant is not None else _JPEG_STD_QUANT)
+    h, w = gray.shape
+    img = _jpeg_pad_plane(gray)
+    C = _jpeg_dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    dc_enc, _ = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # Annex K's AC table is Kraft-full and has no EOBn (0x10..0xE0)
+    # symbols — progressive encoders carry their OWN tables. A flat
+    # 8-bit canonical table over every symbol SA scans can emit
+    # (EOB0..EOB14, ZRL, all (run,size<=10) pairs) is legal (DHT is
+    # self-describing) if compression-naive, which fixtures don't mind.
+    prog_ac_vals = (
+        [r << 4 for r in range(15)]  # EOBn, n = 0..14
+        + [0xF0]  # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    prog_ac_bits = [0] * 16
+    prog_ac_bits[7] = len(prog_ac_vals)  # all codes 8 bits long
+    ac_enc, _ = _jpeg_canonical_codes(prog_ac_bits, prog_ac_vals)
+    ph, pw = img.shape
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            coef = C @ img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ C.T
+            qc = np.round(coef / q).astype(np.int64)
+            blocks.append([int(qc.flat[i]) for i in _JPEG_ZIGZAG])
+
+    out = b"\xff\xd8"
+    out += _jpeg_seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xFFDB, bytes([0]) + bytes(quant[i] for i in _JPEG_ZIGZAG))
+    out += _jpeg_seg(
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += _jpeg_seg(
+        0xFFC4, bytes([0x11]) + bytes(prog_ac_bits) + bytes(prog_ac_vals)
+    )
+
+    def sos(ss, se, ah, al_):
+        tsel = 0x00 if ss == 0 else 0x01  # DC table 0 / custom AC table 1
+        return _jpeg_seg(0xFFDA, bytes([1, 1, tsel, ss, se, (ah << 4) | al_]))
+
+    # DC first scan at point transform al (differential of dc >> al,
+    # arithmetic shift — Python's >> floors, same as the spec's)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        v = zz[0] >> al
+        t, bits = _jpeg_magnitude(v - prev_dc)
+        prev_dc = v
+        code, length = dc_enc[t]
+        bw.write(code, length)
+        if t:
+            bw.write(bits, t)
+    out += sos(0, 0, 0, al) + bw.flush()
+    # DC refinement bit planes al-1 .. 0 (one raw bit per block)
+    for lvl in range(al - 1, -1, -1):
+        bw = _JpegBitWriter()
+        for zz in blocks:
+            bw.write((zz[0] >> lvl) & 1, 1)
+        out += sos(0, 0, lvl + 1, lvl) + bw.flush()
+
+    for ss, se in bands:
+        # AC first scan at al: magnitudes shift TOWARD ZERO (G.1.2.2)
+        bw = _JpegBitWriter()
+        eobrun = 0
+        pending = []  # blocks' encodings buffered while an EOB run grows
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, length = ac_enc[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for zz in blocks:
+            vals = [
+                (abs(zz[i]) >> al) * (1 if zz[i] >= 0 else -1)
+                for i in range(ss, se + 1)
+            ]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            last_nz = max(j for j, v in enumerate(vals) if v)
+            run = 0
+            for j in range(last_nz + 1):
+                if vals[j] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                t, bits = _jpeg_magnitude(vals[j])
+                code, length = ac_enc[(run << 4) | t]
+                bw.write(code, length)
+                bw.write(bits, t)
+                run = 0
+            if last_nz < se - ss:
+                eobrun += 1
+        flush_eobrun()
+        out += sos(ss, se, 0, al) + bw.flush()
+
+        # AC refinement scans al-1 .. 0 (G.1.2.3)
+        for lvl in range(al - 1, -1, -1):
+            bw = _JpegBitWriter()
+            p1 = 1 << (lvl + 1)
+            eobrun = 0
+            ebits: list = []  # correction bits buffered across the EOB run
+
+            def flush_eobrun2():
+                nonlocal eobrun
+                if eobrun > 0:
+                    nbits = eobrun.bit_length() - 1
+                    code, length = ac_enc[nbits << 4]
+                    bw.write(code, length)
+                    if nbits:
+                        bw.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for b in ebits:
+                    bw.write(b, 1)
+                ebits.clear()
+
+            for zz in blocks:
+                absv = [abs(zz[i]) >> lvl for i in range(ss, se + 1)]
+                # EOB = position after the LAST newly-significant coeff
+                eob_j = -1
+                for j, t in enumerate(absv):
+                    if t == 1:
+                        eob_j = j
+                run = 0
+                br_bits: list = []
+                for j in range(eob_j + 1):
+                    t = absv[j]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        flush_eobrun2()
+                        code, length = ac_enc[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if t > 1:
+                        # already significant: buffer its correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eobrun2()
+                    code, length = ac_enc[(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if zz[ss + j] >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    run = 0
+                # EOB needed whenever the last new coefficient is not
+                # at the band end: the decoder's position is inside the
+                # band and expects a symbol. The EOB's buffered bits are
+                # the correction bits for already-significant coeffs
+                # AFTER that position (the decoder's EOB-tail walk).
+                if eob_j < se - ss:
+                    eobrun += 1
+                    ebits.extend(t & 1 for t in absv[eob_j + 1 :] if t > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun2()
+            flush_eobrun2()
+            out += sos(ss, se, lvl + 1, lvl) + bw.flush()
+    return out + b"\xff\xd9"
+
+
 def _jpeg_scan_end(payload: bytes, start: int) -> int:
     """End offset of an entropy-coded segment: the next 0xFF byte not
     followed by a stuffing 0x00 or a restart marker."""
@@ -1586,11 +1786,17 @@ def _jpeg_scan_end(payload: bytes, start: int) -> int:
 
 
 def _decode_jpeg_progressive(payload: bytes):
-    """Progressive (SOF2) grayscale decode, spectral selection only:
-    accumulate each scan's band into per-block coefficient arrays
-    (DC scan = baseline DC coding; AC first-scans = run-length with
-    the EOBRUN extension), then dequantize + IDCT once at the end.
-    Successive-approximation scans (Ah or Al nonzero) raise."""
+    """Progressive (SOF2) grayscale decode — spectral selection AND
+    successive approximation (T.81 G.1.2): accumulate each scan's band
+    into per-block coefficient arrays. DC first scans carry the
+    point-transformed differential (DC>>Al) and DC refinements one raw
+    bit-plane per block; AC first scans are run-length with the EOBRUN
+    extension at <<Al; AC refinement scans walk zero-HISTORY runs,
+    place newly-significant +-2^Al coefficients from lone sign bits,
+    and read correction bits for already-significant coefficients
+    (including through EOB runs). Dequantize + IDCT once at the end.
+    SA reconstruction is exact when the scan script refines to Al=0 —
+    pinned bit-identical to baseline in tests."""
     import struct
 
     import numpy as np
@@ -1659,24 +1865,24 @@ def _decode_jpeg_progressive(payload: bytes):
             td, ta = body[2] >> 4, body[2] & 0x0F
             ss, se, a = body[3], body[4], body[5]
             ah, al = a >> 4, a & 0x0F
-            if ah or al:
-                raise ValueError(
-                    "successive-approximation progressive scans "
-                    "unsupported (spectral selection only)"
-                )
             scan_start = pos + 2 + length
             scan_stop = _jpeg_scan_end(payload, scan_start)
             br = _JpegBitReader(payload[scan_start:scan_stop])
             if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC progressive scan must have Se=0")
-                dc_dec = huff[(0, td)]
-                prev_dc = 0
-                for zz in blocks:
-                    t = br.read_symbol(dc_dec)
-                    prev_dc += _jpeg_extend(br.read_bits(t), t)
-                    zz[0] = prev_dc
-            else:  # AC band scan with EOBRUN
+                if ah == 0:  # first scan: differential coding of DC >> Al
+                    dc_dec = huff[(0, td)]
+                    prev_dc = 0
+                    for zz in blocks:
+                        t = br.read_symbol(dc_dec)
+                        prev_dc += _jpeg_extend(br.read_bits(t), t)
+                        zz[0] = prev_dc << al
+                else:  # refinement: one raw bit per block (G.1.2.1)
+                    for zz in blocks:
+                        if br.read_bit():
+                            zz[0] |= 1 << al
+            elif ah == 0:  # AC band FIRST scan (values << Al, EOBRUN)
                 ac_dec = huff[(1, ta)]
                 eobrun = 0
                 for zz in blocks:
@@ -1699,8 +1905,62 @@ def _decode_jpeg_progressive(payload: bytes):
                         i += r
                         if i > se:
                             raise ValueError("AC band overflow")
-                        zz[i] = _jpeg_extend(br.read_bits(s), s)
+                        zz[i] = _jpeg_extend(br.read_bits(s), s) << al
                         i += 1
+            else:  # AC band REFINEMENT scan (T.81 G.1.2.3)
+                ac_dec = huff[(1, ta)]
+                p1, m1 = 1 << al, -(1 << al)
+                eobrun = 0
+
+                def correct(zz, k):
+                    """Correction bit for an already-nonzero coeff:
+                    1-bit means grow away from zero by 2^Al unless the
+                    Al bit is already set (Python's & on negatives is
+                    two's-complement, matching the spec's signed
+                    arithmetic)."""
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+
+                for zz in blocks:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.read_symbol(ac_dec)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r != 15:  # EOBn begins here
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                val = 0  # ZRL: pass 16 zero-history coeffs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement magnitude must be 1"
+                                    )
+                                val = p1 if br.read_bit() else m1
+                            # advance over r zero-history positions,
+                            # reading correction bits for nonzero ones
+                            while k <= se:
+                                if zz[k] != 0:
+                                    correct(zz, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                zz[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # tail of the EOB run: every remaining nonzero-
+                        # history coeff still receives its correction bit
+                        while k <= se:
+                            if zz[k] != 0:
+                                correct(zz, k)
+                            k += 1
+                        eobrun -= 1
             pos = scan_stop
             continue
         pos += 2 + length
@@ -1741,6 +2001,46 @@ def synthesize_jpeg_progressive(doc_id: int, n_chars: int) -> bytes:
     tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
     gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
     return _write_jpeg_gray_progressive(gray, quant=_JPEG_EXACT_DC_QUANT)
+
+
+def synthesize_jpeg_progressive_sa(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic flat-tile progressive JPEG with SUCCESSIVE
+    APPROXIMATION (al=2: DC first scan sends DC>>2, then two DC
+    refinement bit-planes; AC bands get first + refinement scans of
+    pure EOB runs): ``wb = n_chars%6+2``, ``hb = n_chars%4+2`` blocks,
+    tile value ``v(j) = (a + j) % 256``, ``a = (101*doc_id) % 256``.
+    DC-only blocks keep the bit-plane reassembly VALUE-EXACT under the
+    DC=8 quant table, so the full SA scan protocol is closed-form
+    oracle-able (m_jpeg_prog_sa_decode_verified); AC successive
+    approximation over real coefficient content is pinned by the
+    SA==baseline differential tests."""
+    import numpy as np
+
+    wb = n_chars % 6 + 2
+    hb = n_chars % 4 + 2
+    a = (101 * doc_id) % 256
+    tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
+    gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
+    return _write_jpeg_gray_progressive_sa(
+        gray, quant=_JPEG_EXACT_DC_QUANT, al=2
+    )
+
+
+def synthesize_jpeg_progressive_sa_media(docs: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "jpeg",
+                    "payload": [
+                        synthesize_jpeg_progressive_sa(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
 
 
 def synthesize_jpeg_progressive_media(docs: DataFrame) -> DataFrame:

@@ -1212,6 +1212,69 @@ def m_jpeg_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_jpeg_prog_sa_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 6 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS hb,
+             CAST((doc_id * 101) % 256 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, wb, hb, a,
+             hb * wb AS t,
+             a + hb * wb AS m1,
+             64 * hb * wb AS n_px,
+             8 * wb AS w
+      FROM d
+    ), s AS (
+      SELECT doc_id, wb, hb, a, t, n_px, w,
+             64 * ((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                   - ((a * (a - 1)) // 2)) AS byte_sum,
+             (n_px // 2) // w AS mid_r,
+             (n_px // 2) % w AS mid_c
+      FROM e
+    )
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           n_px, byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + (mid_r // 8) * wb + mid_c // 8) % 256 AS INTEGER) AS mid_px,
+           CAST((a + t - 1) % 256 AS INTEGER) AS last_px,
+           (byte_sum * 1000000) // n_px AS mean_fp6
+    FROM s
+    """,
+    doc=(
+        "PROGRESSIVE JPEG with SUCCESSIVE APPROXIMATION, oracle-"
+        "verified — the scan script real progressive encoders emit "
+        "(T.81 G.1.2): the DC band arrives as a point-transformed "
+        "first scan (DC>>2) plus two refinement BIT-PLANES reassembled "
+        "per block; AC bands arrive as first scans at Al=2 plus "
+        "refinement scans where runs count zero-history coefficients, "
+        "newly-significant coefficients carry lone sign bits, and "
+        "correction bits ride EOB runs. Flat-tile fixtures are DC-only "
+        "so the bit-plane reassembly is VALUE-EXACT and closed-form "
+        "oracled; AC refinement over real coefficient content is "
+        "pinned by SA==baseline differentials (bit-identical decode "
+        "through three different entropy codings). Completes the "
+        "progressive support honestly scoped in r6 as spectral-"
+        "selection-only."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_jpeg_prog_sa_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        jpeg_decode_stats,
+        synthesize_jpeg_progressive_sa_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return jpeg_decode_stats(synthesize_jpeg_progressive_sa_media(docs))
+
+
+@query(
     "m_jpeg_prog_decode_verified",
     oracle="""
     WITH d AS (
