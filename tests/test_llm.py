@@ -622,3 +622,65 @@ def test_skyline_operator_definition_and_duplicates(spark):
     df = spark.createDataFrame(rows, "id LONG, price DOUBLE, size INT").repartition(3)
     got = {r.id for r in skyline(df, ["price", "size"]).collect()}
     assert got == {1, 2, 3, 4, 8}
+
+
+def test_bpe_training_and_tokenization_match_reference(spark, sf_dir):
+    """BPE end-to-end differential: the Spark pipeline (distributed
+    word-freq -> capped-collect merge loop -> mapInPandas tokenize ->
+    top-k) must EXACTLY reproduce a pure-Python reference trainer and
+    tokenizer — merge lists equal (deterministic count-desc/
+    lexicographic tiebreaks), token counts equal. The all-cluster
+    trainer variant learns the identical merges."""
+    from collections import Counter
+
+    from unity_to_bigquery_spark.catalog import load_table
+    from unity_to_bigquery_spark.llm.bpe import (
+        END,
+        apply_bpe,
+        train_bpe,
+        train_bpe_distributed,
+        train_bpe_reference,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    texts = [r.text for r in docs.collect()]
+    merges = train_bpe(docs, n_merges=30)
+    assert merges == train_bpe_reference(texts, n_merges=30)
+    assert len(merges) == 30
+
+    sub = docs.limit(80)
+    assert train_bpe_distributed(sub, n_merges=8) == train_bpe_reference(
+        [r.text for r in sub.collect()], n_merges=8
+    )
+
+    # local reference tokenization of the whole corpus
+    ref = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if not w:
+                continue
+            s = list(w) + [END]
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            ref.update(s)
+    got = {
+        r.token: r.n
+        for r in apply_bpe(docs, merges)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == dict(ref)
+
+    # and the declared query returns the reference's top-20 exactly
+    top = all_queries()["t_bpe_tokenize_topk"].spark(spark, sf_dir).collect()
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.token, r.n) for r in top] == want

@@ -412,6 +412,41 @@ def _minhash_bucket_stats_oracle(k: int = 16, bands: int = 4) -> str:
 
 
 @query(
+    "t_bpe_tokenize_topk",
+    oracle=None,  # the merge list is an iterative argmax — not
+    # SQL-expressible; the WHOLE pipeline (train + tokenize + topk) is
+    # differential-tested against a pure-Python reference trainer and
+    # tokenizer in tests/test_llm.py (merge lists and token counts
+    # exactly equal — deterministic lexicographic tiebreaks)
+    doc=(
+        "BPE TOKENIZER TRAINING + application (Sennrich 2016 — the "
+        "tokenizer-construction step of an LLM pipeline), Spark-first: "
+        "ONE distributed corpus pass builds the word-frequency table, "
+        "a deterministic distributed top-100k cap bounds the collect, "
+        "the merge loop runs vocabulary-sized on the driver (the "
+        "production trainer shape; llm/bpe.train_bpe_distributed is "
+        "the all-cluster variant for vocabularies beyond one node, "
+        "differential-equal), then tokenization is one mapInPandas "
+        "pass applying merges in priority order. Returns the top-20 "
+        "tokens by corpus frequency."
+    ),
+    tags=("llm", "text", "tokenizer"),
+)
+def t_bpe_tokenize_topk(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=30)
+    toks = apply_bpe(docs.repartition(spark.sparkContext.defaultParallelism), merges)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
     "d_lsh_bucket_stats",
     oracle=_minhash_bucket_stats_oracle(),
     doc=(
