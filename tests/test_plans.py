@@ -113,6 +113,9 @@ BNLJ_ALLOWED = {
     "sim_ivf_topk",
     "sim_ivf_neardup_pairs",
     "sim_sq8_rerank_topk",
+    # persisted-index serving probes cells with the same broadcast
+    # query-batch × centroid-table crossJoin as sim_ivf_topk
+    "sim_index_topk",
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it
     "e_dau_wau",
