@@ -34,7 +34,7 @@ composes the engine's existing pieces to do exactly that:
   manifest-stats file skipping), and run the SAME
   ``similarity.ivf_search`` probe plan the in-query path uses — which
   is what makes index-served ≡ in-query-trained an exact identity
-  under equal centroids (tests/test_llm.py pins it).
+  under equal centroids (tests/test_ann_index.py pins it).
 - **drift** (:meth:`drift_stats` / :meth:`should_retrain`): every
   stored assignment carries ``sim6`` (cosine to its centroid) and the
   refresh epoch that wrote it, so "do the centroids still fit the
