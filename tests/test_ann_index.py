@@ -366,3 +366,34 @@ def test_streaming_index_maintenance_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert served == fresh
+
+
+def test_compact_shrinks_files_and_preserves_serving(spark, sf_dir, tmp_path):
+    """Index maintenance: compact() collapses the per-refresh file
+    accrual (one file per touched cell per page) while serving stays
+    bit-identical and the refresh bookmark survives (compact is a
+    regular commit; the txns map carries forward)."""
+    emb, src, idx = _build_split_index(spark, sf_dir, tmp_path)
+    # monotone-id appends (the realistic ingest shape): the merge
+    # touches zero existing files, so each refresh ADDS files per
+    # touched cell — the accrual compact() exists to collapse
+    base = emb.count()
+    for i in range(3):
+        src.commit_append(
+            emb.select(
+                (F.col("vec_id") + base * (i + 1)).alias("vec_id"),
+                *[c for c in emb.columns if c != "vec_id"],
+            ).limit(100)
+        )
+        idx.refresh()
+    queries = emb.filter(F.col("vec_id") < 5)
+    before_files = len(idx.assignments.manifest()["files"])
+    before = sorted(map(tuple, idx.topk(queries, k=5, nprobe=4).collect()))
+    v = idx.indexed_version()
+    idx.compact()
+    after_files = len(idx.assignments.manifest()["files"])
+    assert after_files < before_files / 2, (before_files, after_files)
+    assert idx.indexed_version() == v  # bookmark carried through compact
+    after = sorted(map(tuple, idx.topk(queries, k=5, nprobe=4).collect()))
+    assert after == before
+    assert idx.refresh() == v  # still a no-op, not a re-fold

@@ -999,18 +999,49 @@ def test_ima_adpcm_audioop_cross_check_and_wav_dispatch():
         assert d["n_samples"] == 1 + 2 * nbytes
         assert int(d["samples"][0]) == ((doc_id * 97) % 4096) - 2048
 
-    # stereo ADPCM and out-of-range step index fail loudly
+    # out-of-range step index fails loudly
     mono = synthesize_adpcm(1, 10)
-    stereo = bytearray(mono)
-    fmt_at = mono.index(b"fmt ") + 8
-    struct.pack_into("<H", stereo, fmt_at + 2, 2)  # nChannels = 2
-    with pytest.raises(ValueError, match="mono"):
-        decode_wav(bytes(stereo))
     bad = bytearray(mono)
     data_at = mono.index(b"data") + 8
     bad[data_at + 2] = 97  # header step index > 88
     with pytest.raises(ValueError, match="out of range"):
         decode_wav(bytes(bad))
+
+    # STEREO blocks: per-channel headers + alternating 4-byte nibble
+    # groups, each channel its own predictor/index state — every
+    # channel must decode exactly as its mono twin, frame-interleaved
+    from unity_to_bigquery_spark.llm.multimodal import decode_wav_adpcm_data
+
+    def mono_block(pred, idx, nib):
+        body = bytes(
+            nib[2 * j] | (nib[2 * j + 1] << 4) for j in range(len(nib) // 2)
+        )
+        return struct.pack("<hBB", pred, idx, 0) + body
+
+    nib0 = [(3 + 5 * i) % 16 for i in range(64)]
+    nib1 = [(7 + 11 * i) % 16 for i in range(64)]
+    m0 = decode_wav_adpcm_data(mono_block(100, 5, nib0), 4 + 32)
+    m1 = decode_wav_adpcm_data(mono_block(-2000, 40, nib1), 4 + 32)
+    hdr = struct.pack("<hBB", 100, 5, 0) + struct.pack("<hBB", -2000, 40, 0)
+    b0 = bytes(nib0[2 * j] | (nib0[2 * j + 1] << 4) for j in range(32))
+    b1 = bytes(nib1[2 * j] | (nib1[2 * j + 1] << 4) for j in range(32))
+    body = b"".join(b0[4 * g : 4 * g + 4] + b1[4 * g : 4 * g + 4] for g in range(8))
+    rate, ba = 8000, 8 + 64
+    spb = (ba - 8) * 2 // 2 + 1
+    fmt = struct.pack("<HHIIHHHH", 17, 2, rate, rate * ba // spb, ba, 4, 2, spb)
+    data = hdr + body
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 28 + len(fmt) + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    d2 = decode_wav(wav)
+    assert d2["channels"] == 2 and d2["encoding"] == "ima_adpcm"
+    assert d2["n_samples"] == 65  # per-channel frames
+    assert list(d2["samples"][0::2]) == m0
+    assert list(d2["samples"][1::2]) == m1
 
 
 def test_y4m_motion_and_wav_energy_kernels():

@@ -2381,10 +2381,11 @@ def decode_wav(payload: bytes) -> dict:
     """REAL WAV decode: walk the RIFF chunk list, parse the fmt
     chunk, and return the int16 linear sample array. PCM16 (format 1),
     G.711 mu-law (7) and A-law (6) companded audio — expanded with the
-    exact integer algorithms, audioop-cross-checked — and mono
-    IMA/DVI ADPCM (format 17, block-structured 4-bit differential
-    codes through the stateful step-table machine); other formats
-    raise ValueError."""
+    exact integer algorithms, audioop-cross-checked — and IMA/DVI
+    ADPCM (format 17, block-structured 4-bit differential codes
+    through the stateful step-table machine; MULTICHANNEL blocks carry
+    one header per channel and alternate 4-byte nibble groups, each
+    channel its own state); other formats raise ValueError."""
     import struct
 
     import numpy as np
@@ -2413,13 +2414,8 @@ def decode_wav(payload: bytes) -> dict:
         samples = table[np.frombuffer(data, dtype=np.uint8)]
         encoding = "ulaw" if audio_format == 7 else "alaw"
     elif audio_format == 17 and bits == 4:
-        if channels != 1:
-            raise ValueError(
-                "IMA ADPCM: mono only (multichannel interleaves 4-byte "
-                "groups per channel — not implemented)"
-            )
         samples = np.array(
-            decode_wav_adpcm_data(data, _block), dtype=np.int16
+            decode_wav_adpcm_data(data, _block, channels), dtype=np.int16
         )
         encoding = "ima_adpcm"
     else:
@@ -2661,12 +2657,10 @@ _IMA_STEP_TABLE = [
 _IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def ima_adpcm_expand(nibbles, pred: int, idx: int) -> list:
-    """IMA/DVI ADPCM expansion (IMA Recommended Practices / the
-    audioop kernel): for each 4-bit code, delta = step/8 (+step/4 if
-    bit0, +step/2 if bit1, +step if bit2), sign from bit3, predictor
-    clamped to int16, index walked by the 16-entry table and clamped
-    to [0, 88]. Pure integer arithmetic — value-exact."""
+def _ima_expand_carry(nibbles, pred: int, idx: int):
+    """IMA/DVI ADPCM expansion with carried state (samples, pred, idx)
+    — multichannel blocks resume each channel's state across its
+    alternating 4-byte groups."""
     out = []
     step_table, index_table = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
     for code in nibbles:
@@ -2683,33 +2677,72 @@ def ima_adpcm_expand(nibbles, pred: int, idx: int) -> list:
         idx += index_table[code]
         idx = 0 if idx < 0 else (88 if idx > 88 else idx)
         out.append(pred)
-    return out
+    return out, pred, idx
 
 
-def decode_wav_adpcm_data(data: bytes, block_align: int) -> list:
-    """Decode mono IMA-ADPCM WAV data: per ``block_align``-byte block,
-    a 4-byte header (int16 predictor — which IS sample 0 of the block
-    — uint8 step index, reserved) followed by nibble pairs, LOW nibble
-    first (the WAV byte order; audioop's raw stream is high-first —
-    the cross-check test swaps)."""
+def ima_adpcm_expand(nibbles, pred: int, idx: int) -> list:
+    """IMA/DVI ADPCM expansion (IMA Recommended Practices / the
+    audioop kernel): for each 4-bit code, delta = step/8 (+step/4 if
+    bit0, +step/2 if bit1, +step if bit2), sign from bit3, predictor
+    clamped to int16, index walked by the 16-entry table and clamped
+    to [0, 88]. Pure integer arithmetic — value-exact."""
+    return _ima_expand_carry(nibbles, pred, idx)[0]
+
+
+def decode_wav_adpcm_data(data: bytes, block_align: int, channels: int = 1) -> list:
+    """Decode IMA-ADPCM WAV data: per ``block_align``-byte block, one
+    4-byte header PER CHANNEL (int16 predictor — which IS that
+    channel's sample 0 of the block — uint8 step index, reserved),
+    then 4-byte nibble groups ALTERNATING channels (8 nibbles per
+    group, LOW nibble first — the WAV byte order; audioop's raw
+    stream is high-first, the cross-check test swaps). Each channel
+    runs its own predictor/index state; output is interleaved
+    frame-major like PCM."""
     import struct
 
-    samples: list = []
+    out: list = []
+    hdr = 4 * channels
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
-        if len(block) < 4:
-            raise ValueError("IMA ADPCM block shorter than its header")
-        (pred,) = struct.unpack_from("<h", block, 0)
-        idx = block[2]
-        if idx > 88:
-            raise ValueError(f"IMA ADPCM step index {idx} out of range")
-        samples.append(pred)
-        nibbles = []
-        for byte in block[4:]:
-            nibbles.append(byte & 0x0F)
-            nibbles.append(byte >> 4)
-        samples.extend(ima_adpcm_expand(nibbles, pred, idx))
-    return samples
+        if len(block) < hdr:
+            raise ValueError("IMA ADPCM block shorter than its headers")
+        chan: list[list] = []
+        states = []
+        for c in range(channels):
+            (pred,) = struct.unpack_from("<h", block, 4 * c)
+            idx = block[4 * c + 2]
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            chan.append([pred])
+            states.append((pred, idx))
+        body = block[hdr:]
+        if channels == 1:
+            # mono has no group structure — one nibble run per block
+            nibbles = []
+            for byte in body:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            chan[0].extend(ima_adpcm_expand(nibbles, *states[0]))
+        else:
+            if len(body) % (4 * channels):
+                raise ValueError(
+                    "IMA ADPCM block body is not whole 4-byte groups per channel"
+                )
+            for g0 in range(0, len(body), 4):
+                c = (g0 // 4) % channels
+                nibbles = []
+                for byte in body[g0 : g0 + 4]:
+                    nibbles.append(byte & 0x0F)
+                    nibbles.append(byte >> 4)
+                pred, idx = states[c]
+                vals, pred, idx = _ima_expand_carry(nibbles, pred, idx)
+                states[c] = (pred, idx)
+                chan[c].extend(vals)
+        n = min(len(ch) for ch in chan)
+        for i in range(n):
+            for c in range(channels):
+                out.append(chan[c][i])
+    return out
 
 
 def synthesize_adpcm(doc_id: int, n_chars: int) -> bytes:
