@@ -892,6 +892,16 @@ def test_jpeg_progressive_successive_approximation_equals_baseline():
         sa = decode_jpeg(_write_jpeg_gray_progressive_sa(flat, al=al))[3]
         assert np.array_equal(sa, base), al
 
+    # DRI/RSTm restarts inside progressive scans: every scan type
+    # byte-aligns at the marker, resets its predictor/EOB-run state
+    # (runs flush before a marker — they never span one), and resumes;
+    # still bit-identical to baseline at several intervals
+    for ri in (1, 2, 5):
+        sa = decode_jpeg(
+            _write_jpeg_gray_progressive_sa(flat, al=2, restart_interval=ri)
+        )[3]
+        assert np.array_equal(sa, base), ri
+
     # fixture: DC-only tiles reassembled from 3 DC scans, value-exact
     for doc_id, n_chars in ((0, 0), (11, 321), (999, 64)):
         fmt, w, h, px = decode_jpeg(synthesize_jpeg_progressive_sa(doc_id, n_chars))

@@ -1574,7 +1574,8 @@ def _write_jpeg_gray_progressive(
 
 
 def _write_jpeg_gray_progressive_sa(
-    gray, quant=None, bands=((1, 5), (6, 63)), al: int = 1
+    gray, quant=None, bands=((1, 5), (6, 63)), al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a FULL progressive
     (SOF2) JPEG with spectral selection AND successive approximation —
@@ -1631,6 +1632,8 @@ def _write_jpeg_gray_progressive_sa(
     out += _jpeg_seg(
         0xFFC4, bytes([0x11]) + bytes(prog_ac_bits) + bytes(prog_ac_vals)
     )
+    if restart_interval:
+        out += _jpeg_seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def sos(ss, se, ah, al_):
         tsel = 0x00 if ss == 0 else 0x01  # DC table 0 / custom AC table 1
@@ -1640,7 +1643,25 @@ def _write_jpeg_gray_progressive_sa(
     # arithmetic shift — Python's >> floors, same as the spec's)
     bw = _JpegBitWriter()
     prev_dc = 0
+    rst = [0, 0]
+
+    def maybe_rst(flush=None):
+        """Emit RSTm every restart_interval blocks (flushing any
+        pending EOB run first — a run never spans a restart); returns
+        True when a marker was emitted so the caller resets state."""
+        n, m = rst
+        hit = restart_interval and n and n % restart_interval == 0
+        if hit:
+            if flush is not None:
+                flush()
+            bw.emit_marker(0xD0 + m)
+            rst[1] = (m + 1) % 8
+        rst[0] = n + 1
+        return bool(hit)
+
     for zz in blocks:
+        if maybe_rst():
+            prev_dc = 0
         v = zz[0] >> al
         t, bits = _jpeg_magnitude(v - prev_dc)
         prev_dc = v
@@ -1652,15 +1673,17 @@ def _write_jpeg_gray_progressive_sa(
     # DC refinement bit planes al-1 .. 0 (one raw bit per block)
     for lvl in range(al - 1, -1, -1):
         bw = _JpegBitWriter()
+        rst = [0, 0]
         for zz in blocks:
+            maybe_rst()  # byte-align marker only; no predictor state
             bw.write((zz[0] >> lvl) & 1, 1)
         out += sos(0, 0, lvl + 1, lvl) + bw.flush()
 
     for ss, se in bands:
         # AC first scan at al: magnitudes shift TOWARD ZERO (G.1.2.2)
         bw = _JpegBitWriter()
+        rst = [0, 0]
         eobrun = 0
-        pending = []  # blocks' encodings buffered while an EOB run grows
 
         def flush_eobrun():
             nonlocal eobrun
@@ -1673,6 +1696,7 @@ def _write_jpeg_gray_progressive_sa(
                 eobrun = 0
 
         for zz in blocks:
+            maybe_rst(flush_eobrun)
             vals = [
                 (abs(zz[i]) >> al) * (1 if zz[i] >= 0 else -1)
                 for i in range(ss, se + 1)
@@ -1706,6 +1730,7 @@ def _write_jpeg_gray_progressive_sa(
         # AC refinement scans al-1 .. 0 (G.1.2.3)
         for lvl in range(al - 1, -1, -1):
             bw = _JpegBitWriter()
+            rst = [0, 0]
             p1 = 1 << (lvl + 1)
             eobrun = 0
             ebits: list = []  # correction bits buffered across the EOB run
@@ -1724,6 +1749,7 @@ def _write_jpeg_gray_progressive_sa(
                 ebits.clear()
 
             for zz in blocks:
+                maybe_rst(flush_eobrun2)
                 absv = [abs(zz[i]) >> lvl for i in range(ss, se + 1)]
                 # EOB = position after the LAST newly-significant coeff
                 eob_j = -1
@@ -1808,6 +1834,7 @@ def _decode_jpeg_progressive(payload: bytes):
     comp_q = None
     blocks = None
     nb = 0
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -1854,11 +1881,7 @@ def _decode_jpeg_progressive(payload: bytes):
             nb = ((h + 7) // 8) * ((w + 7) // 8)
             blocks = [[0] * 64 for _ in range(nb)]
         elif marker == 0xFFDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise ValueError(
-                    "restart markers in progressive scans unsupported"
-                )
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFDA:
             if blocks is None:
                 raise ValueError("SOS before SOF2")
@@ -1868,6 +1891,21 @@ def _decode_jpeg_progressive(payload: bytes):
             scan_start = pos + 2 + length
             scan_stop = _jpeg_scan_end(payload, scan_start)
             br = _JpegBitReader(payload[scan_start:scan_stop])
+            # T.81 restart protocol per scan: for non-interleaved
+            # single-component scans the restart interval counts
+            # BLOCKS; each RSTm byte-aligns and resets the scan's
+            # entropy state (DC predictor / EOB run — encoders flush
+            # EOB runs before a marker, a run never spans one)
+            rst_n = [0, 0]  # [blocks processed, next expected RSTm]
+
+            def scan_restart() -> bool:
+                n, m = rst_n
+                hit = restart_interval and n and n % restart_interval == 0
+                if hit:
+                    br.sync_restart(m)
+                    rst_n[1] = (m + 1) % 8
+                rst_n[0] = n + 1
+                return bool(hit)
             if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC progressive scan must have Se=0")
@@ -1875,17 +1913,22 @@ def _decode_jpeg_progressive(payload: bytes):
                     dc_dec = huff[(0, td)]
                     prev_dc = 0
                     for zz in blocks:
+                        if scan_restart():
+                            prev_dc = 0
                         t = br.read_symbol(dc_dec)
                         prev_dc += _jpeg_extend(br.read_bits(t), t)
                         zz[0] = prev_dc << al
                 else:  # refinement: one raw bit per block (G.1.2.1)
                     for zz in blocks:
+                        scan_restart()  # byte-align + consume RSTm only
                         if br.read_bit():
                             zz[0] |= 1 << al
             elif ah == 0:  # AC band FIRST scan (values << Al, EOBRUN)
                 ac_dec = huff[(1, ta)]
                 eobrun = 0
                 for zz in blocks:
+                    if scan_restart():
+                        eobrun = 0  # a run never spans a restart
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -1922,6 +1965,8 @@ def _decode_jpeg_progressive(payload: bytes):
                         zz[k] += p1 if zz[k] > 0 else m1
 
                 for zz in blocks:
+                    if scan_restart():
+                        eobrun = 0  # a run never spans a restart
                     k = ss
                     if eobrun == 0:
                         while k <= se:
@@ -2007,7 +2052,9 @@ def synthesize_jpeg_progressive_sa(doc_id: int, n_chars: int) -> bytes:
     """Deterministic flat-tile progressive JPEG with SUCCESSIVE
     APPROXIMATION (al=2: DC first scan sends DC>>2, then two DC
     refinement bit-planes; AC bands get first + refinement scans of
-    pure EOB runs): ``wb = n_chars%6+2``, ``hb = n_chars%4+2`` blocks,
+    pure EOB runs; DRI/RST3 restarts embedded — every scan type
+    byte-aligns, resets its predictor/EOB-run state, and resumes):
+    ``wb = n_chars%6+2``, ``hb = n_chars%4+2`` blocks,
     tile value ``v(j) = (a + j) % 256``, ``a = (101*doc_id) % 256``.
     DC-only blocks keep the bit-plane reassembly VALUE-EXACT under the
     DC=8 quant table, so the full SA scan protocol is closed-form
@@ -2022,7 +2069,9 @@ def synthesize_jpeg_progressive_sa(doc_id: int, n_chars: int) -> bytes:
     tiles = ((a + np.arange(hb * wb, dtype=np.int64)) % 256).astype(np.uint8)
     gray = np.kron(tiles.reshape(hb, wb), np.ones((8, 8), dtype=np.uint8))
     return _write_jpeg_gray_progressive_sa(
-        gray, quant=_JPEG_EXACT_DC_QUANT, al=2
+        gray, quant=_JPEG_EXACT_DC_QUANT, al=2,
+        restart_interval=3,  # oracled fixture exercises RSTm in every
+        # progressive scan type (DC first/refine, AC first/refine)
     )
 
 
