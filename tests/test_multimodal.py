@@ -219,10 +219,10 @@ def test_png_rejects_corrupt_and_unsupported():
         decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + good[4:])
-    # sub-byte depth: still honestly unsupported (palette, Adam7 and
-    # 16-bit no longer are) — rebuild IHDR with depth 4 and a fresh CRC
+    # invalid depth: rebuild IHDR with depth 3 and a fresh CRC
+    # (sub-byte gray/palette, Adam7 and 16-bit are all supported now)
     deep = bytearray(good)
-    deep[24] = 4  # bit-depth byte inside IHDR
+    deep[24] = 3  # bit-depth byte inside IHDR
     crc = zlib.crc32(bytes(deep[12:29])) & 0xFFFFFFFF
     deep[29:33] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="unsupported PNG"):
@@ -276,6 +276,21 @@ def test_png_palette_and_adam7_roundtrip():
         ).astype(np.uint8)
         assert px.shape == (h, w, 3)
         assert np.array_equal(px, pal[idx].reshape(h, w, 3))
+
+    # sub-byte (1/2/4-bit) gray + palette in both containers
+    rng2 = np.random.RandomState(2)
+    for depth, npal in ((4, 16), (2, 4), (1, 2)):
+        pal_d = rng2.randint(0, 256, (npal, 3)).astype(np.uint8)
+        for h, w in ((1, 1), (3, 13), (9, 9)):
+            img = rng2.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+            for p_ in (None, pal_d):
+                want = pal_d[img] if p_ is not None else img
+                for interlace in (False, True):
+                    _f, ww, hh, px = decode_png(
+                        _write_png(img, palette=p_, depth=depth, interlace=interlace)
+                    )
+                    assert (ww, hh) == (w, h)
+                    assert np.array_equal(px, want), (depth, h, w, interlace)
 
     # edge geometries x color types x depths x containers
     pal = (np.arange(256 * 3, dtype=np.int64) * 37 % 256).astype(
@@ -738,9 +753,10 @@ def test_png_gray_and_rgba_color_types():
 
     from unity_to_bigquery_spark.llm.multimodal import _PNG_MAGIC, _png_chunk
 
-    # sub-byte depths and 16-bit PALETTE still raise (8-bit palette,
-    # Adam7 and 16-bit gray/truecolor/RGBA are supported as of r7)
-    for depth, color in ((4, 0), (2, 0), (1, 0), (16, 3)):
+    # sub-byte TRUECOLOR/RGBA, 16-bit PALETTE and invalid depths still
+    # raise (gray/palette at 1/2/4/8, gray/truecolor/RGBA at 8/16, and
+    # Adam7 everywhere are supported as of r7)
+    for depth, color in ((4, 2), (2, 6), (16, 3), (3, 0)):
         bad = (
             _PNG_MAGIC
             + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, 0))

@@ -312,7 +312,7 @@ def _png_filter_image(img2d, bpp: int) -> bytes:
     return bytes(out)
 
 
-def _write_png(img, palette=None, interlace: bool = False) -> bytes:
+def _write_png(img, palette=None, interlace: bool = False, depth=None) -> bytes:
     """Encode an array as a PNG: (h, w) -> grayscale (color type 0),
     (h, w, 3) -> truecolor (2), (h, w, 4) -> truecolor+alpha (6); with
     ``palette`` (an (n, 3) uint8 array), (h, w) holds palette INDICES
@@ -327,25 +327,36 @@ def _write_png(img, palette=None, interlace: bool = False) -> bytes:
 
     import numpy as np
 
-    depth = 16 if img.dtype == np.uint16 else 8
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
     if img.ndim == 2:
         h, w = img.shape
         ch, color = 1, (3 if palette is not None else 0)
     else:
         h, w, ch = img.shape
         color = {3: 2, 4: 6}[ch]
-    if palette is not None and depth != 8:
-        raise ValueError("palette PNG indices are 8-bit only")
+    if depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte PNG depths are gray/palette only")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
     raw = img.reshape(h, w, ch)
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * (depth // 8))
 
     def byte_rows(sub):
-        """(h', w', ch) pixel slice -> (h', w'*bpp) byte matrix."""
+        """(h', w', ch) pixel slice -> byte-matrix scanlines (sub-byte
+        depths pack MSB-first with zero row-padding bits)."""
         h_, w_ = sub.shape[0], sub.shape[1]
         if depth == 8:
             return sub.reshape(h_, w_ * ch)
-        be = np.ascontiguousarray(sub.reshape(h_, w_ * ch)).astype(">u2")
-        return np.frombuffer(be.tobytes(), np.uint8).reshape(h_, w_ * bpp)
+        if depth == 16:
+            be = np.ascontiguousarray(sub.reshape(h_, w_ * ch)).astype(">u2")
+            return np.frombuffer(be.tobytes(), np.uint8).reshape(h_, w_ * bpp)
+        vals = sub.reshape(h_, w_).astype(np.uint8)
+        bits = (
+            (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(h_, w_ * depth)
+        return np.packbits(bits, axis=1)
 
     if interlace:
         out = bytearray()
@@ -377,14 +388,17 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(data: bytes, offset: int, w: int, h: int, bpp: int) -> bytes:
+def _png_unfilter(
+    data: bytes, offset: int, stride: int, h: int, bpp: int
+) -> bytes:
     """Spec-literal sequential unfiltering of one (sub-)image: ``h``
-    scanlines of ``w*bpp`` bytes each, each preceded by its filter-type
-    byte, starting at ``offset`` in the decompressed stream (PNG 1.2
-    §6: Recon from Filt + already-reconstructed neighbors; filter
-    distance = bpp). Returns the h*w*bpp reconstructed bytes — shared
-    by the non-interlaced path (one call) and Adam7 (one call per
-    non-empty pass: each pass filters independently, prior row resets).
+    scanlines of ``stride`` bytes each, each preceded by its filter-
+    type byte, starting at ``offset`` in the decompressed stream (PNG
+    1.2 §6: Recon from Filt + already-reconstructed neighbors; filter
+    distance ``bpp`` = ceil(depth/8)*channels, 1 for sub-byte depths).
+    Returns the h*stride reconstructed bytes — shared by the
+    non-interlaced path (one call) and Adam7 (one call per non-empty
+    pass: each pass filters independently, prior row resets).
 
     Reconstruction stays spec-sequential where the spec demands it
     (Average/Paeth depend on already-reconstructed left neighbors)
@@ -395,7 +409,6 @@ def _png_unfilter(data: bytes, offset: int, w: int, h: int, bpp: int) -> bytes:
     wrapping add."""
     import numpy as np
 
-    stride = w * bpp
     need = h * (stride + 1)
     if offset + need > len(data):
         raise ValueError(
@@ -460,8 +473,10 @@ def decode_png(payload: bytes):
     NON-INTERLACED and ADAM7 interlaced (7 independently-filtered
     reduced passes, deinterlaced by the §8.2 pass geometry). Returns
     ("png", w, h, uint8/uint16 array: (h,w) grayscale, (h,w,3)
-    truecolor/palette, (h,w,4) RGBA). Sub-byte depths and 16-bit
-    palette raise ValueError."""
+    truecolor/palette, (h,w,4) RGBA), plus SUB-BYTE depths 1/2/4 for
+    gray and palette (MSB-first bit-packed, zero-padded byte rows,
+    filter distance 1). 16-bit palette and sub-byte truecolor raise
+    ValueError."""
     import struct
     import zlib
 
@@ -492,39 +507,50 @@ def decode_png(payload: bytes):
         raise ValueError("PNG missing IHDR")
     w, h, bit_depth, color, comp, filt_method, interlace = ihdr
     if (
-        bit_depth not in (8, 16)
+        bit_depth not in (1, 2, 4, 8, 16)
         or color not in (0, 2, 3, 6)
         or (bit_depth == 16 and color == 3)
+        or (bit_depth in (1, 2, 4) and color not in (0, 3))
         or comp != 0
         or filt_method != 0
         or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color}, "
-            f"interlace={interlace}): 8-bit gray/truecolor/palette/RGBA "
-            "or 16-bit gray/truecolor/RGBA, non-interlaced or Adam7 only"
+            f"interlace={interlace}): gray/palette at 1/2/4/8 bits, "
+            "gray/truecolor/RGBA at 8/16 bits, non-interlaced or Adam7"
         )
     if color == 3 and plte is None:
         raise ValueError("PNG color type 3 missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    # PNG filters operate on BYTES at ceil(depth/8)*channels spacing
-    bpp = ch * (bit_depth // 8)
-    pxdtype = np.uint8 if bit_depth == 8 else np.uint16
+    # PNG filters operate on BYTES at max(1, ceil(depth/8)*channels)
+    # spacing; sub-byte depths pack MSB-first with byte-padded rows
+    bpp = max(1, ch * (bit_depth // 8))
+    pxdtype = np.uint16 if bit_depth == 16 else np.uint8
+
+    def stride_of(w_: int) -> int:
+        return (w_ * ch * bit_depth + 7) // 8
 
     def pixels(raw: bytes, w_: int, h_: int):
         if bit_depth == 8:
             arr = np.frombuffer(raw, dtype=np.uint8)
-        else:
+        elif bit_depth == 16:
             arr = np.frombuffer(raw, dtype=">u2").astype(np.uint16)
+        else:  # 1/2/4-bit: unpack MSB-first, drop row padding bits
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h_, stride_of(w_))
+            bits = np.unpackbits(rows, axis=1)[:, : w_ * bit_depth]
+            groups = bits.reshape(h_, w_, bit_depth)
+            weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+            return (groups * weights).sum(axis=2).astype(np.uint8)
         return arr.reshape(h_, w_) if ch == 1 else arr.reshape(h_, w_, ch)
 
     data = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(data) != h * (w * bpp + 1):
+        if len(data) != h * (stride_of(w) + 1):
             raise ValueError(
-                f"PNG data length {len(data)} != expected {h * (w * bpp + 1)}"
+                f"PNG data length {len(data)} != expected {h * (stride_of(w) + 1)}"
             )
-        img = pixels(_png_unfilter(data, 0, w, h, bpp), w, h)
+        img = pixels(_png_unfilter(data, 0, stride_of(w), h, bpp), w, h)
     else:
         # Adam7: 7 consecutive sub-images, each filtered independently;
         # empty passes (zero width or height) contribute no bytes
@@ -535,8 +561,10 @@ def decode_png(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub = pixels(_png_unfilter(data, offset, pw, ph, bpp), pw, ph)
-            offset += ph * (pw * bpp + 1)
+            sub = pixels(
+                _png_unfilter(data, offset, stride_of(pw), ph, bpp), pw, ph
+            )
+            offset += ph * (stride_of(pw) + 1)
             img[y0::dy, x0::dx] = sub
         if offset != len(data):
             raise ValueError(
@@ -619,6 +647,49 @@ def synthesize_png16_media(docs: DataFrame) -> DataFrame:
                     "fmt": "png",
                     "payload": [
                         synthesize_png16(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def synthesize_png_pal4(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic 4-BIT palette PNG (16 colors — the icon/graphics
+    format): indices are the ramp ``idx(i) = (a + i) % 16`` over the
+    standard geometry, ``a = (41*doc_id) % 16``; the 16-entry palette
+    is the closed form ``((7j + doc_id) % 256, (11j + 2*doc_id) % 256,
+    (13j + 5) % 256)``. EVEN doc_ids non-interlaced, ODD Adam7 — one
+    fixture family puts sub-byte bit-packing (MSB-first, zero-padded
+    byte rows, filter distance 1) under the hash in both layouts."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 16
+    idx = ((a + np.arange(w * h, dtype=np.int64)) % 16).astype(np.uint8)
+    j = np.arange(16, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return _write_png(
+        idx.reshape(h, w), palette=pal, depth=4, interlace=bool(doc_id % 2)
+    )
+
+
+def synthesize_png_pal4_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): 4-bit palette PNGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "png",
+                    "payload": [
+                        synthesize_png_pal4(int(d), int(c))
                         for d, c in zip(pdf["doc_id"], pdf["n_chars"])
                     ],
                 }

@@ -1102,6 +1102,83 @@ def m_png16_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_png_pal4_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 16 AS BIGINT) AS a
+      FROM documents
+    ), e AS (
+      SELECT doc_id, width, height, a,
+             CAST(width AS BIGINT) * height AS n_ids
+      FROM d
+    ), pj AS (
+      SELECT e.*, t.j,
+             (7 * t.j + e.doc_id) % 256  AS p0,
+             (11 * t.j + 2 * e.doc_id) % 256 AS p1,
+             (13 * t.j + 5) % 256        AS p2,
+             (e.n_ids // 16)
+               + CASE WHEN ((t.j - e.a) % 16 + 16) % 16 < e.n_ids % 16
+                      THEN 1 ELSE 0 END  AS cnt
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) t
+    ), agg AS (
+      SELECT doc_id, width, height, a, n_ids,
+             SUM(cnt * (p0 + p1 + p2)) AS byte_sum,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 0 THEN 1 ELSE 0 END))) AS h0,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 1 THEN 1 ELSE 0 END))) AS h1,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 2 THEN 1 ELSE 0 END))) AS h2,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 3 THEN 1 ELSE 0 END))) AS h3
+      FROM pj GROUP BY doc_id, width, height, a, n_ids
+    )
+    SELECT doc_id, 'png' AS fmt, width, height,
+           CAST(n_ids * 3 AS BIGINT) AS n_px,
+           CAST(byte_sum AS BIGINT) AS byte_sum,
+           CAST((7 * a + doc_id) % 256 AS INTEGER) AS first_px,
+           CAST(CASE ((n_ids * 3) // 2) % 3
+                WHEN 0 THEN (7  * ((a + (n_ids * 3) // 2 // 3) % 16) + doc_id) % 256
+                WHEN 1 THEN (11 * ((a + (n_ids * 3) // 2 // 3) % 16) + 2 * doc_id) % 256
+                ELSE        (13 * ((a + (n_ids * 3) // 2 // 3) % 16) + 5) % 256
+                END AS INTEGER) AS mid_px,
+           CAST((13 * ((a + n_ids - 1) % 16) + 5) % 256 AS INTEGER) AS last_px,
+           CAST(h0 AS BIGINT) AS h0, CAST(h1 AS BIGINT) AS h1,
+           CAST(h2 AS BIGINT) AS h2, CAST(h3 AS BIGINT) AS h3,
+           CAST((byte_sum * 1000000) // (n_ids * 3) AS BIGINT) AS mean_fp6
+    FROM agg
+    """,
+    doc=(
+        "4-BIT palette PNG decode, oracle-verified — the sub-byte "
+        "icon/graphics variant: indices pack MSB-first into zero-"
+        "padded byte rows, filters run at distance 1, and the 16-color "
+        "PLTE maps to RGB. Even doc_ids are non-interlaced, odd ADAM7 "
+        "(each pass bit-packs its own padded rows), so one hashed "
+        "query covers sub-byte unpacking in both layouts; the oracle "
+        "is the palette construction at modulus 16 (16-row constant "
+        "series join)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_png_pal4_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_png_pal4_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_png_pal4_media(docs))
+
+
+@query(
     "m_png_palette_decode_verified",
     oracle="""
     WITH d AS (
