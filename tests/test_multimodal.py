@@ -1116,3 +1116,149 @@ def test_y4m_motion_and_wav_energy_kernels():
     assert int(((const[:-1] * const[1:]) < 0).sum()) == 0
     alt = np.array([5, -5] * 8, np.int64)
     assert int(((alt[:-1] * alt[1:]) < 0).sum()) == len(alt) - 1
+
+
+def test_gif_lzw_canonical_pin_and_roundtrips():
+    """The canonical 43-byte 1x1 transparent GIF (a public well-known
+    byte string) decodes to a single background pixel; LZW round-trips
+    across alphabets/widths including the KwKwK (cScSc) case and the
+    4096-entry dictionary reset."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+    )
+
+    onepx = bytes.fromhex(
+        "474946383961010001008000"  # GIF89a, 1x1, GCT(2)
+        "00000000ffffff"            # bg=0 aspect=0; GCT black,white
+        "21f9040100000000"          # GCE: transparency on, index 0
+        "2c000000000100010000"      # image descriptor
+        "0202440100"                # mcs=2; codes CLEAR,0,EOI; term
+        "3b"
+    )
+    w, h, frames = decode_gif(onepx)
+    assert (w, h, len(frames)) == (1, 1, 1)
+    # transparent pixel -> background (palette entry 0 = black) shows
+    assert frames[0].tolist() == [[[0, 0, 0]]]
+
+    rng = np.random.default_rng(7)
+    for mcs in (2, 3, 4, 8):
+        data = bytes(rng.integers(0, 1 << mcs, 4000, dtype=np.uint8))
+        assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data
+    # KwKwK: cScSc pattern forces code == next_code on decode
+    assert (
+        _lzw_decompress(_lzw_compress(b"\x01\x01\x01\x01\x01\x01", 2), 2)
+        == b"\x01\x01\x01\x01\x01\x01"
+    )
+    # > 4096 dictionary entries -> mid-stream CLEAR reset path
+    big = bytes(rng.integers(0, 256, 9000, dtype=np.uint8))
+    assert _lzw_decompress(_lzw_compress(big, 8), 8) == big
+    rep = bytes([5, 6] * 6000)
+    assert _lzw_decompress(_lzw_compress(rep, 8), 8) == rep
+
+
+def test_gif_roundtrip_plain_interlace_anim():
+    """Writer->decoder round-trips reproduce the planted index ramp
+    through the closed-form palette for plain, interlaced, and
+    animated fixtures; interlaced bytes differ on disk but decode
+    byte-identically (the oracle-reuse argument)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_gif,
+        decode_image,
+        decode_real,
+        synthesize_gif,
+        synthesize_gif_anim,
+        synthesize_gif_interlace,
+    )
+
+    for doc_id, n_chars in [(0, 47), (3, 120), (17, 558), (123, 301)]:
+        w = n_chars % 40 + 9
+        h = n_chars % 30 + 9
+        a = (41 * doc_id) % 256
+        idx = ((a + np.arange(w * h)) % 256).astype(np.uint8).reshape(h, w)
+        j = np.arange(256)
+        pal = np.stack(
+            [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        expect = pal[idx]
+        plain = synthesize_gif(doc_id, n_chars)
+        inter = synthesize_gif_interlace(doc_id, n_chars)
+        assert plain != inter  # genuinely different byte layout
+        for payload in (plain, inter):
+            w2, h2, fr = decode_gif(payload)
+            assert (w2, h2, len(fr)) == (w, h, 1)
+            assert np.array_equal(fr[0], expect)
+        # decode_image / decode_real dispatch by magic -> first frame
+        fmt, wi, hi, px = decode_image(plain)
+        assert fmt == "gif" and np.array_equal(px, expect)
+        assert decode_real(inter, "image")["format"] == "gif"
+
+        anim = synthesize_gif_anim(doc_id, n_chars)
+        wa, ha, fr = decode_gif(anim)
+        w3, h3, nf = n_chars % 24 + 8, n_chars % 18 + 8, n_chars % 3 + 2
+        assert (wa, ha, len(fr)) == (w3, h3, nf)
+        for f in range(nf):
+            af = (41 * doc_id + 89 * f) % 256
+            e = pal[((af + np.arange(w3 * h3)) % 256).astype(np.uint8).reshape(h3, w3)]
+            assert np.array_equal(fr[f], e)
+
+
+def test_gif_subrect_composite_and_disposal():
+    """Hand-built multi-frame GIF with a SUB-RECT second frame:
+    compositing must leave pixels outside the rect from the prior
+    frame, and disposal=2 must restore the background before the
+    following frame."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import _write_gif, decode_gif
+
+    # build by hand from _write_gif output pieces: simplest is a
+    # direct byte assembly reusing the writer for full frames, then a
+    # manual sub-rect frame
+    import struct
+
+    from unity_to_bigquery_spark.llm.multimodal import _lzw_compress
+
+    pal = np.zeros((256, 3), np.uint8)
+    pal[1] = (10, 20, 30)
+    pal[2] = (40, 50, 60)
+    pal[3] = (70, 80, 90)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 0x07, 0, 0)
+    out += pal.tobytes()
+
+    def frame(left, top, fw, fh, val, disposal):
+        b = bytearray()
+        b += b"\x21\xf9\x04" + struct.pack("<BHB", disposal << 2, 1, 0) + b"\x00"
+        b += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        codes = _lzw_compress(bytes([val] * (fw * fh)), 8)
+        b += bytes([8])
+        for i in range(0, len(codes), 255):
+            chunk = codes[i : i + 255]
+            b += bytes([len(chunk)]) + chunk
+        b += b"\x00"
+        return b
+
+    out += frame(0, 0, 4, 4, 1, 1)       # full frame of color 1
+    out += frame(1, 1, 2, 2, 2, 2)       # sub-rect color 2, disposal=2
+    out += frame(0, 0, 1, 1, 3, 0)       # single pixel color 3
+    out += b"\x3b"
+    w, h, fr = decode_gif(bytes(out))
+    assert (w, h, len(fr)) == (4, 4, 3)
+    assert np.array_equal(fr[0], np.tile(pal[1], (4, 4, 1)))
+    # frame 2: color-1 border, color-2 center 2x2
+    want = np.tile(pal[1], (4, 4, 1))
+    want[1:3, 1:3] = pal[2]
+    assert np.array_equal(fr[1], want)
+    # frame 3: disposal=2 restored the 2x2 rect to BACKGROUND
+    # (palette entry 0 = black), then one pixel of color 3 on top
+    want2 = np.tile(pal[1], (4, 4, 1))
+    want2[1:3, 1:3] = pal[0]
+    want2[0, 0] = pal[3]
+    assert np.array_equal(fr[2], want2)

@@ -90,11 +90,16 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     the payload's container header is parsed and actual pixels/samples
     come back. Public formats implemented here without codec libraries:
     24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib zlib; gray/
-    truecolor/RGBA/PALETTE, non-interlaced + Adam7), and baseline JPEG
+    truecolor/RGBA/PALETTE, non-interlaced + Adam7), GIF (87a/89a
+    LZW, plain + interlaced; first frame), and baseline JPEG
     — grayscale, 4:4:4, 4:2:0, and 4:2:2 color (T.81) — for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
-    if payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_MAGIC:
+    if (
+        payload[:2] in (b"BM", b"P6")
+        or payload[:8] == _PNG_MAGIC
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+    ):
         fmt, w, h, px = decode_image(payload)
         return {"format": fmt, "width": w, "height": h, "pixels": px}
     if payload[:2] == b"\xff\xd8":
@@ -107,7 +112,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     raise ValueError(
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
         "engine decodes BMP/PPM/PNG(gray/truecolor/RGBA/palette, "
-        "plain+Adam7)/JPEG(baseline gray+4:4:4+4:2:0+4:2:2, "
+        "plain+Adam7)/GIF(LZW, plain+interlaced+animated)/"
+        "JPEG(baseline gray+4:4:4+4:2:0+4:2:2, "
         "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
         "(MP3/H.264) need PIL/ffmpeg"
     )
@@ -174,7 +180,8 @@ def decode_image(payload: bytes):
     array in logical top-down row-major order — BMP's bottom-up BGR
     storage and row padding are undone here, exactly what PIL would
     hand back for the same file. Supports 24bpp BI_RGB BMP,
-    maxval-255 binary PPM, 8-bit truecolor PNG (``decode_png``), and
+    maxval-255 binary PPM, 8-bit truecolor PNG (``decode_png``), GIF
+    (``decode_gif``; first frame, like PIL convert('RGB')), and
     baseline JPEG (``decode_jpeg``; grayscale expanded to RGB exactly
     like PIL's L->RGB convert); anything else raises ValueError."""
     import struct
@@ -188,6 +195,9 @@ def decode_image(payload: bytes):
         elif px.shape[2] == 4:  # RGBA -> RGB, like PIL convert (alpha dropped)
             px = px[:, :, :3]
         return fmt, w, h, px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, frames = decode_gif(payload)
+        return "gif", w, h, frames[0]  # first frame, like PIL convert('RGB')
     if payload[:2] == b"\xff\xd8":
         fmt, w, h, px = decode_jpeg(payload)
         if px.ndim == 2:
@@ -3327,3 +3337,443 @@ def payload_hashes(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, "doc_id BIGINT, media_type STRING, payload_md5 STRING")
+
+
+# ---- real image codec: GIF (87a/89a, LZW, interlace, animation) -------
+#
+# GIF is the other indexed-color container real web crawls ship in
+# volume (alongside palette PNG, reference-scope: the same opaque
+# media-column pipeline as every codec above). Implemented stdlib-only
+# from the public GIF89a specification: logical screen descriptor +
+# global/local color tables, sub-block framing, the GIF variant of
+# LZW (variable code width 3..12 bits, LSB-first bit packing,
+# CLEAR/EOI codes, 4096-entry dictionary cap with mid-stream CLEAR),
+# the 4-pass row interlace, and GIF89a animation (graphic control
+# extensions, transparency masking, disposal methods 0/1 leave and
+# 2 restore-background). Encoder and decoder implement the
+# code-width-switch timing from opposite sides of the stream (encoder
+# checks the pre-add dictionary size after each emission; decoder
+# checks the post-add size after each received code — the two
+# formulations provably coincide, see _lzw_compress), so a timing bug
+# DESYNCHRONIZES the bit stream and cannot self-cancel against the
+# closed-form SQL oracle; the canonical 43-byte 1x1 GIF and the
+# KwKwK (cScSc) special case are pinned in tests/test_multimodal.py.
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder -> raw code bytes (caller sub-blocks).
+
+    Width-switch timing: the decoder increments its read width AFTER
+    adding its (one-entry-behind) dictionary entry, i.e. after its
+    next_code reaches 2**width. The encoder's dictionary runs one
+    entry ahead, so checking the PRE-add next_code here — after every
+    emission, including the final flush — lands the switch on exactly
+    the same code index in the stream. min_code_size >= 2 per spec.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict = {bytes([i]): i for i in range(clear)}
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur = b""
+    for i in range(len(data)):
+        nxt = cur + data[i : i + 1]
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code == 4096:
+            # dictionary full: reset mid-stream (decoder mirrors by
+            # suspending adds until it sees this CLEAR, read at w=12)
+            emit(clear)
+            width = min_code_size + 1
+            next_code = eoi + 1
+            table = {bytes([j]): j for j in range(clear)}
+        else:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            table[nxt] = next_code
+            next_code += 1
+        cur = data[i : i + 1]
+    if cur:
+        emit(table[cur])
+        # decoder still adds an entry after the FINAL data code — match
+        # its width switch before emitting EOI
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decoder (spec-literal, sequential): variable
+    width LSB-first codes, CLEAR resets, EOI terminates, the
+    code==next_code KwKwK case per GIF89a Appendix F, adds suspended
+    at the 4096-entry cap until the next CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    roots = [bytes([i]) for i in range(clear)]
+    table = roots + [b"", b""]  # CLEAR/EOI placeholders; len(table)==next_code
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # tolerate truncated streams sans EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = min_code_size + 1
+            del table[clear + 2 :]
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt LZW stream (first code {code})")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK: the not-yet-final entry
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code} > dict)")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_rows(h: int) -> list:
+    """Display-row order of stored rows for a 4-pass interlaced image:
+    stored row s renders at display row result[s] (GIF89a §Appendix E)."""
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _write_gif(
+    frames,
+    palette,
+    interlace: bool = False,
+    version: bytes = b"GIF89a",
+    delay_cs: int = 4,
+    loop: bool = False,
+) -> bytes:
+    """Real GIF writer: frames is a list of (h, w) uint8 index arrays
+    (full logical-screen rects), palette a (256, 3) uint8 RGB table.
+    Single frame + GIF87a -> plain still; multiple frames -> GIF89a
+    animation with one graphic control extension per frame (disposal 1,
+    'do not dispose'). Interlaced frames store rows in 4-pass order."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape
+    animated = len(frames) > 1
+    out = bytearray()
+    out += b"GIF89a" if animated else version
+    # GCT present, 8 bits/channel colour resolution, 256-entry table
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    out += np.ascontiguousarray(palette, dtype=np.uint8).tobytes()
+    if animated and loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in frames:
+        if animated:
+            # GCE: disposal=1, no transparency, delay in 1/100 s
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00])  # no LCT, interlace flag
+        data = idx[_gif_interlace_rows(h)] if interlace else idx
+        mcs = 8
+        codes = _lzw_compress(
+            np.ascontiguousarray(data, dtype=np.uint8).tobytes(), mcs
+        )
+        out += bytes([mcs])
+        for i in range(0, len(codes), 255):
+            chunk = codes[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF decode: header + logical screen descriptor walk,
+    global/local color tables, sub-block defragmentation, GIF-LZW
+    expansion, 4-pass de-interlace, and animation compositing
+    (transparency mask from the GCE, disposal 0/1 leave-in-place,
+    2 restore-background). Returns (width, height, [frames]) where
+    every frame is the full composited (h, w, 3) uint8 RGB canvas in
+    top-down row-major order — what PIL's seek(i)/convert('RGB')
+    hands back for the same file."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload (magic {payload[:6]!r})")
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[bg % len(gct)]
+    background = canvas[0, 0].copy() if gct is not None else np.zeros(3, np.uint8)
+    frames = []
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension block
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                gce = payload[pos + 1 : pos + 1 + payload[pos]]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent = gce[3] if gce[0] & 0x01 else None
+            while payload[pos] != 0:  # skip (remaining) sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 == 0x2C:  # image descriptor
+            left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            blocks = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                blocks += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_lzw_decompress(bytes(blocks), mcs), np.uint8)
+            if idx.size < fw * fh:
+                raise ValueError(
+                    f"GIF frame short: {idx.size} px for {fw}x{fh}"
+                )
+            idx = idx[: fw * fh].reshape(fh, fw)
+            if ipacked & 0x40:  # stored rows are in 4-pass order
+                display = np.empty_like(idx)
+                display[_gif_interlace_rows(fh)] = idx
+                idx = display
+            rgb = ct[np.minimum(idx, len(ct) - 1)]
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame rect
+                canvas[top : top + fh, left : left + fw] = background
+            disposal, transparent = 0, None
+            continue
+        raise ValueError(f"corrupt GIF block marker 0x{b0:02x} at {pos}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, frames
+
+
+def synthesize_gif(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic GIF87a still: indices are the ramp
+    ``idx(i) = (41*doc_id + i) % 256`` over ``w = n_chars%40+9``,
+    ``h = n_chars%30+9`` with the SAME closed-form 256-entry palette
+    as :func:`synthesize_png_palette` — so the palette PNG oracle
+    re-derives every decoded-RGB stat for the GIF container verbatim
+    (only the fmt literal differs)."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    idx = ((a + np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return _write_gif([idx.reshape(h, w)], pal, version=b"GIF87a")
+
+
+def synthesize_gif_interlace(doc_id: int, n_chars: int) -> bytes:
+    """Same raster as :func:`synthesize_gif` stored INTERLACED (4-pass
+    row order): the decoder must reproduce the byte-identical image,
+    so the plain variant's closed-form oracle applies verbatim."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    idx = ((a + np.arange(w * h, dtype=np.int64)) % 256).astype(np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return _write_gif([idx.reshape(h, w)], pal, interlace=True)
+
+
+def synthesize_gif_anim(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic GIF89a ANIMATION: ``F = n_chars%3 + 2`` full-rect
+    frames, frame f carrying the ramp ``(41*doc_id + 89*f + i) % 256``
+    through the shared closed-form palette; GCE per frame (disposal 1,
+    4 cs delay) + NETSCAPE2.0 loop block. Per-frame stats have the
+    same 256-residue-count closed form, summed over f in the oracle."""
+    import numpy as np
+
+    w = n_chars % 24 + 8
+    h = n_chars % 18 + 8
+    nf = n_chars % 3 + 2
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    frames = []
+    for f in range(nf):
+        a = (41 * doc_id + 89 * f) % 256
+        frames.append(
+            ((a + np.arange(w * h, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w)
+        )
+    return _write_gif(frames, pal, loop=True)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): plain GIF87a stills."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "gif",
+                    "payload": [
+                        synthesize_gif(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def synthesize_gif_interlace_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): interlaced GIFs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "gif",
+                    "payload": [
+                        synthesize_gif_interlace(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def synthesize_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): animated GIF89a."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "gif",
+                    "payload": [
+                        synthesize_gif_anim(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+GIF_ANIM_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, width INT, height INT, n_frames INT, "
+    "n_px BIGINT, byte_sum BIGINT, f0_first INT, fl_last INT, mean_fp6 BIGINT"
+)
+
+
+def gif_anim_stats(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode stats over Arrow batches: every frame
+    is composited to the full canvas (decode_gif), then integer-exact
+    aggregate stats across ALL frames' RGB bytes — frame count, total
+    byte sum, first byte of frame 0, last byte of the final frame,
+    fixed-point mean. Stats-only output: frames die in the executor;
+    at 100 TB only ~80 bytes/row reach the shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in GIF_ANIM_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_gif(bytes(payload))
+                stack = np.stack(frames).astype(np.int64)
+                n = int(stack.size)
+                s = int(stack.sum())
+                rows.append(
+                    (
+                        int(doc_id), "gif", w, h, len(frames), n, s,
+                        int(stack.reshape(-1)[0]), int(stack.reshape(-1)[-1]),
+                        s * 1_000_000 // n,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, GIF_ANIM_STATS_SCHEMA)

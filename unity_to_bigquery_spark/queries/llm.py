@@ -1178,9 +1178,15 @@ def m_png_pal4_decode_verified(spark, sf_dir):
     return image_decode_stats(synthesize_png_pal4_media(docs))
 
 
-@query(
-    "m_png_palette_decode_verified",
-    oracle="""
+# Closed-form stats oracle for an INDEXED-COLOR container carrying the
+# index ramp idx(i) = (41*doc_id + i) % 256 over w = n%40+9, h = n%30+9
+# through the palette ((7j+id)%256, (11j+2id)%256, (13j+5)%256): the
+# ramp visits each of the 256 index residues floor/ceil(n/256) times,
+# so every decoded-RGB stat reduces to a constant 256-row
+# generate_series join. Shared by palette PNG and plain/interlaced GIF
+# (identical raster in three containers — only the fmt literal
+# differs), exactly the Adam7/progressive-SA oracle-reuse discipline.
+_PAL_RAMP_ORACLE_T = """
     WITH d AS (
       SELECT doc_id,
              CAST(n_chars % 40 + 9 AS INTEGER) AS width,
@@ -1217,7 +1223,7 @@ def m_png_pal4_decode_verified(spark, sf_dir):
                       + (CASE WHEN p2 // 64 = 3 THEN 1 ELSE 0 END))) AS h3
       FROM pj GROUP BY doc_id, width, height, a, n_ids
     )
-    SELECT doc_id, 'png' AS fmt, width, height,
+    SELECT doc_id, '{fmt}' AS fmt, width, height,
            CAST(n_ids * 3 AS BIGINT) AS n_px,
            CAST(byte_sum AS BIGINT) AS byte_sum,
            CAST((7 * a + doc_id) % 256 AS INTEGER) AS first_px,
@@ -1231,7 +1237,12 @@ def m_png_pal4_decode_verified(spark, sf_dir):
            CAST(h2 AS BIGINT) AS h2, CAST(h3 AS BIGINT) AS h3,
            CAST((byte_sum * 1000000) // (n_ids * 3) AS BIGINT) AS mean_fp6
     FROM agg
-    """,
+    """
+
+
+@query(
+    "m_png_palette_decode_verified",
+    oracle=_PAL_RAMP_ORACLE_T.format(fmt="png"),
     doc=(
         "PALETTE (color type 3) PNG decode, oracle-verified (VERDICT "
         "r6 #3 — indexed color is the most common PNG variant the "
@@ -1255,6 +1266,137 @@ def m_png_palette_decode_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return image_decode_stats(synthesize_png_palette_media(docs))
+
+
+@query(
+    "m_gif_decode_verified",
+    oracle=_PAL_RAMP_ORACLE_T.format(fmt="gif"),
+    doc=(
+        "REAL GIF decode, oracle-verified, stdlib-only: procedural "
+        "GIF87a stills (256-entry global color table + a genuine "
+        "variable-width LSB-first LZW compressor with CLEAR/EOI codes "
+        "and the 4096-entry reset, llm/multimodal._lzw_compress) are "
+        "built executor-side, then decode_gif walks the block "
+        "structure, defragments sub-blocks, and expands the LZW "
+        "stream with the spec-literal decoder (KwKwK case, "
+        "width-switch after the post-add dictionary check). The index "
+        "raster and palette are the SAME closed forms as "
+        "m_png_palette_decode_verified, so the identical 256-residue "
+        "oracle re-derives every decoded-RGB stat — a width-timing or "
+        "sub-block bug desynchronizes the bit stream and cannot "
+        "self-cancel. fmt comes from the DECODER's magic detection. "
+        "Encoder/decoder width-switch timing is derived from opposite "
+        "stream sides; the canonical 43-byte 1x1 GIF is pinned in "
+        "tests/test_multimodal.py."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_gif_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # LZW encode/decode is genuinely sequential per payload — spread
+    # the single-file toy table across cores (CLAUDE.md rule 5)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_gif_media(docs))
+
+
+@query(
+    "m_gif_interlace_decode_verified",
+    oracle=_PAL_RAMP_ORACLE_T.format(fmt="gif"),
+    doc=(
+        "4-PASS INTERLACED GIF decode, oracle-verified: the same "
+        "index raster as m_gif_decode_verified stored in GIF's "
+        "row-interleaved pass order (rows 0%8, 4%8, 2%4, 1%2); the "
+        "decoder must scatter stored rows back to display order "
+        "before palette mapping, so the PLAIN variant's closed-form "
+        "oracle applies VERBATIM — any pass-geometry or scatter bug "
+        "breaks the hash (the Adam7/progressive-SA oracle-reuse "
+        "discipline)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_gif_interlace_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_gif_interlace_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_gif_interlace_media(docs))
+
+
+@query(
+    "m_gif_anim_frames_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 24 + 8 AS INTEGER) AS width,
+             CAST(n_chars % 18 + 8 AS INTEGER) AS height,
+             CAST(n_chars % 3 + 2 AS INTEGER) AS nf
+      FROM documents
+    ), e AS (
+      SELECT doc_id, width, height, nf,
+             CAST(width AS BIGINT) * height AS n_ids
+      FROM d
+    ), fj AS (
+      SELECT e.*, f.f, (41 * e.doc_id + 89 * f.f) % 256 AS af
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) f
+      WHERE f.f < e.nf
+    ), pj AS (
+      SELECT fj.doc_id, fj.n_ids, t.j,
+             (7 * t.j + fj.doc_id) % 256  AS p0,
+             (11 * t.j + 2 * fj.doc_id) % 256 AS p1,
+             (13 * t.j + 5) % 256        AS p2,
+             (fj.n_ids // 256)
+               + CASE WHEN ((t.j - fj.af) % 256 + 256) % 256 < fj.n_ids % 256
+                      THEN 1 ELSE 0 END  AS cnt
+      FROM fj CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) t
+    ), agg AS (
+      SELECT doc_id, SUM(cnt * (p0 + p1 + p2)) AS byte_sum
+      FROM pj GROUP BY doc_id
+    )
+    SELECT e.doc_id, 'gif' AS fmt, e.width, e.height,
+           e.nf AS n_frames,
+           CAST(e.nf * e.n_ids * 3 AS BIGINT) AS n_px,
+           CAST(agg.byte_sum AS BIGINT) AS byte_sum,
+           CAST((7 * ((41 * e.doc_id) % 256) + e.doc_id) % 256 AS INTEGER)
+             AS f0_first,
+           CAST((13 * (((41 * e.doc_id + 89 * (e.nf - 1)) % 256
+                        + e.n_ids - 1) % 256) + 5) % 256 AS INTEGER)
+             AS fl_last,
+           CAST((agg.byte_sum * 1000000) // (e.nf * e.n_ids * 3) AS BIGINT)
+             AS mean_fp6
+    FROM e JOIN agg ON e.doc_id = agg.doc_id
+    """,
+    doc=(
+        "ANIMATED GIF89a decode, oracle-verified: multi-frame files "
+        "(graphic control extension per frame, NETSCAPE2.0 loop "
+        "block, disposal 'do not dispose') are composited frame by "
+        "frame onto the logical-screen canvas; stats aggregate over "
+        "ALL composited frames. Each frame's index ramp is phase-"
+        "shifted by 89*f through the shared closed-form palette, so "
+        "the oracle sums the 256-residue counts over a frames x "
+        "palette generate_series grid — frame-count, compositing, or "
+        "per-frame LZW bugs all break the hash. At 100 TB: one "
+        "mapInPandas stage, frames die in the executor, ~80 bytes/row "
+        "shuffle."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_gif_anim_frames_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        gif_anim_stats,
+        synthesize_gif_anim_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return gif_anim_stats(synthesize_gif_anim_media(docs))
 
 
 @query(
