@@ -1262,3 +1262,73 @@ def test_gif_subrect_composite_and_disposal():
     want2[1:3, 1:3] = pal[0]
     want2[0, 0] = pal[3]
     assert np.array_equal(fr[2], want2)
+
+
+def test_tiff_packbits_opcodes_and_strips():
+    """PackBits round-trips across run/literal/no-op shapes (incl.
+    the 128-byte run cap); multi-strip assembly and the II writer /
+    MM reader asymmetry hold."""
+    import struct
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _write_tiff,
+        decode_image,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        n = int(rng.integers(1, 1500))
+        data = (
+            bytes(rng.integers(0, 4, n, dtype=np.uint8))
+            if trial % 2
+            else bytes([trial % 256]) * n
+        )
+        assert _packbits_decode(_packbits_encode(data), n) == data
+    # spec-literal opcode pins: copy 3, repeat 4, no-op, copy 1
+    assert (
+        _packbits_decode(b"\x02abc" + b"\xfdZ" + b"\x80" + b"\x00Q", 8)
+        == b"abcZZZZQ"
+    )
+
+    # multi-strip uncompressed + PackBits round-trip, odd strip tail
+    rgb = (np.arange(11 * 5 * 3) % 256).astype(np.uint8).reshape(11, 5, 3)
+    for comp in (1, 32773):
+        payload = _write_tiff(rgb, compression=comp, rows_per_strip=4)
+        fmt, w, h, px = decode_tiff(payload)
+        assert (fmt, w, h) == ("tiff", 5, 11)
+        assert np.array_equal(px, rgb)
+    # decode_image dispatch by II/MM magic
+    fmt, w, h, px = decode_image(_write_tiff(rgb))
+    assert fmt == "tiff" and np.array_equal(px, rgb)
+
+    # big-endian MM container (reader is wider than the writer)
+    raw = rgb[:2, :3].tobytes()
+    out = bytearray(b"MM" + struct.pack(">HI", 42, 8 + len(raw) + 6))
+    out += raw
+    out += struct.pack(">HHH", 8, 8, 8)
+    tags = [
+        struct.pack(">HHII", 256, 4, 1, 3),
+        struct.pack(">HHII", 257, 4, 1, 2),
+        struct.pack(">HHII", 258, 3, 3, 8 + len(raw)),
+        struct.pack(">HHIHH", 259, 3, 1, 1, 0),
+        struct.pack(">HHIHH", 262, 3, 1, 2, 0),
+        struct.pack(">HHII", 273, 4, 1, 8),
+        struct.pack(">HHIHH", 277, 3, 1, 3, 0),
+        struct.pack(">HHII", 278, 4, 1, 2),
+        struct.pack(">HHII", 279, 4, 1, len(raw)),
+    ]
+    out += struct.pack(">H", len(tags)) + b"".join(tags) + struct.pack(">I", 0)
+    fmt, w, h, px = decode_tiff(bytes(out))
+    assert (fmt, w, h) == ("tiff", 3, 2) and np.array_equal(px, rgb[:2, :3])
+
+    # honest failure on unsupported shapes
+    import pytest
+
+    gray16 = bytearray(_write_tiff(rgb))
+    with pytest.raises(ValueError):
+        decode_tiff(b"II\x2b\x00" + bytes(8))  # BigTIFF magic 43

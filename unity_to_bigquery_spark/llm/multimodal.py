@@ -91,7 +91,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     come back. Public formats implemented here without codec libraries:
     24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib zlib; gray/
     truecolor/RGBA/PALETTE, non-interlaced + Adam7), GIF (87a/89a
-    LZW, plain + interlaced; first frame), and baseline JPEG
+    LZW, plain + interlaced; first frame), baseline TIFF (II/MM,
+    multi-strip, none/PackBits compression), and baseline JPEG
     — grayscale, 4:4:4, 4:2:0, and 4:2:2 color (T.81) — for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
@@ -99,6 +100,10 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         payload[:2] in (b"BM", b"P6")
         or payload[:8] == _PNG_MAGIC
         or payload[:6] in (b"GIF87a", b"GIF89a")
+        or (
+            payload[:2] in (b"II", b"MM")
+            and payload[2:4] in (b"\x2a\x00", b"\x00\x2a")
+        )
     ):
         fmt, w, h, px = decode_image(payload)
         return {"format": fmt, "width": w, "height": h, "pixels": px}
@@ -113,6 +118,7 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
         "engine decodes BMP/PPM/PNG(gray/truecolor/RGBA/palette, "
         "plain+Adam7)/GIF(LZW, plain+interlaced+animated)/"
+        "TIFF(II+MM, none+PackBits)/"
         "JPEG(baseline gray+4:4:4+4:2:0+4:2:2, "
         "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
         "(MP3/H.264) need PIL/ffmpeg"
@@ -198,6 +204,8 @@ def decode_image(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, frames = decode_gif(payload)
         return "gif", w, h, frames[0]  # first frame, like PIL convert('RGB')
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         fmt, w, h, px = decode_jpeg(payload)
         if px.ndim == 2:
@@ -3777,3 +3785,267 @@ def gif_anim_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, GIF_ANIM_STATS_SCHEMA)
+
+
+# ---- real image codec: TIFF (baseline, multi-strip, PackBits) ---------
+#
+# Baseline TIFF 6.0 from the public specification, stdlib-only: the
+# II/MM byte-order header, IFD tag walk (SHORT/LONG types, inline
+# vs offset-stored values), strip assembly via StripOffsets/
+# StripByteCounts/RowsPerStrip, 8-bit RGB (PhotometricInterpretation
+# 2), and Compression 1 (none) + 32773 (PackBits — the stateful RLE
+# every fax/scan pipeline ships). Writer emits little-endian II with
+# multiple strips and offset-stored arrays; the decoder also accepts
+# big-endian MM (pinned in tests) — deliberately wider than the
+# writer so the two sides cannot be mirror images.
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Real PackBits (TIFF 6.0 §9) encoder: runs >=2 become
+    (257-n, byte); literals batch up to 128 and break when a run of
+    >=3 starts. Caps runs at 128 per the format."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits decoder: n in [0,127] copies n+1 literals, n in
+    [-127,-1] (two's complement) repeats the next byte 1-n times,
+    -128 is a no-op. Stops at ``expected`` output bytes."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError(f"PackBits short: {len(out)} < {expected}")
+    return bytes(out[:expected])
+
+
+def _write_tiff(rgb, compression: int = 1, rows_per_strip: int = 7) -> bytes:
+    """Real baseline TIFF writer (II little-endian): 8-bit RGB strips
+    with offset-stored BitsPerSample/StripOffsets/StripByteCounts
+    arrays; compression 1 (none) or 32773 (PackBits), applied PER
+    STRIP as the spec requires."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    raw = rgb.reshape(h, w * 3)
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        strip = raw[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(strip) if compression == 32773 else strip)
+    nst = len(strips)
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    pos += 6
+    if nst > 1:
+        so_off = pos
+        pos += 4 * nst
+        sc_off = pos
+        pos += 4 * nst
+    ifd_off = pos
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tid, ttype, count, value)
+
+    def tag_short(tid: int, value: int) -> bytes:
+        # SHORT count 1: value left-justified in the 4-byte field (II)
+        return struct.pack("<HHIHH", tid, 3, 1, value, 0)
+
+    tags = [
+        tag(256, 4, 1, w),
+        tag(257, 4, 1, h),
+        tag(258, 3, 3, bits_off),
+        tag_short(259, compression),
+        tag_short(262, 2),
+        tag(273, 4, nst, so_off if nst > 1 else strip_offsets[0]),
+        tag_short(277, 3),
+        tag(278, 4, 1, rows_per_strip),
+        tag(279, 4, nst, sc_off if nst > 1 else len(strips[0])),
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack("<HHH", 8, 8, 8)
+    if nst > 1:
+        out += struct.pack(f"<{nst}I", *strip_offsets)
+        out += struct.pack(f"<{nst}I", *[len(s) for s in strips])
+    out += struct.pack("<H", len(tags))
+    for t in tags:
+        out += t
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """REAL TIFF decode: byte-order-aware (II and MM) IFD walk with
+    inline-vs-offset value resolution, strip reassembly, PackBits
+    expansion per strip. Returns ('tiff', w, h, (h,w,3) uint8 RGB).
+    Supports baseline 8-bit RGB (PhotometricInterpretation 2,
+    SamplesPerPixel 3), Compression 1/32773; anything else raises."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF payload (magic {payload[:2]!r})")
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic number {magic}")
+    (ntags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    entries = {}
+    for i in range(ntags):
+        tid, ttype, count = struct.unpack_from(bo + "HHI", payload, ifd_off + 2 + 12 * i)
+        entries[tid] = (ttype, count, ifd_off + 2 + 12 * i + 8)
+
+    def values(tid: int, default=None):
+        if tid not in entries:
+            if default is not None:
+                return default
+            raise ValueError(f"TIFF missing required tag {tid}")
+        ttype, count, vpos = entries[tid]
+        size = {3: 2, 4: 4}.get(ttype)
+        if size is None:
+            raise ValueError(f"unsupported TIFF tag type {ttype} (tag {tid})")
+        if size * count > 4:
+            (vpos,) = struct.unpack_from(bo + "I", payload, vpos)
+        fmt = bo + str(count) + ("H" if ttype == 3 else "I")
+        return list(struct.unpack_from(fmt, payload, vpos))
+
+    w = values(256)[0]
+    h = values(257)[0]
+    bits = values(258, [8])
+    comp = values(259, [1])[0]
+    photometric = values(262)[0]
+    spp = values(277, [1])[0]
+    if photometric != 2 or spp != 3 or any(b != 8 for b in bits):
+        raise ValueError(
+            f"unsupported TIFF (photometric={photometric}, spp={spp}, bits={bits})"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    rps = values(278, [h])[0]
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    out = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - i * rps)
+        expected = rows * w * spp
+        chunk = payload[off : off + cnt]
+        out += _packbits_decode(chunk, expected) if comp == 32773 else chunk[:expected]
+    if len(out) != h * w * spp:
+        raise ValueError(f"TIFF strip data short: {len(out)} != {h * w * spp}")
+    px = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+    return "tiff", w, h, px
+
+
+def synthesize_tiff(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic UNCOMPRESSED multi-strip TIFF: the truecolor byte
+    ramp v(i) = (41*doc_id + i) % 256 over w = n_chars%40+9,
+    h = n_chars%30+9 — the SAME raster as synthesize_png, so the PNG
+    ramp oracle applies verbatim (fmt literal aside)."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    px = ((a + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(np.uint8)
+    return _write_tiff(px.reshape(h, w, 3), compression=1, rows_per_strip=7)
+
+
+def synthesize_tiff_packbits(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic PACKBITS TIFF with per-row run+literal structure:
+    row r carries (w*3-3) bytes of c(r) = (41*doc_id + r) % 256 (a
+    long run — splits at the 128-byte PackBits cap for w > 43)
+    followed by the literal tail (c+1, c+2, c+3) % 256. Every row
+    exercises both RLE opcodes; per-row stats have closed form over
+    h <= 38 rows (a generate_series join in the oracle)."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    row_len = w * 3
+    rows = []
+    for r in range(h):
+        c = (41 * doc_id + r) % 256
+        row = np.full(row_len, c, np.int64)
+        row[-3:] = [(c + 1) % 256, (c + 2) % 256, (c + 3) % 256]
+        rows.append(row)
+    px = (np.stack(rows) % 256).astype(np.uint8).reshape(h, w, 3)
+    return _write_tiff(px, compression=32773, rows_per_strip=5)
+
+
+def synthesize_tiff_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): uncompressed TIFFs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "tiff",
+                    "payload": [
+                        synthesize_tiff(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def synthesize_tiff_packbits_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): PackBits TIFFs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "tiff",
+                    "payload": [
+                        synthesize_tiff_packbits(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)

@@ -1400,6 +1400,117 @@ def m_gif_anim_frames_verified(spark, sf_dir):
 
 
 @query(
+    "m_tiff_decode_verified",
+    oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
+    doc=(
+        "REAL baseline TIFF decode, oracle-verified, stdlib-only: "
+        "procedural little-endian (II) multi-strip TIFFs — IFD with "
+        "offset-stored BitsPerSample/StripOffsets/StripByteCounts "
+        "arrays, RowsPerStrip=7 so every image has 2+ strips — are "
+        "built executor-side, then llm/multimodal.decode_tiff walks "
+        "the IFD (inline-vs-offset value resolution per TIFF 6.0) and "
+        "reassembles the strips. The raster is the SAME truecolor "
+        "ramp as m_png_decode_verified, so the PNG ramp oracle "
+        "applies verbatim — a strip-boundary, tag-type, or offset bug "
+        "breaks the hash. The decoder also accepts big-endian MM "
+        "(pinned in tests), wider than the writer emits."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_tiff_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_tiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_tiff_media(docs))
+
+
+@query(
+    "m_tiff_packbits_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 256 AS BIGINT) AS a
+      FROM documents
+    ), rj AS (
+      SELECT d.doc_id, d.width, d.height, d.a, r.r,
+             (d.a + r.r) % 256 AS c,
+             CAST(d.width * 3 - 3 AS BIGINT) AS run_len
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 38)) AS r) r
+      WHERE r.r < d.height
+    ), rv AS (
+      SELECT doc_id, width, height, a, run_len, c,
+             (c + 1) % 256 AS t1, (c + 2) % 256 AS t2, (c + 3) % 256 AS t3
+      FROM rj
+    ), agg AS (
+      SELECT doc_id, width, height, a,
+             SUM(run_len * c + t1 + t2 + t3) AS byte_sum,
+             SUM(run_len * (CASE WHEN c // 64 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t1 // 64 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t2 // 64 = 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t3 // 64 = 0 THEN 1 ELSE 0 END)) AS h0,
+             SUM(run_len * (CASE WHEN c // 64 = 1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t1 // 64 = 1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t2 // 64 = 1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t3 // 64 = 1 THEN 1 ELSE 0 END)) AS h1,
+             SUM(run_len * (CASE WHEN c // 64 = 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t1 // 64 = 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t2 // 64 = 2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t3 // 64 = 2 THEN 1 ELSE 0 END)) AS h2,
+             SUM(run_len * (CASE WHEN c // 64 = 3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t1 // 64 = 3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t2 // 64 = 3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN t3 // 64 = 3 THEN 1 ELSE 0 END)) AS h3
+      FROM rv GROUP BY doc_id, width, height, a
+    )
+    SELECT doc_id, 'tiff' AS fmt, width, height,
+           CAST(width AS BIGINT) * height * 3 AS n_px,
+           CAST(byte_sum AS BIGINT) AS byte_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST(CASE
+                WHEN ((CAST(width AS BIGINT) * height * 3) // 2) % (width * 3)
+                     < width * 3 - 3
+                THEN (a + ((CAST(width AS BIGINT) * height * 3) // 2) // (width * 3)) % 256
+                ELSE ((a + ((CAST(width AS BIGINT) * height * 3) // 2) // (width * 3)) % 256
+                      + ((CAST(width AS BIGINT) * height * 3) // 2) % (width * 3)
+                      - width * 3 + 4) % 256
+                END AS INTEGER) AS mid_px,
+           CAST((a + height + 2) % 256 AS INTEGER) AS last_px,
+           CAST(h0 AS BIGINT) AS h0, CAST(h1 AS BIGINT) AS h1,
+           CAST(h2 AS BIGINT) AS h2, CAST(h3 AS BIGINT) AS h3,
+           CAST((byte_sum * 1000000) // (CAST(width AS BIGINT) * height * 3)
+                AS BIGINT) AS mean_fp6
+    FROM agg
+    """,
+    doc=(
+        "PACKBITS (Compression 32773) TIFF decode, oracle-verified: "
+        "every row is a long run (splitting at PackBits' 128-byte cap "
+        "for wide images) plus a 3-byte literal tail, compressed PER "
+        "STRIP with a real run-detecting encoder and expanded by the "
+        "spec-literal decoder (copy/repeat/no-op opcodes). Per-row "
+        "stats have closed form, so the oracle is a <=39-row "
+        "generate_series join — an opcode, run-cap, or strip-boundary "
+        "bug breaks the hash."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_tiff_packbits_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_tiff_packbits_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_tiff_packbits_media(docs))
+
+
+@query(
     "m_jpeg_decode_verified",
     oracle="""
     WITH d AS (
