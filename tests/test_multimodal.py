@@ -1332,3 +1332,41 @@ def test_tiff_packbits_opcodes_and_strips():
     gray16 = bytearray(_write_tiff(rgb))
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2b\x00" + bytes(8))  # BigTIFF magic 43
+
+
+def test_wav_deep_pcm24_float32_extensible():
+    """PCM24 sign-extension, float32 via the WAVE_FORMAT_EXTENSIBLE
+    SubFormat GUID, and honest failures on malformed extensible fmt."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_wav,
+        synthesize_wav_deep,
+    )
+
+    for doc_id, n_chars in [(0, 47), (1, 47), (6, 553), (17, 299)]:
+        n = n_chars % 512 + 64
+        a = (131 * doc_id) % 4096
+        base = ((a + 193 * np.arange(n)) % 4096) - 2048
+        d = decode_wav(synthesize_wav_deep(doc_id, n_chars))
+        s = np.asarray(d["samples"]).astype(np.int64)
+        if doc_id % 2 == 0:
+            assert d["encoding"] == "pcm24"
+            assert np.array_equal(s, base * 257)  # negatives sign-extended
+        else:
+            assert d["encoding"] == "float32"
+            assert d["samples"].dtype == np.float32
+            assert np.array_equal(s, base)
+
+    # extensible fmt chunk too short to hold the GUID -> honest error
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 64000, 4, 32)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad)

@@ -2517,7 +2517,10 @@ def synthesize_wav(doc_id: int, n_chars: int) -> bytes:
 
 def decode_wav(payload: bytes) -> dict:
     """REAL WAV decode: walk the RIFF chunk list, parse the fmt
-    chunk, and return the int16 linear sample array. PCM16 (format 1),
+    chunk, and return the linear sample array (int16 for 16-bit
+    encodings, int32 for PCM24, float32 for IEEE-float data). PCM16 +
+    PCM24 (format 1), IEEE float32 (format 3), WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE — real code recovered from the SubFormat GUID),
     G.711 mu-law (7) and A-law (6) companded audio — expanded with the
     exact integer algorithms, audioop-cross-checked — and IMA/DVI
     ADPCM (format 17, block-structured 4-bit differential codes
@@ -2530,21 +2533,37 @@ def decode_wav(payload: bytes) -> dict:
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a WAV payload (magic {payload[:4]!r})")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+        # two bytes of the SubFormat GUID at offset 24 of the fmt body
+        if fmt_body is None or len(fmt_body) < 26:
+            raise ValueError("extensible WAV fmt chunk too short")
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2")
         encoding = "pcm16"
+    elif audio_format == 1 and bits == 24:
+        b3 = np.frombuffer(data, dtype=np.uint8)
+        b3 = b3[: len(b3) // 3 * 3].reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+        encoding = "pcm24"
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4")
+        encoding = "float32"
     elif audio_format in (6, 7) and bits == 8:
         # G.711 companded audio: expand via the 256-entry integer table
         expand = ulaw_to_linear if audio_format == 7 else alaw_to_linear
@@ -4049,3 +4068,111 @@ def synthesize_tiff_packbits_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+# ---- real audio codec: deep PCM (24-bit + IEEE float32) ---------------
+#
+# The two WAV encodings pro-audio and DAW exports actually ship beyond
+# CD-style PCM16: packed 3-byte two's-complement PCM24 and IEEE
+# float32 (format code 3), the latter wrapped in WAVE_FORMAT_EXTENSIBLE
+# (format 0xFFFE + SubFormat GUID) as modern writers emit it. Sample
+# values are planted as exact integers (|v| <= 2048*257 for PCM24 —
+# inside 24 bits; plain |v| <= 2048 for float32 — float32 is exact on
+# all integers < 2**24), so every decoded stat is integer-exact and a
+# SQL oracle re-derives it from the generator formula.
+
+
+def synthesize_wav_deep(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic deep-PCM WAV: ``n = n_chars%512 + 64`` mono
+    samples of ``base(i) = ((a + 193*i) % 4096) - 2048`` with
+    ``a = (131*doc_id) % 4096``; even doc_ids store ``base * 257`` as
+    packed little-endian PCM24, odd doc_ids store ``base`` as IEEE
+    float32 inside a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID
+    carrying format code 3)."""
+    import struct
+
+    import numpy as np
+
+    n = n_chars % 512 + 64
+    a = (131 * doc_id) % 4096
+    base = ((a + 193 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+    rate = 16000
+    if doc_id % 2 == 0:
+        v = (base * 257).astype(np.int64)
+        u = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        data = np.zeros((n, 3), np.uint8)
+        data[:, 0] = u & 0xFF
+        data[:, 1] = (u >> 8) & 0xFF
+        data[:, 2] = (u >> 16) & 0xFF
+        data = data.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 3, 3, 24)
+    else:
+        data = base.astype("<f4").tobytes()
+        subformat = b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, rate, rate * 4, 4, 32)
+            + struct.pack("<HHI", 22, 32, 0x4)  # cbSize, valid bits, mask
+            + subformat
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synthesize_wav_deep_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, payload): PCM24/float32 WAVs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_wav_deep(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+WAV_DEEP_STATS_SCHEMA = (
+    "doc_id BIGINT, encoding STRING, channels INT, sample_rate INT, "
+    "n_samples BIGINT, sample_sum BIGINT, first_s INT, mid_s INT, last_s INT"
+)
+
+
+def wav_deep_stats(media: DataFrame) -> DataFrame:
+    """REAL deep-PCM decode stats: the RIFF walk + extensible-fmt
+    resolution happens in decode_wav; planted sample values are exact
+    integers in both encodings, so the int64 cast is lossless and the
+    stats row is integer-exact. The ENCODING column comes from the
+    decoder's format dispatch, not fixture metadata."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in WAV_DEEP_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                s = np.asarray(d["samples"]).astype(np.int64)
+                n = int(s.size)
+                rows.append(
+                    (
+                        int(doc_id), d["encoding"], d["channels"],
+                        d["sample_rate"], n, int(s.sum()),
+                        int(s[0]), int(s[n // 2]), int(s[-1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, WAV_DEEP_STATS_SCHEMA)

@@ -1511,6 +1511,61 @@ def m_tiff_packbits_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_wav_deep_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 512 + 64 AS BIGINT) AS n,
+             (131 * doc_id) % 4096 AS a,
+             CASE WHEN doc_id % 2 = 0 THEN 'pcm24' ELSE 'float32' END AS enc,
+             CASE WHEN doc_id % 2 = 0 THEN 257 ELSE 1 END AS scale
+      FROM documents
+    ), s AS (
+      SELECT d.doc_id, (((d.a + 193 * i.i) % 4096) - 2048) * d.scale AS v
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 575)) AS i) i
+      WHERE i.i < d.n
+    ), agg AS (
+      SELECT doc_id, SUM(v) AS sample_sum FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.enc AS encoding,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           d.n AS n_samples,
+           CAST(agg.sample_sum AS BIGINT) AS sample_sum,
+           CAST(((d.a % 4096) - 2048) * d.scale AS INTEGER) AS first_s,
+           CAST((((d.a + 193 * (d.n // 2)) % 4096) - 2048) * d.scale
+                AS INTEGER) AS mid_s,
+           CAST((((d.a + 193 * (d.n - 1)) % 4096) - 2048) * d.scale
+                AS INTEGER) AS last_s
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc=(
+        "DEEP-PCM WAV decode, oracle-verified: even doc_ids carry "
+        "packed 3-byte two's-complement PCM24 (values base*257, "
+        "inside 24 bits), odd doc_ids IEEE float32 wrapped in "
+        "WAVE_FORMAT_EXTENSIBLE (format 0xFFFE; the decoder recovers "
+        "code 3 from the SubFormat GUID). Planted samples are exact "
+        "integers in both encodings — float32 is exact on |v| < 2^24 "
+        "— so sample sums and positional probes are integer-exact and "
+        "the oracle re-derives them from the generator formula via a "
+        "generate_series join. The encoding column comes from the "
+        "DECODER's format dispatch (a GUID or sign-extension bug "
+        "flips it or the probes)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_wav_deep_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_wav_deep_media,
+        wav_deep_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return wav_deep_stats(synthesize_wav_deep_media(docs))
+
+
+@query(
     "m_jpeg_decode_verified",
     oracle="""
     WITH d AS (
