@@ -646,3 +646,75 @@ def sig_agreement6(a, b) -> "Column":
         * 1000000.0
         + 0.5
     ).cast("long")
+
+
+def exact_substring_spans(
+    docs: DataFrame, k: int = 32, stride: int = 1
+) -> DataFrame:
+    """EXACT substring-span duplication (the suffix-array-free
+    distributed form of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every length-``k`` character
+    window (at ``stride``) is hashed, windows whose hash appears in
+    MORE THAN ONE document are duplicated spans, and each document
+    reports its duplicated-window count and fraction.
+
+    Scale design (100 TB): the window text never travels — ``md5`` is
+    taken in the same projection the window is cut in, so only
+    (doc_id, 32-byte hash) rows reach the exchange. Two hash-keyed
+    shuffles (doc-level combine, then corpus-level share count) and
+    one doc_id-keyed join back; all keys are uniform by construction
+    (hash output), so there is no skew. ``stride`` trades recall for
+    a linear cost divisor on real corpora; the default 1 is the exact
+    Lee setting. Production would swap md5 for xxhash64 (8-byte keys,
+    no hex) — md5 is kept here because the DuckDB oracle has the
+    identical function, making the whole pipeline hash-verifiable.
+    """
+    # windows at positions 0, stride, ... <= n_chars-k
+    n_windows = F.expr(f"CAST((n_chars - {k}) DIV {stride} + 1 AS BIGINT)")
+    grams = (
+        docs.filter(F.col("n_chars") >= k)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chars") - k, F.lit(stride))
+            ).alias("p"),
+        )
+        .select("doc_id", F.md5(F.expr(f"substring(text, p + 1, {k})")).alias("gh"))
+    )
+    per_doc_gram = grams.groupBy("doc_id", "gh").agg(F.count("*").alias("n_occ"))
+    shared = (
+        per_doc_gram.groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    per_doc = (
+        per_doc_gram.join(shared, "gh")
+        .groupBy("doc_id")
+        .agg(F.sum("n_occ").alias("n_dup_grams"))
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") >= k, n_windows)
+            .otherwise(0)
+            .cast("long")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.when(
+                F.col("n_chars") >= k,
+                # integer DIV keeps the fixed-point exact cross-engine
+                F.expr(
+                    f"coalesce(n_dup_grams, 0) * 1000000 "
+                    f"div ((n_chars - {k}) div {stride} + 1)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_frac_fp6"),
+        )
+    )

@@ -94,6 +94,55 @@ def d_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "d_exact_substring_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(substr(text, t.p + 1, 32)) AS gh
+      FROM documents,
+           (SELECT unnest(generate_series(0, 600)) AS p) t
+      WHERE n_chars >= 32 AND t.p <= n_chars - 32
+    ), per_doc_gram AS (
+      SELECT doc_id, gh, COUNT(*) AS n_occ FROM g GROUP BY doc_id, gh
+    ), shared AS (
+      SELECT gh FROM per_doc_gram GROUP BY gh HAVING COUNT(*) > 1
+    ), per_doc AS (
+      SELECT p.doc_id, SUM(p.n_occ) AS n_dup
+      FROM per_doc_gram p JOIN shared s ON p.gh = s.gh
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.n_chars >= 32 THEN d.n_chars - 31 ELSE 0 END
+                AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(CASE WHEN d.n_chars >= 32
+                THEN COALESCE(p.n_dup, 0) * 1000000 // (d.n_chars - 31)
+                ELSE 0 END AS BIGINT) AS dup_frac_fp6
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc=(
+        "EXACT substring-span duplication (llm/dedup."
+        "exact_substring_spans — the distributed form of Lee et al. "
+        "2022's exact-substring dedup): every 32-char window is "
+        "hashed IN the cutting projection (only doc_id + hash reach "
+        "the exchange), windows present in >1 document mark "
+        "duplicated spans, and each document reports its duplicated-"
+        "window count and fixed-point fraction. Complements MinHash/"
+        "SimHash near-dup: this is the EXACT detector boilerplate and "
+        "licence blocks trip. Uniform hash keys -> skew-free "
+        "shuffles; stride parameter = linear cost divisor at 100 TB."
+    ),
+    tags=("llm", "dedup"),
+)
+def d_exact_substring_spans(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    # toy single-file table: spread the explode fan-out (CLAUDE.md #5)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return exact_substring_spans(docs, k=32)
+
+
+@query(
     "d_simhash",
     oracle="""
     WITH words AS (
