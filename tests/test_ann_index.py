@@ -397,3 +397,50 @@ def test_compact_shrinks_files_and_preserves_serving(spark, sf_dir, tmp_path):
     after = sorted(map(tuple, idx.topk(queries, k=5, nprobe=4).collect()))
     assert after == before
     assert idx.refresh() == v  # still a no-op, not a re-fold
+
+
+def test_filtered_topk_pushdown_identity_and_predicate(spark, sf_dir, tmp_path):
+    """FILTERED serving (meta_cols denormalization): (1) the pruned +
+    pushed-down path is bit-identical to filtering a FULL assignments
+    read through the same ivf_search plan; (2) every returned neighbor
+    satisfies the predicate; (3) an unfiltered serve on the same
+    meta_cols index matches the plain-index differential (meta columns
+    are payload, not semantics)."""
+    from unity_to_bigquery_spark.llm.similarity import ivf_search, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = AnnIndex(
+        spark, str(tmp_path / "index"), src, ncells=16, meta_cols=("label",)
+    )
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = idx.topk(queries, k=5, nprobe=6, where="label % 3 = 0")
+    rows = served.collect()
+
+    # (1) identity vs an UNPRUNED full read filtered before the same plan
+    full = (
+        idx.assignments.read()
+        .select("vec_id", "embedding", "cell_id", "label")
+        .filter("label % 3 = 0")
+    )
+    fresh = ivf_search(full, queries, idx.centroid_frame(), k=5, nprobe=6)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, fresh.collect()))
+
+    # (2) predicate holds on every returned neighbor
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert rows and all(labels[r.vec_id] % 3 == 0 for r in rows)
+
+    # (3) unfiltered serve from the meta_cols index == plain differential
+    served_all = sorted(map(tuple, idx.topk(queries, k=5, nprobe=4).collect()))
+    fresh_all = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, queries, idx.centroid_frame(), k=5, nprobe=4).collect(),
+        )
+    )
+    assert served_all == fresh_all

@@ -109,6 +109,7 @@ class AnnIndex:
         vec_col: str = "embedding",
         ncells: int | None = None,
         seed: int = 7,
+        meta_cols: tuple = (),
     ):
         self.spark = spark
         self.source = source
@@ -116,6 +117,12 @@ class AnnIndex:
         self.vec_col = vec_col
         self.ncells = ncells
         self.seed = seed
+        # metadata columns DENORMALIZED into the cell-partitioned
+        # assignments at build/refresh time: filtered serving pushes
+        # its predicate into the probed-cell scan instead of joining
+        # back to the source (at 100 TB the join would re-shuffle the
+        # corpus; a stored column is a pushed-down parquet filter)
+        self.meta_cols = tuple(meta_cols)
         self.centroids = VersionedTable(spark, os.path.join(root, "centroids"))
         # cell-partitioned + distinct-set-indexed: probed-cell serving
         # skips whole files via the manifest, no data IO for cold cells
@@ -143,7 +150,7 @@ class AnnIndex:
     def _assignment_rows(self, vecs: DataFrame, cents: DataFrame, v: int) -> DataFrame:
         best = ivf_best_cells(vecs, cents, self.id_col, self.vec_col, nassign=1)
         return (
-            vecs.select(self.id_col, self.vec_col)
+            vecs.select(self.id_col, self.vec_col, *self.meta_cols)
             .join(best, on=self.id_col)
             .select(
                 F.col(self.id_col),
@@ -151,6 +158,7 @@ class AnnIndex:
                 F.col("sim6"),
                 F.lit(v).cast("long").alias("src_version"),
                 F.col(self.vec_col),
+                *[F.col(c) for c in self.meta_cols],
             )
         )
 
@@ -233,7 +241,7 @@ class AnnIndex:
     # ---- serving ---------------------------------------------------------
     def topk(
         self, queries: DataFrame, k: int = 5, nprobe: int = 4,
-        query_id: str = "query_id",
+        query_id: str = "query_id", where: str | None = None,
     ) -> DataFrame:
         """Serve approximate top-k from the STORED index — no training,
         no corpus-wide assignment, no join back to the source. Probes
@@ -241,7 +249,15 @@ class AnnIndex:
         assignments scan is pruned to the probed cells via manifest
         stats (the bounded driver step is one |Q|×nprobe cell-id
         collect); scoring is the shared ``ivf_search`` plan, so results
-        are bit-identical to ``ivf_topk`` under the same centroids."""
+        are bit-identical to ``ivf_topk`` under the same centroids.
+
+        ``where`` (FILTERED ANN): a SQL predicate over ``meta_cols``
+        applied INSIDE the probed-cell scan — pre-filtering, the
+        vector-database semantics where every returned neighbor
+        satisfies the predicate and ranks are computed among matches
+        only. Selective predicates thin the candidate pool per cell,
+        so raise ``nprobe`` accordingly (the recall/selectivity
+        trade-off is the operator's, not hidden)."""
         cents = self.centroid_frame()
         q = queries.select(
             F.col(self.id_col).alias(query_id), F.col(self.vec_col).alias("__qvec")
@@ -262,8 +278,10 @@ class AnnIndex:
             .collect()  # bounded: <= |Q| * nprobe cell ids
         ]
         assigned = self.assignments.read_pruned_eq("cell_id", probed_ids).select(
-            self.id_col, self.vec_col, "cell_id"
+            self.id_col, self.vec_col, "cell_id", *self.meta_cols
         )
+        if where is not None:
+            assigned = assigned.filter(F.expr(where))
         return ivf_search(
             assigned, queries, cents, k=k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col, query_id=query_id,

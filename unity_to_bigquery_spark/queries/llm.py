@@ -2522,6 +2522,56 @@ def sim_index_topk(spark, sf_dir):
 
 
 @query(
+    "sim_index_filtered_topk",
+    oracle=None,  # approx by construction; DIFFERENTIAL-tested: the
+    # pruned+pushed-down filtered serve is pinned bit-identical to
+    # filtering a full assignments read through the same ivf_search
+    # plan, and every returned neighbor provably satisfies the
+    # predicate (tests/test_ann_index.py)
+    doc=(
+        "FILTERED ANN serving from the persisted IVF index (vector-"
+        "database pre-filter semantics): metadata columns are "
+        "DENORMALIZED into the cell-partitioned assignments at build/"
+        "refresh time (AnnIndex meta_cols), so a predicate like "
+        "label % 3 = 0 is a pushed-down parquet filter INSIDE the "
+        "manifest-pruned probed-cell scan — no join back to the "
+        "source, no corpus shuffle. Every returned neighbor satisfies "
+        "the predicate and ranks are computed among matches only; "
+        "nprobe is raised 4->6 because selective predicates thin each "
+        "probed cell (the recall/selectivity trade-off made "
+        "explicit). At 100 TB: predicate + cell pruning compose "
+        "multiplicatively on scan bytes."
+    ),
+    tags=("llm", "similarity", "ann", "index", "versioned"),
+)
+def sim_index_filtered_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"ann_index_filtered_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = AnnIndex(
+        spark, os.path.join(root, "index"), src, ncells=16, meta_cols=("label",)
+    )
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+    queries = emb.filter(F.col("vec_id") < 5)
+    return idx.topk(queries, k=5, nprobe=6, where="label % 3 = 0")
+
+
+@query(
     "sim_index_pq_topk",
     oracle=None,  # approx by construction; DIFFERENTIAL-tested: served
     # results pinned bit-identical to a fresh full-corpus encode under
