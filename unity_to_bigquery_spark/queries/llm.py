@@ -143,6 +143,75 @@ def d_exact_substring_spans(spark, sf_dir):
 
 
 @query(
+    "p_gram_index_report",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, md5(substr(text, t.p + 1, 32)) AS gh
+      FROM documents,
+           (SELECT unnest(generate_series(0, 600)) AS p) t
+      WHERE n_chars >= 32 AND t.p <= n_chars - 32
+    ), per_doc_gram AS (
+      SELECT doc_id, gh, COUNT(*) AS n_occ FROM g GROUP BY doc_id, gh
+    ), shared AS (
+      SELECT gh FROM per_doc_gram GROUP BY gh HAVING COUNT(*) > 1
+    ), per_doc AS (
+      SELECT p.doc_id, SUM(p.n_occ) AS n_dup
+      FROM per_doc_gram p JOIN shared s ON p.gh = s.gh
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.n_chars >= 32 THEN d.n_chars - 31 ELSE 0 END
+                AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(CASE WHEN d.n_chars >= 32
+                THEN COALESCE(p.n_dup, 0) * 1000000 // (d.n_chars - 31)
+                ELSE 0 END AS BIGINT) AS dup_frac_fp6
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc=(
+        "PERSISTED GRAM INDEX with incremental CDC refresh (llm/"
+        "gram_index.GramIndex — the production form of exact-substring "
+        "dedup): 90% of the corpus is ingested into a versioned "
+        "documents table and indexed with build(); the last 10% is "
+        "appended and folded by refresh(), a PURE APPEND of the "
+        "delta's gram rows (no existing state file touched — gram "
+        "rows are immutable facts, so the index is write-optimal "
+        "where aggregated counts would rewrite every hash-uniform "
+        "file per batch). The served dup_report() re-aggregates state "
+        "at read time and must equal the one-shot batch operator on "
+        "the full corpus — which is exactly what the oracle computes, "
+        "so the ORACLE hash-verifies the whole build+refresh+serve "
+        "composition, not just one query plan. Window text never "
+        "persists; state ~ hashes + small ints."
+    ),
+    tags=("llm", "dedup", "versioned", "index"),
+)
+def p_gram_index_report(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.gram_index import GramIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"gram_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "docs"))
+    src.commit_append(docs.filter(F.col("doc_id") % 10 != 0))
+    gi = GramIndex(spark, os.path.join(root, "index"), src)
+    gi.build()
+    src.commit_append(docs.filter(F.col("doc_id") % 10 == 0))
+    gi.refresh()
+    return gi.dup_report()
+
+
+@query(
     "d_simhash",
     oracle="""
     WITH words AS (
