@@ -1370,3 +1370,51 @@ def test_wav_deep_pcm24_float32_extensible():
     )
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_warc_parse_framing_and_strictness():
+    """WARC reader: plain (non-gzip) records, folded headers, missing
+    Content-Length / short blocks / bad version lines raise, and
+    response HTTP bodies honor the inner Content-Length."""
+    import pytest
+
+    from unity_to_bigquery_spark.sources.warc import (
+        gzip_members,
+        parse_warc,
+        synthesize_warc,
+    )
+
+    # plain uncompressed record stream (gzip_members passthrough)
+    block = b"HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nabcXXX"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"X-Folded: one\r\n two\r\n"
+        + f"Content-Length: {len(block)}\r\n\r\n".encode()
+        + block
+        + b"\r\n\r\n"
+    )
+    out = parse_warc(rec)
+    assert len(out) == 1
+    # inner Content-Length trims the trailing XXX slack
+    assert out[0]["body"] == b"abc" and out[0]["http_status"] == 200
+    assert list(gzip_members(rec)) == [rec]
+
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.0\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+    with pytest.raises(ValueError, match="short"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: 99\r\n\r\nabc")
+
+    # synthesized archives: member-per-record, deterministic, parseable
+    p = synthesize_warc(11, 202)
+    assert p[:2] == b"\x1f\x8b"
+    members = list(gzip_members(p))
+    nresp = 202 % 3 + 1
+    assert len(members) == 1 + 2 * nresp  # one member per record
+    recs = parse_warc(p)
+    assert [r["warc_type"] for r in recs[:3]] == [
+        "warcinfo", "request", "response",
+    ]
