@@ -1418,3 +1418,37 @@ def test_warc_parse_framing_and_strictness():
     assert [r["warc_type"] for r in recs[:3]] == [
         "warcinfo", "request", "response",
     ]
+
+
+def test_zip_member_walk_and_crc():
+    """ZIP extraction: stored+deflated members round-trip with CRC
+    verification; a flipped payload byte raises BadZipFile instead of
+    silently returning corrupt data."""
+    import zipfile as zf_mod
+
+    import pytest
+
+    from unity_to_bigquery_spark.sources.archives import (
+        synthesize_zip,
+        zip_members,
+    )
+
+    p = synthesize_zip(7, 123)
+    assert p == synthesize_zip(7, 123)  # bit-deterministic
+    members = zip_members(p)
+    nm = 123 % 4 + 2
+    assert len(members) == nm
+    for m, info in enumerate(members):
+        a = (23 * 7 + 11 * m) % 256
+        length = 123 % 150 + 40 + 5 * m
+        assert info["name"] == f"doc/7/{m}.bin"
+        assert info["method"] == ("stored" if m % 2 == 0 else "deflated")
+        assert info["data"] == bytes((a + i) % 256 for i in range(length))
+
+    # corrupt one byte inside the first STORED member's data area:
+    # zipfile must catch it via CRC, not hand back garbage
+    first_data_off = p.index(b"doc/7/0.bin") + len(b"doc/7/0.bin")
+    bad = bytearray(p)
+    bad[first_data_off + 5] ^= 0xFF
+    with pytest.raises(zf_mod.BadZipFile):
+        zip_members(bytes(bad))

@@ -1752,6 +1752,66 @@ def m_warc_extract_verified(spark, sf_dir):
 
 
 @query(
+    "m_zip_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars % 4 + 2 AS INTEGER) AS nm,
+             CAST(n_chars % 150 + 40 AS BIGINT) AS l0
+      FROM documents
+    ), mm AS (
+      SELECT d.doc_id, d.nm, m.m,
+             (23 * d.doc_id + 11 * m.m) % 256 AS a,
+             d.l0 + 5 * m.m AS len
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS m) m
+      WHERE m.m < d.nm
+    ), mv AS (
+      SELECT doc_id, nm, a, len, a + len AS m1 FROM mm
+    ), agg AS (
+      SELECT doc_id, nm,
+             SUM(len) AS total_bytes,
+             SUM((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                 - ((a * (a - 1)) // 2)) AS byte_sum
+      FROM mv GROUP BY doc_id, nm
+    )
+    SELECT d2.doc_id,
+           CAST(agg.nm AS INTEGER) AS n_members,
+           CAST(agg.nm // 2 AS INTEGER) AS n_deflated,
+           CAST(agg.nm * (10 + length(CAST(d2.doc_id AS VARCHAR)))
+                AS BIGINT) AS name_len_sum,
+           CAST(agg.total_bytes AS BIGINT) AS total_bytes,
+           CAST(agg.byte_sum AS BIGINT) AS byte_sum,
+           CAST((23 * d2.doc_id) % 256 AS INTEGER) AS first_b,
+           CAST(((23 * d2.doc_id + 11 * (agg.nm - 1)) % 256
+                 + d2.n_chars % 150 + 40 + 5 * (agg.nm - 1) - 1) % 256
+                AS INTEGER) AS last_b
+    FROM documents d2 JOIN agg ON d2.doc_id = agg.doc_id
+    """,
+    doc=(
+        "REAL ZIP extraction, oracle-verified (sources/archives.py): "
+        "procedural .zip archives with STORED and DEFLATED members "
+        "planted alternately are walked via the central directory and "
+        "every member read CRC-32-verified; per-archive stats (member/"
+        "method counts, name lengths, body totals, positional probes) "
+        "have closed forms the oracle re-derives per member via a "
+        "generate_series join. Completes the landing-zone container "
+        "matrix (gzip NDJSON, WARC, zip). Payloads die in the "
+        "executor; ~60 bytes/row shuffle."
+    ),
+    tags=("multimodal", "udf", "source"),
+)
+def m_zip_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.sources.archives import (
+        synthesize_zip_media,
+        zip_extract_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return zip_extract_stats(synthesize_zip_media(docs))
+
+
+@query(
     "m_jpeg_decode_verified",
     oracle="""
     WITH d AS (
