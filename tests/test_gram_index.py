@@ -140,3 +140,48 @@ def test_dup_against_history_and_compact(spark, sf_dir, tmp_path):
     assert sorted(after.items()) == before_hist
     # bookmark survives compaction
     assert gi.indexed_version() == src.latest_version()
+
+
+def test_streaming_gram_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """ann_index_ingest_sink is contract-generic: draining a document
+    stream through it leaves the GRAM INDEX at the stream head with
+    dup_report equal to the one-shot batch operator over everything
+    ingested; a second drain (no new data) is a txn no-op."""
+    from unity_to_bigquery_spark.streaming.stream import ann_index_ingest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    rows = docs.collect()
+    landing = str(tmp_path / "landing")
+    for lo, hi in ((0, 200), (200, 350), (350, 500)):
+        spark.createDataFrame(rows[lo:hi], docs.schema).coalesce(1).write.mode(
+            "append"
+        ).json(landing)
+
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    gi = GramIndex(spark, str(tmp_path / "gi"), src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING, n_chars BIGINT")
+            .option("maxFilesPerTrigger", "1")
+            .json(landing)
+            .writeStream.foreachBatch(ann_index_ingest_sink(gi, "gram-ingest"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert gi.indexed_version() == src.latest_version() >= 2
+    assert src.read().count() == 500
+
+    got = _report(gi)
+    want = sorted(map(tuple, exact_substring_spans(docs, k=32).collect()))
+    assert got == want
+
+    v0, n0 = gi.indexed_version(), gi.state.read().count()
+    drain()  # replay: nothing new
+    assert gi.indexed_version() == v0 and gi.state.read().count() == n0

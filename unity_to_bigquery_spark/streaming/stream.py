@@ -649,8 +649,10 @@ def ann_index_ingest_sink(index, app_id: str):
     ``txn=(app_id, batch_id)`` (a replayed micro-batch no-ops) and the
     refresh carries the index's own source-version bookmark, so a
     crash anywhere between append, refresh, and checkpoint advance
-    re-runs as no-ops. Works with either index flavor — AnnIndex and
-    PqIndex share the build/refresh/indexed_version contract."""
+    re-runs as no-ops. Works with any derived-state index honoring the
+    build/refresh/indexed_version/source contract — AnnIndex, PqIndex,
+    and the exact-substring GramIndex (llm/gram_index.py) all do, so
+    one sink maintains vector AND dedup state from the same stream."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         index.source.commit_append(batch_df, txn=(app_id, batch_id))
