@@ -1452,3 +1452,43 @@ def test_zip_member_walk_and_crc():
     bad[first_data_off + 5] ^= 0xFF
     with pytest.raises(zf_mod.BadZipFile):
         zip_members(bytes(bad))
+
+
+def test_tiff_lzw_early_change_and_predictor():
+    """TIFF-variant LZW: MSB-first packing, early width change, Clear
+    at 4094 (exercised via >30k-symbol streams), KwKwK; predictor 2
+    differencing round-trips; the two LZW variants produce DIFFERENT
+    bit streams for the same input (no shared-code mirror)."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _lzw_compress,
+        _lzw_compress_tiff,
+        _lzw_decompress_tiff,
+        _write_tiff,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        n = int(rng.integers(1, 30000))
+        data = (
+            bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            if trial % 2
+            else bytes([trial % 7]) * n
+        )
+        assert _lzw_decompress_tiff(_lzw_compress_tiff(data), n) == data
+    assert (
+        _lzw_decompress_tiff(_lzw_compress_tiff(b"\x05" * 5)) == b"\x05" * 5
+    )
+    # same payload, different variant -> different bits (GIF mcs=8)
+    sample = bytes(rng.integers(0, 256, 500, dtype=np.uint8))
+    assert _lzw_compress_tiff(sample) != _lzw_compress(sample, 8)
+
+    for _ in range(3):
+        rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        for comp, pred in ((1, 2), (5, 1), (5, 2), (32773, 2)):
+            fmt, w, h, px = decode_tiff(
+                _write_tiff(rgb, compression=comp, rows_per_strip=4, predictor=pred)
+            )
+            assert np.array_equal(px, rgb), (comp, pred)

@@ -92,7 +92,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
     24-bit BMP, binary PPM (P6), 8-bit PNG (stdlib zlib; gray/
     truecolor/RGBA/PALETTE, non-interlaced + Adam7), GIF (87a/89a
     LZW, plain + interlaced; first frame), baseline TIFF (II/MM,
-    multi-strip, none/PackBits compression), and baseline JPEG
+    multi-strip, none/LZW/PackBits compression, horizontal
+    predictor), and baseline JPEG
     — grayscale, 4:4:4, 4:2:0, and 4:2:2 color (T.81) — for images,
     PCM WAV for audio, YUV4MPEG2 (C444) for video. Unknown magic
     raises ValueError — honestly unsupported, not silently faked."""
@@ -118,7 +119,7 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         f"unsupported {media_type} container (magic {payload[:4]!r}): this "
         "engine decodes BMP/PPM/PNG(gray/truecolor/RGBA/palette, "
         "plain+Adam7)/GIF(LZW, plain+interlaced+animated)/"
-        "TIFF(II+MM, none+PackBits)/"
+        "TIFF(II+MM, none+LZW+PackBits, predictor 2)/"
         "JPEG(baseline gray+4:4:4+4:2:0+4:2:2, "
         "progressive gray)/WAV(pcm16+G.711)/Y4M natively; other codecs "
         "(MP3/H.264) need PIL/ffmpeg"
@@ -3864,22 +3865,34 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def _write_tiff(rgb, compression: int = 1, rows_per_strip: int = 7) -> bytes:
+def _write_tiff(
+    rgb, compression: int = 1, rows_per_strip: int = 7, predictor: int = 1
+) -> bytes:
     """Real baseline TIFF writer (II little-endian): 8-bit RGB strips
     with offset-stored BitsPerSample/StripOffsets/StripByteCounts
-    arrays; compression 1 (none) or 32773 (PackBits), applied PER
-    STRIP as the spec requires."""
+    arrays; compression 1 (none), 5 (LZW), or 32773 (PackBits),
+    applied PER STRIP as the spec requires; predictor 2 stores
+    per-channel horizontal byte deltas (tag 317)."""
     import struct
 
     import numpy as np
 
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
-    raw = rgb.reshape(h, w * 3)
+    if predictor == 2:
+        d = rgb.astype(np.int16)
+        d[:, 1:, :] = d[:, 1:, :] - rgb[:, :-1, :].astype(np.int16)
+        raw = (d % 256).astype(np.uint8).reshape(h, w * 3)
+    else:
+        raw = rgb.reshape(h, w * 3)
     strips = []
     for r0 in range(0, h, rows_per_strip):
         strip = raw[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(strip) if compression == 32773 else strip)
+        if compression == 32773:
+            strip = _packbits_encode(strip)
+        elif compression == 5:
+            strip = _lzw_compress_tiff(strip)
+        strips.append(strip)
     nst = len(strips)
     pos = 8
     strip_offsets = []
@@ -3913,6 +3926,8 @@ def _write_tiff(rgb, compression: int = 1, rows_per_strip: int = 7) -> bytes:
         tag(278, 4, 1, rows_per_strip),
         tag(279, 4, nst, sc_off if nst > 1 else len(strips[0])),
     ]
+    if predictor != 1:
+        tags.append(tag_short(317, predictor))
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     for s in strips:
@@ -3977,8 +3992,11 @@ def decode_tiff(payload: bytes):
         raise ValueError(
             f"unsupported TIFF (photometric={photometric}, spp={spp}, bits={bits})"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rps = values(278, [h])[0]
     offsets = values(273)
     counts = values(279)
@@ -3989,10 +4007,20 @@ def decode_tiff(payload: bytes):
         rows = min(rps, h - i * rps)
         expected = rows * w * spp
         chunk = payload[off : off + cnt]
-        out += _packbits_decode(chunk, expected) if comp == 32773 else chunk[:expected]
+        if comp == 32773:
+            out += _packbits_decode(chunk, expected)
+        elif comp == 5:
+            got = _lzw_decompress_tiff(chunk, expected)
+            if len(got) < expected:
+                raise ValueError(f"TIFF LZW strip short: {len(got)} < {expected}")
+            out += got
+        else:
+            out += chunk[:expected]
     if len(out) != h * w * spp:
         raise ValueError(f"TIFF strip data short: {len(out)} != {h * w * spp}")
     px = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # undo horizontal differencing per channel
+        px = (px.astype(np.int64).cumsum(axis=1) % 256).astype(np.uint8)
     return "tiff", w, h, px
 
 
@@ -4176,3 +4204,154 @@ def wav_deep_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, WAV_DEEP_STATS_SCHEMA)
+
+
+# ---- TIFF LZW (Compression 5) + horizontal predictor ------------------
+#
+# TIFF's LZW is the OTHER variant of the same algorithm GIF uses, and
+# every detail flips: codes pack MSB-FIRST, the alphabet is fixed at
+# 256 roots (Clear=256, EOI=257), the code width switches one code
+# EARLY (the famous "early change" off-by-one that became the
+# standard), and the encoder must emit a Clear at table entry 4094.
+# Horizontal differencing (Predictor tag 317 = 2) stores per-channel
+# byte deltas so continuous-tone rows compress. Having both variants
+# in one codebase, each round-tripped and oracle-verified against
+# closed-form rasters, is strong evidence neither is a mirror-image
+# reimplementation of its own bugs.
+
+
+def _lzw_compress_tiff(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder: MSB-first packing, 9-bit start,
+    EARLY width change (switch when the pre-add next code reaches
+    2**width - 1 — one earlier than GIF), Clear emitted when the
+    table reaches entry 4094 per the spec."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    next_code = eoi + 1
+    table: dict = {bytes([i]): i for i in range(256)}
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    emit(clear)
+    cur = b""
+    for i in range(len(data)):
+        nxt = cur + data[i : i + 1]
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code == 4094:
+            emit(clear)
+            width = 9
+            next_code = eoi + 1
+            table = {bytes([j]): j for j in range(256)}
+        else:
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # EARLY change: one code before GIF would
+            table[nxt] = next_code
+            next_code += 1
+        cur = data[i : i + 1]
+    if cur:
+        emit(table[cur])
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_tiff(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF LZW decoder: MSB-first reads, early width change after the
+    post-add check, adds suspended at entry 4094 pending the Clear."""
+    clear, eoi = 256, 257
+    width = 9
+    roots = [bytes([i]) for i in range(256)]
+    table = roots + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            width = 9
+            del table[258:]
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt TIFF-LZW stream (first code {code})")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt TIFF-LZW stream (code {code})")
+            if len(table) < 4094:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+        if expected is not None and len(out) >= expected:
+            return bytes(out[:expected])
+
+
+def synthesize_tiff_lzw(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic LZW+predictor TIFF: the SAME truecolor ramp as
+    synthesize_tiff — under horizontal differencing the ramp becomes
+    rows of constant +3 deltas (maximal LZW run coverage), and the
+    decoded raster must be byte-identical, so the PNG ramp oracle
+    applies verbatim."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    a = (41 * doc_id) % 256
+    px = ((a + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(np.uint8)
+    return _write_tiff(
+        px.reshape(h, w, 3), compression=5, rows_per_strip=6, predictor=2
+    )
+
+
+def synthesize_tiff_lzw_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): LZW TIFFs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "tiff",
+                    "payload": [
+                        synthesize_tiff_lzw(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)

@@ -1629,6 +1629,35 @@ def m_tiff_packbits_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_tiff_lzw_decode_verified",
+    oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
+    doc=(
+        "TIFF LZW (Compression 5) + HORIZONTAL PREDICTOR (tag 317=2) "
+        "decode, oracle-verified: the GIF chapter's algorithm with "
+        "every convention flipped — MSB-first bit packing, fixed "
+        "256-root alphabet, the 'early change' width switch (one code "
+        "before GIF's), Clear at entry 4094 — plus per-channel byte "
+        "differencing undone by a cumulative sum. The raster is the "
+        "same truecolor ramp (constant +3 deltas under the predictor "
+        "— maximal run coverage), so the PNG ramp oracle applies "
+        "verbatim; both LZW variants round-tripped against the same "
+        "closed forms is the anti-mirror-bug argument "
+        "(llm/multimodal._lzw_compress_tiff)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_tiff_lzw_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_tiff_lzw_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_tiff_lzw_media(docs))
+
+
+@query(
     "m_wav_deep_decode_verified",
     oracle="""
     WITH d AS (
