@@ -1492,3 +1492,32 @@ def test_tiff_lzw_early_change_and_predictor():
                 _write_tiff(rgb, compression=comp, rows_per_strip=4, predictor=pred)
             )
             assert np.array_equal(px, rgb), (comp, pred)
+
+
+def test_aiff_extended_float_and_decode():
+    """80-bit IEEE extended round-trips on real-world rates; AIFF
+    chunk walk honors the SSND offset prelude and big-endian PCM;
+    decode_real dispatches by FORM/AIFF magic."""
+    import numpy as np
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _float80_decode,
+        _float80_encode,
+        decode_aiff,
+        decode_real,
+        synthesize_aiff,
+    )
+
+    for v in (1, 8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert _float80_decode(_float80_encode(v)) == v
+    with pytest.raises(ValueError):
+        _float80_decode(b"\xc0\x0e" + b"\x00" * 8)  # negative rate
+
+    d = decode_aiff(synthesize_aiff(5, 553))
+    n = 553 % 600 + 50
+    a = (59 * 5) % 65536
+    want = ((a + 193 * np.arange(n)) % 65536) - 32768
+    assert d["sample_rate"] == 16000 and d["encoding"] == "pcm16be"
+    assert np.array_equal(np.asarray(d["samples"]).astype(np.int64), want)
+    assert decode_real(synthesize_aiff(5, 553), "audio")["format"] == "aiff"

@@ -113,6 +113,8 @@ def decode_real(payload: bytes, media_type: str) -> dict:
         return {"format": fmt, "width": w, "height": h, "pixels": px}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return decode_aiff(payload)
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     raise ValueError(
@@ -4355,3 +4357,149 @@ def synthesize_tiff_lzw_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+# ---- real audio codec: AIFF (big-endian PCM, IEEE-754 extended) -------
+#
+# AIFF is the IFF-structured counterpart to RIFF/WAVE (Mac/pro-audio
+# exports): all fields BIG-endian, and the sample rate stored as an
+# 80-bit IEEE-754 EXTENDED float in the COMM chunk — the one place
+# this format appears in practice, parsed here exactly (sign/15-bit
+# exponent/explicit-leading-bit 64-bit mantissa) rather than
+# approximated. Samples are signed big-endian PCM in the SSND chunk
+# after its offset/blockSize prelude.
+
+
+def _float80_encode(value: int) -> bytes:
+    """Encode a positive integer as 80-bit IEEE-754 extended —
+    exponent biased 16383, EXPLICIT leading mantissa bit."""
+    import struct
+
+    if value <= 0:
+        raise ValueError("only positive rates")
+    e = value.bit_length() - 1
+    mant = value << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def _float80_decode(b: bytes) -> int:
+    """Decode 80-bit extended to the nearest int (sample rates are
+    integral in practice; the mantissa shift is exact for them)."""
+    import struct
+
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = (se & 0x7FFF) - 16383
+    if e < 0 or e > 62:
+        raise ValueError(f"AIFF sample rate exponent {e} out of range")
+    return mant >> (63 - e)
+
+
+def synthesize_aiff(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic AIFF: ``n = n_chars%600 + 50`` mono PCM16 frames
+    ``v(i) = ((a + 193*i) % 65536) - 32768`` with
+    ``a = (59*doc_id) % 65536``, 16 kHz (80-bit extended), big-endian
+    throughout."""
+    import struct
+
+    import numpy as np
+
+    n = n_chars % 600 + 50
+    a = (59 * doc_id) % 65536
+    samples = (((a + 193 * np.arange(n, dtype=np.int64)) % 65536) - 32768).astype(
+        ">i2"
+    )
+    comm = struct.pack(">hLh", 1, n, 16) + _float80_encode(16000)
+    ssnd = struct.pack(">LL", 0, 0) + samples.tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """REAL AIFF decode: FORM/AIFF chunk walk (big-endian, 2-byte
+    aligned), COMM parse including the 80-bit extended sample rate,
+    SSND offset handling; returns the decode_wav-shaped dict."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError(f"not an AIFF payload (magic {payload[:4]!r})")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from(">4sL", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)  # IFF chunks are 2-byte aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, nframes, bits = struct.unpack_from(">hLh", comm, 0)
+    rate = _float80_decode(comm[8:18])
+    if bits != 16:
+        raise ValueError(f"unsupported AIFF sample size {bits}")
+    offset, _block = struct.unpack_from(">LL", ssnd, 0)
+    data = ssnd[8 + offset : 8 + offset + nframes * channels * 2]
+    samples = np.frombuffer(data, dtype=">i2")
+    return {
+        "format": "aiff",
+        "encoding": "pcm16be",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": nframes,
+        "samples": samples,
+    }
+
+
+def synthesize_aiff_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, payload): AIFF containers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_aiff(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def aiff_decode_stats(media: DataFrame) -> DataFrame:
+    """AIFF decode stats in the wav_deep_stats shape (encoding column
+    from the DECODER); the 80-bit-extended rate lands in sample_rate,
+    so an extended-float bug breaks the hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.split()[0] for f in WAV_DEEP_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_aiff(bytes(payload))
+                s = np.asarray(d["samples"]).astype(np.int64)
+                n = int(s.size)
+                rows.append(
+                    (
+                        int(doc_id), d["encoding"], d["channels"],
+                        d["sample_rate"], n, int(s.sum()),
+                        int(s[0]), int(s[n // 2]), int(s[-1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, WAV_DEEP_STATS_SCHEMA)

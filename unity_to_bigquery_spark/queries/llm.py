@@ -1713,6 +1713,55 @@ def m_wav_deep_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_aiff_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 600 + 50 AS BIGINT) AS n,
+             CAST((doc_id * 59) % 65536 AS BIGINT) AS a
+      FROM documents
+    ), s AS (
+      SELECT d.doc_id, (d.a + 193 * i.i) % 65536 - 32768 AS v
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 649)) AS i) i
+      WHERE i.i < d.n
+    ), agg AS (
+      SELECT doc_id, SUM(v) AS sample_sum FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id, 'pcm16be' AS encoding,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           d.n AS n_samples,
+           CAST(agg.sample_sum AS BIGINT) AS sample_sum,
+           CAST((d.a % 65536) - 32768 AS INTEGER) AS first_s,
+           CAST(((d.a + 193 * (d.n // 2)) % 65536) - 32768 AS INTEGER) AS mid_s,
+           CAST(((d.a + 193 * (d.n - 1)) % 65536) - 32768 AS INTEGER) AS last_s
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc=(
+        "REAL AIFF decode, oracle-verified: the IFF/big-endian "
+        "counterpart to RIFF/WAVE — FORM chunk walk, COMM parse "
+        "including the 80-BIT IEEE-754 EXTENDED sample rate (sign/"
+        "15-bit exponent/explicit-leading-bit mantissa, decoded "
+        "exactly), SSND offset prelude, big-endian PCM16. The rate "
+        "lands in sample_rate and the probes in first/mid/last_s, so "
+        "an extended-float, endianness, or offset bug breaks the "
+        "hash. Completes the audio container matrix (WAV PCM16/24/"
+        "f32/G.711/ADPCM + AIFF)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_aiff_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        aiff_decode_stats,
+        synthesize_aiff_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return aiff_decode_stats(synthesize_aiff_media(docs))
+
+
+@query(
     "m_warc_extract_verified",
     oracle="""
     WITH d AS (
