@@ -1521,3 +1521,37 @@ def test_aiff_extended_float_and_decode():
     assert d["sample_rate"] == 16000 and d["encoding"] == "pcm16be"
     assert np.array_equal(np.asarray(d["samples"]).astype(np.int64), want)
     assert decode_real(synthesize_aiff(5, 553), "audio")["format"] == "aiff"
+
+
+def test_tar_manual_walk_checksum_and_interop():
+    """Manual tar header walk parses stdlib-tarfile output (writer/
+    reader independence), verifies the header checksum, honors
+    512-padding, and fails loudly on corruption."""
+    import zlib
+
+    import pytest
+
+    from unity_to_bigquery_spark.sources.archives import (
+        synthesize_targz,
+        tar_members,
+    )
+
+    for doc_id, n_chars in [(0, 47), (7, 553)]:
+        p = synthesize_targz(doc_id, n_chars)
+        assert p == synthesize_targz(doc_id, n_chars)
+        ms = tar_members(p)
+        nm = n_chars % 3 + 2
+        assert len(ms) == nm
+        for m, info in enumerate(ms):
+            a = (29 * doc_id + 13 * m) % 256
+            length = n_chars % 120 + 30 + 9 * m
+            assert info["name"] == f"data/{doc_id}/{m}.txt"
+            assert info["data"] == bytes((a + i) % 256 for i in range(length))
+
+    raw = zlib.decompress(synthesize_targz(1, 50), 16 + zlib.MAX_WBITS)
+    bad = bytearray(raw)
+    bad[0] ^= 1  # flip a name byte -> checksum must catch it
+    with pytest.raises(ValueError, match="checksum"):
+        tar_members(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        tar_members(b"Z" * 1024)

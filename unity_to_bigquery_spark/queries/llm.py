@@ -1890,6 +1890,67 @@ def m_zip_extract_verified(spark, sf_dir):
 
 
 @query(
+    "m_tar_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars % 3 + 2 AS INTEGER) AS nm,
+             CAST(n_chars % 120 + 30 AS BIGINT) AS l0
+      FROM documents
+    ), mm AS (
+      SELECT d.doc_id, d.nm, m.m,
+             (29 * d.doc_id + 13 * m.m) % 256 AS a,
+             d.l0 + 9 * m.m AS len
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS m) m
+      WHERE m.m < d.nm
+    ), mv AS (
+      SELECT doc_id, nm, m, a, len, a + len AS m1 FROM mm
+    ), agg AS (
+      SELECT doc_id, nm,
+             SUM(10 + length(CAST(doc_id AS VARCHAR))
+                 + length(CAST(m AS VARCHAR))) AS name_len_sum,
+             SUM(len) AS total_bytes,
+             SUM((32640 * (m1 // 256) + ((m1 % 256) * ((m1 % 256) - 1)) // 2)
+                 - ((a * (a - 1)) // 2)) AS byte_sum
+      FROM mv GROUP BY doc_id, nm
+    )
+    SELECT d2.doc_id,
+           CAST(agg.nm AS INTEGER) AS n_members,
+           CAST(agg.name_len_sum AS BIGINT) AS name_len_sum,
+           CAST(agg.total_bytes AS BIGINT) AS total_bytes,
+           CAST(agg.byte_sum AS BIGINT) AS byte_sum,
+           CAST((29 * d2.doc_id) % 256 AS INTEGER) AS first_b,
+           CAST(((29 * d2.doc_id + 13 * (agg.nm - 1)) % 256
+                 + d2.n_chars % 120 + 30 + 9 * (agg.nm - 1) - 1) % 256
+                AS INTEGER) AS last_b
+    FROM documents d2 JOIN agg ON d2.doc_id = agg.doc_id
+    """,
+    doc=(
+        "REAL tar.gz extraction, oracle-verified: archives written by "
+        "STDLIB tarfile (the independent writer) are parsed by a "
+        "MANUAL 512-block header walk — octal fields, ustar magic, "
+        "the spec HEADER CHECKSUM (chksum field blanked to spaces, "
+        "bytes summed, compared octal), 512-padding, zero-block "
+        "terminator — after a whole-stream gunzip (the .tar.gz "
+        "layout, contrasting WARC's member-per-record gzip). "
+        "Member-name lengths (digit-width aware), body totals, and "
+        "ramp probes have closed forms the oracle re-derives. A "
+        "checksum, padding, or octal-parse bug breaks the hash."
+    ),
+    tags=("multimodal", "udf", "source"),
+)
+def m_tar_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.sources.archives import (
+        synthesize_targz_media,
+        tar_extract_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return tar_extract_stats(synthesize_targz_media(docs))
+
+
+@query(
     "m_jpeg_decode_verified",
     oracle="""
     WITH d AS (

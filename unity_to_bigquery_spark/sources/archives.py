@@ -123,3 +123,129 @@ def zip_extract_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, ZIP_STATS_SCHEMA)
+
+
+# ---- tar.gz ------------------------------------------------------------
+#
+# The tar reader is a MANUAL 512-byte-block header walk (octal field
+# parse, ustar magic, HEADER CHECKSUM verification, 512-padding) —
+# while the writer delegates to stdlib tarfile, so the two sides are
+# independent implementations: files any external tool writes parse
+# here, and a reader bug cannot mirror a writer bug. The archive is
+# one gzip stream around the whole tar (the .tar.gz layout), the
+# deliberate contrast to WARC's member-per-record framing.
+
+
+def tar_members(payload: bytes) -> list[dict]:
+    """REAL tar walk: gunzip if magic'd, then 512-block headers —
+    name (NUL-trimmed), size (octal), typeflag, ustar magic check,
+    and the spec checksum (header bytes with the chksum field
+    blanked, summed, compared octal). Regular files only; the
+    two-zero-block terminator ends the walk."""
+    import zlib
+
+    if payload[:2] == b"\x1f\x8b":
+        payload = zlib.decompress(payload, 16 + zlib.MAX_WBITS)
+    out = []
+    pos = 0
+    while pos + 512 <= len(payload):
+        hdr = payload[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"bad tar magic {hdr[257:263]!r} at {pos}")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blanked) != stored:
+            raise ValueError(f"tar header checksum mismatch at {pos}")
+        name = hdr[:100].split(b"\x00")[0].decode("utf-8")
+        size = int(hdr[124:136].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = hdr[156:157]
+        pos += 512
+        data = payload[pos : pos + size]
+        if len(data) != size:
+            raise ValueError(f"tar member {name!r} short: {len(data)} < {size}")
+        pos += (size + 511) // 512 * 512
+        if typeflag in (b"0", b"\x00"):
+            out.append({"name": name, "n_bytes": size, "data": data})
+    return out
+
+
+def synthesize_targz(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic .tar.gz via STDLIB tarfile (the independent
+    writer): ``M = n_chars%3 + 2`` members ``data/<doc_id>/<m>.txt``
+    carrying the ramp ``v(i) = (29*doc_id + 13*m + i) % 256`` of
+    length ``L_m = n_chars%120 + 30 + 9*m``; uid/gid/mtime pinned,
+    whole tar in ONE pinned gzip stream."""
+    import io
+    import tarfile
+    import zlib
+
+    nm = n_chars % 3 + 2
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for m in range(nm):
+            a = (29 * doc_id + 13 * m) % 256
+            length = n_chars % 120 + 30 + 9 * m
+            data = bytes((a + i) % 256 for i in range(length))
+            info = tarfile.TarInfo(f"data/{doc_id}/{m}.txt")
+            info.size = length
+            info.mtime = 0
+            info.uid = info.gid = 0
+            tf.addfile(info, io.BytesIO(data))
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    raw = c.compress(buf.getvalue()) + c.flush()
+    return raw[:4] + b"\x00\x00\x00\x00" + raw[8:]  # pin MTIME
+
+
+def synthesize_targz_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, payload): .tar.gz archives."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synthesize_targz(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+TAR_STATS_SCHEMA = (
+    "doc_id BIGINT, n_members INT, name_len_sum BIGINT, "
+    "total_bytes BIGINT, byte_sum BIGINT, first_b INT, last_b INT"
+)
+
+
+def tar_extract_stats(media: DataFrame) -> DataFrame:
+    """REAL tar.gz extraction stats: gunzip + checksum-verified header
+    walk per archive, reduced to integer-exact aggregates."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in TAR_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                members = tar_members(bytes(payload))
+                datas = [m["data"] for m in members]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(members),
+                        sum(len(m["name"]) for m in members),
+                        sum(len(d) for d in datas),
+                        sum(sum(d) for d in datas),
+                        datas[0][0] if datas and datas[0] else -1,
+                        datas[-1][-1] if datas and datas[-1] else -1,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, TAR_STATS_SCHEMA)
