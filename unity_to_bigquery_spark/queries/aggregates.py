@@ -194,6 +194,41 @@ def a_stats_builtin(spark, sf_dir):
 
 
 @query(
+    "a_regr_ols",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+           ROUND(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "ANSI OLS regression aggregates (regr_count/slope/intercept/"
+        "r2/avgx/avgy — the in-SQL linear-fit family BI layers "
+        "generate): price-vs-quantity per returnflag, rounded per the "
+        "a_stats_builtin float discipline. One hash-agg shuffle; at "
+        "100 TB it partial-aggregates map-side like any moment "
+        "aggregate (sums of x, y, xx, xy fold associatively)."
+    ),
+    tags=("aggregate", "stats"),
+)
+def a_regr_ols(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+        F.round(F.regr_avgy(y, x), 4).alias("avgy"),
+    )
+
+
+@query(
     "a_percentiles_exact",
     oracle="""
     SELECT l_linestatus,

@@ -104,6 +104,41 @@ def p_csv_header_roundtrip(spark, sf_dir):
 
 
 @query(
+    "p_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "ORC sink + scan roundtrip (the OTHER columnar lakehouse "
+        "format Spark reads natively — format-matrix row alongside "
+        "parquet/CSV/NDJSON.gz): lineitem is written as ORC with ZLIB "
+        "compression and scanned back; the aggregate must match the "
+        "parquet-sourced oracle exactly, proving type fidelity "
+        "(the double quantity column survives the container switch). "
+        "At scale "
+        "ORC scans get the same pushdown/pruning as parquet from the "
+        "same DataFrame plan."
+    ),
+    tags=("pipeline", "orc"),
+)
+def p_orc_roundtrip(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    path = _tmp(f"lineitem_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    lineitem.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
     "p_deletion_propagation",
     oracle="""
     WITH del AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % 17 = 0)
