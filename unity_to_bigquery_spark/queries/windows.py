@@ -495,3 +495,107 @@ def w_locf_imputation(spark, sf_dir):
         .cast("long")
         .alias("locf2"),
     )
+
+
+@query(
+    "w_linear_interp",
+    oracle="""
+    WITH sparse AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS x,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), ctx AS (
+      SELECT event_id, user_id, x, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM sparse
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(
+             CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL AND nv IS NULL THEN 0.0
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               WHEN nx = px THEN pv
+               ELSE pv + (nv - pv) * (CAST(x - px AS DOUBLE)
+                                      / CAST(nx - px AS DOUBLE))
+             END * 100.0 + 0.5) AS BIGINT) AS interp2
+    FROM ctx
+    """,
+    doc=(
+        "LINEAR time-weighted interpolation (the other half of the "
+        "gap-repair pair with w_locf_imputation): every third reading "
+        "is NULLed, then repaired as pv + (nv-pv)*(t-tp)/(tn-tp) with "
+        "exact integer microsecond x-coordinates on both engines "
+        "(unix_micros / epoch_us — identical IEEE expression trees, "
+        "so the fixed-point floor cannot diverge). Edge policy: "
+        "leading gaps take the next reading, trailing gaps carry the "
+        "previous, all-null users 0. Two window passes over one "
+        "partitioned sort — no extra shuffle beyond the user_id "
+        "exchange at 100 TB."
+    ),
+    tags=("window", "imputation"),
+)
+def w_linear_interp(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    sparse = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros(F.col("ts")).alias("x"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    xk = F.when(F.col("v").isNotNull(), F.col("x"))
+    ctx = sparse.select(
+        "event_id",
+        "user_id",
+        "x",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(xk, ignorenulls=True).over(wp).alias("px"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(xk, ignorenulls=True).over(wn).alias("nx"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit(0.0))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nx") == F.col("px"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("x") - F.col("px")).cast("double")
+                / (F.col("nx") - F.col("px")).cast("double")
+            )
+        )
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        F.floor(interp * 100.0 + 0.5).cast("long").alias("interp2"),
+    )
