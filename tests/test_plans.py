@@ -116,6 +116,7 @@ BNLJ_ALLOWED = {
     # persisted-index serving probes cells with the same broadcast
     # query-batch × centroid-table crossJoin as sim_ivf_topk
     "sim_index_topk",
+    "sim_index_filtered_topk",
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it
     "e_dau_wau",
