@@ -604,6 +604,50 @@ def d_minhash_lsh_df(spark, sf_dir):
 
 
 @query(
+    "p_lsh_index_pairs",
+    oracle=_minhash_oracle(),
+    doc=(
+        "PERSISTED MinHash-LSH INDEX with incremental CDC refresh "
+        "(llm/lsh_index.LshIndex — the near-dup counterpart to the "
+        "gram index, completing the derived-state dedup pair): 90% of "
+        "the corpus is ingested and band-keyed with build(), the last "
+        "10% appended and folded by refresh() (PURE APPEND — band "
+        "keys are immutable facts), then dup_pairs() serves near-dup "
+        "pairs FROM STATE: bucket self-join for candidates, exact "
+        "Jaccard verifying ONLY candidate documents re-fetched by id. "
+        "The output contract equals the one-shot batch operator "
+        "(d_minhash_lsh_df), so ITS DuckDB oracle hash-verifies the "
+        "whole build+refresh+serve composition. Same streaming-sink "
+        "contract as AnnIndex/GramIndex."
+    ),
+    tags=("llm", "dedup", "lsh", "versioned", "index"),
+)
+def p_lsh_index_pairs(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.lsh_index import LshIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"lsh_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "docs"))
+    src.commit_append(docs.filter(F.col("doc_id") % 10 != 0))
+    li = LshIndex(spark, os.path.join(root, "index"), src)
+    li.build()
+    src.commit_append(docs.filter(F.col("doc_id") % 10 == 0))
+    li.refresh()
+    return li.dup_pairs()
+
+
+@query(
     "sim_embed_neardup_pairs",
     oracle="""
     WITH e AS (
