@@ -219,15 +219,35 @@ def decode_image(payload: bytes):
         (hdr_size, w, h_signed, planes, bpp, comp) = struct.unpack_from(
             "<IiiHHI", payload, 14
         )
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
         h = abs(h_signed)
-        row_size = (w * 3 + 3) // 4 * 4
-        raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
-        rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
-        if h_signed > 0:  # bottom-up storage (the common case)
-            rows = rows[::-1]
-        return "bmp", w, h, rows[:, :, ::-1]  # BGR -> RGB
+        if bpp == 24 and comp == 0:
+            row_size = (w * 3 + 3) // 4 * 4
+            raw = np.frombuffer(
+                payload, dtype=np.uint8, count=row_size * h, offset=offset
+            )
+            rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+            if h_signed > 0:  # bottom-up storage (the common case)
+                rows = rows[::-1]
+            return "bmp", w, h, rows[:, :, ::-1]  # BGR -> RGB
+        if bpp == 8 and comp in (0, 1):
+            clr_used = struct.unpack_from("<I", payload, 14 + 32)[0] or 256
+            pal = (
+                np.frombuffer(payload, np.uint8, clr_used * 4, 14 + hdr_size)
+                .reshape(-1, 4)[:, 2::-1]  # BGR0 quads -> RGB
+                .copy()
+            )
+            if comp == 0:
+                row_size = (w + 3) // 4 * 4
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=row_size * h, offset=offset
+                )
+                idx = raw.reshape(h, row_size)[:, :w]
+            else:
+                idx = _bmp_rle8_decode(payload[offset:], w, h)
+            if h_signed > 0:
+                idx = idx[::-1]
+            return "bmp", w, h, pal[np.minimum(idx, clr_used - 1)]
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     if payload[:2] == b"P6":
         # netpbm header: "P6" <ws> width <ws> height <ws> maxval <single ws>
         pos, fields = 2, []
@@ -4503,3 +4523,151 @@ def aiff_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, WAV_DEEP_STATS_SCHEMA)
+
+
+# ---- BMP 8-bit palette + RLE8 (BI_RLE8) --------------------------------
+#
+# The legacy-Windows indexed form still common in scraped clip-art/
+# screenshot corpora. RLE8 is BMP's own stateful opcode machine —
+# encoded runs (count, index), escape 0 + {0: end-of-line, 1: end-of-
+# bitmap, 2: delta jump, n>=3: absolute mode padded to word boundary}
+# — walked bottom-up like every BMP raster.
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 opcode machine -> (h, w) index array in STORED
+    (bottom-up) row order; caller flips for display."""
+    import numpy as np
+
+    idx = np.zeros((h, w), np.uint8)
+    row, col, pos = 0, 0, 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            idx[row, col : col + n] = v
+            col += n
+            continue
+        if v == 0:  # end of line
+            row += 1
+            col = 0
+            if row >= h:
+                break
+            continue
+        if v == 1:  # end of bitmap
+            return idx
+        if v == 2:  # delta jump (rare; pixels skipped stay 0)
+            col += data[pos]
+            row += data[pos + 1]
+            pos += 2
+            continue
+        # absolute mode: v literal indices, padded to 2-byte boundary
+        idx[row, col : col + v] = np.frombuffer(data, np.uint8, v, pos)
+        col += v
+        pos += v + (v & 1)
+    return idx
+
+
+def _bmp_rle8_encode(idx) -> bytes:
+    """Real RLE8 encoder: maximal runs (capped 255), absolute mode for
+    literal stretches >= 3, short literals as 1-pixel runs, EOL after
+    every stored row, EOB at the end. Input is in STORED (bottom-up)
+    row order."""
+    out = bytearray()
+    h, w = idx.shape
+    for r in range(h):
+        row = idx[r]
+        c = 0
+        while c < w:
+            run = 1
+            while c + run < w and row[c + run] == row[c] and run < 255:
+                run += 1
+            if run >= 2:
+                out += bytes([run, int(row[c])])
+                c += run
+                continue
+            # literal stretch: scan until a run of >=3 starts
+            j = c + 1
+            while j < w and j - c < 255:
+                if j + 2 < w and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            if j - c >= 3:
+                lits = bytes(int(x) for x in row[c:j])
+                out += bytes([0, len(lits)]) + lits
+                if len(lits) & 1:
+                    out += b"\x00"  # word-align absolute mode
+            else:
+                for x in row[c:j]:
+                    out += bytes([1, int(x)])
+            c = j
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def synthesize_bmp8(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic 8-bit palette BMP: row r (display order) carries
+    (w-3) pixels of index c(r) = (41*doc_id + r) % 256 plus the
+    literal tail ((c+1, c+2, c+3) % 256) — every row exercises runs
+    AND absolute mode; the palette is the shared closed form
+    ((7j+id)%256, (11j+2id)%256, (13j+5)%256). Even doc_ids store
+    uncompressed BI_RGB (4-byte row padding), odd doc_ids BI_RLE8 —
+    both decode to the identical raster."""
+    import struct
+
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    rows = []
+    for r in range(h):
+        c = (41 * doc_id + r) % 256
+        row = np.full(w, c, np.int64)
+        row[-3:] = [(c + 1) % 256, (c + 2) % 256, (c + 3) % 256]
+        rows.append(row)
+    idx = np.stack(rows).astype(np.uint8)  # display (top-down) order
+    j = np.arange(256, dtype=np.int64)
+    pal_rgb = np.stack(
+        [(7 * j + doc_id) % 256, (11 * j + 2 * doc_id) % 256, (13 * j + 5) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    quads = np.zeros((256, 4), np.uint8)
+    quads[:, 0] = pal_rgb[:, 2]  # B
+    quads[:, 1] = pal_rgb[:, 1]  # G
+    quads[:, 2] = pal_rgb[:, 0]  # R
+    stored = idx[::-1]  # bottom-up
+    if doc_id % 2 == 0:
+        row_size = (w + 3) // 4 * 4
+        padded = np.zeros((h, row_size), np.uint8)
+        padded[:, :w] = stored
+        pixels = padded.tobytes()
+        comp = 0
+    else:
+        pixels = _bmp_rle8_encode(stored)
+        comp = 1
+    offset = 14 + 40 + 256 * 4
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(pixels), 2835, 2835, 256, 0
+    )
+    return header + info + quads.tobytes() + pixels
+
+
+def synthesize_bmp8_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): 8-bit BMPs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "bmp",
+                    "payload": [
+                        synthesize_bmp8(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)

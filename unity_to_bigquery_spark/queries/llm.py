@@ -1673,6 +1673,105 @@ def m_tiff_packbits_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_bmp8_rle_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 256 AS BIGINT) AS a
+      FROM documents
+    ), rj AS (
+      SELECT d.doc_id, d.width, d.height, d.a, r.r,
+             (d.a + r.r) % 256 AS c
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 38)) AS r) r
+      WHERE r.r < d.height
+    ), px AS (
+      -- one row per (doc, image-row, distinct index value): the run
+      -- index c with multiplicity w-3, and the three tail indices
+      SELECT doc_id, width, height, a,
+             CASE t.t WHEN 0 THEN c ELSE (c + t.t) % 256 END AS iv,
+             CASE t.t WHEN 0 THEN CAST(width - 3 AS BIGINT) ELSE 1 END AS cnt
+      FROM rj CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t) t
+    ), pv AS (
+      SELECT doc_id, width, height, a, cnt,
+             (7 * iv + doc_id) % 256      AS p0,
+             (11 * iv + 2 * doc_id) % 256 AS p1,
+             (13 * iv + 5) % 256          AS p2
+      FROM px
+    ), agg AS (
+      SELECT doc_id, width, height, a,
+             SUM(cnt * (p0 + p1 + p2)) AS byte_sum,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 0 THEN 1 ELSE 0 END))) AS h0,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 1 THEN 1 ELSE 0 END))) AS h1,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 2 THEN 1 ELSE 0 END))) AS h2,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 3 THEN 1 ELSE 0 END))) AS h3
+      FROM pv GROUP BY doc_id, width, height, a
+    ), mid AS (
+      SELECT doc_id,
+             ((CAST(width AS BIGINT) * height * 3) // 2) % 3 AS ch,
+             (((CAST(width AS BIGINT) * height * 3) // 2) // 3) // width AS rm,
+             (((CAST(width AS BIGINT) * height * 3) // 2) // 3) % width AS o,
+             width, a
+      FROM d
+    ), midv AS (
+      SELECT doc_id, ch,
+             CASE WHEN o < width - 3 THEN (a + rm) % 256
+                  ELSE ((a + rm) % 256 + o - width + 4) % 256 END AS iv
+      FROM mid
+    )
+    SELECT agg.doc_id, 'bmp' AS fmt, agg.width, agg.height,
+           CAST(agg.width AS BIGINT) * agg.height * 3 AS n_px,
+           CAST(agg.byte_sum AS BIGINT) AS byte_sum,
+           CAST((7 * agg.a + agg.doc_id) % 256 AS INTEGER) AS first_px,
+           CAST(CASE midv.ch
+                WHEN 0 THEN (7 * midv.iv + agg.doc_id) % 256
+                WHEN 1 THEN (11 * midv.iv + 2 * agg.doc_id) % 256
+                ELSE        (13 * midv.iv + 5) % 256
+                END AS INTEGER) AS mid_px,
+           CAST((13 * ((agg.a + agg.height + 2) % 256) + 5) % 256
+                AS INTEGER) AS last_px,
+           CAST(agg.h0 AS BIGINT) AS h0, CAST(agg.h1 AS BIGINT) AS h1,
+           CAST(agg.h2 AS BIGINT) AS h2, CAST(agg.h3 AS BIGINT) AS h3,
+           CAST((agg.byte_sum * 1000000)
+                // (CAST(agg.width AS BIGINT) * agg.height * 3)
+                AS BIGINT) AS mean_fp6
+    FROM agg JOIN midv ON agg.doc_id = midv.doc_id
+    """,
+    doc=(
+        "8-BIT PALETTE BMP decode with BI_RLE8, oracle-verified: even "
+        "doc_ids store uncompressed indices (4-byte row padding), odd "
+        "doc_ids run through a REAL RLE8 encoder/decoder pair "
+        "(encoded runs, absolute mode with word alignment, EOL/EOB "
+        "escapes — BMP's own stateful opcode machine), both bottom-up "
+        "with BGR0 palette quads. The raster is row-structured (run + "
+        "3-literal tail) through the shared closed-form palette, so "
+        "one oracle covers BOTH encodings — the compressed variant "
+        "must reproduce the identical raster. Completes the BMP "
+        "family (24bpp truecolor + 8bpp indexed plain/RLE)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_bmp8_rle_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_bmp8_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_bmp8_media(docs))
+
+
+@query(
     "m_tiff_lzw_decode_verified",
     oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
     doc=(
