@@ -311,6 +311,42 @@ def f_sql_frontend_q01(spark, sf_dir):
 
 
 @query(
+    "f_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "SQL PIPE SYNTAX (Spark 4 |> operators — the linear query "
+        "notation): FROM |> WHERE |> AGGREGATE ... GROUP BY, parsed "
+        "by the engine's own frontend into the identical plan the "
+        "nested form produces; the oracle is the classic form in "
+        "DuckDB, so the hash proves semantic equivalence of the two "
+        "notations, not just that the syntax parses."
+    ),
+    tags=("scalar", "sql-frontend"),
+)
+def f_sql_pipe_syntax(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_cents
+        """
+    )
+
+
+@query(
     "f_explode_variants",
     oracle="""
     SELECT doc_id, pos, word FROM (
