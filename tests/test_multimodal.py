@@ -1607,3 +1607,58 @@ def test_bmp8_palette_rle_opcodes():
             axis=1,
         ).astype(np.uint8)
         assert np.array_equal(px, pal[np.stack(rows).astype(np.uint8)])
+
+
+def test_warc_datasource_splits_by_cdx(spark, tmp_path):
+    """Splittable WARC source: CDX sidecars let the planner cut
+    member-range partitions (more partitions than files), the split
+    scan returns exactly the records of the unsplit scan, and
+    removing the sidecar degrades to one partition per file."""
+    import os
+
+    from unity_to_bigquery_spark.sources.warc import (
+        WarcReader,
+        register_warc_source,
+        write_warc_landing,
+    )
+
+    pairs = [(i, 40 + i * 7) for i in range(60)]
+    root = str(tmp_path / "landing")
+    write_warc_landing(pairs, root, n_files=4)
+    register_warc_source(spark)
+
+    def load(mpp):
+        return (
+            spark.read.format("warc")
+            .option("path", root)
+            .option("members_per_partition", str(mpp))
+            .load()
+        )
+
+    reader = WarcReader({"path": root, "members_per_partition": "10"})
+    nparts = len(reader.partitions())
+    assert nparts > 4  # genuinely split within files
+
+    split = sorted(
+        (r.file, r.warc_type, r.target_uri, r.http_status, bytes(r.body or b""))
+        for r in load(10).collect()
+    )
+    whole = sorted(
+        (r.file, r.warc_type, r.target_uri, r.http_status, bytes(r.body or b""))
+        for r in load(100000).collect()
+    )
+    assert split == whole and len(split) > 60  # every record exactly once
+
+    # no sidecar -> one partition per file, same records
+    for fn in os.listdir(root):
+        if fn.endswith(".cdx"):
+            os.remove(os.path.join(root, fn))
+    reader2 = WarcReader({"path": root, "members_per_partition": "10"})
+    assert len(reader2.partitions()) == 4
+    assert (
+        sorted(
+            (r.file, r.warc_type, r.target_uri, r.http_status, bytes(r.body or b""))
+            for r in load(10).collect()
+        )
+        == split
+    )

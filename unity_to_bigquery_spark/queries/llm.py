@@ -1973,6 +1973,102 @@ def m_warc_extract_verified(spark, sf_dir):
 
 
 @query(
+    "m_warc_source_scan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars % 3 + 1 AS INTEGER) AS nresp,
+             CAST(n_chars % 200 + 50 AS BIGINT) AS l0
+      FROM documents
+    ), rr AS (
+      SELECT d.doc_id, d.nresp, r.r,
+             (31 * d.doc_id + 17 * r.r) % 256 AS a,
+             d.l0 + 7 * r.r AS len,
+             CASE WHEN (d.doc_id + r.r) % 3 <> 0 THEN 200 ELSE 404 END AS status
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r) r
+      WHERE r.r < d.nresp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(len) AS BIGINT) AS body_bytes,
+           CAST(SUM(a) AS BIGINT) AS first_byte_sum,
+           CAST(SUM((a + len - 1) % 256) AS BIGINT) AS last_byte_sum,
+           CAST(SUM(status) AS BIGINT) AS status_sum
+    FROM rr GROUP BY doc_id
+    """,
+    doc=(
+        "SPLITTABLE WARC SCAN via the Python Data Source API "
+        "(sources/warc.WarcDataSource): the documents corpus is laid "
+        "out as 8 concatenated .warc.gz files WITH CDX offset "
+        "sidecars (the Common Crawl layout), and the source plans "
+        "MEMBER-RANGE partitions from the index — executors seek "
+        "straight to their byte span, so one archive splits across "
+        "tasks and planning never touches archive bytes. "
+        "members_per_partition=40 forces multiple partitions per "
+        "file (split-correctness is what the oracle hashes: every "
+        "record must appear exactly once across partition "
+        "boundaries). Body integrity pinned via per-record first/"
+        "last-byte probes (hex->conv on BINARY) and lengths; full "
+        "byte sums are m_warc_extract_verified's job."
+    ),
+    tags=("multimodal", "source", "datasource"),
+)
+def m_warc_source_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.sources.warc import (
+        register_warc_source,
+        write_warc_landing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # driver-side fixture write: one (doc_id, n_chars) list, bounded
+    # by the toy corpus (5k rows at sf0.1) — landing-zone synthesis,
+    # not a data path
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"warc_landing_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_warc_landing(pairs, root, n_files=8)
+    register_warc_source(spark)
+    df = (
+        spark.read.format("warc")
+        .option("path", root)
+        .option("members_per_partition", "40")
+        .load()
+    )
+    resp = df.filter(F.col("warc_type") == "response")
+    return (
+        resp.select(
+            F.regexp_extract("target_uri", r"/(\d+)/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.octet_length("body").cast("long").alias("blen"),
+            F.expr("CAST(conv(hex(substring(body, 1, 1)), 16, 10) AS BIGINT)").alias(
+                "fb"
+            ),
+            F.expr("CAST(conv(hex(substring(body, -1, 1)), 16, 10) AS BIGINT)").alias(
+                "lb"
+            ),
+            F.col("http_status").cast("long").alias("status"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_responses"),
+            F.sum("blen").alias("body_bytes"),
+            F.sum("fb").alias("first_byte_sum"),
+            F.sum("lb").alias("last_byte_sum"),
+            F.sum("status").alias("status_sum"),
+        )
+    )
+
+
+@query(
     "m_zip_extract_verified",
     oracle="""
     WITH d AS (

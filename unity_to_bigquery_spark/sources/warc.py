@@ -258,3 +258,144 @@ def warc_extract_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, WARC_STATS_SCHEMA)
+
+
+# ---- splittable WARC scan (Python Data Source + CDX offsets) ----------
+#
+# The per-member gzip layout exists precisely so a distributed reader
+# can split ONE archive across tasks — but finding member boundaries
+# requires either a scan or an index. Real crawls ship the index:
+# Common Crawl publishes CDX files recording each record's byte
+# offset/length. This source consumes that layout: a ``.cdx`` sidecar
+# (JSON lines: offset, length) per ``.warc.gz`` lets the planner cut
+# MEMBER-RANGE partitions and each executor seek straight to its
+# byte span — no decompression at planning time, no whole-file
+# affinity. Files without a sidecar degrade to one partition per
+# file (still correct, just unsplit).
+
+import json
+import os
+
+
+def write_warc_landing(
+    docs: list[tuple[int, int]], root: str, n_files: int = 8
+) -> None:
+    """Deterministic landing zone: docs (doc_id, n_chars) are routed
+    to ``doc_id % n_files``; each file is the concatenation of the
+    per-doc archives (gzip members concatenate into one valid WARC)
+    plus a CDX sidecar with every member's (offset, length)."""
+    os.makedirs(root, exist_ok=True)
+    buckets: dict = {i: [] for i in range(n_files)}
+    for doc_id, n_chars in docs:
+        buckets[doc_id % n_files].append((doc_id, n_chars))
+    for i, members in buckets.items():
+        blob = bytearray()
+        cdx = []
+        for doc_id, n_chars in sorted(members):
+            payload = synthesize_warc(doc_id, n_chars)
+            for member in _split_gzip_members_raw(payload):
+                cdx.append({"offset": len(blob), "length": len(member)})
+                blob += member
+        with open(os.path.join(root, f"part-{i:03d}.warc.gz"), "wb") as f:
+            f.write(blob)
+        with open(os.path.join(root, f"part-{i:03d}.warc.cdx"), "w") as f:
+            for row in cdx:
+                f.write(json.dumps(row) + "\n")
+
+
+def _split_gzip_members_raw(payload: bytes) -> list:
+    """COMPRESSED byte spans of each gzip member (offset bookkeeping
+    for CDX writing) — decompress to find the boundary, keep the raw
+    bytes."""
+    import zlib
+
+    out = []
+    rest = payload
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        d.decompress(rest)
+        consumed = len(rest) - len(d.unused_data)
+        out.append(rest[:consumed])
+        rest = d.unused_data
+    if rest:
+        raise ValueError("trailing bytes after gzip members")
+    return out
+
+
+try:  # Python Data Source API (pyspark >= 4)
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    WARC_SOURCE_SCHEMA = (
+        "file STRING, warc_type STRING, target_uri STRING, "
+        "http_status INT, body BINARY"
+    )
+
+    class WarcReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.members_per_partition = int(
+                options.get("members_per_partition", "256")
+            )
+
+        def partitions(self):
+            # driver-side planning touches only the file LISTING and
+            # the (small) CDX sidecars — never archive bytes
+            parts = []
+            for fn in sorted(os.listdir(self.path)):
+                if not fn.endswith(".warc.gz"):
+                    continue
+                full = os.path.join(self.path, fn)
+                cdx = full[: -len(".gz")] + ".cdx"
+                if os.path.exists(cdx):
+                    with open(cdx) as f:
+                        rows = [json.loads(line) for line in f]
+                    for lo in range(0, len(rows), self.members_per_partition):
+                        chunk = rows[lo : lo + self.members_per_partition]
+                        parts.append(
+                            InputPartition(
+                                (
+                                    full,
+                                    chunk[0]["offset"],
+                                    chunk[-1]["offset"] + chunk[-1]["length"],
+                                )
+                            )
+                        )
+                else:  # no index -> whole file, unsplit but correct
+                    parts.append(InputPartition((full, 0, -1)))
+            return parts
+
+        def read(self, partition):
+            full, lo, hi = partition.value
+            with open(full, "rb") as f:
+                f.seek(lo)
+                blob = f.read() if hi < 0 else f.read(hi - lo)
+            base = os.path.basename(full)
+            for rec in parse_warc(blob):
+                yield (
+                    base,
+                    rec["warc_type"],
+                    rec["target_uri"],
+                    rec["http_status"],
+                    rec["body"],
+                )
+
+    class WarcDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return WARC_SOURCE_SCHEMA
+
+        def reader(self, schema):
+            return WarcReader(self.options)
+
+    def register_warc_source(spark) -> None:
+        """Idempotently register the splittable WARC source."""
+        try:
+            spark.dataSource.register(WarcDataSource)
+        except Exception:
+            pass  # already registered in this session
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    pass
