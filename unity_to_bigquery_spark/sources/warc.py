@@ -31,12 +31,10 @@ standard crawl container.
 
 from __future__ import annotations
 
-import struct
 import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-import pyspark.sql.functions as F  # noqa: F401  (query-side composition)
 from pyspark.sql import DataFrame
 
 
