@@ -1662,3 +1662,85 @@ def test_warc_datasource_splits_by_cdx(spark, tmp_path):
         )
         == split
     )
+
+
+def test_qoi_spec_pins_and_roundtrips():
+    """QOI op machine against hand-computed spec bytes: chunk layouts
+    from the one-page spec (qoi-specification.pdf), wraparound deltas,
+    the 62-run cap, index hash slots, RGBA alpha switches, and
+    header/end-marker strictness."""
+    import struct
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_image,
+        qoi_decode,
+        qoi_encode,
+    )
+
+    # hand-computed encoding: 1x4 image [red, red, (128,0,0), red].
+    # px0 (255,0,0): from (0,0,0,255) dr=+255 wraps to -1 but dg=db=0 ->
+    # DIFF would need dr in [-2,1]: -1 qualifies! dr=-1,dg=0,db=0 ->
+    # 0x40 | (1<<4) | (2<<2) | 2 = 0x5A. px1: run 1 -> 0xC0. px2
+    # (128,0,0): dr=-127 -> LUMA needs dr-dg in [-8,7]: no -> RGB
+    # 0xFE 80 00 00. px3 (255,0,0): in index at hash
+    # (255*3+0+0+255*11)%64 = (765+2805)%64 = 3570%64 = 50 -> INDEX 0x32.
+    img = np.array([[[255, 0, 0], [255, 0, 0], [128, 0, 0], [255, 0, 0]]], np.uint8)
+    enc = qoi_encode(img)
+    assert enc[:4] == b"qoif"
+    w, h, ch, cs = struct.unpack_from(">IIBB", enc, 4)
+    assert (w, h, ch, cs) == (4, 1, 3, 0)
+    body = enc[14:-8]
+    assert body == bytes([0x5A, 0xC0, 0xFE, 128, 0, 0, 0x32])
+    assert enc[-8:] == b"\x00" * 7 + b"\x01"
+    fmt, dw, dh, out = qoi_decode(enc)
+    assert (fmt, dw, dh) == ("qoi", 4, 1) and np.array_equal(out, img)
+
+    # wraparound DIFF: 255 -> 0 is dr=+1 in wrap arithmetic
+    img2 = np.array([[[255, 255, 255], [0, 0, 0]]], np.uint8)
+    enc2 = qoi_encode(img2)
+    # px0: (255,255,255) from (0,0,0): dr=dg=db=-1 -> DIFF 0x40|(1<<4)|(1<<2)|1
+    # px1: (0,0,0): dr=dg=db=+1 -> DIFF 0x40|(3<<4)|(3<<2)|3
+    assert enc2[14:-8] == bytes([0x55, 0x7F])
+    assert np.array_equal(qoi_decode(enc2)[3], img2)
+
+    # LUMA: dg=+16, dr-dg=-4, db-dg=+7 from (10,10,10)
+    prev = np.array([10, 10, 10])
+    nxt = (prev + [12, 16, 23]) % 256
+    img3 = np.stack([prev, nxt]).reshape(1, 2, 3).astype(np.uint8)
+    enc3 = qoi_encode(img3)
+    # px0 (10,10,10): dr=dg=db=+10 -> LUMA 0x80|(10+32)=0xAA, 2nd (8<<4)|8
+    # px1: LUMA 0x80|(16+32)=0xB0, 2nd ((-4+8)<<4)|(7+8) = 0x4F
+    assert enc3[14:-8] == bytes([0xAA, 0x88, 0xB0, 0x4F])
+    assert np.array_equal(qoi_decode(enc3)[3], img3)
+
+    # 62-run cap: 100 identical pixels -> first RGB/DIFF, then RUN(61)+... 
+    img4 = np.full((1, 101, 3), 200, np.uint8)
+    enc4 = qoi_encode(img4)
+    runs = [b for b in enc4[14:-8] if b >> 6 == 0b11 and b not in (0xFE, 0xFF)]
+    assert 0xC0 | 61 in runs  # a full 62-run chunk
+    assert np.array_equal(qoi_decode(enc4)[3], img4)
+
+    # RGBA: alpha change forces QOI_OP_RGBA; 4-channel roundtrip exact
+    rgba = np.array(
+        [[[1, 2, 3, 255], [1, 2, 3, 128], [9, 9, 9, 128]]], np.uint8
+    )
+    enc5 = qoi_encode(rgba)
+    assert 0xFF in enc5[14:-8]
+    fmt5, _, _, out5 = qoi_decode(enc5)
+    assert out5.shape == (1, 3, 4) and np.array_equal(out5, rgba)
+
+    # decode_image dispatch drops nothing for 3-channel
+    fmt6, w6, h6, px6 = decode_image(enc)
+    assert (fmt6, w6, h6) == ("qoi", 4, 1) and np.array_equal(px6, img)
+
+    # strictness: bad magic, truncation, missing end marker
+    import pytest
+
+    with pytest.raises(ValueError):
+        qoi_decode(b"qoix" + enc[4:])
+    with pytest.raises(ValueError):
+        qoi_decode(enc[:10])
+    with pytest.raises(ValueError):
+        qoi_decode(enc[:-8] + b"\x00" * 8)  # end marker must be 0*7+1

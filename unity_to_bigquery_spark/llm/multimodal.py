@@ -248,6 +248,11 @@ def decode_image(payload: bytes):
                 idx = idx[::-1]
             return "bmp", w, h, pal[np.minimum(idx, clr_used - 1)]
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if payload[:4] == b"qoif":
+        fmt, w, h, px = qoi_decode(payload)
+        if px.shape[2] == 4:  # RGBA -> RGB, like PIL convert (alpha dropped)
+            px = px[:, :, :3]
+        return fmt, w, h, px
     if payload[:2] == b"P6":
         # netpbm header: "P6" <ws> width <ws> height <ws> maxval <single ws>
         pos, fields = 2, []
@@ -4665,6 +4670,182 @@ def synthesize_bmp8_media(docs: DataFrame) -> DataFrame:
                     "fmt": "bmp",
                     "payload": [
                         synthesize_bmp8(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+# ---- real image codec: QOI (the "Quite OK Image" format) --------------
+#
+# QOI (qoiformat.org, public spec, 2022) is a single-page lossless RGB/
+# RGBA format built from six ops over a running 64-slot color index —
+# exactly the kind of simple container a crawled corpus increasingly
+# carries. Both sides are from-scratch implementations of the public
+# spec (no reference encoder exists in this container): the encoder is
+# the spec's greedy chooser (RUN > INDEX > DIFF > LUMA > RGB/RGBA), the
+# decoder the spec's chunk machine. The synthesized raster (run + mixed
+# +1/+5/+1 tail steps per row) forces every 3-channel op — RUN for the
+# row body, DIFF for the +-1/-2 steps, LUMA for the +5/-6 steps, INDEX
+# when a row re-enters a color its predecessor's tail already planted,
+# RGB for the image-opening jump — so the DuckDB oracle's hash covers
+# the whole op machine, not one path.
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def qoi_encode(px, channels: int = 3) -> bytes:
+    """Encode an (h, w, 3) or (h, w, 4) uint8 array per the QOI spec."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("qoi_encode expects (h, w, 3|4)")
+    channels = px.shape[2]
+    flat = px.reshape(-1, channels).astype(np.int64)
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, channels, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for row in flat:
+        r, g, b = int(row[0]), int(row[1]), int(row[2])
+        a = int(row[3]) if channels == 4 else 255
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run > 0:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        pos = _qoi_hash(r, g, b, a)
+        if index[pos] == (r, g, b, a):
+            out.append(pos)
+        else:
+            index[pos] = (r, g, b, a)
+            if a == pa:
+                # signed-char wraparound diffs, per spec
+                dr = ((r - pr + 128) % 256) - 128
+                dg = ((g - pg + 128) % 256) - 128
+                db = ((b - pb + 128) % 256) - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, a))
+        pr, pg, pb, pa = r, g, b, a
+    if run > 0:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def qoi_decode(payload: bytes):
+    """Decode a QOI payload to ("qoi", w, h, (h, w, channels) uint8).
+
+    Spec-literal chunk machine: 64-slot running index updated after
+    EVERY pixel (the decoder-side convention), wraparound DIFF/LUMA
+    arithmetic, RUN repetition of the previous pixel. Verifies the
+    8-byte end marker and raises on truncation or a bad header."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"qoif" or len(payload) < 14:
+        raise ValueError("not a QOI payload")
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", payload, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(f"bad QOI header (channels={channels}, cs={colorspace})")
+    n = w * h
+    out = np.empty((n, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    while i < n:
+        if pos >= len(payload) - 8:
+            raise ValueError("truncated QOI stream")
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:  # QOI_OP_RGB
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = payload[pos : pos + 4]
+            pos += 4
+        elif op >> 6 == 0b00:  # QOI_OP_INDEX
+            r, g, b, a = index[op]
+        elif op >> 6 == 0b01:  # QOI_OP_DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 0b10:  # QOI_OP_LUMA
+            dg = (op & 0x3F) - 32
+            second = payload[pos]
+            pos += 1
+            r = (r + dg + ((second >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (second & 0xF) - 8) % 256
+        else:  # QOI_OP_RUN
+            run = (op & 0x3F) + 1
+            end = min(i + run, n)
+            out[i:end] = (r, g, b, a)
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            i = end
+            continue
+        out[i] = (r, g, b, a)
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        i += 1
+    if payload[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    px = out.reshape(h, w, 4)
+    return "qoi", w, h, px[:, :, :channels].copy() if channels == 3 else px
+
+
+def synthesize_qoi(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic QOI: row r (top-down) carries (w-3) pixels of base
+    c(r) = (41*doc_id + r) % 256 plus a tail with bases (c+1, c+6,
+    c+7) % 256; every pixel is (b, (b+85)%256, (b+170)%256) for its
+    base b. The base steps (+1, +5, +1 within the tail; -6 into the
+    next row; row r+1's run base == row r's first tail base, already
+    in the color index) force RUN, DIFF, LUMA, INDEX and the opening
+    RGB — all six 3-channel ops under one closed-form oracle."""
+    import numpy as np
+
+    w = n_chars % 40 + 9
+    h = n_chars % 30 + 9
+    rows = []
+    for r in range(h):
+        c = (41 * doc_id + r) % 256
+        base = np.full(w, c, np.int64)
+        base[-3:] = [c + 1, c + 6, c + 7]
+        rows.append(base)
+    base = np.stack(rows) % 256
+    px = np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=-1)
+    return qoi_encode(px.astype(np.uint8))
+
+
+def synthesize_qoi_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real QOI files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "qoi",
+                    "payload": [
+                        synthesize_qoi(int(d), int(c))
                         for d, c in zip(pdf["doc_id"], pdf["n_chars"])
                     ],
                 }

@@ -1772,6 +1772,107 @@ def m_bmp8_rle_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_qoi_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 40 + 9 AS INTEGER) AS width,
+             CAST(n_chars % 30 + 9 AS INTEGER) AS height,
+             CAST((doc_id * 41) % 256 AS BIGINT) AS a
+      FROM documents
+    ), rj AS (
+      SELECT d.doc_id, d.width, d.height, d.a, r.r,
+             (d.a + r.r) % 256 AS c
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 38)) AS r) r
+      WHERE r.r < d.height
+    ), px AS (
+      -- one row per (doc, image-row, distinct base value): the run
+      -- base c with multiplicity w-3, and the three tail bases
+      SELECT doc_id, width, height, a,
+             (c + CASE t.t WHEN 0 THEN 0 WHEN 1 THEN 1
+                           WHEN 2 THEN 6 ELSE 7 END) % 256 AS iv,
+             CASE t.t WHEN 0 THEN CAST(width - 3 AS BIGINT) ELSE 1 END AS cnt
+      FROM rj CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS t) t
+    ), pv AS (
+      SELECT doc_id, width, height, a, cnt,
+             iv                AS p0,
+             (iv + 85) % 256   AS p1,
+             (iv + 170) % 256  AS p2
+      FROM px
+    ), agg AS (
+      SELECT doc_id, width, height, a,
+             SUM(cnt * (p0 + p1 + p2)) AS byte_sum,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 0 THEN 1 ELSE 0 END))) AS h0,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 1 THEN 1 ELSE 0 END))) AS h1,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 2 THEN 1 ELSE 0 END))) AS h2,
+             SUM(cnt * ((CASE WHEN p0 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p1 // 64 = 3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN p2 // 64 = 3 THEN 1 ELSE 0 END))) AS h3
+      FROM pv GROUP BY doc_id, width, height, a
+    ), mid AS (
+      SELECT doc_id,
+             ((CAST(width AS BIGINT) * height * 3) // 2) % 3 AS ch,
+             (((CAST(width AS BIGINT) * height * 3) // 2) // 3) // width AS rm,
+             (((CAST(width AS BIGINT) * height * 3) // 2) // 3) % width AS o,
+             width, a
+      FROM d
+    ), midv AS (
+      SELECT doc_id, ch,
+             ((a + rm) % 256
+              + CASE WHEN o < width - 3 THEN 0
+                     WHEN o = width - 3 THEN 1
+                     WHEN o = width - 2 THEN 6
+                     ELSE 7 END) % 256 AS iv
+      FROM mid
+    )
+    SELECT agg.doc_id, 'qoi' AS fmt, agg.width, agg.height,
+           CAST(agg.width AS BIGINT) * agg.height * 3 AS n_px,
+           CAST(agg.byte_sum AS BIGINT) AS byte_sum,
+           CAST(agg.a AS INTEGER) AS first_px,
+           CAST(CASE midv.ch
+                WHEN 0 THEN midv.iv
+                WHEN 1 THEN (midv.iv + 85) % 256
+                ELSE        (midv.iv + 170) % 256
+                END AS INTEGER) AS mid_px,
+           CAST((agg.a + agg.height + 176) % 256 AS INTEGER) AS last_px,
+           CAST(agg.h0 AS BIGINT) AS h0, CAST(agg.h1 AS BIGINT) AS h1,
+           CAST(agg.h2 AS BIGINT) AS h2, CAST(agg.h3 AS BIGINT) AS h3,
+           CAST((agg.byte_sum * 1000000)
+                // (CAST(agg.width AS BIGINT) * agg.height * 3)
+                AS BIGINT) AS mean_fp6
+    FROM agg JOIN midv ON agg.doc_id = midv.doc_id
+    """,
+    doc=(
+        "QOI ('Quite OK Image', qoiformat.org 2022) decode, oracle-"
+        "verified: real QOI files are written by a spec-greedy encoder "
+        "(RUN > INDEX > DIFF > LUMA > RGB) and decoded by the spec's "
+        "chunk machine with the 64-slot running color index and "
+        "wraparound delta arithmetic. The raster's base steps (+1/+5/+1 "
+        "tails, row bodies as runs, each row's opening color pre-planted "
+        "in the index by its predecessor's tail) force ALL six 3-channel "
+        "ops, so one closed-form oracle hash covers the whole op machine "
+        "— an index-hash, wraparound, or run-length bug breaks it."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_qoi_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        image_decode_stats,
+        synthesize_qoi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return image_decode_stats(synthesize_qoi_media(docs))
+
+
+@query(
     "m_tiff_lzw_decode_verified",
     oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
     doc=(
