@@ -1744,3 +1744,56 @@ def test_qoi_spec_pins_and_roundtrips():
         qoi_decode(enc[:10])
     with pytest.raises(ValueError):
         qoi_decode(enc[:-8] + b"\x00" * 8)  # end marker must be 0*7+1
+
+
+def test_mp4_box_walk_framing_and_variants():
+    """ISO-BMFF walk: largesize, version-1 times, mdat-first layout,
+    unknown-box skipping, and framing strictness."""
+    import struct
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import parse_mp4, write_mp4
+
+    # largesize mdat (doc_id%5==0) parses to the same byte count as the
+    # 32-bit encoding of a doc differing only in that flag
+    m0 = parse_mp4(write_mp4(10, 77))   # 10%5==0 -> largesize mdat
+    assert m0["mdat_bytes"] > 0 and m0["brand"] == "isom"
+
+    # mdat-first (streaming) layout == moov-first layout facts
+    a = parse_mp4(write_mp4(3, 500))    # 3%7==3 -> mdat before moov
+    assert a["n_tracks"] == 1 and a["video_codec"] == "avc1"  # 3%3==0: no audio
+
+    # version-1 (odd doc_id) and version-0 (even) agree on semantics
+    v1 = parse_mp4(write_mp4(11, 200))
+    v0 = parse_mp4(write_mp4(12, 200))
+    assert v1["vid_samples"] == 200 % 50 + 10 + 11 % 30 + 5
+    assert v0["vid_samples"] == 200 % 50 + 10 + 12 % 30 + 5
+
+    # hand-built: unknown top-level box between ftyp and moov is skipped
+    raw = write_mp4(1, 100)
+    ftyp_len = struct.unpack_from(">I", raw, 0)[0]
+    injected = raw[:ftyp_len] + struct.pack(">I4s", 12, b"uuid") + b"abcd" + raw[ftyp_len:]
+    assert parse_mp4(injected) == parse_mp4(raw)
+
+    # strictness: no ftyp; truncated header; box size overrunning EOF
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08mdat")
+    with pytest.raises(ValueError):
+        parse_mp4(raw[:-5])  # last box now overruns
+    bad = bytearray(raw)
+    struct.pack_into(">I", bad, ftyp_len, 2)  # box size < header size
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+
+    # size==0 (to EOF) on the final box is legal: find its start
+    pos, last = 0, 0
+    while pos < len(raw):
+        last = pos
+        size = struct.unpack_from(">I", raw, pos)[0]
+        if size == 1:
+            size = struct.unpack_from(">Q", raw, pos + 8)[0]
+        pos += size
+    zeroed = bytearray(raw)
+    struct.pack_into(">I", zeroed, last, 0)
+    assert parse_mp4(bytes(zeroed)) == parse_mp4(raw)

@@ -1873,6 +1873,77 @@ def m_qoi_decode_verified(spark, sf_dir):
 
 
 @query(
+    "m_mp4_metadata_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             n_chars % 50 + 10 AS n1,
+             doc_id % 30 + 5 AS n2,
+             doc_id % 3 <> 0 AS has_audio,
+             CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS sr,
+             n_chars % 100 + 20 AS na,
+             n_chars % 640 + 160 AS vw,
+             n_chars % 360 + 120 AS vh,
+             doc_id % 16 AS d16
+      FROM documents
+    ), sz AS (
+      SELECT d.doc_id, SUM(100 + (d.d16 + i.i) % 16) AS vid_bytes
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 94)) AS i) i
+      WHERE i.i < d.n1 + d.n2
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, 'isom' AS brand,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+           CAST(GREATEST(40 * n1 + 80 * n2,
+                CASE WHEN has_audio THEN na * 1024 * 1000 // sr ELSE 0 END)
+                AS BIGINT) AS movie_ms,
+           'avc1' AS video_codec,
+           CAST(vw AS INTEGER) AS vid_w, CAST(vh AS INTEGER) AS vid_h,
+           CAST(n1 + n2 AS BIGINT) AS vid_samples,
+           CAST(40 * n1 + 80 * n2 AS BIGINT) AS vid_ms,
+           CAST(sz.vid_bytes AS BIGINT) AS vid_bytes,
+           CASE WHEN has_audio THEN 'mp4a' ELSE '' END AS audio_codec,
+           CAST(CASE WHEN has_audio THEN sr ELSE 0 END AS INTEGER) AS audio_rate,
+           CAST(CASE WHEN has_audio THEN doc_id % 2 + 1 ELSE 0 END
+                AS INTEGER) AS audio_ch,
+           CAST(CASE WHEN has_audio THEN na * 1024 * 1000 // sr ELSE 0 END
+                AS BIGINT) AS audio_ms,
+           CAST(sz.vid_bytes + CASE WHEN has_audio THEN 64 * na ELSE 0 END
+                AS BIGINT) AS mdat_bytes,
+           CASE doc_id % 4 WHEN 0 THEN 'eng' WHEN 1 THEN 'und'
+                WHEN 2 THEN 'fra' ELSE 'deu' END AS lang
+    FROM d JOIN sz USING (doc_id)
+    """,
+    doc=(
+        "MP4 / ISO-BMFF box-walk metadata extraction (ISO/IEC "
+        "14496-12), oracle-verified: real container files (ftyp + moov "
+        "with mvhd/tkhd/mdhd/hdlr/stsd/stts/stsz/stsc/stco + mdat) are "
+        "written and re-parsed by a from-scratch recursive box walk. "
+        "The corpus is structurally adversarial: FullBox VERSION 1 "
+        "64-bit times on odd doc_ids, mdat via size==1 LARGESIZE on "
+        "doc_id%5==0, the streaming mdat-BEFORE-moov layout on "
+        "doc_id%7==3, unknown boxes planted top-level and inside moov, "
+        "two-entry stts walks, per-sample vs constant-size stsz, "
+        "16.16 fixed-point dims/rates, 5-bit packed language codes. "
+        "Duration/track/codec facts all have closed forms the oracle "
+        "re-derives — no codec decode, exactly how a crawl pipeline "
+        "inventories video at 100 TB (metadata crosses the shuffle, "
+        "sample payloads die in the executor)."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_mp4_metadata_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        mp4_metadata_stats,
+        synthesize_mp4_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return mp4_metadata_stats(synthesize_mp4_media(docs))
+
+
+@query(
     "m_tiff_lzw_decode_verified",
     oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
     doc=(
