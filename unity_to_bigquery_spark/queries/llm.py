@@ -1944,6 +1944,70 @@ def m_mp4_metadata_verified(spark, sf_dir):
 
 
 @query(
+    "m_avi_mjpeg_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(n_chars % 6 + 2 AS BIGINT) AS wb,
+             CAST(n_chars % 4 + 2 AS BIGINT) AS hb,
+             CAST((73 * doc_id) % 256 AS BIGINT) AS a,
+             CAST(doc_id % 5 + 2 AS BIGINT) AS nf,
+             CAST(doc_id % 15 + 10 AS BIGINT) AS fps
+      FROM documents
+    ), fj AS (
+      SELECT d.doc_id, d.nf, f.f,
+             (d.a + 17 * f.f + j.j) % 256 AS v
+      FROM d
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS f) f
+      CROSS JOIN (SELECT unnest(generate_series(0, 34)) AS j) j
+      WHERE f.f < d.nf AND j.j < d.wb * d.hb
+    ), agg AS (
+      SELECT doc_id, SUM(64 * v) AS luma_sum,
+             SUM(CASE WHEN f < nf - 1
+                 THEN 64 * (CASE WHEN v >= 239 THEN 239 ELSE 17 END)
+                 ELSE 0 END) AS motion_sum
+      FROM fj GROUP BY doc_id
+    )
+    SELECT d.doc_id, 'avi' AS fmt,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(fps AS INTEGER) AS fps,
+           CAST(1000000 // fps AS BIGINT) AS usec_pf,
+           CAST(agg.luma_sum AS BIGINT) AS luma_sum,
+           CAST(agg.motion_sum AS BIGINT) AS motion_sum,
+           CAST(a AS INTEGER) AS first_px,
+           CAST((a + 17 * (nf - 1) + wb * hb - 1) % 256 AS INTEGER) AS last_px
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc=(
+        "AVI + Motion-JPEG decode, oracle-verified — a CONTAINER x "
+        "CODEC composition: real RIFF('AVI ') files (avih/strl headers, "
+        "word-aligned '00dc' movi chunks, idx1 index) whose every frame "
+        "is a complete baseline JPEG, walked by a from-scratch RIFF "
+        "parser that VERIFIES idx1 against the actual chunk layout and "
+        "then runs each frame through the module's real JPEG entropy/"
+        "IDCT decode. Flat DC-exact tiles v(f,j)=(73*id+17f+j)%256 make "
+        "every frame value-exact, so per-video luma sums AND inter-frame "
+        "motion sums (|delta|=17 or the 239 wrap) are closed-form — a "
+        "RIFF alignment, idx1, or JPEG bug anywhere in the chain breaks "
+        "the hash. fps/duration come from strh scale/rate and avih."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_avi_mjpeg_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        avi_mjpeg_stats,
+        synthesize_avi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # entropy decode is Python-sequential per frame; spread the kernels
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return avi_mjpeg_stats(synthesize_avi_media(docs))
+
+
+@query(
     "m_tiff_lzw_decode_verified",
     oracle=_PNG_RAMP_ORACLE.replace("'png'", "'tiff'"),
     doc=(
@@ -3729,3 +3793,71 @@ def p_release_funnel(spark, sf_dir):
         .unionByName(stage(4, "neardup_scrub", scrubbed))
         .unionByName(stage(5, "decontaminated_release", final))
     )
+
+
+@query(
+    "t_html_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             doc_id % 4 + 2 AS np,
+             n_chars % 5 + 3 AS nw,
+             doc_id % 3 + 1 AS nl,
+             doc_id % 2 + 1 AS nc,
+             LENGTH(CAST(doc_id AS VARCHAR)) AS lid,
+             LENGTH(CAST(n_chars AS VARCHAR)) AS lnc
+      FROM documents
+    ), w AS (
+      SELECT d.doc_id,
+             SUM(1 + LENGTH(CAST((31*d.doc_id + 7*p.p + i.i) % 100 AS VARCHAR)))
+               + COUNT(*) - COUNT(DISTINCT p.p) AS para_chars
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 4)) AS p) p ON p.p < d.np
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i < d.nw
+      GROUP BY d.doc_id
+    ), h AS (
+      SELECT d.doc_id, COUNT(DISTINCT (d.doc_id + 3*l.l) % 4) AS n_hosts
+      FROM d JOIN (SELECT unnest(generate_series(0, 2)) AS l) l ON l.l < d.nl
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+           CAST(d.np + d.nl + 1 AS INTEGER) AS n_blocks,
+           CAST(w.para_chars + 5 + 5*d.nl + 4 + d.np + d.nl AS BIGINT)
+             AS n_text_chars,
+           CAST(d.np*d.nw + 2 + d.nl AS BIGINT) AS n_words,
+           CAST(d.nl AS INTEGER) AS n_links,
+           CAST(h.n_hosts AS INTEGER) AS n_hosts,
+           'site' || CAST(d.doc_id % 4 AS VARCHAR) || '.example'
+             AS first_link_host,
+           CAST(32*d.nl AS BIGINT) AS n_href_chars,
+           CAST(4 AS INTEGER) AS n_entities,
+           CAST(d.nc AS INTEGER) AS n_comments,
+           CAST(51 + d.lid + d.lnc AS BIGINT) AS skipped_chars,
+           'w' || CAST((31*d.doc_id) % 100 AS VARCHAR) AS first_word
+    FROM d JOIN w USING (doc_id) JOIN h USING (doc_id)
+    """,
+    doc=(
+        "HTML text/link extraction, oracle-verified — the crawl "
+        "pipeline's step zero, as a REAL WHATWG-style tokenizer "
+        "(llm/html.py): DATA/TAG/COMMENT/RAWTEXT states, script/style "
+        "bodies skipped via rawtext (fake tags and '<' inside), title "
+        "as RCDATA, quoted attributes that legally contain '>', "
+        "comments hiding tag lookalikes, named+decimal+hex character "
+        "references decoded in text AND hrefs (the 32-vs-36-char href "
+        "length proves attribute decoding), block/inline distinction "
+        "with <br> newlines and void <img>. Every planted trap feeds a "
+        "closed-form column, so a state-machine bug anywhere breaks "
+        "the hash. One mapInPandas stage; only stats cross Arrow."
+    ),
+    tags=("text", "udf"),
+)
+def t_html_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.html import (
+        html_extract_stats,
+        synthesize_html_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return html_extract_stats(synthesize_html_media(docs))
