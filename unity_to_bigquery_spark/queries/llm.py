@@ -3861,3 +3861,62 @@ def t_html_extract_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return html_extract_stats(synthesize_html_media(docs))
+
+
+@query(
+    "m_pdf_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 3 + 1 AS np,
+             n_chars % 4 + 2 AS nt
+      FROM documents
+    ), w AS (
+      SELECT d.doc_id,
+             SUM(1 + LENGTH(CAST((23*d.doc_id + 7*pg.pg + t.t) % 100
+                                 AS VARCHAR))) AS vchars
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 2)) AS pg) pg ON pg.pg < d.np
+      JOIN (SELECT unnest(generate_series(0, 5)) AS t) t ON t.t < d.nt
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, 'pdf' AS fmt,
+           CAST(d.np AS INTEGER) AS n_pages,
+           CAST(4 + 3*d.np AS INTEGER) AS n_objects,
+           CAST(w.vchars + d.np*(d.nt + 7) + d.np - 1 + 3 AS BIGINT)
+             AS n_text_chars,
+           CAST(d.np*(d.nt + 2) AS BIGINT) AS n_words,
+           'v' || CAST((23*d.doc_id) % 100 AS VARCHAR) || '(x)'
+             AS first_word,
+           CAST(d.np*(d.nt + 2) AS INTEGER) AS n_show_ops,
+           CAST(d.np - 1 AS INTEGER) AS n_flate_streams,
+           CAST(612 AS INTEGER) AS page_w,
+           CAST(792 AS INTEGER) AS page_h,
+           'Synth ' || CAST(d.doc_id AS VARCHAR) AS producer
+    FROM d JOIN w USING (doc_id)
+    """,
+    doc=(
+        "PDF text extraction, oracle-verified — document-pipeline step "
+        "zero for published/scanned corpora, from-scratch against the "
+        "public ISO 32000 layout (llm/pdf.py): startxref discovery, "
+        "classic 20-byte xref table with EVERY in-use entry verified "
+        "against the object header it points at, a recursive-descent "
+        "reader for all 8 object types, the Root->Pages->Kids->Contents "
+        "graph walked through indirect references (page 0's /Length is "
+        "itself an indirect object — the separate-length-object trap), "
+        "FlateDecode via zlib beside raw streams, and a BT/ET content "
+        "interpreter (Td line breaks, Tj literals with octal/paren "
+        "escapes, TJ arrays with kerning skipped, hex strings). Every "
+        "mechanism feeds a closed-form column. One mapInPandas stage."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_pdf_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.pdf import (
+        pdf_extract_stats,
+        synthesize_pdf_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return pdf_extract_stats(synthesize_pdf_media(docs))
