@@ -1869,3 +1869,100 @@ def test_avi_mjpeg_riff_walk_and_decode():
         for d in range(4)
         for c in range(4)
     )
+
+
+def test_mp3_frame_walk_and_id3():
+    """MP3 walk: syncsafe ID3v2 sizes, frame-length law, sync loss,
+    reserved indexes, and ID3v1 trailer detection."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import parse_mp3, write_mp3
+
+    # closed-form facts for (doc_id=9, n_chars=130): br=64+16*(9%5)=128,
+    # sr=32000 (9%3==0? 9%3=0 -> 44100), nf=130%6+4=8
+    m = parse_mp3(write_mp3(9, 130))
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["n_frames"] == 8
+    base = 144 * 128 * 1000 // 44100
+    assert m["audio_bytes"] == 8 * base + 4  # 4 odd frames padded
+    assert m["duration_ms"] == 8 * 1152 * 1000 // 44100
+    assert m["title"] == "Track 9" and m["artist"] == "Artist 2"
+    assert m["has_id3v1"] is False
+    assert parse_mp3(write_mp3(10, 130))["has_id3v1"] is True
+
+    raw = write_mp3(4, 99)
+    tag_end = parse_mp3(raw)["id3v2_bytes"]
+
+    # non-syncsafe ID3v2 size byte is rejected
+    bad = bytearray(raw)
+    bad[6] |= 0x80
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3(bytes(bad))
+    # corrupting a frame header's sync loses the walk loudly
+    bad2 = bytearray(raw)
+    bad2[tag_end] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(bytes(bad2))
+    # reserved bitrate index (0xF) is rejected
+    bad3 = bytearray(raw)
+    bad3[tag_end + 2] |= 0xF0
+    with pytest.raises(ValueError, match="bitrate"):
+        parse_mp3(bytes(bad3))
+    # truncating the last frame overruns
+    with pytest.raises(ValueError, match="overruns|sync"):
+        parse_mp3(raw[:-7])
+
+
+def test_h264_nal_walk_and_sps():
+    """Annex-B mechanisms: emulation-prevention round trip, Exp-Golomb
+    exactness, forbidden-bit/profile strictness, cropping arithmetic."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _BitReader,
+        _ebsp_escape,
+        _ebsp_unescape,
+        _ue_write,
+        parse_h264,
+        write_h264,
+    )
+
+    # EBSP: every 00 00 0x run is escaped and recovered exactly
+    for raw in (b"\x00\x00\x01", b"\x00\x00\x00\x00\x03", b"\x00\x00\x02ab",
+                b"ab\x00\x00", b"\x00" * 6):
+        esc = _ebsp_escape(raw)
+        assert b"\x00\x00\x01" not in esc[:-1] + b"\xff"  # no start codes inside
+        assert _ebsp_unescape(esc) == raw
+    # 00 00 03 followed by >3 can never appear in valid EBSP
+    with pytest.raises(ValueError, match="emulation"):
+        _ebsp_unescape(b"\x00\x00\x03\x07")
+
+    # Exp-Golomb write/read round trip over the interesting range
+    for v in list(range(64)) + [127, 128, 255, 1000]:
+        bits = []
+        _ue_write(bits, v)
+        bits += [1] * (8 - len(bits) % 8 if len(bits) % 8 else 0)
+        data = bytes(
+            int("".join(map(str, bits[i:i+8])), 2) for i in range(0, len(bits), 8)
+        )
+        assert _BitReader(data).ue() == v
+
+    # cropping: odd doc_id crops 2px off width and height
+    m1 = parse_h264(write_h264(1, 100))  # wb=3, hb=3, crop=1
+    assert (m1["width"], m1["height"]) == (46, 46)
+    m2 = parse_h264(write_h264(2, 100))  # wb=4, hb=4, crop=0
+    assert (m2["width"], m2["height"]) == (64, 64)
+
+    raw = write_h264(3, 77)
+    with pytest.raises(ValueError, match="start code"):
+        parse_h264(raw[2:])
+    # forbidden bit on the first NAL header (after the 4-byte SC)
+    bad = bytearray(raw)
+    bad[4] |= 0x80
+    with pytest.raises(ValueError, match="forbidden"):
+        parse_h264(bytes(bad))
+    # high-profile SPS needs the chroma branch: loud, not wrong
+    bad2 = bytearray(raw)
+    bad2[5] = 100  # profile_idc byte of the SPS rbsp
+    with pytest.raises(ValueError, match="chroma"):
+        parse_h264(bytes(bad2))

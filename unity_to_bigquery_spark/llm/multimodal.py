@@ -5434,3 +5434,477 @@ def avi_mjpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, AVI_STATS_SCHEMA)
+
+
+# ---- MP3: MPEG-1 Layer III frame walk + ID3v2/ID3v1 tags ----
+#
+# Crawled audio is overwhelmingly MP3; the pipeline needs duration/
+# bitrate/tag metadata WITHOUT an entropy decode (patent-era Huffman
+# is out of scope per BASELINE.md). What IS public and exact: the
+# frame-header grammar (ISO 11172-3) — sync, version/layer bits, the
+# bitrate/samplerate index tables, the padding bit, and the
+# 144*bitrate/samplerate+pad frame-length law — plus the ID3v2
+# container (SYNCSAFE 7-bit size bytes, the classic parser trap) and
+# the fixed 128-byte ID3v1 trailer. Every frame boundary is walked and
+# sync-verified, so a single wrong length derails the walk loudly.
+
+_MP3_BITRATES_V1L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_SAMPLERATES_V1 = [44100, 48000, 32000]
+
+
+def write_mp3(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic-but-real MP3: an ID3v2.3 tag (TIT2/TPE1/TALB text
+    frames + n_chars%50+90 bytes padding, total size syncsafe-encoded),
+    nf = n_chars%6+4 MPEG-1 Layer III frames with bitrate index
+    doc_id%5+5, samplerate index doc_id%3, padding bit f%2, and (for
+    even doc_id) a 128-byte ID3v1 'TAG' trailer."""
+    import struct
+
+    def syncsafe(n: int) -> bytes:
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+    def id3_frame(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1")
+        return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+    frames = (
+        id3_frame(b"TIT2", f"Track {doc_id}")
+        + id3_frame(b"TPE1", f"Artist {doc_id % 7}")
+        + id3_frame(b"TALB", f"Album {n_chars}")
+    )
+    padding = b"\x00" * (n_chars % 50 + 90)
+    tag_size = len(frames) + len(padding)
+    out = bytearray(b"ID3\x03\x00\x00" + syncsafe(tag_size) + frames + padding)
+
+    br_idx = doc_id % 5 + 5
+    sr_idx = doc_id % 3
+    br = _MP3_BITRATES_V1L3[br_idx]
+    sr = _MP3_SAMPLERATES_V1[sr_idx]
+    nf = n_chars % 6 + 4
+    for f in range(nf):
+        pad = f % 2
+        flen = 144 * br * 1000 // sr + pad
+        hdr = bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0x40]
+        )
+        body = bytes([(doc_id + f + i) % 256 for i in range(flen - 4)])
+        out += hdr + body
+    if doc_id % 2 == 0:
+        out += (
+            b"TAG"
+            + f"Track {doc_id}".encode().ljust(30, b"\x00")
+            + f"Artist {doc_id % 7}".encode().ljust(30, b"\x00")
+            + b"\x00" * 30  # album
+            + b"2024"
+            + b"\x00" * 30  # comment
+            + b"\xff"  # genre
+        )
+    return bytes(out)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """ID3v2 syncsafe-size skip + tag-frame text extraction, then the
+    MPEG frame walk: every header sync/version/layer-verified, frame
+    lengths from the public tables, stopping only at a valid ID3v1
+    trailer or exact EOF. Raises on lost sync, reserved bitrate or
+    samplerate indexes, or trailing garbage."""
+    import struct
+
+    pos = 0
+    title = artist = ""
+    id3v2_bytes = 0
+    if payload[:3] == b"ID3":
+        if payload[3] not in (2, 3, 4):
+            raise ValueError("unsupported ID3v2 version")
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("ID3v2 size bytes must be syncsafe (high bit clear)")
+        tag_size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+        id3v2_bytes = 10 + tag_size
+        fpos = 10
+        while fpos + 10 <= id3v2_bytes:
+            fid = payload[fpos : fpos + 4]
+            if fid == b"\x00\x00\x00\x00":
+                break  # padding
+            fsize = struct.unpack_from(">I", payload, fpos + 4)[0]
+            if fpos + 10 + fsize > id3v2_bytes:
+                raise ValueError(f"ID3v2 frame {fid!r} overruns the tag")
+            body = payload[fpos + 10 : fpos + 10 + fsize]
+            if fid in (b"TIT2", b"TPE1") and body[:1] == b"\x00":
+                text = body[1:].decode("latin-1")
+                if fid == b"TIT2":
+                    title = text
+                else:
+                    artist = text
+            fpos += 10 + fsize
+        pos = id3v2_bytes
+
+    n_frames = 0
+    audio_bytes = 0
+    bitrate = samplerate = 0
+    has_id3v1 = False
+    end = len(payload)
+    while pos < end:
+        if payload[pos : pos + 3] == b"TAG" and end - pos == 128:
+            has_id3v1 = True
+            break
+        if pos + 4 > end or payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at byte {pos}")
+        b1, b2 = payload[pos + 1], payload[pos + 2]
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 0xF):
+            raise ValueError("free-form/reserved bitrate index")
+        if sr_idx == 3:
+            raise ValueError("reserved samplerate index")
+        pad = (b2 >> 1) & 0x1
+        br = _MP3_BITRATES_V1L3[br_idx]
+        sr = _MP3_SAMPLERATES_V1[sr_idx]
+        if n_frames == 0:
+            bitrate, samplerate = br, sr
+        elif sr != samplerate:
+            raise ValueError("samplerate change mid-stream")
+        flen = 144 * br * 1000 // sr + pad
+        if pos + flen > end:
+            raise ValueError("frame length overruns the file")
+        pos += flen
+        n_frames += 1
+        audio_bytes += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG frames found")
+    return {
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrate,
+        "sample_rate": samplerate,
+        "duration_ms": n_frames * 1152 * 1000 // samplerate,
+        "audio_bytes": audio_bytes,
+        "id3v2_bytes": id3v2_bytes,
+        "title": title,
+        "artist": artist,
+        "has_id3v1": has_id3v1,
+    }
+
+
+MP3_META_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, n_frames INT, bitrate_kbps INT, "
+    "sample_rate INT, duration_ms BIGINT, audio_bytes BIGINT, "
+    "id3v2_bytes BIGINT, title STRING, artist STRING, has_id3v1 BOOLEAN"
+)
+
+
+def synthesize_mp3_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real MP3 files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "mp3",
+                    "payload": [
+                        write_mp3(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def mp3_metadata_stats(media: DataFrame) -> DataFrame:
+    """Tag walk + frame walk in ONE mapInPandas stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in MP3_META_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_mp3(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id), "mp3", m["n_frames"], m["bitrate_kbps"],
+                        m["sample_rate"], m["duration_ms"], m["audio_bytes"],
+                        m["id3v2_bytes"], m["title"], m["artist"],
+                        m["has_id3v1"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, MP3_META_SCHEMA)
+
+
+# ---- H.264 Annex-B: NAL walk + SPS parse (Exp-Golomb) ----
+#
+# Resolution extraction from crawled video WITHOUT a slice decode: the
+# public ITU-T H.264 syntax layer is enough — Annex-B start codes
+# (00 00 01 / 00 00 00 01), the 1-byte NAL header, EBSP emulation-
+# prevention stripping (00 00 03 xx -> 00 00 xx, the trap every naive
+# parser hits), and the SPS parsed bit-exactly with unsigned
+# Exp-Golomb codes: profile/level, frame_num bits, reference frames,
+# pic size in macroblocks, and the frame-cropping rectangle that
+# yields non-multiple-of-16 display sizes.
+
+
+def _ue_write(bits: list[int], v: int) -> None:
+    code = v + 1
+    n = code.bit_length() - 1
+    bits.extend([0] * n)
+    for i in range(n, -1, -1):
+        bits.append((code >> i) & 1)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+
+def _ebsp_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after any 00 00 followed by
+    00/01/02/03 (the writer half of the Annex-B trap)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ebsp_unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            if i + 1 < len(ebsp) and ebsp[i + 1] > 3:
+                raise ValueError("invalid emulation-prevention sequence")
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def write_h264(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic-but-real Annex-B stream: SPS (baseline profile 66,
+    level [30,31,40][doc_id%3], pic size doc_id%5+2 x doc_id%4+2 MBs,
+    frame cropping doc_id%2 on left+bottom), PPS, one SEI whose
+    n_chars%7+5 payload bytes are the 00-00-01 pattern (forcing
+    emulation-prevention escapes), one IDR slice, and n_chars%5+1
+    non-IDR slices."""
+    wb = doc_id % 5 + 2
+    hb = doc_id % 4 + 2
+    crop = doc_id % 2
+    level = [30, 31, 40][doc_id % 3]
+
+    bits: list[int] = []
+    _ue_write(bits, 0)  # seq_parameter_set_id
+    _ue_write(bits, doc_id % 3)  # log2_max_frame_num_minus4
+    _ue_write(bits, 2)  # pic_order_cnt_type (2: no extra fields)
+    _ue_write(bits, doc_id % 4 + 1)  # max_num_ref_frames
+    bits.append(0)  # gaps_in_frame_num_value_allowed_flag
+    _ue_write(bits, wb - 1)  # pic_width_in_mbs_minus1
+    _ue_write(bits, hb - 1)  # pic_height_in_map_units_minus1
+    bits.append(1)  # frame_mbs_only_flag
+    bits.append(0)  # direct_8x8_inference_flag
+    if crop:
+        bits.append(1)  # frame_cropping_flag
+        _ue_write(bits, 1)  # left (CropUnitX=2 -> 2 px)
+        _ue_write(bits, 0)  # right
+        _ue_write(bits, 0)  # top
+        _ue_write(bits, 1)  # bottom (CropUnitY=2 -> 2 px)
+    else:
+        bits.append(0)
+    bits.append(0)  # vui_parameters_present_flag
+    bits.append(1)  # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    sps_body = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    sps_rbsp = bytes([66, 0, level]) + sps_body  # profile, constraints, level
+
+    sei_n = n_chars % 7 + 5
+    sei_payload = bytes(1 if i % 3 == 2 else 0 for i in range(sei_n))
+    sei_rbsp = bytes([5, sei_n]) + sei_payload + b"\x80"  # user_data type 5
+
+    pps_rbsp = bytes([0b11001000])  # ue(0) ue(0) + stop bit, minimal
+
+    def nal(ref_idc: int, ntype: int, rbsp: bytes, long_sc: bool) -> bytes:
+        sc = b"\x00\x00\x00\x01" if long_sc else b"\x00\x00\x01"
+        return sc + bytes([(ref_idc << 5) | ntype]) + _ebsp_escape(rbsp)
+
+    out = bytearray()
+    out += nal(3, 7, sps_rbsp, True)
+    out += nal(3, 8, pps_rbsp, False)
+    out += nal(0, 6, sei_rbsp, False)
+    out += nal(3, 5, bytes((doc_id + i) % 251 + 1 for i in range(9)), False)
+    for k in range(n_chars % 5 + 1):
+        out += nal(2, 1, bytes((doc_id + k + i) % 251 + 1 for i in range(7)), False)
+    return bytes(out)
+
+
+def parse_h264(payload: bytes) -> dict:
+    """Annex-B walk: start-code split, NAL headers verified, EBSP
+    unescape, SPS parsed bit-exactly, SEI payload sized. Raises on a
+    missing leading start code, a set forbidden bit, or an SPS profile
+    whose chroma branch this parser does not implement."""
+    if not (payload.startswith(b"\x00\x00\x01") or payload.startswith(b"\x00\x00\x00\x01")):
+        raise ValueError("Annex-B stream must start with a start code")
+    # collect NAL spans by scanning 00 00 01 start codes
+    starts = []
+    i = 0
+    while True:
+        j = payload.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    nals = []
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else len(payload)
+        # a 4-byte start code owns the preceding zero; trim trailing 0
+        while e > s and k + 1 < len(starts) and payload[e - 1] == 0:
+            e -= 1
+        nals.append(payload[s:e])
+
+    counts = {5: 0, 1: 0, 6: 0, 7: 0, 8: 0}
+    sps = None
+    sei_bytes = 0
+    for nal in nals:
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set in NAL header")
+        ntype = hdr & 0x1F
+        counts[ntype] = counts.get(ntype, 0) + 1
+        rbsp = _ebsp_unescape(nal[1:])
+        if ntype == 7:
+            sps = rbsp
+        elif ntype == 6:
+            # SEI: ff-escaped type then size, then payload
+            p = 0
+            ptype = 0
+            while rbsp[p] == 0xFF:
+                ptype += 255
+                p += 1
+            ptype += rbsp[p]
+            p += 1
+            size = 0
+            while rbsp[p] == 0xFF:
+                size += 255
+                p += 1
+            size += rbsp[p]
+            p += 1
+            if p + size + 1 > len(rbsp):
+                raise ValueError("SEI payload overruns its NAL")
+            sei_bytes += size
+    if sps is None:
+        raise ValueError("no SPS in stream")
+
+    profile, _constraints, level = sps[0], sps[1], sps[2]
+    if profile not in (66, 77, 88):
+        raise ValueError(f"profile {profile} needs the chroma-format branch")
+    r = _BitReader(sps[3:])
+    r.ue()  # seq_parameter_set_id
+    log2_mfn = r.ue()
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        raise ValueError("pic_order_cnt_type 1 not supported")
+    max_ref = r.ue()
+    r.u(1)
+    wb = r.ue() + 1
+    hb = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise ValueError("interlaced (mbaff) SPS not supported")
+    r.u(1)
+    cl = cr = ct = cb = 0
+    if r.u(1):  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    return {
+        "profile_idc": profile,
+        "level_idc": level,
+        "width": 16 * wb - 2 * (cl + cr),
+        "height": 16 * hb - 2 * (ct + cb),
+        "frame_num_bits": log2_mfn + 4,
+        "max_ref_frames": max_ref,
+        "n_nals": len(nals),
+        "n_idr": counts.get(5, 0),
+        "n_nonidr": counts.get(1, 0),
+        "n_sei": counts.get(6, 0),
+        "sei_payload_bytes": sei_bytes,
+    }
+
+
+H264_META_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, profile_idc INT, level_idc INT, "
+    "width INT, height INT, frame_num_bits INT, max_ref_frames INT, "
+    "n_nals INT, n_idr INT, n_nonidr INT, n_sei INT, "
+    "sei_payload_bytes BIGINT"
+)
+
+
+def synthesize_h264_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): Annex-B streams."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "h264",
+                    "payload": [
+                        write_h264(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def h264_metadata_stats(media: DataFrame) -> DataFrame:
+    """NAL walk + SPS bit parse in ONE mapInPandas stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in H264_META_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_h264(bytes(payload))
+                rows.append(
+                    (int(doc_id), "h264") + tuple(m[c] for c in cols[2:])
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, H264_META_SCHEMA)

@@ -3920,3 +3920,99 @@ def m_pdf_extract_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return pdf_extract_stats(synthesize_pdf_media(docs))
+
+
+@query(
+    "m_mp3_metadata_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             64 + 16 * (doc_id % 5) AS br,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr,
+             n_chars % 6 + 4 AS nf
+      FROM documents
+    )
+    SELECT doc_id, 'mp3' AS fmt,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(br AS INTEGER) AS bitrate_kbps,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(nf * (144 * br * 1000 // sr) + nf // 2 AS BIGINT)
+             AS audio_bytes,
+           CAST(153 + LENGTH(CAST(doc_id AS VARCHAR))
+                    + LENGTH(CAST(n_chars AS VARCHAR))
+                    + n_chars % 50 AS BIGINT) AS id3v2_bytes,
+           'Track ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           doc_id % 2 = 0 AS has_id3v1
+    FROM d
+    """,
+    doc=(
+        "MP3 metadata walk, oracle-verified — duration/bitrate/tag "
+        "extraction for crawled audio WITHOUT entropy decode (the "
+        "public ISO 11172-3 header grammar is the whole story): ID3v2.3 "
+        "container with SYNCSAFE 7-bit size bytes (the classic parser "
+        "trap), TIT2/TPE1/TALB text frames and padding, then every "
+        "MPEG-1 Layer III frame boundary walked and sync-verified via "
+        "the bitrate/samplerate index tables and the "
+        "144*bitrate/samplerate+pad length law (alternating padding "
+        "bits), terminated by a 128-byte ID3v1 'TAG' trailer on even "
+        "doc_ids. A wrong length anywhere derails the walk loudly. "
+        "One mapInPandas stage; stats-only shuffle."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_mp3_metadata_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        mp3_metadata_stats,
+        synthesize_mp3_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return mp3_metadata_stats(synthesize_mp3_media(docs))
+
+
+@query(
+    "m_h264_sps_verified",
+    oracle="""
+    SELECT doc_id, 'h264' AS fmt,
+           CAST(66 AS INTEGER) AS profile_idc,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31
+                ELSE 40 END AS INTEGER) AS level_idc,
+           CAST(16*(doc_id % 5 + 2) - 2*(doc_id % 2) AS INTEGER) AS width,
+           CAST(16*(doc_id % 4 + 2) - 2*(doc_id % 2) AS INTEGER) AS height,
+           CAST(4 + doc_id % 3 AS INTEGER) AS frame_num_bits,
+           CAST(doc_id % 4 + 1 AS INTEGER) AS max_ref_frames,
+           CAST(5 + n_chars % 5 AS INTEGER) AS n_nals,
+           CAST(1 AS INTEGER) AS n_idr,
+           CAST(n_chars % 5 + 1 AS INTEGER) AS n_nonidr,
+           CAST(1 AS INTEGER) AS n_sei,
+           CAST(n_chars % 7 + 5 AS BIGINT) AS sei_payload_bytes
+    FROM documents
+    """,
+    doc=(
+        "H.264 Annex-B NAL walk + SPS parse, oracle-verified — "
+        "resolution/profile extraction from crawled video WITHOUT a "
+        "slice decode, against the public ITU-T syntax layer: 3- and "
+        "4-byte start codes, NAL headers (forbidden bit checked), EBSP "
+        "emulation-prevention stripping exercised FOR REAL (the SEI "
+        "payload is the 00-00-01 pattern, so the writer must escape "
+        "and the parser must unescape or the size check breaks), and "
+        "the SPS parsed bit-exactly with unsigned Exp-Golomb codes "
+        "including the frame-cropping rectangle that yields "
+        "non-multiple-of-16 display sizes on odd doc_ids. One "
+        "mapInPandas stage; stats-only shuffle."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_h264_sps_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        h264_metadata_stats,
+        synthesize_h264_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return h264_metadata_stats(synthesize_h264_media(docs))
