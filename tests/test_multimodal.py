@@ -1966,3 +1966,63 @@ def test_h264_nal_walk_and_sps():
     bad2[5] = 100  # profile_idc byte of the SPS rbsp
     with pytest.raises(ValueError, match="chroma"):
         parse_h264(bytes(bad2))
+
+
+def test_flac_bitstream_and_crcs():
+    """FLAC subset: CRC pins, Rice round trip, one-bit corruption is
+    loud everywhere, and subset boundaries raise."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _BitReader,
+        _BitWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _rice_read,
+        decode_flac,
+        write_flac,
+    )
+
+    # CRC pins against the published polynomials (x^8+x^2+x+1, x^16+x^15+x^2+1)
+    assert _crc8_flac(b"") == 0 and _crc16_flac(b"") == 0
+    assert _crc8_flac(b"\x01") == 0x07
+    assert _crc16_flac(b"\x01") == 0x8005
+
+    # Rice write/read round trip across signs and magnitudes
+    for k in (0, 1, 3, 5):
+        for v in (-40, -7, -1, 0, 1, 6, 39):
+            w = _BitWriter()
+            w.rice(v, k)
+            w.align()
+            assert _rice_read(_BitReader(w.tobytes()), k) == v
+
+    raw = write_flac(4, 100)
+    m = decode_flac(raw)
+    assert m["n_frames"] == 3 and m["total_samples"] == 768
+    assert m["sample_rate"] == 48000
+
+    # flipping ANY single bit inside a frame trips a CRC or the walk
+    streaminfo_end = 4 + 4 + 34
+    trips = 0
+    for byte_off in range(streaminfo_end + 2, len(raw), 97):
+        bad = bytearray(raw)
+        bad[byte_off] ^= 0x10
+        try:
+            if decode_flac(bytes(bad)) != m:
+                trips += 1
+        except ValueError:
+            trips += 1
+    assert trips == len(range(streaminfo_end + 2, len(raw), 97))
+
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"fLaX" + raw[4:])
+    # LPC subframe type (0b100000) raises, not misdecodes: craft by
+    # patching the first subframe header byte... locate first frame
+    # (after streaminfo) and flip its subframe type bits
+    first_frame = streaminfo_end
+    bad = bytearray(raw)
+    # subframe header is byte 5 of the frame (after 4 hdr + 1 crc8);
+    # CONSTANT type 0 -> set bit pattern 0100000x for LPC order 1
+    bad[first_frame + 5] = 0b01000000
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))

@@ -5908,3 +5908,346 @@ def h264_metadata_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, H264_META_SCHEMA)
+
+
+# ---- FLAC (subset): real bit-level lossless audio codec ----
+#
+# The lossless-audio format a crawl actually hits. From-scratch
+# against the public xiph.org spec: fLaC magic + STREAMINFO metadata
+# block; frame headers with the 14-bit sync code, blocksize/samplerate/
+# channel/bps code tables, UTF-8-style coded frame numbers, and a real
+# CRC-8 (poly 0x07) over the header; subframes CONSTANT, VERBATIM, and
+# FIXED order 0-2 whose residuals are RICE-coded (unary quotient +
+# k-bit remainder, zigzag signed mapping, 4-bit partition method 0);
+# byte alignment and a real CRC-16 (poly 0x8005) over the whole frame.
+# Both CRCs are VERIFIED on decode, so a single wrong bit anywhere in
+# the stream is loud. LPC subframes are out of subset scope (raise).
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def s(self, v: int, n: int) -> None:
+        self.u(v & ((1 << n) - 1), n)
+
+    def rice(self, v: int, k: int) -> None:
+        z = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+        q = z >> k
+        self.bits.extend([0] * q + [1])
+        self.u(z & ((1 << k) - 1), k)
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        return bytes(
+            int("".join(map(str, self.bits[i : i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+_FLAC_BLOCK = 256
+_FLAC_RICE_K = 3
+
+
+def write_flac(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic-but-real subset FLAC, 16-bit mono, blocksize 256,
+    samplerate [44100,48000,22050][doc_id%3], nf = doc_id%3+2 frames
+    cycling CONSTANT / FIXED(order 1) / VERBATIM:
+      CONSTANT f: value (7*doc_id+f)%1000-500
+      FIXED    f: s[n] = b + step*n + r[n], b=((doc_id+f)*13)%2000-1000,
+                  step=doc_id%7-3, r[n]=((37n+doc_id)%5)-2, Rice k=3
+      VERBATIM f: s[n] = ((doc_id+f)*31 + 17n)%4096 - 2048
+    CRC-8 on every frame header, CRC-16 on every frame."""
+    sr = [44100, 48000, 22050][doc_id % 3]
+    nf = doc_id % 3 + 2
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.u(_FLAC_BLOCK, 16)  # min blocksize
+    si.u(_FLAC_BLOCK, 16)  # max blocksize
+    si.u(0, 24)  # min framesize unknown
+    si.u(0, 24)
+    si.u(sr, 20)
+    si.u(0, 3)  # channels-1 (mono)
+    si.u(15, 5)  # bps-1 (16-bit)
+    si.u(_FLAC_BLOCK * nf, 36)
+    body = si.tobytes() + b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
+
+    for f in range(nf):
+        hw = _BitWriter()
+        hw.u(0b11111111111110, 14)  # sync
+        hw.u(0, 1)  # reserved
+        hw.u(0, 1)  # fixed-blocksize stream
+        hw.u(8, 4)  # blocksize code 8 -> 256
+        hw.u(0, 4)  # samplerate: from STREAMINFO
+        hw.u(0, 4)  # channel assignment: mono
+        hw.u(4, 3)  # sample size code 4 -> 16 bps
+        hw.u(0, 1)  # reserved
+        # UTF-8-style coded frame number (our f < 128: one byte)
+        hw.u(f, 8)
+        hdr = hw.tobytes()
+        hdr += bytes([_crc8_flac(hdr)])
+
+        fw = _BitWriter()
+        t = f % 3
+        if t == 0:  # CONSTANT
+            fw.u(0, 1)
+            fw.u(0, 6)
+            fw.u(0, 1)
+            fw.s((7 * doc_id + f) % 1000 - 500, 16)
+        elif t == 1:  # FIXED order 1, Rice partition order 0
+            b = ((doc_id + f) * 13) % 2000 - 1000
+            step = doc_id % 7 - 3
+            s = [
+                b + step * n + ((37 * n + doc_id) % 5) - 2
+                for n in range(_FLAC_BLOCK)
+            ]
+            fw.u(0, 1)
+            fw.u(0b001000 | 1, 6)
+            fw.u(0, 1)
+            fw.s(s[0], 16)  # warmup
+            fw.u(0, 2)  # residual method: Rice 4-bit
+            fw.u(0, 4)  # partition order 0
+            fw.u(_FLAC_RICE_K, 4)
+            for n in range(1, _FLAC_BLOCK):
+                fw.rice(s[n] - s[n - 1], _FLAC_RICE_K)
+        else:  # VERBATIM
+            k = doc_id + f
+            fw.u(0, 1)
+            fw.u(1, 6)
+            fw.u(0, 1)
+            for n in range(_FLAC_BLOCK):
+                fw.s((k * 31 + 17 * n) % 4096 - 2048, 16)
+        frame = hdr + fw.tobytes()
+        frame += _crc16_flac(frame).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
+def _rice_read(r: "_BitReader", k: int) -> int:
+    q = 0
+    while r.u(1) == 0:
+        q += 1
+        if q > 1 << 20:
+            raise ValueError("runaway Rice unary code")
+    z = (q << k) | (r.u(k) if k else 0)
+    return (z >> 1) ^ -(z & 1)  # un-zigzag
+
+
+def decode_flac(payload: bytes) -> dict:
+    """Subset FLAC decode with CRC verification: STREAMINFO, frame
+    walk, CONSTANT/VERBATIM/FIXED(0-2) subframes, Rice residuals.
+    Returns stream facts and exact sample sums."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("missing fLaC magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    r = _BitReader(streaminfo)
+    min_bs, max_bs = r.u(16), r.u(16)
+    r.u(24), r.u(24)
+    sr = r.u(20)
+    channels = r.u(3) + 1
+    bps = r.u(5) + 1
+    total = r.u(36)
+    if channels != 1:
+        raise ValueError("subset decoder is mono-only")
+
+    n_frames = 0
+    counts = {"constant": 0, "fixed": 0, "verbatim": 0}
+    sum_samples = 0
+    first = last = None
+    while pos < len(payload):
+        fr = _BitReader(payload[pos:])
+        if fr.u(14) != 0b11111111111110:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        fr.u(1)
+        fr.u(1)
+        bs_code = fr.u(4)
+        if not 8 <= bs_code <= 15:
+            raise ValueError("only 256*2^n blocksize codes supported")
+        bs = 256 << (bs_code - 8)
+        sr_code = fr.u(4)
+        if sr_code != 0:
+            raise ValueError("only samplerate-from-STREAMINFO supported")
+        ch_code = fr.u(4)
+        if ch_code != 0:
+            raise ValueError("subset decoder is mono-only")
+        ss_code = fr.u(3)
+        fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if fbps != bps:
+            raise ValueError("frame bps disagrees with STREAMINFO")
+        fr.u(1)
+        # UTF-8-style frame number
+        b0 = fr.u(8)
+        if b0 < 0x80:
+            fnum = b0
+        else:
+            n_ext = 0
+            while (b0 << n_ext) & 0x40:
+                n_ext += 1
+            fnum = b0 & (0x3F >> n_ext)
+            for _ in range(n_ext):
+                cont = fr.u(8)
+                if cont & 0xC0 != 0x80:
+                    raise ValueError("malformed coded frame number")
+                fnum = (fnum << 6) | (cont & 0x3F)
+        hdr_len = fr.pos // 8
+        exp_crc8 = fr.u(8)
+        if _crc8_flac(payload[pos : pos + hdr_len]) != exp_crc8:
+            raise ValueError(f"frame {fnum} header CRC-8 mismatch")
+        if fnum != n_frames:
+            raise ValueError("frame numbers out of order")
+
+        if fr.u(1):
+            raise ValueError("subframe reserved bit set")
+        stype = fr.u(6)
+        if fr.u(1):
+            raise ValueError("wasted-bits not supported in subset")
+
+        def s16(v: int) -> int:
+            return v - (1 << bps) if v >= 1 << (bps - 1) else v
+
+        if stype == 0:
+            v = s16(fr.u(bps))
+            samples = [v] * bs
+            counts["constant"] += 1
+        elif stype == 1:
+            samples = [s16(fr.u(bps)) for _ in range(bs)]
+            counts["verbatim"] += 1
+        elif 8 <= stype <= 12:
+            order = stype & 0x7
+            if order > 2:
+                raise ValueError("fixed orders 3-4 out of subset scope")
+            warm = [s16(fr.u(bps)) for _ in range(order)]
+            if fr.u(2) != 0:
+                raise ValueError("only 4-bit Rice method supported")
+            porder = fr.u(4)
+            if porder != 0:
+                raise ValueError("only partition order 0 supported")
+            k = fr.u(4)
+            res = [_rice_read(fr, k) for _ in range(bs - order)]
+            samples = list(warm)
+            for e in res:
+                if order == 0:
+                    samples.append(e)
+                elif order == 1:
+                    samples.append(samples[-1] + e)
+                else:
+                    samples.append(2 * samples[-1] - samples[-2] + e)
+            counts["fixed"] += 1
+        elif stype >= 32:
+            raise ValueError("LPC subframes out of subset scope")
+        else:
+            raise ValueError(f"reserved subframe type {stype}")
+
+        while fr.pos % 8:
+            if fr.u(1):
+                raise ValueError("nonzero frame padding bits")
+        flen = fr.pos // 8
+        exp_crc16 = int.from_bytes(payload[pos + flen : pos + flen + 2], "big")
+        if _crc16_flac(payload[pos : pos + flen]) != exp_crc16:
+            raise ValueError(f"frame {fnum} CRC-16 mismatch")
+        pos += flen + 2
+        n_frames += 1
+        sum_samples += sum(samples)
+        if first is None:
+            first = samples[0]
+        last = samples[-1]
+    if n_frames * _FLAC_BLOCK != total:
+        raise ValueError("STREAMINFO total disagrees with decoded frames")
+    return {
+        "sample_rate": sr,
+        "bps": bps,
+        "n_frames": n_frames,
+        "total_samples": total,
+        "sum_samples": sum_samples,
+        "n_constant": counts["constant"],
+        "n_fixed": counts["fixed"],
+        "n_verbatim": counts["verbatim"],
+        "first_sample": first,
+        "last_sample": last,
+        "min_blocksize": min_bs,
+        "max_blocksize": max_bs,
+    }
+
+
+FLAC_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, sample_rate INT, bps INT, n_frames INT, "
+    "total_samples BIGINT, sum_samples BIGINT, n_constant INT, "
+    "n_fixed INT, n_verbatim INT, first_sample INT, last_sample INT"
+)
+
+
+def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): real FLAC files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "flac",
+                    "payload": [
+                        write_flac(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def flac_decode_stats(media: DataFrame) -> DataFrame:
+    """Full bit-level decode in ONE mapInPandas stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in FLAC_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_flac(bytes(payload))
+                rows.append(
+                    (int(doc_id), "flac") + tuple(m[c] for c in cols[2:])
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, FLAC_STATS_SCHEMA)

@@ -4016,3 +4016,72 @@ def m_h264_sps_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return h264_metadata_stats(synthesize_h264_media(docs))
+
+
+@query(
+    "m_flac_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 + 2 AS nf FROM documents
+    ), fr AS (
+      SELECT d.doc_id, d.nf, f.f, f.f % 3 AS t
+      FROM d JOIN (SELECT unnest(generate_series(0, 3)) AS f) f
+        ON f.f < d.nf
+    ), persample AS (
+      SELECT fr.doc_id,
+             SUM(CASE
+                 WHEN fr.t = 1 THEN
+                   ((fr.doc_id + fr.f)*13) % 2000 - 1000
+                   + (fr.doc_id % 7 - 3) * n.n
+                   + (37*n.n + fr.doc_id) % 5 - 2
+                 WHEN fr.t = 2 THEN
+                   ((fr.doc_id + fr.f)*31 + 17*n.n) % 4096 - 2048
+                 ELSE (7*fr.doc_id + fr.f) % 1000 - 500
+                 END) AS total
+      FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS n) n
+      GROUP BY fr.doc_id
+    )
+    SELECT d.doc_id, 'flac' AS fmt,
+           CAST(CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 22050 END AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bps,
+           CAST(d.nf AS INTEGER) AS n_frames,
+           CAST(256 * d.nf AS BIGINT) AS total_samples,
+           CAST(p.total AS BIGINT) AS sum_samples,
+           CAST((d.nf + 2) // 3 AS INTEGER) AS n_constant,
+           CAST((d.nf + 1) // 3 AS INTEGER) AS n_fixed,
+           CAST(d.nf // 3 AS INTEGER) AS n_verbatim,
+           CAST((7*d.doc_id) % 1000 - 500 AS INTEGER) AS first_sample,
+           CAST(CASE d.doc_id % 3
+                WHEN 0 THEN ((d.doc_id + 1)*13) % 2000 - 1000
+                            + 255*(d.doc_id % 7 - 3) + d.doc_id % 5 - 2
+                WHEN 1 THEN ((d.doc_id + 2)*31 + 4335) % 4096 - 2048
+                ELSE (7*d.doc_id + 3) % 1000 - 500
+                END AS INTEGER) AS last_sample
+    FROM d JOIN persample p USING (doc_id)
+    """,
+    doc=(
+        "Subset-FLAC decode, oracle-verified — a REAL bit-level "
+        "lossless audio codec against the public xiph.org spec "
+        "(llm/multimodal.py): STREAMINFO metadata block, frame headers "
+        "with the 14-bit sync code and code tables, UTF-8-style frame "
+        "numbers, CONSTANT / VERBATIM / FIXED(order 1) subframes with "
+        "RICE-coded residuals (unary quotient + k-bit remainder, "
+        "zigzag), byte alignment, and CRC-8 + CRC-16 VERIFIED on every "
+        "frame — one wrong bit anywhere is loud. The planted waveforms "
+        "(constant, linear+mod-5 dither, mod-4096 saw) make every "
+        "decoded sample integer-exact, so per-file sample sums hash "
+        "against a per-sample DuckDB oracle. LPC subframes raise "
+        "(out of subset scope). One mapInPandas stage."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_flac_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        flac_decode_stats,
+        synthesize_flac_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return flac_decode_stats(synthesize_flac_media(docs))
