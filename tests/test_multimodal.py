@@ -2026,3 +2026,67 @@ def test_flac_bitstream_and_crcs():
     bad[first_frame + 5] = 0b01000000
     with pytest.raises(ValueError):
         decode_flac(bytes(bad))
+
+
+def test_zip_datasource_splits_by_central_directory(spark, tmp_path):
+    """Splittable ZIP source: the planner cuts member-range partitions
+    from the central directory alone (more partitions than files), a
+    split scan returns exactly the records of an unsplit scan, and
+    member verification (local-header name, CRC-32) is loud."""
+    import os
+    import struct
+
+    import pytest
+
+    from unity_to_bigquery_spark.sources.archives import (
+        ZipReader,
+        read_zip_directory,
+        read_zip_member,
+        register_zip_source,
+        write_zip_landing,
+    )
+
+    pairs = [(i, 40 + i * 7) for i in range(60)]
+    root = str(tmp_path / "landing")
+    write_zip_landing(pairs, root, n_files=4)
+    register_zip_source(spark)
+
+    reader = ZipReader({"path": root, "members_per_partition": "10"})
+    assert len(reader.partitions()) > 4  # split within archives
+
+    def load(mpp):
+        return (
+            spark.read.format("zipindex")
+            .option("path", root)
+            .option("members_per_partition", str(mpp))
+            .load()
+        )
+
+    split = sorted(
+        (r.file, r.name, r.method, r.n_bytes, bytes(r.body))
+        for r in load(10).collect()
+    )
+    whole = sorted(
+        (r.file, r.name, r.method, r.n_bytes, bytes(r.body))
+        for r in load(100000).collect()
+    )
+    assert split == whole
+    assert len(split) == sum(c % 4 + 2 for _, c in pairs)
+    assert {m for _, _, m, _, _ in split} == {"stored", "deflated"}
+
+    # corrupting a member's bytes trips the CRC check
+    path = os.path.join(root, "part-000.zip")
+    entries = read_zip_directory(path)
+    e = next(x for x in entries if x["method"] == 0)  # stored: byte-level
+    blob = bytearray(open(path, "rb").read())
+    data_at = e["offset"] + 30 + len(e["name"])
+    blob[data_at] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError, match="CRC-32"):
+            read_zip_member(f, e)
+    # a CD offset that misses its local header is loud too
+    e2 = dict(e, offset=e["offset"] + 2)
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError, match="local header"):
+            read_zip_member(f, e2)

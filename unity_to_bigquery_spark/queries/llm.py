@@ -4085,3 +4085,94 @@ def m_flac_decode_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return flac_decode_stats(synthesize_flac_media(docs))
+
+
+@query(
+    "m_zip_source_scan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars % 4 + 2 AS INTEGER) AS nm,
+             CAST(n_chars % 150 + 40 AS BIGINT) AS l0
+      FROM documents
+    ), mm AS (
+      SELECT d.doc_id, d.nm, m.m,
+             (23 * d.doc_id + 11 * m.m) % 256 AS a,
+             d.l0 + 5 * m.m AS len
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS m) m
+      WHERE m.m < d.nm
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(len) AS BIGINT) AS body_bytes,
+           CAST(SUM(a) AS BIGINT) AS first_byte_sum,
+           CAST(SUM((a + len - 1) % 256) AS BIGINT) AS last_byte_sum,
+           CAST(SUM(m % 2) AS BIGINT) AS n_deflated
+    FROM mm GROUP BY doc_id
+    """,
+    doc=(
+        "SPLITTABLE ZIP SCAN via the Python Data Source API "
+        "(sources/archives.ZipDataSource): ZIP carries its OWN index — "
+        "the planner reads only the EOCD + central directory (a "
+        "from-scratch PKWARE APPNOTE parse, never archive bytes) and "
+        "hands executors member ranges; each member read verifies the "
+        "local header against its CD entry, inflates (STORED + raw-"
+        "deflate), and checks CRC-32 and size. "
+        "members_per_partition=40 forces multiple partitions per "
+        "archive, so split-correctness (every member exactly once "
+        "across partition boundaries) is what the oracle hashes, "
+        "alongside first/last-byte content probes."
+    ),
+    tags=("multimodal", "source", "datasource"),
+)
+def m_zip_source_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.sources.archives import (
+        register_zip_source,
+        write_zip_landing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # driver-side fixture write, bounded by the toy corpus (5k rows at
+    # sf0.1) — landing-zone synthesis, not a data path
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"zip_landing_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_zip_landing(pairs, root, n_files=8)
+    register_zip_source(spark)
+    df = (
+        spark.read.format("zipindex")
+        .option("path", root)
+        .option("members_per_partition", "40")
+        .load()
+    )
+    return (
+        df.select(
+            F.regexp_extract("name", r"^doc/(\d+)/(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("n_bytes").alias("blen"),
+            F.expr("CAST(conv(hex(substring(body, 1, 1)), 16, 10) AS BIGINT)").alias(
+                "fb"
+            ),
+            F.expr("CAST(conv(hex(substring(body, -1, 1)), 16, 10) AS BIGINT)").alias(
+                "lb"
+            ),
+            (F.col("method") == "deflated").cast("long").alias("defl"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("blen").alias("body_bytes"),
+            F.sum("fb").alias("first_byte_sum"),
+            F.sum("lb").alias("last_byte_sum"),
+            F.sum("defl").alias("n_deflated"),
+        )
+    )

@@ -249,3 +249,191 @@ def tar_extract_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, TAR_STATS_SCHEMA)
+
+
+# ---- splittable ZIP data source (Python Data Source API) ----
+#
+# ZIP carries its own index: the END-OF-CENTRAL-DIRECTORY record at
+# the file tail locates the central directory, and each CD entry
+# locates its member's local header. That makes a .zip splittable the
+# same way a CDX-indexed WARC is — the planner reads ONLY the tail
+# (EOCD + CD, a few KB), never archive bytes, and hands executors
+# member ranges to seek into. The reader re-implements the PKWARE
+# APPNOTE layout from scratch (EOCD PK\x05\x06, CD entries PK\x01\x02,
+# local headers PK\x03\x04) and VERIFIES, per member: local-header
+# signature and name against the CD entry, CRC-32 of the inflated
+# bytes, and the uncompressed size. STORED and DEFLATED both decode
+# (zlib wbits=-15 for raw deflate).
+
+import json
+import os
+import struct
+import zlib
+
+
+def read_zip_directory(path: str) -> list[dict]:
+    """Driver-side planning read: EOCD + central directory ONLY.
+    Returns one dict per member: name, method, comp_size, uncomp_size,
+    crc32, local header offset."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        tail_len = min(size, 65536 + 22)
+        f.seek(size - tail_len)
+        tail = f.read(tail_len)
+        eocd_at = tail.rfind(b"PK\x05\x06")
+        if eocd_at < 0:
+            raise ValueError(f"{path}: no end-of-central-directory record")
+        (
+            _disk, _cd_disk, _n_disk, n_total, cd_size, cd_off, _clen
+        ) = struct.unpack_from("<HHHHIIH", tail, eocd_at + 4)
+        f.seek(cd_off)
+        cd = f.read(cd_size)
+    entries = []
+    pos = 0
+    for _ in range(n_total):
+        if cd[pos : pos + 4] != b"PK\x01\x02":
+            raise ValueError(f"{path}: malformed central-directory entry")
+        (
+            _ver_made, _ver_need, _flags, method, _t, _d, crc,
+            comp_size, uncomp_size, name_len, extra_len, comment_len,
+            _disk_no, _iattr, _eattr, lho,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", cd, pos + 4)
+        name = cd[pos + 46 : pos + 46 + name_len].decode("utf-8")
+        entries.append(
+            {
+                "name": name,
+                "method": method,
+                "comp_size": comp_size,
+                "uncomp_size": uncomp_size,
+                "crc32": crc,
+                "offset": lho,
+            }
+        )
+        pos += 46 + name_len + extra_len + comment_len
+    if len(entries) != n_total:
+        raise ValueError(f"{path}: central directory truncated")
+    return entries
+
+
+def read_zip_member(f, entry: dict) -> bytes:
+    """Executor-side member read: seek to the local header, verify it
+    against the CD entry, inflate, verify CRC-32 and size."""
+    f.seek(entry["offset"])
+    hdr = f.read(30)
+    if hdr[:4] != b"PK\x03\x04":
+        raise ValueError(
+            f"member {entry['name']}: CD offset does not hit a local header"
+        )
+    name_len, extra_len = struct.unpack_from("<HH", hdr, 26)
+    name = f.read(name_len).decode("utf-8")
+    if name != entry["name"]:
+        raise ValueError(
+            f"local header name {name!r} disagrees with CD {entry['name']!r}"
+        )
+    f.seek(extra_len, 1)
+    raw = f.read(entry["comp_size"])
+    if entry["method"] == 0:
+        data = raw
+    elif entry["method"] == 8:
+        data = zlib.decompress(raw, -15)
+    else:
+        raise ValueError(f"unsupported compression method {entry['method']}")
+    if len(data) != entry["uncomp_size"]:
+        raise ValueError(f"member {entry['name']}: size mismatch after inflate")
+    if zlib.crc32(data) & 0xFFFFFFFF != entry["crc32"]:
+        raise ValueError(f"member {entry['name']}: CRC-32 mismatch")
+    return data
+
+
+def write_zip_landing(
+    docs: list[tuple[int, int]], root: str, n_files: int = 8
+) -> None:
+    """Deterministic landing zone: each doc's members (the
+    synthesize_zip fixture grid) are written into ``doc_id % n_files``
+    archives — one multi-doc .zip per bucket, members named
+    ``doc/<doc_id>/<m>.bin``."""
+    os.makedirs(root, exist_ok=True)
+    buckets: dict[int, list] = {i: [] for i in range(n_files)}
+    for doc_id, n_chars in docs:
+        buckets[doc_id % n_files].append((doc_id, n_chars))
+    for i, members in buckets.items():
+        path = os.path.join(root, f"part-{i:03d}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            for doc_id, n_chars in sorted(members):
+                nm = n_chars % 4 + 2
+                for m in range(nm):
+                    a = (23 * doc_id + 11 * m) % 256
+                    length = n_chars % 150 + 40 + 5 * m
+                    data = bytes((a + j) % 256 for j in range(length))
+                    info = zipfile.ZipInfo(
+                        f"doc/{doc_id}/{m}.bin", date_time=(2020, 1, 1, 0, 0, 0)
+                    )
+                    info.compress_type = (
+                        zipfile.ZIP_STORED if m % 2 == 0 else zipfile.ZIP_DEFLATED
+                    )
+                    zf.writestr(info, data)
+
+
+try:  # Python Data Source API (pyspark >= 4)
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    ZIP_SOURCE_SCHEMA = (
+        "file STRING, name STRING, method STRING, n_bytes BIGINT, body BINARY"
+    )
+
+    class ZipReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.members_per_partition = int(
+                options.get("members_per_partition", "256")
+            )
+
+        def partitions(self):
+            # planning touches the EOCD + central directory only —
+            # entry tuples ride inside the partition values, so
+            # executors read exactly their member byte ranges
+            parts = []
+            for fn in sorted(os.listdir(self.path)):
+                if not fn.endswith(".zip"):
+                    continue
+                full = os.path.join(self.path, fn)
+                entries = read_zip_directory(full)
+                for lo in range(0, len(entries), self.members_per_partition):
+                    chunk = entries[lo : lo + self.members_per_partition]
+                    parts.append(InputPartition((full, json.dumps(chunk))))
+            return parts
+
+        def read(self, partition):
+            full, chunk_json = partition.value
+            base = os.path.basename(full)
+            with open(full, "rb") as f:
+                for entry in json.loads(chunk_json):
+                    data = read_zip_member(f, entry)
+                    yield (
+                        base,
+                        entry["name"],
+                        "stored" if entry["method"] == 0 else "deflated",
+                        len(data),
+                        data,
+                    )
+
+    class ZipDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "zipindex"
+
+        def schema(self) -> str:
+            return ZIP_SOURCE_SCHEMA
+
+        def reader(self, schema):
+            return ZipReader(self.options)
+
+    def register_zip_source(spark) -> None:
+        """Idempotently register the splittable ZIP source."""
+        try:
+            spark.dataSource.register(ZipDataSource)
+        except Exception:
+            pass  # already registered in this session
+
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    pass
