@@ -1,0 +1,76 @@
+"""Charset sniff/transcode semantics: the from-scratch UTF-8 validator
+is fuzz-equivalent to the stdlib codec, UTF-16 surrogate handling is
+exact, the 1252 fallback triggers on the almost-valid fixtures, and
+every overlong/surrogate/ceiling guard actually fires."""
+
+import random
+
+import pytest
+
+from unity_to_bigquery_spark.llm.charset import (
+    sniff_decode,
+    utf8_scan,
+    utf16_decode,
+    w1252_decode,
+    write_encoded,
+)
+
+
+def test_utf8_scanner_fuzz_equivalent_to_codec():
+    random.seed(1234)
+    for _ in range(5000):
+        data = bytes(random.randrange(256) for _ in range(random.randrange(24)))
+        cps, errs = utf8_scan(data)
+        try:
+            ref = data.decode("utf-8")
+            assert errs == 0 and cps == [ord(c) for c in ref]
+        except UnicodeDecodeError:
+            assert errs > 0
+
+
+def test_utf8_guards():
+    # overlongs: C0 80 (2-byte NUL), E0 80 80, F0 80 80 80
+    for bad in (b"\xc0\x80", b"\xc1\xbf", b"\xe0\x9f\xbf", b"\xf0\x8f\xbf\xbf"):
+        assert utf8_scan(bad)[1] > 0, bad
+    # shortest legal forms at each width boundary decode exactly
+    assert utf8_scan(b"\xc2\x80") == ([0x80], 0)
+    assert utf8_scan(b"\xe0\xa0\x80") == ([0x800], 0)
+    assert utf8_scan(b"\xf0\x90\x80\x80") == ([0x10000], 0)
+    # surrogate range ED A0 80 (U+D800) is invalid; ED 9F BF (U+D7FF) fine
+    assert utf8_scan(b"\xed\xa0\x80")[1] > 0
+    assert utf8_scan(b"\xed\x9f\xbf") == ([0xD7FF], 0)
+    # ceiling: F4 8F BF BF = U+10FFFF ok, F4 90 80 80 invalid
+    assert utf8_scan(b"\xf4\x8f\xbf\xbf") == ([0x10FFFF], 0)
+    assert utf8_scan(b"\xf4\x90\x80\x80")[1] > 0
+    # truncation mid-sequence: error at E4, resync hits the lone B8
+    assert utf8_scan(b"\xe4\xb8") == ([], 2)
+
+
+def test_utf16_surrogates():
+    # 😀 U+1F600 = D83D DE00
+    assert utf16_decode(b"\x3d\xd8\x00\xde", little=True) == [0x1F600]
+    assert utf16_decode(b"\xd8\x3d\xde\x00", little=False) == [0x1F600]
+    with pytest.raises(ValueError, match="lone high"):
+        utf16_decode(b"\x3d\xd8\x41\x00", little=True)
+    with pytest.raises(ValueError, match="lone low"):
+        utf16_decode(b"\x00\xde", little=True)
+    with pytest.raises(ValueError, match="odd"):
+        utf16_decode(b"\x41", little=True)
+
+
+def test_w1252_remap_and_fallback():
+    # remapped points vs latin-1 passthrough
+    assert w1252_decode(b"\x80\x93\x94\xe9") == [0x20AC, 0x201C, 0x201D, 0xE9]
+    assert w1252_decode(b"\xa0\xff") == [0xA0, 0xFF]
+    # the 1252 fixture is ALMOST-valid UTF-8: E9 80 93 parses as one
+    # spurious CJK codepoint, the lone 94 trips the fallback
+    m = sniff_decode(write_encoded(4, 100))  # enc = 4%5 = 4
+    assert m["encoding"] == "windows-1252" and m["n_utf8_errors"] == 1
+    # BOMs win
+    assert sniff_decode(write_encoded(1, 100))["encoding"] == "utf-8-bom"
+    assert sniff_decode(write_encoded(2, 100))["encoding"] == "utf-16le"
+    assert sniff_decode(write_encoded(3, 100))["encoding"] == "utf-16be"
+    assert sniff_decode(write_encoded(0, 100))["encoding"] == "utf-8"
+    # all unicode encodings of the same text agree on codepoint stats
+    ms = [sniff_decode(write_encoded(e * 5 + 10, 100)) for e in range(4)]
+    assert len({(m["n_codepoints"], m["n_astral"]) for m in ms}) == 1

@@ -4176,3 +4176,76 @@ def m_zip_source_scan(spark, sf_dir):
             F.sum("defl").alias("n_deflated"),
         )
     )
+
+
+@query(
+    "t_charset_decode_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             n_chars % 5 + 3 AS nw,
+             doc_id % 5 AS enc
+      FROM documents
+    ), w AS (
+      SELECT d.doc_id,
+             SUM(1 + LENGTH(CAST((19*d.doc_id + i.i) % 100 AS VARCHAR)))
+               + COUNT(*) - 1 AS wchars,
+             SUM(CASE WHEN (19*d.doc_id + i.i) % 100 < 10
+                 THEN 164 + (19*d.doc_id + i.i) % 100
+                 ELSE 212 + ((19*d.doc_id + i.i) % 100) // 10
+                          + (19*d.doc_id + i.i) % 10
+                 END) + 32 * COUNT(*) AS wsum
+      FROM d JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+        ON i.i < d.nw
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CASE d.enc WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-bom'
+                WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+                ELSE 'windows-1252' END AS encoding,
+           d.enc IN (1, 2, 3) AS has_bom,
+           CAST(CASE WHEN d.enc = 4 THEN w.wchars + 5
+                WHEN d.enc = 0 THEN w.wchars + 13
+                WHEN d.enc = 1 THEN w.wchars + 16
+                ELSE 2*w.wchars + 14 END AS BIGINT) AS n_bytes,
+           CAST(w.wchars + 5 AS BIGINT) AS n_codepoints,
+           CAST(w.wsum + CASE WHEN d.enc = 4
+                THEN 233 + 8364 + 8220 + 8221
+                ELSE 233 + 8364 + 20013 + 128512 END AS BIGINT)
+             AS codepoint_sum,
+           CAST(w.wchars + 1 AS BIGINT) AS n_ascii,
+           CAST(CASE WHEN d.enc = 4 THEN 0 ELSE 1 END AS INTEGER)
+             AS n_astral,
+           CAST(CASE WHEN d.enc = 4 THEN 1 ELSE 0 END AS INTEGER)
+             AS n_utf8_errors,
+           CAST(d.nw + 1 AS INTEGER) AS n_words,
+           't' || CAST((19*d.doc_id) % 100 AS VARCHAR) AS first_word
+    FROM d JOIN w USING (doc_id)
+    """,
+    doc=(
+        "Charset sniff + transcode, oracle-verified — the ingestion "
+        "step between crawl bytes and every text operator "
+        "(llm/charset.py): a from-scratch RFC 3629 UTF-8 validator/"
+        "decoder (continuation checks, OVERLONG rejection incl. the "
+        "E0/F0 subtleties, the ED surrogate guard, the F4 U+10FFFF "
+        "ceiling — fuzz-equivalent to the stdlib codec over random "
+        "bytes), RFC 2781 UTF-16 with real surrogate-pair "
+        "recombination, and the windows-1252 fallback with its 27 "
+        "remapped 0x80-0x9F points. BOMs win; otherwise zero strict-"
+        "scan errors means UTF-8 and any error falls back to 1252 — "
+        "the 1252 fixtures are deliberately ALMOST-valid UTF-8 (their "
+        "E9 80 93 run parses as a spurious CJK codepoint; the lone 94 "
+        "trips the fallback), so the sniff decision itself is hashed. "
+        "Exact codepoint sums pin every decoder branch."
+    ),
+    tags=("text", "udf"),
+)
+def t_charset_decode_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.charset import (
+        charset_decode_stats,
+        synthesize_encoded_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return charset_decode_stats(synthesize_encoded_media(docs))
