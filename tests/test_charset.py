@@ -74,3 +74,50 @@ def test_w1252_remap_and_fallback():
     # all unicode encodings of the same text agree on codepoint stats
     ms = [sniff_decode(write_encoded(e * 5 + 10, 100)) for e in range(4)]
     assert len({(m["n_codepoints"], m["n_astral"]) for m in ms}) == 1
+
+
+def test_robots_grammar_and_precedence():
+    """RFC 9309 mechanics exercised directly: group selection, rule
+    precedence, wildcard/anchor matching, and grammar tolerance."""
+    from unity_to_bigquery_spark.llm.robots import (
+        parse_robots,
+        robots_allowed,
+        select_group,
+        write_robots,
+    )
+
+    # longest agent token wins over shorter and over '*'
+    txt = (
+        "User-agent: graft\nDisallow: /a\n"
+        "User-agent: graftbot\nDisallow: /b\n"
+        "User-agent: *\nDisallow: /c\n"
+    )
+    tok, rules = select_group(parse_robots(txt), "GraftBot/2.1")
+    assert tok == "graftbot" and rules == [(False, "/b")]
+    # agent with no matching group falls back to '*'
+    tok, rules = select_group(parse_robots(txt), "Other/1.0")
+    assert tok == "*" and rules == [(False, "/c")]
+
+    # precedence: longest pattern wins; tie -> Allow; empty Disallow
+    rules = [(False, "/p/"), (True, "/p/0")]
+    assert robots_allowed(rules, "/p/05")
+    assert not robots_allowed(rules, "/p/15")
+    assert robots_allowed([(True, "/t"), (False, "/t")], "/t")
+    assert robots_allowed([(False, "")], "/anything")
+    # wildcard + anchor: matches exactly-/x-terminated paths only
+    r = [(True, "/p/*/x$"), (False, "/p/")]
+    assert robots_allowed(r, "/p/7/x")
+    assert not robots_allowed(r, "/p/7/xy")
+    # '$' not at pattern end is literal-ish; '*' spans segments
+    assert robots_allowed([(False, "/a*z")], "/azz") is False
+    assert robots_allowed([(False, "/a*z")], "/a/b/c/z") is False
+    assert robots_allowed([(False, "/a*z")], "/a/b") is True
+
+    # grammar: BOM, CRLF, comments, mixed case, multi-UA groups,
+    # unknown directives, rules before any group ignored
+    groups = parse_robots(write_robots(0))
+    assert groups[0][0] == ["other"]
+    assert groups[1][0] == ["foo", "graftbot"] and len(groups[1][1]) == 5
+    assert parse_robots("Disallow: /orphan\nUser-agent: a\nDisallow: /x\n") == [
+        (["a"], [(False, "/x")])
+    ]

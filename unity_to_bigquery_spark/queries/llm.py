@@ -4249,3 +4249,57 @@ def t_charset_decode_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return charset_decode_stats(synthesize_encoded_media(docs))
+
+
+@query(
+    "t_robots_filter_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             doc_id % 4 AS v,
+             n_chars % 6 + 4 AS nu
+      FROM documents
+    ), uu AS (
+      SELECT d.doc_id, d.v, d.nu, u.u, u.u % 5 AS c
+      FROM d JOIN (SELECT unnest(generate_series(0, 9)) AS u) u
+        ON u.u < d.nu
+    ), verdicts AS (
+      SELECT doc_id, v, nu,
+             SUM(CASE WHEN (v = 0 AND c = 1)
+                        OR (v = 1 AND c IN (1, 3))
+                        OR (v = 3 AND c = 2)
+                 THEN 1 ELSE 0 END) AS denied
+      FROM uu GROUP BY doc_id, v, nu
+    )
+    SELECT doc_id,
+           CAST(v AS INTEGER) AS host_variant,
+           CASE WHEN v < 2 THEN 'graftbot' ELSE '*' END AS picked_group,
+           CAST(CASE v WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 1
+                ELSE 2 END AS INTEGER) AS n_rules,
+           CAST(nu AS INTEGER) AS n_urls,
+           CAST(nu - denied AS INTEGER) AS n_allowed,
+           CAST(denied AS INTEGER) AS n_denied
+    FROM verdicts
+    """,
+    doc=(
+        "robots.txt URL admission, oracle-verified — the crawl-"
+        "frontier filter, from-scratch against RFC 9309 "
+        "(llm/robots.py): group grammar with multi-user-agent lines, "
+        "BOM/CRLF/comment tolerance, mixed-case fields, unknown "
+        "directives skipped; LONGEST-agent-token group selection with "
+        "a decoy group that must lose and hosts that fall back to '*'; "
+        "and longest-match rule precedence with '*' wildcards and '$' "
+        "anchors — a longer Allow beats a shorter Disallow, a "
+        "wildcard+anchor rule beats its literal prefix, and an exact "
+        "tie resolves to Allow. Each URL class exercises one clause, "
+        "so the per-host allow/deny counts hash the whole decision "
+        "procedure. One mapInPandas stage."
+    ),
+    tags=("text", "udf"),
+)
+def t_robots_filter_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.robots import robots_filter_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return robots_filter_stats(docs)
