@@ -121,3 +121,46 @@ def test_robots_grammar_and_precedence():
     assert parse_robots("Disallow: /orphan\nUser-agent: a\nDisallow: /x\n") == [
         (["a"], [(False, "/x")])
     ]
+
+
+def test_url_canonicalization_clauses():
+    """RFC 3986 normalization mechanics exercised directly."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.urls import (
+        canonicalize_url,
+        remove_dot_segments,
+    )
+
+    # the RFC's own 5.2.4 walk-throughs
+    assert remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert remove_dot_segments("mid/content=5/../6") == "mid/6"
+    # leading .. clamps at root; trailing '.' keeps the slash
+    assert remove_dot_segments("/../../x") == "/x"
+    assert remove_dot_segments("/a/.") == "/a/"
+
+    assert canonicalize_url("HTTP://ExAmPle.COM:80/") == "http://example.com/"
+    assert canonicalize_url("https://example.com:443/a") == "https://example.com/a"
+    # non-default ports survive; empty path becomes /
+    assert canonicalize_url("http://example.com:8080") == "http://example.com:8080/"
+    # unreserved escapes decode, others uppercase
+    assert (
+        canonicalize_url("http://e.com/%7Euser/%61%2Fb")
+        == "http://e.com/~user/a%2Fb"
+    )
+    # query: sort, drop empties, strip utm_*, keep duplicates stably
+    assert (
+        canonicalize_url("http://e.com/p?b=2&utm_campaign=z&a=1&&a=0")
+        == "http://e.com/p?a=1&a=0&b=2"
+    )
+    # all-utm query disappears entirely
+    assert canonicalize_url("http://e.com/p?utm_source=x") == "http://e.com/p"
+    # fragment removal
+    assert canonicalize_url("http://e.com/p#frag?fake=1") == "http://e.com/p"
+
+    with pytest.raises(ValueError, match="absolute"):
+        canonicalize_url("/relative/only")
+    with pytest.raises(ValueError, match="percent"):
+        canonicalize_url("http://e.com/%zz")
+    with pytest.raises(ValueError, match="percent"):
+        canonicalize_url("http://e.com/broken%2")

@@ -4303,3 +4303,70 @@ def t_robots_filter_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return robots_filter_stats(docs)
+
+
+@query(
+    "t_url_canonicalize_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 6 + 5 AS nu,
+             CAST(doc_id % 5 AS VARCHAR) AS h
+      FROM documents
+    ), uu AS (
+      SELECT d.doc_id, d.nu, d.h, u.u, u.u % 6 AS c,
+             CAST(u.u AS VARCHAR) AS us
+      FROM d JOIN (SELECT unnest(generate_series(0, 9)) AS u) u
+        ON u.u < d.nu
+    ), s AS (
+      SELECT doc_id, nu, u,
+        CASE c
+          WHEN 0 THEN 'HTTP://H' || h || '.Example:80/a' || us || '/b'
+          WHEN 1 THEN 'http://h' || h || '.example/a' || us || '/x/../b/./c'
+          WHEN 2 THEN 'http://h' || h || '.example/%61' || us || '/%7Eu%3a'
+          WHEN 3 THEN 'http://h' || h || '.example/q' || us
+                      || '?zz=1&utm_source=x&aa=2&&bb=3'
+          WHEN 4 THEN 'HTTPS://h' || h || '.example:443/f' || us
+                      || '#section-2'
+          ELSE 'http://h' || h || '.example:8080/p' || us END AS raw,
+        CASE c
+          WHEN 0 THEN 'http://h' || h || '.example/a' || us || '/b'
+          WHEN 1 THEN 'http://h' || h || '.example/a' || us || '/b/c'
+          WHEN 2 THEN 'http://h' || h || '.example/a' || us || '/~u%3A'
+          WHEN 3 THEN 'http://h' || h || '.example/q' || us
+                      || '?aa=2&bb=3&zz=1'
+          WHEN 4 THEN 'https://h' || h || '.example/f' || us
+          ELSE 'http://h' || h || '.example:8080/p' || us END AS canon
+      FROM uu
+    )
+    SELECT doc_id,
+           CAST(MAX(nu) AS INTEGER) AS n_urls,
+           CAST(SUM(CASE WHEN raw <> canon THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_changed,
+           CAST(SUM(LENGTH(canon)) AS BIGINT) AS canon_len_sum,
+           CAST(SUM(LENGTH(raw)) AS BIGINT) AS raw_len_sum,
+           CAST(CASE WHEN MAX(nu) >= 6 THEN 2 ELSE 1 END AS INTEGER)
+             AS n_hosts,
+           MAX(CASE WHEN u = 0 THEN canon END) AS first_canon
+    FROM s GROUP BY doc_id
+    """,
+    doc=(
+        "URL canonicalization, oracle-verified — crawl dedup's "
+        "prerequisite, from-scratch against RFC 3986 section 6 "
+        "(llm/urls.py): scheme/host case folding, default-port "
+        "removal, percent-escape normalization (unreserved %61/%7E "
+        "decode, everything else uppercased to %3A), the LITERAL "
+        "section 5.2.4 dot-segment removal algorithm, query-parameter "
+        "sorting with utm_* stripping and empty-param dropping, and "
+        "fragment removal. Six messy-spelling classes each exercise "
+        "one clause; the DuckDB oracle CONSTRUCTS both spellings and "
+        "compares lengths/changed-counts/first-canon, so a wrong "
+        "normalization anywhere breaks the hash."
+    ),
+    tags=("text", "udf"),
+)
+def t_url_canonicalize_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.urls import url_canonicalize_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return url_canonicalize_stats(docs)
