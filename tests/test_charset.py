@@ -164,3 +164,46 @@ def test_url_canonicalization_clauses():
         canonicalize_url("http://e.com/%zz")
     with pytest.raises(ValueError, match="percent"):
         canonicalize_url("http://e.com/broken%2")
+
+
+def test_timed_text_grammar():
+    """SRT/WebVTT mechanics: timestamp forms, strictness, markup
+    stripping, settings exclusion, hour-rollover formatting."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.subtitles import (
+        _fmt_ts,
+        _parse_ts,
+        parse_timed_text,
+    )
+
+    assert _parse_ts("01:02:03,456", vtt=False) == 3723456
+    assert _parse_ts("01:02:03.456", vtt=True) == 3723456
+    assert _parse_ts("02:03.456", vtt=True) == 123456  # optional hours
+    assert _parse_ts("100:00:00.000", vtt=True) == 360000000  # >2-digit hours
+    with pytest.raises(ValueError, match="timestamp"):
+        _parse_ts("01:02:03.456", vtt=False)  # dot in SRT
+    with pytest.raises(ValueError, match="range"):
+        _parse_ts("00:99:00,000", vtt=False)
+    # round trip through the formatter, incl. the >1h long form
+    assert _fmt_ts(3723456, vtt=True) == "01:02:03.456"
+    assert _parse_ts(_fmt_ts(5400000, vtt=True), vtt=True) == 5400000
+
+    vtt = (
+        "WEBVTT\n\nNOTE\nmeta\n\n"
+        "id-1\n00:01.000 --> 01:01:02.500 position:10% align:start\n"
+        "<v Alice>hi <b>there</b>\n\n"
+        "00:02.000 --> 00:03.000\n<v Bob>yo\n"
+    )
+    m = parse_timed_text(vtt)
+    assert m["fmt"] == "vtt" and m["n_cues"] == 2 and m["n_notes"] == 1
+    assert m["n_speakers"] == 2
+    assert m["text_chars"] == len("hi there") + len("yo")
+    assert m["last_end_ms"] == 3000 and m["span_ms_sum"] == 3661500 + 1000
+
+    with pytest.raises(ValueError, match="end"):
+        parse_timed_text("1\n00:00:02,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(ValueError, match="no cues"):
+        parse_timed_text("WEBVTT\n\n")
+    with pytest.raises(ValueError, match="cue id"):
+        parse_timed_text("WEBVTT\n\norphan line\nanother\n")

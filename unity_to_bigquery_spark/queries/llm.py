@@ -4370,3 +4370,57 @@ def t_url_canonicalize_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return url_canonicalize_stats(docs)
+
+
+@query(
+    "t_subtitles_parse_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 5 + 3 AS nc,
+             2000 * (doc_id % 3 + 2) AS base
+      FROM documents
+    ), k AS (
+      SELECT d.doc_id, d.nc, d.base, kk.k
+      FROM d JOIN (SELECT unnest(generate_series(0, 7)) AS k) kk
+        ON kk.k < d.nc
+    ), agg AS (
+      SELECT doc_id,
+             SUM(900 + 100 * (k % 4)) AS span,
+             SUM(4 + LENGTH(CAST((13*doc_id + k) % 100 AS VARCHAR)))
+               AS tc
+      FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 1 THEN 'vtt' ELSE 'srt' END AS fmt,
+           CAST(d.nc AS INTEGER) AS n_cues,
+           CAST(agg.span AS BIGINT) AS span_ms_sum,
+           CAST(agg.tc AS BIGINT) AS text_chars,
+           CAST(2 * d.nc AS INTEGER) AS n_words,
+           CAST(0 AS BIGINT) AS first_start_ms,
+           CAST(d.base * (d.nc - 1) + 900 + 100 * ((d.nc - 1) % 4)
+                AS BIGINT) AS last_end_ms,
+           CAST(CASE WHEN d.doc_id % 2 = 1 THEN 2 ELSE 0 END AS INTEGER)
+             AS n_speakers,
+           CAST(doc_id % 2 AS INTEGER) AS n_notes
+    FROM d JOIN agg USING (doc_id)
+    """,
+    doc=(
+        "SRT + WebVTT timed-text parsing, oracle-verified — caption "
+        "corpora are the supervision source for ASR/translation sets "
+        "(llm/subtitles.py): SRT's numbered blocks with COMMA-ms "
+        "stamps beside WebVTT's magic header, NOTE blocks, optional "
+        "cue ids, DOT-ms stamps with OPTIONAL hours (the MM:SS.mmm "
+        "short form is what the fixtures emit), cue settings after "
+        "the arrow excluded from text, <v Speaker> voice attribution, "
+        "and <b>/<i> markup stripping. Exact span sums / stripped "
+        "text lengths / speaker counts hash the whole grammar. One "
+        "mapInPandas stage."
+    ),
+    tags=("text", "udf"),
+)
+def t_subtitles_parse_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.subtitles import timed_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return timed_text_stats(docs)
