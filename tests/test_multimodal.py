@@ -2090,3 +2090,51 @@ def test_zip_datasource_splits_by_central_directory(spark, tmp_path):
     with open(path, "rb") as f:
         with pytest.raises(ValueError, match="local header"):
             read_zip_member(f, e2)
+
+
+def test_webm_ebml_vints_and_walk():
+    """EBML mechanics: VINT widths, unknown-size segment, Void skip,
+    framing strictness."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _vint_read,
+        _vint_write_size,
+        parse_webm,
+        write_webm,
+    )
+
+    # size VINTs: minimal width round trip across width boundaries
+    for v in (0, 1, 126, 127, 128, 16382, 16383, 16384, 2**21 - 3, 2**28):
+        enc = _vint_write_size(v)
+        got, pos = _vint_read(enc, 0, keep_marker=False)
+        assert got == v and pos == len(enc)
+    # all-ones data size reads as unknown (-1)
+    assert _vint_read(b"\xff", 0, keep_marker=False)[0] == -1
+    # IDs keep their marker bit
+    assert _vint_read(b"\x1a\x45\xdf\xa3", 0, keep_marker=True)[0] == 0x1A45DFA3
+    with pytest.raises(ValueError, match="VINT"):
+        _vint_read(b"\x00\xff", 0, keep_marker=False)
+
+    raw = write_webm(6, 100)
+    m = parse_webm(raw)
+    assert m["video_w"] == 176 and m["audio_hz"] == 44100
+    assert m["duration_ms"] == 40 * m["n_blocks"]
+
+    # corrupting an element ID inside the walk is loud (unknown ID or
+    # derailed framing), never a silent misparse
+    at = raw.find(b"V_VP9")
+    bad = bytearray(raw)
+    bad[at - 7] = 0x8F  # TrackEntry child ID byte -> unknown 1-byte ID
+    with pytest.raises(ValueError):
+        parse_webm(bytes(bad))
+    # truncating the unknown-size segment's tail truncates a child ->
+    # overrun error, not silence
+    with pytest.raises(ValueError):
+        parse_webm(raw[:-3])
+    # non-webm DocType is rejected
+    bad2 = bytearray(raw)
+    dt = raw.find(b"webm")
+    bad2[dt:dt + 4] = b"avif"
+    with pytest.raises(ValueError, match="DocType"):
+        parse_webm(bytes(bad2))

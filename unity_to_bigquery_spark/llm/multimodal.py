@@ -6251,3 +6251,250 @@ def flac_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, FLAC_STATS_SCHEMA)
+
+
+# ---- EBML / Matroska (WebM): VINT framing + element-tree walk ----
+#
+# The container behind .webm/.mkv crawl video. From-scratch against
+# the public RFC 8794 (EBML) + Matroska element registry: VINTs
+# (element IDs keep their length-marker bit, data sizes strip it;
+# widths 1-8), the EBML header (DocType/version), an UNKNOWN-SIZE
+# Segment (the live-stream form — its end is wherever the stream
+# ends, a framing case fixed-size parsers get wrong), Info
+# (TimestampScale 3-byte ID, Duration as an IEEE-754 DOUBLE, Title
+# UTF-8), Tracks (video PixelWidth/Height, audio SamplingFrequency
+# double + Channels), Clusters with Timestamps and SimpleBlocks, and
+# Void elements that must be skipped. Every size is byte-exact: a
+# VINT bug anywhere derails the walk into an unknown-ID error.
+
+_EBML_IDS = {
+    0x1A45DFA3: "EBML", 0x4286: "EBMLVersion", 0x4282: "DocType",
+    0x4287: "DocTypeVersion", 0x18538067: "Segment", 0x1549A966: "Info",
+    0x2AD7B1: "TimestampScale", 0x4489: "Duration", 0x7BA9: "Title",
+    0x1654AE6B: "Tracks", 0xAE: "TrackEntry", 0xD7: "TrackNumber",
+    0x83: "TrackType", 0x86: "CodecID", 0xE0: "Video", 0xB0: "PixelWidth",
+    0xBA: "PixelHeight", 0xE1: "Audio", 0xB5: "SamplingFrequency",
+    0x9F: "Channels", 0x1F43B675: "Cluster", 0xE7: "ClusterTimestamp",
+    0xA3: "SimpleBlock", 0xEC: "Void",
+}
+
+_EBML_MASTERS = {"EBML", "Segment", "Info", "Tracks", "TrackEntry",
+                 "Video", "Audio", "Cluster"}
+
+
+def _vint_write_id(eid: int) -> bytes:
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _vint_write_size(size: int) -> bytes:
+    """Minimal-width EBML data size (marker bit + 7*w data bits)."""
+    for w in range(1, 9):
+        if size < (1 << (7 * w)) - 1:  # all-ones is reserved (unknown)
+            return ((1 << (7 * w)) | size).to_bytes(w, "big")
+    raise ValueError("size too large for an 8-byte VINT")
+
+
+_EBML_UNKNOWN_SIZE = bytes([0x01] + [0xFF] * 7)
+
+
+def _vint_read(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    if pos >= len(buf):
+        raise ValueError("truncated VINT")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("VINT width > 8 is not legal EBML")
+    w = 9 - b0.bit_length()
+    if pos + w > len(buf):
+        raise ValueError("truncated VINT body")
+    v = int.from_bytes(buf[pos : pos + w], "big")
+    if not keep_marker:
+        v &= (1 << (7 * w)) - 1
+        if v == (1 << (7 * w)) - 1:
+            return -1, pos + w  # unknown size
+    return v, pos + w
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _vint_write_id(eid) + _vint_write_size(len(body)) + body
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def write_webm(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic-but-real WebM: video track 160+16*(doc_id%5) x
+    120+16*(doc_id%4) V_VP9 + audio track (doc_id%2+1 channels,
+    48000/44100 Hz A_OPUS), Duration = 40*(total blocks) ms as an
+    IEEE double, nc = n_chars%3+1 clusters of nb = n_chars%4+2
+    SimpleBlocks (payload (doc_id+77*c+i)%251+1 bytes of length
+    20+3*i), a Void element to skip, and an UNKNOWN-SIZE Segment."""
+    import struct
+
+    w = 160 + 16 * (doc_id % 5)
+    h = 120 + 16 * (doc_id % 4)
+    ch = doc_id % 2 + 1
+    hz = 48000.0 if doc_id % 2 else 44100.0
+    nc = n_chars % 3 + 1
+    nb = n_chars % 4 + 2
+
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, _ebml_uint(1))
+        + _ebml_el(0x4282, b"webm")
+        + _ebml_el(0x4287, _ebml_uint(4)),
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_el(0x2AD7B1, _ebml_uint(1_000_000))
+        + _ebml_el(0x4489, struct.pack(">d", 40.0 * nc * nb))
+        + _ebml_el(0x7BA9, f"Doc {doc_id}".encode()),
+    )
+    video_track = _ebml_el(
+        0xAE,
+        _ebml_el(0xD7, _ebml_uint(1))
+        + _ebml_el(0x83, _ebml_uint(1))
+        + _ebml_el(0x86, b"V_VP9")
+        + _ebml_el(0xE0, _ebml_el(0xB0, _ebml_uint(w)) + _ebml_el(0xBA, _ebml_uint(h))),
+    )
+    audio_track = _ebml_el(
+        0xAE,
+        _ebml_el(0xD7, _ebml_uint(2))
+        + _ebml_el(0x83, _ebml_uint(2))
+        + _ebml_el(0x86, b"A_OPUS")
+        + _ebml_el(
+            0xE1,
+            _ebml_el(0xB5, struct.pack(">d", hz)) + _ebml_el(0x9F, _ebml_uint(ch)),
+        ),
+    )
+    tracks = _ebml_el(0x1654AE6B, video_track + audio_track)
+    void = _ebml_el(0xEC, b"\x00" * (doc_id % 17 + 3))
+
+    clusters = b""
+    for c in range(nc):
+        blocks = b""
+        for i in range(nb):
+            a = (doc_id + 77 * c + i) % 251 + 1
+            payload = bytes((a + j) % 256 for j in range(20 + 3 * i))
+            # SimpleBlock: track VINT, 16-bit rel timestamp, flags, data
+            blocks += _ebml_el(
+                0xA3, b"\x81" + struct.pack(">hB", 40 * i, 0x80) + payload
+            )
+        clusters += _ebml_el(
+            0x1F43B675, _ebml_el(0xE7, _ebml_uint(40 * nb * c)) + blocks
+        )
+    segment_body = info + void + tracks + clusters
+    segment = (
+        _vint_write_id(0x18538067) + _EBML_UNKNOWN_SIZE + segment_body
+    )
+    return header + segment
+
+
+def parse_webm(payload: bytes) -> dict:
+    """EBML walk: VINT IDs/sizes, unknown-size Segment (ends at EOF),
+    master-element recursion, Void skipping, doubles and UTF-8 reads.
+    Raises on unknown IDs, overruns, or a non-webm DocType."""
+    import struct
+
+    facts: dict = {"n_clusters": 0, "n_blocks": 0, "block_bytes": 0}
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        while pos < end:
+            eid, pos = _vint_read(payload, pos, keep_marker=True)
+            name = _EBML_IDS.get(eid)
+            if name is None:
+                raise ValueError(f"unknown EBML ID 0x{eid:X} at depth {depth}")
+            size, pos = _vint_read(payload, pos, keep_marker=False)
+            if size < 0:  # unknown size: only legal where the spec says
+                if name != "Segment":
+                    raise ValueError(f"unknown-size {name} not supported")
+                bend = len(payload)
+            else:
+                bend = pos + size
+                if bend > end:
+                    raise ValueError(f"{name} overruns its parent")
+            body = payload[pos:bend]
+            if name in _EBML_MASTERS:
+                if name == "Cluster":
+                    facts["n_clusters"] += 1
+                ctx.append(name)
+                walk(pos, bend, depth + 1)
+                ctx.pop()
+            elif name == "DocType":
+                facts["doc_type"] = body.decode("utf-8")
+                if facts["doc_type"] not in ("webm", "matroska"):
+                    raise ValueError(f"unsupported DocType {facts['doc_type']!r}")
+            elif name == "DocTypeVersion":
+                facts["doctype_version"] = int.from_bytes(body, "big")
+            elif name == "TimestampScale":
+                facts["timestamp_scale"] = int.from_bytes(body, "big")
+            elif name == "Duration":
+                facts["duration_ms"] = int(struct.unpack(">d", body)[0])
+            elif name == "Title":
+                facts["title"] = body.decode("utf-8")
+            elif name == "TrackType":
+                facts["n_tracks"] = facts.get("n_tracks", 0) + 1
+            elif name == "PixelWidth":
+                facts["video_w"] = int.from_bytes(body, "big")
+            elif name == "PixelHeight":
+                facts["video_h"] = int.from_bytes(body, "big")
+            elif name == "SamplingFrequency":
+                facts["audio_hz"] = int(struct.unpack(">d", body)[0])
+            elif name == "Channels":
+                facts["audio_channels"] = int.from_bytes(body, "big")
+            elif name == "SimpleBlock":
+                facts["n_blocks"] += 1
+                tn, bpos = _vint_read(body, 0, keep_marker=False)
+                facts["block_bytes"] += len(body) - bpos - 3  # ts16+flags
+            pos = bend
+        if pos != end:
+            raise ValueError("element walk overran its parent")
+
+    ctx: list[str] = []
+    walk(0, len(payload), 0)
+    return facts
+
+
+WEBM_META_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, doc_type STRING, doctype_version INT, "
+    "timestamp_scale BIGINT, duration_ms BIGINT, title STRING, "
+    "n_tracks INT, video_w INT, video_h INT, audio_hz INT, "
+    "audio_channels INT, n_clusters INT, n_blocks INT, block_bytes BIGINT"
+)
+
+
+def synthesize_webm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): WebM files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "webm",
+                    "payload": [
+                        write_webm(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def webm_metadata_stats(media: DataFrame) -> DataFrame:
+    """EBML walk in ONE mapInPandas stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in WEBM_META_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_webm(bytes(payload))
+                rows.append(
+                    (int(doc_id), "webm") + tuple(m[c] for c in cols[2:])
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, WEBM_META_SCHEMA)

@@ -4424,3 +4424,56 @@ def t_subtitles_parse_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return timed_text_stats(docs)
+
+
+@query(
+    "m_webm_metadata_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             n_chars % 3 + 1 AS nc,
+             n_chars % 4 + 2 AS nb
+      FROM documents
+    )
+    SELECT doc_id, 'webm' AS fmt,
+           'webm' AS doc_type,
+           CAST(4 AS INTEGER) AS doctype_version,
+           CAST(1000000 AS BIGINT) AS timestamp_scale,
+           CAST(40 * nc * nb AS BIGINT) AS duration_ms,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(2 AS INTEGER) AS n_tracks,
+           CAST(160 + 16 * (doc_id % 5) AS INTEGER) AS video_w,
+           CAST(120 + 16 * (doc_id % 4) AS INTEGER) AS video_h,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 48000 ELSE 44100 END
+                AS INTEGER) AS audio_hz,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS audio_channels,
+           CAST(nc AS INTEGER) AS n_clusters,
+           CAST(nc * nb AS INTEGER) AS n_blocks,
+           CAST(nc * (nb * 20 + 3 * (nb * (nb - 1) / 2)) AS BIGINT)
+             AS block_bytes
+    FROM d
+    """,
+    doc=(
+        "EBML/Matroska (WebM) metadata walk, oracle-verified — the "
+        "container behind crawled .webm video, from-scratch against "
+        "RFC 8794 + the Matroska registry (llm/multimodal.py): VINT "
+        "element IDs (marker bit kept) and data sizes (marker "
+        "stripped, widths 1-8), an UNKNOWN-SIZE Segment that ends at "
+        "EOF (the live-stream form fixed-size parsers get wrong), "
+        "master-element recursion over Info/Tracks/Clusters, IEEE "
+        "doubles (Duration, SamplingFrequency), UTF-8 strings, Void "
+        "skipping, and SimpleBlock track-VINT/timestamp framing. A "
+        "VINT bug anywhere derails the walk into an unknown-ID error. "
+        "One mapInPandas stage."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_webm_metadata_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_webm_media,
+        webm_metadata_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return webm_metadata_stats(synthesize_webm_media(docs))
