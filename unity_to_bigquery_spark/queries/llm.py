@@ -4477,3 +4477,233 @@ def m_webm_metadata_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return webm_metadata_stats(synthesize_webm_media(docs))
+
+
+@query(
+    "p_crawl_frontier",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS h, n_chars % 6 + 4 AS nu
+      FROM documents
+    ), perhost AS (
+      SELECT h, h % 4 AS v, SUM(nu) AS n_raw, MAX(nu) AS mx
+      FROM d GROUP BY h
+    ), uu AS (
+      SELECT p.h, p.v, p.n_raw, p.mx, u.u, u.u % 5 AS c,
+             CASE u.u % 5
+               WHEN 0 THEN '/p/0' || CAST(u.u AS VARCHAR)
+               WHEN 1 THEN '/p/' || CAST(u.u AS VARCHAR)
+               WHEN 2 THEN '/p/' || CAST(u.u AS VARCHAR) || '/x'
+               WHEN 3 THEN '/r/' || CAST(u.u AS VARCHAR)
+               ELSE '/t' END AS path,
+             NOT ((p.v = 0 AND u.u % 5 = 1)
+                  OR (p.v = 1 AND u.u % 5 IN (1, 3))
+                  OR (p.v = 3 AND u.u % 5 = 2)) AS ok
+      FROM perhost p
+      JOIN (SELECT unnest(generate_series(0, 9)) AS u) u ON u.u < p.mx
+    ), canon AS (
+      SELECT h, v, n_raw, mx, ok,
+             'http://h' || CAST(h AS VARCHAR) || '.example' || path AS url
+      FROM uu
+    ), ranked AS (
+      SELECT h, n_raw, mx, ok, url,
+             CASE WHEN ok THEN ROW_NUMBER() OVER (
+               PARTITION BY h, ok ORDER BY url) ELSE NULL END AS rk
+      FROM canon
+    )
+    SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+           CAST(MAX(n_raw) AS BIGINT) AS n_raw,
+           CAST(MAX(mx) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           MIN(CASE WHEN ok THEN url END) AS first_admitted
+    FROM ranked GROUP BY h
+    """,
+    doc=(
+        "CRAWL-FRONTIER pipeline — the composition the new operators "
+        "exist for, expressed as a RELATIONAL plan, not one UDF: "
+        "(1) per-doc messy URL spellings run through the REAL RFC 3986 "
+        "canonicalizer (llm/urls) inside one mapInPandas stage; "
+        "(2) cross-doc exact dedup on the canonical string (the messy "
+        "spellings collapse or the unique counts break); (3) robots "
+        "admission as a BROADCAST-JOINED verdict dimension built by "
+        "running the REAL RFC 9309 evaluator (llm/robots) over the "
+        "(variant x class) grid driver-side — at 100 TB the frontier "
+        "shuffles once on host while the tiny robots dim ships to "
+        "every executor; (4) per-host politeness quota of 5 via a "
+        "host-PARTITIONED window ordered by the unique canonical URL "
+        "(rules 7+9). The oracle recomputes all four stages in SQL."
+    ),
+    tags=("pipeline", "join", "window", "udf"),
+)
+def p_crawl_frontier(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.robots import (
+        _AGENT,
+        parse_robots,
+        robots_allowed,
+        select_group,
+        write_robots,
+    )
+    from unity_to_bigquery_spark.llm.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                h = int(doc_id) % 5
+                nu = int(n_chars) % 6 + 4
+                for u in range(nu):
+                    c = u % 5
+                    path = [f"/p/0{u}", f"/p/{u}", f"/p/{u}/x", f"/r/{u}", "/t"][c]
+                    # messy spelling: case + default port on odd u
+                    raw = (
+                        f"HTTP://H{h}.Example:80{path}"
+                        if u % 2
+                        else f"http://h{h}.example{path}"
+                    )
+                    rows.append((f"h{h}.example", h % 4, c, canonicalize_url(raw)))
+            yield pd.DataFrame(
+                rows, columns=["host", "variant", "cls", "url"]
+            )
+
+    frontier = docs.select("doc_id", "n_chars").mapInPandas(
+        gen, "host STRING, variant INT, cls INT, url STRING"
+    )
+
+    # robots verdict dim: 4 variants x 5 classes, from the REAL
+    # evaluator (class c probed via its canonical representative path)
+    probe = {0: "/p/00", 1: "/p/1", 2: "/p/2/x", 3: "/r/3", 4: "/t"}
+    dim = spark.createDataFrame(
+        [
+            (v, c, robots_allowed(
+                select_group(parse_robots(write_robots(v)), _AGENT)[1],
+                probe[c],
+            ))
+            for v in range(4)
+            for c in range(5)
+        ],
+        "variant INT, cls INT, ok BOOLEAN",
+    )
+
+    from pyspark.sql import Window
+
+    uniq = frontier.groupBy("host", "variant", "cls", "url").agg(
+        F.count(F.lit(1)).alias("n_spellings")
+    )
+    admitted = (
+        uniq.join(F.broadcast(dim), ["variant", "cls"])
+        .withColumn(
+            "rk",
+            F.when(
+                F.col("ok"),
+                F.row_number().over(
+                    Window.partitionBy("host", "ok").orderBy("url")
+                ),
+            ),
+        )
+    )
+    return (
+        admitted.groupBy("host")
+        .agg(
+            F.sum("n_spellings").cast("long").alias("n_raw"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum(F.col("ok").cast("long")).cast("long").alias("n_allowed"),
+            F.sum((F.col("rk") <= 5).cast("long")).cast("long").alias("n_admitted"),
+            F.min(F.when(F.col("ok"), F.col("url"))).alias("first_admitted"),
+        )
+    )
+
+
+@query(
+    "p_parquet_footer_verified",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, n_chars,
+             CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 128
+                  AS BIGINT) AS rg
+      FROM documents
+    ), g AS (
+      SELECT rg, COUNT(*) AS nrows,
+             MIN(doc_id) AS mind, MAX(doc_id) AS maxd,
+             MIN(n_chars) AS minc, MAX(n_chars) AS maxc
+      FROM o GROUP BY rg
+    )
+    SELECT CAST(g.rg AS INTEGER) AS rg_id,
+           c.col AS col_path,
+           c.typ AS type_name,
+           'GZIP' AS codec,
+           CAST(g.nrows AS BIGINT) AS num_values,
+           CAST(g.nrows AS BIGINT) AS rg_num_rows,
+           CAST(CASE c.col WHEN 'doc_id' THEN g.mind
+                WHEN 'n_chars' THEN g.minc END AS BIGINT) AS stats_min,
+           CAST(CASE c.col WHEN 'doc_id' THEN g.maxd
+                WHEN 'n_chars' THEN g.maxc END AS BIGINT) AS stats_max
+    FROM g CROSS JOIN (
+      VALUES ('doc_id', 'INT64'), ('n_chars', 'INT64'),
+             ('tag', 'BYTE_ARRAY')
+    ) c(col, typ)
+    """,
+    doc=(
+        "Parquet footer parse, oracle-verified — the metadata "
+        "machinery behind row-group pruning and compaction planning, "
+        "via a from-scratch Apache Thrift COMPACT-PROTOCOL reader "
+        "(plans/parquet_meta.py): ULEB128 varints, zigzag ints, "
+        "delta-encoded field IDs with the long-form escape, "
+        "bool-in-header encoding, list size-15 escapes, generic "
+        "unknown-field skipping — then the FileMetaData graph "
+        "(row groups -> column chunks -> ColumnMetaData with "
+        "little-endian int64 statistics). The query writes a "
+        "CONTROLLED file (pyarrow, row_group_size=128, gzip, sorted "
+        "keys) so every emitted fact — group sizes, per-chunk "
+        "type/codec/value counts, min/max stats — is closed-form; "
+        "the unit test additionally differentials the reader against "
+        "DuckDB's parquet_metadata() on the driver fixtures."
+    ),
+    tags=("pipeline", "lakehouse", "udf"),
+)
+def p_parquet_footer_verified(spark, sf_dir):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unity_to_bigquery_spark.plans.parquet_meta import parse_parquet_footer
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bounded driver-side materialization (5k rows at sf0.1): the
+    # fixture WRITE is the controlled part; parsing is the operator
+    pdf = (
+        docs.select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+            "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+            "tag": pa.array([f"t{int(d) % 7}" for d in pdf["doc_id"]]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, row_group_size=128, compression="gzip")
+    meta = parse_parquet_footer(buf.getvalue())
+    rows = [
+        (
+            ri, c["path"], c["type"], c["codec"], c["num_values"],
+            rg["num_rows"], c["stats_min"], c["stats_max"],
+        )
+        for ri, rg in enumerate(meta["row_groups"])
+        for c in rg["columns"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rg_id INT, col_path STRING, type_name STRING, codec STRING, "
+        "num_values BIGINT, rg_num_rows BIGINT, stats_min BIGINT, "
+        "stats_max BIGINT",
+    )
