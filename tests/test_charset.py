@@ -207,3 +207,44 @@ def test_timed_text_grammar():
         parse_timed_text("WEBVTT\n\n")
     with pytest.raises(ValueError, match="cue id"):
         parse_timed_text("WEBVTT\n\norphan line\nanother\n")
+
+
+def test_license_detection_mechanics():
+    """Exact phrase matching across comment styles, fuzzy containment
+    behavior, and attribution extraction."""
+    from unity_to_bigquery_spark.llm.licenses import (
+        detect_license,
+        normalize,
+        strip_comment_markers,
+    )
+
+    assert strip_comment_markers("// hello") == "hello"
+    assert strip_comment_markers(" * wrapped line") == "wrapped line"
+    assert strip_comment_markers("/* block */") == "block"
+    assert normalize("Version 2.0, (c)!") == "version 2 0 c"
+
+    mit = (
+        "# Copyright (c) 2019 Acme\n#\n# Permission is hereby granted, "
+        "free of charge, to any person\n# obtaining a copy of this "
+        "software and associated documentation\n# files.\nprint(1)\n"
+    )
+    m = detect_license(mit)
+    assert (m["license"], m["match_kind"]) == ("MIT", "exact")
+    assert (m["copyright_year"], m["holder"]) == (2019, "Acme")
+
+    # a word insertion defeats exact but not 5-gram containment
+    fuzzy = mit.replace("Permission is hereby", "Permission is (totally) hereby")
+    m = detect_license(fuzzy)
+    assert (m["license"], m["match_kind"]) == ("MIT", "fuzzy")
+
+    # unrelated prose is not a license; attribution still extracted
+    m = detect_license("// Copyright (c) 2021 Zed\n// just a util\nx = 1\n")
+    assert (m["license"], m["match_kind"]) == ("none", "none")
+    assert m["holder"] == "Zed"
+
+    # the license must be in the HEADER — body mentions don't count
+    body = "\n".join(["x = %d" % i for i in range(60)]) + (
+        "\n# Permission is hereby granted, free of charge, to any "
+        "person obtaining a copy of this software"
+    )
+    assert detect_license(body)["license"] == "none"

@@ -4707,3 +4707,47 @@ def p_parquet_footer_verified(spark, sf_dir):
         "num_values BIGINT, rg_num_rows BIGINT, stats_min BIGINT, "
         "stats_max BIGINT",
     )
+
+
+@query(
+    "t_license_detect_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 6 AS cls, n_chars % 7 + 3 AS ncode
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE cls WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+                WHEN 2 THEN 'GPL-3.0' WHEN 3 THEN 'BSD-3-Clause'
+                WHEN 4 THEN 'MIT' ELSE 'none' END AS license,
+           CASE WHEN cls = 5 THEN 'none' WHEN cls = 4 THEN 'fuzzy'
+                ELSE 'exact' END AS match_kind,
+           CAST(CASE WHEN cls = 5 THEN 0
+                ELSE 2000 + doc_id % 25 END AS INTEGER) AS copyright_year,
+           CASE WHEN cls = 5 THEN ''
+                ELSE 'Holder' || CAST(doc_id % 10 AS VARCHAR) END AS holder,
+           CAST(ncode + CASE cls WHEN 0 THEN 5 WHEN 1 THEN 4
+                WHEN 2 THEN 7 WHEN 3 THEN 5 WHEN 4 THEN 5
+                ELSE 0 END AS INTEGER) AS n_lines
+    FROM d
+    """,
+    doc=(
+        "License-header detection, oracle-verified — the compliance "
+        "gate of code training-data pipelines (llm/licenses.py): "
+        "comment-marker stripping for //, #, and /* */ styles, "
+        "whitespace/punctuation-insensitive normalization, EXACT "
+        "matching of the published SPDX key phrases (MIT, Apache-2.0, "
+        "GPL-3.0, BSD-3-Clause), FUZZY matching via token-5-gram "
+        "containment >= 0.6 (a word-inserted MIT variant defeats "
+        "exact and must be caught fuzzy), and Copyright (c) "
+        "year/holder attribution. Six fixture classes x three comment "
+        "styles hash the full decision table. One mapInPandas stage."
+    ),
+    tags=("text", "udf"),
+)
+def t_license_detect_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.licenses import license_detect_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return license_detect_stats(docs)
