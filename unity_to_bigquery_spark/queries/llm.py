@@ -4751,3 +4751,163 @@ def t_license_detect_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return license_detect_stats(docs)
+
+
+@query(
+    "t_ipynb_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             n_chars % 4 + 2 AS ncode,
+             n_chars % 3 + 1 AS nmd
+      FROM documents
+    ), code AS (
+      SELECT d.doc_id,
+             SUM(15 + LENGTH(CAST((d.doc_id + i.i) % 100 AS VARCHAR))
+                   + LENGTH(CAST(i.i AS VARCHAR))) AS code_chars
+      FROM d JOIN (SELECT unnest(generate_series(0, 5)) AS i) i
+        ON i.i < d.ncode
+      GROUP BY d.doc_id
+    ), md AS (
+      SELECT d.doc_id,
+             SUM(12 + LENGTH(CAST(j.j AS VARCHAR))
+                   + LENGTH(CAST(d.doc_id AS VARCHAR))) AS md_chars
+      FROM d JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        ON j.j < d.nmd
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.ncode + d.nmd AS INTEGER) AS n_cells,
+           CAST(d.ncode AS INTEGER) AS n_code,
+           CAST(d.nmd AS INTEGER) AS n_markdown,
+           CAST(code.code_chars AS BIGINT) AS code_chars,
+           CAST(md.md_chars AS BIGINT) AS md_chars,
+           CAST(d.ncode AS INTEGER) AS max_exec_count,
+           'python3' AS kernel
+    FROM d JOIN code USING (doc_id) JOIN md USING (doc_id)
+    """,
+    doc=(
+        "Jupyter-notebook (.ipynb, nbformat 4) cell extraction — "
+        "notebooks are a first-class code-corpus format, and this "
+        "parse runs ENTIRELY JVM-SIDE: the notebook JSON goes through "
+        "from_json with an explicit nested schema (cells: "
+        "array<struct<cell_type, source array<string>, "
+        "execution_count>>, metadata.kernelspec.name), explode + "
+        "aggregate inside whole-stage codegen — no Python in the parse "
+        "path (synthesis is the only Arrow stage). Per-notebook "
+        "code/markdown char sums, cell-type counts, max execution "
+        "count, and kernel name are closed-form."
+    ),
+    tags=("text", "json"),
+)
+def t_ipynb_extract_verified(spark, sf_dir):
+    import json
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                ncode, nmd = c % 4 + 2, c % 3 + 1
+                cells = []
+                for i in range(ncode):
+                    cells.append(
+                        {
+                            "cell_type": "code",
+                            "source": [
+                                f"v = {(d + i) % 100}\n",
+                                f"print(v + {i})\n",
+                            ],
+                            "execution_count": i + 1,
+                            "metadata": {},
+                            "outputs": [],
+                        }
+                    )
+                for j in range(nmd):
+                    cells.append(
+                        {
+                            "cell_type": "markdown",
+                            "source": [f"## part {j} of {d}\n"],
+                            "metadata": {},
+                        }
+                    )
+                nb = {
+                    "nbformat": 4,
+                    "nbformat_minor": 5,
+                    "metadata": {"kernelspec": {"name": "python3"}},
+                    "cells": cells,
+                }
+                rows.append((d, json.dumps(nb)))
+            yield pd.DataFrame(rows, columns=["doc_id", "nb_json"])
+
+    raw = docs.select("doc_id", "n_chars").mapInPandas(
+        gen, "doc_id BIGINT, nb_json STRING"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "cells",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("cell_type", T.StringType()),
+                            T.StructField("source", T.ArrayType(T.StringType())),
+                            T.StructField("execution_count", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "metadata",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "kernelspec",
+                            T.StructType([T.StructField("name", T.StringType())]),
+                        )
+                    ]
+                ),
+            ),
+        ]
+    )
+    parsed = raw.select(
+        "doc_id", F.from_json("nb_json", schema).alias("nb")
+    )
+    cells = parsed.select(
+        "doc_id",
+        F.col("nb.metadata.kernelspec.name").alias("kernel"),
+        F.explode("nb.cells").alias("cell"),
+    ).select(
+        "doc_id",
+        "kernel",
+        F.col("cell.cell_type").alias("ctype"),
+        # source lines keep their trailing \n: total length minus one
+        # per line — concat_ws/size stay inside whole-stage codegen
+        # (higher-order lambdas would be interpreted, CLAUDE.md rule 5)
+        (F.length(F.concat_ws("", "cell.source")) - F.size("cell.source")).alias(
+            "chars"
+        ),
+        F.col("cell.execution_count").alias("ec"),
+    )
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.sum((F.col("ctype") == "code").cast("int")).cast("int").alias("n_code"),
+        F.sum((F.col("ctype") == "markdown").cast("int"))
+        .cast("int")
+        .alias("n_markdown"),
+        F.sum(F.when(F.col("ctype") == "code", F.col("chars")).otherwise(0))
+        .cast("long")
+        .alias("code_chars"),
+        F.sum(F.when(F.col("ctype") == "markdown", F.col("chars")).otherwise(0))
+        .cast("long")
+        .alias("md_chars"),
+        F.max("ec").cast("int").alias("max_exec_count"),
+        F.first("kernel").alias("kernel"),
+    )
