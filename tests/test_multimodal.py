@@ -2138,3 +2138,48 @@ def test_webm_ebml_vints_and_walk():
     bad2[dt:dt + 4] = b"avif"
     with pytest.raises(ValueError, match="DocType"):
         parse_webm(bytes(bad2))
+
+
+def test_ogg_page_walk_and_continuation():
+    """RFC 3533 mechanics: CRC pin, lacing runs incl. the k*255
+    zero-terminator, cross-page continuation, and framing strictness."""
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _ogg_crc,
+        _ogg_page,
+        parse_ogg,
+        write_ogg,
+    )
+
+    # CRC pin: unreflected 0x04C11DB7, init 0
+    assert _ogg_crc(b"\x01") == 0x04C11DB7
+    assert _ogg_crc(b"") == 0
+
+    # a packet of exactly 2*255 bytes needs the trailing 0 lacing
+    body = bytes(510)
+    page = _ogg_page(0x06, 0, 9, 0, [255, 255, 0], body)
+    m = parse_ogg(page)
+    assert m["n_packets"] == 1 and m["packet_bytes"] == 510
+
+    raw = write_ogg(11, 100)  # sizes include >510 -> real continuation
+    m = parse_ogg(raw)
+    assert m["n_continued_pages"] >= 1
+    assert m["n_pages"] == m["n_packets"] + m["n_continued_pages"]
+
+    # one flipped byte anywhere trips the page CRC
+    bad = bytearray(raw)
+    bad[40] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(bad))
+    # page-sequence gap is loud: drop the second page wholesale
+    first_len = 27 + raw[26] + sum(raw[27 : 27 + raw[26]])
+    second_len_at = first_len
+    nseg2 = raw[second_len_at + 26]
+    second_end = second_len_at + 27 + nseg2 + sum(
+        raw[second_len_at + 27 : second_len_at + 27 + nseg2]
+    )
+    with pytest.raises(ValueError, match="sequence gap"):
+        parse_ogg(raw[:first_len] + raw[second_end:])
+    with pytest.raises(ValueError, match="sync"):
+        parse_ogg(raw[3:])

@@ -6498,3 +6498,196 @@ def webm_metadata_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, WEBM_META_SCHEMA)
+
+
+# ---- Ogg (RFC 3533): page framing, lacing, CRC, continuation ----
+#
+# The container around Vorbis/Opus/Theora crawl audio. From-scratch
+# against the public RFC 3533: 27-byte page headers ('OggS', version
+# 0, the continued/BOS/EOS flag bits, 64-bit granule, serial, page
+# sequence), LACING VALUES (a packet is a run of 255s closed by a
+# value < 255 — a packet of exactly k*255 bytes needs a trailing 0,
+# and a page whose last lacing is 255 CONTINUES its packet on the
+# next page), and the Ogg CRC-32: polynomial 0x04C11DB7, init 0, no
+# reflection, computed with the checksum field zeroed — verified on
+# every page, so one flipped bit anywhere is loud.
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(
+    flags: int, granule: int, serial: int, seq: int, lacing: list[int], body: bytes
+) -> bytes:
+    import struct
+
+    hdr = (
+        b"OggS\x00"
+        + bytes([flags])
+        + struct.pack("<qIII", granule, serial, seq, 0)
+        + bytes([len(lacing)])
+        + bytes(lacing)
+    )
+    page = bytearray(hdr + body)
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = crc.to_bytes(4, "little")
+    return bytes(page)
+
+
+def write_ogg(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic-but-real Ogg: one logical stream (serial =
+    doc_id + 1000), an ID packet (BOS page, 20+doc_id%30 bytes), then
+    np = n_chars%4+3 data packets of 100+((doc_id+p)*37)%600 bytes —
+    packets over 510 bytes SPLIT across two pages (first chunk lacing
+    [255,255], continuation flag on the next page); packet bytes are
+    (doc_id + 11q + j) % 256. Granule = seq*1000; EOS on the last
+    page."""
+    serial = doc_id + 1000
+    np_ = n_chars % 4 + 3
+    sizes = [20 + doc_id % 30] + [100 + ((doc_id + p) * 37) % 600 for p in range(np_)]
+    packets = [
+        bytes((doc_id + 11 * q + j) % 256 for j in range(sz))
+        for q, sz in enumerate(sizes)
+    ]
+
+    def lacing_for(n: int) -> list[int]:
+        return [255] * (n // 255) + [n % 255]
+
+    pages = []
+    for q, pkt in enumerate(packets):
+        if len(pkt) > 510:
+            pages.append((0, [255, 255], pkt[:510], q == 0))
+            pages.append((1, lacing_for(len(pkt) - 510), pkt[510:], False))
+        else:
+            pages.append((0, lacing_for(len(pkt)), pkt, q == 0))
+    out = bytearray()
+    for seq, (cont, lacing, body, bos) in enumerate(pages):
+        flags = cont | (0x02 if bos else 0) | (0x04 if seq == len(pages) - 1 else 0)
+        out += _ogg_page(flags, seq * 1000, serial, seq, lacing, body)
+    return bytes(out)
+
+
+def parse_ogg(payload: bytes) -> dict:
+    """Page walk with CRC verification and packet reassembly across
+    page boundaries. Raises on bad magic/version, CRC mismatch,
+    page-sequence gaps, or a dangling continued packet."""
+    import struct
+
+    pos = 0
+    seq_expect = 0
+    serial = None
+    n_pages = 0
+    packets: list[bytes] = []
+    partial = b""
+    continued_pages = 0
+    last_granule = 0
+    saw_bos = saw_eos = False
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost page sync at byte {pos}")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg version")
+        flags = payload[pos + 5]
+        granule, pserial, pseq, crc = struct.unpack_from("<qIII", payload, pos + 6)
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        body_at = pos + 27 + nseg
+        body_len = sum(lacing)
+        page_end = body_at + body_len
+        if page_end > len(payload):
+            raise ValueError("page body overruns the file")
+        zeroed = bytearray(payload[pos:page_end])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(zeroed)) != crc:
+            raise ValueError(f"page {pseq} CRC mismatch")
+        if serial is None:
+            serial = pserial
+        elif pserial != serial:
+            raise ValueError("multiplexed streams not supported")
+        if pseq != seq_expect:
+            raise ValueError(f"page sequence gap: {pseq} != {seq_expect}")
+        seq_expect += 1
+        if flags & 0x01:
+            continued_pages += 1
+            if not partial:
+                raise ValueError("continuation page without a pending packet")
+        elif partial:
+            raise ValueError("pending packet not continued")
+        if flags & 0x02:
+            saw_bos = True
+        if flags & 0x04:
+            saw_eos = True
+        last_granule = granule
+        # packet reassembly from lacing runs
+        cursor = body_at
+        for lv in lacing:
+            partial += payload[cursor : cursor + lv]
+            cursor += lv
+            if lv < 255:
+                packets.append(partial)
+                partial = b""
+        n_pages += 1
+        pos = page_end
+    if partial:
+        raise ValueError("stream ends mid-packet")
+    if not (saw_bos and saw_eos):
+        raise ValueError("missing BOS or EOS page")
+    return {
+        "serial": serial,
+        "n_pages": n_pages,
+        "n_packets": len(packets),
+        "n_continued_pages": continued_pages,
+        "packet_bytes": sum(len(p) for p in packets),
+        "first_byte_sum": sum(p[0] for p in packets),
+        "last_byte_sum": sum(p[-1] for p in packets),
+        "last_granule": last_granule,
+    }
+
+
+OGG_STATS_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, serial BIGINT, n_pages INT, "
+    "n_packets INT, n_continued_pages INT, packet_bytes BIGINT, "
+    "first_byte_sum BIGINT, last_byte_sum BIGINT, last_granule BIGINT"
+)
+
+
+def synthesize_ogg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars) -> (doc_id, fmt, payload): Ogg streams."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": "ogg",
+                    "payload": [
+                        write_ogg(int(d), int(c))
+                        for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(batches, IMAGE_MEDIA_SCHEMA)
+
+
+def ogg_page_stats(media: DataFrame) -> DataFrame:
+    """Page walk + packet reassembly in ONE mapInPandas stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in OGG_STATS_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_ogg(bytes(payload))
+                rows.append(
+                    (int(doc_id), "ogg") + tuple(m[c] for c in cols[2:])
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, OGG_STATS_SCHEMA)

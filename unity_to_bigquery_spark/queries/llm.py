@@ -4911,3 +4911,59 @@ def t_ipynb_extract_verified(spark, sf_dir):
         F.max("ec").cast("int").alias("max_exec_count"),
         F.first("kernel").alias("kernel"),
     )
+
+
+@query(
+    "m_ogg_pages_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 4 + 3 AS np FROM documents
+    ), pk AS (
+      SELECT d.doc_id, d.np, q.q,
+             CASE WHEN q.q = 0 THEN 20 + d.doc_id % 30
+                  ELSE 100 + ((d.doc_id + q.q - 1) * 37) % 600
+                  END AS sz
+      FROM d JOIN (SELECT unnest(generate_series(0, 6)) AS q) q
+        ON q.q <= d.np
+    ), agg AS (
+      SELECT doc_id, MAX(np) AS np,
+             SUM(sz) AS bytes,
+             SUM(CASE WHEN sz > 510 THEN 1 ELSE 0 END) AS nsplit,
+             SUM((doc_id + 11*q) % 256) AS fbs,
+             SUM((doc_id + 11*q + sz - 1) % 256) AS lbs
+      FROM pk GROUP BY doc_id
+    )
+    SELECT doc_id, 'ogg' AS fmt,
+           CAST(doc_id + 1000 AS BIGINT) AS serial,
+           CAST(np + 1 + nsplit AS INTEGER) AS n_pages,
+           CAST(np + 1 AS INTEGER) AS n_packets,
+           CAST(nsplit AS INTEGER) AS n_continued_pages,
+           CAST(bytes AS BIGINT) AS packet_bytes,
+           CAST(fbs AS BIGINT) AS first_byte_sum,
+           CAST(lbs AS BIGINT) AS last_byte_sum,
+           CAST((np + nsplit) * 1000 AS BIGINT) AS last_granule
+    FROM agg
+    """,
+    doc=(
+        "Ogg page walk, oracle-verified — the container around "
+        "Vorbis/Opus crawl audio, from-scratch against RFC 3533 "
+        "(llm/multimodal.py): 27-byte page headers, LACING-value "
+        "packet framing (runs of 255 closed by a value < 255), REAL "
+        "cross-page packet continuation (packets over 510 bytes split "
+        "with a [255,255] first-chunk lacing and the continued flag "
+        "on the next page — exercised by construction on every doc "
+        "grid), page-sequence gap detection, BOS/EOS flags, and the "
+        "Ogg CRC-32 (poly 0x04C11DB7, UNreflected, checksum field "
+        "zeroed) verified on every page. One mapInPandas stage."
+    ),
+    tags=("multimodal", "udf"),
+)
+def m_ogg_pages_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        ogg_page_stats,
+        synthesize_ogg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return ogg_page_stats(synthesize_ogg_media(docs))
