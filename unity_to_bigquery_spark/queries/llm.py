@@ -4967,3 +4967,110 @@ def m_ogg_pages_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return ogg_page_stats(synthesize_ogg_media(docs))
+
+
+@query(
+    "p_crawl_corpus",
+    oracle="""
+    WITH gg AS (
+      SELECT doc_id % 40 AS g, COUNT(*) AS copies
+      FROM documents GROUP BY doc_id % 40
+    ), d AS (
+      SELECT g, copies,
+             g % 4 + 2 AS np,
+             (100 + g) % 5 + 3 AS nw,
+             g % 3 + 1 AS nl
+      FROM gg
+    ), w AS (
+      SELECT d.g,
+             SUM(1 + LENGTH(CAST((31*d.g + 7*p.p + i.i) % 100 AS VARCHAR)))
+               + COUNT(*) - COUNT(DISTINCT p.p) AS para_chars
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 4)) AS p) p ON p.p < d.np
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i < d.nw
+      GROUP BY d.g
+    )
+    SELECT 'Doc ' || CAST(d.g AS VARCHAR) AS title,
+           CAST(d.copies AS BIGINT) AS n_copies,
+           CAST(w.para_chars + 5 + 5*d.nl + 4 + d.np + d.nl AS BIGINT)
+             AS n_text_chars,
+           CAST(d.np*d.nw + 2 + d.nl AS BIGINT) AS n_words,
+           CAST(d.nl AS INTEGER) AS n_links,
+           'site' || CAST(d.g % 4 AS VARCHAR) || '.example' AS site
+    FROM d JOIN w USING (g)
+    """,
+    doc=(
+        "CRAWL-TO-CORPUS pipeline — the content-side capstone "
+        "composing three real mechanisms end to end: (1) the "
+        "SPLITTABLE WARC source scans a landing zone whose response "
+        "bodies are REAL HTML pages (CDX-planned member-range "
+        "partitions, gzip members, HTTP payload extraction); (2) each "
+        "body runs through the real WHATWG tokenizer (llm/html) in "
+        "one Arrow stage; (3) content-level EXACT DEDUP groups the "
+        "deliberately duplicated pages (40 distinct pages shared by "
+        "~N/40 docs each — the boilerplate shape of real crawls) and "
+        "counts copies. A bug in the WARC framing, the HTTP split, "
+        "the tokenizer, or the dedup grouping all break the hash."
+    ),
+    tags=("pipeline", "source", "udf"),
+)
+def p_crawl_corpus(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.sources.warc import (
+        register_warc_source,
+        write_html_warc_landing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"crawl_corpus_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_html_warc_landing(pairs, root, n_files=8)
+    register_warc_source(spark)
+    resp = (
+        spark.read.format("warc")
+        .option("path", root)
+        .option("members_per_partition", "40")
+        .load()
+        .filter(F.col("warc_type") == "response")
+    )
+
+    def extract(it):
+        import pandas as pd
+
+        from unity_to_bigquery_spark.llm.html import extract_html
+
+        for pdf in it:
+            rows = []
+            for body in pdf["body"]:
+                m = extract_html(bytes(body).decode("utf-8"))
+                rows.append(
+                    (
+                        m["title"], m["n_text_chars"], m["n_words"],
+                        m["n_links"], m["first_link_host"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["title", "n_text_chars", "n_words", "n_links", "site"],
+            )
+
+    pages = resp.select("body").mapInPandas(
+        extract,
+        "title STRING, n_text_chars BIGINT, n_words BIGINT, "
+        "n_links INT, site STRING",
+    )
+    return pages.groupBy("title").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.first("n_text_chars").alias("n_text_chars"),
+        F.first("n_words").alias("n_words"),
+        F.first("n_links").alias("n_links"),
+        F.first("site").alias("site"),
+    )

@@ -397,3 +397,41 @@ try:  # Python Data Source API (pyspark >= 4)
 
 except ImportError:  # pragma: no cover - pyspark<4 fallback
     pass
+
+
+def write_html_warc_landing(
+    docs: list[tuple[int, int]], root: str, n_files: int = 8
+) -> None:
+    """Crawl-shaped landing zone for the end-to-end corpus pipeline:
+    every doc becomes ONE response record whose body is a REAL HTML
+    page, and pages are deliberately DUPLICATED across docs — the
+    content is write_html(g, 100+g) with g = doc_id % 40, so ~N/40
+    docs share each of 40 distinct pages (the boilerplate-duplication
+    shape of real crawls). CDX sidecars as in write_warc_landing."""
+    from unity_to_bigquery_spark.llm.html import write_html
+
+    os.makedirs(root, exist_ok=True)
+    buckets: dict[int, list] = {i: [] for i in range(n_files)}
+    for doc_id, n_chars in docs:
+        buckets[doc_id % n_files].append((doc_id, n_chars))
+    for i, members in buckets.items():
+        blob = bytearray()
+        cdx = []
+        for doc_id, _n_chars in sorted(members):
+            g = doc_id % 40
+            page = write_html(g, 100 + g).encode("utf-8")
+            uri = f"http://site{g % 4}.example/doc/{doc_id}"
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(page)}\r\n\r\n"
+            ).encode() + page
+            member = _gzip_member(
+                _record("response", {"WARC-Target-URI": uri}, http)
+            )
+            cdx.append({"offset": len(blob), "length": len(member)})
+            blob += member
+        with open(os.path.join(root, f"part-{i:03d}.warc.gz"), "wb") as f:
+            f.write(blob)
+        with open(os.path.join(root, f"part-{i:03d}.warc.cdx"), "w") as f:
+            for row in cdx:
+                f.write(json.dumps(row) + "\n")
