@@ -5074,3 +5074,87 @@ def p_crawl_corpus(spark, sf_dir):
         F.first("n_links").alias("n_links"),
         F.first("site").alias("site"),
     )
+
+
+@query(
+    "m_tfrecord_source_scan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS label,
+             n_chars % 4 + 2 AS ne,
+             doc_id % 10 AS m
+      FROM documents
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(ne) AS BIGINT) AS emb_len_sum,
+           CAST(SUM(ne * m + ne * (ne - 1) // 2) AS BIGINT)
+             AS emb_sum_x2,
+           CAST(SUM(4 + LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS text_chars
+    FROM d GROUP BY label
+    """,
+    doc=(
+        "SPLITTABLE TFRECORD SCAN — the classic ML training-data "
+        "format read without tensorflow (sources/tfrecord.py): record "
+        "framing with MASKED CRC32C (Castagnoli, reflected, the "
+        ">>15|<<17 + 0xa282ead8 mask) VERIFIED per record on both the "
+        "length and the payload; tf.train.Example decoded by a "
+        "from-scratch protobuf WIRE-FORMAT reader (varint tags, all "
+        "four wire types, nested messages, map entries, PACKED float "
+        "and int64 lists beside unpacked ones); partitions planned "
+        "from DALI-style offset-index sidecars "
+        "(records_per_partition=40 forces splits within files, so "
+        "every record exactly once across boundaries is part of the "
+        "hash). Embedding floats are exact halves, so their doubled "
+        "sums are integers and the whole decode is value-hashed."
+    ),
+    tags=("multimodal", "source", "datasource"),
+)
+def m_tfrecord_source_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.sources.tfrecord import (
+        register_tfrecord_source,
+        write_tfrecord_landing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"tfrecord_landing_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_tfrecord_landing(pairs, root, n_files=8)
+    register_tfrecord_source(spark)
+    df = (
+        spark.read.format("tfrecord")
+        .option("path", root)
+        .option("records_per_partition", "40")
+        .load()
+    )
+    # emb values are exact binary halves -> double sums are exact
+    return (
+        df.select(
+            "label",
+            "rec_id",
+            F.size("emb").alias("ne"),
+            F.expr("aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").alias(
+                "esum"
+            ),
+            F.length("text").alias("tlen"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("rec_id").cast("long").alias("id_sum"),
+            F.sum("ne").cast("long").alias("emb_len_sum"),
+            F.round(F.sum("esum") * 2).cast("long").alias("emb_sum_x2"),
+            F.sum("tlen").cast("long").alias("text_chars"),
+        )
+    )
