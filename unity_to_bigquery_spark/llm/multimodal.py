@@ -6547,8 +6547,9 @@ def write_ogg(doc_id: int, n_chars: int) -> bytes:
     packets over 510 bytes SPLIT across two pages (first chunk lacing
     [255,255], continuation flag on the next page); packet bytes are
     (doc_id + 11q + j) % 256. Granule = seq*1000; EOS on the last
-    page."""
-    serial = doc_id + 1000
+    page. The serial is bounded mod 1e6: the header field is a u32
+    and scale-smoke replica doc_ids exceed 2^32."""
+    serial = doc_id % 1_000_000 + 1000
     np_ = n_chars % 4 + 3
     sizes = [20 + doc_id % 30] + [100 + ((doc_id + p) * 37) % 600 for p in range(np_)]
     packets = [

@@ -4934,7 +4934,7 @@ def t_ipynb_extract_verified(spark, sf_dir):
       FROM pk GROUP BY doc_id
     )
     SELECT doc_id, 'ogg' AS fmt,
-           CAST(doc_id + 1000 AS BIGINT) AS serial,
+           CAST(doc_id % 1000000 + 1000 AS BIGINT) AS serial,
            CAST(np + 1 + nsplit AS INTEGER) AS n_pages,
            CAST(np + 1 AS INTEGER) AS n_packets,
            CAST(nsplit AS INTEGER) AS n_continued_pages,
