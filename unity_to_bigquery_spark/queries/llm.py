@@ -5158,3 +5158,76 @@ def m_tfrecord_source_scan(spark, sf_dir):
             F.sum("tlen").cast("long").alias("text_chars"),
         )
     )
+
+
+@query(
+    "m_avro_source_scan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS label,
+             doc_id % 100 AS q,
+             n_chars % 3 + 1 AS nt
+      FROM documents
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(q) AS BIGINT) AS score_x4,
+           CAST(SUM(5 + LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS text_chars,
+           CAST(SUM(nt) AS BIGINT) AS tag_count
+    FROM d GROUP BY label
+    """,
+    doc=(
+        "SYNC-SPLITTABLE AVRO SCAN — the index-free split mechanism "
+        "the other archive sources don't exercise "
+        "(sources/avro_ocf.py): partitions are RAW BYTE RANGES planned "
+        "from file sizes alone, and executors RESYNCHRONIZE on the "
+        "16-byte block sync marker (the Hadoop input-split contract: a "
+        "block belongs to the range holding its first byte, so every "
+        "block is read exactly once across arbitrary range cuts — "
+        "verified at 5 granularities in the unit). The wire format is "
+        "from-scratch Avro 1.x: zigzag-varint longs, the file-metadata "
+        "map, length-prefixed strings, array blocks with terminators, "
+        "LE doubles, and per-block size/sync verification. Quarter-"
+        "exact scores make the decode value-hashable "
+        "(split_bytes=2048 forces many ranges per file)."
+    ),
+    tags=("multimodal", "source", "datasource"),
+)
+def m_avro_source_scan(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.sources.avro_ocf import (
+        register_avro_source,
+        write_avro_landing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"avro_landing_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    write_avro_landing(pairs, root, n_files=8)
+    register_avro_source(spark)
+    df = (
+        spark.read.format("avro_ocf")
+        .option("path", root)
+        .option("split_bytes", "2048")
+        .load()
+    )
+    return (
+        df.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("rec_id").cast("long").alias("id_sum"),
+            F.round(F.sum("score") * 4).cast("long").alias("score_x4"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+            F.sum("n_tags").cast("long").alias("tag_count"),
+        )
+    )
