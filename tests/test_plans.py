@@ -128,6 +128,10 @@ BNLJ_ALLOWED = {
     "t_collocations_lift",
     # two 1-row sketch relations crossed for set-algebra estimates
     "e_theta_audience_overlap",
+    # 9-row (3x3 neighborhood offsets) broadcast crossed onto the
+    # build side of the grid near-join; the candidate join itself is
+    # an equi-join on the cell key
+    "j_spatial_grid_join",
 }
 
 

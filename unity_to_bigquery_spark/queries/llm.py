@@ -5231,3 +5231,164 @@ def m_avro_source_scan(spark, sf_dir):
             F.sum("n_tags").cast("long").alias("tag_count"),
         )
     )
+
+
+@query(
+    "j_spatial_grid_join",
+    oracle="""
+    WITH pts AS (
+      SELECT doc_id AS id,
+             (doc_id * 37) % 10000 AS x,
+             (doc_id * 73) % 10000 AS y
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+                AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 2500
+    """,
+    doc=(
+        "SPATIAL NEAR-JOIN via grid bucketing — the scale path for "
+        "proximity joins: each point lands in ONE 50-unit grid cell "
+        "and is REPLICATED into its 3x3 neighbor cells on the build "
+        "side, so candidate pairs co-locate in a single equi-join "
+        "shuffle on the cell key and the exact distance predicate "
+        "(squared Euclidean <= 50^2, integer-exact) verifies only "
+        "in-bucket candidates — O(n·k) instead of the O(n^2) cross "
+        "join the DuckDB oracle runs (quadratic is fine at oracle "
+        "scale; the Spark plan never builds it). a.id < b.id dedups "
+        "the pair across the 9-cell replication."
+    ),
+    tags=("join", "spatial"),
+)
+def j_spatial_grid_join(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 37) % 10000).alias("x"),
+        ((F.col("doc_id") * 73) % 10000).alias("y"),
+    )
+    cell = 50
+    probe = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / cell).alias("cx"),
+        F.floor(F.col("y") / cell).alias("cy"),
+    )
+    # build side replicated into the 3x3 neighborhood: a pair within
+    # 50 units always shares at least one (cx, cy) bucket
+    offsets = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    build = (
+        pts.crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("x").alias("xb"),
+            F.col("y").alias("yb"),
+            (F.floor(F.col("x") / cell) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("y") / cell) + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("xb")) ** 2 + (F.col("y") - F.col("yb")) ** 2
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter((F.col("id") < F.col("id_b")) & (d2 <= cell * cell))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            d2.cast("long").alias("dist2"),
+        )
+    )
+
+
+@query(
+    "p_rowgroup_pruned_read",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    bounds AS (
+      SELECT n, n // 4 AS lo, n // 2 AS hi,
+             (n + 127) // 128 AS groups_total
+      FROM n
+    ), hit AS (
+      SELECT b.lo, b.hi, b.groups_total,
+             COUNT(*) AS n_docs,
+             SUM(d.doc_id) AS id_sum,
+             SUM(d.n_chars) AS chars_sum
+      FROM documents d, bounds b
+      WHERE d.doc_id BETWEEN b.lo AND b.hi
+      GROUP BY b.lo, b.hi, b.groups_total
+    )
+    SELECT CAST(lo AS BIGINT) AS lo,
+           CAST(hi AS BIGINT) AS hi,
+           CAST(groups_total AS INTEGER) AS n_groups_total,
+           CAST(hi // 128 - lo // 128 + 1 AS INTEGER) AS n_groups_read,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(id_sum AS BIGINT) AS id_sum,
+           CAST(chars_sum AS BIGINT) AS chars_sum
+    FROM hit
+    """,
+    doc=(
+        "STATS-PRUNED ROW-GROUP READ — the Thrift footer reader "
+        "(plans/parquet_meta.py) driving an actual execution decision, "
+        "i.e. what a lakehouse scan does with min/max statistics: "
+        "write a controlled sorted parquet (row_group_size=128), parse "
+        "ITS OWN footer, select only the row groups whose "
+        "[stats_min, stats_max] interval intersects the predicate "
+        "doc_id BETWEEN N/4 AND N/2, read exactly those groups, and "
+        "apply the residual filter. The oracle pins BOTH the answer "
+        "AND the group-read count (hi//128 - lo//128 + 1 on contiguous "
+        "sorted keys) — reading too many groups fails the hash as "
+        "surely as reading too few."
+    ),
+    tags=("pipeline", "lakehouse"),
+)
+def p_rowgroup_pruned_read(spark, sf_dir):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unity_to_bigquery_spark.plans.parquet_meta import parse_parquet_footer
+
+    docs = load_table(spark, sf_dir, "documents")
+    pdf = docs.select("doc_id", "n_chars").orderBy("doc_id").toPandas()
+    n = len(pdf)
+    lo, hi = n // 4, n // 2
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"rg_pruned_{os.path.basename(sf_dir.rstrip('/'))}.parquet",
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+            "n_chars": pa.array(pdf["n_chars"], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=128, compression="gzip")
+
+    meta = parse_parquet_footer(open(path, "rb").read())
+    keep = [
+        ri
+        for ri, rg in enumerate(meta["row_groups"])
+        if not (rg["columns"][0]["stats_max"] < lo or rg["columns"][0]["stats_min"] > hi)
+    ]
+    pf = pq.ParquetFile(path)
+    frames = [pf.read_row_group(ri).to_pandas() for ri in keep]
+    import pandas as pd
+
+    hit = pd.concat(frames) if frames else pdf.iloc[0:0]
+    hit = hit[(hit["doc_id"] >= lo) & (hit["doc_id"] <= hi)]
+    row = (
+        int(lo), int(hi), len(meta["row_groups"]), len(keep),
+        int(len(hit)), int(hit["doc_id"].sum()), int(hit["n_chars"].sum()),
+    )
+    return spark.createDataFrame(
+        [row],
+        "lo BIGINT, hi BIGINT, n_groups_total INT, n_groups_read INT, "
+        "n_docs BIGINT, id_sum BIGINT, chars_sum BIGINT",
+    )
