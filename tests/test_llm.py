@@ -684,3 +684,43 @@ def test_bpe_training_and_tokenization_match_reference(spark, sf_dir):
     top = all_queries()["t_bpe_tokenize_topk"].spark(spark, sf_dir).collect()
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r.token, r.n) for r in top] == want
+
+
+def test_fp16_codec_bit_exact_vs_numpy():
+    """The from-scratch IEEE-754 binary16 codec agrees bit-for-bit
+    with numpy.float16 across randoms, subnormals, overflow, and every
+    rounding edge; decode is exact."""
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.similarity import fp16_decode, fp16_encode
+
+    rng = np.random.default_rng(42)
+    xs = np.concatenate(
+        [
+            rng.normal(0, 1, 20000).astype(np.float32),
+            rng.normal(0, 1e-5, 5000).astype(np.float32),  # subnormals
+            rng.uniform(-70000, 70000, 5000).astype(np.float32),  # overflow
+            np.array(
+                [0.0, -0.0, np.inf, -np.inf, np.nan, 65504.0,
+                 2.0**-14, 2.0**-15, 2.0**-24, 2.0**-25,
+                 1.0009765625, 1.00048828125, -1.00048828125],
+                dtype=np.float32,
+            ),
+        ]
+    )
+    ours = fp16_encode(xs)
+    ref = xs.astype(np.float16).view(np.uint16)
+    neq = ours != ref
+    nan_ok = np.isnan(xs) & ((ours & 0x7C00) == 0x7C00) & ((ours & 0x3FF) != 0)
+    assert not (neq & ~nan_ok).any()
+    # RNE specifically: 1 + 2^-11 is the exact tie -> rounds to EVEN
+    tie = np.float32(1.0 + 2.0**-11)
+    assert fp16_encode([tie])[0] == np.float16(tie).view(np.uint16)
+    # decode inverts numpy's representation exactly (NaN excepted)
+    dec = fp16_decode(ref)
+    ref_dec = ref.view(np.float16).astype(np.float32)
+    ok = (dec == ref_dec) | (np.isnan(dec) & np.isnan(ref_dec))
+    assert ok.all()
+    # signed zero and max-finite survive the round trip
+    assert fp16_decode(fp16_encode([-0.0]))[0] == 0.0
+    assert fp16_decode(fp16_encode([65504.0]))[0] == 65504.0

@@ -831,3 +831,82 @@ def pq_adc_rerank_topk(
         k=k, m=m, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, query_id=query_id,
     )
+
+
+# ---- IEEE-754 half precision (fp16), from scratch ----------------------
+#
+# Embedding stores halve their footprint by quantizing float32 -> fp16;
+# the engine implements the bit-level conversion itself (public IEEE
+# 754-2008 binary16: 1 sign / 5 exponent / 10 mantissa, bias 15,
+# SUBNORMALS below 2^-14, round-to-nearest-EVEN on encode, Inf/NaN
+# handling) rather than relying on numpy's — and the unit test proves
+# the two agree bit-for-bit across a sweep including every rounding
+# and subnormal edge. Vectorized over numpy arrays.
+
+
+def fp16_encode(x):
+    """float array -> uint16 bit patterns (RNE, subnormals, Inf/NaN)."""
+    import numpy as np
+
+    f = np.asarray(x, dtype=np.float32)
+    bits = f.view(np.uint32).astype(np.uint64)
+    sign = (bits >> 16) & 0x8000
+    exp = ((bits >> 23) & 0xFF).astype(np.int64)
+    man = (bits & 0x7FFFFF).astype(np.int64)
+
+    out = np.zeros(f.shape, dtype=np.uint64)
+    # NaN / Inf
+    isnan = (exp == 255) & (man != 0)
+    isinf = (exp == 255) & (man == 0)
+    out[isnan] = 0x7E00
+    out[isinf] = 0x7C00
+    e16 = exp - 127 + 15
+    normal = (~isnan) & (~isinf) & (e16 >= 1)
+    # overflow to Inf
+    over = normal & (e16 >= 31)
+    out[over] = 0x7C00
+    norm_ok = normal & (e16 < 31)
+    # round mantissa 23 -> 10 bits, RNE on the dropped 13
+    m = man[norm_ok]
+    keep = m >> 13
+    rem = m & 0x1FFF
+    up = (rem > 0x1000) | ((rem == 0x1000) & ((keep & 1) == 1))
+    keep = keep + up
+    e = e16[norm_ok] + (keep >> 10)  # mantissa carry bumps exponent
+    keep = np.where(keep >> 10, 0, keep)
+    v = np.where(e >= 31, 0x7C00, (e << 10) | keep)
+    out[norm_ok] = v.astype(np.uint64)
+    # subnormal range: magnitude < 2^-14 -> shift into 10-bit field
+    sub = (~isnan) & (~isinf) & (e16 < 1)
+    if sub.any():
+        me = man[sub] | 0x800000  # implicit bit
+        shift = 13 + (1 - e16[sub])  # bits dropped below the 10-bit field
+        full = np.where(shift < 40, me >> shift, 0)
+        rem_mask = np.where(shift < 40, (np.int64(1) << shift) - 1, np.int64(-1))
+        rem = me & rem_mask
+        half = np.where(shift < 40, np.int64(1) << (shift - 1), np.int64(0))
+        up = (rem > half) | ((rem == half) & ((full & 1) == 1))
+        zero_in = exp[sub] == 0  # float32 zero/subnormal -> 0
+        v = np.where(zero_in, 0, full + up)
+        out[sub] = v.astype(np.uint64)
+    return (out | sign).astype(np.uint16)
+
+
+def fp16_decode(h):
+    """uint16 bit patterns -> float32 (exact)."""
+    import numpy as np
+
+    h = np.asarray(h, dtype=np.uint16).astype(np.uint32)
+    sign = ((h >> 15) & 1).astype(np.float32) * -2 + 1
+    exp = ((h >> 10) & 0x1F).astype(np.int64)
+    man = (h & 0x3FF).astype(np.float32)
+    val = np.where(
+        exp == 0,
+        man * 2.0**-24,  # subnormal: man * 2^-10 * 2^-14
+        np.where(
+            exp == 31,
+            np.where(man == 0, np.float32(np.inf), np.float32(np.nan)),
+            (1.0 + man * 2.0**-10) * np.exp2((exp - 15).astype(np.float32)),
+        ),
+    )
+    return (sign * val).astype(np.float32)

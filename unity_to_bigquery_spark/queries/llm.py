@@ -5392,3 +5392,72 @@ def p_rowgroup_pruned_read(spark, sf_dir):
         "lo BIGINT, hi BIGINT, n_groups_total INT, n_groups_read INT, "
         "n_docs BIGINT, id_sum BIGINT, chars_sum BIGINT",
     )
+
+
+@query(
+    "sim_fp16_quantize_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 4 + 4 AS dim FROM documents
+    ), v AS (
+      SELECT d.doc_id, d.dim, i.i,
+             (d.doc_id * 5 + i.i * 3) % 1024 AS m
+      FROM d JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+        ON i.i < d.dim
+    )
+    SELECT doc_id,
+           CAST(MAX(dim) AS INTEGER) AS dim,
+           CAST(SUM(m) AS BIGINT) AS sum_x16,
+           CAST(MAX(m) AS BIGINT) AS max_x16,
+           TRUE AS roundtrip_exact
+    FROM v GROUP BY doc_id
+    """,
+    doc=(
+        "fp16 embedding quantization, oracle-verified — halving "
+        "embedding storage with a FROM-SCRATCH IEEE-754 binary16 "
+        "codec (llm/similarity.fp16_encode/decode: 5-bit exponent "
+        "bias 15, round-to-nearest-EVEN on the 13 dropped mantissa "
+        "bits with carry into the exponent, SUBNORMALS below 2^-14, "
+        "Inf/NaN, overflow to Inf at 65520) — proven BIT-EXACT "
+        "against numpy's float16 across 30k values incl. every "
+        "rounding/subnormal edge in the unit. The oracled query "
+        "quantizes vectors of exactly-representable values m/16 "
+        "(m < 1024, inside the half-ulp budget) and hashes that "
+        "encode-then-decode is the identity there (x16 sums/maxes), "
+        "so a codec bug cannot hide behind rounding."
+    ),
+    tags=("similarity", "udf"),
+)
+def sim_fp16_quantize_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.similarity import fp16_decode, fp16_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                dim = c % 4 + 4
+                m = np.array([(d * 5 + i * 3) % 1024 for i in range(dim)])
+                x = (m / 16.0).astype(np.float32)
+                back = fp16_decode(fp16_encode(x))
+                exact = bool((back == x).all())
+                s16 = (back * 16).round().astype(np.int64)
+                rows.append(
+                    (d, dim, int(s16.sum()), int(s16.max()), exact)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "dim", "sum_x16", "max_x16", "roundtrip_exact"],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches,
+        "doc_id BIGINT, dim INT, sum_x16 BIGINT, max_x16 BIGINT, "
+        "roundtrip_exact BOOLEAN",
+    )
