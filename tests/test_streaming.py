@@ -1707,3 +1707,60 @@ def test_cdc_stream_update_images_match_batch(spark, tmp_path):
     assert by[(4, "update_postimage", 3)] == "v4XY"
     assert by[(99, "insert", 3)] == "NEW"
     assert by[(6, "delete", 4)] == "v6X"
+
+
+def test_streaming_warc_ingest_incremental(spark, tmp_path):
+    """Streaming crawl ingest over the WARC landing zone: an
+    AvailableNow drain delivers exactly the batch scan's records; new
+    files landed afterwards are delivered INCREMENTALLY on a
+    checkpoint restart (offset = file count, append-only names)."""
+    import os
+
+    from unity_to_bigquery_spark.sources.warc import (
+        register_warc_source,
+        write_warc_landing,
+    )
+
+    root = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_warc_landing([(i, 40 + i * 7) for i in range(12)], root, n_files=3)
+    register_warc_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    batch = (
+        spark.read.format("warc").option("path", root).load()
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert (
+        sorted(r.target_uri for r in got.filter("warc_type='response'").collect())
+        == sorted(r.target_uri for r in batch.filter("warc_type='response'").collect())
+    )
+
+    # land three more files (names sort AFTER the first wave), restart
+    first_count = got.count()
+    more = str(tmp_path / "more")
+    write_warc_landing([(i, 40 + i * 7) for i in range(12, 24)], more, n_files=3)
+    for i, fn in enumerate(sorted(os.listdir(more))):
+        suffix = fn.split("-", 1)[1]
+        os.rename(os.path.join(more, fn), os.path.join(root, f"part-9{suffix}"))
+    drain()
+    got2 = spark.read.parquet(out)
+    batch2 = spark.read.format("warc").option("path", root).load()
+    assert got2.count() == batch2.count()
+    assert got2.count() > first_count  # only the delta was appended

@@ -321,7 +321,12 @@ def _split_gzip_members_raw(payload: bytes) -> list:
 
 
 try:  # Python Data Source API (pyspark >= 4)
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     WARC_SOURCE_SCHEMA = (
         "file STRING, warc_type STRING, target_uri STRING, "
@@ -377,6 +382,68 @@ try:  # Python Data Source API (pyspark >= 4)
                     rec["body"],
                 )
 
+    class WarcStreamReader(DataSourceStreamReader):
+        """Streaming crawl ingest: the landing zone grows by whole
+        .warc.gz files, and the stream's OFFSET is the count of files
+        (sorted by name) already delivered — restart-safe because
+        landing names are append-only. Pacing follows the engine's
+        hard-won rule: the floor ratchets to each PLANNED batch's end
+        at partitions() time (latestOffset is called multiple times
+        per trigger, so a per-call ratchet would over-pace), and the
+        cap is consumed + max_files_per_batch."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.max_files = int(options.get("max_files_per_batch", "16"))
+            self._consumed = None
+
+        def _files(self) -> list:
+            return sorted(
+                fn for fn in os.listdir(self.path) if fn.endswith(".warc.gz")
+            )
+
+        def initialOffset(self) -> dict:
+            self._consumed = 0
+            return {"files": 0}
+
+        def latestOffset(self) -> dict:
+            n = len(self._files())
+            if self.max_files > 0 and self._consumed is not None:
+                n = min(n, self._consumed + self.max_files)
+            return {"files": n}
+
+        def partitions(self, start: dict, end: dict):
+            files = self._files()
+            self._consumed = end["files"]  # the only progress signal
+            return [
+                InputPartition(os.path.join(self.path, fn))
+                for fn in files[start["files"] : end["files"]]
+            ]
+
+        def read(self, partition):
+            full = partition.value
+            with open(full, "rb") as f:
+                blob = f.read()
+            base = os.path.basename(full)
+            # partition-based stream readers return ITERATORS (the
+            # materialized-list rule applies to the Simple prefetching
+            # reader, not this API)
+            return iter(
+                [
+                    (
+                        base,
+                        rec["warc_type"],
+                        rec["target_uri"],
+                        rec["http_status"],
+                        rec["body"],
+                    )
+                    for rec in parse_warc(blob)
+                ]
+            )
+
+        def commit(self, end: dict) -> None:
+            pass  # file delivery is idempotent per offset range
+
     class WarcDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -387,6 +454,9 @@ try:  # Python Data Source API (pyspark >= 4)
 
         def reader(self, schema):
             return WarcReader(self.options)
+
+        def streamReader(self, schema):
+            return WarcStreamReader(self.options)
 
     def register_warc_source(spark) -> None:
         """Idempotently register the splittable WARC source."""
