@@ -248,3 +248,57 @@ def test_license_detection_mechanics():
         "person obtaining a copy of this software"
     )
     assert detect_license(body)["license"] == "none"
+
+
+def test_eml_mime_mechanics():
+    """MIME decoders and header grammar, plus the stdlib-email
+    differential on the full fixture."""
+    import email
+    import email.policy
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.email_mime import (
+        b64_decode,
+        b64_encode,
+        decode_header_value,
+        parse_eml,
+        qp_decode,
+        write_eml,
+    )
+
+    # base64: round trips at all pad lengths; malformed padding loud
+    for raw in (b"", b"a", b"ab", b"abc", b"abcd", bytes(range(255))):
+        assert b64_decode(b64_encode(raw)) == raw
+    with pytest.raises(ValueError, match="padding"):
+        b64_decode("a=bc")
+    with pytest.raises(ValueError, match="multiple of 4"):
+        b64_decode("abcde")
+    with pytest.raises(ValueError, match="invalid base64"):
+        b64_decode("ab!d")
+
+    # quoted-printable: multibyte escapes, soft breaks, self-escape
+    assert qp_decode("caf=C3=A9=\r\nok x=3Dy") == "caféok x=y"
+    with pytest.raises(ValueError, match="quoted-printable"):
+        qp_decode("bad =zz escape")
+
+    # RFC 2047: B and Q forms, underscore-space, passthrough text
+    assert decode_header_value("=?utf-8?B?U8O8YmplY3Q=?=") == "Sübject"
+    assert decode_header_value("=?utf-8?Q?a_b=C3=A9?=") == "a bé"
+    assert decode_header_value("plain stays") == "plain stays"
+
+    # differential vs the stdlib email package over a doc grid
+    for d in range(8):
+        raw = write_eml(d, 100 + d)
+        msg = email.message_from_string(raw, policy=email.policy.default)
+        ours = parse_eml(raw)
+        assert str(msg["subject"]) == ours["subject"]
+        assert msg["from"] == ours["from_addr"]
+        assert len(list(msg.walk())) - 1 == ours["n_parts"]
+
+    # strictness: missing terminal boundary / missing boundary param
+    raw = write_eml(2, 100)
+    with pytest.raises(ValueError, match="terminal"):
+        parse_eml(raw.replace("--bnd2--", "--bnd2"))
+    with pytest.raises(ValueError, match="boundary"):
+        parse_eml(raw.replace(' boundary="bnd2"', ""))

@@ -5461,3 +5461,45 @@ def sim_fp16_quantize_verified(spark, sf_dir):
         "doc_id BIGINT, dim INT, sum_x16 BIGINT, max_x16 BIGINT, "
         "roundtrip_exact BOOLEAN",
     )
+
+
+@query(
+    "t_eml_extract_verified",
+    oracle="""
+    SELECT doc_id,
+           'user' || CAST(doc_id % 7 AS VARCHAR) || '@host'
+             || CAST(doc_id % 3 AS VARCHAR) || '.example' AS from_addr,
+           CASE WHEN doc_id % 2 = 1
+                THEN 'Sübject ' || CAST(doc_id AS VARCHAR)
+                ELSE 'Subject ' || CAST(doc_id AS VARCHAR)
+                END AS subject,
+           CAST(3 - doc_id % 2 AS INTEGER) AS n_parts,
+           CAST(23 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS text_chars,
+           CAST(12 + LENGTH(CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS html_chars,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 50 + 20
+                ELSE 0 END AS BIGINT) AS attachment_bytes
+    FROM documents
+    """,
+    doc=(
+        "EML/MIME extraction, oracle-verified — email/forum archives "
+        "as a corpus class (llm/email_mime.py), four public specs "
+        "unwound from scratch: RFC 5322 header FOLDING, RFC 2047 "
+        "encoded-words in BOTH forms (B base64 on odd docs — the "
+        "non-ASCII 'Sübject' survives — and Q with underscore spaces "
+        "on even), the RFC 2045 multipart boundary walk (preamble "
+        "ignored, terminal --b-- required), and hand-rolled BASE64 "
+        "(padding validated) + QUOTED-PRINTABLE (=C3=A9 multibyte, "
+        "soft line breaks, the =3D self-escape) transfer decoders. "
+        "The unit test additionally differentials the parser against "
+        "the stdlib email package. One mapInPandas stage."
+    ),
+    tags=("text", "udf"),
+)
+def t_eml_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.email_mime import eml_extract_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return eml_extract_stats(docs)
