@@ -302,3 +302,44 @@ def test_eml_mime_mechanics():
         parse_eml(raw.replace("--bnd2--", "--bnd2"))
     with pytest.raises(ValueError, match="boundary"):
         parse_eml(raw.replace(' boundary="bnd2"', ""))
+
+
+def test_punycode_bootstring():
+    """RFC 3492 vectors + stdlib differential + strictness."""
+    import codecs
+    import random
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.idn import (
+        idna_decode_host,
+        idna_encode_host,
+        punycode_decode,
+        punycode_encode,
+    )
+
+    # the RFC's own section-7.1 samples (German, and Japanese sample A)
+    assert punycode_encode("bücher") == "bcher-kva"
+    assert punycode_decode("bcher-kva") == "bücher"
+    ja = "3年B組金八先生"
+    assert punycode_encode(ja) == codecs.encode(ja, "punycode").decode()
+    assert punycode_decode(punycode_encode(ja)) == ja
+
+    random.seed(7)
+    for _ in range(1500):
+        label = "".join(
+            random.choice("abz09üéß日本中文अ한") for _ in range(random.randrange(1, 12))
+        )
+        ref = codecs.encode(label, "punycode").decode()
+        assert punycode_encode(label) == ref
+        assert punycode_decode(ref) == label
+
+    assert idna_encode_host("bücher.example") == "xn--bcher-kva.example"
+    assert idna_decode_host("xn--bcher-kva.example") == "bücher.example"
+    # mixed-label hosts: only xn-- labels decode
+    assert idna_decode_host("www.xn--caf-dma.org") == "www.café.org"
+
+    with pytest.raises(ValueError, match="digit"):
+        punycode_decode("abc-!!")
+    with pytest.raises(ValueError, match="truncated"):
+        punycode_decode("abc-kv" + "z" * 0 + "")  # dangling vint
