@@ -724,3 +724,41 @@ def test_fp16_codec_bit_exact_vs_numpy():
     # signed zero and max-finite survive the round trip
     assert fp16_decode(fp16_encode([-0.0]))[0] == 0.0
     assert fp16_decode(fp16_encode([65504.0]))[0] == 65504.0
+
+
+def test_myers_diff_minimality_vs_lcs_dp():
+    """Myers O(ND) D equals the textbook LCS dynamic program's
+    len(a)+len(b)-2*LCS over random sequences; edge cases exact."""
+    import random
+
+    from unity_to_bigquery_spark.llm.revisions import (
+        diff_counts,
+        make_revision,
+        myers_distance,
+    )
+
+    def lcs_dp(a, b):
+        n, m = len(a), len(b)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(n):
+            for j in range(m):
+                dp[i + 1][j + 1] = (
+                    dp[i][j] + 1 if a[i] == b[j] else max(dp[i][j + 1], dp[i + 1][j])
+                )
+        return dp[n][m]
+
+    random.seed(11)
+    for _ in range(500):
+        a = [random.randrange(6) for _ in range(random.randrange(0, 14))]
+        b = [random.randrange(6) for _ in range(random.randrange(0, 14))]
+        assert myers_distance(a, b) == len(a) + len(b) - 2 * lcs_dp(a, b)
+
+    assert myers_distance([], []) == 0
+    assert myers_distance([1, 2], []) == 2
+    assert myers_distance([1, 2], [1, 2]) == 0
+    assert myers_distance([1, 2, 3], [3, 2, 1]) == 4  # LCS = 1
+
+    base, rev = make_revision(3, 100)
+    c = diff_counts(base, rev)
+    assert c["n_del"] + c["lcs_len"] == len(base)
+    assert c["n_ins"] + c["lcs_len"] == len(rev)
