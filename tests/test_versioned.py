@@ -907,3 +907,79 @@ def test_partition_spec_evolution(spark, tmp_path):
         [0],
     )
     assert t2.read().count() == n_before - n_k2_0 + 1
+
+
+def test_positional_deletes_read_and_time_travel(spark, root):
+    """Iceberg-v2-style position deletes: (file, row_index) pairs as a
+    merge-on-read commit; reads exclude exactly those rows, time
+    travel still sees them, compose with equality deletes."""
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, root)
+    # one sorted file: row_index == k by construction
+    v1 = t.commit_append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(10)], "k INT, v STRING")
+        .orderBy("k")
+        .coalesce(1)
+    )
+    f0 = t.manifest()["files"][0]
+    v2 = t.commit_delete_positions(
+        spark.createDataFrame([(f0, 2), (f0, 5)], "file STRING, pos BIGINT")
+    )
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    assert sorted(r.k for r in t.read(v1).collect()) == list(range(10))
+
+    # composes with an equality delete (k=7) on the same file
+    t.commit_delete_where(spark.createDataFrame([(7,)], "k INT"), "k")
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 8, 9]
+
+    # appended files are untouched by prior positional deletes, and a
+    # new row landing at the SAME row_index in a NEW file survives
+    t.commit_append(
+        spark.createDataFrame([(100 + i, f"n{i}") for i in range(6)], "k INT, v STRING")
+        .orderBy("k")
+        .coalesce(1)
+    )
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9] + [100 + i for i in range(6)]
+
+    # compact materializes the deletes and SHEDS the entries
+    t.compact()
+    m = t.manifest()
+    assert m["pos_deletes"] == [] and m["deletes"] == []
+    assert sorted(r.k for r in t.read().collect()) == got
+
+    # validation: unknown target file is loud
+    with pytest.raises(ValueError, match="not in the live manifest"):
+        t.commit_delete_positions(
+            spark.createDataFrame([("nope.parquet", 0)], "file STRING, pos BIGINT")
+        )
+    with pytest.raises(ValueError, match="empty pair set"):
+        t.commit_delete_positions(
+            spark.createDataFrame([], "file STRING, pos BIGINT")
+        )
+
+
+def test_positional_deletes_cdc_guard(spark, root):
+    """The change feed cannot express keyless deletions: both the batch
+    CDC and the streaming CDC path raise on a pos-delete commit, and
+    compaction restores CDC consumption from the compacted version."""
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.createDataFrame([(k, f"v{k}") for k in range(8)], "k INT, v STRING")
+        .orderBy("k")
+        .coalesce(1)
+    )
+    f0 = t.manifest()["files"][0]
+    v_pos = t.commit_delete_positions(
+        spark.createDataFrame([(f0, 1)], "file STRING, pos BIGINT")
+    )
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        t.changes_with_type(0).collect()
+    # batch changes() (add-only) still works: pairs filter added files
+    assert sorted(r.k for r in t.changes(0).collect()) == [0, 2, 3, 4, 5, 6, 7]
+    v_c = t.compact()
+    # CDC from the compacted version onward is clean again
+    t.commit_append(spark.createDataFrame([(99, "z")], "k INT, v STRING"))
+    got = t.changes_with_type(v_c).collect()
+    assert [(r.k, r._change_type) for r in got] == [(99, "insert")]

@@ -230,6 +230,39 @@ class VersionedTable:
             os.path.join(self.root, DATA_DIR, d["file"])
         )
 
+    def _scan_pos(self, m: dict, files: list[str]) -> DataFrame:
+        """Positional-delete-aware scan: one parquet scan of ``files``
+        with Spark's hidden ``_metadata`` columns attached, then ONE
+        broadcast anti-join on (manifest-relative path, row_index)
+        against the union of the manifest's position-delete pairs.
+        Pairs targeting files outside ``files`` simply never match."""
+        df = self._scan(m, files)
+        pos = m.get("pos_deletes", [])
+        if not pos or not files or not any(
+            t in set(files) for d in pos for t in d["targets"]
+        ):
+            return df
+        pairs = None
+        for d in pos:
+            p = self.spark.read.parquet(os.path.join(self.root, DATA_DIR, d["file"]))
+            pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.select(
+            F.col("file").alias("__rel"), F.col("pos").alias("__pos")
+        ).distinct()
+        out_cols = df.columns
+        df = (
+            df.withColumn(
+                "__rel",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                ),
+            )
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(pairs), ["__rel", "__pos"], "left_anti")
+            .select(*out_cols)
+        )
+        return df
+
     def _scan_live(self, m: dict, files: list[str]) -> DataFrame:
         """Deletes-aware scan: group ``files`` by WHICH equality deletes
         apply (a delete applies to files added at or before its version
@@ -237,10 +270,11 @@ class VersionedTable:
         survives), scan each group once, anti-join its applicable delete
         keys (broadcast — delete key sets are small by construction),
         and union. Group count is bounded by distinct delete versions +
-        1, not file count."""
+        1, not file count. Positional deletes are applied inside each
+        group's scan (``_scan_pos``)."""
         deletes = m.get("deletes", [])
         if not deletes or not files:
-            return self._scan(m, files)
+            return self._scan_pos(m, files)
         fv = m.get("file_versions", {})
         groups: dict[tuple, list[str]] = {}
         for f in files:
@@ -249,7 +283,7 @@ class VersionedTable:
             groups.setdefault(key, []).append(f)
         out = None
         for applicable, group_files in sorted(groups.items()):
-            df = self._scan(m, group_files)
+            df = self._scan_pos(m, group_files)
             for i in applicable:
                 d = deletes[i]
                 df = df.join(
@@ -509,6 +543,16 @@ class VersionedTable:
             if str(m_v.get("op", "")).startswith(self._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
+            if len(m_v.get("pos_deletes", [])) != len(
+                m_prev.get("pos_deletes", [])
+            ):
+                raise ValueError(
+                    f"version {v} commits POSITIONAL deletes: the change "
+                    "feed expresses deletions as keyed retractions and "
+                    "position deletes carry no key — compact() first to "
+                    "materialize them, then consume CDC from the compacted "
+                    "version (loud by design, not a silent wrong feed)"
+                )
             frames.extend(self._cdc_commit_frames(m_prev, m_v, v))
             m_prev = m_v
         if not frames:
@@ -1101,6 +1145,7 @@ class VersionedTable:
         schema: str,
         txn: tuple[str, int] | None = None,
         deletes_override: list | None = None,
+        pos_deletes_override: list | None = None,
     ) -> int:
         """Single O_EXCL attempt at base.version+1 (raises
         FileExistsError on a lost race — caller recomputes). ``txn``
@@ -1137,6 +1182,17 @@ class VersionedTable:
                     file_versions.get(f, version) <= d["version"] for f in files
                 )
             ]
+        if pos_deletes_override is not None:
+            pos_deletes = pos_deletes_override
+        else:
+            # positional deletes name their target data files explicitly
+            # (Iceberg-v2 position deletes): carry an entry while ANY of
+            # its targets survives; a rewrite that sheds every target
+            # materialized the deletion and drops the entry
+            pos_deletes = [
+                d for d in base.get("pos_deletes", [])
+                if any(t in file_versions for t in d["targets"])
+            ]
         payload = json.dumps(
             {
                 "version": version,
@@ -1150,6 +1206,7 @@ class VersionedTable:
                 "txns": txns,
                 "file_versions": file_versions,
                 "deletes": deletes,
+                "pos_deletes": pos_deletes,
                 "constraints": constraints,
                 "partition_col": partition_col,
             },
@@ -1273,6 +1330,64 @@ class VersionedTable:
             except FileExistsError:
                 continue  # blind-retryable: data file list is untouched
         raise ConcurrentWriteError("delete could not publish after 20 attempts")
+
+    def commit_delete_positions(self, pos_df: DataFrame) -> int:
+        """POSITIONAL-delete commit (Iceberg v2 position deletes / the
+        row-level half of Delta deletion vectors): ``pos_df`` carries
+        (file STRING, pos BIGINT) — the manifest-relative data file and
+        the 0-based ROW INDEX within it — staged as one small parquet;
+        every data file stays untouched. Reads attach Spark's
+        ``_metadata.file_path``/``row_index`` to the scan and broadcast
+        ANTI-JOIN the pairs, so erasing specific rows of a 100 TB table
+        costs one tiny file write. Unlike equality deletes the entry
+        names its TARGET files, so it needs no version sequencing: a
+        rewrite that sheds every target drops the entry (the rewrite
+        materialized the deletion). Referenced files are validated
+        against the live manifest — a typo'd path is an error, not a
+        silent no-op."""
+        txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.root, DATA_DIR, txn_dir)
+        pairs = pos_df.select(
+            F.col("file").cast("string"), F.col("pos").cast("long")
+        ).distinct()
+        pairs.coalesce(1).write.mode("error").parquet(target)
+        # bounded driver-side read-back: delete sets are small by
+        # construction (the whole point of merge-on-read deletes)
+        targets = sorted(
+            r.file for r in self.spark.read.parquet(target).select("file").distinct().collect()
+        )
+        if not targets:
+            raise ValueError("commit_delete_positions with an empty pair set")
+        rel = [
+            os.path.relpath(os.path.join(dp, f), os.path.join(self.root, DATA_DIR))
+            for dp, _dirs, fs in os.walk(target)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        self._staged_stats = {}
+        for _ in range(20):
+            base = self.manifest()
+            live = set(base["files"])
+            missing = [t for t in targets if t not in live]
+            if missing:
+                raise ValueError(
+                    f"positional delete targets not in the live manifest: {missing}"
+                )
+            entry = [
+                {"file": r, "targets": targets, "version": base["version"] + 1}
+                for r in rel
+            ]
+            try:
+                return self._publish_once(
+                    base,
+                    base["files"],
+                    "delete_positions",
+                    base.get("schema"),
+                    pos_deletes_override=base.get("pos_deletes", []) + entry,
+                )
+            except FileExistsError:
+                continue  # file list untouched: blind-retryable
+        raise ConcurrentWriteError("positional delete could not publish after 20 attempts")
 
     def commit_replace_keys(
         self,

@@ -942,3 +942,57 @@ def p_dq_expectations(spark, sf_dir):
         F.lit("lineitem_order_fk").alias("check_name"), "n_violations"
     )
     return pk.unionByName(nn).unionByName(fk1).unionByName(accepted).unionByName(fk2)
+
+
+@query(
+    "p_versioned_positional_delete",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM ranked WHERE pos % 7 <> 3
+    """,
+    doc=(
+        "POSITIONAL-delete commit (VersionedTable."
+        "commit_delete_positions — Iceberg v2 position deletes / the "
+        "row half of Delta deletion vectors): (file, row_index) pairs "
+        "land in one small delete file, every data file stays "
+        "untouched, and the merge-on-read scan attaches Spark's "
+        "_metadata.file_path/row_index and broadcast ANTI-JOINs the "
+        "pairs. The table is written as ONE doc_id-sorted file so row "
+        "positions are deterministic; deleting every pos%7==3 row must "
+        "reproduce the rank-filtered source exactly. Targets are "
+        "validated against the live manifest; compaction materializes "
+        "and sheds the entries (unit-tested); the CDC feed refuses "
+        "keyless deletions loudly."
+    ),
+    tags=("pipeline", "versioned", "delete"),
+)
+def p_versioned_positional_delete(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = _tmp(f"versioned_posdel_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(docs.orderBy("doc_id").coalesce(1))
+    f0 = t.manifest()["files"][0]
+    n = docs.count()
+    pairs = spark.range(0, n).filter(F.col("id") % 7 == 3).select(
+        F.lit(f0).alias("file"), F.col("id").alias("pos")
+    )
+    t.commit_delete_positions(pairs)
+    return t.read().agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.min("doc_id").cast("long").alias("min_id"),
+    )

@@ -251,7 +251,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
         dsig = lambda m: {  # noqa: E731
-            (d["file"], d["key"], d["version"]) for d in m.get("deletes") or []
+            (d["file"], d.get("key", "#pos"), d["version"])
+            for d in (m.get("deletes") or []) + (m.get("pos_deletes") or [])
         }
         fields = _ddl_field_names(m_end["schema"])
         parts: list[_FilePartition] = []
@@ -304,6 +305,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if str(m_v.get("op", "")).startswith(VersionedTable._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
+            if len(m_v.get("pos_deletes", [])) != len(
+                m_prev.get("pos_deletes", [])
+            ):
+                raise ValueError(
+                    f"version {v} commits POSITIONAL deletes: the change "
+                    "feed expresses deletions as keyed retractions — "
+                    "compact() first (same contract as the batch "
+                    "changes_with_type guard)"
+                )
             prev_files = set(m_prev["files"])
             cur_files = set(m_v["files"])
             app = self._t._cdc_applicable
