@@ -2183,3 +2183,64 @@ def test_ogg_page_walk_and_continuation():
         parse_ogg(raw[:first_len] + raw[second_end:])
     with pytest.raises(ValueError, match="sync"):
         parse_ogg(raw[3:])
+
+
+def test_inflate_differential_and_strictness():
+    """From-scratch INFLATE vs zlib at 4 levels over random and
+    pathological inputs; gzip wrapper header/trailer verification."""
+    import gzip as _gzip
+    import io
+    import random
+    import zlib
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        _crc32_zip,
+        gunzip,
+        inflate,
+    )
+
+    assert _crc32_zip(b"123456789") == 0xCBF43926  # public check vector
+
+    random.seed(9)
+    cases = [b"", b"a", b"ab" * 5000]
+    for _ in range(120):
+        n = random.randrange(0, 2000)
+        if random.random() < 0.5:
+            cases.append(bytes(random.randrange(256) for _ in range(n)))
+        else:
+            unit = bytes(random.randrange(4) for _ in range(random.randrange(1, 9)))
+            cases.append((unit * (n // max(1, len(unit)) + 1))[:n])
+    for level in (0, 1, 6, 9):
+        for data in cases:
+            c = zlib.compressobj(level, zlib.DEFLATED, -15)
+            assert inflate(c.compress(data) + c.flush()) == data
+
+    buf = io.BytesIO()
+    with _gzip.GzipFile(filename="n.txt", mode="wb", fileobj=buf, mtime=0) as f:
+        f.write(b"overlap" * 400)
+    raw = buf.getvalue()
+    assert gunzip(raw) == b"overlap" * 400
+
+    # trailer verification is loud: corrupt the CRC field
+    bad = bytearray(raw)
+    bad[-8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        gunzip(bytes(bad))
+    bad2 = bytearray(raw)
+    bad2[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="ISIZE"):
+        gunzip(bytes(bad2))
+    with pytest.raises(ValueError, match="magic"):
+        gunzip(b"xx" + raw[2:])
+
+    # stored-block LEN/NLEN integrity
+    c = zlib.compressobj(0, zlib.DEFLATED, -15)
+    enc = bytearray(c.compress(b"stored!") + c.flush())
+    enc[3] ^= 0x01  # break ~NLEN
+    with pytest.raises(ValueError, match="LEN"):
+        inflate(bytes(enc))
+    # reserved block type 3
+    with pytest.raises(ValueError, match="reserved"):
+        inflate(b"\x07\x00")

@@ -6692,3 +6692,209 @@ def ogg_page_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, OGG_STATS_SCHEMA)
+
+
+# ---- DEFLATE / gzip: a from-scratch INFLATE ----
+#
+# Every other gzip touchpoint in this engine (WARC members, NDJSON.gz,
+# FlateDecode) trusts zlib; this is the decoder itself, from the
+# public RFC 1951/1952: the LSB-first bit stream; STORED blocks with
+# the LEN/~NLEN check; FIXED-Huffman blocks; DYNAMIC blocks with the
+# code-length alphabet in its famous permuted order (16 17 18 0 8 7 9
+# ...), run-length codes 16/17/18, and canonical Huffman decoders
+# built from code lengths alone; the length (257-285) and distance
+# (0-29) extra-bit tables; LZ77 back-references copied byte-by-byte so
+# overlapping matches replicate; and the gzip wrapper — magic, FLG
+# bit parsing (FEXTRA/FNAME/FCOMMENT/FHCRC all skippable), and a
+# VERIFIED CRC-32 (reflected 0xEDB88320) + ISIZE trailer. The unit
+# differentials against zlib/gzip output at several compression
+# levels over random and pathological inputs.
+
+_LEN_BASE = [
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+]
+_LEN_EXTRA = [
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4,
+    4, 4, 5, 5, 5, 5, 0,
+]
+_DIST_BASE = [
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+    385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+    16385, 24577,
+]
+_DIST_EXTRA = [
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9,
+    10, 10, 11, 11, 12, 12, 13, 13,
+]
+_CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
+
+
+class _LsbBits:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[self.pos >> 3]
+            v |= ((byte >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+class _Huff:
+    """Canonical Huffman decoder from code lengths (RFC 1951 §3.2.2):
+    counts per length + sorted symbols; decode walks one bit at a time
+    comparing against the first-code/count window per length."""
+
+    def __init__(self, lengths: list[int]):
+        maxlen = max(lengths) if lengths else 0
+        self.counts = [0] * (maxlen + 1)
+        for l in lengths:
+            if l:
+                self.counts[l] += 1
+        self.symbols = sorted(
+            (l, s) for s, l in enumerate(lengths) if l
+        )
+        # over-subscribed trees are invalid streams (Kraft check)
+        left = 1
+        for l in range(1, maxlen + 1):
+            left = (left << 1) - self.counts[l]
+            if left < 0:
+                raise ValueError("over-subscribed Huffman code")
+
+    def decode(self, br: _LsbBits) -> int:
+        code = first = index = 0
+        for l in range(1, len(self.counts)):
+            code |= br.bits(1)
+            count = self.counts[l]
+            if code - first < count:
+                return self.symbols[index + (code - first)][1]
+            index += count
+            first = (first + count) << 1
+            code <<= 1
+        raise ValueError("invalid Huffman code in stream")
+
+
+_FIXED_LIT = None
+_FIXED_DIST = None
+
+
+def _fixed_tables():
+    global _FIXED_LIT, _FIXED_DIST
+    if _FIXED_LIT is None:
+        lens = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+        _FIXED_LIT = _Huff(lens)
+        _FIXED_DIST = _Huff([5] * 30)
+    return _FIXED_LIT, _FIXED_DIST
+
+
+def inflate(data: bytes) -> bytes:
+    """Raw DEFLATE stream -> bytes (RFC 1951)."""
+    br = _LsbBits(data)
+    out = bytearray()
+    while True:
+        bfinal = br.bits(1)
+        btype = br.bits(2)
+        if btype == 0:  # stored
+            br.align()
+            p = br.pos >> 3
+            ln = data[p] | (data[p + 1] << 8)
+            nln = data[p + 2] | (data[p + 3] << 8)
+            if ln != (~nln & 0xFFFF):
+                raise ValueError("stored block LEN/NLEN mismatch")
+            out += data[p + 4 : p + 4 + ln]
+            br.pos = (p + 4 + ln) << 3
+        elif btype in (1, 2):
+            if btype == 1:
+                lit, dist = _fixed_tables()
+            else:
+                hlit = br.bits(5) + 257
+                hdist = br.bits(5) + 1
+                hclen = br.bits(4) + 4
+                cl_lens = [0] * 19
+                for i in range(hclen):
+                    cl_lens[_CLC_ORDER[i]] = br.bits(3)
+                clc = _Huff(cl_lens)
+                lens: list[int] = []
+                while len(lens) < hlit + hdist:
+                    sym = clc.decode(br)
+                    if sym < 16:
+                        lens.append(sym)
+                    elif sym == 16:
+                        if not lens:
+                            raise ValueError("repeat with no previous length")
+                        lens += [lens[-1]] * (3 + br.bits(2))
+                    elif sym == 17:
+                        lens += [0] * (3 + br.bits(3))
+                    else:
+                        lens += [0] * (11 + br.bits(7))
+                if len(lens) != hlit + hdist:
+                    raise ValueError("code-length run overflows the alphabets")
+                lit = _Huff(lens[:hlit])
+                dist = _Huff(lens[hlit:])
+            while True:
+                sym = lit.decode(br)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    if sym > 285:
+                        raise ValueError(f"invalid length symbol {sym}")
+                    ln = _LEN_BASE[sym - 257] + br.bits(_LEN_EXTRA[sym - 257])
+                    dsym = dist.decode(br)
+                    if dsym > 29:
+                        raise ValueError(f"invalid distance symbol {dsym}")
+                    d = _DIST_BASE[dsym] + br.bits(_DIST_EXTRA[dsym])
+                    if d > len(out):
+                        raise ValueError("back-reference before stream start")
+                    # byte-by-byte so overlapping matches replicate
+                    for _ in range(ln):
+                        out.append(out[-d])
+        else:
+            raise ValueError("reserved DEFLATE block type 3")
+        if bfinal:
+            return bytes(out)
+
+
+def _crc32_zip(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0xEDB88320 if crc & 1 else crc >> 1
+    return crc ^ 0xFFFFFFFF
+
+
+def gunzip(payload: bytes) -> bytes:
+    """gzip member -> bytes (RFC 1952), CRC-32 and ISIZE verified."""
+    if payload[:2] != b"\x1f\x8b":
+        raise ValueError("missing gzip magic")
+    if payload[2] != 8:
+        raise ValueError("unsupported gzip compression method")
+    flg = payload[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        xlen = payload[pos] | (payload[pos + 1] << 8)
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    raw = inflate(payload[pos:-8])
+    import struct
+
+    crc, isize = struct.unpack_from("<II", payload, len(payload) - 8)
+    if _crc32_zip(raw) != crc:
+        raise ValueError("gzip CRC-32 mismatch")
+    if len(raw) & 0xFFFFFFFF != isize:
+        raise ValueError("gzip ISIZE mismatch")
+    return raw

@@ -5611,3 +5611,100 @@ def t_revision_diff_verified(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return revision_diff_stats(docs)
+
+
+@query(
+    "m_inflate_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 6 + 8 AS nw FROM documents
+    ), w AS (
+      SELECT d.doc_id,
+             SUM(2 + LENGTH(CAST((17*d.doc_id + i.i) % 100 AS VARCHAR)))
+               AS raw_len,
+             SUM(119 + 32
+                 + CASE WHEN (17*d.doc_id + i.i) % 100 < 10
+                        THEN 48 + (17*d.doc_id + i.i) % 100
+                        ELSE 96 + ((17*d.doc_id + i.i) % 100) // 10
+                             + (17*d.doc_id + i.i) % 10 END) AS byte_sum
+      FROM d JOIN (SELECT unnest(generate_series(0, 13)) AS i) i
+        ON i.i < d.nw
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, 'gzip' AS fmt,
+           CAST(w.raw_len AS BIGINT) AS raw_len,
+           CAST(w.byte_sum AS BIGINT) AS byte_sum,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'stored' ELSE 'huffman' END
+             AS block_kind,
+           TRUE AS crc_ok,
+           'w' || CAST((17*d.doc_id) % 100 AS VARCHAR) AS first_word
+    FROM d JOIN w USING (doc_id)
+    """,
+    doc=(
+        "DEFLATE/gzip decode, oracle-verified — the decompressor "
+        "itself, from-scratch RFC 1951/1952 (llm/multimodal.inflate/"
+        "gunzip): LSB-first bits, STORED blocks with the LEN/~NLEN "
+        "check (doc_id%3==0 compresses at level 0 to force them), "
+        "FIXED and DYNAMIC Huffman blocks (code-length alphabet in "
+        "its permuted order, 16/17/18 run codes, canonical decoders "
+        "with the Kraft over-subscription check), the full length/"
+        "distance extra-bit tables, byte-serial LZ77 copies so "
+        "overlapping matches replicate, gzip FLG header skipping "
+        "(FNAME planted), and VERIFIED CRC-32 + ISIZE trailers. "
+        "Differentialed against zlib at 4 levels over 300 random/"
+        "pathological payloads in the unit; the oracled query decodes "
+        "stdlib-gzipped fixtures and hashes exact plaintext lengths "
+        "and byte sums."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_inflate_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import gunzip
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def batches(it):
+        import gzip as _gzip
+        import io
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                nw = c % 6 + 8
+                text = "".join(f"w{(17 * d + i) % 100} " for i in range(nw))
+                raw = text.encode()
+                buf = io.BytesIO()
+                with _gzip.GzipFile(
+                    filename=f"d{d}.txt",
+                    mode="wb",
+                    fileobj=buf,
+                    mtime=0,
+                    compresslevel=0 if d % 3 == 0 else 9,
+                ) as f:
+                    f.write(raw)
+                back = gunzip(buf.getvalue())
+                assert back == raw  # CRC+ISIZE verified inside
+                rows.append(
+                    (
+                        d, "gzip", len(back), sum(back),
+                        "stored" if d % 3 == 0 else "huffman",
+                        True, back.split()[0].decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "raw_len", "byte_sum", "block_kind",
+                    "crc_ok", "first_word",
+                ],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches,
+        "doc_id BIGINT, fmt STRING, raw_len BIGINT, byte_sum BIGINT, "
+        "block_kind STRING, crc_ok BOOLEAN, first_word STRING",
+    )
