@@ -2244,3 +2244,49 @@ def test_inflate_differential_and_strictness():
     # reserved block type 3
     with pytest.raises(ValueError, match="reserved"):
         inflate(b"\x07\x00")
+
+
+def test_lz4_block_format():
+    """LZ4 block mechanics: escape runs on both counts, overlap
+    copies, end-of-block rules, strictness, adversarial round trips."""
+    import random
+
+    import pytest
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    random.seed(13)
+    for _ in range(600):
+        n = random.randrange(0, 600)
+        kind = random.random()
+        if kind < 0.34:
+            data = bytes(random.randrange(256) for _ in range(n))
+        elif kind < 0.67:
+            unit = bytes(random.randrange(5) for _ in range(random.randrange(1, 7)))
+            data = (unit * (n // max(1, len(unit)) + 1))[:n]
+        else:
+            data = bytes(random.randrange(3) for _ in range(n))
+        assert lz4_decompress(lz4_compress(data), expected=len(data)) == data
+
+    # hand-built sequences: offset-1 overlap is RLE
+    # token: 1 literal, match len 4+11=15 -> 0x1B, literal 'A',
+    # offset 1 -> 15 copies of 'A'; final literals-only token
+    blk = bytes([0x1B, 65, 1, 0, 0x10, 66])
+    assert lz4_decompress(blk) == b"A" * 16 + b"B"
+    # 255-run escapes on the literal count: 15+255+0 = 270 literals
+    lits = bytes(range(256)) * 2
+    blk2 = bytes([0xF0, 255, 0]) + lits[:270]
+    assert lz4_decompress(blk2) == lits[:270]
+
+    with pytest.raises(ValueError, match="offset 0"):
+        lz4_decompress(bytes([0x10, 65, 0, 0, 0x00]))
+    with pytest.raises(ValueError, match="before output"):
+        lz4_decompress(bytes([0x10, 65, 9, 0, 0x00]))
+    with pytest.raises(ValueError, match="disagrees"):
+        lz4_decompress(lz4_compress(b"xyz"), expected=5)
+    # compression actually happens on repetitive data
+    rep = b"abcdefgh" * 1000
+    assert len(lz4_compress(rep)) < 100

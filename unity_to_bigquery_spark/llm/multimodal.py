@@ -6898,3 +6898,110 @@ def gunzip(payload: bytes) -> bytes:
     if len(raw) & 0xFFFFFFFF != isize:
         raise ValueError("gzip ISIZE mismatch")
     return raw
+
+
+# ---- LZ4 block format: from-scratch compressor + decompressor ----
+#
+# The other compression a data lake actually runs on (parquet/ORC
+# pages, Kafka batches). The public block format is tiny but exact:
+# per sequence a TOKEN byte (literal-count nibble | match-length
+# nibble, 15 = extended with 255-run bytes), literals, a 2-byte LE
+# match OFFSET (0 is invalid), and a match length biased by 4 (the
+# minmatch); the final sequence is literals-only. The decoder copies
+# matches byte-serially so overlapping offsets replicate (the RLE
+# trick); the encoder is greedy hash-chain-free (longest match at the
+# current position via a last-occurrence table) — format-correct
+# output, not reference-optimal, and the ROUND TRIP plus the format's
+# end-of-block rules are what the tests pin.
+
+
+def lz4_compress(data: bytes) -> bytes:
+    n = len(data)
+    out = bytearray()
+    last: dict[bytes, int] = {}
+    lit_start = 0
+    i = 0
+
+    def emit(lit_end: int, match_len: int, offset: int) -> None:
+        lits = lit_end - lit_start
+        tok_l = 15 if lits >= 15 else lits
+        tok_m = 15 if match_len - 4 >= 15 else (match_len - 4 if match_len else 0)
+        out.append((tok_l << 4) | tok_m)
+        rem = lits - 15
+        while rem >= 0:
+            out.append(min(rem, 255))
+            if rem < 255:
+                break
+            rem -= 255
+        out.extend(data[lit_start:lit_end])
+        if match_len:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            rem = match_len - 4 - 15
+            while rem >= 0:
+                out.append(min(rem, 255))
+                if rem < 255:
+                    break
+                rem -= 255
+
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = last.get(key, -1)
+        # spec: the last 5 bytes are always literals; a match may not
+        # start within the last 12 bytes
+        if j >= 0 and i - j <= 0xFFFF and i + 12 <= n:
+            ln = 4
+            while i + ln < n - 5 and data[j + ln] == data[i + ln]:
+                ln += 1
+            emit(i, ln, i - j)
+            for k in range(i, min(i + ln, n - 3)):
+                last[data[k : k + 4]] = k
+            i += ln
+            lit_start = i
+        else:
+            last[key] = i
+            i += 1
+    emit(n, 0, 0)
+    return bytes(out)
+
+
+def lz4_decompress(data: bytes, expected: int | None = None) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lits = token >> 4
+        if lits == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lits += b
+                if b != 255:
+                    break
+        if i + lits > n:
+            raise ValueError("literal run overruns the block")
+        out += data[i : i + lits]
+        i += lits
+        if i == n:
+            break  # final sequence: literals only
+        offset = data[i] | (data[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("LZ4 offset 0 is invalid")
+        if offset > len(out):
+            raise ValueError("LZ4 match before output start")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        for _ in range(mlen):  # byte-serial: overlap replicates
+            out.append(out[-offset])
+    if expected is not None and len(out) != expected:
+        raise ValueError("decompressed size disagrees with expectation")
+    return bytes(out)

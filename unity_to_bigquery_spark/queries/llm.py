@@ -5708,3 +5708,78 @@ def m_inflate_verified(spark, sf_dir):
         "doc_id BIGINT, fmt STRING, raw_len BIGINT, byte_sum BIGINT, "
         "block_kind STRING, crc_ok BOOLEAN, first_word STRING",
     )
+
+
+@query(
+    "m_lz4_roundtrip_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 6 + 8 AS nw,
+             (17*doc_id) % 100 AS v
+      FROM documents
+    )
+    SELECT doc_id, 'lz4' AS fmt,
+           CAST(nw * (2 + LENGTH(CAST(v AS VARCHAR))) AS BIGINT)
+             AS raw_len,
+           CAST(nw * (151 + CASE WHEN v < 10 THEN 48 + v
+                ELSE 96 + v // 10 + v % 10 END) AS BIGINT) AS byte_sum,
+           TRUE AS compressed_smaller,
+           TRUE AS roundtrip_ok,
+           'w' || CAST(v AS VARCHAR) AS first_word
+    FROM d
+    """,
+    doc=(
+        "LZ4 block codec, oracle-verified — the other data-lake "
+        "compression (parquet/ORC pages, Kafka), from-scratch against "
+        "the public block format (llm/multimodal.lz4_compress/"
+        "lz4_decompress): token nibbles with the 15-escape 255-run "
+        "extension on BOTH counts, 2-byte little-endian offsets (0 "
+        "invalid), the minmatch-4 bias, the last-5-literals / "
+        "no-match-in-last-12 end-of-block rules on the encoder, and "
+        "byte-serial match copies so overlapping (RLE-style) offsets "
+        "replicate. Round-tripped over 2000 adversarial inputs in the "
+        "unit (worst expansion +5 bytes); the oracled fixtures are "
+        "single-word repetitions, so compression is guaranteed and "
+        "exact plaintext stats hash the decode."
+    ),
+    tags=("multimodal", "udf", "codec"),
+)
+def m_lz4_roundtrip_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                nw = c % 6 + 8
+                raw = (f"w{(17 * d) % 100} " * nw).encode()
+                enc = lz4_compress(raw)
+                back = lz4_decompress(enc, expected=len(raw))
+                rows.append(
+                    (
+                        d, "lz4", len(raw), sum(raw), len(enc) < len(raw),
+                        back == raw, back.split()[0].decode(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "raw_len", "byte_sum",
+                    "compressed_smaller", "roundtrip_ok", "first_word",
+                ],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches,
+        "doc_id BIGINT, fmt STRING, raw_len BIGINT, byte_sum BIGINT, "
+        "compressed_smaller BOOLEAN, roundtrip_ok BOOLEAN, first_word STRING",
+    )
