@@ -983,3 +983,171 @@ def test_positional_deletes_cdc_guard(spark, root):
     t.commit_append(spark.createDataFrame([(99, "z")], "k INT, v STRING"))
     got = t.changes_with_type(v_c).collect()
     assert [(r.k, r._change_type) for r in got] == [(99, "insert")]
+
+
+# ---- ADVICE-r7 positional-delete lifecycle fixes ----------------------
+
+
+def _pos_table(spark, root, lo=0, hi=10):
+    """One sorted single-file commit: row_index == k - lo."""
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(lo, hi)], "k INT, v STRING"
+        ).orderBy("k").coalesce(1)
+    )
+    return t, t.manifest()["files"][0]
+
+
+def test_vacuum_retains_pos_delete_pair_files(spark, root):
+    """vacuum() (and maintain()) must treat pos-delete pair files as
+    live: they are .parquet under DATA_DIR but never in m['files'] —
+    the r7 walk deleted them and every later read died (ADVICE r7)."""
+    t, f0 = _pos_table(spark, root)
+    t.commit_delete_positions(
+        spark.createDataFrame([(f0, 2), (f0, 5)], "file STRING, pos BIGINT")
+    )
+    t.commit_append(spark.createDataFrame([(99, "z")], "k INT, v STRING"))
+    m = t.manifest()
+    pair_files = {d["file"] for d in m["pos_deletes"]}
+    removed = t.vacuum(keep_last=1)
+    # the pair files survived the walk and the read still applies them
+    assert not pair_files & set(removed)
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9, 99]
+    # maintain() (vacuum_keep=2) is equally safe
+    t.maintain(max_small_files=100)  # no compaction, vacuum only
+    assert sorted(r.k for r in t.read().collect()) == got
+
+
+def test_restore_carries_pos_delete_state(spark, root):
+    """restore() must publish the TARGET version's pos_deletes, not the
+    current manifest's filtered view (ADVICE r7): restoring to a
+    pre-delete version revives the rows; restoring to the delete
+    version re-applies exactly its pairs."""
+    t, f0 = _pos_table(spark, root)
+    v1 = 1
+    v2 = t.commit_delete_positions(
+        spark.createDataFrame([(f0, 2), (f0, 5)], "file STRING, pos BIGINT")
+    )
+    # restore to BEFORE the pos delete: rows 2 and 5 are live again
+    t.restore(v1)
+    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+    # restore to the delete version: pairs apply again
+    t.restore(v2)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # materialize via compact, then restore to v2 once more — the old
+    # pair file still exists (vacuum not run) so the view is exact
+    t.compact()
+    assert t.manifest()["pos_deletes"] == []
+    t.restore(v2)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_clone_refuses_live_pos_deletes(spark, root, tmp_path):
+    """clone_to() must refuse a snapshot with live positional deletes —
+    copying data files without the pair files resurrects rows."""
+    t, f0 = _pos_table(spark, root)
+    t.commit_delete_positions(
+        spark.createDataFrame([(f0, 2)], "file STRING, pos BIGINT")
+    )
+    with pytest.raises(ValueError, match="delete-free"):
+        t.clone_to(spark, str(tmp_path / "clone"))
+    t.compact()
+    c = t.clone_to(spark, str(tmp_path / "clone2"))
+    assert sorted(r.k for r in c.read().collect()) == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_cdc_applies_carried_pos_deletes_across_rewrite(spark, root):
+    """ADVICE r7 #4: a merge_upsert rewriting ONE target of a
+    multi-target pos-delete entry while the other survives used to slip
+    past the length-only guard and emit the rewritten file's
+    pos-deleted rows as spurious retractions. Now the guard admits the
+    carried entry and the per-file scans apply the pairs: folding the
+    feed over the baseline snapshot reproduces the live table."""
+    t, fA = _pos_table(spark, root, 0, 10)
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(100, 110)], "k INT, v STRING"
+        ).orderBy("k").coalesce(1)
+    )
+    fB = [f for f in t.manifest()["files"] if f != fA][0]
+    # one entry, two targets: kill k=3 (fA row 3) and k=104 (fB row 4)
+    v_pos = t.commit_delete_positions(
+        spark.createDataFrame([(fA, 3), (fB, 4)], "file STRING, pos BIGINT")
+    )
+    # rewrite fA only (range-pruned merge); fB survives, entry carried
+    t.merge_upsert(
+        spark.createDataFrame([(1, "UPD")], "k INT, v STRING"), "k"
+    )
+    assert t.manifest()["pos_deletes"], "entry must be carried"
+    feed = t.changes_with_type(v_pos).collect()
+    ks = {(r.k, r._change_type) for r in feed}
+    # no spurious retraction of the pos-deleted rows
+    assert (3, "delete") not in ks and (3, "insert") not in ks
+    assert not any(r.k == 104 for r in feed)
+    # fold: baseline at v_pos + feed == live snapshot
+    base = {(r.k, r.v) for r in t.read(v_pos).collect()}
+    for r in feed:
+        if r._change_type == "delete":
+            base.discard((r.k, r.v))
+        else:
+            base.add((r.k, r.v))
+    assert base == {(r.k, r.v) for r in t.read().collect()}
+
+
+def test_cdc_guard_pos_add_and_revival_still_raise(spark, root):
+    """New pos-delete commits and pos-reviving restores stay loud."""
+    t, fA = _pos_table(spark, root)
+    v1 = 1
+    v_pos = t.commit_delete_positions(
+        spark.createDataFrame([(fA, 1)], "file STRING, pos BIGINT")
+    )
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        t.changes_with_type(v1).collect()
+    # restore to the pre-delete version drops the entry while the
+    # target survives: keyless revival, must raise
+    t.restore(v1)
+    with pytest.raises(ValueError, match="revived|survive"):
+        t.changes_with_type(v_pos).collect()
+
+
+def test_streaming_cdc_applies_carried_pos_deletes(spark, root, tmp_path):
+    """Streaming twin of the carried-entry fix: the CDC stream over a
+    partial rewrite excludes pos-deleted rows from the per-file reads
+    (pos_anti ordinals), matching the batch feed exactly."""
+    from unity_to_bigquery_spark.sources import versioned_stream as vs
+
+    t, fA = _pos_table(spark, root, 0, 10)
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(100, 110)], "k INT, v STRING"
+        ).orderBy("k").coalesce(1)
+    )
+    fB = [f for f in t.manifest()["files"] if f != fA][0]
+    v_pos = t.commit_delete_positions(
+        spark.createDataFrame([(fA, 3), (fB, 4)], "file STRING, pos BIGINT")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(1, "UPD")], "k INT, v STRING"), "k"
+    )
+    vs.register(spark)
+    out = str(tmp_path / "drain")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("versioned_table")
+        .option("path", root)
+        .option("starting_version", str(v_pos))
+        .option("emit_change_types", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    batch = t.changes_with_type(v_pos)
+    cols = ["k", "v", "_change_type"]
+    assert _rows(got.select(*cols)) == _rows(batch.select(*cols))

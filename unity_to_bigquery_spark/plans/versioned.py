@@ -387,6 +387,42 @@ class VersionedTable:
             )
         return df
 
+    def _cdc_pos_guard(self, m_prev: dict, m_v: dict, v: int) -> None:
+        """Positional deletes carry no key, so the change feed tolerates
+        them only when the commit neither ADDS a pos-delete entry
+        (keyless deletions the feed cannot retract) nor DROPS one while
+        a target file survives (keyless revival — a restore to a
+        pre-delete state). Entries carried unchanged, or shed because a
+        rewrite removed every target, are safe: the per-file CDC scans
+        apply the pair files (``_scan_pos``), so pos-deleted rows never
+        surface as spurious retractions. Replaces the r7 length-only
+        check that missed multi-target entries carried across a partial
+        rewrite (ADVICE r7)."""
+        prev = {d["file"]: d for d in m_prev.get("pos_deletes", [])}
+        cur = {d["file"]: d for d in m_v.get("pos_deletes", [])}
+        if any(f not in prev for f in cur):
+            raise ValueError(
+                f"version {v} commits POSITIONAL deletes: the change "
+                "feed expresses deletions as keyed retractions and "
+                "position deletes carry no key — compact() first to "
+                "materialize them, then consume CDC from the compacted "
+                "version (loud by design, not a silent wrong feed)"
+            )
+        live = set(m_v["files"])
+        revived = [
+            f
+            for f, d in prev.items()
+            if f not in cur and any(t in live for t in d["targets"])
+        ]
+        if revived:
+            raise ValueError(
+                f"version {v} drops positional-delete entries while their "
+                "target files survive (a restore to a pre-delete state): "
+                "the revived rows carry no key, so the feed cannot express "
+                "them — compact() before the restore, or re-bootstrap "
+                "consumers from the restored version"
+            )
+
     def _cdc_commit_frames(self, m_prev: dict, m_v: dict, v: int) -> list[DataFrame]:
         """Change rows for ONE commit as (frame, is_insert) emissions.
 
@@ -430,11 +466,15 @@ class VersionedTable:
             )
 
         for (a, b), files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            # _scan_pos, not _scan: carried pos-delete pairs must apply
+            # to every per-file CDC scan, or removed files re-emit their
+            # pos-deleted rows as retractions the feed never inserted
+            # (ADVICE r7; _cdc_pos_guard bounds what can appear here)
             if a is None:
-                stamp(self._cdc_anti_all(self._scan(m_v, files), b), "insert")
+                stamp(self._cdc_anti_all(self._scan_pos(m_v, files), b), "insert")
                 continue
             if b is None:
-                stamp(self._cdc_anti_all(self._scan(m_prev, files), a), "delete")
+                stamp(self._cdc_anti_all(self._scan_pos(m_prev, files), a), "delete")
                 continue
             new_entries = tuple(d for d in b if d not in a)
             gone_entries = tuple(d for d in a if d not in b)
@@ -457,10 +497,10 @@ class VersionedTable:
                     pruned_m = {"files": cand, "stats": m_v.get("stats", {})}
                     cand, _ = self._prune_eq(pruned_m, new_entries[0][1], vals)
                 if cand:
-                    live_a = self._cdc_anti_all(self._scan(m_v, cand), a)
+                    live_a = self._cdc_anti_all(self._scan_pos(m_v, cand), a)
                     stamp(self._cdc_match_any(live_a, new_entries), "delete")
             if gone_entries:
-                live_b = self._cdc_anti_all(self._scan(m_v, files), b)
+                live_b = self._cdc_anti_all(self._scan_pos(m_v, files), b)
                 stamp(self._cdc_match_any(live_b, gone_entries), "insert")
         return frames
 
@@ -543,16 +583,7 @@ class VersionedTable:
             if str(m_v.get("op", "")).startswith(self._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
-            if len(m_v.get("pos_deletes", [])) != len(
-                m_prev.get("pos_deletes", [])
-            ):
-                raise ValueError(
-                    f"version {v} commits POSITIONAL deletes: the change "
-                    "feed expresses deletions as keyed retractions and "
-                    "position deletes carry no key — compact() first to "
-                    "materialize them, then consume CDC from the compacted "
-                    "version (loud by design, not a silent wrong feed)"
-                )
+            self._cdc_pos_guard(m_prev, m_v, v)
             frames.extend(self._cdc_commit_frames(m_prev, m_v, v))
             m_prev = m_v
         if not frames:
@@ -1581,6 +1612,11 @@ class VersionedTable:
             m = self.manifest(v)
             live.update(m["files"])
             live.update(d["file"] for d in m.get("deletes", []))
+            # positional-delete pair files are .parquet under DATA_DIR
+            # but never listed in m["files"] — omitting them here made
+            # vacuum (and maintain()) break every later read of a
+            # version with live pos deletes (ADVICE r7)
+            live.update(d["file"] for d in m.get("pos_deletes", []))
         deleted = []
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirs, files in os.walk(data_root):
@@ -1641,6 +1677,13 @@ class VersionedTable:
                     f"restore({version})",
                     target.get("schema"),
                     deletes_override=target.get("deletes", []),
+                    # mirror deletes_override: without it the CURRENT
+                    # manifest's pos_deletes leak into the restored
+                    # version — restoring past a pos-delete commit kept
+                    # applying it, and restoring to one whose deletes
+                    # were later compacted away resurrected the rows
+                    # (ADVICE r7)
+                    pos_deletes_override=target.get("pos_deletes", []),
                 )
             except FileExistsError:
                 continue
@@ -1667,7 +1710,7 @@ class VersionedTable:
         import shutil
 
         src = self.manifest()
-        if src.get("deletes"):
+        if src.get("deletes") or src.get("pos_deletes"):
             raise ValueError(
                 "clone requires a delete-free snapshot: compact() first to "
                 "materialize merge-on-read deletes"

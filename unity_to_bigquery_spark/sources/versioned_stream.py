@@ -118,15 +118,21 @@ class _CDCFilePartition(InputPartition):
     ``match_any``: when non-empty, only rows matching at least one of
     these (keyfile_path, key_col) pairs emit (the rows this commit
     deleted/revived).
+    ``pos_anti``: (pairfile_path, target_rel) positional-delete pairs —
+    row ORDINALS of this file listed for ``target_rel`` in any pair
+    file are excluded (they were never live; the batch twin is
+    ``_scan_pos``'s anti-join on ``_metadata.row_index`` — ADVICE r7).
     """
 
-    def __init__(self, path, fields, change, version, anti, match_any):
+    def __init__(self, path, fields, change, version, anti, match_any,
+                 pos_anti=()):
         self.path = path
         self.fields = fields
         self.change = change
         self.version = version
         self.anti = anti
         self.match_any = match_any
+        self.pos_anti = list(pos_anti)
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -305,15 +311,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if str(m_v.get("op", "")).startswith(VersionedTable._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
-            if len(m_v.get("pos_deletes", [])) != len(
-                m_prev.get("pos_deletes", [])
-            ):
-                raise ValueError(
-                    f"version {v} commits POSITIONAL deletes: the change "
-                    "feed expresses deletions as keyed retractions — "
-                    "compact() first (same contract as the batch "
-                    "changes_with_type guard)"
-                )
+            # structural guard + per-file pos-pair application, the
+            # streaming mirror of the batch _cdc_pos_guard/_scan_pos fix
+            # (ADVICE r7): carried pos-delete entries must anti-filter
+            # every per-file scan, not just trip a length check
+            self._t._cdc_pos_guard(m_prev, m_v, v)
+            posf = lambda m, f: [  # noqa: E731
+                (abspath(d["file"]), f)
+                for d in m.get("pos_deletes", [])
+                if f in d["targets"]
+            ]
             prev_files = set(m_prev["files"])
             cur_files = set(m_v["files"])
             app = self._t._cdc_applicable
@@ -324,7 +331,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     continue
                 if b is None:
                     parts.append(
-                        _CDCFilePartition(abspath(f), fields, "delete", v, kf(a), [])
+                        _CDCFilePartition(abspath(f), fields, "delete", v,
+                                          kf(a), [], posf(m_prev, f))
                     )
                     continue
                 new_e = tuple(d for d in b if d not in a)
@@ -332,13 +340,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 if new_e:
                     parts.append(
                         _CDCFilePartition(
-                            abspath(f), fields, "delete", v, kf(a), kf(new_e)
+                            abspath(f), fields, "delete", v, kf(a), kf(new_e),
+                            posf(m_v, f)
                         )
                     )
                 if gone_e:
                     parts.append(
                         _CDCFilePartition(
-                            abspath(f), fields, "insert", v, kf(b), kf(gone_e)
+                            abspath(f), fields, "insert", v, kf(b), kf(gone_e),
+                            posf(m_v, f)
                         )
                     )
             for f in m_v["files"]:
@@ -364,6 +374,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), k)
                 for p, k in partition.match_any
             ]
+            dead_pos: set[int] = set()
+            for p, rel in partition.pos_anti:
+                pt = pq.read_table(p, columns=["file", "pos"])
+                dead_pos.update(
+                    pos
+                    for fname, pos in zip(
+                        pt.column(0).to_pylist(), pt.column(1).to_pylist()
+                    )
+                    if fname == rel
+                )
             table = pq.read_table(partition.path)
             tail = (partition.change, partition.version)
 
@@ -379,7 +399,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         return True
                 return False
 
-            for row in table.to_pylist():
+            for idx, row in enumerate(table.to_pylist()):
+                # row ordinal within the file == _metadata.row_index:
+                # pyarrow reads preserve file order (batch-twin contract)
+                if idx in dead_pos:
+                    continue
                 if _hits(row, anti):
                     continue
                 if match and not _hits(row, match):
