@@ -2290,3 +2290,45 @@ def test_lz4_block_format():
     # compression actually happens on repetitive data
     rep = b"abcdefgh" * 1000
     assert len(lz4_compress(rep)) < 100
+
+
+def test_wav_energy_stats_stereo_semantics(spark):
+    """VERDICT r7 nit #4: wav_energy_stats' n_samples is the
+    INTERLEAVED count (frames x channels) by documented design, while
+    decode_wav's n_samples is the per-channel frame count — pin both
+    on a stereo WAV so the divergence stays deliberate and visible."""
+    import struct
+
+    import numpy as np
+
+    from unity_to_bigquery_spark.llm.multimodal import (
+        decode_wav,
+        wav_energy_stats,
+    )
+
+    frames = 50
+    left = ((np.arange(frames) * 311) % 65536 - 32768).astype("<i2")
+    right = ((np.arange(frames) * 97) % 65536 - 32768).astype("<i2")
+    inter = np.empty(frames * 2, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    rate, channels, bits = 8000, 2, 16
+    block = channels * bits // 8
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * block, block, bits
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    d = decode_wav(wav)
+    assert d["channels"] == 2 and d["n_samples"] == frames  # per-channel
+
+    media = spark.createDataFrame([(1, bytearray(wav))], "doc_id LONG, payload BINARY")
+    row = wav_energy_stats(media).collect()[0]
+    s = inter.astype(np.int64)
+    assert row.n_samples == frames * channels  # interleaved, documented
+    assert row.energy == int((s * s).sum())
+    assert row.zero_crossings == int(((s[:-1] * s[1:]) < 0).sum())
+    assert row.peak == int(np.abs(s).max())
