@@ -960,10 +960,12 @@ def test_positional_deletes_read_and_time_travel(spark, root):
         )
 
 
-def test_positional_deletes_cdc_guard(spark, root):
-    """The change feed cannot express keyless deletions: both the batch
-    CDC and the streaming CDC path raise on a pos-delete commit, and
-    compaction restores CDC consumption from the compacted version."""
+def test_positional_deletes_cdc_emission(spark, root):
+    """Round 8: a delete_positions commit is EXPRESSIBLE in the change
+    feed — the killed rows are concrete rows of live files, emitted as
+    full-row 'delete' retractions (previously a loud compact-first
+    error). Folding the feed reproduces the live snapshot; already-dead
+    ordinals never re-emit."""
     t = VersionedTable(spark, root)
     t.commit_append(
         spark.createDataFrame([(k, f"v{k}") for k in range(8)], "k INT, v STRING")
@@ -974,15 +976,35 @@ def test_positional_deletes_cdc_guard(spark, root):
     v_pos = t.commit_delete_positions(
         spark.createDataFrame([(f0, 1)], "file STRING, pos BIGINT")
     )
-    with pytest.raises(ValueError, match="POSITIONAL"):
-        t.changes_with_type(0).collect()
+    feed = t.changes_with_type(0).collect()
+    assert sorted(
+        (r.k, r._change_type, r._commit_version) for r in feed
+    ) == sorted(
+        [(k, "insert", 1) for k in range(8)] + [(1, "delete", v_pos)]
+    )
     # batch changes() (add-only) still works: pairs filter added files
     assert sorted(r.k for r in t.changes(0).collect()) == [0, 2, 3, 4, 5, 6, 7]
+    # a SECOND pos-delete on the same file kills only its new ordinal
+    # (row 1 is already dead under the prior entry — no double emit)
+    v_pos2 = t.commit_delete_positions(
+        spark.createDataFrame([(f0, 1), (f0, 3)], "file STRING, pos BIGINT")
+    )
+    got = t.changes_with_type(v_pos).collect()
+    assert [(r.k, r._change_type) for r in got] == [(3, "delete")]
+    # an equality delete of an already-pos-dead key emits nothing
+    t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")
+    assert t.changes_with_type(v_pos2).count() == 0
     v_c = t.compact()
-    # CDC from the compacted version onward is clean again
     t.commit_append(spark.createDataFrame([(99, "z")], "k INT, v STRING"))
     got = t.changes_with_type(v_c).collect()
     assert [(r.k, r._change_type) for r in got] == [(99, "insert")]
+    # full-history fold still reproduces the live snapshot
+    live = set()
+    for r in sorted(
+        t.changes_with_type(0).collect(), key=lambda r: r._commit_version
+    ):
+        (live.add if r._change_type == "insert" else live.discard)((r.k, r.v))
+    assert live == {(r.k, r.v) for r in t.read().collect()}
 
 
 # ---- ADVICE-r7 positional-delete lifecycle fixes ----------------------
@@ -1096,19 +1118,22 @@ def test_cdc_applies_carried_pos_deletes_across_rewrite(spark, root):
     assert base == {(r.k, r.v) for r in t.read().collect()}
 
 
-def test_cdc_guard_pos_add_and_revival_still_raise(spark, root):
-    """New pos-delete commits and pos-reviving restores stay loud."""
+def test_cdc_guard_pos_revival_still_raises(spark, root):
+    """Pos-delete commits now flow through the feed (see
+    test_positional_deletes_cdc_emission); the ONE inexpressible shape
+    — a restore reviving pos-deleted rows while their file survives —
+    stays a loud error."""
     t, fA = _pos_table(spark, root)
     v1 = 1
     v_pos = t.commit_delete_positions(
         spark.createDataFrame([(fA, 1)], "file STRING, pos BIGINT")
     )
-    with pytest.raises(ValueError, match="POSITIONAL"):
-        t.changes_with_type(v1).collect()
+    got = t.changes_with_type(v1).collect()
+    assert [(r.k, r._change_type) for r in got] == [(1, "delete")]
     # restore to the pre-delete version drops the entry while the
     # target survives: keyless revival, must raise
     t.restore(v1)
-    with pytest.raises(ValueError, match="revived|survive"):
+    with pytest.raises(ValueError, match="revive|survive"):
         t.changes_with_type(v_pos).collect()
 
 
@@ -1151,3 +1176,42 @@ def test_streaming_cdc_applies_carried_pos_deletes(spark, root, tmp_path):
     batch = t.changes_with_type(v_pos)
     cols = ["k", "v", "_change_type"]
     assert _rows(got.select(*cols)) == _rows(batch.select(*cols))
+
+
+def test_streaming_cdc_pos_delete_emission(spark, root, tmp_path):
+    """Streaming twin of pos-delete CDC emission: a delete_positions
+    commit drains as 'delete' retractions of exactly the killed
+    ordinals, matching the batch feed."""
+    from unity_to_bigquery_spark.sources import versioned_stream as vs
+
+    t, fA = _pos_table(spark, root, 0, 10)
+    v1 = 1
+    t.commit_delete_positions(
+        spark.createDataFrame([(fA, 2), (fA, 5)], "file STRING, pos BIGINT")
+    )
+    # second entry on the same file: only the new ordinal emits
+    t.commit_delete_positions(
+        spark.createDataFrame([(fA, 2), (fA, 7)], "file STRING, pos BIGINT")
+    )
+    vs.register(spark)
+    out = str(tmp_path / "drain")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("versioned_table")
+        .option("path", root)
+        .option("starting_version", str(v1))
+        .option("emit_change_types", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    cols = ["k", "v", "_change_type", "_commit_version"]
+    assert _rows(got.select(*cols)) == _rows(
+        t.changes_with_type(v1).select(*cols)
+    )
+    assert sorted(r.k for r in got.collect()) == [2, 5, 7]

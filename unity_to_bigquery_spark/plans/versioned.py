@@ -388,26 +388,23 @@ class VersionedTable:
         return df
 
     def _cdc_pos_guard(self, m_prev: dict, m_v: dict, v: int) -> None:
-        """Positional deletes carry no key, so the change feed tolerates
-        them only when the commit neither ADDS a pos-delete entry
-        (keyless deletions the feed cannot retract) nor DROPS one while
-        a target file survives (keyless revival — a restore to a
-        pre-delete state). Entries carried unchanged, or shed because a
-        rewrite removed every target, are safe: the per-file CDC scans
-        apply the pair files (``_scan_pos``), so pos-deleted rows never
-        surface as spurious retractions. Replaces the r7 length-only
-        check that missed multi-target entries carried across a partial
-        rewrite (ADVICE r7)."""
+        """Admit or reject a commit's positional-delete movement.
+
+        A commit that ADDS pos-delete entries IS expressible: the rows
+        it killed are concrete rows of live target files, emitted as
+        full-row ``delete`` retractions by ``_cdc_commit_frames``'
+        pos-delete block (round 8 — this closed the r7 compact-first
+        requirement). Entries carried unchanged, or shed because a
+        rewrite removed every target, are safe too: the per-file CDC
+        scans apply the pair files (``_scan_pos``), so pos-deleted rows
+        never surface as spurious retractions (ADVICE r7).
+
+        The ONE inexpressible shape is keyless REVIVAL: dropping an
+        entry while a target file survives (a restore to a pre-delete
+        state) revives rows the equality-only per-file signature cannot
+        see — that stays a loud error."""
         prev = {d["file"]: d for d in m_prev.get("pos_deletes", [])}
         cur = {d["file"]: d for d in m_v.get("pos_deletes", [])}
-        if any(f not in prev for f in cur):
-            raise ValueError(
-                f"version {v} commits POSITIONAL deletes: the change "
-                "feed expresses deletions as keyed retractions and "
-                "position deletes carry no key — compact() first to "
-                "materialize them, then consume CDC from the compacted "
-                "version (loud by design, not a silent wrong feed)"
-            )
         live = set(m_v["files"])
         revived = [
             f
@@ -502,7 +499,65 @@ class VersionedTable:
             if gone_entries:
                 live_b = self._cdc_anti_all(self._scan_pos(m_v, files), b)
                 stamp(self._cdc_match_any(live_b, gone_entries), "insert")
+
+        # NEW positional-delete entries (commit_delete_positions): the
+        # killed rows are concrete rows of files live in BOTH manifests
+        # — emit them as full-row 'delete' retractions by semi-joining
+        # the new (file, pos) pairs on _metadata.row_index. Targets only
+        # in m_v (a restore re-adding files + their entry) are covered
+        # by the insert path's _scan_pos; targets removed this commit
+        # are covered by the removed-file delete path. Rows already
+        # pos-dead or equality-dead under m_prev were never live and
+        # are anti-joined out.
+        prev_pairs = {d["file"] for d in m_prev.get("pos_deletes", [])}
+        new_pos = [
+            d for d in m_v.get("pos_deletes", []) if d["file"] not in prev_pairs
+        ]
+        both = prev_files & cur_files
+        pos_targets = sorted({t for d in new_pos for t in d["targets"] if t in both})
+        if pos_targets:
+            pairs = self._pos_pairs(new_pos)
+            tgroups: dict[tuple, list[str]] = {}
+            for f in pos_targets:
+                tgroups.setdefault(self._cdc_applicable(m_prev, f), []).append(f)
+            for a, files in sorted(tgroups.items(), key=lambda kv: repr(kv[0])):
+                df = self._scan(m_prev, files)
+                out_cols = df.columns
+                df = (
+                    df.withColumn(
+                        "__rel",
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                        ),
+                    )
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(F.broadcast(pairs), ["__rel", "__pos"], "left_semi")
+                )
+                prior = [
+                    d
+                    for d in m_prev.get("pos_deletes", [])
+                    if any(t in set(files) for t in d["targets"])
+                ]
+                if prior:
+                    df = df.join(
+                        F.broadcast(self._pos_pairs(prior)),
+                        ["__rel", "__pos"],
+                        "left_anti",
+                    )
+                stamp(self._cdc_anti_all(df.select(*out_cols), a), "delete")
         return frames
+
+    def _pos_pairs(self, entries: list) -> DataFrame:
+        """Union of positional-delete pair files as a distinct
+        (__rel, __pos) DataFrame (pair files are tiny by construction —
+        always broadcast)."""
+        pairs = None
+        for d in entries:
+            p = self.spark.read.parquet(os.path.join(self.root, DATA_DIR, d["file"]))
+            pairs = p if pairs is None else pairs.unionByName(p)
+        return pairs.select(
+            F.col("file").alias("__rel"), F.col("pos").alias("__pos")
+        ).distinct()
 
     # live-content-identical rewrites: the live view before == after,
     # so they emit no change rows (Delta CDF's OPTIMIZE behavior)
@@ -541,7 +596,10 @@ class VersionedTable:
         Semantics per commit: appends emit their rows as inserts;
         ``delete_where`` emits the then-live rows matching the new keys
         as deletes (earlier deletes already retracted them — no double
-        retraction); rewrites (overwrite / replace_where / merge_upsert
+        retraction); ``delete_positions`` emits the then-live rows at
+        the deleted (file, row_index) ordinals as full-row deletes
+        (round 8 — derived indexes fold these retractions instead of
+        requiring compact-first); rewrites (overwrite / replace_where / merge_upsert
         / restore) emit removed files' live rows as deletes and new
         files' rows as inserts (self-canceling for untouched rows under
         a signed fold); compact/cluster_by are live-content-identical
@@ -1780,7 +1838,7 @@ class VersionedTable:
         file list — ``compact()`` first to materialize them.
         """
         m = self.manifest(version)
-        if m.get("deletes"):
+        if m.get("deletes") or m.get("pos_deletes"):
             raise ValueError(
                 "export requires a delete-free snapshot: compact() first to "
                 "materialize merge-on-read deletes"

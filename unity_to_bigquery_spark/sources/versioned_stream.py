@@ -122,10 +122,14 @@ class _CDCFilePartition(InputPartition):
     row ORDINALS of this file listed for ``target_rel`` in any pair
     file are excluded (they were never live; the batch twin is
     ``_scan_pos``'s anti-join on ``_metadata.row_index`` — ADVICE r7).
+    ``pos_match``: when non-empty, ONLY row ordinals listed in these
+    (pairfile_path, target_rel) pairs emit — the rows a
+    ``delete_positions`` commit killed, delivered as 'delete'
+    retractions (the batch twin is ``_cdc_commit_frames``' pos block).
     """
 
     def __init__(self, path, fields, change, version, anti, match_any,
-                 pos_anti=()):
+                 pos_anti=(), pos_match=()):
         self.path = path
         self.fields = fields
         self.change = change
@@ -133,6 +137,7 @@ class _CDCFilePartition(InputPartition):
         self.anti = anti
         self.match_any = match_any
         self.pos_anti = list(pos_anti)
+        self.pos_match = list(pos_match)
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -355,9 +360,32 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 if f not in prev_files:
                     parts.append(
                         _CDCFilePartition(
-                            abspath(f), fields, "insert", v, kf(app(m_v, f)), []
+                            abspath(f), fields, "insert", v, kf(app(m_v, f)), [],
+                            posf(m_v, f)
                         )
                     )
+            # delete_positions commits: one 'delete' partition per live
+            # target file, emitting ONLY the newly-killed ordinals
+            # (batch twin: _cdc_commit_frames' pos block)
+            prev_pair_files = {d["file"] for d in m_prev.get("pos_deletes", [])}
+            new_pos = [
+                d for d in m_v.get("pos_deletes", [])
+                if d["file"] not in prev_pair_files
+            ]
+            for f in sorted(
+                {t for d in new_pos for t in d["targets"]
+                 if t in prev_files and t in cur_files}
+            ):
+                parts.append(
+                    _CDCFilePartition(
+                        abspath(f), fields, "delete", v,
+                        kf(app(m_prev, f)), [], posf(m_prev, f),
+                        pos_match=[
+                            (abspath(d["file"]), f)
+                            for d in new_pos if f in d["targets"]
+                        ],
+                    )
+                )
             m_prev = m_v
         return parts
 
@@ -374,16 +402,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), k)
                 for p, k in partition.match_any
             ]
-            dead_pos: set[int] = set()
-            for p, rel in partition.pos_anti:
-                pt = pq.read_table(p, columns=["file", "pos"])
-                dead_pos.update(
-                    pos
-                    for fname, pos in zip(
-                        pt.column(0).to_pylist(), pt.column(1).to_pylist()
+            def _ordinals(pairs):
+                out: set[int] = set()
+                for p, rel in pairs:
+                    pt = pq.read_table(p, columns=["file", "pos"])
+                    out.update(
+                        pos
+                        for fname, pos in zip(
+                            pt.column(0).to_pylist(), pt.column(1).to_pylist()
+                        )
+                        if fname == rel
                     )
-                    if fname == rel
-                )
+                return out
+
+            dead_pos = _ordinals(partition.pos_anti)
+            match_pos = _ordinals(partition.pos_match) if partition.pos_match else None
             table = pq.read_table(partition.path)
             tail = (partition.change, partition.version)
 
@@ -403,6 +436,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # row ordinal within the file == _metadata.row_index:
                 # pyarrow reads preserve file order (batch-twin contract)
                 if idx in dead_pos:
+                    continue
+                if match_pos is not None and idx not in match_pos:
                     continue
                 if _hits(row, anti):
                     continue
