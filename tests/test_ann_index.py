@@ -96,16 +96,22 @@ def test_refresh_idempotent_and_contracts(spark, tmp_path):
     assert idx.refresh() == 1
     assert idx.assignments.read().count() == n0 == 40
 
-    # destructive commit → loud rejection, retrain absorbs it
+    # destructive commit now FOLDS into refresh (round 8): the stale
+    # assignment row is retracted merge-on-read, no rebuild needed
     src.commit_delete_where(
         spark.createDataFrame([(3,)], "vec_id BIGINT"), "vec_id"
     )
-    with pytest.raises(ValueError, match="retrain"):
-        idx.refresh()
+    assert idx.refresh() == 2
+    assert idx.assignments.read().count() == 39
+    assert idx.assignments.read().filter(F.col("vec_id") == 3).count() == 0
+    # replayed refresh is still a txn no-op
+    n_commits = idx.assignments.latest_version()
+    assert idx.refresh() == 2
+    assert idx.assignments.latest_version() == n_commits
+    # rebuild lands on the same content
     idx.build()
     assert idx.indexed_version() == 2
     assert idx.assignments.read().count() == 39
-    assert idx.assignments.read().filter(F.col("vec_id") == 3).count() == 0
 
 
 def test_topk_prunes_unprobed_cell_files(spark, sf_dir, tmp_path):
@@ -294,12 +300,14 @@ def test_pq_index_contracts_and_drift(spark, tmp_path):
     assert idx.should_retrain(min_new=50)
     assert not idx.should_retrain(min_new=500)
 
-    # destructive commit -> loud rejection; rebuild absorbs it
+    # destructive commit now FOLDS into refresh (round 8): the key's m
+    # stale subspace rows die merge-on-read
     src.commit_delete_where(
         spark.createDataFrame([(3,)], "vec_id BIGINT"), "vec_id"
     )
-    with pytest.raises(ValueError, match="retrain"):
-        idx.refresh()
+    idx.refresh()
+    assert idx.codes.read().filter(F.col("vec_id") == 3).count() == 0
+    assert idx.codes.read().select("vec_id").distinct().count() == 439
     idx.build()
     epochs = idx.drift_stats().collect()
     assert len(epochs) == 1 and epochs[0].n == 439
@@ -444,3 +452,69 @@ def test_filtered_topk_pushdown_identity_and_predicate(spark, sf_dir, tmp_path):
         )
     )
     assert served_all == fresh_all
+
+
+def test_retraction_refresh_equals_full_assignment(spark, sf_dir, tmp_path):
+    """VERDICT r7 #1 done-criterion: after a window mixing equality
+    deletes, positional deletes, merge updates and appends, a paged
+    incremental refresh must land on EXACTLY the state a full
+    assignment of the live snapshot under the stored centroids would —
+    and serving is identical to the in-query path on the live corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 4 != 3))
+    idx = AnnIndex(spark, str(tmp_path / "index"), src, ncells=8)
+    idx.build()
+
+    # a single sorted file so positional targets are deterministic
+    tail = emb.filter(F.col("vec_id") % 4 == 3)
+    src.commit_append(tail.orderBy("vec_id").coalesce(1))
+    f_tail = [
+        f for f in src.manifest()["files"]
+        if f in src.manifest()["file_versions"]
+        and src.manifest()["file_versions"][f] == src.latest_version()
+    ]
+    # equality-delete some keys, pos-delete two rows of the tail file,
+    # update (merge) a few vectors to NEW embeddings, append more
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"), "vec_id"
+    )
+    src.commit_delete_positions(
+        spark.createDataFrame(
+            [(f_tail[0], 0), (f_tail[0], 2)], "file STRING, pos BIGINT"
+        )
+    )
+    moved = emb.filter(F.col("vec_id") < 3).withColumn(
+        "embedding", F.expr("transform(embedding, x -> CAST(-x AS FLOAT))")
+    )
+    src.merge_upsert(moved.select(*emb.columns), "vec_id")
+
+    # paged refresh, one commit per page, mixing append and retraction
+    idx.refresh(max_commits=1)
+    assert idx.indexed_version() == src.latest_version()
+
+    got = sorted(
+        (r[0], r[1], r[2])
+        for r in idx.assignments.read().select("vec_id", "cell_id", "sim6").collect()
+    )
+    live = src.read()
+    want = sorted(
+        map(tuple, ivf_best_cells(live, idx.centroid_frame()).collect())
+    )
+    assert got == want
+
+    # serve identity on the LIVE corpus
+    queries = emb.filter(F.col("vec_id").between(5, 8))
+    served = sorted(map(tuple, idx.topk(queries, k=3, nprobe=8).collect()))
+    fresh = sorted(
+        map(
+            tuple,
+            ivf_topk(live, queries, idx.centroid_frame(), k=3, nprobe=8).collect(),
+        )
+    )
+    assert served == fresh
+
+    # replayed refresh: txn no-op
+    v_state = idx.assignments.latest_version()
+    idx.refresh()
+    assert idx.assignments.latest_version() == v_state

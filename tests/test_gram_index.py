@@ -79,15 +79,18 @@ def test_refresh_idempotent_paging_and_contracts(spark, sf_dir, tmp_path):
     assert _report(gi) == baseline  # content-identical rebuild
     assert gi.indexed_version() == src.latest_version()
 
-    # destructive source history is rejected loudly
+    # destructive source history now FOLDS into refresh (round 8): the
+    # deleted docs' gram rows retract and the report matches a batch
+    # recompute over the live snapshot
     src.commit_delete_where(
         src.read().filter("doc_id < 10").select("doc_id"), "doc_id"
     )
-    with pytest.raises(ValueError, match="append-only|retrain"):
-        gi.refresh()
-    # build() absorbs it
-    gi.build()
+    gi.refresh()
     assert gi.indexed_version() == src.latest_version()
+    assert _report(gi) == sorted(
+        map(tuple, exact_substring_spans(src.read(), k=32).collect())
+    )
+    assert gi.state.read().filter("doc_id < 10").count() == 0
 
     with pytest.raises(ValueError, match="max_commits"):
         gi.refresh(max_commits=0)

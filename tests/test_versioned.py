@@ -1215,3 +1215,49 @@ def test_streaming_cdc_pos_delete_emission(spark, root, tmp_path):
         t.changes_with_type(v1).select(*cols)
     )
     assert sorted(r.k for r in got.collect()) == [2, 5, 7]
+
+
+def test_changes_final_state(spark, root):
+    """changes_final_state: net per-key effect over a window — updates
+    collapse to one upsert, delete+reinsert collapses to upsert, pos
+    deletes surface as typed deletes, pure-churn keys are dropped."""
+    t, fA = _pos_table(spark, root, 1, 7)  # k=1..6, row_index = k-1
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(100, 106)], "k INT, v STRING"
+        ).orderBy("k").coalesce(1)
+    )  # fB: row_index = k-100
+    fB = [f for f in t.manifest()["files"] if f != fA][0]
+    v_base = 2
+    # merge rewrites fA only (range-pruned); fB survives untouched
+    t.merge_upsert(spark.createDataFrame([(2, "UPD")], "k INT, v STRING"), "k")
+    t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")
+    t.commit_delete_positions(
+        spark.createDataFrame([(fB, 4)], "file STRING, pos BIGINT")  # k=104
+    )
+    t.commit_append(spark.createDataFrame([(3, "back")], "k INT, v STRING"))
+    final = t.changes_final_state("k", v_base)
+    got = sorted((r.k, r.v, r._change_type) for r in final.collect())
+    assert got == [
+        (2, "UPD", "upsert"),
+        (3, "back", "upsert"),
+        (104, "v104", "delete"),
+    ]
+    # from zero every surviving key is an upsert; dead keys delete
+    final0 = {
+        (r.k, r._change_type) for r in t.changes_final_state("k", 0).collect()
+    }
+    assert final0 == (
+        {(k, "upsert") for k in (1, 2, 3, 4, 5, 6)}
+        | {(k, "upsert") for k in range(100, 106) if k != 104}
+        | {(104, "delete")}
+    )
+    # fold identity: applying the final states to the base snapshot
+    # reproduces the live table
+    base = {r.k: r.v for r in t.read(v_base).collect()}
+    for r in t.changes_final_state("k", v_base).collect():
+        if r._change_type == "delete":
+            base.pop(r.k, None)
+        else:
+            base[r.k] = r.v
+    assert base == {r.k: r.v for r in t.read().collect()}

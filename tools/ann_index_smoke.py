@@ -99,9 +99,48 @@ def run_one(spark, root, n, delta, ncells):
     }
 
 
+def run_one_retract(spark, root, n, k, ncells):
+    """Round-8 retraction smoke: identical fixed-size RETRACTION
+    (delete a contiguous k-key block, merge-update another) folded by
+    refresh() at corpus N — the claim is cost ∝ the retraction delta.
+    The source is committed RANGE-CLUSTERED on vec_id so the delete
+    commit's CDC candidate pruning (key range vs manifest stats) keeps
+    the then-live scan ∝ the touched block's files, the honest 100 TB
+    deployment shape (an entity's rows cluster; uniformly-scattered
+    keys would make any engine's delete CDC scan every file)."""
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(
+        synth(spark, n).repartitionByRange(32, "vec_id").sortWithinPartitions("vec_id")
+    )
+    idx = AnnIndex(spark, os.path.join(root, "index"), src, ncells=ncells)
+    idx.build()
+    walls = []
+    for i in range(3):  # warmup + 2 measured (rule 14)
+        lo = 1000 + i * 3 * k
+        src.commit_delete_where(
+            spark.range(lo, lo + k).select(F.col("id").alias("vec_id")), "vec_id"
+        )
+        upd = synth(spark, k, start=lo + k).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: -x)
+        )
+        src.merge_upsert(upd, "vec_id")
+        t0 = time.monotonic()
+        idx.refresh()
+        walls.append(time.monotonic() - t0)
+    spark.catalog.clearCache()
+    return {
+        "n": n,
+        "ncells": ncells or int(n**0.5),
+        "retract_refresh_s": round(min(walls[1:]), 2),
+        "index_rows": idx.assignments.read().count(),
+    }
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flat_c = "--flat-c" in sys.argv
+    retract = "--retract" in sys.argv
     n = int(args[0]) if len(args) > 0 else 20_000
     scale = int(args[1]) if len(args) > 1 else 10
     delta = int(args[2]) if len(args) > 2 else 2_000
@@ -109,6 +148,22 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     root = os.path.join(tempfile.gettempdir(), "u2bq_ann_smoke")
     ncells_small = max(16, int(n**0.5)) if flat_c else None
+    if retract:
+        small = run_one_retract(spark, os.path.join(root, "s"), n, delta, ncells_small)
+        big = run_one_retract(
+            spark, os.path.join(root, "b"), n * scale, delta, ncells_small
+        )
+        ratio = round(
+            big["retract_refresh_s"] / max(small["retract_refresh_s"], 1e-9), 2
+        )
+        print(json.dumps({
+            "mode": "retract", "scale": scale, "delta": delta, "flat_c": flat_c,
+            "small": small, "big": big,
+            "retract_refresh_ratio": ratio,
+            "corpus_proportional_would_be": float(scale),
+        }))
+        shutil.rmtree(root, ignore_errors=True)
+        return
     small = run_one(spark, os.path.join(root, "s"), n, delta, ncells_small)
     big = run_one(spark, os.path.join(root, "b"), n * scale, delta, ncells_small)
     ratio = round(big["refresh_s"] / max(small["refresh_s"], 1e-9), 2)

@@ -16,10 +16,13 @@ Delta txnAppId/txnVersion protocol. Protocol:
     gi.dup_against_history(decide)  # which NEW docs duplicate corpus
 
 Why refresh is cheap: gram rows are IMMUTABLE facts about a document
-(append-only source ⇒ a (doc_id, gram) row never changes), so refresh
-is a PURE APPEND of the delta's gram rows — no merge, no rewrite of
-existing state files, unlike aggregated (gram → count) state which
-would touch every hash-uniform file on every batch. Dup counts are
+(a (doc_id, gram) row never changes while the doc lives), so append
+pages are a PURE APPEND of the delta's gram rows — no merge, no
+rewrite of existing state files, unlike aggregated (gram → count)
+state which would touch every hash-uniform file on every batch.
+Delete/rewrite pages (round 8) retract by key: one atomic
+commit_replace_keys drops the changed docs' gram rows merge-on-read
+and appends the survivors' — cost ∝ the net delta. Dup counts are
 aggregated AT SERVE TIME over the bucket-partitioned state; the
 trade-off (write-optimal log vs read-time aggregation) is the LSM
 choice every ingest-heavy dedup system makes, and compact() bounds
@@ -132,15 +135,19 @@ class GramIndex:
 
     # ---- incremental refresh ---------------------------------------------
     def refresh(self, max_commits: int | None = None) -> int:
-        """Fold all documents appended since the bookmark — a PURE
-        APPEND of the delta's gram rows (cost ∝ appended docs; no
-        existing state file is touched). Pages long backlogs at
+        """Fold all source commits since the bookmark. Pure-append
+        pages stay a PURE APPEND of the delta's gram rows (cost ∝
+        appended docs; no existing state file is touched). Pages
+        containing deletes/rewrites are RETRACTION-AWARE (round 8,
+        VERDICT r7 #1): the net per-key effect
+        (``changes_final_state`` — equality deletes, positional
+        deletes, merge updates) folds into ONE atomic
+        ``commit_replace_keys``: changed docs' stale gram rows die
+        merge-on-read, surviving final states re-extract, removed docs
+        get nothing. Cost ∝ the net delta. Pages long backlogs at
         ``max_commits`` (default CDC_MAX_COMMITS), one idempotent
-        txn-bookmarked append per page, crash-resumable between pages.
-
-        Append-only contract: delete/rewrite source commits are
-        rejected loudly (stale gram rows would keep counting removed
-        documents) — absorb destructive history with build()."""
+        txn-bookmarked commit per page, crash-resumable between
+        pages."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
@@ -148,26 +155,29 @@ class GramIndex:
         if last == 0:
             raise ValueError("GramIndex.refresh: build() the index first")
         now = self.source.latest_version()
-        if last < now:
-            self._check_append_only(last, now)
         while last < now:
             upto = min(last + page, now)
-            delta = self.source.changes(last, upto)
-            self.state.commit_append(self._gram_rows(delta, upto), txn=(_APP, upto))
+            if self.source.window_is_append_only(last, upto):
+                delta = self.source.changes(last, upto)
+                self.state.commit_append(
+                    self._gram_rows(delta, upto), txn=(_APP, upto)
+                )
+            else:
+                final = self.source.changes_final_state(
+                    self.id_col, last, upto
+                ).persist()
+                ups = final.filter(
+                    F.col(VersionedTable.CDC_TYPE_COL) == "upsert"
+                ).drop(VersionedTable.CDC_TYPE_COL, VersionedTable.CDC_VERSION_COL)
+                self.state.commit_replace_keys(
+                    self._gram_rows(ups, upto),
+                    final.select(self.id_col),
+                    self.id_col,
+                    txn=(_APP, upto),
+                )
+                final.unpersist()
             last = upto
         return last
-
-    def _check_append_only(self, last: int, now: int) -> None:
-        for v in range(last + 1, now + 1):
-            m = self.source.manifest(v)
-            op = m.get("op", "")
-            if op.startswith("set_partitioning") or op == "append":
-                continue
-            raise ValueError(
-                f"GramIndex.refresh: source commit v{v} is '{op}' — gram "
-                "rows for removed documents cannot be retracted from the "
-                "append-only state; retrain with build() instead"
-            )
 
     # ---- serving ---------------------------------------------------------
     def dup_report(self) -> DataFrame:

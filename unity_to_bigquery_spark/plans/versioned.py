@@ -753,6 +753,66 @@ class VersionedTable:
             *cols, cls.CDC_TYPE_COL, cls.CDC_VERSION_COL
         )
 
+    def window_is_append_only(self, since_version: int, to_version: int) -> bool:
+        """True when every commit in ``(since, to]`` only adds rows
+        (append / partitioning metadata) — the cheap-path test derived
+        indexes use to skip retraction folding (manifest-op arithmetic,
+        no data IO)."""
+        for v in range(since_version + 1, to_version + 1):
+            op = self.manifest(v).get("op", "")
+            if not (op.startswith("set_partitioning") or op == "append"):
+                return False
+        return True
+
+    def changes_final_state(
+        self,
+        key: str,
+        since_version: int,
+        to_version: int | None = None,
+        max_commits: int | None = None,
+    ) -> DataFrame:
+        """NET effect per key over ``(since, to]`` — the shape a KEYED
+        derived index (AnnIndex/PqIndex/GramIndex) folds into one
+        atomic replace per page: each key that changed maps to its
+        FINAL state, typed ``upsert`` (live at to_version, final values
+        attached) or ``delete`` (gone at to_version). A key deleted and
+        re-inserted in the window collapses to one upsert; a key whose
+        rows were only churned by rewrites (merge_upsert carrying
+        untouched neighbors, compact-adjacent file movement) is DROPPED
+        entirely — ``changes_with_updates``' unchanged-pair filter, so
+        downstream refresh cost tracks the REAL delta, not file churn.
+
+        Same key-uniqueness contract and commit-window bounds as
+        :meth:`changes_with_updates`. Output = table columns +
+        ``_change_type`` ('upsert'|'delete') + ``_commit_version`` (the
+        key's last touching commit). The window function partitions by
+        key (delta-sized, never corpus-sized)."""
+        from pyspark.sql import Window
+
+        feed = self.changes_with_updates(
+            key, since_version, to_version, max_commits=max_commits
+        )
+        cols = [
+            c for c in feed.columns
+            if c not in (self.CDC_TYPE_COL, self.CDC_VERSION_COL)
+        ]
+        is_post = F.col(self.CDC_TYPE_COL).isin("insert", "update_postimage")
+        w = Window.partitionBy(key).orderBy(
+            F.desc(self.CDC_VERSION_COL), F.desc("__is_post")
+        )
+        return (
+            feed.withColumn("__is_post", is_post.cast("int"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *cols,
+                F.when(F.col("__is_post") == 1, F.lit("upsert"))
+                .otherwise(F.lit("delete"))
+                .alias(self.CDC_TYPE_COL),
+                F.col(self.CDC_VERSION_COL),
+            )
+        )
+
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
     ) -> tuple[list[str], int]:

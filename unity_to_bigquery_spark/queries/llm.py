@@ -5783,3 +5783,194 @@ def m_lz4_roundtrip_verified(spark, sf_dir):
         "doc_id BIGINT, fmt STRING, raw_len BIGINT, byte_sum BIGINT, "
         "compressed_smaller BOOLEAN, roundtrip_ok BOOLEAN, first_word STRING",
     )
+
+
+@query(
+    "p_gram_index_retraction",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text, n_chars,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    ), live AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 7 THEN substr(text, 1, 40) ELSE text END AS text,
+             CASE WHEN doc_id % 20 = 7 THEN LEAST(n_chars, 40) ELSE n_chars END AS n_chars
+      FROM ranked
+      WHERE pos % 7 <> 5 AND doc_id % 10 <> 3
+    ), g AS (
+      SELECT doc_id, md5(substr(text, t.p + 1, 32)) AS gh
+      FROM live,
+           (SELECT unnest(generate_series(0, 600)) AS p) t
+      WHERE n_chars >= 32 AND t.p <= n_chars - 32
+    ), per_doc_gram AS (
+      SELECT doc_id, gh, COUNT(*) AS n_occ FROM g GROUP BY doc_id, gh
+    ), shared AS (
+      SELECT gh FROM per_doc_gram GROUP BY gh HAVING COUNT(*) > 1
+    ), per_doc AS (
+      SELECT p.doc_id, SUM(p.n_occ) AS n_dup
+      FROM per_doc_gram p JOIN shared s ON p.gh = s.gh
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.n_chars >= 32 THEN d.n_chars - 31 ELSE 0 END
+                AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(CASE WHEN d.n_chars >= 32
+                THEN COALESCE(p.n_dup, 0) * 1000000 // (d.n_chars - 31)
+                ELSE 0 END AS BIGINT) AS dup_frac_fp6
+    FROM live d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc=(
+        "RETRACTION-AWARE gram-index refresh (round 8, VERDICT r7 #1): "
+        "build the persisted exact-substring index over the FULL "
+        "corpus (one doc_id-sorted file so row ordinals are "
+        "deterministic), then hit the source with the three retraction "
+        "shapes — a POSITIONAL delete (every ordinal%7==5), an "
+        "EQUALITY delete (doc_id%10==3), and a MERGE update that "
+        "truncates doc_id%20==7 to 40 chars — and fold them with "
+        "refresh() paged one commit per page. Each non-append page "
+        "folds the typed change feed's NET per-key effect "
+        "(changes_final_state) into ONE atomic commit_replace_keys: "
+        "stale gram rows die merge-on-read, survivors re-extract, "
+        "removed docs vanish; cost ∝ the net delta, never corpus "
+        "size. The served dup_report() must equal the batch operator "
+        "on the post-retraction corpus — which is exactly what the "
+        "ORACLE computes from the raw table, so the hash verifies the "
+        "whole delete/update/refresh/serve composition. A GDPR-style "
+        "source delete no longer forces a full index rebuild."
+    ),
+    tags=("llm", "dedup", "versioned", "index", "delete"),
+)
+def p_gram_index_retraction(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.gram_index import GramIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"gram_index_retract_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "docs"))
+    # ONE doc_id-sorted file: row ordinal == rank(doc_id) - 1, so the
+    # positional targets are deterministic and oracle-expressible
+    src.commit_append(docs.orderBy("doc_id").coalesce(1))
+    gi = GramIndex(spark, os.path.join(root, "index"), src)
+    gi.build()
+    f0 = src.manifest()["files"][0]
+    n = docs.count()
+    src.commit_delete_positions(
+        spark.range(0, n).filter(F.col("id") % 7 == 5).select(
+            F.lit(f0).alias("file"), F.col("id").alias("pos")
+        )
+    )
+    src.commit_delete_where(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), "doc_id"
+    )
+    nct = dict(src.read().dtypes)["n_chars"]
+    updated = (
+        src.read()
+        .filter(F.col("doc_id") % 20 == 7)
+        .withColumn("text", F.expr("substr(text, 1, 40)"))
+        .withColumn("n_chars", F.least(F.col("n_chars"), F.lit(40)).cast(nct))
+    )
+    src.merge_upsert(updated.select(*src.read().columns), "doc_id")
+    gi.refresh(max_commits=1)  # one page per commit: pos, eq, merge
+    return gi.dup_report()
+
+
+@query(
+    "sim_index_retraction_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos
+      FROM embeddings
+    ), live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < 3
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM ranked
+      WHERE vec_id % 10 <> 7 AND pos % 13 <> 4
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id BETWEEN 5 AND 9
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       s -> s[1]::DOUBLE * s[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      FROM live e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos6, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "RETRACTION-AWARE ANN-index refresh, HASH-ORACLED end to end "
+        "(round 8, VERDICT r7 #1): build the persisted IVF index over "
+        "the full embedding corpus (one sorted file for deterministic "
+        "ordinals), then POSITIONAL-delete ordinal%13==4, EQUALITY-"
+        "delete vec_id%10==7, and MERGE-update vec_id<3 to their "
+        "negated vectors; refresh() folds each page's net per-key "
+        "effect into one atomic commit_replace_keys against the STORED "
+        "centroids. Serving probes nprobe == ncells, so the index path "
+        "(manifest-pruned stored-assignment scan + shared ivf_search "
+        "plan) degenerates to EXACT cosine top-k over the live corpus "
+        "— any stale, missing, or un-updated index row flips the "
+        "oracle hash: a deleted vector would still rank, a negated one "
+        "would score with the wrong sign. The oracle recomputes the "
+        "post-retraction corpus from the raw table and takes exact "
+        "top-5 with the same (cos6 DESC, vec_id) tiebreak."
+    ),
+    tags=("llm", "similarity", "ann", "index", "versioned", "delete"),
+)
+def sim_index_retraction_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"ann_index_retract_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(emb.orderBy("vec_id").coalesce(1))
+    idx = AnnIndex(spark, os.path.join(root, "index"), src, ncells=8)
+    idx.build()
+    f0 = src.manifest()["files"][0]
+    n = emb.count()
+    src.commit_delete_positions(
+        spark.range(0, n).filter(F.col("id") % 13 == 4).select(
+            F.lit(f0).alias("file"), F.col("id").alias("pos")
+        )
+    )
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"), "vec_id"
+    )
+    moved = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .withColumn("embedding", F.expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+    )
+    src.merge_upsert(moved.select(*src.read().columns), "vec_id")
+    idx.refresh(max_commits=1)  # one page per commit: pos, eq, merge
+    queries = emb.filter(F.col("vec_id").between(5, 9))
+    return idx.topk(queries, k=5, nprobe=8)

@@ -969,8 +969,9 @@ def p_dq_expectations(spark, sf_dir):
         "positions are deterministic; deleting every pos%7==3 row must "
         "reproduce the rank-filtered source exactly. Targets are "
         "validated against the live manifest; compaction materializes "
-        "and sheds the entries (unit-tested); the CDC feed refuses "
-        "keyless deletions loudly."
+        "and sheds the entries (unit-tested); the CDC feed emits the "
+        "killed ordinals' rows as full-row retractions (round 8), so "
+        "derived indexes fold them instead of rebuilding."
     ),
     tags=("pipeline", "versioned", "delete"),
 )
