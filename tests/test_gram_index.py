@@ -29,7 +29,9 @@ def test_incremental_report_equals_batch_and_appends_only(spark, sf_dir, tmp_pat
     docs = load_table(spark, sf_dir, "documents")
     src = VersionedTable(spark, str(tmp_path / "docs"))
     src.commit_append(docs.filter(F.col("doc_id") % 10 != 0))
-    gi = GramIndex(spark, str(tmp_path / "gi"), src)
+    # auto_compact off: this test pins the WRITE PATH shape (appends
+    # only); the compaction policy has its own 20-refresh test
+    gi = GramIndex(spark, str(tmp_path / "gi"), src, auto_compact=False)
     gi.build()
     files_after_build = set(gi.state.manifest()["files"])
     # append the held-out 10% as TWO commits to exercise paging
@@ -188,3 +190,41 @@ def test_streaming_gram_maintenance_equals_batch(spark, sf_dir, tmp_path):
     v0, n0 = gi.indexed_version(), gi.state.read().count()
     drain()  # replay: nothing new
     assert gi.indexed_version() == v0 and gi.state.read().count() == n0
+
+
+def test_auto_compact_bounds_files_over_many_refreshes(spark, tmp_path):
+    """VERDICT r7 #4: 20 refresh pages (appends + interleaved deletes)
+    with the default auto_compact policy keep the state's file count
+    bounded (∝ buckets, not refresh count) and its merge-on-read
+    delete debt bounded — and serving stays exactly the batch
+    recompute of the live corpus."""
+    src = VersionedTable(spark, str(tmp_path / "docs"))
+
+    def batch(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            text = "shared prefix block of text " * 2 + f"tail {i:06d}"
+            rows.append((i, text, len(text)))
+        return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, n_chars INT")
+
+    src.commit_append(batch(0, 40))
+    gi = GramIndex(spark, str(tmp_path / "gi"), src, n_buckets=4)
+    gi.build()
+    bound = 4 * gi.n_buckets  # auto_compact's max_files_per_partition
+    for i in range(20):
+        if i % 5 == 4:  # every 5th round retracts a block
+            src.commit_delete_where(
+                spark.range(i * 2, i * 2 + 2).select(
+                    F.col("id").alias("doc_id")
+                ),
+                "doc_id",
+            )
+        else:
+            src.commit_append(batch(100 + i * 10, 100 + i * 10 + 10))
+        gi.refresh()
+        m = gi.state.manifest()
+        assert len(m["files"]) <= bound, f"round {i}: {len(m['files'])} files"
+        assert len(m.get("deletes", [])) <= 8
+    got = _report(gi)
+    want = sorted(map(tuple, exact_substring_spans(src.read(), k=32).collect()))
+    assert got == want

@@ -59,14 +59,19 @@ def test_lsh_index_serve_equals_batch_and_contracts(spark, sf_dir, tmp_path):
     }
     assert hits[(999_999, 1)] == 1_000_000
 
-    # destructive source history rejected loudly; build() absorbs it
+    # destructive source history now FOLDS into refresh (round 8):
+    # the deleted docs' bucket rows retract and served pairs match a
+    # fresh rebuild over the live snapshot
     src.commit_delete_where(
         src.read().filter("doc_id < 5").select("doc_id"), "doc_id"
     )
-    with pytest.raises(ValueError, match="append-only|retrain"):
-        li.refresh()
-    li.build()
+    li.refresh()
     assert li.indexed_version() == src.latest_version()
+    assert li.buckets.read().filter("doc_id < 5").count() == 0
+    served = sorted(map(tuple, li.dup_pairs().collect()))
+    li2 = LshIndex(spark, str(tmp_path / "rebuilt"), src)
+    li2.build()
+    assert served == sorted(map(tuple, li2.dup_pairs().collect()))
 
     with pytest.raises(ValueError, match="divide"):
         LshIndex(spark, str(tmp_path / "bad"), src, k=16, bands=5)

@@ -59,6 +59,7 @@ class GramIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         len_col: str = "n_chars",
+        auto_compact: bool = True,
     ):
         self.spark = spark
         self.source = source
@@ -68,6 +69,10 @@ class GramIndex:
         self.id_col = id_col
         self.text_col = text_col
         self.len_col = len_col
+        # threshold auto-OPTIMIZE after refresh (VERDICT r7 #4): keeps
+        # state file count ∝ buckets and merge-on-read delete debt
+        # bounded across arbitrarily many refreshes
+        self.auto_compact = auto_compact
         # bucket-partitioned: serve-time aggregation shuffles within
         # hash-range partitions; compact() keeps file count ∝ buckets
         self.state = VersionedTable(
@@ -177,6 +182,8 @@ class GramIndex:
                 )
                 final.unpersist()
             last = upto
+        if self.auto_compact:
+            self.state.auto_compact()
         return last
 
     # ---- serving ---------------------------------------------------------

@@ -54,6 +54,7 @@ class LshIndex:
         bands: int = 4,
         id_col: str = "doc_id",
         text_col: str = "text",
+        auto_compact: bool = True,
     ):
         if k % bands:
             raise ValueError(f"k={k} must divide into bands={bands}")
@@ -63,6 +64,7 @@ class LshIndex:
         self.bands = bands
         self.id_col = id_col
         self.text_col = text_col
+        self.auto_compact = auto_compact  # see GramIndex.__init__
         self.buckets = VersionedTable(
             spark,
             os.path.join(root, "buckets"),
@@ -131,10 +133,14 @@ class LshIndex:
 
     # ---- incremental refresh ---------------------------------------------
     def refresh(self, max_commits: int | None = None) -> int:
-        """Append band rows for all documents added since the bookmark
-        — cost ∝ appended docs; pages long backlogs, idempotent per
-        page, crash-resumable. Destructive source commits are rejected
-        (stale buckets would keep matching removed docs)."""
+        """Fold all source commits since the bookmark. Pure-append
+        pages append band rows (cost ∝ appended docs); pages with
+        deletes/rewrites fold the NET per-key effect
+        (``changes_final_state``) into one atomic
+        ``commit_replace_keys`` — changed docs' stale bucket rows die
+        merge-on-read, removed docs stop matching (round 8, same
+        retraction discipline as AnnIndex/GramIndex). Pages long
+        backlogs, idempotent per page, crash-resumable."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
@@ -143,17 +149,29 @@ class LshIndex:
             raise ValueError("LshIndex.refresh: build() the index first")
         now = self.source.latest_version()
         while last < now:
-            for v in range(last + 1, now + 1):
-                op = self.source.manifest(v).get("op", "")
-                if not (op == "append" or op.startswith("set_partitioning")):
-                    raise ValueError(
-                        f"LshIndex.refresh: source commit v{v} is '{op}' — "
-                        "append-only contract; retrain with build()"
-                    )
             upto = min(last + page, now)
-            delta = self.source.changes(last, upto)
-            self.buckets.commit_append(self._band_rows(delta, upto), txn=(_APP, upto))
+            if self.source.window_is_append_only(last, upto):
+                delta = self.source.changes(last, upto)
+                self.buckets.commit_append(
+                    self._band_rows(delta, upto), txn=(_APP, upto)
+                )
+            else:
+                final = self.source.changes_final_state(
+                    self.id_col, last, upto
+                ).persist()
+                ups = final.filter(
+                    F.col(VersionedTable.CDC_TYPE_COL) == "upsert"
+                ).drop(VersionedTable.CDC_TYPE_COL, VersionedTable.CDC_VERSION_COL)
+                self.buckets.commit_replace_keys(
+                    self._band_rows(ups, upto),
+                    final.select(self.id_col),
+                    self.id_col,
+                    txn=(_APP, upto),
+                )
+                final.unpersist()
             last = upto
+        if self.auto_compact:
+            self.buckets.auto_compact()
         return last
 
     # ---- serving ---------------------------------------------------------

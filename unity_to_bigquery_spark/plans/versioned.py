@@ -1778,6 +1778,42 @@ class VersionedTable:
         out["vacuumed"] = self.vacuum(keep_last=vacuum_keep)
         return out
 
+    def auto_compact(
+        self,
+        max_files_per_partition: int = 4,
+        max_delete_entries: int = 8,
+        target_files: int = 1,
+    ) -> bool:
+        """Threshold auto-OPTIMIZE for refresh-maintained derived-state
+        tables (VERDICT r7 #4): compact when the live snapshot carries
+        more than ``max_files_per_partition`` files per partition value
+        (incremental refreshes accrue roughly one file per touched
+        partition per page), or when merge-on-read delete entries
+        exceed ``max_delete_entries`` (every read pays one anti-join
+        group per distinct delete state — retraction-aware refreshes
+        accrue one entry per non-append page). Content-identical
+        (compact is a regular commit; txn bookmarks carry forward);
+        returns True when a compaction ran. On a healthy table this is
+        manifest arithmetic only — safe to call after every refresh,
+        which is exactly how the derived indexes use it."""
+        m = self.manifest()
+        if not m["files"]:
+            return False
+        nparts = len({
+            seg
+            for f in m["files"]
+            for seg in f.split(os.sep)
+            if seg.startswith(_PART_DIR_PREFIX)
+        }) or 1
+        debt = len(m.get("deletes", [])) + len(m.get("pos_deletes", []))
+        if (
+            len(m["files"]) > max_files_per_partition * nparts
+            or debt > max_delete_entries
+        ):
+            self.compact(target_files=target_files)
+            return True
+        return False
+
     def restore(self, version: int) -> int:
         """Delta RESTORE: publish a NEW commit whose file list (and
         schema/deletes state) is that of an older version — rollback
