@@ -558,3 +558,72 @@ def test_auto_compact_bounds_files_over_many_refreshes(spark, tmp_path):
         map(tuple, ivf_best_cells(src.read(), idx.centroid_frame()).collect())
     )
     assert got == want
+
+
+def test_ivf2_scorer_identity_refresh_and_retraction(spark, sf_dir, tmp_path):
+    """VERDICT r7 #3: AnnIndex(scorer='ivf2') builds/refreshes/serves
+    through the same VersionedTables with the two-level descent — and
+    under equal training (same corpus, seed, √N cells) serving is
+    bit-identical to the in-query ivf2_topk. Refresh (append AND
+    retraction pages) lands on exactly the descent assignment of the
+    live corpus under the STORED structure."""
+    from unity_to_bigquery_spark.llm.similarity import ivf2_descend, ivf2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "source"))
+    src.commit_append(emb)
+    idx = AnnIndex(spark, str(tmp_path / "index"), src, scorer="ivf2", seed=7)
+    idx.build()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sorted(map(tuple, idx.topk(queries, k=5, nprobe=8).collect()))
+    fresh = sorted(
+        map(tuple, ivf2_topk(emb, queries, k=5, nprobe=8, wprobe=3, seed=7).collect())
+    )
+    assert served == fresh
+    assert len(served) == 5 * queries.count()
+
+    # the stored structure really is two-level
+    assert "coarse_id" in idx.centroids.read().columns
+    n_coarse = idx.coarse.read().count()
+    n_fine = idx.centroids.read().count()
+    assert 4 <= n_coarse < n_fine
+
+    # append + refresh: descent assignment of the delta under STORED
+    # structures ≡ descending the whole live corpus
+    src.commit_append(
+        emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding", *[c for c in emb.columns if c not in ("vec_id", "embedding")]
+        ).limit(50)
+    )
+    idx.refresh()
+    st = idx._scorer_state()
+
+    def full_assign():
+        return sorted(
+            map(
+                tuple,
+                ivf2_descend(src.read(), st["coarse"], st["fine_vecs"], 3, 1)
+                .select("vec_id", "cell_id", "sim6")
+                .collect(),
+            )
+        )
+
+    def stored():
+        return sorted(
+            (r[0], r[1], r[2])
+            for r in idx.assignments.read()
+            .select("vec_id", "cell_id", "sim6")
+            .collect()
+        )
+
+    assert stored() == full_assign()
+
+    # retraction page: equality-delete a slice, refresh folds it
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 9 == 2).select("vec_id"), "vec_id"
+    )
+    idx.refresh()
+    assert stored() == full_assign()
+    assert idx.assignments.read().filter("vec_id % 9 = 2 AND vec_id < 1000000").count() == 0

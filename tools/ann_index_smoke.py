@@ -59,11 +59,13 @@ def synth(spark, n, start=0):
     )
 
 
-def run_one(spark, root, n, delta, ncells):
+def run_one(spark, root, n, delta, ncells, scorer="flat"):
     shutil.rmtree(root, ignore_errors=True)
     src = VersionedTable(spark, os.path.join(root, "source"))
     src.commit_append(synth(spark, n).repartition(32))
-    idx = AnnIndex(spark, os.path.join(root, "index"), src, ncells=ncells)
+    idx = AnnIndex(
+        spark, os.path.join(root, "index"), src, ncells=ncells, scorer=scorer
+    )
     t0 = time.monotonic()
     idx.build()
     t_build = time.monotonic() - t0
@@ -164,11 +166,14 @@ def main():
         }))
         shutil.rmtree(root, ignore_errors=True)
         return
-    small = run_one(spark, os.path.join(root, "s"), n, delta, ncells_small)
-    big = run_one(spark, os.path.join(root, "b"), n * scale, delta, ncells_small)
+    scorer = "ivf2" if "--scorer=ivf2" in sys.argv else "flat"
+    small = run_one(spark, os.path.join(root, "s"), n, delta, ncells_small,
+                    scorer=scorer)
+    big = run_one(spark, os.path.join(root, "b"), n * scale, delta,
+                  ncells_small, scorer=scorer)
     ratio = round(big["refresh_s"] / max(small["refresh_s"], 1e-9), 2)
     print(json.dumps({
-        "scale": scale, "delta": delta, "flat_c": flat_c,
+        "scale": scale, "delta": delta, "flat_c": flat_c, "scorer": scorer,
         "small": small, "big": big,
         "refresh_ratio": ratio,
         "corpus_proportional_would_be": float(scale),

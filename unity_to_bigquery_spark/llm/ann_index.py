@@ -45,10 +45,17 @@ composes the engine's existing pieces to do exactly that:
   across it.
 
 Scale notes (100 TB):
-- C = √N cells by default: assignment is O(N·√C·dim) position-join
-  rows (see ``ivf_best_cells``); at 1e9+ vectors swap the scorer for
-  the two-level descent (``ivf2_topk``'s) — the storage/refresh/serve
-  protocol here is scorer-agnostic.
+- C = √N cells by default: flat assignment is O(N·√C·dim)
+  position-join rows (see ``ivf_best_cells``); at 1e9+ vectors pass
+  ``scorer="ivf2"`` (round 8, VERDICT r7 #3) — assignment and query
+  probing then DESCEND a stored two-level structure (√C coarse
+  centroids over the fine centroids, the fine→coarse map denormalized
+  into the centroids table) for O(√C) per-vector work. The
+  storage/refresh/serve protocol is scorer-agnostic: same tables, same
+  CDC refresh (retractions included), and index-served ivf2 ≡ the
+  in-query ``ivf2_topk`` exactly under equal training (measured: the
+  10×-corpus refresh GROWTH drops 2.38×→1.80× = √(C ratio);
+  BASELINE §ann-index).
 - Serving reads ≈ nprobe/C of the corpus thanks to cell-clustered
   files; the per-query-batch driver work is one centroid-table probe
   (centroid-sized) and one bounded cell-id collect.
@@ -77,8 +84,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from unity_to_bigquery_spark.llm.similarity import (
     cosine6,
+    ivf2_descend,
+    ivf2_fine_vecs,
+    ivf2_train,
     ivf_best_cells,
-    ivf_search,
+    ivf_rank_candidates,
     kmeans_centroids,
     pq_adc_search,
     pq_codebooks,
@@ -125,13 +135,27 @@ class AnnIndex:
         seed: int = 7,
         meta_cols: tuple = (),
         auto_compact: bool = True,
+        scorer: str = "flat",
+        wprobe: int = 3,
     ):
+        if scorer not in ("flat", "ivf2"):
+            raise ValueError(f"scorer must be 'flat' or 'ivf2', got {scorer!r}")
         self.spark = spark
         self.source = source
         self.id_col = id_col
         self.vec_col = vec_col
         self.ncells = ncells
         self.seed = seed
+        # scorer="ivf2" (round 8, VERDICT r7 #3): assignment and query
+        # probing DESCEND a stored two-level structure — √C coarse
+        # centroids over the fine centroids — so per-vector scoring is
+        # O(C₂ + wprobe·C/C₂) = O(√C) instead of O(C), the 1e9+-vector
+        # regime the module docstring promises. Storage/refresh/serve
+        # protocol is unchanged (scorer-agnostic); the fine→coarse map
+        # is denormalized into the centroids table and the coarse
+        # centroids live in a third (broadcast-sized) VersionedTable.
+        self.scorer = scorer
+        self.wprobe = wprobe
         # threshold auto-OPTIMIZE after refresh (VERDICT r7 #4):
         # refreshes accrue ~1 file per touched cell per page and one
         # merge-on-read delete entry per retraction page — the policy
@@ -153,6 +177,7 @@ class AnnIndex:
             partition_col="cell_id",
             distinct_index_cols=("cell_id",),
         )
+        self.coarse = VersionedTable(spark, os.path.join(root, "coarse"))
 
     # ---- bookkeeping -------------------------------------------------
     def indexed_version(self) -> int:
@@ -168,8 +193,40 @@ class AnnIndex:
             F.col("centroid").alias(self.vec_col),
         )
 
-    def _assignment_rows(self, vecs: DataFrame, cents: DataFrame, v: int) -> DataFrame:
-        best = ivf_best_cells(vecs, cents, self.id_col, self.vec_col, nassign=1)
+    def _scorer_state(self) -> dict:
+        """The stored centroid structures the assignment scorer reads —
+        resolved ONCE per refresh/serve (flat: the fine centroid frame;
+        ivf2: + coarse centroids and the fine→coarse broadcast map)."""
+        st = {"cents": self.centroid_frame()}
+        if self.scorer == "ivf2":
+            st["coarse"] = self.coarse.read().select(
+                "coarse_id", F.col("centroid").alias(self.vec_col)
+            )
+            fine = self.centroids.read().select(
+                F.col("cell_id").alias("fine_id"),
+                F.col("centroid").alias(self.vec_col),
+            )
+            f2c = self.centroids.read().select(
+                F.col("cell_id").alias("fine_id"), "coarse_id"
+            )
+            st["fine_vecs"] = ivf2_fine_vecs(fine, f2c, self.vec_col)
+        return st
+
+    def _best_cells(self, vecs: DataFrame, st: dict) -> DataFrame:
+        """(id, cell_id, sim6) under the configured scorer: flat O(C)
+        position-join or the O(√C) two-level descent — the ONLY point
+        where the scorers diverge; storage/refresh/serve are agnostic."""
+        if self.scorer == "flat":
+            return ivf_best_cells(
+                vecs, st["cents"], self.id_col, self.vec_col, nassign=1
+            )
+        return ivf2_descend(
+            vecs, st["coarse"], st["fine_vecs"], self.wprobe, 1,
+            self.id_col, self.vec_col,
+        ).select(self.id_col, "cell_id", "sim6")
+
+    def _assignment_rows(self, vecs: DataFrame, st: dict, v: int) -> DataFrame:
+        best = self._best_cells(vecs, st)
         return (
             vecs.select(self.id_col, self.vec_col, *self.meta_cols)
             .join(best, on=self.id_col)
@@ -196,18 +253,36 @@ class AnnIndex:
             raise ValueError("AnnIndex.build: source table is empty")
         snap = self.source.read(v)
         n = snap.count()
-        ncells = self.ncells or max(16, int(n**0.5))
-        cents = kmeans_centroids(
-            snap, ncells, id_col=self.id_col, vec_col=self.vec_col,
-            seed=self.seed, corpus_count=n,
-        )
-        self.centroids.commit_overwrite(
-            cents.select(
-                F.col(self.id_col).alias("cell_id"),
-                F.col(self.vec_col).alias("centroid"),
+        if self.scorer == "ivf2":
+            fine, coarse, f2c = ivf2_train(
+                snap, ncells=self.ncells, id_col=self.id_col,
+                vec_col=self.vec_col, seed=self.seed, corpus_count=n,
             )
-        )
-        rows = self._assignment_rows(snap, cents, v)
+            self.centroids.commit_overwrite(
+                fine.join(F.broadcast(f2c), "fine_id").select(
+                    F.col("fine_id").alias("cell_id"),
+                    F.col(self.vec_col).alias("centroid"),
+                    F.col("coarse_id"),
+                )
+            )
+            self.coarse.commit_overwrite(
+                coarse.select(
+                    "coarse_id", F.col(self.vec_col).alias("centroid")
+                )
+            )
+        else:
+            ncells = self.ncells or max(16, int(n**0.5))
+            cents = kmeans_centroids(
+                snap, ncells, id_col=self.id_col, vec_col=self.vec_col,
+                seed=self.seed, corpus_count=n,
+            )
+            self.centroids.commit_overwrite(
+                cents.select(
+                    F.col(self.id_col).alias("cell_id"),
+                    F.col(self.vec_col).alias("centroid"),
+                )
+            )
+        rows = self._assignment_rows(snap, self._scorer_state(), v)
         if self.indexed_version() >= v:
             # retrain at an already-indexed version: force the rewrite —
             # the bookmark is already correct and carries forward
@@ -243,12 +318,12 @@ class AnnIndex:
         if last == 0:
             raise ValueError("AnnIndex.refresh: build() the index first")
         now = self.source.latest_version()
-        cents = self.centroid_frame()
+        st = self._scorer_state()
         while last < now:
             upto = min(last + page, now)
             if self.source.window_is_append_only(last, upto):
                 delta = self.source.changes(last, upto)
-                rows = self._assignment_rows(delta, cents, upto)
+                rows = self._assignment_rows(delta, st, upto)
                 self.assignments.merge_upsert(rows, self.id_col, txn=(_APP, upto))
             else:
                 final = self.source.changes_final_state(
@@ -260,7 +335,7 @@ class AnnIndex:
                 rows = (
                     _empty_like(self.spark, self.assignments)
                     if ups.isEmpty()  # pure-delete page: nothing to assign
-                    else self._assignment_rows(ups, cents, upto)
+                    else self._assignment_rows(ups, st, upto)
                 )
                 self.assignments.commit_replace_keys(
                     rows, final.select(self.id_col), self.id_col,
@@ -292,34 +367,54 @@ class AnnIndex:
         only. Selective predicates thin the candidate pool per cell,
         so raise ``nprobe`` accordingly (the recall/selectivity
         trade-off is the operator's, not hidden)."""
-        cents = self.centroid_frame()
-        q = queries.select(
-            F.col(self.id_col).alias(query_id), F.col(self.vec_col).alias("__qvec")
-        )
-        c = cents.select(
-            F.col(self.id_col).alias("cell_id"), F.col(self.vec_col).alias("__cvec")
-        )
-        qcells = q.crossJoin(F.broadcast(c)).withColumn(
-            "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
-        )
-        wq = Window.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        st = self._scorer_state()
+        if self.scorer == "ivf2":
+            # queries DESCEND the stored two-level structure — O(√C)
+            # probe planning, same plan as the in-query ivf2_topk
+            probed = ivf2_descend(
+                queries, st["coarse"], st["fine_vecs"], self.wprobe, nprobe,
+                self.id_col, self.vec_col,
+            ).select(
+                F.col(self.id_col).alias(query_id),
+                F.col(self.vec_col).alias("__qvec"),
+                "cell_id",
+            )
+        else:
+            cents = st["cents"]
+            q = queries.select(
+                F.col(self.id_col).alias(query_id),
+                F.col(self.vec_col).alias("__qvec"),
+            )
+            c = cents.select(
+                F.col(self.id_col).alias("cell_id"),
+                F.col(self.vec_col).alias("__cvec"),
+            )
+            qcells = q.crossJoin(F.broadcast(c)).withColumn(
+                "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
+            )
+            wq = Window.partitionBy(query_id).orderBy(
+                F.desc("__sim"), F.asc("cell_id")
+            )
+            probed = (
+                qcells.withColumn("__rn", F.row_number().over(wq))
+                .filter(F.col("__rn") <= nprobe)
+                .select(query_id, "__qvec", "cell_id")
+            )
+        probed = probed.persist()  # planned once: cell-id collect + rank join
         probed_ids = [
             r.cell_id
-            for r in qcells.withColumn("__rn", F.row_number().over(wq))
-            .filter(F.col("__rn") <= nprobe)
-            .select("cell_id")
-            .distinct()
-            .collect()  # bounded: <= |Q| * nprobe cell ids
+            for r in probed.select("cell_id").distinct().collect()
+            # bounded: <= |Q| * nprobe cell ids
         ]
         assigned = self.assignments.read_pruned_eq("cell_id", probed_ids).select(
             self.id_col, self.vec_col, "cell_id", *self.meta_cols
         )
         if where is not None:
             assigned = assigned.filter(F.expr(where))
-        return ivf_search(
-            assigned, queries, cents, k=k, nprobe=nprobe,
-            id_col=self.id_col, vec_col=self.vec_col, query_id=query_id,
+        out = ivf_rank_candidates(
+            assigned, probed, k, self.id_col, self.vec_col, query_id
         )
+        return out
 
     # ---- maintenance -----------------------------------------------------
     def compact(self) -> None:

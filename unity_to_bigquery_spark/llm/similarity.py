@@ -216,6 +216,23 @@ def ivf_search(
         .filter(F.col("__rn") <= nprobe)
         .select(query_id, "__qvec", "cell_id")
     )
+    return ivf_rank_candidates(assigned, probed, k, id_col, vec_col, query_id)
+
+
+def ivf_rank_candidates(
+    assigned: DataFrame,
+    probed: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The RANKING tail every IVF variant shares (flat probe, two-level
+    descent probe, persisted-index probe): join the broadcast probe set
+    (query_id, __qvec, cell_id) against the assigned corpus, exact
+    cosine within probed cells, total-order rank (cos6 DESC, id ASC).
+    Factoring it out is what keeps the index-vs-in-query differentials
+    exact identities."""
     cand = assigned.join(F.broadcast(probed), on="cell_id").filter(
         F.col(id_col) != F.col(query_id)
     )
@@ -532,8 +549,37 @@ def ivf2_topk(
     knob that buys it back (wprobe=4 recovers ~4 more points for
     +C/C₂ fine-scoring work per vector).
     """
-    n = corpus.count()
-    ncells = max(16, int(n**0.5))
+    fine, coarse, f2c = ivf2_train(
+        corpus, ncells=None, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    fine_vecs = ivf2_fine_vecs(fine, f2c, vec_col)
+    assigned = ivf2_descend(
+        corpus, coarse, fine_vecs, wprobe, 1, id_col, vec_col
+    ).drop("sim6")
+    probed = ivf2_descend(
+        queries, coarse, fine_vecs, wprobe, nprobe, id_col, vec_col
+    ).select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), "cell_id"
+    )
+    return ivf_rank_candidates(assigned, probed, k, id_col, vec_col, query_id)
+
+
+def ivf2_train(
+    corpus: DataFrame,
+    ncells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    corpus_count: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The two-level training shared by :func:`ivf2_topk` and
+    ``AnnIndex(scorer='ivf2')``: C = √N fine centroids over the corpus,
+    C₂ = √C coarse centroids over the FINE CENTROIDS (centroid-sized
+    training), and the exact fine→coarse argmax map. Returns
+    (fine[fine_id, vec], coarse[coarse_id, vec], f2c[fine_id,
+    coarse_id]) — all broadcast-sized."""
+    n = corpus_count if corpus_count is not None else corpus.count()
+    ncells = ncells or max(16, int(n**0.5))
     fine = kmeans_centroids(
         corpus, ncells, id_col=id_col, vec_col=vec_col, seed=seed, corpus_count=n
     ).withColumnRenamed(id_col, "fine_id")
@@ -546,8 +592,6 @@ def ivf2_topk(
         seed=seed + 1,
         corpus_count=ncells,
     ).withColumnRenamed(id_col, "coarse_id")
-
-    # fine centroid -> its coarse cell (C rows; exact argmax)
     f2c = (
         ivf_assign(
             fine.withColumnRenamed("fine_id", id_col),
@@ -558,42 +602,50 @@ def ivf2_topk(
         )
         .select(F.col(id_col).alias("fine_id"), F.col("cell_id").alias("coarse_id"))
     )
-    fine_vecs = fine.select(
-        "fine_id", F.col(vec_col).alias("__fvec")
-    ).join(F.broadcast(f2c), "fine_id")
+    return fine, coarse, f2c
 
-    def descend(df, out_cell: str, width: int, probe_fine: int):
-        """top-`width` coarse cells via position-join, then the best
-        `probe_fine` fine cells among their members."""
-        c_top = ivf_assign(
-            df,
-            coarse.withColumnRenamed("coarse_id", id_col),
-            id_col,
-            vec_col,
-            nassign=width,
-        ).select(id_col, vec_col, F.col("cell_id").alias("coarse_id"))
-        cand = c_top.join(F.broadcast(fine_vecs), "coarse_id")
-        scored = cand.withColumn("__sim", cosine6(F.col(vec_col), F.col("__fvec")))
-        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("fine_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= probe_fine)
-            .select(id_col, vec_col, F.col("fine_id").alias(out_cell))
-        )
 
-    assigned = descend(corpus, "cell_id", wprobe, 1)
-    probed = descend(queries, "cell_id", wprobe, nprobe).select(
-        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec"), "cell_id"
+def ivf2_fine_vecs(fine: DataFrame, f2c: DataFrame, vec_col: str) -> DataFrame:
+    """fine centroids keyed by their coarse cell — the broadcast side
+    of every descent step."""
+    return fine.select("fine_id", F.col(vec_col).alias("__fvec")).join(
+        F.broadcast(f2c), "fine_id"
     )
-    cand = assigned.join(F.broadcast(probed), on="cell_id").filter(
-        F.col(id_col) != F.col(query_id)
-    )
-    scored = cand.withColumn("cos6", cosine6(F.col(vec_col), F.col("__qvec")))
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(id_col))
+
+
+def ivf2_descend(
+    df: DataFrame,
+    coarse: DataFrame,
+    fine_vecs: DataFrame,
+    width: int,
+    probe_fine: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One two-level descent (shared verbatim by the in-query ivf2 and
+    the persisted ivf2-scored index): top-``width`` coarse cells via
+    the codegen position-join, then the best ``probe_fine`` fine cells
+    among their members — per-row work O(C₂ + width·C/C₂) = O(√C)
+    instead of O(C). Returns (id, vec, cell_id, sim6) with sim6 the
+    cosine to the chosen fine centroid (the drift-accounting number a
+    persisted index stores)."""
+    c_top = ivf_assign(
+        df,
+        coarse.withColumnRenamed("coarse_id", id_col),
+        id_col,
+        vec_col,
+        nassign=width,
+    ).select(id_col, vec_col, F.col("cell_id").alias("coarse_id"))
+    cand = c_top.join(F.broadcast(fine_vecs), "coarse_id")
+    scored = cand.withColumn("__sim", cosine6(F.col(vec_col), F.col("__fvec")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("fine_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, id_col, "cos6", "rank")
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probe_fine)
+        .select(
+            id_col, vec_col, F.col("fine_id").alias("cell_id"),
+            F.col("__sim").alias("sim6"),
+        )
     )
 
 
