@@ -75,3 +75,40 @@ def replicated_salt_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return lsalted.join(rreplicated, on=[key, _SALT], how=how).drop(_SALT)
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """EXACT top-k per key with the per-key window spread over
+    ``n_salt`` reducers — the politeness-quota / hot-key form of the
+    two-phase trick (a crawl frontier where one host owns half the
+    URLs funnels a plain ``Window.partitionBy(host)`` into one task).
+
+    Phase 1 ranks within (keys, salt): every reducer sees only its
+    salt slice of the hot key and keeps ≤ k rows. Phase 2 ranks the
+    ≤ k·n_salt survivors per key — a bounded set regardless of how hot
+    the key is. Exact because the global top-k of a union is contained
+    in the union of per-slice top-ks. ``order_cols`` must be a unique
+    total order (CLAUDE.md rule 7) or ranks are nondeterministic.
+    Output = input columns + ``rk`` (1-based rank within the key).
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn(_SALT, _det_salt(F.col(salt_col), n_salt))
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", _SALT)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )

@@ -5974,3 +5974,109 @@ def sim_index_retraction_topk(spark, sf_dir):
     idx.refresh(max_commits=1)  # one page per commit: pos, eq, merge
     queries = emb.filter(F.col("vec_id").between(5, 9))
     return idx.topk(queries, k=5, nprobe=8)
+
+
+@query(
+    "p_crawl_frontier_skew",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars % 6 + 4 AS nu,
+             CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 + 1 END AS h
+      FROM documents
+    ), urls AS (
+      SELECT h, 'http://h' || CAST(h AS VARCHAR) || '.example/p/' ||
+             CAST(doc_id AS VARCHAR) || '/' || CAST(u.u AS VARCHAR) AS url
+      FROM d JOIN (SELECT unnest(generate_series(0, 9)) AS u) u ON u.u < d.nu
+    ), stats AS (
+      SELECT h, COUNT(*) AS n_urls FROM urls GROUP BY h
+    ), tot AS (SELECT SUM(n_urls) AS t FROM stats),
+    ranked AS (
+      SELECT h, url, ROW_NUMBER() OVER (PARTITION BY h ORDER BY url) AS rk
+      FROM urls
+    )
+    SELECT 'h' || CAST(s.h AS VARCHAR) || '.example' AS host,
+           CAST(s.n_urls AS BIGINT) AS n_urls,
+           CAST(s.n_urls * 1000000 // t.t AS BIGINT) AS share_fp6,
+           CAST(COUNT(CASE WHEN r.rk <= 5 THEN 1 END) AS BIGINT) AS n_admitted,
+           MIN(CASE WHEN r.rk <= 5 THEN r.url END) AS first_admitted,
+           MAX(CASE WHEN r.rk <= 5 THEN r.url END) AS last_admitted
+    FROM stats s CROSS JOIN tot t JOIN ranked r ON r.h = s.h
+    GROUP BY s.h, s.n_urls, t.t
+    """,
+    doc=(
+        "HOST-SKEW-GUARDED crawl frontier (VERDICT r7 #7): a planted "
+        "power-law frontier where ONE host owns ~50% of all URLs — the "
+        "shape every real crawl has and the shape that funnels a plain "
+        "groupBy(host) / Window.partitionBy(host) politeness quota "
+        "into one straggler task. Both skew points are salted: "
+        "per-host stats via two-phase salted_aggregate, and the "
+        "politeness quota (top-5 URLs per host, unique total order) "
+        "via salted_topk_per_key — per-(host,salt) local top-k bounds "
+        "every reducer at its salt slice, the global re-rank sees <= "
+        "k*n_salt survivors per host (EXACT: global top-k of a union "
+        "is contained in the union of per-slice top-ks). The output "
+        "carries the LSH-bucket-style loud-occupancy columns (n_urls, "
+        "share_fp6) so a saturating host is visible in the result, "
+        "not discovered at the straggler. Oracle recomputes stats + "
+        "quota with a plain window; the salted plan must match it "
+        "bit-for-bit."
+    ),
+    tags=("llm", "pipeline", "skew", "window"),
+)
+def p_crawl_frontier_skew(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.skew import (
+        salted_aggregate,
+        salted_topk_per_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # toy single-file table: spread the explode fan-out (CLAUDE.md #5)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    urls = (
+        docs.select(
+            "doc_id",
+            (F.col("n_chars") % 6 + 4).alias("nu"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("doc_id") % 7 + 1)
+            .alias("h"),
+        )
+        .select(
+            "doc_id", "h",
+            F.explode(F.sequence(F.lit(0), F.col("nu") - 1)).alias("u"),
+        )
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example"))
+            .alias("host"),
+            F.concat(
+                F.lit("http://h"), F.col("h").cast("string"),
+                F.lit(".example/p/"), F.col("doc_id").cast("string"),
+                F.lit("/"), F.col("u").cast("string"),
+            ).alias("url"),
+        )
+    )
+    stats = salted_aggregate(urls, ["host"], {}, salt_col="url").select(
+        "host", F.col("n").alias("n_urls")
+    )
+    total = stats.agg(F.sum("n_urls").alias("__total"))
+    admitted = salted_topk_per_key(
+        urls, ["host"], [F.asc("url")], k=5, salt_col="url"
+    )
+    adm = admitted.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_admitted"),
+        F.min("url").alias("first_admitted"),
+        F.max("url").alias("last_admitted"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_fp6",
+            F.expr("CAST(n_urls * 1000000 DIV __total AS BIGINT)"),
+        )
+        .drop("__total")
+        .join(F.broadcast(adm), "host")
+        .select(
+            "host",
+            F.col("n_urls").cast("long"),
+            "share_fp6", "n_admitted", "first_admitted", "last_admitted",
+        )
+    )
