@@ -6080,3 +6080,91 @@ def p_crawl_frontier_skew(spark, sf_dir):
             "share_fp6", "n_admitted", "first_admitted", "last_admitted",
         )
     )
+
+
+@query(
+    "p_crawl_corpus_streamed",
+    oracle="""
+    WITH gg AS (
+      SELECT doc_id % 40 AS g, COUNT(*) AS copies
+      FROM documents GROUP BY doc_id % 40
+    ), d AS (
+      SELECT g, copies,
+             g % 4 + 2 AS np,
+             (100 + g) % 5 + 3 AS nw,
+             g % 3 + 1 AS nl
+      FROM gg
+    ), w AS (
+      SELECT d.g,
+             SUM(1 + LENGTH(CAST((31*d.g + 7*p.p + i.i) % 100 AS VARCHAR)))
+               + COUNT(*) - COUNT(DISTINCT p.p) AS para_chars
+      FROM d
+      JOIN (SELECT unnest(generate_series(0, 4)) AS p) p ON p.p < d.np
+      JOIN (SELECT unnest(generate_series(0, 7)) AS i) i ON i.i < d.nw
+      GROUP BY d.g
+    )
+    SELECT 'Doc ' || CAST(d.g AS VARCHAR) AS title,
+           CAST(d.copies AS BIGINT) AS n_copies,
+           CAST(w.para_chars + 5 + 5*d.nl + 4 + d.np + d.nl AS BIGINT)
+             AS n_text_chars,
+           CAST(d.np*d.nw + 2 + d.nl AS BIGINT) AS n_words,
+           CAST(d.nl AS INTEGER) AS n_links,
+           'site' || CAST(d.g % 4 AS VARCHAR) || '.example' AS site
+    FROM d JOIN w USING (g)
+    """,
+    doc=(
+        "STREAMING crawl→corpus composition, hash-oracled (VERDICT r7 "
+        "#6): the same WARC landing zone as p_crawl_corpus, consumed "
+        "through the STREAMING source into one checkpointed "
+        "foreachBatch pipeline (streaming/stream.crawl_corpus_sink) — "
+        "extract via the real WHATWG tokenizer, append the occurrence "
+        "log, dedup-against-corpus admission by content key, "
+        "exactly-once corpus commits (txn protocol), gram-index "
+        "maintenance over the admitted markup — then served via "
+        "crawl_corpus_report. The ORACLE is p_crawl_corpus's closed "
+        "form verbatim: the drained, deduped, serve-time-aggregated "
+        "state must reproduce the batch capstone's hash exactly "
+        "(drain ≡ batch; the crash-resume/replay exactly-once "
+        "differential lives in tests/test_streaming.py)."
+    ),
+    tags=("llm", "pipeline", "streaming", "source", "versioned"),
+)
+def p_crawl_corpus_streamed(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.warc import (
+        register_warc_source,
+        write_html_warc_landing,
+    )
+    from unity_to_bigquery_spark.streaming.stream import (
+        crawl_corpus_report,
+        crawl_corpus_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [(r.doc_id, r.n_chars) for r in docs.select("doc_id", "n_chars").collect()]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"crawl_corpus_streamed_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    write_html_warc_landing(pairs, landing, n_files=8)
+    register_warc_source(spark)
+    pages = VersionedTable(spark, os.path.join(root, "pages"))
+    corpus = VersionedTable(spark, os.path.join(root, "corpus"))
+    (
+        spark.readStream.format("warc")
+        .option("path", landing)
+        .load()
+        .writeStream.foreachBatch(crawl_corpus_sink(pages, corpus, "crawl"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return crawl_corpus_report(pages, corpus)

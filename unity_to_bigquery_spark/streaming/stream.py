@@ -662,3 +662,142 @@ def ann_index_ingest_sink(index, app_id: str):
             index.refresh()
 
     return write_batch
+
+
+CRAWL_PAGE_DDL = (
+    "content_key STRING, title STRING, n_text_chars BIGINT, "
+    "n_words BIGINT, n_links INT, site STRING"
+)
+CRAWL_CORPUS_DDL = (
+    "doc_id BIGINT, content_key STRING, title STRING, text STRING, "
+    "n_chars BIGINT, n_text_chars BIGINT, n_words BIGINT, n_links INT, "
+    "site STRING"
+)
+
+
+def _crawl_extract(records: DataFrame) -> DataFrame:
+    """WARC response records → one row per page occurrence through the
+    real WHATWG tokenizer (llm/html.extract_html), plus the content
+    identity key (md5 of the raw body) and the raw markup retained for
+    downstream index maintenance. One Arrow stage; shared by the
+    streaming sink and its batch differential twin."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from unity_to_bigquery_spark.llm.html import extract_html
+
+        for pdf in it:
+            rows = []
+            for body in pdf["body"]:
+                raw = bytes(body)
+                html = raw.decode("utf-8")
+                m = extract_html(html)
+                digest = hashlib.md5(raw).digest()
+                rows.append(
+                    (
+                        digest.hex(),
+                        int.from_bytes(digest[:8], "big") % (1 << 62),
+                        m["title"], html, len(html), m["n_text_chars"],
+                        m["n_words"], m["n_links"], m["first_link_host"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_key", "doc_id", "title", "text", "n_chars",
+                    "n_text_chars", "n_words", "n_links", "site",
+                ],
+            )
+
+    return records.filter(F.col("warc_type") == "response").select(
+        "body"
+    ).mapInPandas(
+        batches,
+        "content_key STRING, doc_id BIGINT, title STRING, text STRING, "
+        "n_chars BIGINT, n_text_chars BIGINT, n_words BIGINT, "
+        "n_links INT, site STRING",
+    )
+
+
+def crawl_corpus_sink(pages, corpus, app_id: str, index=None):
+    """foreachBatch for the STREAMING crawl→corpus pipeline (VERDICT
+    r7 #6) — the composition of the streaming WARC source, the HTML
+    extractor, dedup-against-corpus admission, exactly-once corpus
+    commits, and derived-index maintenance, in ONE checkpointed query:
+
+        WARC stream → extract (real tokenizer, one Arrow stage)
+                    → append the occurrence log (``pages``)
+                    → anti-join ADMISSION against the corpus state
+                      (only content keys never seen before land)
+                    → commit admitted pages to ``corpus``
+                    → ``index.refresh()`` (any build/refresh/
+                      indexed_version/source-contract index whose
+                      source IS the corpus — e.g. GramIndex for
+                      exact-substring dedup state over the markup)
+
+    Exactly-once across replays and crashes: both table commits carry
+    ``txn=(app_id(+suffix), batch_id)``; a micro-batch replayed after
+    a crash anywhere between the two commits, the index refresh, and
+    the checkpoint advance re-runs every step as a no-op (the
+    admission anti-join recomputes the same admitted set because the
+    corpus state it reads is exactly what the crashed attempt left).
+    Commit order is pages-then-corpus so the occurrence log is never
+    behind the corpus it explains.
+
+    Scale: extraction is ∝ batch bytes; the admission anti-join
+    shuffles the BATCH's distinct keys against the corpus key column
+    (column-pruned scan); nothing rescans corpus content. Serve the
+    batch-equivalent report with :func:`crawl_corpus_report`."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ext = _crawl_extract(batch_df).persist()
+        try:
+            occurrences = ext.select(
+                "content_key", "title", "n_text_chars", "n_words",
+                "n_links", "site",
+            )
+            pages.commit_append(occurrences, txn=(app_id + ".pages", batch_id))
+            cand = ext.select(
+                "doc_id", "content_key", "title", "text", "n_chars",
+                "n_text_chars", "n_words", "n_links", "site",
+            ).dropDuplicates(["content_key"])
+            if corpus.latest_version() == 0:  # never written: all admit
+                admitted = cand
+            else:
+                seen = corpus.read().select("content_key")
+                admitted = cand.join(seen, "content_key", "left_anti")
+            admitted = admitted.select(
+                "doc_id", "content_key", "title", "text", "n_chars",
+                "n_text_chars", "n_words", "n_links", "site",
+            )
+            # all-duplicate batches commit nothing; replay-safe because
+            # the admission recomputation is deterministic (the txn map
+            # tolerates gaps — its check is >=, not ==)
+            if not admitted.isEmpty():
+                corpus.commit_append(
+                    admitted, txn=(app_id + ".corpus", batch_id)
+                )
+        finally:
+            ext.unpersist()
+        if index is not None:
+            if index.indexed_version() == 0:
+                index.build()
+            else:
+                index.refresh()
+
+    return write_batch
+
+
+def crawl_corpus_report(pages, corpus) -> DataFrame:
+    """The corpus-side report (title, n_copies, n_text_chars, n_words,
+    n_links, site) from the streamed state — serve-time aggregation
+    over the occurrence log joined to the deduped corpus, the same
+    output contract as the batch ``p_crawl_corpus`` capstone (the
+    drain≡batch differential in tests/test_streaming.py)."""
+    counts = pages.read().groupBy("content_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return corpus.read().join(counts, "content_key").select(
+        "title", "n_copies", "n_text_chars", "n_words", "n_links", "site"
+    )
