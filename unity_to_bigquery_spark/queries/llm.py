@@ -6168,3 +6168,70 @@ def p_crawl_corpus_streamed(spark, sf_dir):
         .awaitTermination()
     )
     return crawl_corpus_report(pages, corpus)
+
+
+@query(
+    "sim_index_ivf2_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id BETWEEN 5 AND 9
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       s -> s[1]::DOUBLE * s[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos6, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "TWO-LEVEL-scored persisted ANN index, HASH-ORACLED (round 8, "
+        "VERDICT r7 #3): AnnIndex(scorer='ivf2') — assignment and "
+        "query probing DESCEND √C coarse centroids over the fine "
+        "centroids (O(√C) per-vector scoring, the 1e9+-vector regime) "
+        "stored across three VersionedTables (coarse centroids, fine "
+        "centroids with the denormalized fine→coarse map, "
+        "cell-partitioned assignments). 90% built + 10% CDC-refreshed, "
+        "then served with wprobe=C₂ and nprobe=C so the descent probes "
+        "EVERY cell and the index path degenerates to exact cosine "
+        "top-k — a wrong coarse map, a mis-descended assignment, or a "
+        "stale refresh row all flip the oracle hash. (Approximate "
+        "operating points are recall-property-tested via ivf2_topk; "
+        "the serve identity index≡in-query is pinned in "
+        "tests/test_ann_index.py.)"
+    ),
+    tags=("llm", "similarity", "ann", "index", "versioned"),
+)
+def sim_index_ivf2_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"ann_index_ivf2_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = AnnIndex(
+        spark, os.path.join(root, "index"), src,
+        ncells=16, scorer="ivf2", wprobe=4,  # wprobe == C2 = sqrt(16)
+    )
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+    queries = emb.filter(F.col("vec_id").between(5, 9))
+    return idx.topk(queries, k=5, nprobe=16)
