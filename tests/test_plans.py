@@ -117,6 +117,7 @@ BNLJ_ALLOWED = {
     # query-batch × centroid-table crossJoin as sim_ivf_topk
     "sim_index_topk",
     "sim_index_filtered_topk",
+    "sim_index_retraction_topk",
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it
     "e_dau_wau",
@@ -128,6 +129,9 @@ BNLJ_ALLOWED = {
     "t_collocations_lift",
     # two 1-row sketch relations crossed for set-algebra estimates
     "e_theta_audience_overlap",
+    # 1-row total-URL-count scalar crossed onto the per-host stats for
+    # the loud-occupancy share column
+    "p_crawl_frontier_skew",
     # 9-row (3x3 neighborhood offsets) broadcast crossed onto the
     # build side of the grid near-join; the candidate join itself is
     # an equi-join on the cell key
@@ -148,6 +152,7 @@ BNLJ_SCALAR_PROOF = {
     "p_domain_mixture",
     "t_collocations_lift",
     "e_theta_audience_overlap",
+    "p_crawl_frontier_skew",
 }
 
 
