@@ -76,9 +76,27 @@ HEADLINE = (
     "p_continuous_aggregate_with_deletes",
 )
 
+# Round-8 pins (VERDICT r7 #5): gated EXACTLY like HEADLINE (breach →
+# standalone rerun; reproduced breach fails the gate) but kept OFF the
+# stdout line — 36 inline entries would blow the 1024 B driver-capture
+# contract that bit in round 1 (BENCH_r01 parsed: null). Their sweep
+# timings live in the committed BENCH_LOCAL.json per-query dict.
+PINNED_OFF_STDOUT = (
+    "sim_index_topk",
+    "sim_index_pq_topk",
+    "p_gram_index_report",
+    "p_crawl_corpus",
+    "p_gram_index_retraction",
+    "sim_index_retraction_topk",
+    "sim_index_ivf2_topk",
+    "p_crawl_corpus_streamed",
+    "p_crawl_frontier_skew",
+)
+
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
 # took <= max(2*pin, pin + 0.75) per BASELINE.md's acceptance rule.
-# tests/test_bench_contract.py asserts PINS keys == HEADLINE.
+# tests/test_bench_contract.py asserts PINS keys == HEADLINE +
+# PINNED_OFF_STDOUT.
 PINS = {
     "q01_pricing_summary": 0.36,
     "q03_shipping_priority": 1.04,
@@ -107,6 +125,19 @@ PINS = {
     "sim_ivf2_topk": 6.39,
     "p_versioned_zorder_scan": 2.42,
     "p_continuous_aggregate_with_deletes": 7.25,
+    # round-8 pins (VERDICT r7 #5), two standalone min-of-2 draws each
+    # (BASELINE.md §round-8 re-pin): index demo queries' cost is the
+    # BUILD by design — the amortized production cost model is
+    # measured separately in BASELINE §ann-index/§gram-index
+    "sim_index_topk": 8.42,     # r7 driver recording (draws 8.27/13.9)
+    "sim_index_pq_topk": 11.09, # r7 driver recording (draws 9.6/10.8)
+    "p_gram_index_report": 13.50,
+    "p_crawl_corpus": 2.81,
+    "p_gram_index_retraction": 23.00,
+    "sim_index_retraction_topk": 12.50,
+    "sim_index_ivf2_topk": 10.70,
+    "p_crawl_corpus_streamed": 3.10,
+    "p_crawl_frontier_skew": 1.19,
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a
@@ -122,10 +153,12 @@ def gate(pin: float) -> float:
 
 
 def breaching_headlines(timings: dict[str, float]) -> list[str]:
-    """Headline queries whose sweep timing exceeds the BASELINE gate."""
+    """Pinned queries whose sweep timing exceeds the BASELINE gate —
+    the whole PINS set (stdout headliners AND the off-stdout round-8
+    pins) is gated identically."""
     return [
         n
-        for n in HEADLINE
+        for n in PINS
         if n in timings and timings[n] > gate(PINS[n])
     ]
 

@@ -46,12 +46,16 @@ def test_headline_names_are_declared():
     from unity_to_bigquery_spark.registry import all_queries
 
     registry = all_queries()
-    missing = [n for n in bench.HEADLINE if n not in registry]
-    assert not missing, f"HEADLINE references undeclared queries: {missing}"
+    missing = [
+        n
+        for n in bench.HEADLINE + bench.PINNED_OFF_STDOUT
+        if n not in registry
+    ]
+    assert not missing, f"pinned set references undeclared queries: {missing}"
 
 
 def test_pins_cover_headlines_exactly():
-    assert set(bench.PINS) == set(bench.HEADLINE)
+    assert set(bench.PINS) == set(bench.HEADLINE) | set(bench.PINNED_OFF_STDOUT)
     assert all(p > 0 for p in bench.PINS.values())
 
 
