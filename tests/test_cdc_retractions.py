@@ -469,3 +469,45 @@ def test_continuous_aggregate_pages_long_idle_catchup(spark, root, tmp_path, mon
     )
     with pytest.raises(ValueError, match="max_commits"):
         agg.refresh(max_commits=0)
+
+
+def test_continuous_aggregate_folds_positional_deletes(spark, root, tmp_path):
+    """Round 8: positional-delete commits now flow through the typed
+    change feed, so the signed ContinuousAggregate fold stays exact
+    across them — no compact-first, no rebuild."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, handle_deletes=True,
+    )
+    src.commit_append(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(24)], "id INT, g INT, x DOUBLE"
+        ).orderBy("id").coalesce(1)  # one sorted file: row_index == id
+    )
+    agg.refresh()
+    f0 = src.manifest()["files"][0]
+    # kill rows 4..9 positionally, then a later batch + another pos page
+    src.commit_delete_positions(
+        spark.createDataFrame([(f0, p) for p in range(4, 10)],
+                              "file STRING, pos BIGINT")
+    )
+    agg.refresh()
+    src.commit_append(spark.createDataFrame(
+        [(100 + i, i % 3, 0.25 * i) for i in range(9)], "id INT, g INT, x DOUBLE"
+    ))
+    src.commit_delete_positions(
+        spark.createDataFrame([(f0, 0), (f0, 23)], "file STRING, pos BIGINT")
+    )
+    agg.refresh()
+    direct = src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+    )
+    assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
