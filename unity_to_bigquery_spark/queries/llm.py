@@ -6235,3 +6235,138 @@ def sim_index_ivf2_topk(spark, sf_dir):
     idx.refresh()
     queries = emb.filter(F.col("vec_id").between(5, 9))
     return idx.topk(queries, k=5, nprobe=16)
+
+
+@query(
+    "t_markdown_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS g,
+             CAST(doc_id % 100 AS VARCHAR) AS gm,
+             n_chars % 5 + 2 AS r
+      FROM documents
+    ), t AS (
+      SELECT doc_id, r, g,
+             'Title ' || g || ' Intro with bold' || g
+               || ' and a link text ' || g || ' plus code' || g
+               || '. item one ' || g || ' item two '
+               || rtrim(repeat('tail' || gm || ' ', r)) AS txt
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS n_text_chars,
+           CAST(17 + r AS BIGINT) AS n_words,
+           CAST(1 AS INTEGER) AS n_headers,
+           CAST(1 AS INTEGER) AS n_links,
+           CAST(1 AS INTEGER) AS n_fences,
+           CAST(14 + 2 * length(g) AS BIGINT) AS n_code_chars,
+           md5(txt) AS text_md5
+    FROM t
+    """,
+    doc=(
+        "MARKDOWN text extraction, value-exact (llm/markup."
+        "extract_markdown): from-scratch CommonMark-subset scanner — "
+        "fenced code blocks (dropped from text, chars counted), ATX "
+        "headers, blockquotes, bullet/ordered lists, links/images "
+        "(text kept, URL dropped), nested emphasis peeling, inline "
+        "code (kept AND counted). The fixture doc exercises every "
+        "rule; the oracle reconstructs the extracted text closed-form "
+        "and md5-verifies it, so a single mis-stripped marker flips "
+        "the hash. One Arrow stage, stats-only shuffle."
+    ),
+    tags=("llm", "text", "markup"),
+)
+def t_markdown_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.markup import markdown_extract_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return markdown_extract_stats(docs)
+
+
+@query(
+    "t_latex_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS g,
+             CAST(doc_id % 100 AS VARCHAR) AS gm,
+             n_chars % 5 + 2 AS r
+      FROM documents
+    ), t AS (
+      SELECT doc_id, r, g,
+             'Heading ' || g || ' Plain bold ' || g
+               || ' and em text math inline and display End '
+               || repeat('word' || gm || ' ', r) || 'done' AS txt
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS n_text_chars,
+           CAST(14 + r AS BIGINT) AS n_words,
+           CAST(2 AS INTEGER) AS n_comments,
+           CAST(2 AS INTEGER) AS n_math,
+           CAST(4 + length(g) AS BIGINT) AS n_verbatim_chars,
+           md5(txt) AS text_md5
+    FROM t
+    """,
+    doc=(
+        "LaTeX (de-TeX) text extraction, value-exact (llm/markup."
+        "extract_latex): % comments, inline/display math (dropped + "
+        "counted), verbatim environments (body dropped into a char "
+        "count), text-bearing commands (\\section/\\textbf/\\emph "
+        "keep their argument), every other \\cmd[opt]{arg} dropped, "
+        "~ and group braces normalized — the arXiv-source step-zero. "
+        "Oracle reconstructs the extracted text closed-form and "
+        "md5-verifies it."
+    ),
+    tags=("llm", "text", "markup"),
+)
+def t_latex_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.markup import latex_extract_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return latex_extract_stats(docs)
+
+
+@query(
+    "m_docx_extract_verified",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS g,
+             n_chars % 3 + 2 AS np
+      FROM documents
+    ), paras AS (
+      SELECT d.doc_id, d.np, p.p,
+             'P' || CAST(p.p AS VARCHAR) || ' run A' || d.g
+               || ' B&' || d.g || '<ok>' AS ptxt
+      FROM d JOIN (SELECT unnest(generate_series(0, 4)) AS p) p
+        ON p.p < d.np
+    ), t AS (
+      SELECT doc_id, MAX(np) AS np,
+             string_agg(ptxt, ' ' ORDER BY p) AS txt
+      FROM paras GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS n_text_chars,
+           CAST(4 * np AS BIGINT) AS n_words,
+           CAST(np AS INTEGER) AS n_paragraphs,
+           CAST(2 * np AS INTEGER) AS n_runs,
+           md5(txt) AS text_md5
+    FROM t
+    """,
+    doc=(
+        "DOCX (OOXML) text extraction, value-exact (llm/markup."
+        "extract_docx): a REAL .docx container per document "
+        "(deflated zip with [Content_Types].xml + word/document.xml), "
+        "central-directory walk with CRC-checked member reads, then a "
+        "from-scratch <w:p>/<w:t> scan with XML entity decoding "
+        "(&amp;/&lt;/&gt; on the verified path — the second run of "
+        "every paragraph is escaped). Runs concatenate within a "
+        "paragraph, paragraphs join with one space; the oracle "
+        "reconstructs the text closed-form and md5-verifies it."
+    ),
+    tags=("llm", "multimodal", "markup", "source"),
+)
+def m_docx_extract_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.markup import docx_extract_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docx_extract_stats(docs)
