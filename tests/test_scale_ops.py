@@ -171,3 +171,35 @@ def test_salted_topk_per_key_exact_and_bounded(spark):
     )
     max_slice = slices.agg(F.max("count")).first()[0]
     assert max_slice <= hot["count"] / n_salt * 1.5, (max_slice, hot["count"])
+
+
+def test_profile_table_with_nulls(spark):
+    """profile_table: planted nulls/dupes across all four kinds; one
+    aggregation pass computes every cell exactly."""
+    from unity_to_bigquery_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.5, "a", "2024-01-02 03:04:05"),
+            (2, None, "b", None),
+            (2, 2.25, None, "2024-01-01 00:00:00"),
+            (None, 2.25, "a", "2024-01-02 03:04:05"),
+        ],
+        "i BIGINT, x DOUBLE, s STRING, t STRING",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    got = {
+        r.col_name: r
+        for r in profile_table(
+            df, [("i", "int"), ("x", "float"), ("s", "str"), ("t", "ts")]
+        ).collect()
+    }
+    assert (got["i"].n_rows, got["i"].n_nulls, got["i"].n_distinct) == (4, 1, 2)
+    assert (got["i"].min_repr, got["i"].max_repr, got["i"].sum6) == ("1", "2", 5)
+    assert (got["x"].n_nulls, got["x"].n_distinct) == (1, 2)
+    assert (got["x"].min_repr, got["x"].max_repr) == ("1500000", "2250000")
+    assert got["x"].sum6 == 1500000 + 2250000 * 2
+    assert (got["s"].n_nulls, got["s"].n_distinct, got["s"].sum6) == (1, 2, None)
+    assert (got["s"].min_repr, got["s"].max_repr) == ("a", "b")
+    assert got["t"].n_nulls == 1 and got["t"].n_distinct == 2
+    assert got["t"].min_repr == "2024-01-01 00:00:00"
+    assert got["t"].max_repr == "2024-01-02 03:04:05"

@@ -997,3 +997,74 @@ def p_versioned_positional_delete(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("chars_sum"),
         F.min("doc_id").cast("long").alias("min_id"),
     )
+
+
+@query(
+    "p_profile_table",
+    oracle="""
+    SELECT 'l_orderkey' AS col_name, 'int' AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_repr,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum6
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'float',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+           CAST(CAST(FLOOR(MIN(l_quantity) * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(FLOOR(MAX(l_quantity) * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(SUM(CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', 'str',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag),
+           CAST(NULL AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', 'ts',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))
+                AS BIGINT),
+           MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+           MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+           CAST(NULL AS BIGINT)
+    FROM lineitem
+    """,
+    doc=(
+        "ONE-PASS table profiling (operators/profile.profile_table — "
+        "the ANALYZE-TABLE/data-quality primitive): per-column row "
+        "count, null count, EXACT distinct count, min/max, and a "
+        "type-appropriate magnitude aggregate, for int/float/string/"
+        "timestamp columns of lineitem, computed in a SINGLE "
+        "aggregation scan (all columns' aggregates evaluate in one "
+        "whole-stage-codegen pass — N columns cost one table read). "
+        "Doubles surface 1e-6 fixed-point, timestamps as formatted "
+        "strings (rule-2 portability); the oracle recomputes every "
+        "cell per column. At 100 TB swap the exact NDV for one-pass "
+        "HLL sketches — the oracle-checkable exact form is the "
+        "correctness anchor."
+    ),
+    tags=("pipeline", "profile", "aggregate"),
+)
+def p_profile_table(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(
+        li,
+        [
+            ("l_orderkey", "int"),
+            ("l_quantity", "float"),
+            ("l_returnflag", "str"),
+            ("l_shipdate", "ts"),
+        ],
+    )
