@@ -91,6 +91,7 @@ PINNED_OFF_STDOUT = (
     "sim_index_ivf2_topk",
     "p_crawl_corpus_streamed",
     "p_crawl_frontier_skew",
+    "p_rag_retrieval",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -138,6 +139,7 @@ PINS = {
     "sim_index_ivf2_topk": 10.70,
     "p_crawl_corpus_streamed": 3.10,
     "p_crawl_frontier_skew": 1.19,
+    "p_rag_retrieval": 9.47,  # draws 9.10/9.47
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

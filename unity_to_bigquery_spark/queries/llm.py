@@ -6370,3 +6370,135 @@ def m_docx_extract_verified(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return docx_extract_stats(docs)
+
+
+@query(
+    "p_rag_retrieval",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ch AS (
+      SELECT doc_id * 1000 + i AS chunk_id,
+             array_to_string(w[(i*20+1):(i*20+20)], ' ') AS chunk
+      FROM ws,
+           UNNEST(generate_series(0, CAST(FLOOR((len(w) - 1) / 20.0) AS BIGINT))) AS t(i)
+    ), words AS (
+      SELECT chunk_id, unnest(string_split(chunk, ' ')) AS wd FROM ch
+    ), hashed AS (
+      SELECT chunk_id,
+             ('0x' || substring(md5(wd), 1, 8))::BIGINT % 16 AS dim,
+             CASE WHEN (('0x' || substring(md5(wd), 1, 8))::BIGINT // 16) % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM words
+    ), dims AS (
+      SELECT chunk_id, dim, CAST(SUM(sgn) AS BIGINT) AS v
+      FROM hashed GROUP BY chunk_id, dim
+    ), norms AS (
+      SELECT chunk_id, SUM(v * v) AS n2 FROM dims GROUP BY chunk_id
+      HAVING SUM(v * v) > 0
+    ), q AS (
+      SELECT chunk_id AS query_id, n2 AS qn2 FROM norms WHERE chunk_id < 2000
+    ), dots AS (
+      SELECT a.chunk_id AS query_id, b.chunk_id AS vec_id,
+             SUM(a.v * b.v) AS dot
+      FROM dims a JOIN dims b ON a.dim = b.dim
+      WHERE a.chunk_id < 2000
+      GROUP BY a.chunk_id, b.chunk_id
+    ), scored AS (
+      SELECT q.query_id, n.chunk_id AS vec_id,
+             CAST(FLOOR(COALESCE(d.dot, 0)
+                        / (sqrt(q.qn2) * sqrt(n.n2)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS cos6
+      FROM q JOIN norms n ON n.chunk_id <> q.query_id
+      LEFT JOIN dots d ON d.query_id = q.query_id AND d.vec_id = n.chunk_id
+    )
+    SELECT query_id, vec_id, cos6, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "RAG RETRIEVAL capstone, hash-oracled end to end: documents "
+        "are CHUNKED into 20-word windows (the d_chunk_dedup cutter), "
+        "each chunk EMBEDDED in-engine via the feature-hashing trick "
+        "(16 signed md5-derived dimensions, exact integer sums — the "
+        "t_feature_hash_embed generator), the chunk vectors land in a "
+        "versioned table (90% at build, 10% CDC-refreshed), a "
+        "persisted AnnIndex is built over them, and the chunks of the "
+        "first two documents retrieve their top-5 nearest chunks from "
+        "the STORED index. Served with nprobe == ncells, so the index "
+        "path degenerates to exact cosine and the DuckDB oracle "
+        "recomputes the entire chunk→embed→retrieve composition from "
+        "raw text — a wrong chunk boundary, hash sign, refresh row, "
+        "or probe plan flips the value hash. Zero-norm chunks are "
+        "excluded on both sides (cosine undefined)."
+    ),
+    tags=("llm", "similarity", "ann", "index", "rag", "pipeline"),
+)
+def p_rag_retrieval(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_chunks = F.floor((F.size("w") - F.lit(1)) / F.lit(20.0))
+    ch = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 20 + 1, 20)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"), "chunk"
+    )
+    words = ch.select("vec_id", F.explode(F.split("chunk", " ")).alias("wd"))
+    h = F.conv(F.substring(F.md5("wd"), 1, 8), 16, 10).cast("long")
+    dims = (
+        words.select(
+            "vec_id",
+            (h % 16).alias("dim"),
+            F.when((F.floor(h / 16) % 2) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("vec_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("v"))
+    )
+    vecs = (
+        dims.groupBy("vec_id")
+        .agg(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("dim") == i, F.col("v"))), F.lit(0)
+                    ).cast("double")
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+            F.sum(F.col("v") * F.col("v")).alias("__n2"),
+        )
+        .filter(F.col("__n2") > 0)  # zero-norm chunks: cosine undefined
+        .select("vec_id", "embedding")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"rag_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "chunks"))
+    src.commit_append(vecs.filter(F.col("vec_id") % 10 != 0))
+    idx = AnnIndex(spark, os.path.join(root, "index"), src, ncells=16)
+    idx.build()
+    src.commit_append(vecs.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+    queries = vecs.filter(F.col("vec_id") < 2000)
+    return idx.topk(queries, k=5, nprobe=16)
