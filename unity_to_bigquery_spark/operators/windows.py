@@ -48,3 +48,49 @@ def sessionize(
         session_col,
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("__new")
+
+
+def ewma_exact(
+    df,
+    key: str = "user_id",
+    order: str = "event_id",
+    value: str = "value",
+    a_num: int = 4,
+    a_den: int = 16,
+):
+    """Per-entity EXACT fixed-point EWMA — the sequential-state
+    time-series operator no window frame can express (each step
+    depends on the previous OUTPUT, not a fixed frame of inputs):
+
+        x6[i] = floor(value * 1e6 + 0.5)              (rule-2 quantize)
+        e6[0] = x6[0]
+        e6[i] = floor(((a_den - a_num)·e6[i-1] + a_num·x6[i]) / a_den)
+
+    Pure integer recurrence, so it is ORACLE-EXACT: a DuckDB recursive
+    CTE replays the state machine bit-for-bit (the rule-16 discipline
+    on relational data; floor(x / den.0) is the portable floor-division
+    — DuckDB's ``//`` truncates toward zero on negatives, Python's
+    floors). Distribution: one applyInPandas stage keyed on the
+    entity — sequential WITHIN a key (irreducible: it's a recurrence),
+    parallel ACROSS keys, which is the honest 100 TB shape for
+    per-entity state (same argument as applyInPandasWithState).
+    Returns (key, n_events, ewma6)."""
+    import pandas as pd
+
+    b = a_den - a_num
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(order)
+        e = None
+        for v in pdf[value]:
+            x6 = math.floor(v * 1000000.0 + 0.5)
+            e = x6 if e is None else (b * e + a_num * x6) // a_den
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n_events": [len(pdf)], "ewma6": [e]}
+        )
+
+    return df.select(key, order, value).groupBy(key).applyInPandas(
+        fold, f"{key} LONG, n_events LONG, ewma6 LONG"
+    )

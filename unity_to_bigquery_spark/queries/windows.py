@@ -599,3 +599,42 @@ def w_linear_interp(spark, sf_dir):
         "user_id",
         F.floor(interp * 100.0 + 0.5).cast("long").alias("interp2"),
     )
+
+
+@query(
+    "w_ewma_exact",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x6,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ), ew AS (
+      SELECT user_id, rn, x6 AS e6 FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn,
+             CAST(FLOOR((12 * ew.e6 + 4 * b.x6) / 16.0) AS BIGINT)
+      FROM ew JOIN base b ON b.user_id = ew.user_id AND b.rn = ew.rn + 1
+    ), last AS (
+      SELECT user_id, MAX(rn) AS n FROM base GROUP BY user_id
+    )
+    SELECT l.user_id, CAST(l.n AS BIGINT) AS n_events, ew.e6 AS ewma6
+    FROM last l JOIN ew ON ew.user_id = l.user_id AND ew.rn = l.n
+    """,
+    doc=(
+        "EXACT per-user EWMA over the event stream (operators/windows."
+        "ewma_exact, alpha = 4/16): the sequential-state operator no "
+        "window frame expresses — each step depends on the previous "
+        "OUTPUT — run as one applyInPandas stage (sequential within a "
+        "user, parallel across users). The recurrence is pure integer "
+        "fixed-point, so the DuckDB oracle replays the state machine "
+        "with a RECURSIVE CTE and the final per-user state must match "
+        "bit-for-bit (the codec suite's rule-16 oracle discipline "
+        "applied to relational time-series state)."
+    ),
+    tags=("window", "stateful", "udf"),
+)
+def w_ewma_exact(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.windows import ewma_exact
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_exact(events)
