@@ -7005,3 +7005,54 @@ def lz4_decompress(data: bytes, expected: int | None = None) -> bytes:
     if expected is not None and len(out) != expected:
         raise ValueError("decompressed size disagrees with expectation")
     return bytes(out)
+
+
+WAV_GOERTZEL_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, n_samples BIGINT, dc64 BIGINT, "
+    "power8 BIGINT"
+)
+
+
+def wav_goertzel_stats(media: DataFrame, nfft: int = 64, nbin: int = 8,
+                       qshift: int = 14) -> DataFrame:
+    """Single-bin GOERTZEL tone detection over decoded WAV audio — the
+    DSP primitive behind DTMF/pilot-tone detection in audio corpus
+    triage, in EXACT integer fixed point so it is oracle-replayable:
+
+        c  = round(2·cos(2π·nbin/nfft) · 2^qshift)     (compile-time)
+        s  = floor(c·s1 / 2^qshift) - s2 + x[i]        (per sample)
+        P  = s1² + s2² - floor(c·s1 / 2^qshift)·s2     (after nfft)
+
+    The divisor is a POWER OF TWO, so floor(c·s1 / 16384.0) is exact
+    in doubles (no representation error enters the recurrence) and a
+    DuckDB RECURSIVE CTE replays the state machine bit-for-bit — the
+    rule-16 oracle discipline, applied to DSP. Only the first ``nfft``
+    samples feed the filter (fixtures guarantee ≥64); ``dc64`` is the
+    plain integer sum of the same window (the 0-bin contrast).
+    Fused decode+filter mapInPandas stage; stats-only shuffle."""
+    import math
+
+    c = round(2 * math.cos(2 * math.pi * nbin / nfft) * (1 << qshift))
+    den = float(1 << qshift)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_cols = [f.split()[0] for f in WAV_GOERTZEL_SCHEMA.split(", ")]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                xs = [int(v) for v in d["samples"][:nfft]]
+                s1 = s2 = 0
+                for x in xs:
+                    s = math.floor(c * s1 / den) - s2 + x
+                    s2, s1 = s1, s
+                power = s1 * s1 + s2 * s2 - math.floor(c * s1 / den) * s2
+                rows.append(
+                    (int(doc_id), d["format"], int(d["n_samples"]),
+                     sum(xs), power)
+                )
+            yield pd.DataFrame(rows, columns=rows_cols)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, WAV_GOERTZEL_SCHEMA
+    )

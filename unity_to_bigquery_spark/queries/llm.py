@@ -6502,3 +6502,59 @@ def p_rag_retrieval(spark, sf_dir):
     idx.refresh()
     queries = vecs.filter(F.col("vec_id") < 2000)
     return idx.topk(queries, k=5, nprobe=16)
+
+
+@query(
+    "m_wav_goertzel_verified",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, (37 * doc_id) % 65536 AS a,
+             n_chars % 768 + 64 AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id, a, 0 AS i,
+             CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+             CAST(0 AS BIGINT) AS dc
+      FROM d
+      UNION ALL
+      SELECT doc_id, a, i + 1,
+             CAST(FLOOR((23170 * s1) / 16384.0) AS BIGINT) - s2
+               + ((a + 193 * i) % 65536 - 32768),
+             s1,
+             dc + ((a + 193 * i) % 65536 - 32768)
+      FROM g WHERE i < 64
+    )
+    SELECT d.doc_id, 'wav' AS fmt,
+           CAST(d.n AS BIGINT) AS n_samples,
+           g.dc AS dc64,
+           CAST(g.s1 * g.s1 + g.s2 * g.s2
+                - CAST(FLOOR((23170 * g.s1) / 16384.0) AS BIGINT) * g.s2
+                AS BIGINT) AS power8
+    FROM d JOIN g ON g.doc_id = d.doc_id AND g.i = 64
+    """,
+    doc=(
+        "GOERTZEL single-bin tone detection over REAL decoded WAVs "
+        "(llm/multimodal.wav_goertzel_stats — the DTMF/pilot-tone "
+        "primitive of audio triage), in exact integer fixed point: "
+        "coefficient 23170 = round(2·cos(2π·8/64)·2^14), per-sample "
+        "recurrence s = floor(23170·s1/16384) − s2 + x over the first "
+        "64 samples of each synthesized tone, final power "
+        "s1²+s2²−floor(23170·s1/16384)·s2. The divisor is a power of "
+        "two so the float division is representation-exact, and the "
+        "ORACLE replays the whole state machine with a RECURSIVE CTE "
+        "directly from the tone's closed form — decode, recurrence, "
+        "and power must match bit-for-bit (rule-16 discipline on "
+        "DSP). dc64 = integer sum of the same window (0-bin "
+        "contrast)."
+    ),
+    tags=("llm", "multimodal", "audio", "dsp"),
+)
+def m_wav_goertzel_verified(spark, sf_dir):
+    from unity_to_bigquery_spark.llm.multimodal import (
+        synthesize_tone_media,
+        wav_goertzel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return wav_goertzel_stats(synthesize_tone_media(docs))
