@@ -1261,3 +1261,35 @@ def test_changes_final_state(spark, root):
         else:
             base[r.k] = r.v
     assert base == {r.k: r.v for r in t.read().collect()}
+
+
+def test_tags_protect_snapshots_from_vacuum(spark, root):
+    """Iceberg-style tags: a tagged version's manifest AND files
+    survive vacuum past any horizon; untagged history is collected;
+    dropping the tag releases it to GC."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.create_tag("release-1")
+    assert t.tags() == {"release-1": 1}
+    t.commit_overwrite(_df(spark, [(9, "z")]))
+    t.commit_overwrite(_df(spark, [(10, "y")]))
+    deleted = t.vacuum(keep_last=1)
+    # v2's files collected, v1's (tagged) files retained
+    assert deleted  # the middle overwrite was GC'd
+    assert _rows(t.read_tag("release-1").select("k", "v")) == [(1, "a"), (2, "b")]
+    assert _rows(t.read().select("k", "v")) == [(10, "y")]
+    with pytest.raises(NoSuchVersionError):
+        t.read(version=2)  # untagged history is gone
+    # re-pin guard + idempotent re-create
+    assert t.create_tag("release-1", 1) == 1
+    with pytest.raises(ValueError, match="already points"):
+        t.create_tag("release-1", 3)
+    with pytest.raises(NoSuchVersionError):
+        t.create_tag("bad", 99)
+    # drop releases to GC
+    t.drop_tag("release-1")
+    t.vacuum(keep_last=1)
+    with pytest.raises(NoSuchVersionError):
+        t.read_tag("release-1")
+    with pytest.raises(NoSuchVersionError):
+        t.read(version=1)

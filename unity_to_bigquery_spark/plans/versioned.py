@@ -1715,16 +1715,69 @@ class VersionedTable:
                 "commit landed during clustering; re-run against the new log"
             ) from None
 
+    # ---- tags (Iceberg refs: named, GC-protected version pointers) ----
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "refs.json")
+
+    def tags(self) -> dict:
+        """{tag_name: version} — named snapshot pointers."""
+        try:
+            with open(self._refs_path()) as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            return {}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Iceberg-style TAG: a named pointer to a snapshot that
+        :meth:`vacuum` treats as RETAINED — the tagged version's
+        manifest and every file it references survive any horizon, so
+        a release pin ("the corpus we trained v3 on") stays readable
+        forever, not just for ``keep_last`` commits. Refs update by
+        atomic temp-then-rename (single-writer, like the manifest
+        log). Tagging is metadata-only at any table size."""
+        v = self.latest_version() if version is None else version
+        self.manifest(v)  # raises NoSuchVersionError on a bad pin
+        refs = self.tags()
+        if refs.get(name, v) != v:
+            raise ValueError(
+                f"tag {name!r} already points at v{refs[name]}; drop_tag first"
+            )
+        refs[name] = v
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.tags()
+        refs.pop(name, None)
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Snapshot read of a tagged version (merge-on-read state
+        included, exactly like ``read(version)``)."""
+        refs = self.tags()
+        if name not in refs:
+            raise NoSuchVersionError(f"no tag {name!r} in {self.root}")
+        return self.read(refs[name])
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained version
-        (retained = the most recent ``keep_last`` manifests). Old
-        manifests beyond the horizon are dropped too; time travel to
-        them raises NoSuchVersionError afterwards. Returns deleted
-        relative paths."""
+        (retained = the most recent ``keep_last`` manifests PLUS every
+        TAGGED version — release pins survive any horizon). Untagged
+        manifests beyond the horizon are dropped; time travel to them
+        raises NoSuchVersionError afterwards. Returns deleted relative
+        paths."""
         vs = self.versions()
         if not vs:
             return []
-        retained = vs[-keep_last:]
+        tagged = sorted(set(self.tags().values()))
+        retained = sorted(set(vs[-keep_last:]) | set(tagged))
         live: set[str] = set()
         for v in retained:
             m = self.manifest(v)
@@ -1744,7 +1797,8 @@ class VersionedTable:
                     os.remove(os.path.join(dirpath, f))
                     deleted.append(rel)
         for v in vs[:-keep_last]:
-            os.remove(_manifest_path(self.root, v))
+            if v not in set(tagged):  # tagged manifests stay readable
+                os.remove(_manifest_path(self.root, v))
         return sorted(deleted)
 
     def maintain(

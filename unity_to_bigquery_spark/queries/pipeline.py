@@ -1068,3 +1068,51 @@ def p_profile_table(spark, sf_dir):
             ("l_shipdate", "ts"),
         ],
     )
+
+
+@query(
+    "p_versioned_tagged_release",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+    doc=(
+        "Iceberg-style TAGS with GC protection (VersionedTable."
+        "create_tag/read_tag — round 8): the even-doc_id half of the "
+        "corpus is committed and tagged 'release', then the table "
+        "moves on (equality-deletes a slice, appends the odd half, "
+        "compacts away the merge-on-read state) and vacuum(keep_last="
+        "1) collects everything the RETAINED set doesn't reference — "
+        "but the tagged manifest and every file it references are "
+        "retained past any horizon, so the release pin still reads "
+        "EXACTLY the pre-delete snapshot. The oracle recomputes the "
+        "tagged subset from the raw table; a vacuum that collected a "
+        "tagged file (the r7 pair-file bug class) or a tag that "
+        "drifted to the live view flips the hash."
+    ),
+    tags=("pipeline", "versioned", "tags"),
+)
+def p_versioned_tagged_release(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = _tmp(f"versioned_tags_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.create_tag("release")
+    t.commit_delete_where(
+        docs.filter(F.col("doc_id") % 4 == 0).select("doc_id"), "doc_id"
+    )
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 1))
+    t.compact()
+    t.vacuum(keep_last=1)
+    return t.read_tag("release").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
