@@ -118,6 +118,7 @@ BNLJ_ALLOWED = {
     "sim_index_topk",
     "sim_index_filtered_topk",
     "sim_index_retraction_topk",
+    "p_rag_retrieval",
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it
     "e_dau_wau",
