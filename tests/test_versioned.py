@@ -1293,3 +1293,40 @@ def test_tags_protect_snapshots_from_vacuum(spark, root):
         t.read_tag("release-1")
     with pytest.raises(NoSuchVersionError):
         t.read(version=1)
+
+
+def test_bloom_index_point_lookup_pruning(spark, root):
+    """Per-file bloom index: point lookups skip most files (fp-rate
+    bounded by sizing), NEVER skip the file holding the value (no
+    false negatives), and the pruned read equals the full filter."""
+    t = VersionedTable(spark, root, bloom_index_cols=("k",),
+                       bloom_bits=8192, bloom_hashes=3)
+    # 16 commits of 500 disjoint keys each -> 16 files, a key lives in
+    # exactly one
+    for i in range(16):
+        t.commit_append(
+            spark.createDataFrame(
+                [(i * 500 + j, f"v{i * 500 + j}") for j in range(500)],
+                "k INT, v STRING",
+            ).coalesce(1)
+        )
+    total = len(t.manifest()["files"])
+    assert total == 16
+    # no false negatives: probe one present key per file
+    for i in range(16):
+        key = i * 500 + 7
+        kept, skipped = t.prune_files_bloom("k", key)
+        assert skipped > 0, "bloom never pruned anything"
+        got = _rows(t.read_pruned_point("k", key).select("k", "v"))
+        assert got == [(key, f"v{key}")]
+    # aggregate pruning power across 50 probes (n=500, m=8192, kh=3 ->
+    # per-file fp ~ 1.7%; expect ~1 surviving file per probe)
+    kept_counts = [
+        len(t.prune_files_bloom("k", i * 37)[0]) for i in range(50)
+    ]
+    assert sum(kept_counts) / len(kept_counts) < 3
+    # absent key: every file may be skipped; the read returns nothing
+    assert t.read_pruned_point("k", 10_000_000).count() == 0
+    # merge-on-read deletes still apply through the pruned scan
+    t.commit_delete_where(spark.createDataFrame([(7,)], "k INT"), "k")
+    assert t.read_pruned_point("k", 7).count() == 0

@@ -117,6 +117,9 @@ class VersionedTable:
         root: str,
         partition_col: str | None = None,
         distinct_index_cols: tuple[str, ...] = (),
+        bloom_index_cols: tuple[str, ...] = (),
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 3,
     ):
         self.spark = spark
         self.root = root
@@ -128,6 +131,17 @@ class VersionedTable:
         # range cover everything). The write path pays one extra
         # single-column read per staged file — only for the named cols.
         self.distinct_index_cols = tuple(distinct_index_cols)
+        # opt-in write-side BLOOM index for HIGH-cardinality columns —
+        # the point-lookup complement to the distinct-set index (whose
+        # 16-value cap makes it useless for id columns) and this
+        # format's analogue of Delta/Iceberg bloom filter indexes: per
+        # (file, column), a base64 bitmap in the manifest; an equality
+        # lookup skips every file whose bloom provably lacks the value
+        # (no false negatives by construction). Sizing: fp ≈
+        # (1 - e^(-k·n/m))^k — keep bloom_bits ≳ 4× rows-per-file·k.
+        self.bloom_index_cols = tuple(bloom_index_cols)
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -875,6 +889,86 @@ class VersionedTable:
             kept.append(f)
         return kept, skipped
 
+    @staticmethod
+    def _bloom_positions(value, bits: int, k: int) -> list[int]:
+        """k bit positions for a value: md5 over the salted STRING
+        rendering (engine-portable, type-stable for int/str keys)."""
+        import hashlib
+
+        s = str(value)
+        return [
+            int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % bits
+            for i in range(k)
+        ]
+
+    def _bloom_sets(self, path: str, cols: tuple[str, ...]) -> dict:
+        """Per-file bloom bitmaps for the opted-in high-cardinality
+        columns, stored as ``bloom:<col>`` base64 stat entries
+        (bloom_bits/8 bytes each; NULLs don't enter the filter — a
+        NULL lookup is not a point lookup)."""
+        if not cols:
+            return {}
+        import base64
+
+        import pyarrow.parquet as pq
+
+        out = {}
+        pf = pq.ParquetFile(path)
+        present = {c for c in cols if c in pf.schema_arrow.names}
+        for col in present:
+            bm = bytearray(self.bloom_bits // 8)
+            for batch in pf.iter_batches(columns=[col]):
+                for v in batch.column(0).to_pylist():
+                    if v is None:
+                        continue
+                    for p in self._bloom_positions(
+                        v, self.bloom_bits, self.bloom_hashes
+                    ):
+                        bm[p >> 3] |= 1 << (p & 7)
+            out[f"bloom:{col}"] = base64.b64encode(bytes(bm)).decode()
+        return out
+
+    def prune_files_bloom(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Point-lookup data skipping via the per-file bloom index:
+        keep files whose bloom MIGHT contain ``value`` (all k bits
+        set) or that recorded no bloom (conservative). No false
+        negatives by construction — a present value's writing file
+        set exactly these bits."""
+        import base64
+
+        return self._prune_bloom(self.manifest(version), col, value)
+
+    def _prune_bloom(self, m: dict, col: str, value) -> tuple[list[str], int]:
+        """prune_files_bloom against an ALREADY-RESOLVED manifest (the
+        same one-snapshot discipline as ``_prune``)."""
+        import base64
+
+        stats = m.get("stats", {})
+        pos = self._bloom_positions(value, self.bloom_bits, self.bloom_hashes)
+        kept, skipped = [], 0
+        for f in m["files"]:
+            enc = stats.get(f, {}).get(f"bloom:{col}")
+            if enc is None:
+                kept.append(f)
+                continue
+            bm = base64.b64decode(enc)
+            if all(bm[p >> 3] & (1 << (p & 7)) for p in pos):
+                kept.append(f)
+            else:
+                skipped += 1
+        return kept, skipped
+
+    def read_pruned_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Snapshot point lookup ``col = value`` scanning only the
+        bloom-surviving files (merge-on-read deletes applied; the
+        exact row filter runs after — skipping is an optimization,
+        never a correctness source)."""
+        m = self.manifest(version)  # resolve ONCE: pruning and scan share it
+        files, _ = self._prune_bloom(m, col, value)
+        return self._scan_live(m, files).filter(F.col(col) == F.lit(value))
+
     def prune_files_eq(
         self, col: str, values: list, version: int | None = None
     ) -> tuple[list[str], int]:
@@ -1016,6 +1110,7 @@ class VersionedTable:
             self._staged_stats[f] = {
                 **self._file_stats(full),
                 **self._distinct_sets(full, self.distinct_index_cols),
+                **self._bloom_sets(full, self.bloom_index_cols),
             }
         return kept
 

@@ -1116,3 +1116,57 @@ def p_versioned_tagged_release(spark, sf_dir):
         F.sum("doc_id").cast("long").alias("id_sum"),
         F.sum("n_chars").cast("long").alias("chars_sum"),
     )
+
+
+@query(
+    "p_versioned_bloom_lookup",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    WHERE doc_id % 97 = 13
+    ORDER BY doc_id LIMIT 50
+    """,
+    doc=(
+        "Per-file BLOOM INDEX point lookups (VersionedTable."
+        "bloom_index_cols — the Delta/Iceberg bloom-filter-index "
+        "analogue, round 8): the documents table is committed as 8 "
+        "hash-bucketed commits (a doc lives in exactly one file; "
+        "doc_id min/max ranges fully OVERLAP, so range stats prune "
+        "NOTHING and the 16-cap distinct-set index can't hold id "
+        "cardinality — bloom is the only skipper that works here). "
+        "Each file's write stages a base64 bloom bitmap in the "
+        "manifest; every doc_id%97==13 key is then point-looked-up "
+        "through read_pruned_point and the union must equal the plain "
+        "filtered table — a false NEGATIVE (over-pruned file) drops "
+        "rows and flips the hash. Pruning power is asserted in "
+        "tests/test_versioned.py (~1 surviving file per probe at "
+        "n=500/m=8192/k=3)."
+    ),
+    tags=("pipeline", "versioned", "index", "bloom"),
+)
+def p_versioned_bloom_lookup(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5("text").alias("text_md5")
+    )
+    path = _tmp(f"versioned_bloom_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path, bloom_index_cols=("doc_id",),
+                       bloom_bits=65536, bloom_hashes=3)
+    for b in range(8):  # hash-bucketed: ranges overlap, blooms don't
+        t.commit_append(docs.filter(F.col("doc_id") % 8 == b).coalesce(1))
+    # BOUNDED lookup set (first 50 keys): the demo's cost must track
+    # the lookup count, not the corpus — each key is an independent
+    # point lookup in production
+    keys = [r.doc_id for r in docs.filter(F.col("doc_id") % 97 == 13)
+            .select("doc_id").orderBy("doc_id").limit(50).collect()]
+    out = None
+    for k in keys:
+        hit = t.read_pruned_point("doc_id", k)
+        out = hit if out is None else out.unionByName(hit)
+    return out.select("doc_id", F.col("n_chars").cast("long"), "text_md5")
