@@ -92,6 +92,7 @@ PINNED_OFF_STDOUT = (
     "p_crawl_corpus_streamed",
     "p_crawl_frontier_skew",
     "p_rag_retrieval",
+    "p_versioned_bloom_lookup",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -140,6 +141,7 @@ PINS = {
     "p_crawl_corpus_streamed": 3.10,
     "p_crawl_frontier_skew": 1.19,
     "p_rag_retrieval": 9.47,  # draws 9.10/9.47
+    "p_versioned_bloom_lookup": 5.40,  # draws 4.93/5.37
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a
