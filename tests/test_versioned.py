@@ -1330,3 +1330,161 @@ def test_bloom_index_point_lookup_pruning(spark, root):
     # merge-on-read deletes still apply through the pruned scan
     t.commit_delete_where(spark.createDataFrame([(7,)], "k INT"), "k")
     assert t.read_pruned_point("k", 7).count() == 0
+
+
+def test_bloom_lookup_type_mismatch_raises(spark, root):
+    """ADVICE r8: the bloom index hashes str(value), so a lookup whose
+    Python type renders differently from the stored values (5.0 vs 5)
+    would silently prune every file. It must raise instead."""
+    t = VersionedTable(spark, root, bloom_index_cols=("k",))
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    for bad in (5.0, True, None, b"5"):
+        with pytest.raises(TypeError, match="bloom point lookup"):
+            t.prune_files_bloom("k", bad)
+    # int column + str key (and the reverse) is the classic mismatch
+    with pytest.raises(TypeError, match="pass an int"):
+        t.read_pruned_point("k", "1")
+    with pytest.raises(TypeError, match="pass a str"):
+        t.read_pruned_point("v", 1)
+    # well-typed lookups still work
+    assert _rows(t.read_pruned_point("k", 1).select("k", "v")) == [(1, "a")]
+
+
+def test_tag_cas_per_ref_files(spark, root):
+    """ADVICE r8: tags are one O_EXCL file per ref — two 'concurrent'
+    taggers (simulated: each saw an empty tags() snapshot) can never
+    drop each other's refs, and a CAS loser pointing elsewhere fails
+    loudly instead of silently winning."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_append(_df(spark, [(2, "b")]))
+    h2 = VersionedTable(spark, root)  # second writer handle
+    t.create_tag("x", 1)
+    h2.create_tag("y", 2)
+    assert t.tags() == {"x": 1, "y": 2}  # neither lost
+    # per-ref file layout (the CAS unit)
+    refs = sorted(os.listdir(os.path.join(root, "_refs")))
+    assert refs == ["tag-x.json", "tag-y.json"]
+    # CAS-loser path: a racer created the ref between the tags() read
+    # and the O_EXCL open — same version is idempotent, different raises
+    orig = VersionedTable.tags
+    try:
+        VersionedTable.tags = lambda self: {}
+        assert t.create_tag("x", 1) == 1
+        with pytest.raises(ValueError, match="concurrently created"):
+            t.create_tag("x", 2)
+    finally:
+        VersionedTable.tags = orig
+    # invalid ref names are rejected before touching the filesystem
+    with pytest.raises(ValueError, match="ref name"):
+        t.create_tag("../evil", 1)
+    t.drop_tag("x")
+    t.drop_tag("x")  # idempotent
+    assert t.tags() == {"y": 2}
+
+
+def test_transform_partition_spec_layout_and_pruning(spark, root):
+    """Iceberg-style hidden partitioning (VERDICT r8 #2): a
+    two-dimension (day(ts), bucket(4, site)) spec lays out files by
+    transform values, records per-file partition tuples in the
+    manifest, and equality lookups on the SOURCE columns prune files
+    exactly — the caller never names a partition field."""
+    import datetime as dt
+
+    t = VersionedTable(
+        spark, root, partition_spec=["day(ts)", "bucket(4, site)"]
+    )
+    rows = [
+        (i, f"s{i % 8}", dt.datetime(2024, 1, 1 + (i % 3), 6 + i % 12, 0, 0))
+        for i in range(48)
+    ]
+    t.commit_append(
+        spark.createDataFrame(rows, "k INT, site STRING, ts TIMESTAMP")
+    )
+    m = t.manifest()
+    # layout: nested __p_ts_day=…/__p_site_bucket4=… directories
+    assert all("__p_ts_day=" in f and "__p_site_bucket4=" in f
+               for f in m["files"])
+    # the derived fields are HIDDEN: stored columns only
+    assert sorted(t.read().columns) == ["k", "site", "ts"]
+    # per-file partition tuple recorded in stats
+    some = m["stats"][m["files"][0]]
+    assert "part:ts_day" in some and "part:site_bucket4" in some
+    # pruning: one (day, site) lookup keeps only that tuple's files
+    filt = {"ts": dt.date(2024, 1, 2), "site": "s3"}
+    kept, skipped = t.prune_files_parts(filt)
+    assert skipped > 0 and len(kept) < len(m["files"])
+    # exactness: pruned read == unpruned filter
+    import zlib
+    expect = sorted(
+        k for (k, s, ts) in rows
+        if s == "s3" and ts.date() == dt.date(2024, 1, 2)
+    )
+    got = sorted(r.k for r in t.read_pruned_parts(filt).collect())
+    assert got == expect and got  # non-vacuous
+    # bucket portability: driver crc32 == what the layout recorded
+    b = str(zlib.crc32(b"s3") % 4)
+    assert all(f"__p_site_bucket4={b}" in f for f in kept
+               if "part:site_bucket4" in m["stats"].get(f, {}))
+
+
+def test_partition_spec_evolution_mixed_layout(spark, root):
+    """Spec evolution is metadata-only: files written under the old
+    spec stay readable and are conservatively KEPT by pruning under
+    the new spec; compact() rewrites everything under the current
+    spec; replace_where refuses on transform specs."""
+    import datetime as dt
+
+    t = VersionedTable(spark, root, partition_col="site")
+    rows1 = [(1, "a", dt.datetime(2024, 2, 1)), (2, "b", dt.datetime(2024, 2, 2))]
+    t.commit_append(spark.createDataFrame(rows1, "k INT, site STRING, ts TIMESTAMP"))
+    t.set_partition_spec(["day(ts)", "truncate(1, site)"])
+    assert t.current_partition_col() is None
+    with pytest.raises(ValueError, match="requires a partitioned table"):
+        t.commit_replace_where(
+            spark.createDataFrame(rows1, "k INT, site STRING, ts TIMESTAMP"),
+            ["a"],
+        )
+    rows2 = [(3, "abba", dt.datetime(2024, 2, 1)), (4, "bozo", dt.datetime(2024, 2, 3))]
+    t.commit_append(spark.createDataFrame(rows2, "k INT, site STRING, ts TIMESTAMP"))
+    # mixed-layout read: everything visible
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 4]
+    # pruning under the new spec: old files kept (no part:ts_day stat),
+    # new files pruned; result exact either way
+    got = sorted(
+        r.k for r in t.read_pruned_parts({"ts": dt.date(2024, 2, 1)}).collect()
+    )
+    assert got == [1, 3]
+    kept, skipped = t.prune_files_parts({"ts": dt.date(2024, 2, 1)})
+    assert skipped >= 1  # the 2024-02-03 new-spec file is provably out
+    # compact clears the mixture: every file under the current spec
+    t.compact(target_files=1)
+    assert all("__p_ts_day=" in f and "__p_site_trunc1=" in f
+               for f in t.manifest()["files"])
+    got = sorted(
+        r.k for r in t.read_pruned_parts({"site": "abba"}).collect()
+    )
+    assert got == [3]
+    # truncate pruning is by PREFIX group, exact rows after filter
+    kept, skipped = t.prune_files_parts({"site": "bozo"})
+    assert skipped >= 1
+
+
+def test_partition_spec_rejects_bad_fields(spark, root):
+    t = VersionedTable(spark, root)
+    with pytest.raises(ValueError, match="unparseable"):
+        VersionedTable(spark, root + "2", partition_spec=["median(x)"])
+    with pytest.raises(ValueError, match="duplicate"):
+        VersionedTable(spark, root + "3", partition_spec=["x", "identity(x)"])
+    t2 = VersionedTable(spark, root + "4", partition_spec=["bucket(4, v)"])
+    import datetime as dt
+    with pytest.raises(TypeError, match="must be int or string"):
+        t2.commit_append(
+            spark.createDataFrame([(1.5,)], "v DOUBLE")
+        )
+    t3 = VersionedTable(spark, root + "5", partition_spec=["day(ts)"])
+    t3.commit_append(
+        spark.createDataFrame([(dt.datetime(2024, 1, 1),)], "ts TIMESTAMP")
+    )
+    with pytest.raises(TypeError, match="requires a date"):
+        t3.prune_files_parts({"ts": "2024-01-01"})

@@ -400,12 +400,17 @@ class AnnIndex:
                 .filter(F.col("__rn") <= nprobe)
                 .select(query_id, "__qvec", "cell_id")
             )
-        probed = probed.persist()  # planned once: cell-id collect + rank join
-        probed_ids = [
-            r.cell_id
-            for r in probed.select("cell_id").distinct().collect()
-            # bounded: <= |Q| * nprobe cell ids
-        ]
+        # Driver-side materialization instead of persist: the probed
+        # set is <= |Q|·nprobe rows by construction (the same bound the
+        # cell-id collect below already relies on), and a persist here
+        # leaked cached blocks across repeated serving calls in long
+        # sessions (ADVICE r8 / CLAUDE.md rule-13 GC class — the lazy
+        # result DataFrame gave no point to unpersist at). One job
+        # collects the rows; the probed ids derive from them for free.
+        probed_schema = probed.schema
+        probed_rows = probed.collect()
+        probed = self.spark.createDataFrame(probed_rows, probed_schema)
+        probed_ids = sorted({r["cell_id"] for r in probed_rows})
         assigned = self.assignments.read_pruned_eq("cell_id", probed_ids).select(
             self.id_col, self.vec_col, "cell_id", *self.meta_cols
         )

@@ -70,7 +70,15 @@ def ewma_exact(
     CTE replays the state machine bit-for-bit (the rule-16 discipline
     on relational data; floor(x / den.0) is the portable floor-division
     — DuckDB's ``//`` truncates toward zero on negatives, Python's
-    floors). Distribution: one applyInPandas stage keyed on the
+    floors). EXACTNESS BOUND (ADVICE r8): the oracle computes
+    FLOOR(((a_den-a_num)·e6 + a_num·x6) / a_den.0) in DOUBLES, so the
+    identity holds only while |(a_den-a_num)·e6 + a_num·x6| < 2^53 —
+    with the default 12/4/16 weights that is |value| < 2^53/(16·1e6)
+    ≈ 5.6e8. Larger-magnitude value columns need a smaller fixed-point
+    scale (and the power-of-two divisor argument the Goertzel query
+    spells out still applies: a_den=16 divides exactly in binary, so
+    UNDER the bound the double FLOOR is bit-identical to integer floor
+    division). Distribution: one applyInPandas stage keyed on the
     entity — sequential WITHIN a key (irreducible: it's a recurrence),
     parallel ACROSS keys, which is the honest 100 TB shape for
     per-entity state (same argument as applyInPandasWithState).

@@ -77,6 +77,164 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, MANIFEST_DIR, f"v{version:08d}.json")
 
 
+# ---- transform partition specs (Iceberg-style hidden partitioning) ----
+#
+# A spec is a list of FIELDS, each a transform over one source column:
+#   "col" / "identity(col)"      -> the column value itself
+#   "bucket(n, col)"             -> crc32(str(value)) % n   (int/str cols)
+#   "truncate(w, col)"           -> str prefix / int floor-to-width
+#   "day(col)" / "days(col)"     -> TZ-free EPOCH DAY int of a ts/date
+# The transform value becomes a __p_<field> layout column (stripped from
+# file contents — the SOURCE column stays stored, reads never see the
+# derived field: that is what makes the partitioning "hidden"), and each
+# staged file records its partition tuple in the manifest as
+# ``part:<field>`` stats, so equality lookups on the SOURCE columns
+# prune files by applying the same transform driver-side. Portability
+# rules mirror the bloom index: bucket hashes crc32 over str(value)
+# (identical in Spark via crc32(cast(col as string)) and in Python via
+# zlib.crc32), so bucket columns must be int/string; day() is the epoch
+# day from unix micros — session-timezone-independent by construction.
+
+
+def parse_partition_spec(spec) -> list[dict]:
+    """Parse a spec given as a list of strings into field dicts
+    {transform, col, name[, n]}. Field names: identity -> col,
+    bucket -> col_bucket, truncate -> col_trunc, day -> col_day."""
+    import re
+
+    fields = []
+    for s in spec:
+        s = s.strip()
+        m = re.fullmatch(r"(identity|day|days)\s*\(\s*(\w+)\s*\)", s)
+        if m:
+            tr = "day" if m.group(1) in ("day", "days") else "identity"
+            col = m.group(2)
+            name = col if tr == "identity" else f"{col}_day"
+            fields.append({"transform": tr, "col": col, "name": name})
+            continue
+        m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
+        if m:
+            tr, n, col = m.group(1), int(m.group(2)), m.group(3)
+            if n <= 0:
+                raise ValueError(f"{tr} width/count must be positive: {s!r}")
+            # parameter in the NAME: files written under bucket(4, x)
+            # and bucket(8, x) record different part: keys, so pruning
+            # never compares a lookup's bucket-8 value against a file's
+            # bucket-4 layout (Iceberg tracks spec ids per file for the
+            # same reason)
+            suffix = f"bucket{n}" if tr == "bucket" else f"trunc{n}"
+            fields.append(
+                {"transform": tr, "col": col, "name": f"{col}_{suffix}", "n": n}
+            )
+            continue
+        if re.fullmatch(r"\w+", s):
+            fields.append({"transform": "identity", "col": s, "name": s})
+            continue
+        raise ValueError(
+            f"unparseable partition-spec field {s!r}: expected col, "
+            "identity(col), bucket(n, col), truncate(w, col), or day(col)"
+        )
+    names = [f["name"] for f in fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partition field names in spec: {names}")
+    return fields
+
+
+def _spec_expr(field: dict, df: DataFrame):
+    """The Spark Column computing a spec field's layout value over
+    ``df``. Types are deliberately narrow (int or string) so Spark's
+    directory rendering matches the driver-side rendering in
+    :func:`_spec_apply`."""
+    c = F.col(field["col"])
+    dtype = dict(df.dtypes).get(field["col"])
+    if dtype is None:
+        raise ValueError(
+            f"partition spec references missing column {field['col']!r}"
+        )
+    tr = field["transform"]
+    if tr == "identity":
+        return c
+    if tr == "bucket":
+        if dtype not in ("tinyint", "smallint", "int", "bigint", "string"):
+            raise TypeError(
+                f"bucket() partition column {field['col']} must be int or "
+                f"string (got {dtype}): the crc32-over-str(value) hash is "
+                "only type-stable there (same rule as the bloom index)"
+            )
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(field["n"])
+        ).cast("int")
+    if tr == "truncate":
+        # string: prefix; int: floor-to-width (Iceberg semantics,
+        # negative-safe — Spark pmod is non-negative for positive width)
+        if dtype == "string":
+            return F.substring(c, 1, field["n"])
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return (c - F.pmod(c, F.lit(field["n"]))).cast("long")
+        raise TypeError(
+            f"truncate() partition column {field['col']} must be int or "
+            f"string (got {dtype})"
+        )
+    if tr == "day":
+        if not ("timestamp" in dtype or dtype == "date"):
+            raise TypeError(
+                f"day() partition column {field['col']} must be "
+                f"timestamp/date (got {dtype})"
+            )
+        # TZ-FREE epoch day from unix micros — the session timezone can
+        # never move a row across a partition boundary (rule-6 hostile
+        # sessions run non-UTC)
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
+        ).cast("int")
+    raise ValueError(f"unknown transform {tr!r}")
+
+
+def _spec_apply(field: dict, value) -> str:
+    """Driver-side rendering of a spec field's partition value for a
+    source-column lookup value — must produce exactly the string Spark's
+    directory layout produced for the same row (compared against the
+    ``part:<field>`` manifest stats)."""
+    import datetime
+    import zlib
+
+    tr = field["transform"]
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if tr == "identity":
+        return str(value)
+    if tr == "bucket":
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"bucket partition lookup on {field['col']!r} requires an "
+                f"int or str value (got {type(value).__name__}) — other "
+                "types render str() inconsistently with the stored hash"
+            )
+        return str(zlib.crc32(str(value).encode()) % field["n"])
+    if tr == "truncate":
+        if isinstance(value, str):
+            return value[: field["n"]]
+        if isinstance(value, int) and not isinstance(value, bool):
+            w = field["n"]
+            return str(value - (value % w))
+        raise TypeError(
+            f"truncate partition lookup on {field['col']!r} requires an "
+            f"int or str value (got {type(value).__name__})"
+        )
+    if tr == "day":
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=datetime.timezone.utc)
+            return str(int(value.timestamp()) // 86_400)
+        if isinstance(value, datetime.date):
+            return str((value - datetime.date(1970, 1, 1)).days)
+        raise TypeError(
+            f"day partition lookup on {field['col']!r} requires a "
+            f"date/datetime value (got {type(value).__name__})"
+        )
+    raise ValueError(f"unknown transform {tr!r}")
+
+
 def _iso_norm(v):
     """JSON-portable stats encoding: temporal values become NAIVE-UTC
     ISO-8601 strings (aware values are converted to UTC and the offset
@@ -116,6 +274,7 @@ class VersionedTable:
         spark: SparkSession,
         root: str,
         partition_col: str | None = None,
+        partition_spec: list | tuple | None = None,
         distinct_index_cols: tuple[str, ...] = (),
         bloom_index_cols: tuple[str, ...] = (),
         bloom_bits: int = 8192,
@@ -123,7 +282,16 @@ class VersionedTable:
     ):
         self.spark = spark
         self.root = root
+        if partition_spec is not None and partition_col is not None:
+            raise ValueError("pass partition_col OR partition_spec, not both")
         self.partition_col = partition_col
+        # multi-column TRANSFORM spec (Iceberg hidden partitioning);
+        # partition_col=c is sugar for the single-field spec ["c"]
+        self.partition_spec = (
+            parse_partition_spec(partition_spec)
+            if partition_spec is not None
+            else None
+        )
         # opt-in write-side distinct-set index for LOW-cardinality
         # columns: per file, the exact value set (when ≤ _DISTINCT_CAP)
         # lands in the manifest, giving equality/IN file skipping where
@@ -170,11 +338,80 @@ class VersionedTable:
         recorded spec when present (set at publish / evolved via
         :meth:`set_partitioning`), else the constructor argument —
         so a reader/writer opening an evolved table with no
-        constructor hint still lays out new files correctly."""
+        constructor hint still lays out new files correctly. A
+        TRANSFORM spec (multi-column / non-identity) has no single
+        partition column and returns None — partition-scoped ops
+        (``commit_replace_where``) require single-identity layouts."""
+        spec = self.current_partition_spec()
+        if spec is None:
+            return None
+        if len(spec) == 1 and spec[0]["transform"] == "identity":
+            return spec[0]["col"]
+        return None
+
+    def current_partition_spec(self) -> list[dict] | None:
+        """The table's current TRANSFORM partition spec as parsed field
+        dicts (None = unpartitioned). Manifest-recorded spec wins; a
+        legacy ``partition_col`` manifest entry reads as the
+        single-field identity spec; constructor hints apply to fresh
+        tables only."""
         m = self.manifest()
+        if "partition_spec" in m:
+            ps = m["partition_spec"]
+            return list(ps) if ps else None
         if "partition_col" in m:
-            return m["partition_col"]
-        return self.partition_col
+            pc = m["partition_col"]
+            return [{"transform": "identity", "col": pc, "name": pc}] if pc else None
+        if self.partition_spec is not None:
+            return self.partition_spec
+        if self.partition_col:
+            return [
+                {"transform": "identity", "col": self.partition_col,
+                 "name": self.partition_col}
+            ]
+        return None
+
+    def set_partition_spec(self, spec: list | tuple | None) -> int:
+        """PARTITION SPEC EVOLUTION to a TRANSFORM spec (Iceberg
+        `ALTER TABLE ... REPLACE PARTITION FIELD` semantics): a
+        metadata-only commit; FUTURE writes lay out (and record
+        ``part:<field>`` stats) under the new spec, existing files keep
+        their layout and stay readable (scans are layout-independent),
+        and partition pruning is per-file — files written under ANY
+        spec prune by whatever ``part:`` stats they recorded, missing
+        stats are conservatively kept. ``spec`` is a list of field
+        strings (``["day(ts)", "bucket(8, project)"]``) or None to
+        unpartition future writes."""
+        fields = parse_partition_spec(spec) if spec is not None else None
+        for _ in range(20):
+            base = self.manifest()
+            self._spec_override = fields
+            # keep the legacy single-column view coherent for readers
+            # of manifest["partition_col"]
+            pc = (
+                fields[0]["col"]
+                if fields and len(fields) == 1
+                and fields[0]["transform"] == "identity"
+                else None
+            )
+            self._partition_override = pc
+            try:
+                v = self._publish_once(
+                    base, base["files"],
+                    f"set_partition_spec({[s for s in (spec or [])]})",
+                    base.get("schema"),
+                )
+                self.partition_spec = fields
+                self.partition_col = pc
+                return v
+            except FileExistsError:
+                continue
+            finally:
+                self._spec_override = _UNSET
+                self._partition_override = _UNSET
+        raise ConcurrentWriteError(
+            "set_partition_spec could not publish after 20 attempts"
+        )
 
     def set_partitioning(self, col: str | None) -> int:
         """PARTITION SPEC EVOLUTION (Iceberg-style): a metadata-only
@@ -190,17 +427,24 @@ class VersionedTable:
         for _ in range(20):
             base = self.manifest()
             self._partition_override = col
+            self._spec_override = (
+                [{"transform": "identity", "col": col, "name": col}]
+                if col
+                else None
+            )
             try:
                 v = self._publish_once(
                     base, base["files"], f"set_partitioning({col})",
                     base.get("schema"),
                 )
                 self.partition_col = col
+                self.partition_spec = self._spec_override
                 return v
             except FileExistsError:
                 continue
             finally:
                 self._partition_override = _UNSET
+                self._spec_override = _UNSET
         raise ConcurrentWriteError(
             "set_partitioning could not publish after 20 attempts"
         )
@@ -940,11 +1184,51 @@ class VersionedTable:
 
         return self._prune_bloom(self.manifest(version), col, value)
 
+    @staticmethod
+    def _bloom_check_key(m: dict, col: str, value) -> None:
+        """Fail-loud type validation for bloom point lookups (ADVICE
+        r8): the write side hashes stored values via ``str(v)``, so a
+        lookup whose Python type renders differently (``5.0`` vs ``5``
+        against a BIGINT column, ``True`` vs ``1``) would set different
+        bits, prune every file, and silently return empty — the exact
+        false negative the index promises not to have. Only int and str
+        keys render type-stably; anything else raises, and an int/str
+        mismatch against the manifest schema's column type raises too."""
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"bloom point lookup on {col!r} requires an int or str key "
+                f"(got {type(value).__name__}): other types hash via str() "
+                "inconsistently with the stored values and would over-prune"
+            )
+        schema_str = m.get("schema")
+        if schema_str:
+            from pyspark.sql.types import StructType
+
+            field = next(
+                (f for f in StructType.fromDDL(schema_str).fields if f.name == col),
+                None,
+            )
+            if field is not None:
+                t = field.dataType.simpleString()
+                if t in ("tinyint", "smallint", "int", "bigint") and not isinstance(
+                    value, int
+                ):
+                    raise TypeError(
+                        f"bloom point lookup on {col} ({t}) got a "
+                        f"{type(value).__name__} key — pass an int"
+                    )
+                if t == "string" and not isinstance(value, str):
+                    raise TypeError(
+                        f"bloom point lookup on {col} (string) got a "
+                        f"{type(value).__name__} key — pass a str"
+                    )
+
     def _prune_bloom(self, m: dict, col: str, value) -> tuple[list[str], int]:
         """prune_files_bloom against an ALREADY-RESOLVED manifest (the
         same one-snapshot discipline as ``_prune``)."""
         import base64
 
+        self._bloom_check_key(m, col, value)
         stats = m.get("stats", {})
         pos = self._bloom_positions(value, self.bloom_bits, self.bloom_hashes)
         kept, skipped = [], 0
@@ -973,6 +1257,86 @@ class VersionedTable:
         self, col: str, values: list, version: int | None = None
     ) -> tuple[list[str], int]:
         return self._prune_eq(self.manifest(version), col, values)
+
+    # ---- hidden-partition pruning (transform specs) -------------------
+
+    @staticmethod
+    def _manifest_spec(m: dict) -> list[dict] | None:
+        """The partition spec recorded in a resolved manifest (legacy
+        single-column manifests read as the identity spec)."""
+        if "partition_spec" in m:
+            return m["partition_spec"] or None
+        pc = m.get("partition_col")
+        return [{"transform": "identity", "col": pc, "name": pc}] if pc else None
+
+    def _prune_parts(self, m: dict, filters: dict) -> tuple[list[str], int]:
+        """HIDDEN-partition file skipping: apply the manifest spec's
+        transforms to the source-column equality ``filters`` driver-side
+        and keep only files whose recorded ``part:<field>`` value
+        matches (files without the stat — written under another spec or
+        pre-evolution — are conservatively kept; field names embed
+        transform parameters, so a stat key only ever compares against
+        the identical transform). The caller never names a partition
+        field — that is what makes the partitioning hidden (Iceberg's
+        core pitch vs Hive: queries filter on data columns, the layout
+        is the table's business)."""
+        spec = self._manifest_spec(m) or []
+        expected = {}
+        for fld in spec:
+            if fld["col"] in filters:
+                expected[f"part:{fld['name']}"] = _spec_apply(
+                    fld, filters[fld["col"]]
+                )
+        if not expected:
+            return list(m["files"]), 0
+        stats = m.get("stats", {})
+        kept, skipped = [], 0
+        for f in m["files"]:
+            s = stats.get(f, {})
+            if any(k in s and s[k] != v for k, v in expected.items()):
+                skipped += 1
+            else:
+                kept.append(f)
+        return kept, skipped
+
+    def prune_files_parts(
+        self, filters: dict, version: int | None = None
+    ) -> tuple[list[str], int]:
+        return self._prune_parts(self.manifest(version), filters)
+
+    def read_pruned_parts(
+        self, filters: dict, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with HIDDEN-partition pruning + exact row
+        filters. ``filters`` maps SOURCE columns to equality values; a
+        ``datetime.date`` value against a timestamp column means "that
+        UTC day" (pruned via the day() field, row-filtered by the
+        TZ-free unix-micros day range); everything else is plain
+        equality. Skipping is an optimization, never a correctness
+        source — the row filters run regardless, so a file written
+        under an old spec (kept conservatively) still yields exactly
+        the matching rows."""
+        import datetime
+
+        m = self.manifest(version)  # resolve ONCE: pruning + scan share it
+        files, _ = self._prune_parts(m, filters)
+        df = self._scan_live(m, files)
+        for col, value in filters.items():
+            c = F.col(col)
+            if isinstance(value, datetime.datetime):
+                df = df.filter(c == F.lit(value))
+            elif isinstance(value, datetime.date):
+                day = (value - datetime.date(1970, 1, 1)).days
+                lo = day * 86_400_000_000
+                df = df.filter(
+                    (F.unix_micros(c.cast("timestamp")) >= F.lit(lo))
+                    & (F.unix_micros(c.cast("timestamp")) < F.lit(lo + 86_400_000_000))
+                )
+            elif value is None:
+                df = df.filter(c.isNull())
+            else:
+                df = df.filter(c == F.lit(value))
+        return df
 
     def read_pruned_eq(
         self, col: str, values: list, version: int | None = None
@@ -1078,11 +1442,14 @@ class VersionedTable:
         self.spark.conf.set(
             "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
         )
-        pc = self.current_partition_col()
-        if pc:
-            dir_col = _PART_DIR_PREFIX + pc
-            df = df.withColumn(dir_col, F.col(pc))
-            df.write.mode("error").partitionBy(dir_col).parquet(target)
+        spec = self.current_partition_spec()
+        if spec:
+            dir_cols = []
+            for fld in spec:
+                dir_col = _PART_DIR_PREFIX + fld["name"]
+                df = df.withColumn(dir_col, _spec_expr(fld, df))
+                dir_cols.append(dir_col)
+            df.write.mode("error").partitionBy(*dir_cols).parquet(target)
         else:
             df.write.mode("error").parquet(target)
         staged = []
@@ -1111,8 +1478,26 @@ class VersionedTable:
                 **self._file_stats(full),
                 **self._distinct_sets(full, self.distinct_index_cols),
                 **self._bloom_sets(full, self.bloom_index_cols),
+                **self._partition_values(f),
             }
         return kept
+
+    @staticmethod
+    def _partition_values(rel_path: str) -> dict:
+        """Per-file partition tuple, parsed from the staged file's
+        ``__p_<field>=<value>`` path segments into ``part:<field>``
+        manifest stats — what :meth:`prune_files_parts` compares the
+        driver-transformed lookup values against. Spark %xx-escapes
+        special characters in directory values (Hive escapePathName);
+        unquote restores the raw value."""
+        from urllib.parse import unquote
+
+        out = {}
+        for seg in rel_path.split(os.sep)[:-1]:
+            if seg.startswith(_PART_DIR_PREFIX) and "=" in seg:
+                field, _, val = seg[len(_PART_DIR_PREFIX):].partition("=")
+                out[f"part:{field}"] = unquote(val)
+        return out
 
 
     def _stats_for(self, base: dict | None, files: list[str]) -> dict:
@@ -1409,6 +1794,18 @@ class VersionedTable:
             override if override is not _UNSET
             else base.get("partition_col", self.partition_col)
         )
+        spec_override = getattr(self, "_spec_override", _UNSET)
+        if spec_override is not _UNSET:
+            partition_spec = spec_override
+        elif "partition_spec" in base:
+            partition_spec = base["partition_spec"]
+        elif base.get("partition_col", self.partition_col):
+            pc = base.get("partition_col", self.partition_col)
+            partition_spec = [{"transform": "identity", "col": pc, "name": pc}]
+        else:
+            partition_spec = (
+                self.partition_spec if base["version"] == 0 else None
+            )
         # sequence numbers: every data file remembers the version that
         # added it, so equality deletes apply only to files at least as
         # old as the delete (Iceberg v2 sequencing — a key re-inserted
@@ -1453,6 +1850,7 @@ class VersionedTable:
                 "pos_deletes": pos_deletes,
                 "constraints": constraints,
                 "partition_col": partition_col,
+                "partition_spec": partition_spec,
             },
             indent=0,
         )
@@ -1728,9 +2126,13 @@ class VersionedTable:
         if not snap["files"]:
             return snap["version"]
         df = self.read(snap["version"])
-        pc = self.current_partition_col()
-        if pc:
-            df = df.repartition(target_files, F.col(pc))
+        spec = self.current_partition_spec()
+        if spec:
+            # co-locate rows by the spec's TRANSFORM values so the
+            # partitionBy write emits ~target_files per partition tuple
+            df = df.repartition(
+                target_files, *[_spec_expr(fld, df) for fld in spec]
+            )
         else:
             df = df.coalesce(target_files)
         staged = self._write_files(df)
@@ -1812,46 +2214,96 @@ class VersionedTable:
 
     # ---- tags (Iceberg refs: named, GC-protected version pointers) ----
 
-    def _refs_path(self) -> str:
-        return os.path.join(self.root, "refs.json")
+    def _refs_dir(self) -> str:
+        return os.path.join(self.root, "_refs")
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
+            raise ValueError(
+                f"ref name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]* "
+                "(<=128 chars): names are filesystem paths in the per-ref "
+                "CAS layout"
+            )
 
     def tags(self) -> dict:
-        """{tag_name: version} — named snapshot pointers."""
+        """{tag_name: version} — named snapshot pointers. One file per
+        tag under ``_refs/`` (Iceberg-style per-ref layout); a legacy
+        single ``refs.json`` (pre-round-9 tables) is still read."""
+        out: dict[str, int] = {}
         try:
-            with open(self._refs_path()) as fh:
-                return {k: int(v) for k, v in json.load(fh).items()}
+            with open(os.path.join(self.root, "refs.json")) as fh:
+                out.update({k: int(v) for k, v in json.load(fh).items()})
         except FileNotFoundError:
-            return {}
+            pass
+        try:
+            names = os.listdir(self._refs_dir())
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(os.path.join(self._refs_dir(), n)) as fh:
+                    out[n[4:-5]] = int(json.load(fh)["version"])
+        return out
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Iceberg-style TAG: a named pointer to a snapshot that
         :meth:`vacuum` treats as RETAINED — the tagged version's
         manifest and every file it references survive any horizon, so
         a release pin ("the corpus we trained v3 on") stays readable
-        forever, not just for ``keep_last`` commits. Refs update by
-        atomic temp-then-rename (single-writer, like the manifest
-        log). Tagging is metadata-only at any table size."""
+        forever, not just for ``keep_last`` commits. One immutable file
+        per tag, created ``O_CREAT|O_EXCL`` — the same CAS the manifest
+        log uses, so two concurrent taggers can never lose each other's
+        refs (ADVICE r8: the old read-modify-write of a shared
+        refs.json could silently drop a tag, and since vacuum uses tags
+        as GC protection a lost tag meant permanent file deletion).
+        Re-tagging the same version is an idempotent no-op; a different
+        version raises. Metadata-only at any table size."""
+        self._check_ref_name(name)
         v = self.latest_version() if version is None else version
         self.manifest(v)  # raises NoSuchVersionError on a bad pin
-        refs = self.tags()
-        if refs.get(name, v) != v:
+        existing = self.tags().get(name)
+        if existing is not None:
+            if existing == v:
+                return v
             raise ValueError(
-                f"tag {name!r} already points at v{refs[name]}; drop_tag first"
+                f"tag {name!r} already points at v{existing}; drop_tag first"
             )
-        refs[name] = v
-        tmp = self._refs_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(refs, fh)
-        os.replace(tmp, self._refs_path())
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        path = os.path.join(self._refs_dir(), f"tag-{name}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(path) as fh:
+                got = int(json.load(fh)["version"])
+            if got == v:
+                return v
+            raise ValueError(
+                f"tag {name!r} concurrently created at v{got}; drop_tag first"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": v}, fh)
         return v
 
     def drop_tag(self, name: str) -> None:
-        refs = self.tags()
-        refs.pop(name, None)
-        tmp = self._refs_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(refs, fh)
-        os.replace(tmp, self._refs_path())
+        self._check_ref_name(name)
+        try:
+            os.remove(os.path.join(self._refs_dir(), f"tag-{name}.json"))
+        except FileNotFoundError:
+            pass
+        # legacy refs.json entry (pre-round-9): rewrite without it
+        legacy = os.path.join(self.root, "refs.json")
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                refs = json.load(fh)
+            if name in refs:
+                del refs[name]
+                tmp = legacy + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(refs, fh)
+                os.replace(tmp, legacy)
 
     def read_tag(self, name: str) -> DataFrame:
         """Snapshot read of a tagged version (merge-on-read state
@@ -1948,11 +2400,14 @@ class VersionedTable:
         m = self.manifest()
         if not m["files"]:
             return False
+        # distinct partition TUPLES (multi-field specs: one tuple per
+        # file path's full __p_* segment sequence, not per segment)
         nparts = len({
-            seg
+            tuple(
+                seg for seg in f.split(os.sep)
+                if seg.startswith(_PART_DIR_PREFIX)
+            )
             for f in m["files"]
-            for seg in f.split(os.sep)
-            if seg.startswith(_PART_DIR_PREFIX)
         }) or 1
         debt = len(m.get("deletes", [])) + len(m.get("pos_deletes", []))
         if (

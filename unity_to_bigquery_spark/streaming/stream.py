@@ -691,7 +691,13 @@ def _crawl_extract(records: DataFrame) -> DataFrame:
             rows = []
             for body in pdf["body"]:
                 raw = bytes(body)
-                html = raw.decode("utf-8")
+                # errors='replace': a real crawl landing zone routinely
+                # carries non-UTF-8 bodies; a strict decode would raise
+                # inside the Arrow stage and wedge the streaming query
+                # on every replay of that batch (ADVICE r8). Content
+                # identity stays the md5 of the RAW bytes, so dedup is
+                # unaffected by replacement characters.
+                html = raw.decode("utf-8", errors="replace")
                 m = extract_html(html)
                 digest = hashlib.md5(raw).digest()
                 rows.append(
