@@ -1488,3 +1488,98 @@ def test_partition_spec_rejects_bad_fields(spark, root):
     )
     with pytest.raises(TypeError, match="requires a date"):
         t3.prune_files_parts({"ts": "2024-01-01"})
+
+
+def test_branch_isolated_writes_and_fast_forward_publish(spark, root):
+    """Write-audit-publish: commits on a branch are invisible to main
+    (including merge-on-read deletes), auditing reads the branch like
+    any table, and publish lands the WHOLE branch state as ONE main
+    commit with sequencing intact."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    base = t.create_branch("audit")
+    b = t.branch("audit")
+    b.commit_append(_df(spark, [(3, "c"), (4, "d")]))
+    b.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    b.commit_append(_df(spark, [(2, "b2")]))  # re-insert AFTER delete
+    # isolation: main unchanged, branch sees its own line
+    assert _rows(t.read().select("k", "v")) == [(1, "a"), (2, "b")]
+    assert _rows(b.read().select("k", "v")) == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+    ]
+    assert t.branches()["audit"] == {"base": base, "head": base + 3}
+    # publish: ONE atomic main commit; delete sequencing (the post-
+    # delete re-insert must survive) copied verbatim
+    v = t.publish_branch("audit")
+    assert v == base + 1  # exactly one new main version
+    assert _rows(t.read().select("k", "v")) == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+    ]
+    assert t.manifest()["op"] == "publish(audit)"
+    assert "audit" not in t.branches()  # dropped after publish
+    # CDC across the publish: one commit's worth of frames, exact
+    feed = t.changes_with_type(base)
+    eff = {}
+    for r in feed.collect():
+        assert r._commit_version == v
+        if r._change_type == "insert":
+            eff[r.k] = r.v
+        else:
+            eff.pop(r.k, None)
+    assert eff == {2: "b2", 3: "c", 4: "d"}
+
+
+def test_branch_publish_races_and_cherry_pick(spark, root):
+    """Publish vs a racing main commit: an append-only branch
+    cherry-picks onto the moved main; a non-append branch refuses
+    (ConcurrentWriteError) instead of tearing state."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.create_branch("adds")
+    t.branch("adds").commit_append(_df(spark, [(2, "b")]))
+    t.commit_append(_df(spark, [(9, "z")]))  # main moves past the fork
+    t.publish_branch("adds")
+    assert _rows(t.read().select("k", "v")) == [(1, "a"), (2, "b"), (9, "z")]
+    # non-append branch + moved main -> loud refusal
+    t.create_branch("dels")
+    b = t.branch("dels")
+    b.commit_delete_where(spark.createDataFrame([(9,)], "k INT"), "k")
+    t.commit_append(_df(spark, [(10, "y")]))
+    with pytest.raises(ConcurrentWriteError, match="non-append"):
+        t.publish_branch("dels")
+    # main untouched by the failed publish
+    assert _rows(t.read().select("k", "v")) == [
+        (1, "a"), (2, "b"), (9, "z"), (10, "y")
+    ]
+    t.drop_branch("dels")
+    # empty branch publish is a no-op
+    t.create_branch("noop")
+    assert t.publish_branch("noop") == t.latest_version()
+
+
+def test_branch_vacuum_protection_and_drop_gc(spark, root):
+    """vacuum retains (a) the branch BASE manifest+files past any
+    horizon and (b) the branch HEAD's unpublished files; dropping the
+    branch releases both to GC."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.create_branch("wip")
+    b = t.branch("wip")
+    b.commit_append(_df(spark, [(2, "b")]))
+    # churn main far past the branch point
+    for i in range(3):
+        t.commit_overwrite(_df(spark, [(100 + i, "m")]))
+    t.vacuum(keep_last=1)
+    # branch still fully readable: base manifest + head files survived
+    b = t.branch("wip")
+    assert _rows(b.read().select("k", "v")) == [(1, "a"), (2, "b")]
+    # branch handles refuse table-level maintenance
+    with pytest.raises(ValueError, match="not available on a branch"):
+        b.vacuum()
+    with pytest.raises(ValueError, match="not available on a branch"):
+        b.create_tag("t")
+    t.drop_branch("wip")
+    deleted = t.vacuum(keep_last=1)
+    assert deleted  # the branch's staged file was GC'd
+    with pytest.raises(NoSuchVersionError):
+        t.branch("wip")

@@ -323,12 +323,17 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else 0
 
+    def _mpath(self, version: int) -> str:
+        """Path of a version's manifest file (branch views override to
+        route post-base versions into the branch's sub-log)."""
+        return _manifest_path(self.root, version)
+
     def manifest(self, version: int | None = None) -> dict:
         version = self.latest_version() if version is None else version
         if version == 0:
             return {"version": 0, "files": [], "op": "init", "schema": None}
         try:
-            with open(_manifest_path(self.root, version)) as fh:
+            with open(self._mpath(version)) as fh:
                 return json.load(fh)
         except FileNotFoundError:
             raise NoSuchVersionError(f"no version {version} in {self.root}") from None
@@ -1855,7 +1860,7 @@ class VersionedTable:
             indent=0,
         )
         fd = os.open(
-            _manifest_path(self.root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            self._mpath(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
         )
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
@@ -2313,18 +2318,198 @@ class VersionedTable:
             raise NoSuchVersionError(f"no tag {name!r} in {self.root}")
         return self.read(refs[name])
 
+    # ---- branches (write-audit-publish, VERDICT r8 #5) -----------------
+    #
+    # A BRANCH is an isolated commit line forked from a main version B:
+    # its manifests live in their own sub-log (_manifests/branch-<name>/)
+    # and CONTINUE main's version numbering (B+1, B+2, ...), so every
+    # piece of sequencing arithmetic — file_versions vs delete versions,
+    # Iceberg-v2 delete application, CDC frames — works on a branch
+    # unchanged. Data files stage into the shared data/ directory but
+    # are invisible to main readers until publish (the log, not the
+    # directory, is the source of truth). This is the write-audit-publish
+    # pattern (Iceberg branches / Nessie / Delta's staging tables):
+    # ingest onto a branch, audit it with real reads/constraints, then
+    # PUBLISH atomically — or drop the branch and nothing ever happened.
+
+    def _branch_ref(self, name: str) -> str:
+        return os.path.join(self._refs_dir(), f"branch-{name}.json")
+
+    def _branch_mdir(self, name: str) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"branch-{name}")
+
+    def branches(self) -> dict:
+        """{branch_name: {"base": int, "head": int}} — head == base for
+        a branch with no commits yet."""
+        out = {}
+        try:
+            names = os.listdir(self._refs_dir())
+        except FileNotFoundError:
+            return out
+        for n in names:
+            if n.startswith("branch-") and n.endswith(".json"):
+                bname = n[7:-5]
+                with open(os.path.join(self._refs_dir(), n)) as fh:
+                    base = int(json.load(fh)["base"])
+                out[bname] = {"base": base, "head": self._branch_head(bname, base)}
+        return out
+
+    def _branch_head(self, name: str, base: int) -> int:
+        try:
+            ms = os.listdir(self._branch_mdir(name))
+        except FileNotFoundError:
+            return base
+        vs = [int(m[1:-5]) for m in ms if m.startswith("v") and m.endswith(".json")]
+        return max(vs, default=base)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork a branch at ``version`` (default: current main head).
+        The ref is one O_EXCL file — same lost-update-proof CAS as tags;
+        re-creating at the same base is an idempotent no-op. Returns the
+        base version. Metadata-only at any table size."""
+        self._check_ref_name(name)
+        v = self.latest_version() if version is None else version
+        self.manifest(v)  # raises NoSuchVersionError on a bad fork point
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        try:
+            fd = os.open(self._branch_ref(name), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(self._branch_ref(name)) as fh:
+                got = int(json.load(fh)["base"])
+            if got == v:
+                return v
+            raise ValueError(
+                f"branch {name!r} already forked at v{got}; drop_branch first"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"base": v}, fh)
+        os.makedirs(self._branch_mdir(name), exist_ok=True)
+        return v
+
+    def branch(self, name: str) -> "VersionedTable":
+        """A writer/reader handle on a branch: the full VersionedTable
+        surface (append/delete/merge/CDC/time travel) against the
+        branch's line. Versions <= the fork point resolve from main's
+        log, later ones from the branch sub-log."""
+        bs = self.branches()
+        if name not in bs:
+            raise NoSuchVersionError(f"no branch {name!r} in {self.root}")
+        return _BranchHandle(self, name, bs[name]["base"])
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch: ref + sub-log. Its data files (shared
+        data/ directory) become unreferenced and fall to the next
+        vacuum — 'nothing ever happened', the audit-failed half of
+        write-audit-publish."""
+        import shutil
+
+        self._check_ref_name(name)
+        try:
+            os.remove(self._branch_ref(name))
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(self._branch_mdir(name), ignore_errors=True)
+
+    def publish_branch(self, name: str, retain: bool = False) -> int:
+        """Atomically land a branch's state on main — the publish half
+        of write-audit-publish.
+
+        - **Fast-forward** (main has not moved since the fork): ONE
+          main commit carrying the branch head's manifest state
+          verbatim — files, merge-on-read deletes, file_versions
+          sequencing, schema, stats, txn bookmarks. Readers see the
+          whole audited batch or none of it; sequencing numbers copy
+          unchanged, so delete-vs-file application and CDC across the
+          publish stay exact.
+        - **Cherry-pick** (main moved, branch window is append-only):
+          the branch's added files append onto current main (their
+          stats carried). A non-append branch over a moved main raises
+          ConcurrentWriteError — rebase by re-branching.
+
+        Publish races with concurrent main commits via the same O_EXCL
+        CAS as every commit: a racing writer makes the fast-forward
+        check fail on retry rather than tearing state. The branch ref
+        is dropped after a successful publish unless ``retain``."""
+        bs = self.branches()
+        if name not in bs:
+            raise NoSuchVersionError(f"no branch {name!r} in {self.root}")
+        base_v, head_v = bs[name]["base"], bs[name]["head"]
+        if head_v == base_v:
+            if not retain:
+                self.drop_branch(name)
+            return self.latest_version()  # nothing to publish
+        bh = self.branch(name).manifest(head_v)
+        for _ in range(20):
+            cur = self.manifest()
+            if cur["version"] == base_v:
+                # fast-forward: branch head state verbatim, next main slot
+                synth = dict(bh)
+                synth["version"] = cur["version"]
+                self._staged_stats = {}
+                try:
+                    v = self._publish_once(
+                        synth,
+                        bh["files"],
+                        f"publish({name})",
+                        bh.get("schema"),
+                        deletes_override=bh.get("deletes", []),
+                        pos_deletes_override=bh.get("pos_deletes", []),
+                    )
+                except FileExistsError:
+                    continue  # racing main commit won the slot — re-check
+            else:
+                # cherry-pick: only sound when the branch only ADDED rows
+                bbranch = self.branch(name)
+                if not bbranch.window_is_append_only(base_v, head_v):
+                    raise ConcurrentWriteError(
+                        f"main moved past the fork point v{base_v} and "
+                        f"branch {name!r} carries non-append commits — "
+                        "re-branch from the new head and replay"
+                    )
+                if bh.get("schema") != cur.get("schema"):
+                    raise ConcurrentWriteError(
+                        f"cherry-pick schema mismatch: main={cur.get('schema')} "
+                        f"branch={bh.get('schema')}"
+                    )
+                base_files = set(self.manifest(base_v)["files"])
+                added = [f for f in bh["files"] if f not in base_files]
+                overlap = set(added) & set(cur["files"])
+                if overlap:  # already published (replayed publish)
+                    return cur["version"]
+                self._staged_stats = {
+                    f: bh.get("stats", {}).get(f, {}) for f in added
+                }
+                try:
+                    v = self._publish_once(
+                        cur, cur["files"] + added, f"publish({name})",
+                        cur.get("schema"),
+                    )
+                except FileExistsError:
+                    continue
+                finally:
+                    self._staged_stats = {}
+            if not retain:
+                self.drop_branch(name)
+            return v
+        raise ConcurrentWriteError(
+            f"publish({name}) could not land after 20 attempts"
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained version
         (retained = the most recent ``keep_last`` manifests PLUS every
-        TAGGED version — release pins survive any horizon). Untagged
-        manifests beyond the horizon are dropped; time travel to them
-        raises NoSuchVersionError afterwards. Returns deleted relative
-        paths."""
+        TAGGED version PLUS every branch's base and head — release pins
+        and in-flight audit branches survive any horizon). Untagged,
+        unbranched manifests beyond the horizon are dropped; time
+        travel to them raises NoSuchVersionError afterwards. Returns
+        deleted relative paths."""
         vs = self.versions()
         if not vs:
             return []
         tagged = sorted(set(self.tags().values()))
-        retained = sorted(set(vs[-keep_last:]) | set(tagged))
+        branch_info = self.branches()
+        branch_bases = {b["base"] for b in branch_info.values()}
+        retained = sorted(set(vs[-keep_last:]) | set(tagged) | branch_bases)
         live: set[str] = set()
         for v in retained:
             m = self.manifest(v)
@@ -2335,6 +2520,13 @@ class VersionedTable:
             # vacuum (and maintain()) break every later read of a
             # version with live pos deletes (ADVICE r7)
             live.update(d["file"] for d in m.get("pos_deletes", []))
+        # branch HEAD state: unpublished audit data must survive GC
+        for bname, info in branch_info.items():
+            if info["head"] > info["base"]:
+                bm = self.branch(bname).manifest(info["head"])
+                live.update(bm["files"])
+                live.update(d["file"] for d in bm.get("deletes", []))
+                live.update(d["file"] for d in bm.get("pos_deletes", []))
         deleted = []
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirs, files in os.walk(data_root):
@@ -2343,8 +2535,9 @@ class VersionedTable:
                 if f.endswith(".parquet") and rel not in live:
                     os.remove(os.path.join(dirpath, f))
                     deleted.append(rel)
+        protected = set(tagged) | branch_bases
         for v in vs[:-keep_last]:
-            if v not in set(tagged):  # tagged manifests stay readable
+            if v not in protected:  # tagged/branch-base manifests stay
                 os.remove(_manifest_path(self.root, v))
         return sorted(deleted)
 
@@ -2552,3 +2745,64 @@ class VersionedTable:
                 fh.write(os.path.join(self.root, DATA_DIR, f) + "\n")
         os.replace(tmp, out)
         return out
+
+
+class _BranchHandle(VersionedTable):
+    """A VersionedTable view of one BRANCH: versions <= the fork point
+    resolve from main's log, later ones from the branch's sub-log, and
+    commits publish into the sub-log with the same O_EXCL CAS. The full
+    write surface (append/delete/merge/upsert/CDC/compact/restore)
+    works unchanged because branch versions CONTINUE main's numbering —
+    no sequencing arithmetic is branch-aware. Table-level maintenance
+    and refs (vacuum/maintain/tags) are main's business and raise here:
+    a branch vacuum walking the SHARED data directory with only the
+    branch's manifests in hand would GC main's files."""
+
+    def __init__(self, parent: VersionedTable, name: str, base: int):
+        self.spark = parent.spark
+        self.root = parent.root
+        self.partition_col = parent.partition_col
+        self.partition_spec = parent.partition_spec
+        self.distinct_index_cols = parent.distinct_index_cols
+        self.bloom_index_cols = parent.bloom_index_cols
+        self.bloom_bits = parent.bloom_bits
+        self.bloom_hashes = parent.bloom_hashes
+        self._parent = parent
+        self._name = name
+        self._base = base
+
+    def _mpath(self, version: int) -> str:
+        if version > self._base:
+            return os.path.join(
+                self._parent._branch_mdir(self._name), f"v{version:08d}.json"
+            )
+        return _manifest_path(self.root, version)
+
+    def versions(self) -> list[int]:
+        main = [v for v in self._parent.versions() if v <= self._base]
+        return main + sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._parent._branch_mdir(self._name))
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _refuse(self, op: str):
+        raise ValueError(
+            f"{op} operates on the whole table and is not available on a "
+            f"branch handle (branch {self._name!r}) — run it on main"
+        )
+
+    def vacuum(self, keep_last: int = 1):
+        self._refuse("vacuum")
+
+    def maintain(self, *a, **k):
+        self._refuse("maintain")
+
+    def create_tag(self, name: str, version: int | None = None):
+        self._refuse("create_tag")
+
+    def create_branch(self, name: str, version: int | None = None):
+        self._refuse("create_branch (branch-of-branch)")
+
+    def publish_branch(self, name: str, retain: bool = False):
+        self._refuse("publish_branch")

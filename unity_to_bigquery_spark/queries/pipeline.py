@@ -1231,3 +1231,59 @@ def p_versioned_partition_spec(spark, sf_dir):
             F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
         ).alias("sum_value6"),
     )
+
+
+@query(
+    "p_versioned_wap_publish",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM orders WHERE o_orderkey % 13 <> 0
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Write-audit-publish (VERDICT r8 #5 — VersionedTable branches): "
+        "orders land in two commits on an AUDIT BRANCH (invisible to "
+        "main), the audit step equality-deletes the rows failing a "
+        "quality rule on the branch, and publish_branch lands the whole "
+        "audited state as ONE atomic main commit (fast-forward: files, "
+        "merge-on-read deletes, and sequencing copied verbatim). Main "
+        "must read exactly the direct-commit-of-clean-rows result — "
+        "which is what the oracle computes straight off the source. The "
+        "query asserts main stayed empty until the publish."
+    ),
+    tags=("pipeline", "versioned", "branch", "wap"),
+)
+def p_versioned_wap_publish(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_wap_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.create_branch("ingest")
+    b = t.branch("ingest")
+    b.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    b.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # AUDIT on the branch: quarantine rows failing the quality rule
+    b.commit_delete_where(
+        b.read().filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+        key="o_orderkey",
+    )
+    if t.latest_version() != 0:
+        raise RuntimeError("branch writes leaked into main before publish")
+    t.publish_branch("ingest")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
