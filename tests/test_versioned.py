@@ -1118,11 +1118,12 @@ def test_cdc_applies_carried_pos_deletes_across_rewrite(spark, root):
     assert base == {(r.k, r.v) for r in t.read().collect()}
 
 
-def test_cdc_guard_pos_revival_still_raises(spark, root):
-    """Pos-delete commits now flow through the feed (see
-    test_positional_deletes_cdc_emission); the ONE inexpressible shape
-    — a restore reviving pos-deleted rows while their file survives —
-    stays a loud error."""
+def test_cdc_pos_revival_emits_inserts(spark, root):
+    """Round 9 (VERDICT r8 #3): a restore reviving pos-deleted rows
+    while their file survives — formerly the last inexpressible commit
+    shape (loud error) — now emits the revived ordinals as full-row
+    'insert' rows, keylessly. Window folds stay exact, and
+    changes_final_state over the restore collapses correctly."""
     t, fA = _pos_table(spark, root)
     v1 = 1
     v_pos = t.commit_delete_positions(
@@ -1131,10 +1132,63 @@ def test_cdc_guard_pos_revival_still_raises(spark, root):
     got = t.changes_with_type(v1).collect()
     assert [(r.k, r._change_type) for r in got] == [(1, "delete")]
     # restore to the pre-delete version drops the entry while the
-    # target survives: keyless revival, must raise
-    t.restore(v1)
-    with pytest.raises(ValueError, match="revive|survive"):
-        t.changes_with_type(v_pos).collect()
+    # target survives: the revived row comes back as an insert
+    v_rest = t.restore(v1)
+    got = t.changes_with_type(v_pos).collect()
+    assert [(r.k, r._change_type, r._commit_version) for r in got] == [
+        (1, "insert", v_rest)
+    ]
+    # spanning window (delete + revival): fold == live snapshot
+    base = {(r.k, r.v) for r in t.read(v1).collect()}
+    for r in t.changes_with_type(v1).collect():
+        if r._change_type == "delete":
+            base.discard((r.k, r.v))
+        else:
+            base.add((r.k, r.v))
+    assert base == {(r.k, r.v) for r in t.read().collect()}
+    # net per-key effect across delete+revival: one upsert (re-live),
+    # never a spurious delete
+    fs = t.changes_final_state("k", v_pos).collect()
+    assert [(r.k, r._change_type) for r in fs] == [(1, "upsert")]
+    # over the whole window, cross-commit delete+revival collapses to
+    # ONE upsert (the documented contract: unchanged-drop applies only
+    # to same-commit rewrite churn, not cross-commit re-inserts)
+    fs = t.changes_final_state("k", v1).collect()
+    assert [(r.k, r._change_type) for r in fs] == [(1, "upsert")]
+
+
+def test_cdc_pos_revival_respects_equality_and_kept_entries(spark, root):
+    """Revival exclusions are exact: ordinals still dead under a KEPT
+    pos entry don't revive; rows equality-dead under the new state
+    don't revive; a simultaneous equality-entry drop emits each row
+    exactly once."""
+    t, fA = _pos_table(spark, root)  # k=0..9, one file
+    v1 = 1
+    # two separate pos-delete commits: ordinals 1 and 2
+    t.commit_delete_positions(
+        spark.createDataFrame([(fA, 1)], "file STRING, pos BIGINT")
+    )
+    v_p2 = t.commit_delete_positions(
+        spark.createDataFrame([(fA, 2)], "file STRING, pos BIGINT")
+    )
+    # equality-delete k=5, then restore to v_p2 (drops ordinal-2 entry?
+    # no: restore to the state where BOTH pos entries exist but the
+    # equality delete doesn't — revives nothing positionally)
+    v_eq = t.commit_delete_where(spark.createDataFrame([(5,)], "k INT"), "k")
+    t.restore(v_p2)
+    got = sorted(
+        (r.k, r._change_type) for r in t.changes_with_type(v_eq).collect()
+    )
+    assert got == [(5, "insert")]  # equality revival only, no pos rows
+    # now restore to the state with ONE pos entry (ordinal 1 dead,
+    # ordinal 2 revived) — exactly k=2 comes back
+    v_before = t.latest_version()
+    t.restore(2)  # version 2 = first pos-delete commit
+    got = sorted(
+        (r.k, r._change_type) for r in t.changes_with_type(v_before).collect()
+    )
+    assert got == [(2, "insert")]
+    assert sorted(r.k for r in t.read().collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
 
 
 def test_streaming_cdc_applies_carried_pos_deletes(spark, root, tmp_path):

@@ -66,9 +66,9 @@ Scale notes (100 TB):
   ``commit_replace_keys`` per page — stale assignment rows for changed
   keys die merge-on-read, removed keys get no replacement, and a
   GDPR-style source delete costs ∝ the delta instead of a full
-  rebuild. Pure-append pages keep the cheaper merge path. The one
-  inexpressible source shape (a restore reviving pos-deleted rows in
-  place) still raises from the CDC layer.
+  rebuild. Pure-append pages keep the cheaper merge path. Since round
+  9 every commit shape is expressible — a restore reviving pos-deleted
+  rows in place emits the revived ordinals as full-row inserts.
 
 Reference parity: the reference pipeline has no ANN at all
 (Unity_to_BigQuery.py is 216 LoC of sequential export ETL); this is
@@ -292,7 +292,9 @@ class AnnIndex:
         return v
 
     # ---- incremental refresh -------------------------------------------
-    def refresh(self, max_commits: int | None = None) -> int:
+    def refresh(
+        self, max_commits: int | None = None, to_version: int | None = None
+    ) -> int:
         """Fold every source commit since the bookmark into the index;
         returns the source version now reflected. No-op when current.
         Backlogs page at ``max_commits`` (default CDC_MAX_COMMITS) —
@@ -308,16 +310,28 @@ class AnnIndex:
         die merge-on-read, final states re-assign against the STORED
         centroids, removed keys simply get no replacement row. Cost is
         ∝ the net delta (unchanged-churn keys are dropped by the feed),
-        never corpus size. The one inexpressible source shape — a
-        restore reviving pos-deleted rows in place — still raises from
-        the CDC layer; absorb it with :meth:`build`."""
+        never corpus size. Every commit shape is expressible since
+        round 9 (restores reviving pos-deleted rows emit keyless
+        full-row inserts), so no source movement forces a rebuild.
+
+        ``to_version`` (round 9 — streaming retraction maintenance):
+        refresh exactly up to that source version instead of the live
+        head. A CDC-stream micro-batch is commit-aligned, so its max
+        ``_commit_version`` is a version boundary; pinning the refresh
+        there keeps the index in lockstep with the stream's delivered
+        offsets, and a replayed batch (to_version <= bookmark) is a
+        no-op — exactly-once without any sink-side state."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
         last = self.indexed_version()
         if last == 0:
             raise ValueError("AnnIndex.refresh: build() the index first")
-        now = self.source.latest_version()
+        now = (
+            self.source.latest_version() if to_version is None else to_version
+        )
+        if to_version is not None and to_version <= last:
+            return last  # replayed/old boundary: exactly-once no-op
         st = self._scorer_state()
         while last < now:
             upto = min(last + page, now)
@@ -597,21 +611,28 @@ class PqIndex:
             self.codes.commit_overwrite(rows, txn=(_PQ_APP, v))
         return v
 
-    def refresh(self, max_commits: int | None = None) -> int:
+    def refresh(
+        self, max_commits: int | None = None, to_version: int | None = None
+    ) -> int:
         """Encode every vector changed since the bookmark against the
         STORED codebooks; paged atomic idempotent commits. Retraction-
         aware exactly like :meth:`AnnIndex.refresh` (round 8): append
         pages merge the delta's codes; delete/rewrite pages fold the
         net per-key effect into one ``commit_replace_keys`` — changed
         keys' m stale subspace rows die merge-on-read, removed keys get
-        no replacement."""
+        no replacement. ``to_version`` pins the refresh to a CDC-stream
+        batch boundary (see :meth:`AnnIndex.refresh`)."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
         last = self.indexed_version()
         if last == 0:
             raise ValueError("PqIndex.refresh: build() the index first")
-        now = self.source.latest_version()
+        now = (
+            self.source.latest_version() if to_version is None else to_version
+        )
+        if to_version is not None and to_version <= last:
+            return last  # replayed/old boundary: exactly-once no-op
         books = self.codebooks.read()
         while last < now:
             upto = min(last + page, now)

@@ -139,7 +139,9 @@ class GramIndex:
         return v
 
     # ---- incremental refresh ---------------------------------------------
-    def refresh(self, max_commits: int | None = None) -> int:
+    def refresh(
+        self, max_commits: int | None = None, to_version: int | None = None
+    ) -> int:
         """Fold all source commits since the bookmark. Pure-append
         pages stay a PURE APPEND of the delta's gram rows (cost ∝
         appended docs; no existing state file is touched). Pages
@@ -152,14 +154,20 @@ class GramIndex:
         get nothing. Cost ∝ the net delta. Pages long backlogs at
         ``max_commits`` (default CDC_MAX_COMMITS), one idempotent
         txn-bookmarked commit per page, crash-resumable between
-        pages."""
+        pages. ``to_version`` pins the refresh to a CDC-stream batch
+        boundary (see :meth:`AnnIndex.refresh`); an old boundary is an
+        exactly-once no-op."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
         last = self.indexed_version()
         if last == 0:
             raise ValueError("GramIndex.refresh: build() the index first")
-        now = self.source.latest_version()
+        now = (
+            self.source.latest_version() if to_version is None else to_version
+        )
+        if to_version is not None and to_version <= last:
+            return last  # replayed/old boundary: exactly-once no-op
         while last < now:
             upto = min(last + page, now)
             if self.source.window_is_append_only(last, upto):

@@ -132,7 +132,9 @@ class LshIndex:
         return v
 
     # ---- incremental refresh ---------------------------------------------
-    def refresh(self, max_commits: int | None = None) -> int:
+    def refresh(
+        self, max_commits: int | None = None, to_version: int | None = None
+    ) -> int:
         """Fold all source commits since the bookmark. Pure-append
         pages append band rows (cost ∝ appended docs); pages with
         deletes/rewrites fold the NET per-key effect
@@ -140,14 +142,20 @@ class LshIndex:
         ``commit_replace_keys`` — changed docs' stale bucket rows die
         merge-on-read, removed docs stop matching (round 8, same
         retraction discipline as AnnIndex/GramIndex). Pages long
-        backlogs, idempotent per page, crash-resumable."""
+        backlogs, idempotent per page, crash-resumable. ``to_version``
+        pins the refresh to a CDC-stream batch boundary (see
+        :meth:`AnnIndex.refresh`)."""
         page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         if page < 1:
             raise ValueError(f"max_commits must be >= 1, got {page}")
         last = self.indexed_version()
         if last == 0:
             raise ValueError("LshIndex.refresh: build() the index first")
-        now = self.source.latest_version()
+        now = (
+            self.source.latest_version() if to_version is None else to_version
+        )
+        if to_version is not None and to_version <= last:
+            return last  # replayed/old boundary: exactly-once no-op
         while last < now:
             upto = min(last + page, now)
             if self.source.window_is_append_only(last, upto):

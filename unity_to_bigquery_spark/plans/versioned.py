@@ -650,39 +650,6 @@ class VersionedTable:
             )
         return df
 
-    def _cdc_pos_guard(self, m_prev: dict, m_v: dict, v: int) -> None:
-        """Admit or reject a commit's positional-delete movement.
-
-        A commit that ADDS pos-delete entries IS expressible: the rows
-        it killed are concrete rows of live target files, emitted as
-        full-row ``delete`` retractions by ``_cdc_commit_frames``'
-        pos-delete block (round 8 — this closed the r7 compact-first
-        requirement). Entries carried unchanged, or shed because a
-        rewrite removed every target, are safe too: the per-file CDC
-        scans apply the pair files (``_scan_pos``), so pos-deleted rows
-        never surface as spurious retractions (ADVICE r7).
-
-        The ONE inexpressible shape is keyless REVIVAL: dropping an
-        entry while a target file survives (a restore to a pre-delete
-        state) revives rows the equality-only per-file signature cannot
-        see — that stays a loud error."""
-        prev = {d["file"]: d for d in m_prev.get("pos_deletes", [])}
-        cur = {d["file"]: d for d in m_v.get("pos_deletes", [])}
-        live = set(m_v["files"])
-        revived = [
-            f
-            for f, d in prev.items()
-            if f not in cur and any(t in live for t in d["targets"])
-        ]
-        if revived:
-            raise ValueError(
-                f"version {v} drops positional-delete entries while their "
-                "target files survive (a restore to a pre-delete state): "
-                "the revived rows carry no key, so the feed cannot express "
-                "them — compact() before the restore, or re-bootstrap "
-                "consumers from the restored version"
-            )
-
     def _cdc_commit_frames(self, m_prev: dict, m_v: dict, v: int) -> list[DataFrame]:
         """Change rows for ONE commit as (frame, is_insert) emissions.
 
@@ -808,6 +775,64 @@ class VersionedTable:
                         "left_anti",
                     )
                 stamp(self._cdc_anti_all(df.select(*out_cols), a), "delete")
+
+        # DROPPED positional-delete entries with SURVIVING targets (a
+        # restore to a pre-delete state): the revived rows are concrete
+        # ordinals of files live in both manifests — emit them as
+        # full-row 'insert' rows by semi-joining the dropped (file, pos)
+        # pairs (round 9; this was the last inexpressible commit shape,
+        # the old _cdc_pos_guard raised here). Exclusions keep emissions
+        # exactly-once: ordinals still dead under m_v (kept/re-added
+        # entries) anti-join out; rows equality-dead under the new state
+        # (b) anti-join out; rows matching DROPPED equality entries are
+        # already emitted by the gone_entries insert block above (whose
+        # _scan_pos(m_v) now sees the revived ordinals) and anti-join
+        # out here. Targets removed this commit revive nothing; targets
+        # only in m_v are covered by the insert path's _scan_pos.
+        cur_pair_files = {d["file"] for d in m_v.get("pos_deletes", [])}
+        gone_pos = [
+            d for d in m_prev.get("pos_deletes", [])
+            if d["file"] not in cur_pair_files
+        ]
+        rev_targets = sorted(
+            {t for d in gone_pos for t in d["targets"] if t in both}
+        )
+        if rev_targets:
+            dropped = self._pos_pairs(gone_pos)
+            rgroups: dict[tuple, list[str]] = {}
+            for f in rev_targets:
+                a = self._cdc_applicable(m_prev, f)
+                bsig = self._cdc_applicable(m_v, f)
+                rgroups.setdefault((a, bsig), []).append(f)
+            for (a, bsig), files in sorted(
+                rgroups.items(), key=lambda kv: repr(kv[0])
+            ):
+                df = self._scan(m_v, files)
+                out_cols = df.columns
+                df = (
+                    df.withColumn(
+                        "__rel",
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                        ),
+                    )
+                    .withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(F.broadcast(dropped), ["__rel", "__pos"], "left_semi")
+                )
+                still = [
+                    d
+                    for d in m_v.get("pos_deletes", [])
+                    if any(t in set(files) for t in d["targets"])
+                ]
+                if still:
+                    df = df.join(
+                        F.broadcast(self._pos_pairs(still)),
+                        ["__rel", "__pos"],
+                        "left_anti",
+                    )
+                gone_eq = tuple(d for d in a if d not in bsig)
+                df = self._cdc_anti_all(df.select(*out_cols), bsig)
+                stamp(self._cdc_anti_all(df, gone_eq), "insert")
         return frames
 
     def _pos_pairs(self, entries: list) -> DataFrame:
@@ -866,8 +891,10 @@ class VersionedTable:
         / restore) emit removed files' live rows as deletes and new
         files' rows as inserts (self-canceling for untouched rows under
         a signed fold); compact/cluster_by are live-content-identical
-        and emit nothing; restores that REVERT an equality delete emit
-        the revived rows as inserts.
+        and emit nothing; restores that REVERT a delete — equality OR
+        positional (round 9: the dropped pair files' ordinals scan as
+        full-row inserts, closing the last inexpressible commit shape)
+        — emit the revived rows as inserts.
 
         Scale: driver work is manifest arithmetic; each commit scans
         only its own delta files (delete commits additionally prune
@@ -904,7 +931,6 @@ class VersionedTable:
             if str(m_v.get("op", "")).startswith(self._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
-            self._cdc_pos_guard(m_prev, m_v, v)
             frames.extend(self._cdc_commit_frames(m_prev, m_v, v))
             m_prev = m_v
         if not frames:

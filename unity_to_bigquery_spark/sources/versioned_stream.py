@@ -316,11 +316,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if str(m_v.get("op", "")).startswith(VersionedTable._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
-            # structural guard + per-file pos-pair application, the
-            # streaming mirror of the batch _cdc_pos_guard/_scan_pos fix
-            # (ADVICE r7): carried pos-delete entries must anti-filter
-            # every per-file scan, not just trip a length check
-            self._t._cdc_pos_guard(m_prev, m_v, v)
+            # per-file pos-pair application, the streaming mirror of the
+            # batch _scan_pos fix (ADVICE r7): carried pos-delete
+            # entries must anti-filter every per-file scan, not just
+            # trip a length check
             posf = lambda m, f: [  # noqa: E731
                 (abspath(d["file"]), f)
                 for d in m.get("pos_deletes", [])
@@ -383,6 +382,35 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         pos_match=[
                             (abspath(d["file"]), f)
                             for d in new_pos if f in d["targets"]
+                        ],
+                    )
+                )
+            # DROPPED pos-delete entries with surviving targets (a
+            # restore reviving rows in place): one 'insert' partition
+            # per target emitting ONLY the dropped ordinals, excluding
+            # ordinals still dead under m_v and rows matching the new
+            # equality state or DROPPED equality entries (the gone_e
+            # insert partition above already emits those) — the exact
+            # streaming twin of the batch revival block (round 9)
+            cur_pair_files = {d["file"] for d in m_v.get("pos_deletes", [])}
+            gone_pos = [
+                d for d in m_prev.get("pos_deletes", [])
+                if d["file"] not in cur_pair_files
+            ]
+            for f in sorted(
+                {t for d in gone_pos for t in d["targets"]
+                 if t in prev_files and t in cur_files}
+            ):
+                a = app(m_prev, f)
+                b = app(m_v, f)
+                gone_eq = tuple(d for d in a if d not in b)
+                parts.append(
+                    _CDCFilePartition(
+                        abspath(f), fields, "insert", v,
+                        kf(b) + kf(gone_eq), [], posf(m_v, f),
+                        pos_match=[
+                            (abspath(d["file"]), f)
+                            for d in gone_pos if f in d["targets"]
                         ],
                     )
                 )
