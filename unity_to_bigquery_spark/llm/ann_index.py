@@ -707,3 +707,289 @@ class PqIndex:
         if len(refreshes) < 2:
             return False
         return refreshes[-1].mean_err6 > refreshes[0].mean_err6 + rise6
+
+
+_IVFPQ_APP = "ivfpq-index"
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ index — the COMPOSITION of :class:`AnnIndex`'s
+    inverted-list layout and :class:`PqIndex`'s product-quantized codes
+    (VERDICT r8 #4, the 1e9-vector memory story): AnnIndex stores raw
+    vectors denormalized in cells (fast probes, full float footprint);
+    PqIndex stores m-byte codes but ADC-scans the WHOLE code table per
+    query batch. This class stores CELL-PARTITIONED codes, so serving
+
+    - probes nprobe cells per query against the broadcast centroids,
+    - ADC-scans codes ONLY inside the probed cells (manifest
+      distinct-set file skipping — cold cells cost zero IO),
+    - exact-cosine reranks a |Q|·shortlist set of vectors read from the
+      SOURCE snapshot (broadcast semi-join: the scan streams once, no
+      shuffle) —
+
+    raw vectors are never read outside the rerank set, and the index's
+    own footprint is m small ints per vector (the codes) plus the
+    broadcast-sized centroid/codebook tables. This is FAISS's
+    IndexIVFPQ layout on lakehouse tables (non-residual variant: codes
+    quantize the L2-normalized vectors themselves, which is what makes
+    index-served with nprobe == ncells EXACTLY ``pq_adc_rerank_topk``
+    under equal training — the differential in tests/test_ann_index).
+
+    Protocol is the family's: build() trains cells + codebooks on the
+    current snapshot and encodes everything (atomic, txn-bookmarked);
+    refresh(to_version=…) folds source commits — append windows
+    merge_upsert the delta's (cell, code) rows, retraction windows fold
+    ``changes_final_state`` into one atomic ``commit_replace_keys`` —
+    so it plugs into ``index_cdc_maintenance_sink`` unchanged.
+
+    Scale: probe planning is |Q|·C broadcast rows (or swap in the ivf2
+    descent at 1e9 cells); the ADC join touches nprobe/C of the code
+    rows; rerank reads shortlist·|Q| source rows. Refresh cost ∝ delta.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: VersionedTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        ncells: int | None = None,
+        m: int = 4,
+        ksub: int = 16,
+        seed: int = 7,
+        auto_compact: bool = True,
+    ):
+        self.spark = spark
+        self.source = source
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.ncells = ncells
+        self.m = m
+        self.ksub = ksub
+        self.seed = seed
+        self.auto_compact = auto_compact
+        self.centroids = VersionedTable(spark, os.path.join(root, "centroids"))
+        self.codebooks = VersionedTable(spark, os.path.join(root, "codebooks"))
+        # cell-partitioned + distinct-set-indexed, exactly like
+        # AnnIndex.assignments — but rows carry CODES, not vectors
+        self.codes = VersionedTable(
+            spark,
+            os.path.join(root, "codes"),
+            partition_col="cell_id",
+            distinct_index_cols=("cell_id",),
+        )
+
+    # ---- bookkeeping -------------------------------------------------
+    def indexed_version(self) -> int:
+        return self.codes.manifest().get("txns", {}).get(_IVFPQ_APP, 0)
+
+    def _dim(self, df: DataFrame) -> int:
+        return df.select(F.size(self.vec_col).alias("d")).first()["d"]
+
+    def centroid_frame(self) -> DataFrame:
+        return self.centroids.read().select(
+            F.col("cell_id").alias(self.id_col),
+            F.col("centroid").alias(self.vec_col),
+        )
+
+    def _rows(self, vecs: DataFrame, cents: DataFrame, books: DataFrame,
+              v: int) -> DataFrame:
+        """(id, cell_id, sub, code, src_version) for ``vecs``: cell by
+        cosine argmax (scale-invariant, raw vectors fine), codes from
+        the L2-normalized vectors under the STORED codebooks."""
+        best = ivf_best_cells(
+            vecs, cents, self.id_col, self.vec_col, nassign=1
+        ).select(self.id_col, "cell_id")
+        un = unit_vectors(vecs, self.id_col, self.vec_col).select(
+            self.id_col, F.col("__unit").alias(self.vec_col)
+        )
+        enc = pq_encode(
+            un, books, m=self.m, id_col=self.id_col, vec_col=self.vec_col
+        )
+        return enc.join(best, on=self.id_col).select(
+            self.id_col,
+            "cell_id",
+            F.col("sub"),
+            F.col("code"),
+            F.lit(v).cast("long").alias("src_version"),
+        )
+
+    # ---- build / retrain ----------------------------------------------
+    def build(self) -> int:
+        v = self.source.latest_version()
+        if v == 0:
+            raise ValueError("IvfPqIndex.build: source table is empty")
+        snap = self.source.read(v)
+        n = snap.count()
+        ncells = self.ncells or max(16, int(n**0.5))
+        cents = kmeans_centroids(
+            snap, ncells, id_col=self.id_col, vec_col=self.vec_col,
+            seed=self.seed, corpus_count=n,
+        )
+        self.centroids.commit_overwrite(
+            cents.select(
+                F.col(self.id_col).alias("cell_id"),
+                F.col(self.vec_col).alias("centroid"),
+            )
+        )
+        un = unit_vectors(snap, self.id_col, self.vec_col).select(
+            self.id_col, F.col("__unit").alias(self.vec_col)
+        )
+        books = pq_codebooks(
+            un, m=self.m, ksub=self.ksub, id_col=self.id_col,
+            vec_col=self.vec_col, seed=self.seed,
+        )
+        self.codebooks.commit_overwrite(books)
+        rows = self._rows(snap, self.centroid_frame(), books, v)
+        if self.indexed_version() >= v:
+            self.codes.commit_overwrite(rows)  # retrain: bookmark correct
+        else:
+            self.codes.commit_overwrite(rows, txn=(_IVFPQ_APP, v))
+        return v
+
+    # ---- incremental refresh -------------------------------------------
+    def refresh(
+        self, max_commits: int | None = None, to_version: int | None = None
+    ) -> int:
+        """Assign + encode only the changed vectors against the STORED
+        centroids/codebooks; same paging, retraction folding, and
+        to_version boundary semantics as :meth:`AnnIndex.refresh`."""
+        page = VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
+        if page < 1:
+            raise ValueError(f"max_commits must be >= 1, got {page}")
+        last = self.indexed_version()
+        if last == 0:
+            raise ValueError("IvfPqIndex.refresh: build() the index first")
+        now = (
+            self.source.latest_version() if to_version is None else to_version
+        )
+        if to_version is not None and to_version <= last:
+            return last  # replayed/old boundary: exactly-once no-op
+        cents = self.centroid_frame()
+        books = self.codebooks.read()
+        while last < now:
+            upto = min(last + page, now)
+            if self.source.window_is_append_only(last, upto):
+                delta = self.source.changes(last, upto)
+                rows = self._rows(delta, cents, books, upto)
+                self.codes.merge_upsert(rows, self.id_col, txn=(_IVFPQ_APP, upto))
+            else:
+                final = self.source.changes_final_state(
+                    self.id_col, last, upto
+                ).persist()
+                ups = final.filter(
+                    F.col(VersionedTable.CDC_TYPE_COL) == "upsert"
+                ).drop(VersionedTable.CDC_TYPE_COL, VersionedTable.CDC_VERSION_COL)
+                rows = (
+                    _empty_like(self.spark, self.codes)
+                    if ups.isEmpty()  # pure-delete page: nothing to encode
+                    else self._rows(ups, cents, books, upto)
+                )
+                self.codes.commit_replace_keys(
+                    rows, final.select(self.id_col), self.id_col,
+                    txn=(_IVFPQ_APP, upto),
+                )
+                final.unpersist()
+            last = upto
+        if self.auto_compact:
+            self.codes.auto_compact()
+        return last
+
+    # ---- serving ---------------------------------------------------------
+    def probed_code_files(self, queries: DataFrame, nprobe: int = 4):
+        """(kept_files, skipped_count) of the codes table for a query
+        batch's probed cells — the IO-accounting hook the byte smoke
+        uses (serving reads exactly these files plus the rerank set)."""
+        probed_ids = self._probe(queries, nprobe, "query_id")[1]
+        return self.codes.prune_files_eq("cell_id", probed_ids)
+
+    def _probe(self, queries: DataFrame, nprobe: int, query_id: str):
+        """(probed_df(query_id, __qvec, __qunit, cell_id), probed_ids)."""
+        cents = self.centroid_frame()
+        q = unit_vectors(queries, self.id_col, self.vec_col).select(
+            F.col(self.id_col).alias(query_id),
+            F.col(self.vec_col).alias("__qvec"),
+            F.col("__unit").alias("__qunit"),
+        )
+        c = cents.select(
+            F.col(self.id_col).alias("cell_id"),
+            F.col(self.vec_col).alias("__cvec"),
+        )
+        qcells = q.crossJoin(F.broadcast(c)).withColumn(
+            "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
+        )
+        wq = Window.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+        probed = (
+            qcells.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select(query_id, "__qvec", "__qunit", "cell_id")
+        )
+        # driver-side materialization, not persist (ADVICE r8 pattern):
+        # <= |Q|·nprobe rows by construction
+        schema = probed.schema
+        rows = probed.collect()
+        probed = self.spark.createDataFrame(rows, schema)
+        return probed, sorted({r["cell_id"] for r in rows})
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 4,
+        shortlist: int = 20, query_id: str = "query_id",
+    ) -> DataFrame:
+        """Serve ANN top-k: probed-cell ADC shortlist from stored codes
+        (no float vector moves), exact-cosine rerank of |Q|·shortlist
+        source rows. With nprobe == ncells this is EXACTLY the shared
+        ``pq_adc_search`` result under the stored training — the
+        differential identity tests pin it."""
+        v = self.indexed_version()
+        probed, probed_ids = self._probe(queries, nprobe, query_id)
+        codes = self.codes.read_pruned_eq("cell_id", probed_ids).select(
+            self.id_col, "cell_id", "sub", "code"
+        )
+        dim = self._dim(queries)
+        width = dim // self.m
+        # ADC table: the query batch's per-(subspace, code) dot products
+        qflat = (
+            probed.select(query_id, "__qunit").distinct()
+            .select(query_id, F.posexplode("__qunit").alias("p0", "qv"))
+            .withColumn("sub", (F.col("p0") / width).cast("int"))
+            .withColumn("pos", F.col("p0") % width)
+        )
+        cb_flat = self.codebooks.read().select(
+            "sub", "code", F.posexplode("cvec").alias("pos", "cv")
+        )
+        adc = (
+            qflat.join(F.broadcast(cb_flat), on=["sub", "pos"])
+            .groupBy(query_id, "sub", "code")
+            .agg(F.sum(F.col("qv") * F.col("cv")).alias("__pdot"))
+        )
+        # per-query candidates: codes INSIDE that query's probed cells
+        cand = codes.join(
+            F.broadcast(probed.select(query_id, "cell_id")), on="cell_id"
+        )
+        approx = (
+            cand.join(F.broadcast(adc), on=[query_id, "sub", "code"])
+            .groupBy(query_id, self.id_col)
+            .agg(F.sum("__pdot").alias("__adot"))
+            .filter(F.col(self.id_col) != F.col(query_id))
+        )
+        ws = Window.partitionBy(query_id).orderBy(
+            F.desc("__adot"), F.asc(self.id_col)
+        )
+        short = approx.withColumn("__rn", F.row_number().over(ws)).filter(
+            F.col("__rn") <= shortlist
+        ).select(query_id, self.id_col)
+        # exact rerank: ONLY the shortlist rows' vectors leave the source
+        corpus = self.source.read(v).select(self.id_col, self.vec_col)
+        qv = probed.select(query_id, "__qvec").distinct()
+        rer = (
+            corpus.join(F.broadcast(short), on=self.id_col)
+            .join(F.broadcast(qv), on=query_id)
+            .withColumn("cos6", cosine6(F.col(self.vec_col), F.col("__qvec")))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(self.id_col))
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id, self.id_col, "cos6", "rank")
+        )

@@ -6675,3 +6675,75 @@ def sim_index_streamed_retraction_topk(spark, sf_dir):
         )
     queries = emb.filter(F.col("vec_id").between(5, 9))
     return idx.topk(queries, k=5, nprobe=8)
+
+
+@query(
+    "sim_index_ivfpq_topk",
+    oracle="""
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id BETWEEN 5 AND 9
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       s -> s[1]::DOUBLE * s[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      FROM live e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos6, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "Persisted IVF-PQ index, hash-oracled end to end (round 9, "
+        "VERDICT r8 #4 — llm/ann_index.IvfPqIndex): the composition of "
+        "the inverted-list layout (cell-partitioned storage, probed-cell "
+        "manifest pruning) and product-quantized codes (m small ints "
+        "per vector; serving's shortlist pass never moves a float). "
+        "Build trains cells+codebooks on half the corpus; refresh "
+        "encodes the appended half against the STORED training; an "
+        "equality-delete commit folds through the retraction-aware "
+        "refresh (stale code rows die merge-on-read). Serving probes "
+        "every cell with shortlist >= corpus, so the exact-cosine "
+        "rerank degenerates to exact top-5 over the LIVE corpus — any "
+        "missing/stale/unretracted code row changes the shortlist "
+        "membership and flips the oracle hash. The oracle recomputes "
+        "exact cosine top-5 on the post-delete corpus with the same "
+        "(cos6 DESC, vec_id) tiebreak."
+    ),
+    tags=("llm", "similarity", "ann", "pq", "index", "versioned", "delete"),
+)
+def sim_index_ivfpq_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from unity_to_bigquery_spark.llm.ann_index import IvfPqIndex
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "u2bq_spark_roundtrips",
+        f"ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(root, "source"))
+    src.commit_append(emb.filter(F.col("vec_id") % 2 == 0))
+    idx = IvfPqIndex(spark, os.path.join(root, "index"), src, ncells=8)
+    idx.build()
+    src.commit_append(emb.filter(F.col("vec_id") % 2 == 1))
+    idx.refresh()
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), "vec_id"
+    )
+    idx.refresh()
+    n = int(emb.count())
+    queries = emb.filter(F.col("vec_id").between(5, 9))
+    return idx.topk(queries, k=5, nprobe=8, shortlist=n)
