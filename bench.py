@@ -93,6 +93,11 @@ PINNED_OFF_STDOUT = (
     "p_crawl_frontier_skew",
     "p_rag_retrieval",
     "p_versioned_bloom_lookup",
+    # round-9 pins
+    "p_versioned_partition_spec",
+    "p_versioned_wap_publish",
+    "sim_index_streamed_retraction_topk",
+    "sim_index_ivfpq_topk",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -122,7 +127,9 @@ PINS = {
     "p_continuous_aggregate": 2.10,  # re-pinned r6 (BASELINE.md note)
     "d_simhash_neardup": 2.08,
     "p_neardup_scrub": 1.78,
-    "t_textrank_keywords": 5.00,
+    # re-pinned r9 per the 3-draw protocol (VERDICT r8 #7):
+    # draws 5.56/6.52/8.37 standalone min-of-2 each
+    "t_textrank_keywords": 5.56,
     "sim_pq_rerank_topk": 2.36,
     "sim_ivf2_topk": 6.39,
     "p_versioned_zorder_scan": 2.42,
@@ -142,6 +149,13 @@ PINS = {
     "p_crawl_frontier_skew": 1.19,
     "p_rag_retrieval": 9.47,  # draws 9.10/9.47
     "p_versioned_bloom_lookup": 5.40,  # draws 4.93/5.37
+    # round-9 pins, two standalone min-of-2 draws each (BASELINE.md
+    # §round-9 pins); the stream/index queries' cost is the demo's
+    # build+drain job count by design
+    "p_versioned_partition_spec": 5.45,   # draws 5.45/6.59
+    "p_versioned_wap_publish": 1.38,      # draws 1.38/1.45
+    "sim_index_streamed_retraction_topk": 12.39,  # draws 12.39/13.65
+    "sim_index_ivfpq_topk": 12.00,        # draws 12.00/13.22
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

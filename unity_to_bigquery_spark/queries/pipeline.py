@@ -1156,8 +1156,19 @@ def p_versioned_bloom_lookup(spark, sf_dir):
     )
     path = _tmp(f"versioned_bloom_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(path, ignore_errors=True)
+    # SIZE THE BLOOM TO THE DATA (round 9, the CLAUDE.md-14b class):
+    # fp ≈ (1 - e^(-k·n/m))^k, so a FIXED m saturates the moment
+    # rows-per-file outgrows it (at ×100 corpus, m=65536 under 62k
+    # rows/file gives fp≈0.8 — pruning dead, every lookup scans every
+    # file). m ≳ 4·k·rows-per-file keeps fp ≲ 2% at any scale; floor
+    # 65536 so small corpora keep the round-8 pinned behavior.
+    n_docs = docs.count()
+    k_hashes = 3
+    bits = 65536
+    while bits < 4 * k_hashes * (n_docs // 8 + 1):
+        bits <<= 1
     t = VersionedTable(spark, path, bloom_index_cols=("doc_id",),
-                       bloom_bits=65536, bloom_hashes=3)
+                       bloom_bits=bits, bloom_hashes=k_hashes)
     for b in range(8):  # hash-bucketed: ranges overlap, blooms don't
         t.commit_append(docs.filter(F.col("doc_id") % 8 == b).coalesce(1))
     # BOUNDED lookup set (first 50 keys): the demo's cost must track
