@@ -2118,3 +2118,60 @@ def test_index_cdc_maintenance_sink_gram_index(spark, tmp_path):
     want = sorted(map(tuple, twin.dup_report().collect()))
     assert got == want
     assert not any(r[0] in (2, 5) for r in got)  # deleted docs gone
+
+
+def test_streaming_wap_ingest_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish (round 9): micro-batches land on
+    an AUDIT BRANCH via versioned_sink (main never sees in-flight
+    data), the drained branch is audited and atomically published, and
+    the txn map carried through publish keeps replays exactly-once
+    ACROSS the publish — a re-delivered batch against the next
+    window's branch no-ops."""
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import versioned_sink
+
+    land = str(tmp_path / "land")
+    ddl = "k INT, v STRING"
+    spark.createDataFrame([(1, "a"), (2, "b")], ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(branch_name):
+        sink = versioned_sink(t.branch(branch_name), "wap-ingest")
+        q = (
+            spark.readStream.schema(ddl).parquet(land)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t.create_branch("w0")
+    drain("w0")
+    # in-flight isolation: main is still empty, branch has the batch
+    assert t.latest_version() == 0
+    assert sorted(r.k for r in t.branch("w0").read().collect()) == [1, 2]
+    # audit on the branch, then publish atomically
+    assert t.branch("w0").read().filter(F.col("k").isNull()).count() == 0
+    t.publish_branch("w0")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # window 2: new files, new branch forked from the published main
+    spark.createDataFrame([(3, "c")], ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    t.create_branch("w1")
+    drain("w1")  # same checkpoint: only the new file is delivered
+    assert sorted(r.k for r in t.branch("w1").read().collect()) == [1, 2, 3]
+    # exactly-once ACROSS publish: batch 0 re-delivered against the new
+    # branch is a no-op (its txn id was carried through the publish)
+    sink = versioned_sink(t.branch("w1"), "wap-ingest")
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], ddl), 0)
+    assert sorted(r.k for r in t.branch("w1").read().collect()) == [1, 2, 3]
+    t.publish_branch("w1")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    assert t.branches() == {}

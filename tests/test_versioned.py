@@ -1633,7 +1633,115 @@ def test_branch_vacuum_protection_and_drop_gc(spark, root):
     with pytest.raises(ValueError, match="not available on a branch"):
         b.create_tag("t")
     t.drop_branch("wip")
-    deleted = t.vacuum(keep_last=1)
-    assert deleted  # the branch's staged file was GC'd
+    # the branch's own files are never-referenced orphans now: a
+    # graced vacuum GCs the unretained fork-point manifest's files but
+    # leaves the orphans (indistinguishable from a racing writer's
+    # staged output); grace=0 reclaims them
+    t.vacuum(keep_last=1)
+    second = t.vacuum(keep_last=1, orphan_grace_sec=0.0)
+    assert second  # the branch's staged file needed grace=0
     with pytest.raises(NoSuchVersionError):
         t.branch("wip")
+
+
+def test_vacuum_orphan_grace_protects_staged_files(spark, root):
+    """Round 9: vacuum must not delete a concurrent writer's
+    staged-but-unpublished files — young never-referenced parquet
+    survives the grace period; ordinary GC (files dropped from
+    retained manifests) is ungraced; grace=0 reclaims orphans."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_overwrite(_df(spark, [(2, "b")]))
+    # simulate a racing writer mid-commit: staged files, no manifest yet
+    staged = t._write_files(_df(spark, [(3, "c")]))
+    assert staged
+    deleted = t.vacuum(keep_last=1)
+    # v1's file (ever-referenced, now unretained) is GC'd immediately;
+    # the staged orphan survives
+    assert deleted and all(s not in deleted for s in staged)
+    for s in staged:
+        assert os.path.exists(os.path.join(root, "data", s))
+    # the racing writer can still publish a manifest over its stage
+    base = t.manifest()
+    t._staged_stats = {}
+    v = t._publish_once(base, base["files"] + staged, "append", base["schema"])
+    assert sorted(r.k for r in t.read(v).collect()) == [2, 3]
+    # grace=0: a true orphan (staged, never published) is reclaimed
+    orphan = t._write_files(_df(spark, [(9, "z")]))
+    assert set(t.vacuum(keep_last=1, orphan_grace_sec=0.0)) == set(orphan)
+
+
+def test_replace_parts_and_date_range_pruning(spark, root):
+    """Transform-spec partition-tuple overwrite + day-range pruned
+    reads: replace exactly one (day, bucket) tuple, validate staged
+    rows stay inside it, prune date ranges numerically."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, root, partition_spec=["day(ts)", "bucket(4, site)"])
+    rows = [
+        (i, f"s{i % 4}", dt.datetime(2024, 1, 1 + (i % 12), 6, 0, 0))
+        for i in range(48)
+    ]
+    ddl = "k INT, site STRING, ts TIMESTAMP"
+    t.commit_append(spark.createDataFrame(rows, ddl))
+    # overwrite the (2024-01-03, s2) tuple with corrected rows
+    target = [
+        (1000 + k, "s2", ts) for (k, s, ts) in rows
+        if s == "s2" and ts.date() == dt.date(2024, 1, 3)
+    ]
+    assert target
+    t.commit_replace_parts(
+        spark.createDataFrame(target, ddl),
+        {"ts": dt.date(2024, 1, 3), "site": "s2"},
+    )
+    got = sorted(r.k for r in t.read().collect())
+    want = sorted(
+        [k for (k, s, ts) in rows
+         if not (s == "s2" and ts.date() == dt.date(2024, 1, 3))]
+        + [k for (k, _s, _ts) in target]
+    )
+    assert got == want
+    # staged rows outside the tuple are rejected loudly
+    with pytest.raises(ValueError, match="outside the replaced"):
+        t.commit_replace_parts(
+            spark.createDataFrame(
+                [(1, "s3", dt.datetime(2024, 1, 3, 6))], ddl
+            ),
+            {"ts": dt.date(2024, 1, 3), "site": "s2"},
+        )
+    # every spec column must be filtered
+    with pytest.raises(ValueError, match="missing"):
+        t.commit_replace_parts(
+            spark.createDataFrame(target, ddl), {"site": "s2"}
+        )
+    # day-range pruned read: numeric epoch-day compare, exact rows
+    lo, hi = dt.date(2024, 1, 2), dt.date(2024, 1, 4)
+    pr = t.read_pruned_date_range("ts", lo, hi)
+    expect = sorted(
+        r for r in got
+        if (
+            dt.date(2024, 1, 2)
+            <= (dt.datetime(2024, 1, 1) + dt.timedelta(days=(r % 1000) % 12)).date()
+            <= dt.date(2024, 1, 4)
+        )
+    )
+    got_pr = sorted(r.k for r in pr.collect())
+    direct = sorted(
+        r.k for r in t.read().filter(
+            (F.col("ts") >= F.lit(dt.datetime(2024, 1, 2)))
+            & (F.col("ts") < F.lit(dt.datetime(2024, 1, 5)))
+        ).collect()
+    )
+    assert got_pr == direct and got_pr
+    # pruning actually skipped files (12 days, range covers 3)
+    m = t.manifest()
+    kept = 0
+    for f in m["files"]:
+        d = m["stats"][f].get("part:ts_day")
+        if d is not None and 19724 <= int(d) <= 19726:
+            kept += 1
+    assert kept < len(m["files"])
+    with pytest.raises(TypeError, match="must be datetime.date"):
+        t.read_pruned_date_range("ts", dt.datetime(2024, 1, 2), hi)

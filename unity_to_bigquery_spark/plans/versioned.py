@@ -1335,6 +1335,147 @@ class VersionedTable:
     ) -> tuple[list[str], int]:
         return self._prune_parts(self.manifest(version), filters)
 
+    def read_pruned_date_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col``'s UTC day in ``[lo, hi]`` (dates,
+        inclusive) with day()-field file skipping: the per-file
+        ``part:<col>_day`` epoch-day values compare NUMERICALLY against
+        the range (string compare would mis-order "9" vs "10"), files
+        without the stat are kept, and the exact TZ-free unix-micros
+        row filter runs regardless. The common time-slice query shape
+        over a day-partitioned table."""
+        import datetime
+
+        for v in (lo, hi):
+            if isinstance(v, datetime.datetime) or not isinstance(
+                v, datetime.date
+            ):
+                raise TypeError(
+                    f"read_pruned_date_range bounds must be datetime.date "
+                    f"(got {type(v).__name__})"
+                )
+        epoch = datetime.date(1970, 1, 1)
+        lo_d, hi_d = (lo - epoch).days, (hi - epoch).days
+        if hi_d < lo_d:
+            raise ValueError(f"empty date range: {lo} > {hi}")
+        m = self.manifest(version)
+        spec = self._manifest_spec(m) or []
+        keys = [
+            f"part:{fld['name']}"
+            for fld in spec
+            if fld["transform"] == "day" and fld["col"] == col
+        ]
+        kept = []
+        stats = m.get("stats", {})
+        for f in m["files"]:
+            s = stats.get(f, {})
+            out_of_range = False
+            for k in keys:
+                if k in s:
+                    try:
+                        d = int(s[k])
+                    except ValueError:
+                        continue  # NULL sentinel etc.: keep conservative
+                    if d < lo_d or d > hi_d:
+                        out_of_range = True
+                        break
+            if not out_of_range:
+                kept.append(f)
+        c = F.unix_micros(F.col(col).cast("timestamp"))
+        return self._scan_live(m, kept).filter(
+            (c >= F.lit(lo_d * 86_400_000_000))
+            & (c < F.lit((hi_d + 1) * 86_400_000_000))
+        )
+
+    def commit_replace_parts(self, df: DataFrame, filters: dict) -> int:
+        """Partition-TUPLE-scoped rewrite for transform specs — the
+        hidden-partitioning form of ``commit_replace_where`` (INSERT
+        OVERWRITE one (day, bucket, …) tuple): drop every file whose
+        recorded partition tuple matches the transformed ``filters``
+        (which must name every spec field's SOURCE column), add the
+        staged files. Stricter than replace_where in one way: every
+        STAGED file's partition tuple is validated against the target —
+        incoming rows that belong to a different tuple are an error,
+        not a silent duplicate. Files without partition stats
+        (pre-evolution layouts) cannot be proven disjoint and refuse
+        with a compact() hint. Raises ConcurrentWriteError if another
+        commit touched the same tuple (or evolved the spec) between
+        snapshot and publish; disjoint concurrent commits merge on
+        retry."""
+        spec = self.current_partition_spec()
+        if not spec:
+            raise ValueError("replace_parts requires a partitioned table")
+        missing = [fld["col"] for fld in spec if fld["col"] not in filters]
+        if missing:
+            raise ValueError(
+                f"replace_parts needs a filter value for every spec field "
+                f"column; missing {missing}"
+            )
+        expected = {
+            f"part:{fld['name']}": _spec_apply(fld, filters[fld["col"]])
+            for fld in spec
+        }
+        self._enforce(df)
+        staged = self._write_files(df)
+        staged_stats = self._staged_stats
+        for f in staged:
+            s = staged_stats.get(f, {})
+            bad = {k: s.get(k) for k in expected if s.get(k) != expected[k]}
+            if bad:
+                for g in staged:
+                    os.remove(os.path.join(self.root, DATA_DIR, g))
+                raise ValueError(
+                    f"replace_parts: staged file {f} lands outside the "
+                    f"replaced partition tuple ({bad} != {expected}) — the "
+                    "incoming frame carries rows for other partitions"
+                )
+
+        def matches(m: dict, f: str) -> bool | None:
+            s = m.get("stats", {}).get(f, {})
+            if all(k in s for k in expected):
+                return all(s[k] == v for k, v in expected.items())
+            return None  # unknown: cannot prove either way
+
+        snap = self.manifest()
+        for _ in range(20):
+            base = self.manifest()
+            self._staged_stats = staged_stats
+            if base.get("partition_spec") != snap.get("partition_spec"):
+                raise ConcurrentWriteError(
+                    "partition spec evolved concurrently — retry "
+                    "replace_parts under the new spec"
+                )
+            if base["version"] != snap["version"]:
+                prev = set(snap["files"])
+                for f in set(base["files"]) - prev:
+                    if matches(base, f) is not False:
+                        raise ConcurrentWriteError(
+                            f"partition tuple {expected} modified concurrently"
+                        )
+                snap = base
+            keep = []
+            for f in base["files"]:
+                hit = matches(base, f)
+                if hit is None:
+                    raise ValueError(
+                        f"file {f} carries no partition-tuple stats for the "
+                        f"current spec (pre-evolution layout) — compact() to "
+                        "rewrite the table under the current spec first"
+                    )
+                if not hit:
+                    keep.append(f)
+            try:
+                return self._publish_once(
+                    base, keep + staged, "replace_parts",
+                    df.schema.simpleString(),
+                )
+            except FileExistsError:
+                continue
+        raise ConcurrentWriteError(
+            "replace_parts could not publish after 20 attempts"
+        )
+
     def read_pruned_parts(
         self, filters: dict, version: int | None = None
     ) -> DataFrame:
@@ -2521,13 +2662,30 @@ class VersionedTable:
             f"publish({name}) could not land after 20 attempts"
         )
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    # Orphan grace period (Iceberg remove_orphan_files' older_than, in
+    # spirit): an unreferenced data file younger than this is assumed
+    # to be a CONCURRENT writer's staged-but-not-yet-published output
+    # and is left alone — without it, a vacuum racing any commit could
+    # delete files the loser is about to publish a manifest for
+    # (staging is write-files-then-CAS, so the window is real).
+    VACUUM_ORPHAN_GRACE_SEC = 3600.0
+
+    def vacuum(
+        self, keep_last: int = 1, orphan_grace_sec: float | None = None
+    ) -> list[str]:
         """Delete data files referenced by NO retained version
         (retained = the most recent ``keep_last`` manifests PLUS every
         TAGGED version PLUS every branch's base and head — release pins
         and in-flight audit branches survive any horizon). Untagged,
         unbranched manifests beyond the horizon are dropped; time
-        travel to them raises NoSuchVersionError afterwards. Returns
+        travel to them raises NoSuchVersionError afterwards.
+        Unreferenced files younger than ``orphan_grace_sec`` (default
+        :data:`VACUUM_ORPHAN_GRACE_SEC`) are KEPT — they may be a
+        concurrent writer's staged-but-unpublished output (round 9;
+        pass 0 to reclaim everything when no writer can be live).
+        Files dropped from retained manifests are deleted regardless of
+        age — grace applies only to never-referenced orphans, so
+        routine GC of freshly-rewritten data is unaffected. Returns
         deleted relative paths."""
         vs = self.versions()
         if not vs:
@@ -2553,14 +2711,46 @@ class VersionedTable:
                 live.update(bm["files"])
                 live.update(d["file"] for d in bm.get("deletes", []))
                 live.update(d["file"] for d in bm.get("pos_deletes", []))
+        # files EVER referenced by any existing manifest (main log +
+        # branch sub-logs): these are ordinary GC when unreferenced;
+        # files outside this set are never-published orphans and get
+        # the grace period
+        ever: set[str] = set(live)
+        for v in vs:
+            m = self.manifest(v)
+            ever.update(m["files"])
+            ever.update(d["file"] for d in m.get("deletes", []))
+            ever.update(d["file"] for d in m.get("pos_deletes", []))
+        for bname, info in branch_info.items():
+            bh = self.branch(bname)
+            for v in range(info["base"] + 1, info["head"] + 1):
+                m = bh.manifest(v)
+                ever.update(m["files"])
+                ever.update(d["file"] for d in m.get("deletes", []))
+                ever.update(d["file"] for d in m.get("pos_deletes", []))
+        grace = (
+            self.VACUUM_ORPHAN_GRACE_SEC
+            if orphan_grace_sec is None
+            else orphan_grace_sec
+        )
+        now = time.time()
         deleted = []
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _dirs, files in os.walk(data_root):
             for f in files:
                 rel = os.path.relpath(os.path.join(dirpath, f), data_root)
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(dirpath, f))
-                    deleted.append(rel)
+                if not f.endswith(".parquet") or rel in live:
+                    continue
+                full = os.path.join(dirpath, f)
+                if rel not in ever:
+                    try:
+                        age = now - os.path.getmtime(full)
+                    except FileNotFoundError:
+                        continue  # concurrent writer cleaned it up itself
+                    if age < grace:
+                        continue  # possibly a racing commit's staged file
+                os.remove(full)
+                deleted.append(rel)
         protected = set(tagged) | branch_bases
         for v in vs[:-keep_last]:
             if v not in protected:  # tagged/branch-base manifests stay

@@ -1298,3 +1298,69 @@ def p_versioned_wap_publish(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value *
+             CASE WHEN event_type = 'click'
+                    AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+                    AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 2.0 ELSE 1.0 END
+             * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value6
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+    GROUP BY event_type
+    """,
+    doc=(
+        "Partition-TUPLE overwrite + day-range pruned read on a hidden "
+        "transform spec (round 9 — the INSERT OVERWRITE PARTITION shape "
+        "for (day(ts), bucket(8, event_type)) layouts): events land "
+        "under the two-dimension spec, ONE (UTC day, type) tuple is "
+        "atomically replaced with corrected rows (values doubled) via "
+        "commit_replace_parts — staged rows are VALIDATED to stay "
+        "inside the replaced tuple, matching files drop by their "
+        "recorded partition stats, everything else is carried "
+        "byte-identical — and the Jan 14–16 day-range aggregate is "
+        "served through read_pruned_date_range (numeric epoch-day "
+        "file skipping + the exact TZ-free row filter). The oracle "
+        "recomputes the corrected aggregate straight off the source."
+    ),
+    tags=("pipeline", "versioned", "partitioning", "overwrite"),
+)
+def p_versioned_partition_overwrite(spark, sf_dir):
+    import datetime as dt
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _tmp(f"versioned_pover_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(
+        spark, path, partition_spec=["day(ts)", "bucket(8, event_type)"]
+    )
+    t.commit_append(events)
+    day = dt.date(2024, 1, 15)
+    corrected = t.read_pruned_parts({"ts": day, "event_type": "click"}).withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    t.commit_replace_parts(
+        corrected.select(*events.columns), {"ts": day, "event_type": "click"}
+    )
+    return (
+        t.read_pruned_date_range("ts", dt.date(2024, 1, 14), dt.date(2024, 1, 16))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            ).alias("sum_value6"),
+        )
+    )
