@@ -734,3 +734,49 @@ def test_ivfpq_probed_bytes_much_less_than_raw(spark, sf_dir, tmp_path):
     # cells are read: at dim=64, m=4 this is a >5x reduction even on
     # toy parquet (dictionary+metadata overhead included)
     assert probed_bytes * 5 < raw_bytes, (probed_bytes, raw_bytes)
+
+
+def test_ivfpq_ivf2_scorer_identity_and_refresh(spark, sf_dir, tmp_path):
+    """IvfPq with the O(sqrt C) ivf2 descent: probing every coarse and
+    fine cell degenerates to the same pq_adc_rerank_topk identity as
+    the flat scorer; append + retraction refresh honor the contract."""
+    from unity_to_bigquery_spark.llm.ann_index import IvfPqIndex
+    from unity_to_bigquery_spark.llm.similarity import pq_adc_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    # identity requires EQUAL TRAINING: build on the full corpus (the
+    # split-build/refresh protocol is covered by the flat-scorer test)
+    src.commit_append(emb)
+    idx = IvfPqIndex(
+        spark, str(tmp_path / "ix"), src, ncells=8, scorer="ivf2", wprobe=16
+    )
+    idx.build()
+    assert idx.indexed_version() == src.latest_version()
+    queries = emb.filter(F.col("vec_id") < 5)
+    served = sorted(
+        map(tuple, idx.topk(queries, k=5, nprobe=8, shortlist=20).collect())
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            pq_adc_rerank_topk(
+                emb, queries, k=5, m=4, ksub=16, shortlist=20, seed=7
+            ).collect(),
+        )
+    )
+    assert served == fresh
+    # append + retraction refresh through the descent scorer
+    extra = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000).cast("bigint")
+    )
+    src.commit_append(extra.select(*emb.columns))
+    src.commit_delete_where(
+        emb.filter(F.col("vec_id") % 9 == 0).select("vec_id"), "vec_id"
+    )
+    idx.refresh()
+    assert idx.indexed_version() == src.latest_version()
+    per = idx.codes.read().groupBy("vec_id").count().select("count").distinct()
+    assert [r["count"] for r in per.collect()] == [idx.m]
+    got = idx.topk(queries, k=5, nprobe=8, shortlist=2000)
+    assert got.filter((F.col("vec_id") % 9 == 0) & (F.col("vec_id") < 100000)).count() == 0

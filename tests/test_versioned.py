@@ -1745,3 +1745,65 @@ def test_replace_parts_and_date_range_pruning(spark, root):
     assert kept < len(m["files"])
     with pytest.raises(TypeError, match="must be datetime.date"):
         t.read_pruned_date_range("ts", dt.datetime(2024, 1, 2), hi)
+
+
+def test_month_year_transforms(spark, root):
+    """month()/year() transforms: TZ-free calendar fields derived from
+    the epoch day; pruning by a date lookup matches the layout."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t = VersionedTable(spark, root, partition_spec=["month(ts)", "year(ts)"])
+    rows = [
+        (1, dt.datetime(2023, 12, 31, 23, 0)),
+        (2, dt.datetime(2024, 1, 1, 1, 0)),
+        (3, dt.datetime(2024, 2, 15, 12, 0)),
+        (4, dt.datetime(2024, 2, 29, 23, 59)),
+    ]
+    t.commit_append(spark.createDataFrame(rows, "k INT, ts TIMESTAMP"))
+    m = t.manifest()
+    stats = [m["stats"][f] for f in m["files"]]
+    months = sorted(s["part:ts_month"] for s in stats)
+    years = sorted({s["part:ts_year"] for s in stats})
+    # 2023-12 = (2023-1970)*12+11 = 647; 2024-01 = 648; 2024-02 = 649
+    assert months == ["647", "648", "649", "649"]
+    assert years == ["2023", "2024"]
+    # pruning: a Feb-2024 date keeps only month-649 files, result exact
+    kept, skipped = t.prune_files_parts({"ts": dt.date(2024, 2, 15)})
+    assert skipped == 2 and len(kept) == 2
+    got = sorted(
+        r.k for r in t.read_pruned_parts({"ts": dt.date(2024, 2, 29)}).collect()
+    )
+    assert got == [4]
+
+
+def test_branch_handle_full_surface_cdc_and_merge(spark, root):
+    """The branch handle supports the whole write/CDC surface because
+    branch versions continue main's numbering: merge_upsert, typed CDC,
+    changes_final_state, and time travel all work on the branch line."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.create_branch("x")
+    b = t.branch("x")
+    b.merge_upsert(_df(spark, [(2, "B2"), (3, "c")]), "k")
+    b.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    # typed CDC across the branch's own commits
+    eff = {}
+    for r in b.changes_with_type(1).collect():
+        if r._change_type == "insert":
+            eff[r.k] = r.v
+        else:
+            eff.pop(r.k, None)
+    base = {r.k: r.v for r in b.read(1).collect()}
+    base.update(eff)
+    for k in list(base):
+        if k not in {r.k for r in b.read().collect()}:
+            del base[k]
+    assert {r.k: r.v for r in b.read().collect()} == {2: "B2", 3: "c"}
+    # net per-key effect on the branch line
+    fs = sorted((r.k, r._change_type) for r in b.changes_final_state("k", 1).collect())
+    assert fs == [(1, "delete"), (2, "upsert"), (3, "upsert")]
+    # time travel across the fork boundary
+    assert sorted(r.k for r in b.read(1).collect()) == [1, 2]
+    assert t.latest_version() == 1  # main untouched

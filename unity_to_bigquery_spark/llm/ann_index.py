@@ -759,7 +759,11 @@ class IvfPqIndex:
         ksub: int = 16,
         seed: int = 7,
         auto_compact: bool = True,
+        scorer: str = "flat",
+        wprobe: int = 3,
     ):
+        if scorer not in ("flat", "ivf2"):
+            raise ValueError(f"scorer must be 'flat' or 'ivf2', got {scorer!r}")
         self.spark = spark
         self.source = source
         self.id_col = id_col
@@ -769,7 +773,14 @@ class IvfPqIndex:
         self.ksub = ksub
         self.seed = seed
         self.auto_compact = auto_compact
+        # scorer="ivf2": cell assignment and query probing DESCEND a
+        # stored two-level centroid structure (O(√C)/vector) — the same
+        # composition AnnIndex offers, so IVF-PQ keeps its memory story
+        # AND the probe-planning story at 1e9 cells
+        self.scorer = scorer
+        self.wprobe = wprobe
         self.centroids = VersionedTable(spark, os.path.join(root, "centroids"))
+        self.coarse = VersionedTable(spark, os.path.join(root, "coarse"))
         self.codebooks = VersionedTable(spark, os.path.join(root, "codebooks"))
         # cell-partitioned + distinct-set-indexed, exactly like
         # AnnIndex.assignments — but rows carry CODES, not vectors
@@ -793,14 +804,41 @@ class IvfPqIndex:
             F.col("centroid").alias(self.vec_col),
         )
 
-    def _rows(self, vecs: DataFrame, cents: DataFrame, books: DataFrame,
+    def _scorer_state(self) -> dict:
+        """The stored centroid structures the assignment scorer reads —
+        flat: the centroid frame; ivf2: + coarse centroids and the
+        fine→coarse map (mirrors :meth:`AnnIndex._scorer_state`)."""
+        st = {"cents": self.centroid_frame()}
+        if self.scorer == "ivf2":
+            st["coarse"] = self.coarse.read().select(
+                "coarse_id", F.col("centroid").alias(self.vec_col)
+            )
+            fine = self.centroids.read().select(
+                F.col("cell_id").alias("fine_id"),
+                F.col("centroid").alias(self.vec_col),
+            )
+            f2c = self.centroids.read().select(
+                F.col("cell_id").alias("fine_id"), "coarse_id"
+            )
+            st["fine_vecs"] = ivf2_fine_vecs(fine, f2c, self.vec_col)
+        return st
+
+    def _rows(self, vecs: DataFrame, st: dict, books: DataFrame,
               v: int) -> DataFrame:
         """(id, cell_id, sub, code, src_version) for ``vecs``: cell by
-        cosine argmax (scale-invariant, raw vectors fine), codes from
-        the L2-normalized vectors under the STORED codebooks."""
-        best = ivf_best_cells(
-            vecs, cents, self.id_col, self.vec_col, nassign=1
-        ).select(self.id_col, "cell_id")
+        cosine argmax under the configured scorer (flat O(C) position
+        join or ivf2 O(√C) descent; scale-invariant, raw vectors fine),
+        codes from the L2-normalized vectors under the STORED
+        codebooks."""
+        if self.scorer == "flat":
+            best = ivf_best_cells(
+                vecs, st["cents"], self.id_col, self.vec_col, nassign=1
+            ).select(self.id_col, "cell_id")
+        else:
+            best = ivf2_descend(
+                vecs, st["coarse"], st["fine_vecs"], self.wprobe, 1,
+                self.id_col, self.vec_col,
+            ).select(self.id_col, "cell_id")
         un = unit_vectors(vecs, self.id_col, self.vec_col).select(
             self.id_col, F.col("__unit").alias(self.vec_col)
         )
@@ -822,17 +860,35 @@ class IvfPqIndex:
             raise ValueError("IvfPqIndex.build: source table is empty")
         snap = self.source.read(v)
         n = snap.count()
-        ncells = self.ncells or max(16, int(n**0.5))
-        cents = kmeans_centroids(
-            snap, ncells, id_col=self.id_col, vec_col=self.vec_col,
-            seed=self.seed, corpus_count=n,
-        )
-        self.centroids.commit_overwrite(
-            cents.select(
-                F.col(self.id_col).alias("cell_id"),
-                F.col(self.vec_col).alias("centroid"),
+        if self.scorer == "ivf2":
+            fine, coarse, f2c = ivf2_train(
+                snap, ncells=self.ncells, id_col=self.id_col,
+                vec_col=self.vec_col, seed=self.seed, corpus_count=n,
             )
-        )
+            self.centroids.commit_overwrite(
+                fine.join(F.broadcast(f2c), "fine_id").select(
+                    F.col("fine_id").alias("cell_id"),
+                    F.col(self.vec_col).alias("centroid"),
+                    F.col("coarse_id"),
+                )
+            )
+            self.coarse.commit_overwrite(
+                coarse.select(
+                    "coarse_id", F.col(self.vec_col).alias("centroid")
+                )
+            )
+        else:
+            ncells = self.ncells or max(16, int(n**0.5))
+            cents = kmeans_centroids(
+                snap, ncells, id_col=self.id_col, vec_col=self.vec_col,
+                seed=self.seed, corpus_count=n,
+            )
+            self.centroids.commit_overwrite(
+                cents.select(
+                    F.col(self.id_col).alias("cell_id"),
+                    F.col(self.vec_col).alias("centroid"),
+                )
+            )
         un = unit_vectors(snap, self.id_col, self.vec_col).select(
             self.id_col, F.col("__unit").alias(self.vec_col)
         )
@@ -841,7 +897,7 @@ class IvfPqIndex:
             vec_col=self.vec_col, seed=self.seed,
         )
         self.codebooks.commit_overwrite(books)
-        rows = self._rows(snap, self.centroid_frame(), books, v)
+        rows = self._rows(snap, self._scorer_state(), books, v)
         if self.indexed_version() >= v:
             self.codes.commit_overwrite(rows)  # retrain: bookmark correct
         else:
@@ -866,13 +922,13 @@ class IvfPqIndex:
         )
         if to_version is not None and to_version <= last:
             return last  # replayed/old boundary: exactly-once no-op
-        cents = self.centroid_frame()
+        st = self._scorer_state()
         books = self.codebooks.read()
         while last < now:
             upto = min(last + page, now)
             if self.source.window_is_append_only(last, upto):
                 delta = self.source.changes(last, upto)
-                rows = self._rows(delta, cents, books, upto)
+                rows = self._rows(delta, st, books, upto)
                 self.codes.merge_upsert(rows, self.id_col, txn=(_IVFPQ_APP, upto))
             else:
                 final = self.source.changes_final_state(
@@ -884,7 +940,7 @@ class IvfPqIndex:
                 rows = (
                     _empty_like(self.spark, self.codes)
                     if ups.isEmpty()  # pure-delete page: nothing to encode
-                    else self._rows(ups, cents, books, upto)
+                    else self._rows(ups, st, books, upto)
                 )
                 self.codes.commit_replace_keys(
                     rows, final.select(self.id_col), self.id_col,
@@ -906,12 +962,26 @@ class IvfPqIndex:
 
     def _probe(self, queries: DataFrame, nprobe: int, query_id: str):
         """(probed_df(query_id, __qvec, __qunit, cell_id), probed_ids)."""
-        cents = self.centroid_frame()
+        st = self._scorer_state()
         q = unit_vectors(queries, self.id_col, self.vec_col).select(
             F.col(self.id_col).alias(query_id),
             F.col(self.vec_col).alias("__qvec"),
             F.col("__unit").alias("__qunit"),
         )
+        if self.scorer == "ivf2":
+            # O(√C) descent plans the probes; the unit vectors the ADC
+            # table needs re-attach by query id (|Q|·nprobe rows)
+            probed = ivf2_descend(
+                queries, st["coarse"], st["fine_vecs"], self.wprobe, nprobe,
+                self.id_col, self.vec_col,
+            ).select(
+                F.col(self.id_col).alias(query_id), "cell_id"
+            ).join(q, on=query_id).select(query_id, "__qvec", "__qunit", "cell_id")
+            schema = probed.schema
+            rows = probed.collect()
+            probed = self.spark.createDataFrame(rows, schema)
+            return probed, sorted({r["cell_id"] for r in rows})
+        cents = st["cents"]
         c = cents.select(
             F.col(self.id_col).alias("cell_id"),
             F.col(self.vec_col).alias("__cvec"),

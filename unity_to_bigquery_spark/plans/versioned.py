@@ -105,11 +105,15 @@ def parse_partition_spec(spec) -> list[dict]:
     fields = []
     for s in spec:
         s = s.strip()
-        m = re.fullmatch(r"(identity|day|days)\s*\(\s*(\w+)\s*\)", s)
+        m = re.fullmatch(
+            r"(identity|day|days|month|months|year|years)\s*\(\s*(\w+)\s*\)", s
+        )
         if m:
-            tr = "day" if m.group(1) in ("day", "days") else "identity"
+            tr = {"days": "day", "months": "month", "years": "year"}.get(
+                m.group(1), m.group(1)
+            )
             col = m.group(2)
-            name = col if tr == "identity" else f"{col}_day"
+            name = col if tr == "identity" else f"{col}_{tr}"
             fields.append({"transform": tr, "col": col, "name": name})
             continue
         m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", s)
@@ -175,18 +179,27 @@ def _spec_expr(field: dict, df: DataFrame):
             f"truncate() partition column {field['col']} must be int or "
             f"string (got {dtype})"
         )
-    if tr == "day":
+    if tr in ("day", "month", "year"):
         if not ("timestamp" in dtype or dtype == "date"):
             raise TypeError(
-                f"day() partition column {field['col']} must be "
+                f"{tr}() partition column {field['col']} must be "
                 f"timestamp/date (got {dtype})"
             )
         # TZ-FREE epoch day from unix micros — the session timezone can
         # never move a row across a partition boundary (rule-6 hostile
-        # sessions run non-UTC)
-        return F.floor(
+        # sessions run non-UTC). month/year derive their calendar parts
+        # from the epoch-day DATE (calendar ops on DATE are TZ-free),
+        # Iceberg-style: month index = months since 1970-01, year = the
+        # calendar year.
+        eday = F.floor(
             F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
         ).cast("int")
+        if tr == "day":
+            return eday
+        d = F.date_from_unix_date(eday)
+        if tr == "month":
+            return ((F.year(d) - F.lit(1970)) * 12 + F.month(d) - 1).cast("int")
+        return F.year(d).cast("int")
     raise ValueError(f"unknown transform {tr!r}")
 
 
@@ -221,17 +234,25 @@ def _spec_apply(field: dict, value) -> str:
             f"truncate partition lookup on {field['col']!r} requires an "
             f"int or str value (got {type(value).__name__})"
         )
-    if tr == "day":
+    if tr in ("day", "month", "year"):
         if isinstance(value, datetime.datetime):
             if value.tzinfo is None:
                 value = value.replace(tzinfo=datetime.timezone.utc)
-            return str(int(value.timestamp()) // 86_400)
-        if isinstance(value, datetime.date):
-            return str((value - datetime.date(1970, 1, 1)).days)
-        raise TypeError(
-            f"day partition lookup on {field['col']!r} requires a "
-            f"date/datetime value (got {type(value).__name__})"
-        )
+            d = datetime.datetime.fromtimestamp(
+                value.timestamp(), tz=datetime.timezone.utc
+            ).date()
+        elif isinstance(value, datetime.date):
+            d = value
+        else:
+            raise TypeError(
+                f"{tr} partition lookup on {field['col']!r} requires a "
+                f"date/datetime value (got {type(value).__name__})"
+            )
+        if tr == "day":
+            return str((d - datetime.date(1970, 1, 1)).days)
+        if tr == "month":
+            return str((d.year - 1970) * 12 + d.month - 1)
+        return str(d.year)
     raise ValueError(f"unknown transform {tr!r}")
 
 
