@@ -34,6 +34,21 @@ for partition-scoped commits). Planning cost is proportional to the
 file list exactly like any parquet scan, with zero directory-listing
 RPCs (the manifest replaces the listing — at cloud-object-store scale
 that's the win).
+
+Beyond the core log, the format carries (each with its own section
+below): merge-on-read EQUALITY and POSITIONAL deletes with Iceberg-v2
+sequencing; full typed CDC with retractions, update images, and net
+per-key folding (``changes_with_type`` / ``changes_with_updates`` /
+``changes_final_state``) in which every commit shape — including a
+restore reviving pos-deleted rows — is expressible; HIDDEN multi-column
+transform partitioning (identity/bucket/truncate/day/month/year) with
+per-file partition-tuple stats, tuple-scoped overwrite, and date-range
+pruned reads; file skipping via footer ranges, exact distinct sets, and
+per-file bloom filters; Delta-style txn idempotency, CHECK constraints,
+TAGS (per-ref O_EXCL files, vacuum-protected), and BRANCHES with atomic
+write-audit-publish; compaction/Z-order/auto-maintenance, restore,
+clone, snapshot export, and vacuum with an orphan grace period so GC
+can never race an in-flight commit's staged files.
 """
 
 from __future__ import annotations
