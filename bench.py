@@ -98,6 +98,7 @@ PINNED_OFF_STDOUT = (
     "p_versioned_wap_publish",
     "sim_index_streamed_retraction_topk",
     "sim_index_ivfpq_topk",
+    "p_versioned_snapshot_count",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -156,6 +157,7 @@ PINS = {
     "p_versioned_wap_publish": 1.38,      # draws 1.38/1.45
     "sim_index_streamed_retraction_topk": 12.39,  # draws 12.39/13.65
     "sim_index_ivfpq_topk": 12.00,        # draws 12.00/13.22
+    "p_versioned_snapshot_count": 2.02,   # draws 2.06/2.02
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

@@ -2175,3 +2175,56 @@ def test_streaming_wap_ingest_branch_then_publish(spark, tmp_path):
     t.publish_branch("w1")
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
     assert t.branches() == {}
+
+
+def test_versioned_stream_reads_a_branch(spark, tmp_path):
+    """Round 9: option('branch', name) streams a BRANCH's commit line —
+    the audit-consumer half of write-audit-publish. The backlog is
+    main-up-to-the-fork plus the branch's commits; main commits after
+    the fork never appear; an unknown branch fails loudly."""
+    import pytest as _pytest
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.sql("SELECT 1 AS k, 'a' AS v").coalesce(1))
+    t.create_branch("audit")
+    b = t.branch("audit")
+    b.commit_append(spark.sql("SELECT 2 AS k, 'b' AS v").coalesce(1))
+    t.commit_append(spark.sql("SELECT 9 AS k, 'z' AS v").coalesce(1))  # main moves
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", str(tmp_path / "tbl"))
+            .option("branch", "audit")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b")]  # fork base + branch, NOT main's 9
+    # incremental: another branch commit, second drain delivers the delta
+    b.commit_append(spark.sql("SELECT 3 AS k, 'c' AS v").coalesce(1))
+    drain()
+    got = sorted((r.k, r.v) for r in spark.read.parquet(sink).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # unknown branch: loud
+    from unity_to_bigquery_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+    with _pytest.raises(ValueError, match="no branch"):
+        VersionedTableStreamReader(
+            {"path": str(tmp_path / "tbl"), "branch": "nope"}
+        )

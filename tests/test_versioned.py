@@ -1807,3 +1807,21 @@ def test_branch_handle_full_surface_cdc_and_merge(spark, root):
     # time travel across the fork boundary
     assert sorted(r.k for r in b.read(1).collect()) == [1, 2]
     assert t.latest_version() == 1  # main untouched
+
+
+def test_snapshot_rows_metadata_only_count(spark, root):
+    """Metadata-only COUNT(*): exact across appends/overwrites/
+    compaction/time travel; refuses (None) under merge-on-read deletes
+    and after a restore re-applying them."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(7)]))
+    t.commit_append(_df(spark, [(100 + i, "y") for i in range(5)]))
+    assert t.snapshot_rows() == 12
+    assert t.snapshot_rows(version=1) == 7  # time travel
+    t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")
+    assert t.snapshot_rows() is None  # MoR deletes: metadata can't answer
+    assert t.read().count() == 11
+    t.compact()
+    assert t.snapshot_rows() == 11  # materialized: countable again
+    t.merge_upsert(_df(spark, [(3, "back"), (200, "new")]), "k")
+    assert t.snapshot_rows() == t.read().count() == 13

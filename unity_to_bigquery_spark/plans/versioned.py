@@ -1138,6 +1138,26 @@ class VersionedTable:
             )
         )
 
+    def snapshot_rows(self, version: int | None = None) -> int | None:
+        """Metadata-only COUNT(*) of a snapshot — the sum of per-file
+        footer row counts recorded at write time (zero data IO, the
+        Delta/Iceberg stats answer). Returns None when the count cannot
+        be answered from metadata alone: live merge-on-read deletes
+        (equality or positional) subtract an unknown number of rows,
+        and files committed before round 9 carry no ``__nrows`` stat —
+        callers fall back to ``read(version).count()``."""
+        m = self.manifest(version)
+        if m.get("deletes") or m.get("pos_deletes"):
+            return None
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            n = stats.get(f, {}).get("__nrows")
+            if n is None:
+                return None
+            total += int(n)
+        return total
+
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
     ) -> tuple[list[str], int]:
@@ -1613,7 +1633,10 @@ class VersionedTable:
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
-        out: dict[str, list] = {}
+        # per-file ROW COUNT (footer-free of data pages, like everything
+        # here): powers snapshot_rows()'s metadata-only COUNT(*) —
+        # Delta/Iceberg answer SELECT COUNT(*) from stats the same way
+        out: dict[str, list] = {"__nrows": meta.num_rows}
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):

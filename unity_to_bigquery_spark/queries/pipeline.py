@@ -1364,3 +1364,62 @@ def p_versioned_partition_overwrite(spark, sf_dir):
             ).alias("sum_value6"),
         )
     )
+
+
+@query(
+    "p_versioned_snapshot_count",
+    oracle="""
+    SELECT 'after_evens' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'all', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'after_delete_compact', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+    doc=(
+        "Metadata-only COUNT(*) (round 9 — VersionedTable."
+        "snapshot_rows, the Delta/Iceberg stats answer): per-file "
+        "footer row counts recorded at write time sum to the snapshot "
+        "count with ZERO data IO, exact across appends, time travel, "
+        "and compaction; under live merge-on-read deletes the method "
+        "refuses (None) instead of answering wrong, and the query "
+        "falls back to a real scan until compact() materializes the "
+        "deletes. The query ASSERTS the metadata path answered at "
+        "every countable stage — a scan-derived number can't fake it."
+    ),
+    tags=("pipeline", "versioned", "stats"),
+)
+def p_versioned_snapshot_count(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_count_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    n_evens = t.snapshot_rows()
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    n_all = t.snapshot_rows()
+    t.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        key="o_orderkey",
+    )
+    if t.snapshot_rows() is not None:
+        raise RuntimeError(
+            "snapshot_rows answered under live merge-on-read deletes"
+        )
+    t.compact()
+    n_after = t.snapshot_rows()
+    if None in (n_evens, n_all, n_after):
+        raise RuntimeError("metadata-only count unavailable on a clean snapshot")
+    return spark.createDataFrame(
+        [
+            ("after_evens", int(n_evens)),
+            ("all", int(n_all)),
+            ("after_delete_compact", int(n_after)),
+        ],
+        "stage STRING, n BIGINT",
+    )

@@ -182,8 +182,38 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # manifest access without a SparkSession (driver-side JSON IO)
         from unity_to_bigquery_spark.plans.versioned import VersionedTable
 
-        self._t = VersionedTable.__new__(VersionedTable)
-        self._t.root = self.root
+        # option "branch": stream a BRANCH's commit line (round 9 — the
+        # audit-consumer side of write-audit-publish: validate in-flight
+        # branch data with a streaming job BEFORE publish). Offsets stay
+        # manifest versions — branch versions CONTINUE main's numbering,
+        # so the backlog is main-up-to-the-fork plus the branch's own
+        # commits, and every pacing/CDC mechanism below works unchanged.
+        # Lifecycle caveat (documented, loud): publish/drop_branch
+        # removes the sub-log, so audit streams are window-scoped — a
+        # drain after the branch is gone fails with NoSuchVersionError
+        # rather than silently reading main.
+        self.branch = options.get("branch")
+        if self.branch:
+            parent = VersionedTable.__new__(VersionedTable)
+            parent.root = self.root
+            # driver-side manifest IO only — no session, default config
+            parent.spark = None
+            parent.partition_col = None
+            parent.partition_spec = None
+            parent.distinct_index_cols = ()
+            parent.bloom_index_cols = ()
+            parent.bloom_bits = 8192
+            parent.bloom_hashes = 3
+            bs = parent.branches()
+            if self.branch not in bs:
+                raise ValueError(
+                    f"no branch {self.branch!r} in {self.root} "
+                    f"(existing: {sorted(bs)})"
+                )
+            self._t = parent.branch(self.branch)
+        else:
+            self._t = VersionedTable.__new__(VersionedTable)
+            self._t.root = self.root
         # Validate the bootstrap version eagerly (ADVICE r6): a
         # too-high starting_version would otherwise yield a silently
         # EMPTY stream (latestOffset < initialOffset) — a misconfigured
