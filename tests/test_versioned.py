@@ -1825,3 +1825,36 @@ def test_snapshot_rows_metadata_only_count(spark, root):
     assert t.snapshot_rows() == 11  # materialized: countable again
     t.merge_upsert(_df(spark, [(3, "back"), (200, "new")]), "k")
     assert t.snapshot_rows() == t.read().count() == 13
+
+
+def test_partition_in_list_pruning_and_legacy_tags(spark, root):
+    """IN-list hidden-partition pruning + pre-round-9 refs.json tags
+    still read and drop correctly."""
+    import datetime as dt
+    import json as _json
+
+    t = VersionedTable(spark, root, partition_spec=["day(ts)", "bucket(4, site)"])
+    rows = [
+        (i, f"s{i % 4}", dt.datetime(2024, 3, 1 + i % 4, 8))
+        for i in range(32)
+    ]
+    t.commit_append(spark.createDataFrame(rows, "k INT, site STRING, ts TIMESTAMP"))
+    filt = {"site": ["s1", "s3"], "ts": dt.date(2024, 3, 2)}
+    kept, skipped = t.prune_files_parts(filt)
+    assert skipped > 0
+    got = sorted(r.k for r in t.read_pruned_parts(filt).collect())
+    want = sorted(
+        k for (k, s, ts) in rows
+        if s in ("s1", "s3") and ts.date() == dt.date(2024, 3, 2)
+    )
+    assert got == want and got
+    with pytest.raises(TypeError, match="IN-list partition filters"):
+        t.prune_files_parts({"ts": [dt.date(2024, 3, 1)]})
+    # legacy single-file refs.json (pre-round-9 layout): read + drop
+    with open(os.path.join(root, "refs.json"), "w") as fh:
+        _json.dump({"old-pin": 1}, fh)
+    assert t.tags() == {"old-pin": 1}
+    t.create_tag("new-pin", 1)
+    assert t.tags() == {"old-pin": 1, "new-pin": 1}
+    t.drop_tag("old-pin")
+    assert t.tags() == {"new-pin": 1}

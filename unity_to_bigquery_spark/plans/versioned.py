@@ -1367,20 +1367,36 @@ class VersionedTable:
         field — that is what makes the partitioning hidden (Iceberg's
         core pitch vs Hive: queries filter on data columns, the layout
         is the table's business)."""
+        import datetime
+
         spec = self._manifest_spec(m) or []
-        expected = {}
+        expected: dict[str, set] = {}
         for fld in spec:
             if fld["col"] in filters:
-                expected[f"part:{fld['name']}"] = _spec_apply(
-                    fld, filters[fld["col"]]
-                )
+                v = filters[fld["col"]]
+                # IN-list pruning (round 9): a list/tuple/set of lookup
+                # values keeps files whose tuple value matches ANY of
+                # them. Temporal lists stay unsupported (a date already
+                # means a whole day — compose read_pruned_date_range
+                # for ranges).
+                if isinstance(v, (list, tuple, set)):
+                    if any(isinstance(x, datetime.date) for x in v):
+                        raise TypeError(
+                            "IN-list partition filters don't take "
+                            "dates — use read_pruned_date_range"
+                        )
+                    expected[f"part:{fld['name']}"] = {
+                        _spec_apply(fld, x) for x in v
+                    }
+                else:
+                    expected[f"part:{fld['name']}"] = {_spec_apply(fld, v)}
         if not expected:
             return list(m["files"]), 0
         stats = m.get("stats", {})
         kept, skipped = [], 0
         for f in m["files"]:
             s = stats.get(f, {})
-            if any(k in s and s[k] != v for k, v in expected.items()):
+            if any(k in s and s[k] not in vs for k, vs in expected.items()):
                 skipped += 1
             else:
                 kept.append(f)
@@ -1551,7 +1567,9 @@ class VersionedTable:
         df = self._scan_live(m, files)
         for col, value in filters.items():
             c = F.col(col)
-            if isinstance(value, datetime.datetime):
+            if isinstance(value, (list, tuple, set)):
+                df = df.filter(c.isin(list(value)))
+            elif isinstance(value, datetime.datetime):
                 df = df.filter(c == F.lit(value))
             elif isinstance(value, datetime.date):
                 day = (value - datetime.date(1970, 1, 1)).days
