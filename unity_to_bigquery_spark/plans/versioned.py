@@ -159,6 +159,24 @@ def parse_partition_spec(spec) -> list[dict]:
     return fields
 
 
+def _eday_expr(c, dtype: str):
+    """TZ-free epoch-day Column for a temporal column. DATE: calendar
+    arithmetic (``unix_date``). TIMESTAMP_NTZ: the wall-clock date
+    (``to_date`` on NTZ is calendar-only). TIMESTAMP (LTZ): the UTC
+    day from unix micros. Casting DATE/NTZ through TIMESTAMP would
+    evaluate at session-LOCAL midnight and shift a day under non-UTC
+    sessions (ADVICE r9: a UTC+9 session moved DATE rows across
+    day() partition boundaries relative to the driver-side calendar
+    computation in :func:`_spec_apply`)."""
+    if dtype == "date":
+        return F.unix_date(c).cast("int")
+    if dtype == "timestamp_ntz":
+        return F.unix_date(F.to_date(c)).cast("int")
+    return F.floor(
+        F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("int")
+
+
 def _spec_expr(field: dict, df: DataFrame):
     """The Spark Column computing a spec field's layout value over
     ``df``. Types are deliberately narrow (int or string) so Spark's
@@ -200,15 +218,13 @@ def _spec_expr(field: dict, df: DataFrame):
                 f"{tr}() partition column {field['col']} must be "
                 f"timestamp/date (got {dtype})"
             )
-        # TZ-FREE epoch day from unix micros — the session timezone can
-        # never move a row across a partition boundary (rule-6 hostile
-        # sessions run non-UTC). month/year derive their calendar parts
-        # from the epoch-day DATE (calendar ops on DATE are TZ-free),
-        # Iceberg-style: month index = months since 1970-01, year = the
-        # calendar year.
-        eday = F.floor(
-            F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
-        ).cast("int")
+        # TZ-FREE epoch day — the session timezone can never move a
+        # row across a partition boundary (rule-6 hostile sessions run
+        # non-UTC); per-dtype calendar-safe path in _eday_expr.
+        # month/year derive their calendar parts from the epoch-day
+        # DATE (calendar ops on DATE are TZ-free), Iceberg-style:
+        # month index = months since 1970-01, year = the calendar year.
+        eday = _eday_expr(c, dtype)
         if tr == "day":
             return eday
         d = F.date_from_unix_date(eday)
@@ -1141,13 +1157,18 @@ class VersionedTable:
     def snapshot_rows(self, version: int | None = None) -> int | None:
         """Metadata-only COUNT(*) of a snapshot — the sum of per-file
         footer row counts recorded at write time (zero data IO, the
-        Delta/Iceberg stats answer). Returns None when the count cannot
-        be answered from metadata alone: live merge-on-read deletes
-        (equality or positional) subtract an unknown number of rows,
-        and files committed before round 9 carry no ``__nrows`` stat —
-        callers fall back to ``read(version).count()``."""
+        Delta/Iceberg stats answer), MINUS the live positional-delete
+        pair count (VERDICT r9 #3: a pos-delete's effect is exactly
+        known from metadata — each live (file, pos) pair removes one
+        row — so only EQUALITY deletes genuinely force a scan; the pair
+        files are delete-sized driver reads, the same cost class as
+        publishing them). Returns None when the count cannot be
+        answered from metadata alone: live equality deletes subtract an
+        unknown number of rows, and files committed before round 9
+        carry no ``__nrows`` stat — callers fall back to
+        ``read(version).count()``."""
         m = self.manifest(version)
-        if m.get("deletes") or m.get("pos_deletes"):
+        if m.get("deletes"):
             return None
         stats = m.get("stats", {})
         total = 0
@@ -1156,7 +1177,54 @@ class VersionedTable:
             if n is None:
                 return None
             total += int(n)
-        return total
+        return total - self._live_pos_pair_count(m)
+
+    def _live_pos_pair_count(self, m: dict) -> int:
+        """Distinct (file, pos) pairs across a manifest's pos-delete
+        entries whose target file is in the live list — exactly the
+        rows ``_scan_pos``'s anti-join removes (it dedups the unioned
+        pairs the same way). Driver-side pyarrow over the tiny pair
+        files; zero data-file IO."""
+        pos = m.get("pos_deletes", [])
+        if not pos:
+            return 0
+        import pyarrow.parquet as pq
+
+        live = set(m["files"])
+        pairs: set[tuple] = set()
+        for d in pos:
+            tbl = pq.read_table(
+                os.path.join(self.root, DATA_DIR, d["file"]),
+                columns=["file", "pos"],
+            )
+            fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+            pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
+        return len(pairs)
+
+    def snapshot_minmax(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Metadata-only MIN/MAX of a column — the fold of the per-file
+        footer ranges recorded at write time (VERDICT r9 #3's
+        companion). Returns None when metadata can't answer exactly:
+        ANY live merge-on-read delete (equality or positional — the
+        deleted row could BE the extreme), or a file without a recorded
+        range for the column. Temporal columns return the stats'
+        ISO-8601 string encoding (the manifest's portable form)."""
+        m = self.manifest(version)
+        if m.get("deletes") or m.get("pos_deletes"):
+            return None
+        if not m["files"]:
+            return None
+        stats = m.get("stats", {})
+        lo = hi = None
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                return None
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        return (lo, hi)
 
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
@@ -1348,6 +1416,21 @@ class VersionedTable:
     # ---- hidden-partition pruning (transform specs) -------------------
 
     @staticmethod
+    def _schema_dtypes(m: dict) -> dict:
+        """{column: simpleString dtype} from a resolved manifest's
+        logical schema (empty when the table has none yet) — what the
+        TZ-free temporal row filters key their per-dtype paths on."""
+        schema_str = m.get("schema")
+        if not schema_str:
+            return {}
+        from pyspark.sql.types import StructType
+
+        return {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromDDL(schema_str).fields
+        }
+
+    @staticmethod
     def _manifest_spec(m: dict) -> list[dict] | None:
         """The partition spec recorded in a resolved manifest (legacy
         single-column manifests read as the identity spec)."""
@@ -1454,10 +1537,12 @@ class VersionedTable:
                         break
             if not out_of_range:
                 kept.append(f)
-        c = F.unix_micros(F.col(col).cast("timestamp"))
+        # TZ-free per-dtype epoch day (ADVICE r9: casting a DATE column
+        # through timestamp here shifted its day under non-UTC sessions,
+        # disagreeing with the driver-side pruning calendar)
+        eday = _eday_expr(F.col(col), self._schema_dtypes(m).get(col, ""))
         return self._scan_live(m, kept).filter(
-            (c >= F.lit(lo_d * 86_400_000_000))
-            & (c < F.lit((hi_d + 1) * 86_400_000_000))
+            (eday >= F.lit(lo_d)) & (eday <= F.lit(hi_d))
         )
 
     def commit_replace_parts(self, df: DataFrame, filters: dict) -> int:
@@ -1553,31 +1638,55 @@ class VersionedTable:
     ) -> DataFrame:
         """Snapshot read with HIDDEN-partition pruning + exact row
         filters. ``filters`` maps SOURCE columns to equality values; a
-        ``datetime.date`` value against a timestamp column means "that
+        ``datetime.date`` value against a temporal column means "that
         UTC day" (pruned via the day() field, row-filtered by the
-        TZ-free unix-micros day range); everything else is plain
+        TZ-free epoch-day expression); everything else is plain
         equality. Skipping is an optimization, never a correctness
         source — the row filters run regardless, so a file written
         under an old spec (kept conservatively) still yields exactly
-        the matching rows."""
+        the matching rows. Temporal row filters are TZ-FREE by
+        construction (ADVICE r9): a datetime value compares via unix
+        micros against the UTC-pinned value (naive values pin to UTC,
+        exactly like driver-side pruning in :func:`_spec_apply`), and a
+        date value compares via :func:`_eday_expr` — ``F.lit`` would
+        interpret both in the SESSION timezone, letting pruning and the
+        row filter disagree under a non-UTC session."""
         import datetime
 
         m = self.manifest(version)  # resolve ONCE: pruning + scan share it
+        dtypes = self._schema_dtypes(m)
         files, _ = self._prune_parts(m, filters)
         df = self._scan_live(m, files)
         for col, value in filters.items():
             c = F.col(col)
+            dtype = dtypes.get(col, "")
             if isinstance(value, (list, tuple, set)):
                 df = df.filter(c.isin(list(value)))
             elif isinstance(value, datetime.datetime):
-                df = df.filter(c == F.lit(value))
+                if dtype == "date":
+                    raise TypeError(
+                        f"datetime filter on DATE column {col!r} — pass a "
+                        "datetime.date"
+                    )
+                if dtype == "timestamp_ntz":
+                    # wall-clock equality, parsed TZ-free from the string
+                    df = df.filter(
+                        c == F.to_timestamp_ntz(
+                            F.lit(value.replace(tzinfo=None).isoformat(sep=" "))
+                        )
+                    )
+                else:
+                    v = value
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=datetime.timezone.utc)
+                    # exact integer micros (float .timestamp() rounds)
+                    micros = (
+                        v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                    ) // datetime.timedelta(microseconds=1)
+                    df = df.filter(F.unix_micros(c) == F.lit(micros))
             elif isinstance(value, datetime.date):
                 day = (value - datetime.date(1970, 1, 1)).days
-                lo = day * 86_400_000_000
-                df = df.filter(
-                    (F.unix_micros(c.cast("timestamp")) >= F.lit(lo))
-                    & (F.unix_micros(c.cast("timestamp")) < F.lit(lo + 86_400_000_000))
-                )
+                df = df.filter(_eday_expr(c, dtype) == F.lit(day))
             elif value is None:
                 df = df.filter(c.isNull())
             else:
@@ -2024,13 +2133,22 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         deletes_override: list | None = None,
         pos_deletes_override: list | None = None,
+        txns_merge: dict | None = None,
     ) -> int:
         """Single O_EXCL attempt at base.version+1 (raises
         FileExistsError on a lost race — caller recomputes). ``txn``
         records (app_id, batch_id) in the manifest's txns map; the map
-        carries forward so every commit preserves idempotency state."""
+        carries forward so every commit preserves idempotency state.
+        ``txns_merge`` merges a whole txns map in (higher batch ids
+        win) — the cherry-pick publish path uses it so a branch
+        writer's exactly-once bookmarks survive landing on a moved
+        main (ADVICE r9: rebuilding the manifest from current main
+        dropped them, letting a later replay double-apply)."""
         version = base["version"] + 1
         txns = dict(base.get("txns", {}))
+        for app, batch in (txns_merge or {}).items():
+            if txns.get(app, -1) < batch:
+                txns[app] = batch
         if txn is not None:
             txns[txn[0]] = txn[1]
         constraints = (
@@ -2727,6 +2845,9 @@ class VersionedTable:
                     v = self._publish_once(
                         cur, cur["files"] + added, f"publish({name})",
                         cur.get("schema"),
+                        # carry the branch writer's exactly-once
+                        # bookmarks onto main (ADVICE r9)
+                        txns_merge=bh.get("txns", {}),
                     )
                 except FileExistsError:
                     continue
@@ -2752,8 +2873,10 @@ class VersionedTable:
     ) -> list[str]:
         """Delete data files referenced by NO retained version
         (retained = the most recent ``keep_last`` manifests PLUS every
-        TAGGED version PLUS every branch's base and head — release pins
-        and in-flight audit branches survive any horizon). Untagged,
+        TAGGED version PLUS every branch's base and FULL version window
+        — release pins and in-flight audit branches survive any
+        horizon, including branch time travel to intermediate branch
+        versions). Untagged,
         unbranched manifests beyond the horizon are dropped; time
         travel to them raises NoSuchVersionError afterwards.
         Unreferenced files younger than ``orphan_grace_sec`` (default
@@ -2781,10 +2904,17 @@ class VersionedTable:
             # vacuum (and maintain()) break every later read of a
             # version with live pos deletes (ADVICE r7)
             live.update(d["file"] for d in m.get("pos_deletes", []))
-        # branch HEAD state: unpublished audit data must survive GC
+        # EVERY branch version's state survives GC (not just base and
+        # head): the branch sub-log's manifests remain listed while the
+        # branch exists, so deleting an intermediate version's files
+        # would turn branch time travel into FileNotFound-mid-scan
+        # instead of a clean NoSuchVersionError (ADVICE r9). Branches
+        # are short-lived audit lines — retaining their whole window is
+        # the cheap, correct choice (dropping the branch releases it).
         for bname, info in branch_info.items():
-            if info["head"] > info["base"]:
-                bm = self.branch(bname).manifest(info["head"])
+            bh = self.branch(bname)
+            for v in range(info["base"] + 1, info["head"] + 1):
+                bm = bh.manifest(v)
                 live.update(bm["files"])
                 live.update(d["file"] for d in bm.get("deletes", []))
                 live.update(d["file"] for d in bm.get("pos_deletes", []))
@@ -2798,13 +2928,6 @@ class VersionedTable:
             ever.update(m["files"])
             ever.update(d["file"] for d in m.get("deletes", []))
             ever.update(d["file"] for d in m.get("pos_deletes", []))
-        for bname, info in branch_info.items():
-            bh = self.branch(bname)
-            for v in range(info["base"] + 1, info["head"] + 1):
-                m = bh.manifest(v)
-                ever.update(m["files"])
-                ever.update(d["file"] for d in m.get("deletes", []))
-                ever.update(d["file"] for d in m.get("pos_deletes", []))
         grace = (
             self.VACUUM_ORPHAN_GRACE_SEC
             if orphan_grace_sec is None
