@@ -2000,3 +2000,66 @@ def test_vacuum_retains_intermediate_branch_versions(spark, root):
     t.drop_branch("audit")
     deleted = t.vacuum(keep_last=1, orphan_grace_sec=0)
     assert deleted  # the branch-only files are gone now
+
+
+def test_merge_upsert_schema_evolution(spark, root):
+    """VERDICT r9 #7: MERGE over a source carrying new columns widens
+    additively in the same commit — old files read NULL for the new
+    columns, rewritten survivors carry NULL, CDC emits the widened
+    shape; drops/type changes still reject."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 40)], "k INT, v STRING, w INT"
+    )
+    # without the flag: loud mismatch
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.merge_upsert(src, "k")
+    v = t.merge_upsert(src, "k", merge_schema=True)
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", None), 4: ("d", 40)}
+    assert "w" in (t.manifest().get("schema") or "")
+    # CDC from the merge version carries the widened schema
+    ch = t.changes(v - 1, v)
+    assert "w" in ch.columns
+    # time travel to pre-merge still reads the narrow schema
+    assert "w" not in t.read(v - 1).columns
+    # a second merge in the narrow shape now DROPS w -> rejected
+    with pytest.raises(ValueError, match="drops column"):
+        t.merge_upsert(_df(spark, [(5, "e")]), "k", merge_schema=True)
+    # type change rejected
+    bad = spark.createDataFrame([(5, "e", "oops")], "k INT, v STRING, w STRING")
+    with pytest.raises(ValueError, match="changes w"):
+        t.merge_upsert(bad, "k", merge_schema=True)
+
+
+def test_compact_preserves_persisted_sort_order(spark, root):
+    """VERDICT r9 #4: cluster_by records a sort_order spec in the
+    manifest; compact() re-applies it, so clustering locality survives
+    the write path instead of decaying after appends."""
+    t = VersionedTable(spark, root)
+    rows = [(k, (k * 37) % 64) for k in range(64)]
+    t.commit_append(spark.createDataFrame(rows, "k INT, v INT").coalesce(1))
+    t.cluster_by(["k", "v"], target_files=8)
+    assert t.sort_order() == {"type": "zorder", "cols": ["k", "v"], "bits": 4}
+    # unclustered append: spec persists through an ordinary commit
+    rows2 = [(k + 64, ((k + 64) * 37) % 64) for k in range(64)]
+    t.commit_append(spark.createDataFrame(rows2, "k INT, v INT").coalesce(1))
+    assert t.sort_order() == {"type": "zorder", "cols": ["k", "v"], "bits": 4}
+    before = _rows(t.read())
+    t.compact(target_files=8)
+    m = t.manifest()
+    assert m["op"] == "compact" and m.get("sort_order") is not None
+    assert _rows(t.read()) == before  # row-identical
+    # compaction re-interleaved: BOTH dimensions prune again
+    _, skipped_k = t.prune_files("k", 0, 7)
+    _, skipped_v = t.prune_files("v", 0, 7)
+    assert skipped_k > 0 and skipped_v > 0
+    assert _rows(t.read_pruned("v", 0, 7)) == _rows(
+        t.read().filter("v BETWEEN 0 AND 7")
+    )
+    # a plain table without a sort order still coalesces
+    t2 = VersionedTable(spark, root + "_plain")
+    t2.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t2.compact()
+    assert t2.sort_order() is None

