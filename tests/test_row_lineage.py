@@ -168,3 +168,77 @@ def test_concurrent_appends_never_overlap_ids(spark, root):
         list(ex.map(add, range(1, 5)))
     ids = [r[RID] for r in t.read_with_lineage().collect()]
     assert len(ids) == 21 and len(set(ids)) == 21
+
+
+def test_streaming_cdc_emits_row_ids_keyless_twin(spark, root, tmp_path):
+    """STREAMING twin (round 10): the versioned stream source with
+    emit_row_ids=true delivers the CDC feed with stable __row_id, so a
+    streamed fold over a KEYLESS table keys on ids exactly like the
+    batch changes_with_type / changes_final_state — including across a
+    compact (materialized ids) and a pos-delete retraction."""
+    from unity_to_bigquery_spark.sources import versioned_stream as vs
+
+    t = VersionedTable(spark, root, row_lineage=True)
+    t.commit_append(
+        _df(spark, [(1, "dup"), (1, "dup"), (2, "b")]).coalesce(1)
+    )                                                        # v1
+    f0 = t.manifest()["files"][0]
+    t.commit_delete_positions(
+        spark.createDataFrame([(f0, 1)], "file STRING, pos BIGINT")
+    )                                                        # v2
+    t.compact()                                              # v3 (no-op CDC)
+    t.commit_append(_df(spark, [(3, "c")]))                  # v4
+    t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")  # v5
+    vs.register(spark)
+    out = str(tmp_path / "drain")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("versioned_table")
+        .option("path", root)
+        .option("emit_change_types", "true")
+        .option("emit_row_ids", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    cols = ["k", "v", RID, "_change_type", "_commit_version"]
+    batch = t.changes_with_type(0)
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
+        tuple(r) for r in batch.select(*cols).collect()
+    )
+    # a streamed id-keyed fold reproduces the live snapshot
+    state: dict = {}
+    for r in sorted(
+        got.collect(), key=lambda r: (r._commit_version, r._change_type != "delete")
+    ):
+        if r._change_type == "delete":
+            state.pop(r[RID], None)
+        else:
+            state[r[RID]] = (r.k, r.v)
+    live = {r[RID]: (r.k, r.v) for r in t.read_with_lineage().collect()}
+    assert state == live
+
+
+def test_stream_emit_row_ids_requires_lineage(spark, root, tmp_path):
+    from unity_to_bigquery_spark.sources import versioned_stream as vs
+
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    vs.register(spark)
+    with pytest.raises(Exception, match="no row lineage"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", root)
+            .option("emit_row_ids", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

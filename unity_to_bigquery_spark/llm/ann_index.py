@@ -362,6 +362,87 @@ class AnnIndex:
         return last
 
     # ---- serving ---------------------------------------------------------
+    def _probe_plan(
+        self, queries: DataFrame, st: dict, nprobe: int, query_id: str
+    ) -> DataFrame:
+        """The distributed probe plan (query_id, __qvec, cell_id) —
+        one row per (query, probed cell). Shared by the serving path
+        (which bounds and materializes it) and the bulk path (which
+        keeps it distributed)."""
+        if self.scorer == "ivf2":
+            # queries DESCEND the stored two-level structure — O(√C)
+            # probe planning, same plan as the in-query ivf2_topk
+            return ivf2_descend(
+                queries, st["coarse"], st["fine_vecs"], self.wprobe, nprobe,
+                self.id_col, self.vec_col,
+            ).select(
+                F.col(self.id_col).alias(query_id),
+                F.col(self.vec_col).alias("__qvec"),
+                "cell_id",
+            )
+        cents = st["cents"]
+        q = queries.select(
+            F.col(self.id_col).alias(query_id),
+            F.col(self.vec_col).alias("__qvec"),
+        )
+        c = cents.select(
+            F.col(self.id_col).alias("cell_id"),
+            F.col(self.vec_col).alias("__cvec"),
+        )
+        qcells = q.crossJoin(F.broadcast(c)).withColumn(
+            "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
+        )
+        wq = Window.partitionBy(query_id).orderBy(
+            F.desc("__sim"), F.asc("cell_id")
+        )
+        return (
+            qcells.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select(query_id, "__qvec", "cell_id")
+        )
+
+    def topk_bulk(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 4,
+        query_id: str = "query_id", where: str | None = None,
+    ) -> DataFrame:
+        """DISTRIBUTED bulk-kNN serve (round 10, VERDICT r9 #6): the
+        probe set stays a DataFrame end to end — nothing is ever
+        materialized on the driver, so ``queries`` may be CORPUS-sized
+        (the kNN-join shape: every document against the index).
+
+        Plan: probe planning as in :meth:`topk` (broadcast centroids,
+        per-query top-nprobe cells), then a SHUFFLE hash join of the
+        probe set against the full cell-partitioned assignments on
+        ``cell_id`` (a bulk query batch probes essentially every cell,
+        so file pruning buys nothing and the driver-side probed-id
+        collect the serving path does would be a |Q|-sized OOM — the
+        exact ceiling this method removes), exact cosine within
+        probed cells, and a per-query window top-k. Skewed hot cells
+        rebalance under AQE skew-join. Results are bit-identical to
+        :meth:`topk` under the same centroids (unit-tested identity).
+        """
+        st = self._scorer_state()
+        probed = self._probe_plan(queries, st, nprobe, query_id)
+        assigned = self.assignments.read().select(
+            self.id_col, self.vec_col, "cell_id", *self.meta_cols
+        )
+        if where is not None:
+            assigned = assigned.filter(F.expr(where))
+        cand = assigned.join(probed, on="cell_id").filter(
+            F.col(self.id_col) != F.col(query_id)
+        )
+        scored = cand.withColumn(
+            "cos6", cosine6(F.col(self.vec_col), F.col("__qvec"))
+        )
+        w = Window.partitionBy(query_id).orderBy(
+            F.desc("cos6"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, self.id_col, "cos6", "rank")
+        )
+
     def topk(
         self, queries: DataFrame, k: int = 5, nprobe: int = 4,
         query_id: str = "query_id", where: str | None = None,
@@ -382,38 +463,7 @@ class AnnIndex:
         so raise ``nprobe`` accordingly (the recall/selectivity
         trade-off is the operator's, not hidden)."""
         st = self._scorer_state()
-        if self.scorer == "ivf2":
-            # queries DESCEND the stored two-level structure — O(√C)
-            # probe planning, same plan as the in-query ivf2_topk
-            probed = ivf2_descend(
-                queries, st["coarse"], st["fine_vecs"], self.wprobe, nprobe,
-                self.id_col, self.vec_col,
-            ).select(
-                F.col(self.id_col).alias(query_id),
-                F.col(self.vec_col).alias("__qvec"),
-                "cell_id",
-            )
-        else:
-            cents = st["cents"]
-            q = queries.select(
-                F.col(self.id_col).alias(query_id),
-                F.col(self.vec_col).alias("__qvec"),
-            )
-            c = cents.select(
-                F.col(self.id_col).alias("cell_id"),
-                F.col(self.vec_col).alias("__cvec"),
-            )
-            qcells = q.crossJoin(F.broadcast(c)).withColumn(
-                "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
-            )
-            wq = Window.partitionBy(query_id).orderBy(
-                F.desc("__sim"), F.asc("cell_id")
-            )
-            probed = (
-                qcells.withColumn("__rn", F.row_number().over(wq))
-                .filter(F.col("__rn") <= nprobe)
-                .select(query_id, "__qvec", "cell_id")
-            )
+        probed = self._probe_plan(queries, st, nprobe, query_id)
         # Driver-side materialization instead of persist: the probed
         # set is <= |Q|·nprobe rows by construction (the same bound the
         # cell-id collect below already relies on), and a persist here
@@ -960,8 +1010,10 @@ class IvfPqIndex:
         probed_ids = self._probe(queries, nprobe, "query_id")[1]
         return self.codes.prune_files_eq("cell_id", probed_ids)
 
-    def _probe(self, queries: DataFrame, nprobe: int, query_id: str):
-        """(probed_df(query_id, __qvec, __qunit, cell_id), probed_ids)."""
+    def _probe_plan(self, queries: DataFrame, nprobe: int, query_id: str):
+        """Distributed probe plan (query_id, __qvec, __qunit, cell_id)
+        — shared by the bounded serving path (which materializes it)
+        and the bulk path (which keeps it distributed)."""
         st = self._scorer_state()
         q = unit_vectors(queries, self.id_col, self.vec_col).select(
             F.col(self.id_col).alias(query_id),
@@ -971,16 +1023,12 @@ class IvfPqIndex:
         if self.scorer == "ivf2":
             # O(√C) descent plans the probes; the unit vectors the ADC
             # table needs re-attach by query id (|Q|·nprobe rows)
-            probed = ivf2_descend(
+            return ivf2_descend(
                 queries, st["coarse"], st["fine_vecs"], self.wprobe, nprobe,
                 self.id_col, self.vec_col,
             ).select(
                 F.col(self.id_col).alias(query_id), "cell_id"
             ).join(q, on=query_id).select(query_id, "__qvec", "__qunit", "cell_id")
-            schema = probed.schema
-            rows = probed.collect()
-            probed = self.spark.createDataFrame(rows, schema)
-            return probed, sorted({r["cell_id"] for r in rows})
         cents = st["cents"]
         c = cents.select(
             F.col(self.id_col).alias("cell_id"),
@@ -990,13 +1038,18 @@ class IvfPqIndex:
             "__sim", cosine6(F.col("__qvec"), F.col("__cvec"))
         )
         wq = Window.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
-        probed = (
+        return (
             qcells.withColumn("__rn", F.row_number().over(wq))
             .filter(F.col("__rn") <= nprobe)
             .select(query_id, "__qvec", "__qunit", "cell_id")
         )
-        # driver-side materialization, not persist (ADVICE r8 pattern):
-        # <= |Q|·nprobe rows by construction
+
+    def _probe(self, queries: DataFrame, nprobe: int, query_id: str):
+        """(probed_df(query_id, __qvec, __qunit, cell_id), probed_ids).
+        Driver-side materialization, not persist (ADVICE r8 pattern):
+        <= |Q|·nprobe rows by construction — the SERVING contract;
+        corpus-sized query batches use :meth:`topk_bulk`."""
+        probed = self._probe_plan(queries, nprobe, query_id)
         schema = probed.schema
         rows = probed.collect()
         probed = self.spark.createDataFrame(rows, schema)
@@ -1055,6 +1108,66 @@ class IvfPqIndex:
         rer = (
             corpus.join(F.broadcast(short), on=self.id_col)
             .join(F.broadcast(qv), on=query_id)
+            .withColumn("cos6", cosine6(F.col(self.vec_col), F.col("__qvec")))
+        )
+        w2 = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(self.id_col))
+        return (
+            rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id, self.id_col, "cos6", "rank")
+        )
+
+    def topk_bulk(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 4,
+        shortlist: int = 20, query_id: str = "query_id",
+    ) -> DataFrame:
+        """DISTRIBUTED bulk ADC serve (round 10, VERDICT r9 #6): the
+        corpus-×-corpus kNN-join shape on the PQ index. Nothing is
+        materialized on the driver — the probe set, the per-query ADC
+        table, the shortlist, and the rerank set all stay DataFrames,
+        joined by SHUFFLE (the serving path's broadcasts assume
+        |Q|-bounded sides; a corpus-sized |Q| makes them driver/executor
+        OOMs). Codes are scanned in full (a bulk batch probes
+        essentially every cell); the rerank still reads only
+        |Q|·shortlist raw vectors via the join. Results are
+        bit-identical to :meth:`topk` under the same training."""
+        v = self.indexed_version()
+        probed = self._probe_plan(queries, nprobe, query_id)
+        codes = self.codes.read().select(self.id_col, "cell_id", "sub", "code")
+        dim = self._dim(queries)
+        width = dim // self.m
+        qflat = (
+            probed.select(query_id, "__qunit").distinct()
+            .select(query_id, F.posexplode("__qunit").alias("p0", "qv"))
+            .withColumn("sub", (F.col("p0") / width).cast("int"))
+            .withColumn("pos", F.col("p0") % width)
+        )
+        cb_flat = self.codebooks.read().select(
+            "sub", "code", F.posexplode("cvec").alias("pos", "cv")
+        )
+        adc = (
+            qflat.join(F.broadcast(cb_flat), on=["sub", "pos"])
+            .groupBy(query_id, "sub", "code")
+            .agg(F.sum(F.col("qv") * F.col("cv")).alias("__pdot"))
+        )
+        cand = codes.join(probed.select(query_id, "cell_id"), on="cell_id")
+        approx = (
+            cand.join(adc, on=[query_id, "sub", "code"])
+            .groupBy(query_id, self.id_col)
+            .agg(F.sum("__pdot").alias("__adot"))
+            .filter(F.col(self.id_col) != F.col(query_id))
+        )
+        ws = Window.partitionBy(query_id).orderBy(
+            F.desc("__adot"), F.asc(self.id_col)
+        )
+        short = approx.withColumn("__rn", F.row_number().over(ws)).filter(
+            F.col("__rn") <= shortlist
+        ).select(query_id, self.id_col)
+        corpus = self.source.read(v).select(self.id_col, self.vec_col)
+        qv = probed.select(query_id, "__qvec").distinct()
+        rer = (
+            corpus.join(short, on=self.id_col)
+            .join(qv, on=query_id)
             .withColumn("cos6", cosine6(F.col(self.vec_col), F.col("__qvec")))
         )
         w2 = Window.partitionBy(query_id).orderBy(F.desc("cos6"), F.asc(self.id_col))

@@ -925,7 +925,11 @@ class VersionedTable:
     def _has_lineage(self, m: dict) -> bool:
         if "row_lineage" in m:
             return bool(m["row_lineage"])
-        return self.row_lineage and m.get("version", 0) == 0
+        # getattr: driver-side manifest-IO handles built via __new__
+        # lack constructor attrs
+        return bool(getattr(self, "row_lineage", False)) and (
+            m.get("version", 0) == 0
+        )
 
     def enable_row_lineage(self) -> int:
         """Turn on row lineage for an EXISTING table (idempotent;
@@ -4209,9 +4213,13 @@ class _BranchHandle(VersionedTable):
         self.bloom_index_cols = parent.bloom_index_cols
         self.bloom_bits = parent.bloom_bits
         self.bloom_hashes = parent.bloom_hashes
-        self.manifest_inline_max = parent.manifest_inline_max
-        self.manifest_checkpoint_every = parent.manifest_checkpoint_every
-        self.row_lineage = parent.row_lineage
+        # getattr: parents built via __new__ (the streaming source's
+        # driver-side manifest-IO handles) lack constructor attrs
+        self.manifest_inline_max = getattr(parent, "manifest_inline_max", None)
+        self.manifest_checkpoint_every = getattr(
+            parent, "manifest_checkpoint_every", None
+        )
+        self.row_lineage = getattr(parent, "row_lineage", False)
         self._parent = parent
         self._name = name
         self._base = base

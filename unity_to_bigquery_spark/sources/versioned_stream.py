@@ -72,6 +72,17 @@ class VersionedTableDataSource(DataSource):
                 "before streaming from it"
             )
         ddl = m["schema"]
+        if str(self.options.get("emit_row_ids", "false")).lower() == "true":
+            # splice the row-lineage id column (round 10): stable
+            # per-row ids so a streamed fold over a KEYLESS table keys
+            # on __row_id exactly like the batch changes_final_state
+            if not m.get("row_lineage"):
+                raise ValueError(
+                    f"emit_row_ids on {root}: table has no row lineage "
+                    "(enable_row_lineage() / row_lineage=True first)"
+                )
+            assert ddl.startswith("struct<") and ddl.endswith(">")
+            ddl = ddl[:-1] + ",__row_id:bigint>"
         if str(self.options.get("emit_change_types", "false")).lower() == "true":
             # splice the CDC columns into the simpleString DDL
             assert ddl.startswith("struct<") and ddl.endswith(">")
@@ -104,10 +115,24 @@ def _ddl_field_names(ddl: str) -> list[str]:
     return [t.split(":", 1)[0].strip() for t in names if t.strip()]
 
 
+def _phys_fields(m: dict) -> list[str]:
+    """Logical schema field order, translated to the PHYSICAL parquet
+    column names under column mapping (round 10) — physical names are
+    immutable per field, so the end manifest's mapping is correct for
+    every file in the window regardless of renames inside it; the
+    output schema stays logical by position."""
+    names = _ddl_field_names(m["schema"])
+    phys = {e["name"]: e["phys"] for e in (m.get("column_mapping") or [])}
+    return [phys.get(n, n) for n in names]
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, fields: list[str]):
+    def __init__(self, path: str, fields: list[str], row_base=None):
         self.path = path
         self.fields = fields
+        # row lineage: ids are row_base + ordinal; None when ids are
+        # not requested; "phys" when the file materialized __row_id
+        self.row_base = row_base
 
 
 class _CDCFilePartition(InputPartition):
@@ -129,7 +154,7 @@ class _CDCFilePartition(InputPartition):
     """
 
     def __init__(self, path, fields, change, version, anti, match_any,
-                 pos_anti=(), pos_match=()):
+                 pos_anti=(), pos_match=(), row_base=None):
         self.path = path
         self.fields = fields
         self.change = change
@@ -138,6 +163,7 @@ class _CDCFilePartition(InputPartition):
         self.match_any = match_any
         self.pos_anti = list(pos_anti)
         self.pos_match = list(pos_match)
+        self.row_base = row_base
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
@@ -154,6 +180,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # columns with retraction rows for delete/rewrite commits.
         self.emit_changes = (
             str(options.get("emit_change_types", "false")).lower() == "true"
+        )
+        self.emit_row_ids = (
+            str(options.get("emit_row_ids", "false")).lower() == "true"
         )
         if self.emit_changes and self.skip_deletes:
             raise ValueError(
@@ -295,7 +324,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             (d["file"], d.get("key", "#pos"), d["version"])
             for d in (m.get("deletes") or []) + (m.get("pos_deletes") or [])
         }
-        fields = _ddl_field_names(m_end["schema"])
+        fields = _phys_fields(m_end)
         parts: list[_FilePartition] = []
         m_prev = self._t.manifest(lo)
         for v in range(lo + 1, hi + 1):
@@ -319,12 +348,29 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 m_prev = m_v  # skipChangeCommits: drop the whole commit
                 continue
             parts.extend(
-                _FilePartition(os.path.join(self.root, DATA_DIR, f), fields)
+                _FilePartition(
+                    os.path.join(self.root, DATA_DIR, f), fields,
+                    row_base=self._row_base_of(m_v, f),
+                )
                 for f in m_v["files"]
                 if f not in prev_files
             )
             m_prev = m_v
         return parts
+
+    def _row_base_of(self, m: dict, f: str):
+        """Lineage marker for one file under its listing manifest:
+        the integer implicit-id base, "phys" when the file carries a
+        materialized __row_id column (its stats record the column's
+        range), or None when ids are off/unavailable (pre-enable
+        files emit NULL ids, like the batch read_with_lineage)."""
+        if not self.emit_row_ids:
+            return None
+        s = m.get("stats", {}).get(f, {})
+        if "__row_id" in s:
+            return "phys"
+        b = s.get("__row_base")
+        return int(b) if b is not None else "null"
 
     def _cdc_partitions(self, lo: int, hi: int, m_end: dict):
         """Per-commit change partitions — the driver-side mirror of
@@ -336,9 +382,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         from unity_to_bigquery_spark.plans.versioned import DATA_DIR, VersionedTable
 
-        fields = _ddl_field_names(m_end["schema"])
+        fields = _phys_fields(m_end)
         abspath = lambda f: os.path.join(self.root, DATA_DIR, f)  # noqa: E731
-        kf = lambda entries: [(abspath(d[0]), d[1]) for d in entries]  # noqa: E731
+        # (keyfile_path, keyfile_col, row_col): the delete-key FILE
+        # stores its column under the logical name at commit (== the
+        # current logical name — renames refuse while entries live),
+        # but data-file rows store PHYSICAL names under column mapping
+        phys_of = {
+            e["name"]: e["phys"] for e in (m_end.get("column_mapping") or [])
+        }
+        kf = lambda entries: [  # noqa: E731
+            (abspath(d[0]), d[1], phys_of.get(d[1], d[1])) for d in entries
+        ]
         parts: list[_CDCFilePartition] = []
         m_prev = self._t.manifest(lo)
         for v in range(lo + 1, hi + 1):
@@ -366,7 +421,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 if b is None:
                     parts.append(
                         _CDCFilePartition(abspath(f), fields, "delete", v,
-                                          kf(a), [], posf(m_prev, f))
+                                          kf(a), [], posf(m_prev, f),
+                                          row_base=self._row_base_of(m_prev, f))
                     )
                     continue
                 new_e = tuple(d for d in b if d not in a)
@@ -375,14 +431,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     parts.append(
                         _CDCFilePartition(
                             abspath(f), fields, "delete", v, kf(a), kf(new_e),
-                            posf(m_v, f)
+                            posf(m_v, f),
+                            row_base=self._row_base_of(m_v, f),
                         )
                     )
                 if gone_e:
                     parts.append(
                         _CDCFilePartition(
                             abspath(f), fields, "insert", v, kf(b), kf(gone_e),
-                            posf(m_v, f)
+                            posf(m_v, f),
+                            row_base=self._row_base_of(m_v, f),
                         )
                     )
             for f in m_v["files"]:
@@ -390,7 +448,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     parts.append(
                         _CDCFilePartition(
                             abspath(f), fields, "insert", v, kf(app(m_v, f)), [],
-                            posf(m_v, f)
+                            posf(m_v, f),
+                            row_base=self._row_base_of(m_v, f),
                         )
                     )
             # delete_positions commits: one 'delete' partition per live
@@ -413,6 +472,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                             (abspath(d["file"]), f)
                             for d in new_pos if f in d["targets"]
                         ],
+                        row_base=self._row_base_of(m_prev, f),
                     )
                 )
             # DROPPED pos-delete entries with surviving targets (a
@@ -442,6 +502,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                             (abspath(d["file"]), f)
                             for d in gone_pos if f in d["targets"]
                         ],
+                        row_base=self._row_base_of(m_v, f),
                     )
                 )
             m_prev = m_v
@@ -453,12 +514,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         if isinstance(partition, _CDCFilePartition):
             anti = [
-                (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), k)
-                for p, k in partition.anti
+                (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), rk)
+                for p, k, rk in partition.anti
             ]
             match = [
-                (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), k)
-                for p, k in partition.match_any
+                (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), rk)
+                for p, k, rk in partition.match_any
             ]
             def _ordinals(pairs):
                 out: set[int] = set()
@@ -490,6 +551,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         return True
                 return False
 
+            rb = partition.row_base
+
+            def _rid(idx, row, rb=rb):
+                if rb == "phys":
+                    return row.get("__row_id")
+                if isinstance(rb, int):
+                    return rb + idx
+                return None  # "null": pre-lineage file
+
             for idx, row in enumerate(table.to_pylist()):
                 # row ordinal within the file == _metadata.row_index:
                 # pyarrow reads preserve file order (batch-twin contract)
@@ -501,14 +571,26 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     continue
                 if match and not _hits(row, match):
                     continue
-                yield tuple(row.get(f) for f in partition.fields) + tail
+                base_t = tuple(row.get(f) for f in partition.fields)
+                if rb is not None:
+                    base_t = base_t + (_rid(idx, row),)
+                yield base_t + tail
             return
 
         table = pq.read_table(partition.path)
-        for row in table.to_pylist():
+        rb = partition.row_base
+        for idx, row in enumerate(table.to_pylist()):
             # .get: files written before an additive schema evolution
             # lack the new columns — NULL-fill like the batch _scan
-            yield tuple(row.get(f) for f in partition.fields)
+            base_t = tuple(row.get(f) for f in partition.fields)
+            if rb is not None:
+                if rb == "phys":
+                    base_t = base_t + (row.get("__row_id"),)
+                elif isinstance(rb, int):
+                    base_t = base_t + (rb + idx,)
+                else:
+                    base_t = base_t + (None,)
+            yield base_t
 
     def commit(self, end: dict) -> None:
         # the streaming checkpoint owns durability; remembering the
