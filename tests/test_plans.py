@@ -118,6 +118,12 @@ BNLJ_ALLOWED = {
     "sim_index_topk",
     "sim_index_filtered_topk",
     "sim_index_retraction_topk",
+    # the bulk-kNN serve keeps that same probe crossJoin IN the
+    # returned plan (the serving path collects it first, hiding it
+    # from this audit): build side is the ncells-row centroid
+    # relation — bounded by index construction, never by |Q|. The
+    # query itself asserts zero driver materialization on the plan.
+    "sim_index_bulk_knn_join",
     "p_rag_retrieval",
     # 7-day range self-join over the DAY-level relation (365 rows/yr);
     # the events->day reduction happens before it

@@ -1758,3 +1758,87 @@ def p_versioned_row_lineage(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "p_incremental_join_view",
+    oracle="""
+    SELECT o_orderkey AS ok, c_custkey AS ck,
+           CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END
+               AS segment,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 7 <> 0 AND c_custkey % 13 <> 0
+    """,
+    doc=(
+        "Incremental JOIN-view maintenance (plans/incremental_join — "
+        "round 10): a materialized orders ⋈ customer view maintained "
+        "through a two-sided mutation gauntlet — staged order appends, "
+        "a customer merge_upsert (segment promotion), an order "
+        "equality-delete, and a customer delete — each followed by a "
+        "refresh that folds ONLY that side's net CDC delta "
+        "(changes_final_state) re-joined against the other side pinned "
+        "at its own txn bookmark, committed as one atomic key-scoped "
+        "replace per side. The final view must equal a direct join of "
+        "the two live snapshots, which the oracle computes from the "
+        "equivalent WHERE/CASE clauses. The immediate refresh re-runs "
+        "assert txn idempotency (multi-source exactly-once)."
+    ),
+    tags=("pipeline", "versioned", "incremental", "join", "cdc"),
+)
+def p_incremental_join_view(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_join import (
+        IncrementalJoinView,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = _tmp(f"ivjoin_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    a = VersionedTable(spark, os.path.join(base, "orders"))
+    b = VersionedTable(spark, os.path.join(base, "cust"))
+    view = IncrementalJoinView(
+        spark, a, "o_orderkey", b, "c_custkey",
+        on=("o_custkey", "c_custkey"), root=os.path.join(base, "view"),
+    )
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    b.commit_append(cust)
+    view.refresh()
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    view.refresh()
+    b.merge_upsert(
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", F.lit("VIP").alias("c_mktsegment")
+        ),
+        "c_custkey",
+    )
+    view.refresh()
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    a.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    view.refresh()
+    b.commit_delete_where(
+        cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey"),
+        "c_custkey",
+    )
+    view.refresh()
+    view.refresh()  # immediate re-run must be a no-op (txn idempotency)
+    return view.read().select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("price_c"),
+    )

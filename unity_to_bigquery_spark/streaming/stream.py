@@ -711,6 +711,36 @@ def index_cdc_maintenance_sink(index):
     return write_batch
 
 
+def join_view_cdc_maintenance_sink(view, side: str):
+    """foreachBatch for streaming maintenance of an
+    ``IncrementalJoinView`` (round 10): pair ONE sink per side with a
+    ``versioned_table`` CDC stream (``emit_change_types=true``) over
+    that side's source table. Each micro-batch is commit-aligned, so
+    its max ``_commit_version`` is a version boundary on that side; the
+    sink folds exactly that window (``refresh(to_a=...)`` /
+    ``refresh(to_b=...)``) while the OTHER side folds to its current
+    head — the view's per-side txn bookmarks make a replayed or
+    crashed-and-restarted batch a no-op on the pinned side and an
+    idempotent exact fold on the other. Zero sink-side state; two
+    independent streams (one per side) drain to the identical state a
+    batch refresh of the final snapshots produces
+    (tests/test_streaming.py differential)."""
+    if side not in ("a", "b"):
+        raise ValueError(f"side must be 'a' or 'b', got {side!r}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        head = batch_df.agg(F.max("_commit_version")).first()[0]
+        if head is None:
+            return  # empty batch: nothing delivered, nothing to fold
+        end_v = int(head)
+        if side == "a":
+            view.refresh(to_a=end_v)
+        else:
+            view.refresh(to_b=end_v)
+
+    return write_batch
+
+
 CRAWL_PAGE_DDL = (
     "content_key STRING, title STRING, n_text_chars BIGINT, "
     "n_words BIGINT, n_links INT, site STRING"
