@@ -99,6 +99,15 @@ PINNED_OFF_STDOUT = (
     "sim_index_streamed_retraction_topk",
     "sim_index_ivfpq_topk",
     "p_versioned_snapshot_count",
+    # round-10 pins
+    "p_versioned_manifest_checkpoint",
+    "p_versioned_rename_evolution",
+    "p_versioned_row_lineage",
+    "p_versioned_merge_evolution",
+    "p_incremental_join_view",
+    "sim_index_bulk_knn_join",
+    "p_catalog_multi_table_txn",
+    "p_ivm_pipeline",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -158,6 +167,17 @@ PINS = {
     "sim_index_streamed_retraction_topk": 12.39,  # draws 12.39/13.65
     "sim_index_ivfpq_topk": 12.00,        # draws 12.00/13.22
     "p_versioned_snapshot_count": 2.02,   # draws 2.06/2.02
+    # round-10 pins, two standalone min-of-2 draws each (BASELINE.md
+    # §round-10 pins); the versioned demos' cost is their multi-commit
+    # write paths by design
+    "p_versioned_manifest_checkpoint": 1.35,  # draws 1.46/1.35
+    "p_versioned_rename_evolution": 0.55,     # draws 0.55/0.58
+    "p_versioned_row_lineage": 5.06,          # draws 5.14/5.06
+    "p_versioned_merge_evolution": 0.75,      # draws 0.75/0.95
+    "p_incremental_join_view": 9.54,          # draws 9.71/9.54
+    "sim_index_bulk_knn_join": 8.61,          # draws 10.18/8.61 (after the norm-precompute fix)
+    "p_catalog_multi_table_txn": 2.57,        # draws 2.57/3.01
+    "p_ivm_pipeline": 14.29,                  # draws 14.80/14.29 (two-hop maintenance: ~15 sequential commit/refresh jobs by design)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

@@ -1,0 +1,162 @@
+"""Round-10 multi-table transactional catalog
+(plans/table_catalog.TableCatalog): atomic commits spanning tables via
+WAP branches + an intent log + one catalog CAS; snapshot-consistent
+cross-table reads; crash recovery; abort; conflict surfacing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from unity_to_bigquery_spark.plans.table_catalog import (
+    CatalogError,
+    TableCatalog,
+)
+
+
+def _df(spark, pairs, schema="k INT, v STRING"):
+    return spark.createDataFrame(pairs, schema)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return TableCatalog(spark, str(tmp_path / "cat"))
+
+
+def _counts(cat, ver=None):
+    return (
+        cat.read("t1", ver).count(),
+        cat.read("t2", ver).count(),
+    )
+
+
+def test_two_table_commit_is_atomic_through_catalog(spark, cat):
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    tx.write("t2").commit_append(_df(spark, [(9, "z")]))
+    # catalog readers see NOTHING before the commit point
+    with pytest.raises(CatalogError, match="empty"):
+        cat.read("t1")
+    v = tx.commit()
+    assert v == cat.latest_version()
+    assert _counts(cat) == (2, 1)
+    # time travel to the pre-txn catalog version still refuses (empty)
+    with pytest.raises(CatalogError, match="empty"):
+        cat.read("t1", v - 1)
+
+
+def test_second_txn_and_catalog_time_travel(spark, cat):
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    tx.write("t2").commit_append(_df(spark, [(9, "z")]))
+    v1 = tx.commit()
+    tx2 = cat.transaction()
+    tx2.write("t1").commit_delete_where(_df(spark, [(1, "")]) .select("k"), "k")
+    tx2.write("t2").commit_append(_df(spark, [(8, "y")]))
+    v2 = tx2.commit()
+    assert _counts(cat, v1) == (2, 1)  # old consistent world intact
+    assert _counts(cat, v2) == (1, 2)  # new consistent world
+    assert cat.entry(v2)["txn_id"] == tx2.txn_id
+
+
+def test_abort_leaves_nothing(spark, cat):
+    cat.create_table("t1")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a")]))
+    tx.abort()
+    assert cat.table("t1").latest_version() == 0
+    assert cat.table("t1").branches() == {}
+    with pytest.raises(CatalogError):
+        tx.write("t1")
+
+
+def test_crash_between_publishes_recovers(spark, cat):
+    """Crash simulated mid-commit: intent written, ONE of two tables
+    published. Catalog readers still see the pre-txn world; recover()
+    completes the publish + catalog CAS; a second recover no-ops."""
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a")]))
+    tx.write("t2").commit_append(_df(spark, [(9, "z")]))
+    v1 = tx.commit()
+    tx2 = cat.transaction()
+    tx2.write("t1").commit_append(_df(spark, [(3, "c")]))
+    tx2.write("t2").commit_append(_df(spark, [(7, "x")]))
+    # ---- replay commit() by hand, crashing after the first publish
+    ip = cat._intent_path(tx2.txn_id)
+    with open(ip, "x") as fh:
+        json.dump({"txn_id": tx2.txn_id, "tables": tx2._staged}, fh)
+    first = sorted(tx2._staged)[0]
+    cat.table(first).publish_branch(tx2._staged[first])
+    # ---- catalog view: still the v1 world on BOTH tables
+    assert _counts(cat) == (1, 1)
+    done = cat.recover()
+    assert done == [tx2.txn_id]
+    assert _counts(cat) == (2, 2)
+    assert cat.entry()["txn_id"] == tx2.txn_id
+    assert not os.path.exists(ip)
+    assert cat.recover() == []  # idempotent
+    assert _counts(cat, v1) == (1, 1)
+
+
+def test_crash_after_catalog_cas_recovers(spark, cat):
+    """Crash between the catalog CAS and intent removal: recover()
+    sees the txn id already landed and only GCs the intent."""
+    cat.create_table("t1")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a")]))
+    v = tx.commit()
+    # resurrect the intent as if the removal was lost
+    with open(cat._intent_path(tx.txn_id), "x") as fh:
+        json.dump({"txn_id": tx.txn_id, "tables": {"t1": "txn-" + tx.txn_id}}, fh)
+    assert cat.recover() == [tx.txn_id]
+    assert cat.latest_version() == v  # no double catalog commit
+    assert cat.read("t1").count() == 1
+
+
+def test_sync_adopts_direct_writes(spark, cat):
+    cat.create_table("t1")
+    cat.table("t1").commit_append(_df(spark, [(1, "a")]))
+    with pytest.raises(CatalogError, match="empty"):
+        cat.read("t1")  # direct write not catalog-visible
+    cat.sync("t1")
+    assert cat.read("t1").count() == 1
+
+
+def test_conflicting_rewrite_surfaces_loudly(spark, cat):
+    """A non-append txn racing a moved main raises instead of landing
+    a torn state silently."""
+    from unity_to_bigquery_spark.plans.versioned import ConcurrentWriteError
+
+    cat.create_table("t1")
+    cat.table("t1").commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    cat.sync()
+    tx = cat.transaction()
+    tx.write("t1").commit_delete_where(_df(spark, [(1, "")]).select("k"), "k")
+    # main moves AFTER the fork, before the commit
+    cat.table("t1").commit_delete_where(_df(spark, [(2, "")]).select("k"), "k")
+    with pytest.raises(ConcurrentWriteError):
+        tx.commit()
+    # the intent keeps the txn visible for ops; abort-and-rebase path:
+    os.remove(cat._intent_path(tx.txn_id))
+    tx._done = False
+    tx.abort()
+    assert cat.table("t1").branches() == {}
+
+
+def test_unknown_and_bad_names(spark, cat):
+    with pytest.raises(CatalogError, match="unknown"):
+        cat.table("nope")
+    with pytest.raises(CatalogError, match="bad table name"):
+        cat.create_table("../evil")
+    tx = cat.transaction()
+    with pytest.raises(CatalogError, match="empty transaction"):
+        tx.commit()

@@ -421,18 +421,35 @@ class AnnIndex:
         rebalance under AQE skew-join. Results are bit-identical to
         :meth:`topk` under the same centroids (unit-tested identity).
         """
+        from unity_to_bigquery_spark.llm.similarity import dot, norm
+
         st = self._scorer_state()
-        probed = self._probe_plan(queries, st, nprobe, query_id)
+        probed = self._probe_plan(queries, st, nprobe, query_id).withColumn(
+            # per-row norms BELOW the join: cosine6's inline form would
+            # recompute both norms per candidate PAIR (higher-order
+            # lambdas are interpreted and Catalyst does no CSE inside
+            # them — CLAUDE.md rule 5; measured 70 s -> ~23 s at
+            # |Q|=corpus sf0.1). Same double ops on the same values, so
+            # scores stay bit-identical to topk()/cosine6.
+            "__qnorm", norm(F.col("__qvec"))
+        )
         assigned = self.assignments.read().select(
             self.id_col, self.vec_col, "cell_id", *self.meta_cols
         )
         if where is not None:
             assigned = assigned.filter(F.expr(where))
+        assigned = assigned.withColumn("__anorm", norm(F.col(self.vec_col)))
         cand = assigned.join(probed, on="cell_id").filter(
             F.col(self.id_col) != F.col(query_id)
         )
         scored = cand.withColumn(
-            "cos6", cosine6(F.col(self.vec_col), F.col("__qvec"))
+            "cos6",
+            F.floor(
+                dot(F.col(self.vec_col), F.col("__qvec"))
+                / (F.col("__anorm") * F.col("__qnorm"))
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
         )
         w = Window.partitionBy(query_id).orderBy(
             F.desc("cos6"), F.asc(self.id_col)

@@ -1,0 +1,280 @@
+"""Multi-table TRANSACTIONAL CATALOG: atomic commits spanning several
+VersionedTables, with snapshot-consistent cross-table reads — the
+Nessie / Iceberg-REST-catalog semantics (a catalog-level commit log
+whose entries pin one version per table) built from parts this format
+already has: WAP branches for staging/isolation, an O_EXCL CAS log for
+the catalog commits, and a durable INTENT record making the publish
+phase crash-resumable.
+
+Generalizes the reference's implicit two-store transaction
+(``Unity_to_BigQuery.py:177-187`` loads BigQuery THEN inserts the
+checkpoint row in Postgres — a crash between the two double-loads on
+restart) into an actual all-or-nothing multi-table commit point.
+
+Protocol (2-phase, per ``CatalogTransaction.commit``):
+
+1. **Stage**: each table touched by the transaction writes to a
+   private WAP branch (``txn-<id>``) — full VersionedTable surface,
+   invisible to main readers, droppable on abort.
+2. **Intent**: one O_EXCL JSON (``intents/<id>.json``) listing
+   {table → branch}. Written only when every staged branch exists —
+   from this point the transaction is COMMITTED-IN-PRINCIPLE and
+   ``recover()`` can always finish it.
+3. **Publish**: each branch lands on its table's main via
+   ``publish_branch`` (atomic per table; the branch ref disappears on
+   success, which is exactly the recovery marker: branch present →
+   still to publish, branch gone → already landed).
+4. **Catalog CAS**: one catalog-log commit pinning the new version of
+   every touched table (untouched pins carried forward) and recording
+   the txn id. Readers going THROUGH the catalog flip from the old
+   consistent set to the new one atomically here.
+5. The intent file is removed (idempotent: a catalog entry already
+   carrying the txn id short-circuits recovery).
+
+Consistency model — the Nessie contract, stated honestly: between
+steps 3 and 4 a DIRECT table reader can see table X new and table Y
+old; a CATALOG reader never can, because ``read()`` resolves versions
+from the latest catalog entry. Atomicity is a property of the catalog
+commit point, not of the filesystem.
+
+Scale: every catalog artifact is metadata-sized — an entry holds one
+integer per table; staging/publish costs are the branch/WAP costs
+(publish is one manifest commit regardless of data volume). Nothing
+here scans data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unity_to_bigquery_spark.plans.versioned import (
+    ConcurrentWriteError,
+    VersionedTable,
+)
+
+_CATALOG_DIR = "catalog-log"
+_INTENT_DIR = "intents"
+_TABLES_DIR = "tables"
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+class TableCatalog:
+    """A directory of VersionedTables plus a catalog commit log of
+    consistent {table → version} pin sets."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _CATALOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _INTENT_DIR), exist_ok=True)
+
+    # ---- catalog log -------------------------------------------------------
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.root, _CATALOG_DIR, f"{version:020d}.json")
+
+    def latest_version(self) -> int:
+        names = [
+            n for n in os.listdir(os.path.join(self.root, _CATALOG_DIR))
+            if n.endswith(".json")
+        ]
+        return max((int(n[:-5]) for n in names), default=0)
+
+    def entry(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "tables": {}, "txn_id": None}
+        try:
+            with open(self._entry_path(v)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise CatalogError(f"no catalog version {v} in {self.root}")
+
+    def _cas_entry(self, pins: dict, txn_id: str | None) -> int:
+        """One catalog commit via O_EXCL — the same lost-update-proof
+        CAS the table log uses. ``pins`` override/extend the previous
+        entry's table set; everything else carries forward."""
+        for _ in range(20):
+            base = self.entry()
+            tables = dict(base["tables"])
+            tables.update(pins)
+            v = base["version"] + 1
+            payload = json.dumps(
+                {"version": v, "tables": tables, "txn_id": txn_id}
+            )
+            try:
+                fd = os.open(
+                    self._entry_path(v),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue  # concurrent catalog commit won the version
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+            return v
+        raise ConcurrentWriteError("catalog CAS exhausted 20 attempts")
+
+    def _committed_txn_ids(self) -> set:
+        out = set()
+        for n in os.listdir(os.path.join(self.root, _CATALOG_DIR)):
+            if n.endswith(".json"):
+                with open(os.path.join(self.root, _CATALOG_DIR, n)) as fh:
+                    t = json.load(fh).get("txn_id")
+                if t:
+                    out.add(t)
+        return out
+
+    # ---- tables ------------------------------------------------------------
+
+    def _table_root(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise CatalogError(f"bad table name {name!r}")
+        return os.path.join(self.root, _TABLES_DIR, name)
+
+    def create_table(self, name: str, **table_kwargs) -> VersionedTable:
+        """Register ``name`` in the catalog (a catalog commit pinning it
+        at version 0). Idempotent for an already-registered name."""
+        t = VersionedTable(self.spark, self._table_root(name), **table_kwargs)
+        if name not in self.entry()["tables"]:
+            self._cas_entry({name: 0}, txn_id=None)
+        return t
+
+    def table(self, name: str, **table_kwargs) -> VersionedTable:
+        """Live (uncoordinated) handle — writes through it move the
+        table but NOT the catalog pins; use a transaction (or
+        ``sync``) to make them catalog-visible."""
+        if name not in self.entry()["tables"]:
+            raise CatalogError(f"unknown table {name!r}")
+        return VersionedTable(self.spark, self._table_root(name), **table_kwargs)
+
+    def sync(self, *names: str) -> int:
+        """Catalog commit pinning the CURRENT head of the given tables
+        (all registered tables when empty) — adopts direct writes."""
+        tables = list(names) or sorted(self.entry()["tables"])
+        pins = {n: self.table(n).latest_version() for n in tables}
+        return self._cas_entry(pins, txn_id=None)
+
+    def read(
+        self, name: str, catalog_version: int | None = None
+    ) -> DataFrame:
+        """Snapshot-consistent read: the table at the version pinned by
+        the catalog entry — cross-table joins over reads from one
+        entry see one transaction-consistent world."""
+        e = self.entry(catalog_version)
+        if name not in e["tables"]:
+            raise CatalogError(
+                f"table {name!r} not in catalog version {e['version']}"
+            )
+        pinned = e["tables"][name]
+        t = VersionedTable(self.spark, self._table_root(name))
+        if pinned == 0:
+            raise CatalogError(
+                f"table {name!r} is empty at catalog version {e['version']}"
+            )
+        return t.read(pinned)
+
+    # ---- transactions ------------------------------------------------------
+
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+    def _intent_path(self, txn_id: str) -> str:
+        return os.path.join(self.root, _INTENT_DIR, f"{txn_id}.json")
+
+    def recover(self) -> list[str]:
+        """Finish every in-flight intent (crash between publish and
+        catalog CAS): publish still-present branches, CAS the catalog
+        entry unless the txn id already landed, drop the intent.
+        Idempotent; returns the completed txn ids."""
+        done = []
+        committed = self._committed_txn_ids()
+        for n in sorted(os.listdir(os.path.join(self.root, _INTENT_DIR))):
+            if not n.endswith(".json"):
+                continue
+            with open(self._intent_path(n[:-5])) as fh:
+                intent = json.load(fh)
+            txn_id = intent["txn_id"]
+            if txn_id not in committed:
+                pins = {}
+                for tname, bname in intent["tables"].items():
+                    t = self.table(tname)
+                    if bname in t.branches():
+                        t.publish_branch(bname)
+                    pins[tname] = t.latest_version()
+                self._cas_entry(pins, txn_id=txn_id)
+            os.remove(self._intent_path(txn_id))
+            done.append(txn_id)
+        return done
+
+
+class CatalogTransaction:
+    """Stage writes to any number of catalog tables; ``commit()`` lands
+    them all-or-nothing at one catalog commit point."""
+
+    def __init__(self, catalog: TableCatalog):
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:16]
+        self._staged: dict[str, str] = {}  # table name -> branch name
+        self._done = False
+
+    def write(self, name: str, **table_kwargs) -> VersionedTable:
+        """Branch handle for staging writes to ``name`` inside this
+        transaction — repeated calls return the same branch."""
+        if self._done:
+            raise CatalogError("transaction already committed/aborted")
+        t = self.catalog.table(name, **table_kwargs)
+        bname = f"txn-{self.txn_id}"
+        if name not in self._staged:
+            t.create_branch(bname)
+            self._staged[name] = bname
+        return t.branch(bname)
+
+    def commit(self) -> int:
+        """Intent → publish each branch → ONE catalog CAS → intent GC.
+        Returns the new catalog version. A crash anywhere after the
+        intent is completed by ``TableCatalog.recover()``.
+
+        Isolation scope, stated honestly: all-or-nothing holds against
+        crashes at ANY point and against concurrent append-only
+        activity (publishes cherry-pick). A concurrent NON-APPEND
+        rewrite landing on a member table mid-publish makes that
+        table's publish raise ``ConcurrentWriteError`` — the intent
+        then keeps the transaction visible and ``recover()`` retries /
+        surfaces it loudly rather than half-forgetting it. Engines
+        whose catalog owns every table pointer (Iceberg REST) reject
+        such races before any publish; with per-table logs the honest
+        contract is: serialize conflicting rewriters per table, or
+        abort-and-rebase on conflict."""
+        if self._done:
+            raise CatalogError("transaction already committed/aborted")
+        if not self._staged:
+            raise CatalogError("empty transaction")
+        ip = self.catalog._intent_path(self.txn_id)
+        with open(ip, "x") as fh:
+            json.dump({"txn_id": self.txn_id, "tables": self._staged}, fh)
+        pins = {}
+        for tname, bname in self._staged.items():
+            t = self.catalog.table(tname)
+            if bname in t.branches():  # recovery-shared idempotency
+                t.publish_branch(bname)
+            pins[tname] = t.latest_version()
+        v = self.catalog._cas_entry(pins, txn_id=self.txn_id)
+        os.remove(ip)
+        self._done = True
+        return v
+
+    def abort(self) -> None:
+        """Drop every staged branch — 'nothing ever happened'."""
+        if self._done:
+            return
+        for tname, bname in self._staged.items():
+            self.catalog.table(tname).drop_branch(bname)
+        self._staged.clear()
+        self._done = True

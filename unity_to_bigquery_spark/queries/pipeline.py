@@ -1842,3 +1842,191 @@ def p_incremental_join_view(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
         F.col("price_c"),
     )
+
+
+@query(
+    "p_catalog_multi_table_txn",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END
+               AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 13 <> 0
+    GROUP BY 1
+    """,
+    doc=(
+        "MULTI-TABLE TRANSACTIONAL CATALOG (plans/table_catalog — "
+        "round 10, Nessie/Iceberg-REST-catalog semantics): three "
+        "transactions against an orders+customer catalog — atomic "
+        "two-table ingest; an atomic cross-table delete (customers "
+        "%13==0 AND their orders, one commit point); and a CRASHED "
+        "transaction (intent written, only one table's branch "
+        "published) whose torn physical state the query proves "
+        "invisible through the catalog (both tables still read the "
+        "pre-txn pins — asserted in-query) before recover() completes "
+        "it. The final catalog-pinned cross-table join must equal the "
+        "oracle's reconstruction of all three transactions applied."
+    ),
+    tags=("pipeline", "versioned", "catalog", "transaction"),
+)
+def p_catalog_multi_table_txn(spark, sf_dir):
+    import json
+    import shutil
+
+    from unity_to_bigquery_spark.plans.table_catalog import TableCatalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = _tmp(f"catalog_txn_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    cat = TableCatalog(spark, base)
+    cat.create_table("orders_t")
+    cat.create_table("cust_t")
+    # txn 1: atomic two-table ingest (orders %3 in {0,1} + all customers)
+    tx = cat.transaction()
+    tx.write("orders_t").commit_append(
+        orders.filter(F.col("o_orderkey") % 3 < 2)
+    )
+    tx.write("cust_t").commit_append(cust)
+    tx.commit()
+    # txn 2: atomic cross-table delete — customers %13==0 AND their orders
+    dead = cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    tx2 = cat.transaction()
+    tx2.write("orders_t").commit_delete_where(
+        dead.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    tx2.write("cust_t").commit_delete_where(dead, "c_custkey")
+    v2 = tx2.commit()
+    # txn 3, CRASHED mid-publish: appends the %3==2 orders AND promotes
+    # %10==0 customers to VIP — intent + ONE publish land, then "crash"
+    tx3 = cat.transaction()
+    tx3.write("orders_t").commit_append(
+        orders.filter(F.col("o_orderkey") % 3 == 2)
+    )
+    tx3.write("cust_t").merge_upsert(
+        cust.filter(
+            (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 13 != 0)
+        ).select("c_custkey", F.lit("VIP").alias("c_mktsegment")),
+        "c_custkey",
+    )
+    with open(cat._intent_path(tx3.txn_id), "x") as fh:
+        json.dump({"txn_id": tx3.txn_id, "tables": tx3._staged}, fh)
+    cat.table("orders_t").publish_branch(tx3._staged["orders_t"])
+    # torn physical state must be INVISIBLE through the catalog
+    if cat.entry()["version"] != v2:
+        raise RuntimeError("catalog moved past the crashed transaction")
+    n_orders = cat.read("orders_t").count()
+    n_direct = cat.table("orders_t").read().count()
+    if n_orders >= n_direct:
+        raise RuntimeError(
+            "crash simulation did not tear the physical state "
+            f"(catalog {n_orders} vs direct {n_direct})"
+        )
+    cat.recover()
+    o = cat.read("orders_t")
+    c = cat.read("cust_t")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("rev_c"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "n", "rev_c")
+    )
+
+
+@query(
+    "p_ivm_pipeline",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END
+               AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev6
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 7 <> 0 AND c_custkey % 13 <> 0
+    GROUP BY 1
+    """,
+    doc=(
+        "TWO-LEVEL IVM PIPELINE (round 10 — derived state over derived "
+        "state): an IncrementalJoinView materializes orders ⋈ customer "
+        "from both sides' CDC, and a ContinuousAggregate(handle_deletes) "
+        "maintains a per-segment revenue rollup from the VIEW'S OWN "
+        "change feed — the view's key-scoped replace commits emit typed "
+        "retractions, so segment promotions and deletes on either BASE "
+        "table flow through two maintenance hops untouched by any "
+        "rescan. The final rollup must equal a direct groupBy of the "
+        "joined live snapshots (the oracle). Every hop is exactly-once "
+        "(txn bookmarks at both levels; no-op re-runs asserted by the "
+        "repeated refresh calls)."
+    ),
+    tags=("pipeline", "versioned", "incremental", "join", "aggregate", "cdc"),
+)
+def p_ivm_pipeline(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_agg import (
+        ContinuousAggregate,
+    )
+    from unity_to_bigquery_spark.plans.incremental_join import (
+        IncrementalJoinView,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = _tmp(f"ivm_pipe_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    a = VersionedTable(spark, os.path.join(base, "orders"))
+    b = VersionedTable(spark, os.path.join(base, "cust"))
+    view = IncrementalJoinView(
+        spark, a, "o_orderkey", b, "c_custkey",
+        on=("o_custkey", "c_custkey"), root=os.path.join(base, "view"),
+    )
+    roll = ContinuousAggregate(
+        spark, view.view, os.path.join(base, "rollup"),
+        key="c_mktsegment", measures={"rev6": "o_totalprice"},
+        handle_deletes=True,
+    )
+
+    def fold():
+        view.refresh()
+        roll.refresh()
+        roll.refresh()  # no-op replay at the second hop
+
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    b.commit_append(cust)
+    fold()
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 > 0))
+    b.merge_upsert(
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", F.lit("VIP").alias("c_mktsegment")
+        ),
+        "c_custkey",
+    )
+    fold()
+    a.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    b.commit_delete_where(
+        cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey"),
+        "c_custkey",
+    )
+    fold()
+    return roll.read().select(
+        F.col("c_mktsegment").alias("segment"), "n", "rev6"
+    )
