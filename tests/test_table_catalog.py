@@ -160,3 +160,28 @@ def test_unknown_and_bad_names(spark, cat):
     tx = cat.transaction()
     with pytest.raises(CatalogError, match="empty transaction"):
         tx.commit()
+
+
+def test_transaction_aligned_cdc(spark, cat):
+    """catalog.changes(name, cv1, cv2) returns exactly the committed
+    transactions' deltas per table — never a half-transaction, empty
+    for a table untouched in the window."""
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    tx.write("t2").commit_append(_df(spark, [(9, "z")]))
+    v1 = tx.commit()
+    tx2 = cat.transaction()
+    tx2.write("t1").commit_delete_where(_df(spark, [(1, "")]).select("k"), "k")
+    v2 = tx2.commit()
+    # window (0, v1]: the ingest deltas
+    assert cat.changes("t1", 0, v1).count() == 2
+    assert cat.changes("t2", 0, v1).count() == 1
+    # window (v1, v2]: t1 retracts one row; t2 untouched -> empty
+    feed = cat.changes("t1", v1, v2, with_type=True).collect()
+    assert [(r.k, r._change_type) for r in feed] == [(1, "delete")]
+    assert cat.changes("t2", v1, v2, with_type=True).count() == 0
+    # a direct (uncataloged) write is NOT in any catalog window
+    cat.table("t2").commit_append(_df(spark, [(7, "w")]))
+    assert cat.changes("t2", 0, cat.latest_version()).count() == 1

@@ -180,6 +180,32 @@ class TableCatalog:
             )
         return t.read(pinned)
 
+    def changes(
+        self,
+        name: str,
+        since_catalog_version: int,
+        to_catalog_version: int | None = None,
+        with_type: bool = False,
+    ) -> DataFrame:
+        """TRANSACTION-ALIGNED CDC: the table's change feed over the
+        window the CATALOG pins span — a consumer walking catalog
+        versions sees, per table, exactly the deltas the committed
+        transactions produced, never a half-transaction (the same
+        commit-alignment argument as the versioned stream source, one
+        level up). ``with_type=True`` returns the typed feed with
+        retractions."""
+        lo = self.entry(since_catalog_version)["tables"].get(name, 0)
+        hi_entry = self.entry(to_catalog_version)
+        if name not in hi_entry["tables"]:
+            raise CatalogError(
+                f"table {name!r} not in catalog version {hi_entry['version']}"
+            )
+        hi = hi_entry["tables"][name]
+        t = VersionedTable(self.spark, self._table_root(name))
+        if with_type:
+            return t.changes_with_type(lo, hi, max_commits=max(1, hi - lo))
+        return t.changes(lo, hi)
+
     # ---- transactions ------------------------------------------------------
 
     def transaction(self) -> "CatalogTransaction":
