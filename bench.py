@@ -108,6 +108,7 @@ PINNED_OFF_STDOUT = (
     "sim_index_bulk_knn_join",
     "p_catalog_multi_table_txn",
     "p_ivm_pipeline",
+    "p_ivm_streamed_join",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -178,6 +179,7 @@ PINS = {
     "sim_index_bulk_knn_join": 8.61,          # draws 10.18/8.61 (after the norm-precompute fix)
     "p_catalog_multi_table_txn": 2.57,        # draws 2.57/3.01
     "p_ivm_pipeline": 14.29,                  # draws 14.80/14.29 (two-hop maintenance: ~15 sequential commit/refresh jobs by design)
+    "p_ivm_streamed_join": 15.43,             # draws 16.83/15.43 (four checkpointed stream drains + 7 source commits by design)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

@@ -2030,3 +2030,112 @@ def p_ivm_pipeline(spark, sf_dir):
     return roll.read().select(
         F.col("c_mktsegment").alias("segment"), "n", "rev6"
     )
+
+
+@query(
+    "p_ivm_streamed_join",
+    oracle="""
+    SELECT o_orderkey AS ok, c_custkey AS ck,
+           CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END
+               AS segment,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 7 <> 0 AND c_custkey % 13 <> 0
+    """,
+    doc=(
+        "STREAMED incremental join view end-to-end (round 10): the "
+        "p_incremental_join_view gauntlet driven entirely by TWO "
+        "checkpointed CDC streams (one versioned_table stream per "
+        "side, emit_change_types, availableNow drains after each "
+        "mutation wave) through join_view_cdc_maintenance_sink — "
+        "commit-aligned per-side pins (to_a/to_b), per-side txn "
+        "bookmarks for replay exactly-once, zero sink-side state. The "
+        "drained view must equal the DuckDB join of the final "
+        "snapshots — the same oracle as the batch twin, so the two "
+        "queries' hashes agree with each other too."
+    ),
+    tags=("pipeline", "versioned", "incremental", "join", "cdc", "streaming"),
+)
+def p_ivm_streamed_join(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_join import (
+        IncrementalJoinView,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+    from unity_to_bigquery_spark.streaming.stream import (
+        join_view_cdc_maintenance_sink,
+    )
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = _tmp(f"ivjoin_stream_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    a = VersionedTable(spark, os.path.join(base, "orders"))
+    b = VersionedTable(spark, os.path.join(base, "cust"))
+    view = IncrementalJoinView(
+        spark, a, "o_orderkey", b, "c_custkey",
+        on=("o_custkey", "c_custkey"), root=os.path.join(base, "view"),
+    )
+    sinks = {
+        "a": join_view_cdc_maintenance_sink(view, "a"),
+        "b": join_view_cdc_maintenance_sink(view, "b"),
+    }
+
+    def drain(side, table):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", table.root)
+            .option("emit_change_types", "true")
+            .load()
+            .writeStream.foreachBatch(sinks[side])
+            .option(
+                "checkpointLocation", os.path.join(base, f"ckpt_{side}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: initial ingest
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    b.commit_append(cust)
+    drain("a", a)
+    drain("b", b)
+    # wave 2: appends, a merge promotion, deletes on BOTH sides —
+    # all arriving as CDC through the resumed checkpoints
+    a.commit_append(orders.filter(F.col("o_orderkey") % 3 > 0))
+    b.merge_upsert(
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", F.lit("VIP").alias("c_mktsegment")
+        ),
+        "c_custkey",
+    )
+    a.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    b.commit_delete_where(
+        cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey"),
+        "c_custkey",
+    )
+    drain("a", a)
+    drain("b", b)
+    if view.last_refreshed() != (a.latest_version(), b.latest_version()):
+        raise RuntimeError("streamed view is not at the source heads")
+    return view.read().select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("price_c"),
+    )
