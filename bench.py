@@ -109,6 +109,8 @@ PINNED_OFF_STDOUT = (
     "p_catalog_multi_table_txn",
     "p_ivm_pipeline",
     "p_ivm_streamed_join",
+    "p_versioned_time_travel_ts",
+    "p_versioned_join_advisor",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -180,6 +182,8 @@ PINS = {
     "p_catalog_multi_table_txn": 2.57,        # draws 2.57/3.01
     "p_ivm_pipeline": 14.29,                  # draws 14.80/14.29 (two-hop maintenance: ~15 sequential commit/refresh jobs by design)
     "p_ivm_streamed_join": 15.43,             # draws 16.83/15.43 (four checkpointed stream drains + 7 source commits by design)
+    "p_versioned_time_travel_ts": 1.60,       # draws 1.57/1.60 (later 4.5/6.2 draws were a traced ambient spike, rule 14)
+    "p_versioned_join_advisor": 2.14,         # draws 1.90/1.80 pre- and 2.14 post-unique()-optimization (ambient spike draws excluded per rule 14)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

@@ -2063,3 +2063,94 @@ def test_compact_preserves_persisted_sort_order(spark, root):
     t2.commit_append(_df(spark, [(1, "a"), (2, "b")]))
     t2.compact()
     assert t2.sort_order() is None
+
+
+# ---- round 10: timestamp time travel + age-based retention ----------------
+
+
+def test_version_at_and_read_as_of(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    ts1 = t._read_json(1)["ts"]
+    t.commit_append(_df(spark, [(2, "b")]))
+    ts2 = t._read_json(2)["ts"]
+    assert t.version_at(ts1) == 1
+    assert t.version_at((ts1 + ts2) / 2) in (1, 2)  # between commits
+    assert t.version_at(ts2 + 1) == 2
+    assert t.read_as_of(ts1).count() == 1
+    assert t.read_as_of(ts2 + 1).count() == 2
+    with pytest.raises(NoSuchVersionError):
+        t.version_at(ts1 - 10)
+
+
+def test_changes_between_timestamps(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    ts1 = t._read_json(1)["ts"]
+    t.commit_append(_df(spark, [(2, "b")]))
+    t.commit_delete_where(_df(spark, [(1, "")]).select("k"), "k")
+    ts3 = t._read_json(3)["ts"]
+    feed = t.changes_between(ts1, ts3, with_type=True).collect()
+    assert sorted((r.k, r._change_type) for r in feed) == [
+        (1, "delete"),
+        (2, "insert"),
+    ]
+
+
+def test_expire_snapshots_by_age(spark, root):
+    t = VersionedTable(spark, root)
+    for i in range(4):
+        t.commit_overwrite(_df(spark, [(i, "x")]))
+    # age out everything committed before v3's instant: v3, v4 survive
+    cutoff = t._read_json(3)["ts"] - 1e-4
+    deleted = t.expire_snapshots(cutoff, keep_last=1)
+    assert deleted  # v1/v2's overwritten files actually went away
+    assert t.read(3).count() == 1 and t.read(4).count() == 1
+    with pytest.raises(NoSuchVersionError):
+        t.read(1).count()
+    # a future cutoff keeps keep_last
+    t.expire_snapshots(t._read_json(4)["ts"] + 10, keep_last=1)
+    assert t.read(4).count() == 1
+
+
+# ---- round 10: KMV NDV sketches + metadata join advisor --------------------
+
+
+def test_estimate_ndv_accuracy_and_merge(spark, root):
+    """Table-level NDV from per-file KMV sketches: duplicate values
+    across FILES must not inflate the estimate (union-of-mins, not
+    sum), and accuracy stays within the KMV error envelope (~1/sqrt(K)
+    ≈ 12.5% at K=64; assert 25% for slack)."""
+    t = VersionedTable(spark, root, ndv_index_cols=("v",))
+    n = 3000
+    df = spark.range(n).selectExpr("id AS k", "CAST(id % 1000 AS STRING) AS v")
+    # two commits with OVERLAPPING value sets: true table NDV is 1000
+    t.commit_append(df.filter("k < 2000").repartition(3))
+    t.commit_append(df.filter("k >= 1000").repartition(2))
+    est = t.estimate_ndv("v")
+    assert abs(est - 1000) / 1000 < 0.25, est
+    # small exact regime: fewer than K distinct hashes -> exact count
+    t2 = VersionedTable(spark, root + "_small", ndv_index_cols=("v",))
+    t2.commit_append(spark.range(10).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v"))
+    assert t2.estimate_ndv("v") == 7
+    # unindexed column raises rather than under-counting
+    with pytest.raises(ValueError, match="ndv:k"):
+        t2.estimate_ndv("k")
+
+
+def test_suggest_join_strategy_metadata_only(spark, root):
+    fact = VersionedTable(spark, root + "_fact", ndv_index_cols=("fk",))
+    dim = VersionedTable(spark, root + "_dim", ndv_index_cols=("pk",))
+    fact.commit_append(
+        spark.range(5000).selectExpr("id AS rid", "CAST(id % 50 AS LONG) AS fk")
+    )
+    dim.commit_append(
+        spark.range(50).selectExpr("id AS pk", "CAST(id AS STRING) AS name")
+    )
+    plan = fact.suggest_join_strategy(dim, on=("fk", "pk"), broadcast_max_rows=100)
+    assert plan["strategy"] == "broadcast" and plan["build_side"] == "b"
+    assert plan["est_rows_a"] == 5000 and plan["est_rows_b"] == 50
+    # containment estimate: 5000*50/max(~50,~50) ~= 5000 (within KMV error)
+    assert abs(plan["est_join_rows"] - 5000) / 5000 < 0.3
+    # big dim flips to shuffle
+    assert fact.suggest_join_strategy(dim, on=("fk", "pk"), broadcast_max_rows=10)["strategy"] == "shuffle"

@@ -338,6 +338,7 @@ class VersionedTable:
         bloom_index_cols: tuple[str, ...] = (),
         bloom_bits: int = 8192,
         bloom_hashes: int = 3,
+        ndv_index_cols: tuple[str, ...] = (),
         manifest_inline_max: int | None = None,
         manifest_checkpoint_every: int | None = None,
         row_lineage: bool = False,
@@ -372,6 +373,13 @@ class VersionedTable:
         self.bloom_index_cols = tuple(bloom_index_cols)
         self.bloom_bits = bloom_bits
         self.bloom_hashes = bloom_hashes
+        # opt-in write-side KMV (k-minimum-values) NDV sketches — the
+        # Iceberg-Puffin/DataSketches role: per (file, column), the K
+        # smallest 64-bit value hashes land in the manifest; unions of
+        # mins stay KMV sketches, so the planner gets mergeable
+        # distinct-count estimates (estimate_ndv / suggest_join_strategy)
+        # with zero data IO at plan time.
+        self.ndv_index_cols = tuple(ndv_index_cols)
         # manifest ENCODING knobs (round 10, VERDICT r9 #1): above
         # manifest_inline_max files, commits write DELTA manifests
         # (added/removed files only) with a parquet CHECKPOINT of the
@@ -736,6 +744,59 @@ class VersionedTable:
             {k: m[k] for k in ("version", "op", "ts", "n_files") if k in m}
             for m in (self._read_json(v) for v in self.versions())
         ]
+
+    # ---- timestamp time travel (round 10) -------------------------------
+
+    def version_at(self, ts: float) -> int:
+        """Latest version whose commit wall-clock ``ts`` (epoch seconds,
+        the manifests' inline audit field) is <= the given instant —
+        Delta's ``timestampAsOf`` / Iceberg's snapshot-at-timestamp
+        resolution. Commit timestamps are taken as recorded (a clock
+        regression between processes resolves to the LAST qualifying
+        version, matching read-your-writes for the later committer).
+        Raises NoSuchVersionError for an instant before the first
+        commit. O(versions) inline-JSON reads — audit fields never need
+        delta reconstruction (same argument as :meth:`history`)."""
+        best = None
+        for v in self.versions():
+            m = self._read_json(v)
+            if m.get("ts") is not None and m["ts"] <= ts:
+                best = v
+        if best is None:
+            raise NoSuchVersionError(
+                f"no version at or before ts={ts} in {self.root}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Snapshot read at a wall-clock instant (timestampAsOf)."""
+        return self.read(self.version_at(ts))
+
+    def changes_between(
+        self, ts_from: float, ts_to: float, with_type: bool = False
+    ) -> DataFrame:
+        """CDC between two instants: the change feed over
+        ``(version_at(ts_from), version_at(ts_to)]``."""
+        lo, hi = self.version_at(ts_from), self.version_at(ts_to)
+        if with_type:
+            return self.changes_with_type(lo, hi, max_commits=max(1, hi - lo))
+        return self.changes(lo, hi)
+
+    def expire_snapshots(
+        self, older_than_ts: float, keep_last: int = 1
+    ) -> list[str]:
+        """Age-based retention (Iceberg expire_snapshots / Delta
+        logRetentionDuration): vacuum with the horizon set so every
+        version committed AFTER ``older_than_ts`` survives (plus at
+        least ``keep_last``); tags/branches keep their usual absolute
+        protection. Returns the deleted data files."""
+        vs = self.versions()
+        recent = sum(
+            1
+            for v in vs
+            if self._read_json(v).get("ts", 0) > older_than_ts
+        )
+        return self.vacuum(keep_last=max(keep_last, recent))
 
     # ---- column mapping (rename/drop evolution, round 10) --------------
     #
@@ -1965,6 +2026,119 @@ class VersionedTable:
             for i in range(k)
         ]
 
+    # ---- NDV sketches + join advisor (round 10) --------------------------
+
+    _KMV_K = 64
+
+    @staticmethod
+    def _kmv_hash(value) -> int:
+        """64-bit uniform hash over the STRING rendering (same
+        type-stability contract as the bloom index)."""
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(str(value).encode(), digest_size=8).digest(),
+            "big",
+        )
+
+    def _kmv_sets(self, path: str, cols: tuple[str, ...]) -> dict:
+        """Per-file K-minimum-values sketches for the opted-in columns,
+        stored as ``ndv:<col>`` stat entries (≤K sorted 64-bit hash
+        mins) — the Iceberg-Puffin/DataSketches role: mergeable
+        distinct-count estimates for the planner with no data IO at
+        plan time. Union-of-mins across files is again a KMV sketch,
+        so table-level NDV = (K-1)·2⁶⁴/kth-min — duplicate-insensitive,
+        unlike summing per-file exact counts. NULLs don't enter."""
+        if not cols:
+            return {}
+        import heapq
+
+        import pyarrow.parquet as pq
+
+        import pyarrow.compute as pc
+
+        out = {}
+        pf = pq.ParquetFile(path)
+        present = {c for c in cols if c in pf.schema_arrow.names}
+        for col in present:
+            mins: set = set()
+            for batch in pf.iter_batches(columns=[col]):
+                # hash per DISTINCT value (Arrow-side unique): the
+                # Python blake2b loop is the write-path cost here, and
+                # a file's duplication factor buys the same factor back
+                for v in pc.unique(batch.column(0)).to_pylist():
+                    if v is None:
+                        continue
+                    mins.add(self._kmv_hash(v))
+            out[f"ndv:{col}"] = sorted(heapq.nsmallest(self._KMV_K, mins))
+        return out
+
+    def estimate_ndv(self, col: str, version: int | None = None) -> int:
+        """Distinct-count estimate for ``col`` from the manifest's KMV
+        stats alone (zero data IO). Every live file must carry the
+        sketch (column must have been in ``ndv_index_cols`` for all
+        writes) — missing stats raise rather than under-count."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        union: set = set()
+        for f in m["files"]:
+            s = stats.get(f, {}).get(f"ndv:{col}")
+            if s is None:
+                raise ValueError(
+                    f"estimate_ndv: file {f!r} has no ndv:{col} sketch "
+                    f"(add {col!r} to ndv_index_cols before writing)"
+                )
+            union.update(s)
+        if not union:
+            return 0
+        mins = sorted(union)[: self._KMV_K]
+        if len(mins) < self._KMV_K:
+            return len(mins)  # fewer than K distinct hashes seen: exact
+        return int((self._KMV_K - 1) * (2**64) / mins[-1])
+
+    def suggest_join_strategy(
+        self,
+        other: "VersionedTable",
+        on: tuple[str, str],
+        broadcast_max_rows: int = 1_000_000,
+    ) -> dict:
+        """Metadata-only join planning (the optimizer-statistics role —
+        Spark's own AQE sizes from scan bytes, but a lakehouse planner
+        decides BEFORE the scan): row counts from ``snapshot_rows``
+        (footer stats) and join-key NDVs from the KMV sketches give the
+        textbook containment estimate
+        ``|A ⋈ B| ≈ rows_a · rows_b / max(ndv_a, ndv_b)`` and a
+        broadcast-vs-shuffle verdict for the smaller side. Returns
+        {strategy, build_side, est_rows_a, est_rows_b, est_ndv_a,
+        est_ndv_b, est_join_rows}; falls back to a scan-count only when
+        footer counts are unanswerable (MoR equality deletes)."""
+        col_a, col_b = on
+        rows_a = self.snapshot_rows()
+        if rows_a is None:
+            rows_a = self.read().count()
+        rows_b = other.snapshot_rows()
+        if rows_b is None:
+            rows_b = other.read().count()
+        ndv_a = self.estimate_ndv(col_a)
+        ndv_b = other.estimate_ndv(col_b)
+        est = (
+            0
+            if not ndv_a or not ndv_b
+            else int(rows_a * rows_b / max(ndv_a, ndv_b))
+        )
+        small_rows = min(rows_a, rows_b)
+        return {
+            "strategy": (
+                "broadcast" if small_rows <= broadcast_max_rows else "shuffle"
+            ),
+            "build_side": "a" if rows_a <= rows_b else "b",
+            "est_rows_a": rows_a,
+            "est_rows_b": rows_b,
+            "est_ndv_a": ndv_a,
+            "est_ndv_b": ndv_b,
+            "est_join_rows": est,
+        }
+
     def _bloom_sets(self, path: str, cols: tuple[str, ...]) -> dict:
         """Per-file bloom bitmaps for the opted-in high-cardinality
         columns, stored as ``bloom:<col>`` base64 stat entries
@@ -2527,8 +2701,10 @@ class VersionedTable:
             _tr_map = {**mapped, **self._staged_new_phys}
             dcols = tuple(_tr_map.get(c, c) for c in self.distinct_index_cols)
             bcols = tuple(_tr_map.get(c, c) for c in self.bloom_index_cols)
+            ncols = tuple(_tr_map.get(c, c) for c in self.ndv_index_cols)
         else:
             dcols, bcols = self.distinct_index_cols, self.bloom_index_cols
+            ncols = self.ndv_index_cols
         if dir_cols:
             df.write.mode("error").partitionBy(*dir_cols).parquet(target)
         else:
@@ -2559,6 +2735,7 @@ class VersionedTable:
                 **self._file_stats(full),
                 **self._distinct_sets(full, dcols),
                 **self._bloom_sets(full, bcols),
+                **self._kmv_sets(full, ncols),
                 **self._partition_values(f),
             }
         return kept
@@ -4213,6 +4390,7 @@ class _BranchHandle(VersionedTable):
         self.bloom_index_cols = parent.bloom_index_cols
         self.bloom_bits = parent.bloom_bits
         self.bloom_hashes = parent.bloom_hashes
+        self.ndv_index_cols = getattr(parent, "ndv_index_cols", ())
         # getattr: parents built via __new__ (the streaming source's
         # driver-side manifest-IO handles) lack constructor attrs
         self.manifest_inline_max = getattr(parent, "manifest_inline_max", None)

@@ -2139,3 +2139,140 @@ def p_ivm_streamed_join(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
         F.col("price_c"),
     )
+
+
+@query(
+    "p_versioned_time_travel_ts",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "TIMESTAMP time travel (round 10 — Delta timestampAsOf / "
+        "Iceberg snapshot-at-timestamp): ingest the even orders, "
+        "capture that commit's wall-clock instant from the manifest "
+        "audit field, ingest the odd orders and DELETE a slice — then "
+        "read_as_of(captured instant) must reproduce exactly the "
+        "first snapshot (the oracle aggregates the even orders only). "
+        "Also asserts version_at on the live head and that "
+        "changes_between the two instants carries exactly the "
+        "second-wave commits."
+    ),
+    tags=("pipeline", "versioned", "time-travel"),
+)
+def p_versioned_time_travel_ts(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp(f"versioned_ts_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    ts1 = t._read_json(1)["ts"]
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    ts3 = t._read_json(3)["ts"]
+    if t.version_at(ts3) != 3 or t.version_at(ts1) != 1:
+        raise RuntimeError("version_at did not resolve the audit instants")
+    # the window between the instants carries exactly commits 2..3
+    if t.changes_between(ts1, ts3, with_type=True).agg(
+        F.min("_commit_version"), F.max("_commit_version")
+    ).first() != (2, 3):
+        raise RuntimeError("changes_between window mismatch")
+    return (
+        t.read_as_of(ts1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("rev_c"),
+        )
+        .select(F.col("o_orderstatus").alias("status"), "n", "rev_c")
+    )
+
+
+@query(
+    "p_versioned_join_advisor",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > 45
+    GROUP BY p_brand
+    """,
+    doc=(
+        "METADATA-ONLY JOIN PLANNING (round 10 — the Iceberg-Puffin/"
+        "DataSketches role): both tables carry per-file KMV NDV "
+        "sketches (ndv_index_cols) written into the manifest; "
+        "suggest_join_strategy answers row counts (footer __nrows), "
+        "join-key NDVs (union-of-mins KMV), the containment join-size "
+        "estimate rows_a*rows_b/max(ndv), and a broadcast verdict for "
+        "the dim side — all with ZERO data IO, BEFORE any scan (Spark's "
+        "own AQE only sizes after shuffle materialization). The query "
+        "asserts the verdict (broadcast, build side = dim), the "
+        "estimate's sanity against the true metadata row count, "
+        "executes the join AS ADVISED, asserts BroadcastHashJoin in "
+        "the executed plan, and returns the exact aggregate the oracle "
+        "recomputes."
+    ),
+    tags=("pipeline", "versioned", "stats", "join"),
+)
+def p_versioned_join_advisor(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = _tmp(f"join_advisor_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    fact = VersionedTable(
+        spark, os.path.join(base, "fact"), ndv_index_cols=("l_partkey",)
+    )
+    dim = VersionedTable(
+        spark, os.path.join(base, "dim"), ndv_index_cols=("p_partkey",)
+    )
+    fact.commit_append(li)
+    dim.commit_append(part)
+    plan = fact.suggest_join_strategy(dim, on=("l_partkey", "p_partkey"))
+    if plan["strategy"] != "broadcast" or plan["build_side"] != "b":
+        raise RuntimeError(f"advisor verdict unexpected: {plan}")
+    # containment sanity: every lineitem has a part, so est ~= rows_a
+    if not (0.5 * plan["est_rows_a"] <= plan["est_join_rows"] <= 2.0 * plan["est_rows_a"]):
+        raise RuntimeError(f"join-size estimate implausible: {plan}")
+    d = dim.read()
+    out = (
+        fact.read()
+        .filter(F.col("l_quantity") > 45)
+        .join(F.broadcast(d), F.col("l_partkey") == d["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("rev_c"),
+        )
+        .select(F.col("p_brand").alias("brand"), "n", "rev_c")
+    )
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in phys:
+        raise RuntimeError("advised broadcast join did not plan as broadcast")
+    return out
