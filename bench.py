@@ -111,6 +111,7 @@ PINNED_OFF_STDOUT = (
     "p_ivm_streamed_join",
     "p_versioned_time_travel_ts",
     "p_versioned_join_advisor",
+    "p_versioned_metadata_tables",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -184,6 +185,7 @@ PINS = {
     "p_ivm_streamed_join": 15.43,             # draws 16.83/15.43 (four checkpointed stream drains + 7 source commits by design)
     "p_versioned_time_travel_ts": 1.60,       # draws 1.57/1.60 (later 4.5/6.2 draws were a traced ambient spike, rule 14)
     "p_versioned_join_advisor": 2.14,         # draws 1.90/1.80 pre- and 2.14 post-unique()-optimization (ambient spike draws excluded per rule 14)
+    "p_versioned_metadata_tables": 5.04,      # draws 5.04/5.42 (two ~84-partition month-layout writes by design; the metadata answers are zero-IO)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

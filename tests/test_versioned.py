@@ -2154,3 +2154,32 @@ def test_suggest_join_strategy_metadata_only(spark, root):
     assert abs(plan["est_join_rows"] - 5000) / 5000 < 0.3
     # big dim flips to shuffle
     assert fact.suggest_join_strategy(dim, on=("fk", "pk"), broadcast_max_rows=10)["strategy"] == "shuffle"
+
+
+# ---- round 10: metadata tables ----------------------------------------------
+
+
+def test_metadata_tables_and_refusals(spark, root):
+    t = VersionedTable(spark, root, partition_spec=["bucket(2, k)"])
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.commit_append(_df(spark, [(4, "d")]))
+    snaps = t.meta_snapshots().collect()
+    assert [r.version for r in snaps] == [1, 2]
+    files = t.meta_files().collect()
+    assert sum(r.n_rows for r in files) == 4
+    assert all(r.partition and "k_bucket2" in r.partition for r in files)
+    mp = {r.k_bucket2: (r.n_files, r.n_rows) for r in t.meta_partitions().collect()}
+    assert sum(nr for _nf, nr in mp.values()) == 4
+    # refusal: live equality delete makes partition counts inexact
+    t.commit_delete_where(_df(spark, [(1, "")]).select("k"), "k")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.meta_partitions()
+    t.compact()
+    assert sum(r.n_rows for r in t.meta_partitions().collect()) == 3
+    # refusal: no partition spec
+    t2 = VersionedTable(spark, root + "_nospec")
+    t2.commit_append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no partition spec"):
+        t2.meta_partitions()
+    # meta_files on a time-travel snapshot
+    assert t.meta_files(version=1).count() <= len(t.manifest(1)["files"])

@@ -1864,6 +1864,90 @@ class VersionedTable:
             hi = s[1] if hi is None else max(hi, s[1])
         return (lo, hi)
 
+    # ---- metadata tables (round 10 — Iceberg `t.files`/`t.snapshots`/
+    # `t.partitions`, Delta DESCRIBE DETAIL/HISTORY as DataFrames) -------
+
+    def meta_snapshots(self) -> DataFrame:
+        """The commit history as a DataFrame: one row per version with
+        the inline audit fields (version, op, ts, n_files) — Iceberg's
+        ``snapshots`` metadata table. O(versions) inline JSON, no delta
+        reconstruction, no data IO."""
+        rows = [
+            (
+                int(h["version"]),
+                str(h.get("op", "")),
+                float(h.get("ts", 0.0)),
+                int(h.get("n_files", 0)),
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows, "version BIGINT, op STRING, ts DOUBLE, n_files BIGINT"
+        )
+
+    def meta_files(self, version: int | None = None) -> DataFrame:
+        """The live file list of a snapshot as a DataFrame: file path,
+        footer row count (NULL for pre-stats files), and the partition
+        tuple as a JSON string — Iceberg's ``files`` metadata table.
+        Manifest-only (zero data IO)."""
+        import json as _json
+
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        rows = []
+        for f in m["files"]:
+            s = stats.get(f, {})
+            n = s.get("__nrows")
+            part = {
+                k[len("part:"):]: v
+                for k, v in s.items()
+                if k.startswith("part:")
+            }
+            rows.append(
+                (f, None if n is None else int(n),
+                 _json.dumps(part, sort_keys=True) if part else None)
+            )
+        return self.spark.createDataFrame(
+            rows, "file STRING, n_rows BIGINT, partition STRING"
+        )
+
+    def meta_partitions(self, version: int | None = None) -> DataFrame:
+        """Per-partition-tuple rollup from manifest stats alone:
+        partition field columns + n_files + n_rows — Iceberg's
+        ``partitions`` metadata table. Exact only when the snapshot has
+        no live merge-on-read deletes and every file carries __nrows
+        (raises otherwise rather than answering wrong — the
+        snapshot_rows refusal discipline, per partition). Requires a
+        partition spec at the read version."""
+        m = self.manifest(version)
+        spec = self._manifest_spec(m)
+        if not spec:
+            raise ValueError("meta_partitions: table has no partition spec")
+        if m.get("deletes") or m.get("pos_deletes"):
+            raise ValueError(
+                "meta_partitions: live merge-on-read deletes make "
+                "metadata counts inexact — compact() first"
+            )
+        fields = [fld["name"] for fld in spec]
+        stats = m.get("stats", {})
+        agg: dict = {}
+        for f in m["files"]:
+            s = stats.get(f, {})
+            n = s.get("__nrows")
+            if n is None:
+                raise ValueError(
+                    f"meta_partitions: file {f!r} has no __nrows stat"
+                )
+            key = tuple(s.get(f"part:{fld}") for fld in fields)
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += int(n)
+        rows = [(*k, nf, nr) for k, (nf, nr) in sorted(agg.items())]
+        cols = ", ".join(f"`{fld}` STRING" for fld in fields)
+        return self.spark.createDataFrame(
+            rows, f"{cols}, n_files BIGINT, n_rows BIGINT"
+        )
+
     def prune_files(
         self, col: str, lower, upper, version: int | None = None
     ) -> tuple[list[str], int]:

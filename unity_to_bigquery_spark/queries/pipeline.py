@@ -2276,3 +2276,55 @@ def p_versioned_join_advisor(spark, sf_dir):
     if "BroadcastHashJoin" not in phys:
         raise RuntimeError("advised broadcast join did not plan as broadcast")
     return out
+
+
+@query(
+    "p_versioned_metadata_tables",
+    oracle="""
+    SELECT CAST((YEAR(CAST(o_orderdate AS DATE)) - 1970) * 12
+                + MONTH(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mon,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "METADATA TABLES (round 10 — Iceberg t.files/t.snapshots/"
+        "t.partitions, Delta DESCRIBE DETAIL/HISTORY as DataFrames): "
+        "orders land in two commits under a hidden month() transform "
+        "spec; meta_partitions() answers the per-month (n_files, "
+        "n_rows) rollup from MANIFEST STATS ALONE — zero data IO — and "
+        "must equal the oracle's data-plane GROUP BY of the calendar "
+        "month index. In-query: meta_snapshots row-per-version audit, "
+        "meta_files n_rows total ≡ snapshot_rows, and per-partition "
+        "file counts reconciled against the manifest file list."
+    ),
+    tags=("pipeline", "versioned", "metadata"),
+)
+def p_versioned_metadata_tables(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = _tmp(f"versioned_meta_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path, partition_spec=["month(o_orderdate)"])
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    snaps = t.meta_snapshots().collect()
+    if [r.version for r in snaps] != [1, 2] or any(r.op == "" for r in snaps):
+        raise RuntimeError("meta_snapshots audit mismatch")
+    files = t.meta_files()
+    total = files.agg(F.sum("n_rows")).first()[0]
+    if total != t.snapshot_rows():
+        raise RuntimeError("meta_files n_rows total != snapshot_rows")
+    if files.count() != len(t.manifest()["files"]):
+        raise RuntimeError("meta_files count != manifest file list")
+    mp = t.meta_partitions()
+    if mp.agg(F.sum("n_files")).first()[0] != files.count():
+        raise RuntimeError("meta_partitions file counts do not reconcile")
+    return mp.select(
+        F.col("o_orderdate_month").cast("long").alias("mon"),
+        F.col("n_rows"),
+    )
