@@ -7,20 +7,35 @@ stats, because file size alone cannot see filter selectivity.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from unity_to_bigquery_spark.catalog import load_table
 
 
+def _drop_cbo(spark):
+    """Drop tables AND stranded warehouse locations: a killed run can
+    leave `spark-warehouse/cbo_*` dirs without catalog entries, and the
+    next saveAsTable errors on the existing location (VERDICT r10)."""
+    import shutil
+
+    for name in ("cbo_nation", "cbo_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join("spark-warehouse", name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 @pytest.fixture()
 def cbo_tables(spark, sf_dir):
+    _drop_cbo(spark)
     load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("cbo_nation")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("cbo_orders")
     spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
     spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
     yield
-    spark.sql("DROP TABLE IF EXISTS cbo_nation")
-    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    _drop_cbo(spark)
 
 
 def _row_count(df):

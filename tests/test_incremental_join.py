@@ -220,3 +220,22 @@ def test_join_view_streaming_maintenance_equals_batch(spark, tmp_path):
     stale = a.changes_with_type(0, 1)
     sink_a(stale, 99)
     assert v.view.latest_version() == ver
+
+
+def test_refresh_defers_fold_until_other_side_exists(spark, roots):
+    """One side streams commits before the other has EVER committed (a
+    legitimate startup order for two per-side CDC streams): refresh()
+    must defer that side's fold — bookmark unchanged, no crash on the
+    schemaless opposite manifest — then catch up once the other side
+    commits (ADVICE r10)."""
+    a, b, v = _mk(spark, roots)
+    a.commit_append(_orders(spark, [(1, 10, 5), (2, 20, 7)]))
+    assert v.refresh() == (0, 0)  # deferred, not crashed
+    assert v.last_refreshed() == (0, 0)
+    # same through the streaming-sink pin path
+    assert v.refresh(to_a=1) == (0, 0)
+    b.commit_append(_cust(spark, [(10, "x")]))
+    assert v.refresh() == (1, 1)
+    _assert_view_exact(v)
+    got = v.read().select("ok", "cust", "amt", "ck", "seg").collect()
+    assert len(got) == 1 and got[0].ok == 1

@@ -185,3 +185,32 @@ def test_transaction_aligned_cdc(spark, cat):
     # a direct (uncataloged) write is NOT in any catalog window
     cat.table("t2").commit_append(_df(spark, [(7, "w")]))
     assert cat.changes("t2", 0, cat.latest_version()).count() == 1
+
+
+def test_catalog_entry_write_is_atomic_and_tmp_tolerant(spark, cat):
+    """Catalog entries land via write-temp + os.link (ADVICE r10): a
+    stray temp file from a crashed commit must be invisible to
+    latest_version()/entry()/recover(), and committed entries are
+    always complete JSON."""
+    import json as _json
+    import os as _os
+
+    cat.create_table("t1")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(spark.createDataFrame([(1,)], "k INT"))
+    tx.commit()
+    v = cat.latest_version()
+    # simulate a crash that left a temp payload behind
+    log_dir = _os.path.join(cat.root, "catalog-log")
+    stray = _os.path.join(log_dir, f"{v + 1:020d}.json.tmp-dead-beef")
+    with open(stray, "w") as fh:
+        fh.write('{"version":')  # truncated JSON
+    assert cat.latest_version() == v
+    e = cat.entry()
+    assert e["version"] == v and "t1" in e["tables"]
+    cat.recover()  # must not trip over the stray
+    # every committed entry parses
+    for n in _os.listdir(log_dir):
+        if n.endswith(".json"):
+            with open(_os.path.join(log_dir, n)) as fh:
+                _json.load(fh)

@@ -2183,3 +2183,44 @@ def test_metadata_tables_and_refusals(spark, root):
         t2.meta_partitions()
     # meta_files on a time-travel snapshot
     assert t.meta_files(version=1).count() <= len(t.manifest(1)["files"])
+
+
+# ---- round 11: ADVICE fixes -------------------------------------------------
+
+
+def test_meta_partitions_pre_spec_file_refuses_clearly(spark, root):
+    """A file committed BEFORE a metadata-only spec evolution carries
+    no part: stats — meta_partitions must refuse with a clear error,
+    not crash sorting None vs str (ADVICE r10)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.set_partition_spec(["bucket(2, k)"])
+    with pytest.raises(ValueError, match="predates the current partition spec"):
+        t.meta_partitions()
+    # a post-spec commit alone doesn't help while the pre-spec file lives
+    t.commit_append(_df(spark, [(3, "c")]))
+    with pytest.raises(ValueError, match="predates"):
+        t.meta_partitions()
+    # compaction rewrites everything under the spec -> answerable
+    t.compact()
+    assert sum(r.n_rows for r in t.meta_partitions().collect()) == 3
+
+
+def test_kmv_bounded_heap_matches_unbounded_reference(spark, root):
+    """The O(K)-memory KMV write path (bounded max-heap, ADVICE r10)
+    must produce exactly the K smallest distinct hashes the old
+    O(distinct) set produced."""
+    t = VersionedTable(spark, root, ndv_index_cols=("v",))
+    t.commit_append(
+        spark.range(500).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1)
+    )
+    m = t.manifest()
+    (f,) = m["files"]
+    sketch = m["stats"][f]["ndv:v"]
+    want = sorted(
+        {VersionedTable._kmv_hash(str(i)) for i in range(500)}
+    )[: VersionedTable._KMV_K]
+    assert sketch == want
+    # estimate still lands in the KMV error envelope
+    est = t.estimate_ndv("v")
+    assert abs(est - 500) / 500 < 0.3, est

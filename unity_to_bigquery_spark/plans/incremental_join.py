@@ -46,6 +46,8 @@ Column contract: the two sides' projected columns must be disjoint
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -87,6 +89,12 @@ class IncrementalJoinView:
         self.a_cols = list(a_cols) if a_cols is not None else None
         self.b_cols = list(b_cols) if b_cols is not None else None
         self.view = VersionedTable(spark, root)
+        # refresh() mutates shared view state (commit_replace_keys
+        # stages per-file stats on the handle); two concurrent
+        # per-side CDC maintenance streams share ONE view instance, so
+        # serialize refreshes (ADVICE r10). Cheap: uncontended in every
+        # single-threaded path.
+        self._refresh_lock = threading.Lock()
 
     # ---- bookmarks --------------------------------------------------------
 
@@ -103,9 +111,14 @@ class IncrementalJoinView:
         else:
             cols, key, on_col, t = self.b_cols, self.b_key, self.b_on, self.b
         if cols is None:
-            cols = list(
-                StructType.fromDDL(t.manifest()["schema"]).fieldNames()
-            )
+            schema = t.manifest().get("schema")
+            if schema is None:
+                raise ValueError(
+                    f"IncrementalJoinView: {t.root} has no commits yet, "
+                    "so its column set is unknown — pass explicit "
+                    "a_cols/b_cols or commit to it first"
+                )
+            cols = list(StructType.fromDDL(schema).fieldNames())
         out = list(cols)
         for required in (key, on_col):
             if required not in out:
@@ -138,9 +151,14 @@ class IncrementalJoinView:
         (schema from the current manifest — version 0 has none)."""
         if version >= 1:
             return t.read(version)
-        return self.spark.createDataFrame(
-            [], StructType.fromDDL(t.manifest()["schema"])
-        )
+        schema = t.manifest().get("schema")
+        if schema is None:
+            raise ValueError(
+                f"IncrementalJoinView: {t.root} has no commits yet — "
+                "refresh() defers folds against a never-written side "
+                "(should be unreachable via refresh)"
+            )
+        return self.spark.createDataFrame([], StructType.fromDDL(schema))
 
     def _empty_view_rows(self) -> DataFrame:
         """Empty replacement set with the view schema (pure-delete
@@ -174,7 +192,23 @@ class IncrementalJoinView:
         (a CDC-stream micro-batch boundary — the streaming maintenance
         contract, same as the index classes' ``refresh(to_version)``);
         a pin at or below the bookmark makes that side a no-op, which
-        IS the stream-replay exactly-once path."""
+        IS the stream-replay exactly-once path.
+
+        A side whose OPPOSITE table has never committed (no schema yet
+        — a legitimate startup order for two independent CDC streams)
+        is deferred: its bookmark stays put and the fold happens on a
+        later refresh once the other side exists. Correct because an
+        inner join against a never-written table is provably empty, so
+        deferring loses nothing (ADVICE r10)."""
+        with self._refresh_lock:
+            return self._refresh_locked(max_commits, to_a, to_b)
+
+    def _refresh_locked(
+        self,
+        max_commits: int | None,
+        to_a: int | None,
+        to_b: int | None,
+    ) -> tuple[int, int]:
         page = (
             VersionedTable.CDC_MAX_COMMITS if max_commits is None else max_commits
         )
@@ -183,6 +217,10 @@ class IncrementalJoinView:
         last_a, last_b = self.last_refreshed()
         now_a = self.a.latest_version() if to_a is None else to_a
         now_b = self.b.latest_version() if to_b is None else to_b
+        if self.b.manifest().get("schema") is None:
+            now_a = last_a  # defer: B never committed (see docstring)
+        if self.a.manifest().get("schema") is None:
+            now_b = last_b  # defer: A never committed
         while last_a < now_a:
             upto = min(last_a + page, now_a)
             self._fold_side(

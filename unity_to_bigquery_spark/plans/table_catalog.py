@@ -109,15 +109,25 @@ class TableCatalog:
             payload = json.dumps(
                 {"version": v, "tables": tables, "txn_id": txn_id}
             )
-            try:
-                fd = os.open(
-                    self._entry_path(v),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-            except FileExistsError:
-                continue  # concurrent catalog commit won the version
-            with os.fdopen(fd, "w") as fh:
+            # Write the payload to a temp name first, then os.link into
+            # the versioned path: link fails with FileExistsError if a
+            # concurrent commit won (O_EXCL semantics preserved) and the
+            # target only ever appears fully written — a crash between
+            # O_EXCL-create and write used to leave a truncated entry at
+            # the latest version, bricking every entry()/recover() call
+            # (ADVICE r10). Temp names don't end in .json, so
+            # latest_version()/_committed_txn_ids never see strays.
+            tmp = self._entry_path(v) + f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
                 fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._entry_path(v))
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # concurrent catalog commit won the version
+            os.unlink(tmp)
             return v
         raise ConcurrentWriteError("catalog CAS exhausted 20 attempts")
 

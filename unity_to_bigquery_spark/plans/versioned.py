@@ -1939,6 +1939,17 @@ class VersionedTable:
                     f"meta_partitions: file {f!r} has no __nrows stat"
                 )
             key = tuple(s.get(f"part:{fld}") for fld in fields)
+            if any(v is None for v in key):
+                # NULL partition values render as the Hive default
+                # sentinel, so None can only mean "committed before this
+                # spec" — refuse loudly (same discipline as __nrows)
+                # rather than crash sorting None vs str (ADVICE r10).
+                missing = [f for f, v in zip(fields, key) if v is None]
+                raise ValueError(
+                    f"meta_partitions: file {f!r} predates the current "
+                    f"partition spec (no part: stats for {missing}) — "
+                    "compact() to rewrite it under the spec"
+                )
             cur = agg.setdefault(key, [0, 0])
             cur[0] += 1
             cur[1] += int(n)
@@ -2144,17 +2155,33 @@ class VersionedTable:
         out = {}
         pf = pq.ParquetFile(path)
         present = {c for c in cols if c in pf.schema_arrow.names}
+        k = self._KMV_K
         for col in present:
-            mins: set = set()
+            # bounded max-heap of the K smallest hashes (negated), so
+            # driver memory stays O(K) per file instead of
+            # O(distinct-values) — join keys are exactly the
+            # high-cardinality case ndv_index_cols targets (ADVICE r10)
+            heap: list = []   # negated hashes → max-heap of the K mins
+            inheap: set = set()  # heap membership: pc.unique is only
+            # per-BATCH, so the same hash can arrive twice; without
+            # dedup a duplicate below the kth-min would evict a
+            # genuinely distinct hash (KMV needs distinct mins). Once
+            # evicted a hash can never re-enter (kth-min only falls).
             for batch in pf.iter_batches(columns=[col]):
-                # hash per DISTINCT value (Arrow-side unique): the
-                # Python blake2b loop is the write-path cost here, and
-                # a file's duplication factor buys the same factor back
                 for v in pc.unique(batch.column(0)).to_pylist():
                     if v is None:
                         continue
-                    mins.add(self._kmv_hash(v))
-            out[f"ndv:{col}"] = sorted(heapq.nsmallest(self._KMV_K, mins))
+                    h = self._kmv_hash(v)
+                    if h in inheap:
+                        continue
+                    if len(heap) < k:
+                        heapq.heappush(heap, -h)
+                        inheap.add(h)
+                    elif h < -heap[0]:
+                        evicted = -heapq.heapreplace(heap, -h)
+                        inheap.discard(evicted)
+                        inheap.add(h)
+            out[f"ndv:{col}"] = sorted(inheap)
         return out
 
     def estimate_ndv(self, col: str, version: int | None = None) -> int:

@@ -724,7 +724,11 @@ def join_view_cdc_maintenance_sink(view, side: str):
     idempotent exact fold on the other. Zero sink-side state; two
     independent streams (one per side) drain to the identical state a
     batch refresh of the final snapshots produces
-    (tests/test_streaming.py differential)."""
+    (tests/test_streaming.py differential). Both sinks must share ONE
+    view instance: refresh() serializes concurrent per-side batches on
+    the view's internal lock (ADVICE r10 — commit staging runs through
+    mutable handle state), so live processingTime streams on both
+    sides are safe."""
     if side not in ("a", "b"):
         raise ValueError(f"side must be 'a' or 'b', got {side!r}")
 
