@@ -2224,3 +2224,156 @@ def test_kmv_bounded_heap_matches_unbounded_reference(spark, root):
     # estimate still lands in the KMV error envelope
     est = t.estimate_ndv("v")
     assert abs(est - 500) / 500 < 0.3, est
+
+
+# ---- round 11: full MERGE clause surface ------------------------------------
+
+from unity_to_bigquery_spark.plans.versioned import (  # noqa: E402
+    MergeCardinalityError,
+    when_matched_delete,
+    when_matched_update,
+    when_not_matched_by_source_delete,
+    when_not_matched_by_source_update,
+    when_not_matched_insert,
+)
+
+
+def _mrows(t, ver=None):
+    return {
+        (r.k, r.v) for r in t.read(ver).select("k", "v").collect()
+    }
+
+
+def test_merge_clause_gauntlet(spark, root):
+    """matched-AND-delete + conditional update + not-matched-by-source,
+    multiple ordered clauses, first-true wins."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    src = spark.createDataFrame(
+        [(1, "A", "up"), (2, "x", "drop"), (5, "E", "up"), (6, "x", "drop")],
+        "k INT, v STRING, op STRING",
+    )
+    t.merge(src, "k", [
+        when_matched_delete(condition="s.op = 'drop'"),
+        when_matched_update({"v": "upper(s.v)"}),
+        when_not_matched_insert({"k": "s.k", "v": "s.v"}, condition="s.op <> 'drop'"),
+        when_not_matched_by_source_update({"v": "concat(t.v, '!')"}, condition="t.k = 3"),
+        when_not_matched_by_source_delete(condition="t.k = 4"),
+    ])
+    assert _mrows(t) == {(1, "A"), (3, "c!"), (5, "E")}
+    assert t.manifest()["op"] == "merge"
+
+
+def test_merge_update_star_and_insert_star(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    src = _df(spark, [(2, "B"), (3, "C")])
+    t.merge(src, "k", [when_matched_update(), when_not_matched_insert()])
+    assert _mrows(t) == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_merge_insert_only_carries_all_files(spark, root):
+    """No matched/BY SOURCE clause: original files must carry forward
+    byte-identical (insert-if-absent rewrites nothing)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    before = set(t.manifest()["files"])
+    t.merge(_df(spark, [(2, "DUP"), (3, "c")]), "k",
+            [when_not_matched_insert()])
+    after = set(t.manifest()["files"])
+    assert before <= after  # untouched originals still referenced
+    assert _mrows(t) == {(1, "a"), (2, "b"), (3, "c")}
+    # CDC: exactly one insert, nothing else
+    ch = t.changes_with_type(t.latest_version() - 1).collect()
+    assert [(r.k, r._change_type) for r in ch] == [(3, "insert")]
+
+
+def test_merge_cardinality_violation_is_loud(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    dup_src = _df(spark, [(1, "x"), (1, "y"), (2, "z")])
+    with pytest.raises(MergeCardinalityError, match="multiple rows"):
+        t.merge(dup_src, "k", [when_matched_update()])
+    # but duplicate UNMATCHED keys insert fine (no matched ambiguity)
+    t.merge(_df(spark, [(7, "p"), (7, "q")]), "k", [when_not_matched_insert()])
+    assert t.read().filter("k = 7").count() == 2
+
+
+def test_merge_clause_cdc_types(spark, root):
+    """CDC across a clause merge: delete rows retract, updates emit
+    classified pre/post pairs, untouched-file rows emit nothing."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_append(_df(spark, [(50, "zz")]))  # separate file, untouched
+    v0 = t.latest_version()
+    t.merge(_df(spark, [(1, "A"), (2, "bye"), (9, "i")]), "k", [
+        when_matched_delete(condition="s.v = 'bye'"),
+        when_matched_update(),
+        when_not_matched_insert(),
+    ])
+    imgs = t.changes_with_updates("k", v0)
+    got = {(r.k, r._change_type) for r in imgs.collect()}
+    assert got == {
+        (1, "update_preimage"), (1, "update_postimage"),
+        (2, "delete"), (9, "insert"),
+    }
+
+
+def test_merge_schema_widening_rules(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    wide = spark.createDataFrame([(1, "A", 9), (2, "B", 8)], "k INT, v STRING, extra INT")
+    # star write + new column without merge_schema: loud
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.merge(wide, "k", [when_matched_update(), when_not_matched_insert()])
+    # explicit set dicts ignoring the extra column: no widening needed
+    t.merge(wide, "k", [when_matched_update({"v": "s.v"})])
+    assert t.read().columns == ["k", "v"]
+    # with merge_schema: widened, survivors NULL-fill
+    t.merge(wide, "k", [when_matched_update(), when_not_matched_insert()],
+            merge_schema=True)
+    out = {(r.k, r.v, r.extra) for r in t.read().collect()}
+    assert out == {(1, "A", 9), (2, "B", 8)}
+
+
+def test_merge_validation_errors(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="at least one clause"):
+        t.merge(_df(spark, [(1, "x")]), "k", [])
+    with pytest.raises(ValueError, match="unconditional"):
+        t.merge(_df(spark, [(1, "x")]), "k",
+                [when_matched_update(), when_matched_delete(condition="t.k = 1")])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(_df(spark, [(1, "x")]), "k",
+                [when_matched_update({"nope": "s.v"})])
+    t2 = VersionedTable(spark, root + "_empty")
+    with pytest.raises(ValueError, match="never-committed"):
+        t2.merge(_df(spark, [(1, "x")]), "k", [when_not_matched_insert()])
+
+
+def test_merge_txn_idempotence_and_source_key(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    src = spark.createDataFrame([(1, "A")], "sk INT, v STRING")
+    v = t.merge(src, "k", [when_matched_update({"v": "s.v"})],
+                source_key="sk", txn=("app", 5))
+    assert _mrows(t) == {(1, "A")}
+    # replay with same txn: no-op, same version
+    assert t.merge(src, "k", [when_matched_update({"v": "'CLOBBER'"})],
+                   source_key="sk", txn=("app", 5)) == v
+    assert _mrows(t) == {(1, "A")}
+
+
+def test_merge_null_keys_never_match(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame([(None, "tnull"), (1, "a")], "k INT, v STRING"))
+    src = spark.createDataFrame([(None, "snull"), (1, "A")], "k INT, v STRING")
+    t.merge(src, "k", [
+        when_matched_update(),
+        when_not_matched_insert(),
+        when_not_matched_by_source_update({"v": "concat(t.v, '?')"}),
+    ])
+    out = {(r.k, r.v) for r in t.read().collect()}
+    # NULL target row: not matched by source -> updated; NULL source row: inserted
+    assert out == {(None, "tnull?"), (1, "A"), (None, "snull")}

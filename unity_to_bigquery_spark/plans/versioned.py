@@ -314,6 +314,53 @@ def _iso_norm(v):
     return v
 
 
+class MergeCardinalityError(ValueError):
+    """A WHEN MATCHED merge found target rows matched by more than one
+    source row — the UPDATE/DELETE would be ambiguous. Delta and
+    Iceberg raise the identical error; dedup the source first."""
+
+
+def _merge_clause(when: str, action: str, set_: dict | None, condition: str | None) -> dict:
+    if set_ is not None and not isinstance(set_, dict):
+        raise ValueError(f"set must be a {{column: sql_expr}} dict, got {type(set_).__name__}")
+    return {"when": when, "action": action, "set": set_, "condition": condition}
+
+
+def when_matched_update(set: dict | None = None, condition: str | None = None) -> dict:
+    """``WHEN MATCHED [AND condition] THEN UPDATE SET …``. ``set`` maps
+    target column → SQL expression over ``t.<col>`` (current target
+    row) and ``s.<col>`` (matching source row); unset columns keep the
+    target value. ``set=None`` is ``UPDATE SET *``: every shared column
+    takes the source value."""
+    return _merge_clause("matched", "update", set, condition)
+
+
+def when_matched_delete(condition: str | None = None) -> dict:
+    """``WHEN MATCHED [AND condition] THEN DELETE``."""
+    return _merge_clause("matched", "delete", None, condition)
+
+
+def when_not_matched_insert(set: dict | None = None, condition: str | None = None) -> dict:
+    """``WHEN NOT MATCHED [AND condition] THEN INSERT …``. ``set`` maps
+    target column → SQL expression over ``s.<col>``; unset columns
+    insert NULL. ``set=None`` is ``INSERT *``."""
+    return _merge_clause("not_matched", "insert", set, condition)
+
+
+def when_not_matched_by_source_update(set: dict, condition: str | None = None) -> dict:
+    """``WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET …``
+    — target rows no source row matched; expressions see only
+    ``t.<col>``."""
+    if set is None:
+        raise ValueError("not_matched_by_source UPDATE requires an explicit set")
+    return _merge_clause("not_matched_by_source", "update", set, condition)
+
+
+def when_not_matched_by_source_delete(condition: str | None = None) -> dict:
+    """``WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE``."""
+    return _merge_clause("not_matched_by_source", "delete", None, condition)
+
+
 class VersionedTable:
     """A parquet table whose state is defined by its latest manifest.
 
@@ -3520,6 +3567,248 @@ class VersionedTable:
         try:
             return self._publish_once(
                 base, untouched + staged, "merge_upsert", schema_out, txn=txn
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during merge; re-run against the new log"
+            ) from None
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        clauses: list[dict],
+        source_key: str | None = None,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Full-clause row-level MERGE — the Delta/Iceberg MERGE INTO
+        surface (public Delta docs: merge programmatic API; VERDICT r10
+        #1), generalizing :meth:`merge_upsert` (which stays as the fast
+        keyed-upsert path) to ordered conditional clauses built with the
+        module-level constructors::
+
+            t.merge(src, "k", [
+                when_matched_update({"amt": "t.amt + s.amt"},
+                                    condition="s.op = 'add'"),
+                when_matched_delete(condition="s.op = 'drop'"),
+                when_matched_update(),                    # UPDATE SET *
+                when_not_matched_insert(condition="s.op <> 'drop'"),
+                when_not_matched_by_source_delete(condition="t.stale"),
+            ])
+
+        Semantics (matching Delta's): rows pair on
+        ``t.<key> == s.<source_key or key>`` (NULL keys never match);
+        within each of the three groups clauses apply in order,
+        first-true wins, and a clause with no condition must be last in
+        its group; a matched row no clause accepts stays unchanged, an
+        unmatched source row no clause accepts is dropped, an unmatched
+        target row with no applicable BY SOURCE clause stays unchanged.
+        A target row matched by MORE THAN ONE source row raises
+        :class:`MergeCardinalityError` before anything is written
+        (checked only when matched clauses exist — inserts are
+        legitimately multi-row).
+
+        Expressions/conditions are SQL strings over ``t.``/``s.``
+        qualified columns. Every written value is cast to the output
+        column's type (ANSI: overflow raises rather than corrupting).
+
+        ``merge_schema=True`` permits ADDITIVE widening when the source
+        carries new columns AND a ``SET *``/``INSERT *`` clause would
+        write them — explicit ``set`` dicts that never touch the new
+        columns don't require it (the extras are join-only inputs).
+
+        Scale — which files rewrite: with no BY SOURCE clause, manifest
+        key-range stats prune the snapshot to files that can contain a
+        matched key (exactly merge_upsert's two-phase dance); untouched
+        files carry forward byte-identical. An insert-only merge (no
+        matched, no BY SOURCE clause) rewrites NOTHING — original files
+        all carry forward and only the insert rows are staged. A BY
+        SOURCE clause must inspect every live row by definition, so it
+        scans (and rewrites) the whole snapshot — same as Delta.
+
+        CDC: the rewrite diff emits clause-correct types — deleted rows
+        emit ``delete``, updates emit delete+insert pairs
+        (``changes_with_updates`` classifies them), inserts emit
+        ``insert``; carried files emit nothing. ``txn`` gives the same
+        exactly-once idempotence as merge_upsert."""
+        skey = source_key or key
+        if not clauses:
+            raise ValueError("merge requires at least one clause")
+        groups: dict[str, list] = {"matched": [], "not_matched": [], "not_matched_by_source": []}
+        for cl in clauses:
+            if cl.get("when") not in groups:
+                raise ValueError(f"bad clause {cl!r}: build clauses with when_matched_update() etc.")
+            groups[cl["when"]].append(cl)
+        for gname, grp in groups.items():
+            for cl in grp[:-1]:
+                if cl["condition"] is None:
+                    raise ValueError(
+                        f"unconditional {gname} clause must be last in its "
+                        "group (later clauses would be unreachable)"
+                    )
+        matched, not_matched, nmbs = (
+            groups["matched"], groups["not_matched"], groups["not_matched_by_source"]
+        )
+        from pyspark.sql.types import StructType
+
+        snap = self.manifest()
+        if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return snap["version"]
+        if snap.get("schema") is None:
+            raise ValueError(
+                "merge into a never-committed table: commit_append first "
+                "(an empty DataFrame works) so the target schema exists"
+            )
+        base_struct = StructType.fromDDL(snap["schema"])
+        base_names = {f.name for f in base_struct.fields}
+        src_fields = list(source.schema.fields)
+        src_names = {f.name for f in src_fields}
+        extra_fields = [f for f in src_fields if f.name not in base_names]
+        star_writes = any(
+            cl["set"] is None and cl["action"] in ("update", "insert")
+            for cl in clauses
+        )
+        widen = bool(extra_fields) and star_writes
+        if widen and not merge_schema:
+            raise ValueError(
+                f"source carries new column(s) "
+                f"{[f.name for f in extra_fields]} and a SET */INSERT * "
+                "clause would write them — pass merge_schema=True for "
+                "additive evolution, or use explicit set dicts"
+            )
+        out_struct = (
+            StructType(base_struct.fields + extra_fields) if widen else base_struct
+        )
+        out_names = {f.name for f in out_struct.fields}
+        for cl in clauses:
+            for c in cl["set"] or {}:
+                if c not in out_names:
+                    raise ValueError(
+                        f"merge clause sets unknown column {c!r} "
+                        f"(table columns: {sorted(out_names)})"
+                    )
+        if key not in base_names:
+            raise ValueError(f"merge key {key!r} not in table schema")
+        if skey not in src_names:
+            raise ValueError(f"source key {skey!r} not in source columns")
+        schema_out = out_struct.simpleString() if widen else snap["schema"]
+
+        rewrite_target = bool(matched or nmbs)
+        if nmbs:
+            touched = list(snap["files"])
+        else:
+            bounds = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).first()
+            touched, _ = (
+                self._prune(snap, key, _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"]))
+                if bounds["lo"] is not None
+                else ([], 0)
+            )
+        touched_set = set(touched)
+        if rewrite_target:
+            untouched = [f for f in snap["files"] if f not in touched_set]
+        else:
+            untouched = list(snap["files"])  # insert-only: rewrite nothing
+        tgt = (
+            self._scan_live(snap, touched)
+            if touched
+            else self.spark.createDataFrame([], base_struct)
+        )
+
+        if matched and touched:
+            dup = (
+                source.groupBy(F.col(skey).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+            )
+            bad = (
+                dup.join(
+                    tgt.select(F.col(key).alias("__k")), on="__k", how="left_semi"
+                ).limit(5).collect()
+            )
+            if bad:
+                raise MergeCardinalityError(
+                    "merge source has multiple rows per key for matched "
+                    f"target keys, e.g. {[r['__k'] for r in bad]} — the "
+                    "UPDATE/DELETE would be ambiguous; dedup the source"
+                )
+
+        t_side = tgt.withColumn("__t_present", F.lit(1)).alias("t")
+        s_side = source.withColumn("__s_present", F.lit(1)).alias("s")
+        joined = t_side.join(
+            s_side, F.col(f"t.{key}") == F.col(f"s.{skey}"), "full_outer"
+        )
+        t_has = F.col("__t_present").isNotNull()
+        s_has = F.col("__s_present").isNotNull()
+
+        KEEP, DROP = -1, -2
+        idx_of = {id(cl): i for i, cl in enumerate(clauses)}
+
+        def selector(group: list, fallback: int):
+            w = None
+            for cl in group:
+                cond = F.lit(True) if cl["condition"] is None else F.expr(cl["condition"])
+                i = F.lit(idx_of[id(cl)])
+                w = F.when(cond, i) if w is None else w.when(cond, i)
+            return F.lit(fallback) if w is None else w.otherwise(F.lit(fallback))
+
+        # insert-only mode keeps files untouched, so matched / target-only
+        # rows must NOT re-emit through the rewrite (they'd duplicate)
+        matched_fb = KEEP if rewrite_target else DROP
+        nmbs_fb = KEEP if rewrite_target else DROP
+        clause_col = (
+            F.when(t_has & s_has, selector(matched, matched_fb))
+            .when(s_has & ~t_has, selector(not_matched, DROP))
+            .otherwise(selector(nmbs, nmbs_fb))
+        )
+        drop_idxs = [DROP] + [
+            idx_of[id(cl)] for cl in clauses if cl["action"] == "delete"
+        ]
+        kept = joined.withColumn("__clause", clause_col).filter(
+            ~F.col("__clause").isin(drop_idxs)
+        )
+
+        def t_ref(c, dtype):
+            return F.col(f"t.{c}") if c in base_names else F.lit(None).cast(dtype)
+
+        def s_ref(c, dtype):
+            return F.col(f"s.{c}") if c in src_names else F.lit(None).cast(dtype)
+
+        def clause_val(c, dtype, cl):
+            st = cl["set"]
+            if cl["action"] == "update":
+                if st is None:
+                    return s_ref(c, dtype) if c in src_names else t_ref(c, dtype)
+                return F.expr(st[c]) if c in st else t_ref(c, dtype)
+            # insert
+            if st is None:
+                return s_ref(c, dtype)
+            return F.expr(st[c]) if c in st else F.lit(None).cast(dtype)
+
+        out_exprs = []
+        for fld in out_struct.fields:
+            c, dtype = fld.name, fld.dataType
+            col = None
+            for cl in clauses:
+                if cl["action"] == "delete":
+                    continue
+                v = clause_val(c, dtype, cl)
+                cond = F.col("__clause") == idx_of[id(cl)]
+                col = F.when(cond, v) if col is None else col.when(cond, v)
+            keep_v = t_ref(c, dtype)  # __clause == KEEP
+            col = keep_v if col is None else col.otherwise(keep_v)
+            out_exprs.append(col.cast(dtype).alias(c))
+        rewritten = kept.select(*out_exprs)
+        self._enforce(rewritten)
+        staged = self._write_files(rewritten)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during merge; re-run against the new log"
+            )
+        try:
+            return self._publish_once(
+                base, untouched + staged, "merge", schema_out, txn=txn
             )
         except FileExistsError:
             raise ConcurrentWriteError(

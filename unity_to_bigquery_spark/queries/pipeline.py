@@ -2328,3 +2328,114 @@ def p_versioned_metadata_tables(spark, sf_dir):
         F.col("o_orderdate_month").cast("long").alias("mon"),
         F.col("n_rows"),
     )
+
+
+@query(
+    "p_versioned_merge_clauses",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, 'upd' AS op FROM orders
+      WHERE o_orderkey % 20 = 0 AND o_orderkey % 30 <> 0
+      UNION ALL
+      SELECT o_orderkey, 'del' FROM orders WHERE o_orderkey % 30 = 0
+    ), tgt AS (
+      SELECT CASE WHEN s.op = 'upd' THEN o.o_totalprice * 2
+                  ELSE o.o_totalprice END AS price,
+             CASE WHEN s.op IS NULL AND o.o_custkey % 10 = 3 THEN '5-STALE'
+                  ELSE o.o_orderpriority END AS prio
+      FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+      WHERE COALESCE(s.op, '') <> 'del'
+        AND NOT (s.op IS NULL AND o.o_custkey % 10 = 4)
+    ), ins AS (
+      SELECT o_totalprice AS price, o_orderpriority AS prio
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), final AS (
+      SELECT * FROM tgt UNION ALL SELECT * FROM ins
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM final GROUP BY prio
+    """,
+    doc=(
+        "Full Delta-style MERGE clause surface (VersionedTable.merge, "
+        "VERDICT r10 #1): ordered WHEN MATCHED AND cond DELETE / WHEN "
+        "MATCHED UPDATE SET / conditional WHEN NOT MATCHED INSERT / WHEN "
+        "NOT MATCHED BY SOURCE UPDATE and DELETE, all in ONE atomic "
+        "commit. Matched 'del' rows vanish, matched 'upd' rows double "
+        "their price (first-true clause order decides), unmatched 'ins' "
+        "source rows land, never-matched target rows go stale-marked or "
+        "deleted by the BY SOURCE clauses. Clause-correct CDC is "
+        "asserted in-query (update pairs balance; deletes/inserts "
+        "present); the final state must equal the oracle's "
+        "CASE/anti-join formulation."
+    ),
+    tags=("pipeline", "versioned", "merge"),
+)
+def p_versioned_merge_clauses(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import (
+        VersionedTable,
+        when_matched_delete,
+        when_matched_update,
+        when_not_matched_by_source_delete,
+        when_not_matched_by_source_update,
+        when_not_matched_insert,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_merge_cl_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    # two appends -> multiple files; no BY-SOURCE-free fast path here:
+    # the BY SOURCE clauses make this a whole-snapshot rewrite by design
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    v0 = t.latest_version()
+    k = F.col("o_orderkey")
+    src = (
+        orders.filter((k % 20 == 0) & (k % 30 != 0))
+        .withColumn("op", F.lit("upd"))
+        .unionByName(orders.filter(k % 30 == 0).withColumn("op", F.lit("del")))
+        .unionByName(
+            orders.filter(k % 1000 == 0)
+            .withColumn("o_orderkey", k + F.lit(100000000))
+            .withColumn("op", F.lit("ins"))
+        )
+        .withColumnRenamed("o_orderkey", "k")
+    )
+    insert_set = {"o_orderkey": "s.k"} | {
+        c: f"s.{c}" for c in orders.columns if c != "o_orderkey"
+    }
+    t.merge(src, "o_orderkey", [
+        when_matched_delete(condition="s.op = 'del'"),
+        when_matched_update({"o_totalprice": "t.o_totalprice * 2"}),
+        when_not_matched_insert(insert_set, condition="s.op = 'ins'"),
+        when_not_matched_by_source_update(
+            {"o_orderpriority": "'5-STALE'"}, condition="t.o_custkey % 10 = 3"
+        ),
+        when_not_matched_by_source_delete(condition="t.o_custkey % 10 = 4"),
+    ], source_key="k")
+    # clause-correct CDC sanity: the rewrite diff classifies into
+    # balanced update pre/post pairs plus real deletes and inserts
+    types = {
+        r["_change_type"]: r["n"]
+        for r in t.changes_with_updates("o_orderkey", v0)
+        .groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if types.get("update_preimage", 0) != types.get("update_postimage", 0):
+        raise RuntimeError(f"CDC update pair imbalance: {types}")
+    if not (types.get("delete", 0) > 0 and types.get("insert", 0) > 0):
+        raise RuntimeError(f"merge CDC missing delete/insert rows: {types}")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
