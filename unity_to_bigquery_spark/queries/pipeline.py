@@ -2439,3 +2439,74 @@ def p_versioned_merge_clauses(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_type_promotion",
+    oracle="""
+    WITH gen1 AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), gen2 AS (
+      SELECT o_orderkey + 3000000000 AS k, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM gen1 UNION ALL SELECT * FROM gen2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k % 97) AS BIGINT) AS ksum,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM unioned WHERE k % 5 = 0 GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Safe TYPE PROMOTION schema evolution (VERDICT r10 #2, Iceberg "
+        "ALTER COLUMN TYPE): ingest int32 keys, promote_column to "
+        "bigint METADATA-ONLY (asserted in-query: file list unchanged), "
+        "then ingest keys beyond int range — a filtered read spans both "
+        "file generations, with the old int32 parquet widened at scan "
+        "time (SPARK-40876 reader widening, no rewrite). The aggregate "
+        "must match the oracle computing the same two-generation union."
+    ),
+    tags=("pipeline", "versioned", "evolution"),
+)
+def p_versioned_type_promotion(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_promote_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            "o_orderpriority", "o_totalprice",
+        )
+    )
+    files_before = list(t.manifest()["files"])
+    t.promote_column("k", "bigint")
+    if t.manifest()["files"] != files_before:
+        raise RuntimeError("promote_column touched data files")
+    if dict(t.read().dtypes)["k"] != "bigint":
+        raise RuntimeError("promotion did not widen the read schema")
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("o_orderkey") + F.lit(3000000000)).alias("k"),
+            "o_orderpriority", "o_totalprice",
+        )
+    )
+    return (
+        t.read()
+        .filter(F.col("k") % 5 == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k") % 97).alias("ksum"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
