@@ -550,3 +550,140 @@ def test_continuous_aggregate_across_pos_delete_restore(spark, root, tmp_path):
     assert sorted(map(tuple, agg.read().select("g", "n", "s6").collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ---- round 11: MIN/MAX measures in IVM (VERDICT r10 #3) ---------------------
+
+
+def _minmax_direct(src):
+    import pyspark.sql.functions as F
+
+    return src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+        F.min(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("lo6"),
+        F.max(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("hi6"),
+    )
+
+
+def _assert_rollup_exact(agg, src):
+    got = sorted(map(tuple, agg.read().select("g", "n", "s6", "lo6", "hi6").collect()))
+    want = sorted(map(tuple, _minmax_direct(src).collect()))
+    assert got == want, f"\ngot  {got}\nwant {want}"
+
+
+def test_continuous_aggregate_minmax_delete_kills_extremum(spark, root, tmp_path):
+    """The non-invertible gauntlet: deletes that remove a group's max
+    (and min), partial deletes that don't, full-group tombstones, and a
+    revival — rollup ≡ recompute after every refresh."""
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, min_measures={"lo6": "x"},
+        max_measures={"hi6": "x"}, handle_deletes=True,
+    )
+    src.commit_append(spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id INT, g INT, x DOUBLE"
+    ))
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+    # delete group 0's MAX (id 27, x=27) and group 1's MIN (id 1, x=1)
+    src.commit_delete_where(
+        spark.createDataFrame([(27,), (1,)], "id INT"), "id"
+    )
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+    # delete rows that are NOT extrema: fold must not rescan-corrupt
+    src.commit_delete_where(
+        spark.createDataFrame([(9,), (10,)], "id INT"), "id"
+    )
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+    # full tombstone of group 2, then revival with a fresh extremum
+    src.commit_delete_where(
+        spark.createDataFrame([(i,) for i in range(30) if i % 3 == 2], "id INT"),
+        "id",
+    )
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+    assert agg.read().filter("g = 2").count() == 0
+    src.commit_append(
+        spark.createDataFrame([(200, 2, -5.5)], "id INT, g INT, x DOUBLE")
+    )
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+    # idempotent replay
+    v = agg.refresh()
+    assert agg.refresh() == v
+    _assert_rollup_exact(agg, src)
+
+
+def test_continuous_aggregate_minmax_append_only(spark, root, tmp_path):
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, min_measures={"lo6": "x"},
+        max_measures={"hi6": "x"},
+    )
+    src.commit_append(spark.createDataFrame(
+        [(1, 0, 5.0), (2, 1, 3.0)], "id INT, g INT, x DOUBLE"
+    ))
+    agg.refresh()
+    # new extremes on both ends + a brand-new group
+    src.commit_append(spark.createDataFrame(
+        [(3, 0, 9.0), (4, 0, 1.0), (5, 2, 4.0)], "id INT, g INT, x DOUBLE"
+    ))
+    agg.refresh()
+    _assert_rollup_exact(agg, src)
+
+
+def test_continuous_aggregate_minmax_paged_catchup_pins_rescan(spark, root, tmp_path):
+    """Paged refresh: page 1 ends at a version where group 0's max was
+    deleted, page 2 adds a bigger value. The page-1 rescan must read
+    the source AT the page boundary, not head — otherwise the rollup
+    double-counts the later insert."""
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, max_measures={"hi6": "x"},
+        handle_deletes=True,
+    )
+    src.commit_append(spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 8.0)], "id INT, g INT, x DOUBLE"
+    ))  # v1
+    src.commit_delete_where(spark.createDataFrame([(2,)], "id INT"), "id")  # v2: kills max
+    src.commit_append(spark.createDataFrame(
+        [(3, 0, 99.0)], "id INT, g INT, x DOUBLE"
+    ))  # v3
+    agg.refresh(max_commits=2)  # pages (0,2] then (2,3]
+    import pyspark.sql.functions as F
+
+    want = sorted(map(tuple, src.read().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+        F.max(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("hi6"),
+    ).collect()))
+    got = sorted(map(tuple, agg.read().select("g", "n", "s6", "hi6").collect()))
+    assert got == want, f"\ngot  {got}\nwant {want}"
+
+
+def test_continuous_aggregate_measure_name_validation(spark, root, tmp_path):
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    with pytest.raises(ValueError, match="distinct"):
+        ContinuousAggregate(
+            spark, src, str(tmp_path / "agg"), key="g",
+            measures={"m": "x"}, min_measures={"m": "x"},
+        )
+    with pytest.raises(ValueError, match="'n'"):
+        ContinuousAggregate(
+            spark, src, str(tmp_path / "agg2"), key="g",
+            measures={"n": "x"},
+        )

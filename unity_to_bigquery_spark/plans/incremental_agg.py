@@ -16,6 +16,15 @@ total source size. Sums are stored as 1e-6 fixed-point longs so
 partial aggregates merge exactly (order-independent, cross-engine —
 functions/canonical.py discipline).
 
+MIN/MAX measures (round 11, VERDICT r10 #3) are the classic
+NON-INVERTIBLE case: appends fold as ``least``/``greatest``, but a
+retraction can kill the current extremum, and no signed arithmetic
+recovers the runner-up. The standard IVM fallback applies: detect
+exactly the keys where a deleted value ties-or-beats the stored
+extremum and RESCAN ONLY THOSE KEYS' live rows in the source
+(key-range-pruned scan) — refresh cost stays ∝ delta plus the
+affected keys' slices, never the table.
+
 Exactly-once: the refresh folds the delta and records the source
 version in ONE atomic commit (``merge_upsert(txn=...)``), so a crash
 between publish and anything else re-runs as a no-op; double-counting
@@ -32,20 +41,28 @@ from unity_to_bigquery_spark.plans.versioned import VersionedTable
 _APP = "contagg-refresh"
 
 
+def _fx(col: str):
+    """1e-6 fixed-point long rendering (canonical.py discipline)."""
+    return F.floor(F.col(col) * 1000000.0 + F.lit(0.5)).cast("long")
+
+
 class ContinuousAggregate:
     """Maintains ``root`` as a rollup of ``source``: one row per value
-    of ``key`` with ``n`` (row count) and a 1e-6 fixed-point long sum
-    per entry of ``measures`` ({out_col: source_double_col}).
+    of ``key`` with ``n`` (row count), a 1e-6 fixed-point long sum per
+    entry of ``measures`` ({out_col: source_double_col}), and optional
+    fixed-point ``min_measures`` / ``max_measures`` extrema.
 
     With the default ``handle_deletes=False`` the source must be
     append-only (``changes()`` is add-only CDC). ``handle_deletes=True``
     switches the refresh to the full change feed
     (``changes_with_type()``) and folds retraction rows as NEGATIVE
     deltas — delete_where / rewrite commits then keep the rollup exact.
-    A key whose count reaches zero persists as an ``n=0`` tombstone in
-    storage (one atomic merge commit keeps exactly-once; a separate
-    delete commit would break it) and ``read()`` filters tombstones out,
-    so the rollup always equals a full groupBy of the live snapshot.
+    MIN/MAX under deletes use the key-scoped rescan fallback (module
+    docstring). A key whose count reaches zero persists as an ``n=0``
+    tombstone in storage (one atomic merge commit keeps exactly-once; a
+    separate delete commit would break it) with NULL extrema, and
+    ``read()`` filters tombstones out, so the rollup always equals a
+    full groupBy of the live snapshot.
     """
 
     def __init__(
@@ -56,38 +73,83 @@ class ContinuousAggregate:
         key: str,
         measures: dict[str, str],
         handle_deletes: bool = False,
+        min_measures: dict[str, str] | None = None,
+        max_measures: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.key = key
         self.measures = dict(measures)
+        self.min_measures = dict(min_measures or {})
+        self.max_measures = dict(max_measures or {})
+        overlap = (
+            (set(self.measures) & set(self.min_measures))
+            | (set(self.measures) & set(self.max_measures))
+            | (set(self.min_measures) & set(self.max_measures))
+        )
+        if overlap or "n" in (
+            set(self.measures) | set(self.min_measures) | set(self.max_measures)
+        ):
+            raise ValueError(
+                f"measure output names must be distinct and not 'n' "
+                f"(clash: {sorted(overlap) or ['n']})"
+            )
         self.handle_deletes = handle_deletes
         self.table = VersionedTable(spark, root)
+
+    @property
+    def _out_cols(self) -> list[str]:
+        return [
+            self.key, "n",
+            *self.measures, *self.min_measures, *self.max_measures,
+        ]
 
     def last_refreshed(self) -> int:
         """Source version already folded into the aggregate (0 = none)."""
         return self.table.manifest().get("txns", {}).get(_APP, 0)
 
     def _delta_agg(self, delta: DataFrame) -> DataFrame:
-        sums = [
-            F.sum(F.floor(F.col(src) * 1000000.0 + F.lit(0.5)).cast("long")).alias(out)
-            for out, src in self.measures.items()
+        aggs = [
+            *(F.sum(_fx(src)).alias(out) for out, src in self.measures.items()),
+            *(F.min(_fx(src)).alias(out) for out, src in self.min_measures.items()),
+            *(F.max(_fx(src)).alias(out) for out, src in self.max_measures.items()),
         ]
-        return delta.groupBy(self.key).agg(F.count(F.lit(1)).alias("n"), *sums)
+        return delta.groupBy(self.key).agg(F.count(F.lit(1)).alias("n"), *aggs)
 
     def _delta_agg_signed(self, feed: DataFrame) -> DataFrame:
         """Signed fold of a change feed: retraction rows contribute -1
         to the count and subtract their fixed-point measure — the
-        standard materialized-view delta rule (insert +r, delete -r)."""
+        standard materialized-view delta rule (insert +r, delete -r).
+        For extrema the fold additionally carries the inserted-side
+        least/greatest AND the deleted-side least/greatest, so the
+        merge step can decide which keys a retraction forces back to
+        the source (``__del_lo_*``/``__del_hi_*``)."""
         ct = VersionedTable.CDC_TYPE_COL
-        sign = F.when(F.col(ct) == F.lit("delete"), F.lit(-1)).otherwise(F.lit(1))
-        sums = [
-            F.sum(
-                sign * F.floor(F.col(src) * 1000000.0 + F.lit(0.5)).cast("long")
-            ).alias(out)
-            for out, src in self.measures.items()
+        is_del = F.col(ct) == F.lit("delete")
+        sign = F.when(is_del, F.lit(-1)).otherwise(F.lit(1))
+        aggs = [
+            *(
+                F.sum(sign * _fx(src)).alias(out)
+                for out, src in self.measures.items()
+            ),
+            *(
+                F.min(F.when(~is_del, _fx(src))).alias(out)
+                for out, src in self.min_measures.items()
+            ),
+            *(
+                F.min(F.when(is_del, _fx(src))).alias(f"__del_lo_{out}")
+                for out, src in self.min_measures.items()
+            ),
+            *(
+                F.max(F.when(~is_del, _fx(src))).alias(out)
+                for out, src in self.max_measures.items()
+            ),
+            *(
+                F.max(F.when(is_del, _fx(src))).alias(f"__del_hi_{out}")
+                for out, src in self.max_measures.items()
+            ),
         ]
-        return feed.groupBy(self.key).agg(F.sum(sign).alias("n"), *sums)
+        return feed.groupBy(self.key).agg(F.sum(sign).alias("n"), *aggs)
 
     def refresh(self, max_commits: int | None = None) -> int:
         """Fold all source commits since the last refresh into the
@@ -112,18 +174,102 @@ class ContinuousAggregate:
             last = self._refresh_window(last, min(last + page, now))
         return last
 
+    def _merge_extrema(self, merged: DataFrame, to_version: int) -> DataFrame:
+        """Resolve provisional extrema after the state join: pure
+        least/greatest where no retraction can have killed the stored
+        extremum; key-scoped live-source rescan where one could.
+        Churn-carried rows (a rewrite re-emitting an unchanged extremum
+        as delete+insert) over-trigger the rescan — correct, just paid
+        when a rewrite touches an extremum row's file."""
+        need = F.lit(False)
+        for out in self.min_measures:
+            need = need | (
+                F.col(f"c_{out}").isNotNull()
+                & F.col(f"__del_lo_{out}").isNotNull()
+                & (F.col(f"__del_lo_{out}") <= F.col(f"c_{out}"))
+            )
+        for out in self.max_measures:
+            need = need | (
+                F.col(f"c_{out}").isNotNull()
+                & F.col(f"__del_hi_{out}").isNotNull()
+                & (F.col(f"__del_hi_{out}") >= F.col(f"c_{out}"))
+            )
+        merged = merged.withColumn("__rescan", need & (F.col("n") > 0))
+        # bounded driver probe: the rescan key set is delta-sized; its
+        # bounds both decide "any rescan at all?" and prune the source
+        # scan to the files that can hold those keys
+        b = (
+            merged.filter(F.col("__rescan"))
+            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
+            .first()
+        )
+        prov_min = {
+            out: F.when(
+                F.col("n") > 0, F.least(F.col(f"c_{out}"), F.col(out))
+            ).alias(out)
+            for out in self.min_measures
+        }
+        prov_max = {
+            out: F.when(
+                F.col("n") > 0, F.greatest(F.col(f"c_{out}"), F.col(out))
+            ).alias(out)
+            for out in self.max_measures
+        }
+        passthrough = [self.key, "n", *self.measures]
+        if b is None or b["lo"] is None:
+            return merged.select(
+                *passthrough, *prov_min.values(), *prov_max.values()
+            )
+        # pinned at the fold boundary, NOT head: a paged catch-up must
+        # see exactly the state this window's commits produced, or the
+        # page-compose invariant breaks
+        live = self.source.read_pruned(
+            self.key, b["lo"], b["hi"], version=to_version
+        )
+        actual = (
+            live.join(
+                merged.filter(F.col("__rescan")).select(self.key),
+                on=self.key, how="left_semi",
+            )
+            .groupBy(self.key)
+            .agg(
+                *(
+                    F.min(_fx(src)).alias(f"__act_{out}")
+                    for out, src in self.min_measures.items()
+                ),
+                *(
+                    F.max(_fx(src)).alias(f"__act_{out}")
+                    for out, src in self.max_measures.items()
+                ),
+            )
+        )
+        final = merged.join(actual, on=self.key, how="left")
+        outs = []
+        for out, prov in {**prov_min, **prov_max}.items():
+            outs.append(
+                F.when(F.col("__rescan"), F.col(f"__act_{out}"))
+                .otherwise(prov)
+                .alias(out)
+            )
+        return final.select(*passthrough, *outs)
+
     def _refresh_window(self, last: int, now: int) -> int:
         """Fold source commits in ``(last, now]`` as one atomic merge
         commit stamped txn=(app, now)."""
+        has_extrema = bool(self.min_measures or self.max_measures)
         if self.handle_deletes:
             d = self._delta_agg_signed(
                 self.source.changes_with_type(last, now, max_commits=now - last)
             )
         else:
             d = self._delta_agg(self.source.changes(last, now))
-        cols = [self.key, "n", *self.measures.keys()]
+        cols = self._out_cols
         if self.table.manifest()["files"]:
             cur = self.table.read()
+            state_cols = [
+                F.col(f"c.{m}").alias(f"c_{m}")
+                for m in (*self.min_measures, *self.max_measures)
+            ]
             merged = d.alias("d").join(
                 cur.alias("c"), on=self.key, how="left"
             ).select(
@@ -133,10 +279,57 @@ class ContinuousAggregate:
                     (F.coalesce(F.col(f"c.{m}"), F.lit(0)) + F.col(f"d.{m}")).alias(m)
                     for m in self.measures
                 ],
+                *[F.col(f"d.{m}") for m in (*self.min_measures, *self.max_measures)],
+                *[
+                    F.col(f"d.__del_lo_{m}")
+                    for m in self.min_measures
+                    if self.handle_deletes
+                ],
+                *[
+                    F.col(f"d.__del_hi_{m}")
+                    for m in self.max_measures
+                    if self.handle_deletes
+                ],
+                *state_cols,
             )
-            updates = merged.select(*cols)
+            if has_extrema:
+                if self.handle_deletes:
+                    updates = self._merge_extrema(merged, now).select(*cols)
+                else:
+                    updates = merged.select(
+                        self.key, "n", *self.measures,
+                        *[
+                            F.least(F.col(f"c_{m}"), F.col(m)).alias(m)
+                            for m in self.min_measures
+                        ],
+                        *[
+                            F.greatest(F.col(f"c_{m}"), F.col(m)).alias(m)
+                            for m in self.max_measures
+                        ],
+                    ).select(*cols)
+            else:
+                updates = merged.select(*cols)
         else:
-            updates = d.select(*cols)
+            if has_extrema and self.handle_deletes:
+                # first fold may still contain deletes (e.g. a window
+                # spanning append+delete commits): NULL state columns
+                # make the rescan predicate vacuous, least/greatest of
+                # (NULL, ins) = ins — reuse the merge path with an
+                # empty state relation for uniform semantics
+                empty_state = [
+                    F.lit(None).cast("long").alias(f"c_{m}")
+                    for m in (*self.min_measures, *self.max_measures)
+                ]
+                merged = d.select(
+                    self.key, "n", *self.measures,
+                    *self.min_measures, *self.max_measures,
+                    *[F.col(f"__del_lo_{m}") for m in self.min_measures],
+                    *[F.col(f"__del_hi_{m}") for m in self.max_measures],
+                    *empty_state,
+                )
+                updates = self._merge_extrema(merged, now).select(*cols)
+            else:
+                updates = d.select(*cols)
         # merge_upsert executes this updates plan twice (key-bounds agg
         # for file pruning, then the file write). A persist() of
         # updates was tried to dedupe that (r6) and measured SLOWER at

@@ -1951,7 +1951,9 @@ def p_catalog_multi_table_txn(spark, sf_dir):
                AS segment,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS rev6
+                AS BIGINT) AS rev6,
+           CAST(MAX(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS hi6
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 7 <> 0 AND c_custkey % 13 <> 0
     GROUP BY 1
@@ -1964,9 +1966,12 @@ def p_catalog_multi_table_txn(spark, sf_dir):
         "change feed — the view's key-scoped replace commits emit typed "
         "retractions, so segment promotions and deletes on either BASE "
         "table flow through two maintenance hops untouched by any "
-        "rescan. The final rollup must equal a direct groupBy of the "
-        "joined live snapshots (the oracle). Every hop is exactly-once "
-        "(txn bookmarks at both levels; no-op re-runs asserted by the "
+        "rescan. Round 11: the second hop also carries a MAX measure "
+        "(hi6) — the delete wave retracts segment maxima, exercising "
+        "the non-invertible key-scoped rescan over the VIEW. The final "
+        "rollup must equal a direct groupBy of the joined live "
+        "snapshots (the oracle). Every hop is exactly-once (txn "
+        "bookmarks at both levels; no-op re-runs asserted by the "
         "repeated refresh calls)."
     ),
     tags=("pipeline", "versioned", "incremental", "join", "aggregate", "cdc"),
@@ -1999,6 +2004,7 @@ def p_ivm_pipeline(spark, sf_dir):
     roll = ContinuousAggregate(
         spark, view.view, os.path.join(base, "rollup"),
         key="c_mktsegment", measures={"rev6": "o_totalprice"},
+        max_measures={"hi6": "o_totalprice"},
         handle_deletes=True,
     )
 
@@ -2028,7 +2034,7 @@ def p_ivm_pipeline(spark, sf_dir):
     )
     fold()
     return roll.read().select(
-        F.col("c_mktsegment").alias("segment"), "n", "rev6"
+        F.col("c_mktsegment").alias("segment"), "n", "rev6", "hi6"
     )
 
 
@@ -2510,3 +2516,70 @@ def p_versioned_type_promotion(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_continuous_aggregate_minmax",
+    oracle="""
+    WITH live AS (
+      SELECT event_type, value FROM events
+      WHERE event_id % 3 IN (0, 1) AND value < 400.0 AND value > 40.0
+      UNION ALL
+      SELECT event_type, value FROM events WHERE event_id % 3 = 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum6,
+           CAST(MIN(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lo6,
+           CAST(MAX(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS hi6
+    FROM live GROUP BY event_type
+    """,
+    doc=(
+        "MIN/MAX measures in IVM (VERDICT r10 #3 — the classic "
+        "NON-INVERTIBLE aggregate): a ContinuousAggregate carries lo6/"
+        "hi6 extrema; a delete wave removes EVERY group's current max "
+        "(value >= 400) and min (value <= 40) in one commit, forcing "
+        "the key-scoped live-source rescan (appends stay pure least/"
+        "greatest folds); a later append re-raises the extrema. The "
+        "rollup after three refreshes must equal a direct groupBy of "
+        "the live snapshot — the oracle's union/filter formulation."
+    ),
+    tags=("pipeline", "versioned", "incremental", "aggregate", "cdc"),
+)
+def p_continuous_aggregate_minmax(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _tmp(f"contagg_mm_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(base, "src"))
+    agg = ContinuousAggregate(
+        spark, src, os.path.join(base, "agg"),
+        key="event_type", measures={"sum6": "value"},
+        min_measures={"lo6": "value"}, max_measures={"hi6": "value"},
+        handle_deletes=True,
+    )
+    wave1 = events.filter(F.col("event_id") % 3 <= 1)
+    src.commit_append(wave1)
+    agg.refresh()
+    # one delete commit kills every group's live max AND min
+    src.commit_delete_where(
+        wave1.filter(
+            (F.col("value") >= 400.0) | (F.col("value") <= 40.0)
+        ).select("event_id"),
+        "event_id",
+    )
+    agg.refresh()
+    # fresh extrema arrive after the retraction
+    src.commit_append(events.filter(F.col("event_id") % 3 == 2))
+    agg.refresh()
+    agg.refresh()  # no-op replay
+    return agg.read().select("event_type", "n", "sum6", "lo6", "hi6")
