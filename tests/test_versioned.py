@@ -2493,3 +2493,102 @@ def test_promotion_float_and_decimal(spark, root):
     t2.promote_column("d", "decimal(20,2)")
     assert dict(t2.read().dtypes)["d"] == "decimal(20,2)"
     assert str(t2.read().first().d) == "1.25"
+
+
+# ---- round 11: partition-scoped compaction (VERDICT r10 #4) -----------------
+
+
+def test_compact_where_rewrites_only_selected_partition(spark, root):
+    t = VersionedTable(spark, root, partition_spec=["ds"])
+    for i in range(3):  # 3 small files per ds value
+        t.commit_append(_df(spark, [(10 * i + j, f"v{i}{j}") for j in range(3)], ds="a"))
+        t.commit_append(_df(spark, [(100 + 10 * i + j, f"w{i}{j}") for j in range(3)], ds="b"))
+    m0 = t.manifest()
+    b_files = {
+        f for f in m0["files"]
+        if m0["stats"][f].get("part:ds") == "b"
+    }
+    a_files = set(m0["files"]) - b_files
+    assert len(a_files) >= 3 and len(b_files) >= 3
+    total_before = t.read().count()
+    t.compact(where={"ds": "a"})
+    m1 = t.manifest()
+    assert m1["op"].startswith("compact_parts")
+    # b-partition files byte-identical: same paths still referenced
+    assert b_files <= set(m1["files"])
+    # a-partition files all replaced, and packed into fewer files
+    assert not (a_files & set(m1["files"]))
+    assert len([f for f in m1["files"] if f not in b_files]) < len(a_files)
+    assert t.read().count() == total_before
+    assert {r.v for r in t.read().filter("ds = 'a'").collect()} == {
+        f"v{i}{j}" for i in range(3) for j in range(3)
+    }
+
+
+def test_compact_where_with_deletes_and_sequencing(spark, root):
+    """Equality deletes: the scope rewrite materializes them for its
+    files; entries stay live for untouched files and a key re-inserted
+    after the delete still survives."""
+    t = VersionedTable(spark, root, partition_spec=["ds"])
+    t.commit_append(_df(spark, [(1, "a1"), (2, "a2")], ds="a"))
+    t.commit_append(_df(spark, [(3, "b1"), (4, "b2")], ds="b"))
+    t.commit_delete_where(spark.createDataFrame([(1,), (3,)], "k INT"), "k")
+    t.compact(where={"ds": "a"})
+    m = t.manifest()
+    assert m.get("deletes"), "delete entry must survive for the b file"
+    assert {r.k for r in t.read().collect()} == {2, 4}
+    # the rewritten a-file is NEWER than the delete: re-inserting k=1
+    # into partition a must survive
+    t.commit_append(_df(spark, [(1, "again")], ds="a"))
+    assert {r.k for r in t.read().collect()} == {1, 2, 4}
+    # compacting b sheds the (now fully-materialized) delete entry
+    t.compact(where={"ds": "b"})
+    assert not t.manifest().get("deletes")
+    assert {r.k for r in t.read().collect()} == {1, 2, 4}
+
+
+def test_compact_where_validation_and_noop(spark, root):
+    t = VersionedTable(spark, root, partition_spec=["ds", "bucket(2, k)"])
+    t.commit_append(_df(spark, [(1, "x")], ds="a"))
+    v = t.latest_version()
+    # untouched tuple: version unchanged (no empty rewrite commit)
+    assert t.compact(where={"ds": "zzz"}) == v
+    with pytest.raises(ValueError, match="not partition source"):
+        t.compact(where={"nope": 1})
+    t2 = VersionedTable(spark, root + "_nospec")
+    t2.commit_append(_df(spark, [(1, "x")]))
+    with pytest.raises(ValueError, match="requires a partition spec"):
+        t2.compact(where={"ds": "a"})
+    # subset filter: only ds named, both buckets of ds=a rewritten
+    t.commit_append(_df(spark, [(2, "y"), (3, "z")], ds="a"))
+    before = set(t.manifest()["files"])
+    t.compact(where={"ds": "a"})
+    assert t.read().count() == 3
+    assert not (before & set(t.manifest()["files"]))  # all were ds=a
+
+
+def test_compact_where_self_heals_pre_spec_files(spark, root):
+    """A file committed before the spec has no part: stats — a scoped
+    compact adopts it into the rewrite (it cannot be proven outside),
+    after which meta_partitions answers."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "old-a")], ds="a"))
+    t.set_partition_spec(["ds"])
+    t.commit_append(_df(spark, [(2, "new-b")], ds="b"))
+    t.compact(where={"ds": "a"})
+    assert t.read().count() == 2
+    mp = {r.ds: r.n_rows for r in t.meta_partitions().collect()}
+    assert mp == {"a": 1, "b": 1}
+
+
+def test_compact_where_preserves_sort_order_and_lineage(spark, root):
+    t = VersionedTable(spark, root, row_lineage=True)
+    t.commit_append(_df(spark, [(i, f"v{i}") for i in range(8)]))
+    ids_before = {r.k: r["__row_id"] for r in t.read_with_lineage().collect()}
+    t.set_partition_spec(["bucket(2, k)"])
+    t.compact()  # lay everything under the spec
+    t.commit_append(_df(spark, [(100, "x"), (101, "y")]))
+    t.compact(where={"k": 100})  # scope = bucket(100)
+    ids_after = {r.k: r["__row_id"] for r in t.read_with_lineage().collect()}
+    for k, rid in ids_before.items():
+        assert ids_after[k] == rid, f"lineage id changed for k={k}"

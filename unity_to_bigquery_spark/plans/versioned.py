@@ -3556,6 +3556,13 @@ class VersionedTable:
         )
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
+        # staged stats are consumed: a LATER commit on this handle must
+        # not re-merge them over carried base stats — publish-time
+        # additions (__row_base lineage ids) would be clobbered (found
+        # in r11: set_partition_spec after an append silently nulled
+        # every __row_base, breaking read_with_lineage). Retry loops are
+        # unaffected: they only re-enter after an exception above.
+        self._staged_stats = {}
         if not inline and chain >= self._ckpt_every():
             # amortized O(files/K) per commit: materialize the full
             # state so reads anchor here instead of walking the chain
@@ -4127,7 +4134,9 @@ class VersionedTable:
             .drop("__z")
         )
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self, target_files: int = 1, where: dict | None = None
+    ) -> int:
         """Bin-pack the current snapshot into ``target_files`` files per
         partition (table formats' OPTIMIZE): read the live file list,
         rewrite coalesced, publish a commit whose file list is ONLY the
@@ -4137,6 +4146,22 @@ class VersionedTable:
         compaction retries on the new log would lose it, so we abort
         instead (ConcurrentWriteError) and the caller re-runs; real
         formats make the same choice (OPTIMIZE loses races, data wins).
+
+        ``where`` (round 11, VERDICT r10 #6 list item 4) scopes the
+        rewrite to PARTITION TUPLES — Delta's ``OPTIMIZE WHERE``:
+        ``{source_col: value}`` over any subset of the spec's source
+        columns selects, from manifest ``part:`` stats alone, exactly
+        the files in those tuples; every file provably outside carries
+        forward BYTE-IDENTICAL (same path, same stats), so cost is
+        ∝ the selected partition, never the table — at 100 TB,
+        whole-table compaction is not a thing. Files with no ``part:``
+        stats (pre-spec layouts) can't be proven outside and JOIN the
+        scope — the rewrite lands them under the current spec, so
+        scoped compaction self-heals mixed layouts. Merge-on-read
+        deletes stay correct by sequencing: rewritten files carry the
+        new version (their deletes were materialized into content),
+        untouched files keep theirs (entries carry until the last
+        affected file is rewritten — the generic carry rule).
 
         A persisted SORT ORDER (``cluster_by``'s manifest spec, round
         10 — VERDICT r9 #4) is RE-APPLIED here: compaction after
@@ -4154,6 +4179,8 @@ class VersionedTable:
         snap = self.manifest()
         if not snap["files"]:
             return snap["version"]
+        if where is not None:
+            return self._compact_scoped(snap, target_files, where)
         # lineage tables rewrite WITH their row ids (materialized into
         # the compacted files) so ids survive the rewrite
         df = self._scan_live(
@@ -4186,6 +4213,74 @@ class VersionedTable:
         except FileExistsError:
             raise ConcurrentWriteError(
                 "commit landed during compaction; re-run against the new log"
+            ) from None
+
+    def _compact_scoped(
+        self, snap: dict, target_files: int, where: dict
+    ) -> int:
+        """Partition-scoped OPTIMIZE body (see :meth:`compact`): select
+        scope files from manifest ``part:`` stats, rewrite only those
+        (sort order re-applied within the scope), carry everything else
+        verbatim. A concurrent commit aborts, same as full compact —
+        a racing append is never lost."""
+        spec = self._manifest_spec(snap)
+        if not spec:
+            raise ValueError(
+                "compact(where=...) requires a partition spec "
+                "(set_partition_spec first)"
+            )
+        spec_cols = {fld["col"] for fld in spec}
+        unknown = sorted(set(where) - spec_cols)
+        if unknown:
+            raise ValueError(
+                f"compact(where=...): {unknown} are not partition source "
+                f"columns (spec columns: {sorted(spec_cols)})"
+            )
+        fields = [fld for fld in spec if fld["col"] in where]
+        if not fields:
+            raise ValueError("compact(where=...) needs at least one filter")
+        expected = {
+            f"part:{fld['name']}": _spec_apply(fld, where[fld["col"]])
+            for fld in fields
+        }
+        stats = snap.get("stats", {})
+        scope, keep = [], []
+        for f in snap["files"]:
+            s = stats.get(f, {})
+            if all(k in s for k in expected):
+                (scope if all(s[k] == v for k, v in expected.items())
+                 else keep).append(f)
+            else:
+                scope.append(f)  # pre-spec layout: rewrite self-heals it
+        if not scope:
+            return snap["version"]  # partition already untouched/absent
+        df = self._scan_live(
+            snap, scope, with_lineage=self._has_lineage(snap)
+        )
+        full_spec = self.current_partition_spec()
+        df = df.repartition(
+            target_files, *[_spec_expr(fld, df) for fld in full_spec]
+        )
+        so = snap.get("sort_order")
+        if so and so.get("type") == "zorder":
+            df = df.sortWithinPartitions(*so["cols"])
+        staged = self._write_files(df)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during scoped compaction; re-run against "
+                "the new log"
+            )
+        try:
+            return self._publish_once(
+                base, keep + staged,
+                f"compact_parts({sorted(where.items())})",
+                snap.get("schema") or df.schema.simpleString(),
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during scoped compaction; re-run against "
+                "the new log"
             ) from None
 
     def cluster_by(self, cols: list[str], target_files: int = 8, bits: int = 4) -> int:
