@@ -1383,6 +1383,9 @@ def p_versioned_partition_overwrite(spark, sf_dir):
     SELECT 'max_key', CAST(MAX(o_orderkey) AS BIGINT)
     FROM orders WHERE o_orderkey % 5 <> 0
     UNION ALL
+    SELECT 'after_eqdel', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 5 <> 0
+    UNION ALL
     SELECT 'after_posdel', CAST(COUNT(*) AS BIGINT) FROM (
       SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
       FROM orders WHERE o_orderkey % 5 <> 0
@@ -1399,11 +1402,15 @@ def p_versioned_partition_overwrite(spark, sf_dir):
         "#3): a pos-delete's effect is exactly known from metadata — "
         "each live (file, pos) pair removes one row — so COUNT(*) "
         "still answers scan-free under live pos-deletes; only "
-        "equality deletes (and MIN/MAX under any delete, which could "
-        "kill the extreme row) genuinely refuse. The query ASSERTS "
-        "the metadata path answered at every answerable stage and "
-        "refused at every unanswerable one — a scan-derived number "
-        "can't fake it."
+        "MIN/MAX under any delete (which could kill the extreme row) "
+        "genuinely refuses. Round 11 closes the EQUALITY-delete "
+        "refusal too (VERDICT r10 #6): commit_delete_where captures "
+        "its exact per-file retraction counts (one pruned delete-sized "
+        "job), so COUNT(*) answers scan-free under live eq-deletes; "
+        "only the eq+pos COMBINATION still refuses (double-subtract "
+        "hazard). The query ASSERTS the metadata path answered at "
+        "every answerable stage and refused at every unanswerable one "
+        "— a scan-derived number can't fake it."
     ),
     tags=("pipeline", "versioned", "stats"),
 )
@@ -1424,9 +1431,10 @@ def p_versioned_snapshot_count(spark, sf_dir):
         orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
         key="o_orderkey",
     )
-    if t.snapshot_rows() is not None:
+    n_eqdel = t.snapshot_rows()  # r11: exact from captured row_counts
+    if n_eqdel is None:
         raise RuntimeError(
-            "snapshot_rows answered under live equality deletes"
+            "snapshot_rows refused under eq-deletes despite row_counts (r11)"
         )
     t.compact()
     n_after = t.snapshot_rows()
@@ -1447,6 +1455,15 @@ def p_versioned_snapshot_count(spark, sf_dir):
         raise RuntimeError("snapshot_rows refused under pos-deletes (round 10)")
     if t.snapshot_minmax("o_orderkey") is not None:
         raise RuntimeError("snapshot_minmax answered under live deletes")
+    # refusal discipline: eq + pos deletes BOTH live cannot be answered
+    # exactly from metadata (double-subtract hazard) — must refuse
+    t.commit_delete_where(
+        orders.limit(1).select("o_orderkey"), key="o_orderkey"
+    )
+    if t.snapshot_rows() is not None:
+        raise RuntimeError(
+            "snapshot_rows answered with eq AND pos deletes both live"
+        )
     if None in (n_evens, n_all, n_after):
         raise RuntimeError("metadata-only count unavailable on a clean snapshot")
     return spark.createDataFrame(
@@ -1456,6 +1473,7 @@ def p_versioned_snapshot_count(spark, sf_dir):
             ("after_delete_compact", int(n_after)),
             ("min_key", int(mm[0])),
             ("max_key", int(mm[1])),
+            ("after_eqdel", int(n_eqdel)),
             ("after_posdel", int(n_posdel)),
         ],
         "stage STRING, n BIGINT",
