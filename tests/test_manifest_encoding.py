@@ -212,3 +212,79 @@ def test_branch_on_delta_log(spark, tmp_path):
     assert _rows(t.read()) == [(1, "a")] + [
         (10 + i, f"w{i}") for i in range(4)
     ]
+
+
+# ---- round 11: executor-side manifest fold (VERDICT r10 #7) -----------------
+
+
+def test_spark_fold_checkpoint_equivalent_to_driver_fold(spark, tmp_path):
+    """The Spark-job fold must produce a checkpoint whose RESOLVED
+    manifest is semantically identical to the driver fold: same file
+    SET, same per-file versions and stats, identical reads. (Row order
+    differs by design: executor fold sorts (added_version, file).)"""
+    import os
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    def build(root):
+        t = VersionedTable(
+            spark, root, manifest_inline_max=0, manifest_checkpoint_every=100
+        )
+        t.commit_append(spark.createDataFrame(
+            [(i, f"a{i}") for i in range(6)], "k INT, v STRING"
+        ))
+        t.commit_append(spark.createDataFrame(
+            [(100 + i, f"b{i}") for i in range(6)], "k INT, v STRING"
+        ))
+        t.merge_upsert(spark.createDataFrame(
+            [(2, "UP"), (200, "NEW")], "k INT, v STRING"), "k"
+        )
+        t.commit_delete_where(spark.createDataFrame([(3,)], "k INT"), "k")
+        t.enable_row_lineage()  # ships a stats_update overlay on a delta log
+        t.compact(target_files=2)
+        t.commit_append(spark.createDataFrame([(999, "z")], "k INT, v STRING"))
+        return t
+
+    ra = str(tmp_path / "a")
+    ta = build(ra)
+    v = ta.latest_version()
+    # driver reconstruct FIRST (fresh handle, no checkpoint on disk)
+    mb = VersionedTable(spark, ra).manifest(v)
+    rows_b = sorted(map(tuple, VersionedTable(spark, ra).read().collect()))
+    # executor-side fold, then a fresh handle anchors on the parquet
+    path = ta.spark_fold_checkpoint()
+    assert os.path.exists(path)
+    fresh = VersionedTable(spark, ra)
+    ma = fresh.manifest(v)
+    assert set(ma["files"]) == set(mb["files"])
+    assert ma["file_versions"] == mb["file_versions"]
+    assert ma["stats"] == mb["stats"]
+    assert ma["deletes"] == mb["deletes"]
+    assert sorted(map(tuple, fresh.read().collect())) == rows_b
+    # idempotent
+    assert ta.spark_fold_checkpoint() == path
+    shutil.rmtree(ra, ignore_errors=True)
+
+
+def test_spark_fold_from_prior_checkpoint_anchor(spark, tmp_path):
+    """Fold anchored on an EARLIER checkpoint (not inline): deltas past
+    the anchor apply executor-side; lineage row ids survive verbatim."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(
+        spark, root, manifest_inline_max=0, manifest_checkpoint_every=2,
+        row_lineage=True,
+    )
+    t.commit_append(spark.createDataFrame(
+        [(i, "x") for i in range(5)], "k INT, v STRING"
+    ))
+    t.commit_append(spark.createDataFrame([(10, "y")], "k INT, v STRING"))
+    t.commit_append(spark.createDataFrame([(11, "z")], "k INT, v STRING"))
+    ids_before = {r.k: r["__row_id"] for r in t.read_with_lineage().collect()}
+    t.commit_delete_where(spark.createDataFrame([(0,)], "k INT"), "k")
+    t.spark_fold_checkpoint()
+    t2 = VersionedTable(spark, root)
+    ids_after = {r.k: r["__row_id"] for r in t2.read_with_lineage().collect()}
+    assert ids_after == {k: i for k, i in ids_before.items() if k != 0}

@@ -214,3 +214,52 @@ def test_catalog_entry_write_is_atomic_and_tmp_tolerant(spark, cat):
         if n.endswith(".json"):
             with open(_os.path.join(log_dir, n)) as fh:
                 _json.load(fh)
+
+
+def test_catalog_txn_sink_replay_noop_and_recover(spark, cat, tmp_path):
+    """catalog_txn_sink unit semantics without a real stream: a batch
+    lands both tables + one catalog CAS; re-invoking with the same
+    batch_id no-ops; a crash between publishes is finished by the next
+    batch's recover-first step and the replay skips."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.streaming.stream import catalog_txn_sink
+
+    cat.create_table("ev")
+    cat.create_table("od")
+    writes = {
+        "ev": lambda b: b.filter(F.col("k") % 2 == 0),
+        "od": lambda b: b.filter(F.col("k") % 2 == 1),
+    }
+    sink = catalog_txn_sink(cat, "app", writes)
+    b0 = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "k INT, v STRING")
+    sink(b0, 0)
+    v1 = cat.latest_version()
+    assert cat.read("ev").count() == 3 and cat.read("od").count() == 3
+    sink(b0, 0)  # replay: no new catalog version, no double rows
+    assert cat.latest_version() == v1
+    assert cat.read("ev").count() == 3
+    # crash between publishes on batch 1
+    def injector(tx, batch_id):
+        with open(cat._intent_path(tx.txn_id), "x") as fh:
+            _json.dump({"txn_id": tx.txn_id, "tables": tx._staged}, fh)
+        first = next(iter(tx._staged))
+        cat.table(first).publish_branch(tx._staged[first])
+        raise RuntimeError("boom")
+
+    faulty = catalog_txn_sink(cat, "app", writes, fault_injection=injector)
+    b1 = spark.createDataFrame([(10, "x"), (11, "y")], "k INT, v STRING")
+    with pytest.raises(RuntimeError, match="boom"):
+        faulty(b1, 1)
+    assert cat.latest_version() == v1  # torn state catalog-invisible
+    # replayed batch: recover-first completes the txn, then skips
+    sink(b1, 1)
+    assert cat.read("ev").count() == 4 and cat.read("od").count() == 4
+    v2 = cat.latest_version()
+    sink(b1, 1)  # and a second replay is a pure no-op
+    assert cat.latest_version() == v2
+    # validation
+    with pytest.raises(ValueError, match=">= 2 member tables"):
+        catalog_txn_sink(cat, "app", {"ev": lambda b: b})

@@ -115,6 +115,29 @@ def main():
         out["pruned_rows"] = t2.read_pruned(
             "k", probe_lo, probe_lo + ROWS_PER_FILE - 1
         ).count()
+        if not legacy:
+            # round 11 (VERDICT r10 #7): EXECUTOR-SIDE fold vs driver
+            # fold of the same head state, and the cold plan cost when
+            # a fresh handle anchors on the folded checkpoint
+            ck = t2._ckpt_path(t2.latest_version())
+            if os.path.exists(ck):
+                os.remove(ck)
+            t3 = VersionedTable(spark, root, **kw)
+            t0 = time.perf_counter()
+            t3.spark_fold_checkpoint()
+            out["spark_fold_s"] = round(time.perf_counter() - t0, 4)
+            t4 = VersionedTable(spark, root, **kw)
+            t0 = time.perf_counter()
+            t4.manifest()
+            out["cold_plan_from_ckpt_s"] = round(time.perf_counter() - t0, 4)
+            os.remove(ck)
+            t5 = VersionedTable(spark, root, **kw)
+            t0 = time.perf_counter()
+            full = t5._reconstruct(
+                t5.latest_version(), t5._read_json(t5.latest_version())
+            )
+            out["driver_fold_s"] = round(time.perf_counter() - t0, 4)
+            assert len(full["files"]) == n
         shutil.rmtree(root, ignore_errors=True)
         print(json.dumps(out))
 

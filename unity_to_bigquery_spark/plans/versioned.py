@@ -690,6 +690,140 @@ class VersionedTable:
                 pass  # read-only media: the walk stays correct, just long
         return full
 
+    # past this many live files, the periodic checkpoint materializes
+    # via the EXECUTOR-SIDE fold instead of driver dict work (VERDICT
+    # r10 #7) — below it, the driver path is faster (no job overhead)
+    _SPARK_FOLD_MIN_FILES = 200_000
+
+    _CKPT_DDL = "file STRING, added_version LONG, stats_json STRING"
+
+    def spark_fold_checkpoint(self, version: int | None = None) -> str:
+        """EXECUTOR-SIDE manifest fold (round 11, VERDICT r10 #7):
+        materialize ``version``'s full file state as its checkpoint
+        parquet by folding the nearest anchor checkpoint + the delta
+        chain AS A SPARK JOB — anti-join per delta's removes, union its
+        adds — so the driver never builds the O(files) dicts just to
+        write a checkpoint. At 10M files the driver fold is ~15 s of
+        dict churn (BASELINE §manifest-encoding arithmetic); here the
+        driver handles only delta-sized JSON and the single-file
+        atomic rename.
+
+        Row order: the executor fold writes (added_version, file)
+        sorted — deterministic but not byte-equal to the driver fold's
+        parent-order-plus-adds; semantically equivalent (file lists are
+        sets + per-file metadata everywhere; reads/prunes/CDC are
+        order-independent, differential-tested). Idempotent: content
+        is a pure function of the immutable version."""
+        version = self.latest_version() if version is None else version
+        path = self._ckpt_path(version)
+        if os.path.exists(path):
+            return path
+        mj = self._read_json(version)
+        if "files" in mj:
+            # inline manifest: the state is already driver-resident by
+            # definition — the plain writer is strictly cheaper
+            self._write_checkpoint(self.manifest(version))
+            return path
+        chain = [mj]
+        v = mj.get("parent", version - 1)
+        anchor = None  # (kind, version, json)
+        while v > 0:
+            j = self._read_json(v)
+            if "files" in j:
+                anchor = ("inline", v, j)
+                break
+            if os.path.exists(self._ckpt_path(v)):
+                anchor = ("ckpt", v, j)
+                break
+            chain.append(j)
+            v = j.get("parent", v - 1)
+
+        def rows_of(files, fv, stats, default_v):
+            return [
+                (
+                    f,
+                    int(fv.get(f, default_v)),
+                    json.dumps(stats[f]) if f in stats else None,
+                )
+                for f in files
+            ]
+
+        if anchor is None:
+            cur = self.spark.createDataFrame([], self._CKPT_DDL)
+        elif anchor[0] == "ckpt":
+            cur = self.spark.read.parquet(self._ckpt_path(anchor[1])).select(
+                "file", "added_version", "stats_json"
+            )
+        else:
+            j = anchor[2]
+            cur = self.spark.createDataFrame(
+                rows_of(
+                    j["files"], j.get("file_versions", {}),
+                    j.get("stats", {}), anchor[1],
+                ),
+                self._CKPT_DDL,
+            )
+        for dj in reversed(chain):
+            removed = dj.get("files_remove", [])
+            if removed:
+                cur = cur.join(
+                    self.spark.createDataFrame(
+                        [(f,) for f in removed], "file STRING"
+                    ),
+                    "file", "left_anti",
+                )
+            adds = dj.get("files_add", [])
+            if adds:
+                cur = cur.unionByName(
+                    self.spark.createDataFrame(
+                        rows_of(adds, {}, dj.get("add_stats", {}), dj["version"]),
+                        self._CKPT_DDL,
+                    )
+                )
+            su = dj.get("stats_update", {})
+            if su:
+                upd = self.spark.createDataFrame(
+                    [(f, json.dumps(extra)) for f, extra in su.items()],
+                    "file STRING, extra_json STRING",
+                )
+                merge = F.udf(
+                    lambda s, e: json.dumps(
+                        {**(json.loads(s) if s else {}), **json.loads(e)}
+                    ),
+                    "string",
+                )
+                cur = (
+                    cur.join(F.broadcast(upd), "file", "left")
+                    .withColumn(
+                        "stats_json",
+                        F.when(
+                            F.col("extra_json").isNotNull(),
+                            merge(F.col("stats_json"), F.col("extra_json")),
+                        ).otherwise(F.col("stats_json")),
+                    )
+                    .drop("extra_json")
+                )
+        tmpdir = f"{path}.spark-{uuid.uuid4().hex[:8]}"
+        (
+            cur.coalesce(1)
+            .sortWithinPartitions("added_version", "file")
+            .write.parquet(tmpdir)
+        )
+        parts = [
+            os.path.join(tmpdir, n)
+            for n in os.listdir(tmpdir)
+            if n.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"spark checkpoint fold produced {len(parts)} part files"
+            )
+        os.replace(parts[0], path)
+        import shutil as _shutil
+
+        _shutil.rmtree(tmpdir, ignore_errors=True)
+        return path
+
     def current_partition_col(self) -> str | None:
         """The table's CURRENT partition spec: the latest manifest's
         recorded spec when present (set at publish / evolved via
@@ -3584,17 +3718,27 @@ class VersionedTable:
         # unaffected: they only re-enter after an exception above.
         self._staged_stats = {}
         if not inline and chain >= self._ckpt_every():
-            # amortized O(files/K) per commit: materialize the full
-            # state so reads anchor here instead of walking the chain
-            full = self._apply_delta(base, dict(payload_dict))
-            try:
-                self._write_checkpoint(full)
-            except OSError:
-                pass  # next resolve self-heals
-            cache = self._manifest_cache()
-            cache[self._mpath(version)] = full
-            while len(cache) > self._MCACHE_CAP:
-                cache.pop(next(iter(cache)))
+            if len(files) > self._SPARK_FOLD_MIN_FILES:
+                # EXECUTOR-SIDE fold (VERDICT r10 #7): at this file
+                # count the driver dict fold + pa.table build is the
+                # commit's dominant cost — run the fold as a Spark job
+                # and let the next reader anchor on the fresh parquet
+                try:
+                    self.spark_fold_checkpoint(version)
+                except Exception:
+                    pass  # next resolve self-heals (driver fold)
+            else:
+                # amortized O(files/K) per commit: materialize the full
+                # state so reads anchor here instead of walking the chain
+                full = self._apply_delta(base, dict(payload_dict))
+                try:
+                    self._write_checkpoint(full)
+                except OSError:
+                    pass  # next resolve self-heals
+                cache = self._manifest_cache()
+                cache[self._mpath(version)] = full
+                while len(cache) > self._MCACHE_CAP:
+                    cache.pop(next(iter(cache)))
         return version
 
     def merge_upsert(

