@@ -692,8 +692,12 @@ class VersionedTable:
 
     # past this many live files, the periodic checkpoint materializes
     # via the EXECUTOR-SIDE fold instead of driver dict work (VERDICT
-    # r10 #7) — below it, the driver path is faster (no job overhead)
-    _SPARK_FOLD_MIN_FILES = 200_000
+    # r10 #7). MEASURED crossover (tools/manifest_scale_smoke.py r11):
+    # driver fold is linear (~0.22 s @ 50k files, ~1.16 s @ 200k →
+    # ~58 s extrapolated @ 10M) while the Spark fold is flat
+    # job-overhead (~8-9 s at every measured scale) — they cross near
+    # ~1.5M files; 1M with margin for wider stats.
+    _SPARK_FOLD_MIN_FILES = 1_000_000
 
     _CKPT_DDL = "file STRING, added_version LONG, stats_json STRING"
 
