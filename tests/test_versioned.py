@@ -2666,3 +2666,106 @@ def test_eq_delete_counts_legacy_and_replace_keys_refuse(spark, root):
     t3 = VersionedTable(spark, root + "_legacy")
     assert t3.snapshot_rows() is None
     assert t3.read().count() == 1
+
+
+# ---- round 11: predicate UPDATE / DELETE (Delta UPDATE/DELETE WHERE) --------
+
+
+def test_update_where_rewrites_only_touched_files(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "low"), (2, "low")]))
+    t.commit_append(_df(spark, [(100, "high"), (101, "high")]))
+    m0 = t.manifest()
+    low_files = {
+        f for f in m0["files"] if m0["stats"][f]["k"][1] < 100
+    }
+    v = t.update_where({"v": "concat(v, '!')"}, "k < 50")
+    m1 = t.manifest()
+    assert m1["op"] == "update_where" and v == m1["version"]
+    # high files carried byte-identical; low files all rewritten
+    assert (set(m1["files"]) & low_files) == set()
+    assert {f for f in m1["files"] if f in m0["files"]} == set(m0["files"]) - low_files
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "low!"), (2, "low!"), (100, "high"), (101, "high")}
+    # NULL condition updates nothing; no-match is a version no-op
+    assert t.update_where({"v": "'X'"}, "k = 99999") == v
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"zzz": "1"}, "k = 1")
+    # txn idempotence
+    v2 = t.update_where({"v": "upper(v)"}, "k = 1", txn=("u", 3))
+    assert t.update_where({"v": "'CLOBBER'"}, "k = 1", txn=("u", 3)) == v2
+    assert t.read().filter("k = 1").first().v == "LOW!"
+
+
+def test_update_where_cdc_and_lineage(spark, root):
+    t = VersionedTable(spark, root, row_lineage=True)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    ids0 = {r.k: r["__row_id"] for r in t.read_with_lineage().collect()}
+    v0 = t.latest_version()
+    t.update_where({"v": "upper(v)"}, "k <= 2")
+    # updated rows KEEP their row ids (row-tracking semantics)
+    ids1 = {r.k: r["__row_id"] for r in t.read_with_lineage().collect()}
+    assert ids1 == ids0
+    imgs = t.changes_with_updates("k", v0)
+    got = {(r.k, r._change_type) for r in imgs.collect()}
+    assert got == {
+        (1, "update_preimage"), (1, "update_postimage"),
+        (2, "update_preimage"), (2, "update_postimage"),
+    }
+
+
+def test_delete_rows_where_mor_and_rewrite_routes(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    files0 = list(t.manifest()["files"])
+    # small match -> MoR positional deletes, zero files rewritten
+    t.delete_rows_where("k IN (3, 7)")
+    m = t.manifest()
+    assert m["files"] == files0 and m.get("pos_deletes")
+    assert t.read().count() == 18
+    assert t.snapshot_rows() == 18  # pos pairs exactly known
+    # forced rewrite route: touched files rewritten without matches
+    t.delete_rows_where("k >= 15", mode="rewrite")
+    m2 = t.manifest()
+    assert m2["op"] == "delete_rows_where"
+    assert {r.k for r in t.read().collect()} == set(range(15)) - {3, 7}
+    # no-op when nothing matches; NULL condition deletes nothing
+    v = t.latest_version()
+    assert t.delete_rows_where("k = 42") == v
+    t2 = VersionedTable(spark, root + "_null")
+    t2.commit_append(
+        spark.createDataFrame([(None, "n"), (1, "a")], "k INT, v STRING")
+    )
+    t2.delete_rows_where("k > 0", mode="rewrite")
+    got = {(r.k, r.v) for r in t2.read().collect()}
+    assert got == {(None, "n")}  # NULL-cond row survives
+    with pytest.raises(ValueError, match="mode must be"):
+        t2.delete_rows_where("k = 1", mode="bogus")
+
+
+def test_delete_rows_where_auto_threshold_flips(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(30)]))
+    monkeypatch.setattr(VersionedTable, "DELETE_MOR_MAX_ROWS", 5)
+    files0 = set(t.manifest()["files"])
+    t.delete_rows_where("k % 2 = 0")  # 15 matches > 5 -> rewrite
+    m = t.manifest()
+    assert not m.get("pos_deletes")
+    assert not (set(m["files"]) >= files0)  # files actually rewritten
+    assert t.read().count() == 15
+    t.delete_rows_where("k = 1")  # 1 match -> MoR
+    assert t.manifest().get("pos_deletes")
+    assert t.read().count() == 14
+
+
+def test_update_delete_where_respect_prior_mor_deletes(spark, root):
+    """Rows already dead under equality/pos deletes must neither match
+    nor resurrect through a predicate update/delete rewrite."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    t.update_where({"v": "'U'"}, "k >= 1")
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "U"), (3, "U")}  # k=2 stays dead
+    t.delete_rows_where("v = 'U'", mode="rewrite")
+    assert t.read().count() == 0

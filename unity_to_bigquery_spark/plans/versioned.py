@@ -4082,6 +4082,167 @@ class VersionedTable:
                 "commit landed during merge; re-run against the new log"
             ) from None
 
+    def update_where(
+        self,
+        set: dict,
+        condition: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Predicate UPDATE — Delta's ``UPDATE t SET col = expr WHERE
+        cond`` (round 11): ``set`` maps columns to SQL expressions over
+        the row's own columns; ``condition`` is a SQL boolean. Two
+        phases, exactly Delta's: (1) ONE live scan finds the files that
+        hold at least one matching row; (2) only those files rewrite —
+        matching rows through the ``set`` expressions (each value cast
+        to the column's type), non-matching neighbors carried verbatim
+        — and every other file carries forward byte-identical. NULL
+        conditions update nothing (SQL semantics). Row-lineage ids ride
+        through the rewrite (an update keeps its row id, like Delta row
+        tracking). CDC emits the rewrite diff: delete+insert pairs for
+        the touched files, classifiable via ``changes_with_updates``.
+        No-op (no new commit) when nothing matches. A commit landing
+        mid-update aborts with ConcurrentWriteError — data wins."""
+        from pyspark.sql.types import StructType
+
+        snap = self.manifest()
+        if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return snap["version"]
+        if not snap["files"]:
+            raise ValueError("update_where on an empty table")
+        schema = StructType.fromDDL(snap["schema"])
+        known = {f.name for f in schema.fields}
+        bad = sorted(k for k in set if k not in known)
+        if bad:
+            raise ValueError(
+                f"update_where sets unknown column(s) {bad} "
+                f"(have {schema.fieldNames()})"
+            )
+        live = self._scan_live_meta(snap, snap["files"])
+        touched = sorted(
+            r["__rel"]
+            for r in live.filter(F.expr(condition))
+            .select("__rel").distinct().collect()
+        )
+        if not touched:
+            return snap["version"]
+        tset = frozenset(touched)
+        untouched = [f for f in snap["files"] if f not in tset]
+        scan = self._scan_live(
+            snap, touched, with_lineage=self._has_lineage(snap)
+        )
+        cond = F.expr(condition)
+        out_cols = []
+        for fld in schema.fields:
+            if fld.name in set:
+                out_cols.append(
+                    F.when(cond, F.expr(set[fld.name]).cast(fld.dataType))
+                    .otherwise(F.col(fld.name))
+                    .alias(fld.name)
+                )
+            else:
+                out_cols.append(F.col(fld.name))
+        if self._has_lineage(snap):
+            out_cols.append(F.col(self.ROW_ID_COL))
+        rewritten = scan.select(*out_cols)
+        self._enforce(rewritten)
+        staged = self._write_files(rewritten)
+        base = self.manifest()
+        if base["version"] != snap["version"]:
+            raise ConcurrentWriteError(
+                "commit landed during update_where; re-run against the new log"
+            )
+        try:
+            return self._publish_once(
+                base, untouched + staged, "update_where",
+                snap["schema"], txn=txn,
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                "commit landed during update_where; re-run against the new log"
+            ) from None
+
+    # above this many matching rows, delete_rows_where flips from
+    # merge-on-read positional deletes to a copy-on-write rewrite of
+    # the touched files (the Delta deletion-vector vs rewrite policy):
+    # pos-delete pair files are driver-read at plan time by contract,
+    # so they must stay delete-sized
+    DELETE_MOR_MAX_ROWS = 100_000
+
+    def delete_rows_where(
+        self, condition: str, mode: str = "auto"
+    ) -> int:
+        """Predicate DELETE — Delta's ``DELETE FROM t WHERE cond``
+        (round 11), completing the delete surface (``commit_delete_where``
+        is key-list equality, this is an arbitrary row predicate).
+        Routing, decided from the MATCH COUNT like Delta's
+        deletion-vector policy:
+
+        - ``mode='mor'`` (or auto with few matches): the matching rows'
+          exact (file, pos) ordinals land as ONE positional-delete
+          commit — zero data files rewritten, a handful of rows erased
+          from a 100 TB table costs one tiny pair file;
+        - ``mode='rewrite'`` (or auto past ``DELETE_MOR_MAX_ROWS``):
+          the touched files rewrite without their matching rows
+          (copy-on-write), untouched files carry byte-identical —
+          a mass delete must not create a pair file the planner
+          driver-reads forever.
+
+        NULL conditions delete nothing (SQL semantics). CDC: the MoR
+        route emits exact pos-delete retractions; the rewrite route
+        emits the rewrite diff. No-op when nothing matches."""
+        if mode not in ("auto", "mor", "rewrite"):
+            raise ValueError(f"mode must be auto|mor|rewrite, got {mode!r}")
+        snap = self.manifest()
+        if not snap["files"]:
+            raise ValueError("delete_rows_where on an empty table")
+        live = self._scan_live_meta(snap, snap["files"])
+        matches = live.filter(F.expr(condition)).persist()
+        try:
+            n = matches.count()
+            if n == 0:
+                return snap["version"]
+            route = mode
+            if mode == "auto":
+                route = "mor" if n <= self.DELETE_MOR_MAX_ROWS else "rewrite"
+            if route == "mor":
+                return self.commit_delete_positions(
+                    matches.select(
+                        F.col("__rel").alias("file"),
+                        F.col("__pos").alias("pos"),
+                    )
+                )
+            touched = sorted(
+                r["__rel"]
+                for r in matches.select("__rel").distinct().collect()
+            )
+            tset = frozenset(touched)
+            untouched = [f for f in snap["files"] if f not in tset]
+            scan = self._scan_live(
+                snap, touched, with_lineage=self._has_lineage(snap)
+            )
+            survivors = scan.filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            staged = self._write_files(survivors)
+            base = self.manifest()
+            if base["version"] != snap["version"]:
+                raise ConcurrentWriteError(
+                    "commit landed during delete_rows_where; re-run "
+                    "against the new log"
+                )
+            try:
+                return self._publish_once(
+                    base, untouched + staged, "delete_rows_where",
+                    snap.get("schema"),
+                )
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    "commit landed during delete_rows_where; re-run "
+                    "against the new log"
+                ) from None
+        finally:
+            matches.unpersist()
+
     def commit_delete_where(self, keys_df: DataFrame, key: str) -> int:
         """Equality-delete commit (merge-on-read): stage the DISTINCT
         key values as a delete file and publish a manifest that keeps
@@ -4155,19 +4316,36 @@ class VersionedTable:
             return {}
         if len(cand) > self._RC_FILE_CAP:
             return None
-        deletes = base.get("deletes", [])
-        fv = base.get("file_versions", {})
+        live = self._scan_live_meta(base, cand)
+        counted = (
+            live.join(
+                F.broadcast(keys_df.select(key).distinct()),
+                on=key, how="left_semi",
+            )
+            .groupBy("__rel")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        return {r["__rel"]: int(r["__n"]) for r in counted.collect()}
+
+    def _scan_live_meta(self, m: dict, files: list[str]) -> DataFrame:
+        """``_scan_live`` that RETAINS the ``__rel``/``__pos`` file
+        attribution columns (manifest-relative path + row index) —
+        the building block for operations that must know WHICH live
+        file holds a matching row (retraction counting, predicate
+        UPDATE/DELETE file discovery, positional-delete routing)."""
+        deletes = m.get("deletes", [])
+        fv = m.get("file_versions", {})
         groups: dict[tuple, list[str]] = {}
-        for f in cand:
+        for f in files:
             added = fv.get(f, 0)
             sig = tuple(
                 i for i, d in enumerate(deletes) if added <= d["version"]
             )
             groups.setdefault(sig, []).append(f)
-        pos = base.get("pos_deletes", [])
-        counted = None
+        pos = m.get("pos_deletes", [])
+        out = None
         for sig, gfiles in sorted(groups.items()):
-            df = self._scan(base, gfiles, with_meta=True)
+            df = self._scan(m, gfiles, with_meta=True)
             gset = set(gfiles)
             if pos and any(t in gset for d in pos for t in d["targets"]):
                 pairs = None
@@ -4185,12 +4363,8 @@ class VersionedTable:
                 df = df.join(
                     F.broadcast(self._delete_keys(d)), on=d["key"], how="left_anti"
                 )
-            df = df.join(
-                F.broadcast(keys_df.select(key).distinct()), on=key, how="left_semi"
-            )
-            g = df.groupBy("__rel").agg(F.count(F.lit(1)).alias("__n"))
-            counted = g if counted is None else counted.unionByName(g)
-        return {r["__rel"]: int(r["__n"]) for r in counted.collect()}
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def commit_delete_positions(self, pos_df: DataFrame) -> int:
         """POSITIONAL-delete commit (Iceberg v2 position deletes / the

@@ -2729,3 +2729,135 @@ def p_catalog_streamed_txn(spark, sf_dir):
         )
 
     return roll(ev, "evens").unionByName(roll(od, "odds"))
+
+
+@query(
+    "p_versioned_update_where",
+    oracle="""
+    WITH updated AS (
+      SELECT CASE WHEN o_custkey % 7 = 0 THEN '9-REPRICED'
+                  ELSE o_orderpriority END AS prio,
+             CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM updated GROUP BY prio
+    """,
+    doc=(
+        "Predicate UPDATE (round 11 — Delta's UPDATE t SET col = expr "
+        "WHERE cond): one live scan finds the files holding matching "
+        "rows, ONLY those rewrite (matching rows through the set "
+        "expressions, neighbors carried verbatim), every provably "
+        "untouched file carries byte-identical — asserted in-query "
+        "against the manifest. The final state must equal the oracle's "
+        "CASE formulation."
+    ),
+    tags=("pipeline", "versioned", "update"),
+)
+def p_versioned_update_where(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_updw_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    # matching rows isolated in their own files: the second append's
+    # files must carry through the update untouched
+    t.commit_append(orders.filter(F.col("o_custkey") % 7 == 0))
+    t.commit_append(orders.filter(F.col("o_custkey") % 7 != 0))
+    m0 = t.manifest()
+    clean = {
+        f for f in m0["files"]
+        if t.manifest()["file_versions"][f] == 2
+    }
+    t.update_where(
+        {
+            "o_orderpriority": "'9-REPRICED'",
+            "o_totalprice": "o_totalprice * 2",
+        },
+        "o_custkey % 7 = 0",
+    )
+    m1 = t.manifest()
+    if not clean <= set(m1["files"]):
+        raise RuntimeError("update_where rewrote provably-untouched files")
+    if set(m1["files"]) & (set(m0["files"]) - clean):
+        raise RuntimeError("update_where carried a matching file unrewritten")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
+
+
+@query(
+    "p_versioned_delete_expr",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+      AND o_orderkey % 2 <> 0
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Predicate DELETE (round 11 — Delta's DELETE FROM t WHERE "
+        "cond) with BOTH routes exercised and asserted in-query: a "
+        "selective predicate lands as merge-on-read POSITIONAL deletes "
+        "(zero data files rewritten — file list unchanged, metadata "
+        "COUNT still answers scan-free), then a mass predicate runs "
+        "copy-on-write (touched files rewritten without matches). The "
+        "surviving aggregate must equal the oracle's double-NOT "
+        "filter."
+    ),
+    tags=("pipeline", "versioned", "delete"),
+)
+def p_versioned_delete_expr(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_delw_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    files0 = list(t.manifest()["files"])
+    n0 = t.snapshot_rows()
+    # route 1: selective -> MoR pos-deletes, zero rewrites
+    t.delete_rows_where(
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+    )
+    m = t.manifest()
+    if m["files"] != files0:
+        raise RuntimeError("MoR delete route rewrote data files")
+    if not m.get("pos_deletes"):
+        raise RuntimeError("MoR delete route produced no pos-delete entry")
+    n1 = t.snapshot_rows()
+    if n1 is None or n1 >= n0:
+        raise RuntimeError("metadata COUNT wrong after MoR predicate delete")
+    # route 2: mass delete -> copy-on-write
+    t.delete_rows_where("o_orderkey % 2 = 0", mode="rewrite")
+    if t.manifest()["op"] != "delete_rows_where":
+        raise RuntimeError("rewrite route did not commit")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
