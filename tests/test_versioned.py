@@ -2769,3 +2769,75 @@ def test_update_delete_where_respect_prior_mor_deletes(spark, root):
     assert got == {(1, "U"), (3, "U")}  # k=2 stays dead
     t.delete_rows_where("v = 'U'", mode="rewrite")
     assert t.read().count() == 0
+
+
+# ---- round 11: MERGE INTO SQL front door ------------------------------------
+
+from unity_to_bigquery_spark.plans.versioned import parse_merge_sql  # noqa: E402
+
+
+def test_parse_merge_sql_grammar():
+    (k, sk), cl = parse_merge_sql("""
+        MERGE INTO tbl AS tgt USING src AS st
+        ON tgt.k = st.sk
+        WHEN MATCHED AND st.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = upper(st.v), amt = tgt.amt + st.amt
+        WHEN NOT MATCHED AND st.op <> 'del' THEN
+            INSERT (k, v) VALUES (st.sk, concat(st.v, '-new'))
+        WHEN NOT MATCHED BY SOURCE AND tgt.stale THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(tgt.v, '?');
+    """)
+    assert (k, sk) == ("k", "sk")
+    assert [(c["when"], c["action"]) for c in cl] == [
+        ("matched", "delete"), ("matched", "update"),
+        ("not_matched", "insert"), ("not_matched_by_source", "delete"),
+        ("not_matched_by_source", "update"),
+    ]
+    assert cl[0]["condition"] == "s.op = 'del'"
+    assert cl[1]["set"] == {"v": "upper(s.v)", "amt": "t.amt + s.amt"}
+    assert cl[2]["set"] == {"k": "s.sk", "v": "concat(s.v, '-new')"}
+    assert cl[4]["set"] == {"v": "concat(t.v, '?')"}
+    # star forms + default aliases
+    (_k, _sk), cl2 = parse_merge_sql(
+        "MERGE INTO a t USING b s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert cl2[0]["set"] is None and cl2[1]["set"] is None
+    # rejections
+    for bad, msg in [
+        ("MERGE INTO a USING b ON t.k = s.k OR 1=1 WHEN MATCHED THEN DELETE",
+         "single-equality"),
+        ("MERGE INTO a USING b ON t.k = s.k WHEN NOT MATCHED THEN DELETE",
+         "cannot DELETE"),
+        ("MERGE INTO a USING b ON t.k = s.k WHEN MATCHED THEN FROBNICATE",
+         "unknown action"),
+        ("MERGE INTO a USING b ON t.k = s.k "
+         "WHEN NOT MATCHED THEN INSERT (a, b) VALUES (1)",
+         "count mismatch"),
+        ("MERGE INTO a USING b ON t.k = s.k "
+         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+         "explicit SET"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_merge_sql(bad)
+
+
+def test_merge_sql_executes_like_clause_api(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    src = spark.createDataFrame(
+        [(1, "A", "up"), (2, "x", "drop"), (5, "E", "up")],
+        "sk INT, v STRING, op STRING",
+    )
+    t.merge_sql(src, """
+        MERGE INTO target tgt USING updates u ON tgt.k = u.sk
+        WHEN MATCHED AND u.op = 'drop' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = upper(u.v)
+        WHEN NOT MATCHED AND u.op <> 'drop' THEN
+            INSERT (k, v) VALUES (u.sk, u.v)
+        WHEN NOT MATCHED BY SOURCE AND tgt.k = 3 THEN
+            UPDATE SET v = concat(tgt.v, '!')
+        WHEN NOT MATCHED BY SOURCE AND tgt.k = 4 THEN DELETE
+    """)
+    assert _mrows(t) == {(1, "A"), (3, "c!"), (5, "E")}
+    assert t.manifest()["op"] == "merge"

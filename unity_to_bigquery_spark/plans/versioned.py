@@ -384,6 +384,171 @@ def when_not_matched_by_source_delete(condition: str | None = None) -> dict:
     return _merge_clause("not_matched_by_source", "delete", None, condition)
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/bracket depth zero, outside string
+    literals — the assignment-list / VALUES-list splitter."""
+    parts, cur, depth, instr = [], [], 0, None
+    for ch in s:
+        if instr is not None:
+            cur.append(ch)
+            if ch == instr:
+                instr = None
+            continue
+        if ch in "'\"":
+            instr = ch
+            cur.append(ch)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_merge_sql(stmt: str) -> tuple[tuple[str, str], list[dict]]:
+    """Parse a Delta-style ``MERGE INTO`` statement into
+    ``((target_key, source_key), clauses)`` for :meth:`VersionedTable.
+    merge` — the SQL front door over the programmatic clause API.
+
+    Supported grammar (case-insensitive keywords)::
+
+        MERGE INTO <name> [AS] [talias]
+        USING <name> [AS] [salias]
+        ON talias.col = salias.col            -- single equality only
+        WHEN MATCHED [AND cond] THEN UPDATE SET a = expr, ... | UPDATE SET * | DELETE
+        WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs) | INSERT *
+        WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE
+
+        (table names are decorative — the DataFrames are passed in)
+
+    Aliases other than ``t``/``s`` are rewritten to ``t.``/``s.``
+    qualifiers by word-boundary substitution; avoid string literals
+    containing ``<alias>.`` if you use custom aliases."""
+    import re
+
+    s = stmt.strip().rstrip(";")
+    parts = re.split(r"(?i)\bWHEN\b", s)
+    head, when_parts = parts[0], parts[1:]
+    hm = re.match(
+        r"(?is)^\s*MERGE\s+INTO\s+(?P<tgt>[\w.]+)"
+        r"(?:\s+AS)?(?:\s+(?!USING\b)(?P<ta>\w+))?"
+        r"\s+USING\s+(?P<src>[\w.]+)"
+        r"(?:\s+AS)?(?:\s+(?!ON\b)(?P<sa>\w+))?"
+        r"\s+ON\s+(?P<on>.+?)\s*$",
+        head,
+    )
+    if hm is None:
+        raise ValueError(
+            "merge_sql: expected 'MERGE INTO <t> [alias] USING <s> "
+            f"[alias] ON <cond> WHEN ...', got {head!r}"
+        )
+    ta, sa = hm["ta"] or "t", hm["sa"] or "s"
+
+    def requalify(expr: str | None) -> str | None:
+        if expr is None or (ta == "t" and sa == "s"):
+            return expr
+        out = re.sub(rf"\b{re.escape(ta)}\.", "\x00T\x00", expr)
+        out = re.sub(rf"\b{re.escape(sa)}\.", "\x00S\x00", out)
+        return out.replace("\x00T\x00", "t.").replace("\x00S\x00", "s.")
+
+    om = re.fullmatch(
+        r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", hm["on"]
+    )
+    if om is None:
+        raise ValueError(
+            "merge_sql supports a single-equality ON "
+            f"(<alias>.<col> = <alias>.<col>), got {hm['on']!r}"
+        )
+    by_alias = {om.group(1): om.group(2), om.group(3): om.group(4)}
+    if set(by_alias) != {ta, sa}:
+        raise ValueError(
+            f"merge_sql ON must reference both aliases {ta!r}/{sa!r}, "
+            f"got {hm['on']!r}"
+        )
+    key, skey = by_alias[ta], by_alias[sa]
+
+    clauses = []
+    for part in when_parts:
+        pm = re.match(
+            r"(?is)^\s*(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+            r"\s*(?:AND\s+(?P<cond>.*?))?\s*\bTHEN\b\s*(?P<action>.+?)\s*$",
+            part,
+        )
+        if pm is None:
+            raise ValueError(f"merge_sql: unparseable WHEN clause {part!r}")
+        kind = re.sub(r"\s+", " ", pm["kind"]).upper()
+        when = {
+            "MATCHED": "matched",
+            "NOT MATCHED": "not_matched",
+            "NOT MATCHED BY SOURCE": "not_matched_by_source",
+        }[kind]
+        cond = requalify(pm["cond"].strip()) if pm["cond"] else None
+        action = pm["action"].strip()
+        au = action.upper()
+        if au == "DELETE":
+            if when == "not_matched":
+                raise ValueError("WHEN NOT MATCHED cannot DELETE")
+            clauses.append(_merge_clause(when, "delete", None, cond))
+        elif au.startswith("UPDATE"):
+            if when == "not_matched":
+                raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+            body = re.sub(r"(?is)^UPDATE\s+SET\s*", "", action)
+            if body.strip() == "*":
+                if when == "not_matched_by_source":
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE UPDATE needs explicit SET "
+                        "(there is no source row to copy)"
+                    )
+                clauses.append(_merge_clause(when, "update", None, cond))
+            else:
+                assigns = {}
+                for a in _split_top(body):
+                    col, eq, expr = a.partition("=")
+                    if not eq or not col.strip() or not expr.strip():
+                        raise ValueError(f"merge_sql: bad assignment {a!r}")
+                    c = col.strip()
+                    c = c.split(".", 1)[1] if c.startswith(f"{ta}.") else c
+                    assigns[c] = requalify(expr.strip())
+                clauses.append(_merge_clause(when, "update", assigns, cond))
+        elif au.startswith("INSERT"):
+            if when != "not_matched":
+                raise ValueError("INSERT is only valid WHEN NOT MATCHED")
+            body = re.sub(r"(?is)^INSERT\s*", "", action)
+            if body.strip() == "*":
+                clauses.append(_merge_clause(when, "insert", None, cond))
+            else:
+                im = re.match(
+                    r"(?is)^\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                    body,
+                )
+                if im is None:
+                    raise ValueError(
+                        f"merge_sql: INSERT needs (cols) VALUES (exprs) "
+                        f"or *, got {action!r}"
+                    )
+                cols = [c.strip() for c in _split_top(im["cols"])]
+                vals = [requalify(v) for v in _split_top(im["vals"])]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"merge_sql: INSERT column/value count mismatch "
+                        f"({len(cols)} vs {len(vals)})"
+                    )
+                clauses.append(
+                    _merge_clause(when, "insert", dict(zip(cols, vals)), cond)
+                )
+        else:
+            raise ValueError(f"merge_sql: unknown action {action!r}")
+    if not clauses:
+        raise ValueError("merge_sql: no WHEN clauses")
+    return (key, skey), clauses
+
+
 class VersionedTable:
     """A parquet table whose state is defined by its latest manifest.
 
@@ -4081,6 +4246,26 @@ class VersionedTable:
             raise ConcurrentWriteError(
                 "commit landed during merge; re-run against the new log"
             ) from None
+
+    def merge_sql(
+        self,
+        source: DataFrame,
+        stmt: str,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """SQL front door over :meth:`merge`: parse a Delta-style
+        ``MERGE INTO`` statement (grammar in :func:`parse_merge_sql`)
+        and execute it against this table with ``source`` as the USING
+        relation — table names in the statement are decorative, the
+        DataFrames are what runs. Identical semantics, atomicity, CDC,
+        and ``txn`` idempotence as the programmatic clause API (the
+        parse is pure; everything else IS merge())."""
+        (key, skey), clauses = parse_merge_sql(stmt)
+        return self.merge(
+            source, key, clauses,
+            source_key=skey, txn=txn, merge_schema=merge_schema,
+        )
 
     def update_where(
         self,

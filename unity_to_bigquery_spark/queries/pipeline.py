@@ -2861,3 +2861,88 @@ def p_versioned_delete_expr(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_merge_sql",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, 'upd' AS op FROM orders
+      WHERE o_orderkey % 20 = 0 AND o_orderkey % 30 <> 0
+      UNION ALL
+      SELECT o_orderkey, 'del' FROM orders WHERE o_orderkey % 30 = 0
+    ), tgt AS (
+      SELECT CASE WHEN s.op = 'upd' THEN o.o_totalprice * 2
+                  ELSE o.o_totalprice END AS price,
+             CASE WHEN s.op IS NULL AND o.o_custkey % 10 = 3 THEN '5-STALE'
+                  ELSE o.o_orderpriority END AS prio
+      FROM orders o LEFT JOIN src s ON o.o_orderkey = s.k
+      WHERE COALESCE(s.op, '') <> 'del'
+        AND NOT (s.op IS NULL AND o.o_custkey % 10 = 4)
+    ), ins AS (
+      SELECT o_totalprice AS price, o_orderpriority AS prio
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), final AS (
+      SELECT * FROM tgt UNION ALL SELECT * FROM ins
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM final GROUP BY prio
+    """,
+    doc=(
+        "MERGE INTO as a SQL STATEMENT (round 11 — the Delta SQL front "
+        "door over VersionedTable.merge): the exact "
+        "p_versioned_merge_clauses gauntlet expressed as one MERGE "
+        "INTO string with custom aliases, parsed by parse_merge_sql "
+        "and executed through the clause engine — same oracle as the "
+        "programmatic twin, so the two queries' hashes must agree "
+        "with each other AND with DuckDB."
+    ),
+    tags=("pipeline", "versioned", "merge", "sql"),
+)
+def p_versioned_merge_sql(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_merge_sql_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    k = F.col("o_orderkey")
+    src = (
+        orders.filter((k % 20 == 0) & (k % 30 != 0))
+        .withColumn("op", F.lit("upd"))
+        .unionByName(orders.filter(k % 30 == 0).withColumn("op", F.lit("del")))
+        .unionByName(
+            orders.filter(k % 1000 == 0)
+            .withColumn("o_orderkey", k + F.lit(100000000))
+            .withColumn("op", F.lit("ins"))
+        )
+        .withColumnRenamed("o_orderkey", "sk")
+    )
+    cols = ", ".join(orders.columns)
+    vals = "u.sk, " + ", ".join(f"u.{c}" for c in orders.columns if c != "o_orderkey")
+    t.merge_sql(src, f"""
+        MERGE INTO orders_t tgt USING updates u ON tgt.o_orderkey = u.sk
+        WHEN MATCHED AND u.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = tgt.o_totalprice * 2
+        WHEN NOT MATCHED AND u.op = 'ins' THEN INSERT ({cols}) VALUES ({vals})
+        WHEN NOT MATCHED BY SOURCE AND tgt.o_custkey % 10 = 3 THEN
+            UPDATE SET o_orderpriority = '5-STALE'
+        WHEN NOT MATCHED BY SOURCE AND tgt.o_custkey % 10 = 4 THEN DELETE
+    """)
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
