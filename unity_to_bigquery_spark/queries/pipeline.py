@@ -2469,7 +2469,8 @@ def p_versioned_merge_clauses(spark, sf_dir):
     "p_versioned_type_promotion",
     oracle="""
     WITH gen1 AS (
-      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority, o_totalprice
+      SELECT CAST(o_orderkey % 1000000000 AS BIGINT) AS k,
+             o_orderpriority, o_totalprice
       FROM orders WHERE o_orderkey % 2 = 0
     ), gen2 AS (
       SELECT o_orderkey + 3000000000 AS k, o_orderpriority, o_totalprice
@@ -2506,7 +2507,9 @@ def p_versioned_type_promotion(spark, sf_dir):
     t = VersionedTable(spark, path)
     t.commit_append(
         orders.filter(F.col("o_orderkey") % 2 == 0).select(
-            F.col("o_orderkey").cast("int").alias("k"),
+            # % 1e9 bounds the int32 cast under scale_smoke's replica
+            # offsets (CLAUDE.md rule 14d); identity at base SFs
+            (F.col("o_orderkey") % 1000000000).cast("int").alias("k"),
             "o_orderpriority", "o_totalprice",
         )
     )
@@ -2835,9 +2838,13 @@ def p_versioned_delete_expr(spark, sf_dir):
     t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
     files0 = list(t.manifest()["files"])
     n0 = t.snapshot_rows()
-    # route 1: selective -> MoR pos-deletes, zero rewrites
+    # route 1: selective -> MoR pos-deletes, zero rewrites (mode pinned:
+    # at scale_smoke replication the match count crosses the auto
+    # threshold and auto correctly flips to rewrite — the route
+    # MECHANICS are what this stage asserts; the auto policy is
+    # unit-tested)
     t.delete_rows_where(
-        "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0"
+        "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0", mode="mor"
     )
     m = t.manifest()
     if m["files"] != files0:
