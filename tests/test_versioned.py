@@ -2841,3 +2841,90 @@ def test_merge_sql_executes_like_clause_api(spark, root):
     """)
     assert _mrows(t) == {(1, "A"), (3, "c!"), (5, "E")}
     assert t.manifest()["op"] == "merge"
+
+
+# ---- round 11: zero-copy CLONE ----------------------------------------------
+
+
+def test_clone_zero_copy_and_independence(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.commit_append(_df(spark, [(3, "c")]))
+    c = t.clone_linked(root + "_clone")
+    assert sorted(map(tuple, c.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    # zero data bytes copied: every clone data file is a hard link
+    import os as _os
+
+    from unity_to_bigquery_spark.plans.versioned import DATA_DIR
+    for f in c.manifest()["files"]:
+        st = _os.stat(_os.path.join(root + "_clone", DATA_DIR, f))
+        assert st.st_nlink >= 2, f
+    # divergence: mutations on either side never leak to the other
+    c.commit_append(_df(spark, [(9, "z")]))
+    c.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    t.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    assert {r.k for r in c.read().collect()} == {2, 3, 9}
+    # vacuum on the source cannot break the clone (hard links)
+    t.commit_overwrite(_df(spark, [(100, "new")]))
+    t.vacuum(keep_last=1, orphan_grace_sec=0)
+    assert {r.k for r in c.read().collect()} == {2, 3, 9}
+
+
+def test_clone_rebases_delete_sequencing(spark, root):
+    """A key re-inserted AFTER a delete must survive in the clone too
+    (the naive fv->1 collapse would kill it), and a NEW delete on the
+    clone must hit the carried files."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "old"), (2, "keep")]))
+    t.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    t.commit_append(_df(spark, [(1, "reborn")]))
+    c = t.clone_linked(root + "_clone")
+    got = {(r.k, r.v) for r in c.read().collect()}
+    assert got == {(1, "reborn"), (2, "keep")}
+    # new deletes sequence AFTER every carried file
+    c.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    assert {(r.k, r.v) for r in c.read().collect()} == {(2, "keep")}
+    # CDC from zero folds to the head state
+    feed = c.changes_with_type(0, 3)  # the clone's own K levels
+    import pyspark.sql.functions as F
+
+    net = (
+        feed.groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+            ).alias("n")
+        )
+        .filter("n != 0")
+    )
+    assert {(r.k, r.v) for r in net.collect()} == got
+
+
+def test_clone_time_travel_pos_deletes_and_validation(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    v1 = t.latest_version()
+    t.commit_append(_df(spark, [(10, "x")]))
+    f0 = t.manifest()["files"][0]
+    import pyspark.sql.functions as F
+
+    t.commit_delete_positions(
+        spark.createDataFrame([(f0, 0)], "file STRING, pos BIGINT")
+    )
+    # clone at an OLD version: pre-pos-delete, pre-append
+    old = t.clone_linked(root + "_old", version=v1)
+    assert old.read().count() == 6
+    # clone at head carries the pos-delete state verbatim
+    head = t.clone_linked(root + "_head")
+    assert sorted(map(tuple, head.read().collect())) == sorted(
+        map(tuple, t.read().collect())
+    )
+    assert head.snapshot_rows() == t.snapshot_rows()
+    with pytest.raises(ValueError, match="not empty"):
+        t.clone_linked(root + "_head")
+    t2 = VersionedTable(spark, root + "_never")
+    with pytest.raises(ValueError, match="never-committed"):
+        t2.clone_linked(root + "_x")

@@ -4247,6 +4247,105 @@ class VersionedTable:
                 "commit landed during merge; re-run against the new log"
             ) from None
 
+    def clone_linked(
+        self, dest_root: str, version: int | None = None
+    ) -> "VersionedTable":
+        """ZERO-COPY HARD-LINKED CLONE (round 11 — the stronger sibling
+        of :meth:`clone_to`, which refuses MoR-delete snapshots and
+        whose shallow form breaks under source vacuum): materialize
+        ``version``'s snapshot (default
+        head) as an INDEPENDENT table at ``dest_root`` whose version-1
+        manifest carries the snapshot's files, stats, merge-on-read
+        delete state, schema, partition spec, sort order, column
+        mapping, and row-lineage state verbatim — with every data and
+        delete file HARD-LINKED (``os.link``), so no data byte is
+        copied AND, unlike Delta's shallow clone, a later ``vacuum``
+        on the source cannot break the clone (the link keeps the bytes
+        alive; Delta documents the breakage as a shallow-clone caveat —
+        same-filesystem hard links give deep-clone safety at
+        shallow-clone cost). Cross-device targets fall back to a real
+        copy per file. Writes to either side never affect the other
+        (files are immutable; each table's log is its own). The
+        clone's txn map starts EMPTY — streaming sinks and derived
+        state begin fresh, by design."""
+        import shutil as _shutil
+
+        m = self.manifest(version)
+        if not m.get("schema"):
+            raise ValueError("clone_linked of a never-committed table")
+        dest = VersionedTable(self.spark, dest_root)
+        if dest.latest_version() != 0:
+            raise ValueError(f"clone target {dest_root} is not empty")
+        to_link = (
+            list(m["files"])
+            + [d["file"] for d in m.get("deletes", [])]
+            + [d["file"] for d in m.get("pos_deletes", [])]
+        )
+        for f in to_link:
+            src = os.path.join(self.root, DATA_DIR, f)
+            dst = os.path.join(dest_root, DATA_DIR, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                _shutil.copy2(src, dst)  # cross-device fallback
+        # SEQUENCING REBASE: equality deletes apply to files with
+        # fv <= delete.version, so the source's version NUMBERS can't
+        # collapse to 1 wholesale (a key re-inserted after a delete
+        # would wrongly die in the clone). Map the distinct live
+        # versions ORDER-PRESERVINGLY onto 1..K and write K progressive
+        # "level" manifests — level j holds the head files/deletes up
+        # to level j — so the clone's log is self-contained: new
+        # commits sequence correctly after K, CDC-from-0 folds to the
+        # head state, and time travel below K reads a consistent
+        # reconstruction. K = 1 for a freshly compacted source.
+        fv = m.get("file_versions", {})
+        deletes = m.get("deletes", [])
+        mv = m["version"]
+        levels = sorted(
+            {fv.get(f, mv) for f in m["files"]}
+            | {d["version"] for d in deletes}
+        ) or [mv]
+        rank = {v: i + 1 for i, v in enumerate(levels)}
+        K = len(levels)
+        drop = {
+            "version", "parent", "ts", "op", "txns", "n_files",
+            "delta_chain", "files_add", "files_remove", "add_stats",
+            "stats_update", "files", "stats", "file_versions",
+            "deletes", "pos_deletes",
+        }
+        carried = {k: v for k, v in m.items() if k not in drop}
+        stats = m.get("stats", {})
+        for j in range(1, K + 1):
+            files_j = [f for f in m["files"] if rank[fv.get(f, mv)] <= j]
+            payload = {
+                **carried,
+                "version": j,
+                "op": (
+                    f"clone({self.root}@{mv})" if j == K else "clone_level"
+                ),
+                "ts": time.time(),
+                "txns": {},
+                "n_files": len(files_j),
+                "files": files_j,
+                "stats": {f: s for f, s in stats.items() if f in set(files_j)},
+                "file_versions": {f: rank[fv.get(f, mv)] for f in files_j},
+                "deletes": [
+                    {**d, "version": rank[d["version"]]}
+                    for d in deletes
+                    if rank[d["version"]] <= j
+                ],
+                # pos-delete pairs name their target files explicitly
+                # (no version sequencing) — they land at the head level
+                "pos_deletes": m.get("pos_deletes", []) if j == K else [],
+            }
+            fd = os.open(
+                dest._mpath(j), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            with os.fdopen(fd, "w") as fh:
+                fh.write(json.dumps(payload, indent=0))
+        return dest
+
     def merge_sql(
         self,
         source: DataFrame,

@@ -2953,3 +2953,82 @@ def p_versioned_merge_sql(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_clone",
+    oracle="""
+    WITH w1 AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
+         w2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2),
+         at_clone AS (
+           SELECT * FROM w1 WHERE o_orderkey % 7 <> 0
+           UNION ALL SELECT * FROM w2
+         ),
+         clone_final AS (
+           SELECT o_orderpriority, o_totalprice FROM at_clone
+           WHERE o_orderkey % 5 <> 0
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey % 11 = 0
+         )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM clone_final GROUP BY o_orderpriority
+    """,
+    doc=(
+        "ZERO-COPY CLONE (round 11 — VersionedTable.clone_linked, the "
+        "Delta CLONE sandbox primitive, hard-link variant): the source "
+        "carries live merge-on-read deletes AND post-delete re-inserts; "
+        "the clone rebases the delete sequencing order-preservingly "
+        "(re-inserted keys survive, a NEW delete on the clone hits "
+        "carried files), every data byte is a hard link (st_nlink "
+        "asserted in-query — zero copy), and mutations on the clone "
+        "(a delete + an append) never leak back to the source "
+        "(asserted). The clone's final state must equal the oracle's "
+        "reconstruction."
+    ),
+    tags=("pipeline", "versioned", "clone"),
+)
+def p_versioned_clone(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import DATA_DIR, VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmp(f"versioned_clone_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedTable(spark, os.path.join(base, "src"))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 < 2))
+    t.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    n_src = t.read().count()
+    c = t.clone_linked(os.path.join(base, "clone"))
+    for f in c.manifest()["files"][:3]:
+        if os.stat(os.path.join(base, "clone", DATA_DIR, f)).st_nlink < 2:
+            raise RuntimeError(f"clone copied data bytes for {f}")
+    # clone-side mutations: a delete and an append
+    c.commit_delete_where(
+        orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        "o_orderkey",
+    )
+    c.commit_append(
+        orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(200000000)
+        )
+    )
+    if t.read().count() != n_src:
+        raise RuntimeError("clone mutations leaked into the source")
+    return (
+        c.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
