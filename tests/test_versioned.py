@@ -2172,10 +2172,10 @@ def test_metadata_tables_and_refusals(spark, root):
     assert all(r.partition and "k_bucket2" in r.partition for r in files)
     mp = {r.k_bucket2: (r.n_files, r.n_rows) for r in t.meta_partitions().collect()}
     assert sum(nr for _nf, nr in mp.values()) == 4
-    # refusal: live equality delete makes partition counts inexact
+    # r11: a live equality delete subtracts its captured per-file
+    # row_counts — partition counts stay exact, scan-free
     t.commit_delete_where(_df(spark, [(1, "")]).select("k"), "k")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        t.meta_partitions()
+    assert sum(r.n_rows for r in t.meta_partitions().collect()) == 3
     t.compact()
     assert sum(r.n_rows for r in t.meta_partitions().collect()) == 3
     # refusal: no partition spec
@@ -2928,3 +2928,50 @@ def test_clone_time_travel_pos_deletes_and_validation(spark, root):
     t2 = VersionedTable(spark, root + "_never")
     with pytest.raises(ValueError, match="never-committed"):
         t2.clone_linked(root + "_x")
+
+
+def test_meta_partitions_under_mor_deletes(spark, root):
+    """r11: meta_partitions answers exactly under eq-deletes (per-file
+    row_counts attributed to partitions) and under pos-deletes (live
+    pairs per target file); refuses the eq+pos combination and
+    count-less legacy entries."""
+    import json as _json
+
+    t = VersionedTable(spark, root, partition_spec=["ds"])
+    t.commit_append(_df(spark, [(1, "a1"), (2, "a2"), (3, "a3")], ds="a"))
+    t.commit_append(_df(spark, [(4, "b1"), (5, "b2")], ds="b"))
+    t.commit_delete_where(spark.createDataFrame([(1,), (4,)], "k INT"), "k")
+    mp = {r.ds: r.n_rows for r in t.meta_partitions().collect()}
+    assert mp == {"a": 2, "b": 1}
+    # direct read agrees partition by partition
+    direct = {
+        r.ds: r.n for r in t.read().groupBy("ds").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert mp == direct
+    # pos-only table
+    t2 = VersionedTable(spark, root + "_pos", partition_spec=["ds"])
+    t2.commit_append(_df(spark, [(1, "x"), (2, "y")], ds="a"))
+    f0 = t2.manifest()["files"][0]
+    t2.commit_delete_positions(
+        spark.createDataFrame([(f0, 0)], "file STRING, pos BIGINT")
+    )
+    mp2 = {r.ds: r.n_rows for r in t2.meta_partitions().collect()}
+    assert sum(mp2.values()) == t2.read().count() == 1
+    # eq + pos both live -> refuse
+    t2.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    with pytest.raises(ValueError, match="both"):
+        t2.meta_partitions()
+    # legacy (count-less) eq entry -> refuse
+    t3 = VersionedTable(spark, root + "_legacy", partition_spec=["ds"])
+    t3.commit_append(_df(spark, [(1, "x")], ds="a"))
+    t3.commit_delete_where(spark.createDataFrame([(1,)], "k INT"), "k")
+    mpath = t3._mpath(t3.latest_version())
+    mj = _json.load(open(mpath))
+    for d in mj["deletes"]:
+        d.pop("row_counts", None)
+    with open(mpath, "w") as fh:
+        _json.dump(mj, fh)
+    t3b = VersionedTable(spark, root + "_legacy")
+    with pytest.raises(ValueError, match="no row_counts"):
+        t3b.meta_partitions()

@@ -2307,20 +2307,57 @@ class VersionedTable:
     def meta_partitions(self, version: int | None = None) -> DataFrame:
         """Per-partition-tuple rollup from manifest stats alone:
         partition field columns + n_files + n_rows — Iceberg's
-        ``partitions`` metadata table. Exact only when the snapshot has
-        no live merge-on-read deletes and every file carries __nrows
-        (raises otherwise rather than answering wrong — the
-        snapshot_rows refusal discipline, per partition). Requires a
-        partition spec at the read version."""
+        ``partitions`` metadata table. Round 11: live merge-on-read
+        deletes no longer force a blanket refusal — equality deletes
+        subtract their captured per-file ``row_counts`` (exactly the
+        snapshot_rows protocol, here attributed to each file's
+        partition) and positional deletes subtract live pairs grouped
+        by target file. Still refuses rather than answering wrong
+        when: eq+pos deletes are BOTH live (double-subtract hazard), a
+        delete entry has no row_counts (legacy/replace-keys), or a
+        file lacks __nrows. Requires a partition spec at the read
+        version."""
         m = self.manifest(version)
         spec = self._manifest_spec(m)
         if not spec:
             raise ValueError("meta_partitions: table has no partition spec")
-        if m.get("deletes") or m.get("pos_deletes"):
+        deletes = m.get("deletes", [])
+        pos = m.get("pos_deletes", [])
+        if deletes and pos:
             raise ValueError(
-                "meta_partitions: live merge-on-read deletes make "
-                "metadata counts inexact — compact() first"
+                "meta_partitions: equality AND positional deletes both "
+                "live — metadata counts could double-subtract; compact() "
+                "first"
             )
+        per_file_sub: dict = {}
+        if deletes:
+            live = set(m["files"])
+            fvv = m.get("file_versions", {})
+            for d in deletes:
+                rc = d.get("row_counts")
+                if rc is None:
+                    raise ValueError(
+                        "meta_partitions: a live equality delete carries "
+                        "no row_counts (legacy or replace-keys entry) — "
+                        "compact() first"
+                    )
+                for f, n in rc.items():
+                    if f in live and fvv.get(f, 0) <= d["version"]:
+                        per_file_sub[f] = per_file_sub.get(f, 0) + int(n)
+        elif pos:
+            import pyarrow.parquet as _pq
+
+            live = set(m["files"])
+            pairs: set = set()
+            for d in pos:
+                tbl = _pq.read_table(
+                    os.path.join(self.root, DATA_DIR, d["file"]),
+                    columns=["file", "pos"],
+                )
+                fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+                pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
+            for f, _p in pairs:
+                per_file_sub[f] = per_file_sub.get(f, 0) + 1
         fields = [fld["name"] for fld in spec]
         stats = m.get("stats", {})
         agg: dict = {}
@@ -2331,6 +2368,7 @@ class VersionedTable:
                 raise ValueError(
                     f"meta_partitions: file {f!r} has no __nrows stat"
                 )
+            n = int(n) - per_file_sub.get(f, 0)
             key = tuple(s.get(f"part:{fld}") for fld in fields)
             if any(v is None for v in key):
                 # NULL partition values render as the Hive default
