@@ -2975,3 +2975,117 @@ def test_meta_partitions_under_mor_deletes(spark, root):
     t3b = VersionedTable(spark, root + "_legacy")
     with pytest.raises(ValueError, match="no row_counts"):
         t3b.meta_partitions()
+
+
+def test_merge_clause_differential_vs_python_reference(spark, root):
+    """Seeded differential battery for the clause engine: randomized
+    target/source tables driven through randomized clause subsets,
+    compared row-for-row against a pure-Python reference implementing
+    the MERGE semantics (first-true-wins per group, keep/drop
+    fallbacks, NULL conditions never fire)."""
+    import random
+
+    # clause templates: (constructor kwargs, python predicate, python effect)
+    def m_del_neg(): return (
+        when_matched_delete(condition="s.x < 0"),
+        lambda t, s: s["x"] is not None and s["x"] < 0, ("delete", None),
+    )
+
+    def m_upd_add(): return (
+        when_matched_update({"v": "t.v + s.x"}, condition="s.x >= 0"),
+        lambda t, s: s["x"] is not None and s["x"] >= 0,
+        ("update", lambda t, s: {"v": (None if t["v"] is None or s["x"] is None
+                                       else t["v"] + s["x"])}),
+    )
+
+    def nm_ins(): return (
+        when_not_matched_insert({"k": "s.k", "v": "s.x"}, condition="s.x > 2"),
+        lambda s: s["x"] is not None and s["x"] > 2,
+        ("insert", lambda s: {"k": s["k"], "v": s["x"], "x": None}),
+    )
+
+    def nmbs_del(): return (
+        when_not_matched_by_source_delete(condition="t.v > 50"),
+        lambda t: t["v"] is not None and t["v"] > 50, ("delete", None),
+    )
+
+    def nmbs_upd(): return (
+        when_not_matched_by_source_update({"x": "t.v * 2"}, condition="t.v <= 50"),
+        lambda t: t["v"] is not None and t["v"] <= 50,
+        ("update", lambda t: {"x": None if t["v"] is None else t["v"] * 2}),
+    )
+
+    for trial in range(6):
+        rng = random.Random(1000 + trial)
+        tgt_rows = [
+            (k, rng.choice([None, rng.randint(0, 100)]),
+             rng.choice([None, rng.randint(-5, 5)]))
+            for k in rng.sample(range(20), rng.randint(3, 10))
+        ]
+        src_keys = rng.sample(range(25), rng.randint(3, 10))
+        src_rows = [
+            (k, rng.choice([None, rng.randint(0, 100)]),
+             rng.choice([None, rng.randint(-5, 5)]))
+            for k in src_keys
+        ]
+        matched_pool = [m_del_neg(), m_upd_add()]
+        rng.shuffle(matched_pool)
+        groups = (
+            matched_pool[: rng.randint(0, 2)]
+            + ([nm_ins()] if rng.random() < 0.8 else [])
+            + [c for c in (nmbs_del(), nmbs_upd()) if rng.random() < 0.6]
+        )
+        if not groups:
+            groups = [m_upd_add()]
+        clauses = [g[0] for g in groups]
+        # ---- python reference --------------------------------------
+        src_by_k = {r[0]: {"k": r[0], "v": r[1], "x": r[2]} for r in src_rows}
+        expected = []
+        for k, v, x in tgt_rows:
+            trow = {"k": k, "v": v, "x": x}
+            srow = src_by_k.get(k)
+            fired = False
+            for (cl, pred, eff) in groups:
+                if srow is not None and cl["when"] == "matched":
+                    if pred(trow, srow):
+                        if eff[0] == "update":
+                            trow = {**trow, **eff[1](trow, srow)}
+                            expected.append(trow)
+                        fired = True
+                        break
+                elif srow is None and cl["when"] == "not_matched_by_source":
+                    if pred(trow):
+                        if eff[0] == "update":
+                            trow = {**trow, **eff[1](trow)}
+                            expected.append(trow)
+                        fired = True
+                        break
+            if not fired:
+                expected.append(trow)
+        tgt_keys = {r[0] for r in tgt_rows}
+        for srow in src_by_k.values():
+            if srow["k"] in tgt_keys:
+                continue
+            for (cl, pred, eff) in groups:
+                if cl["when"] == "not_matched" and pred(srow):
+                    expected.append(eff[1](srow))
+                    break
+        # ---- engine -------------------------------------------------
+        r = f"{root}_t{trial}"
+        t = VersionedTable(spark, r)
+        t.commit_append(
+            spark.createDataFrame(tgt_rows, "k INT, v INT, x INT")
+        )
+        t.merge(
+            spark.createDataFrame(src_rows, "k INT, v INT, x INT"),
+            "k", clauses,
+        )
+        got = sorted(
+            (row.k, row.v, row.x) for row in t.read().collect()
+        )
+        want = sorted((e["k"], e.get("v"), e.get("x")) for e in expected)
+        assert got == want, (
+            f"trial {trial}: clauses="
+            f"{[(c['when'], c['action'], c['condition']) for c in clauses]}"
+            f"\ngot  {got}\nwant {want}"
+        )
