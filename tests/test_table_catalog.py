@@ -263,3 +263,37 @@ def test_catalog_txn_sink_replay_noop_and_recover(spark, cat, tmp_path):
     # validation
     with pytest.raises(ValueError, match=">= 2 member tables"):
         catalog_txn_sink(cat, "app", {"ev": lambda b: b})
+
+
+def test_tables_drop_and_expire_entries(spark, cat):
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a")]))
+    tx.write("t2").commit_append(_df(spark, [(2, "b")]))
+    v = tx.commit()
+    assert cat.tables() == ["t1", "t2"]
+    # drop: pin removed, files remain, old versions still travel
+    cat.drop_table("t2")
+    assert cat.tables() == ["t1"]
+    with pytest.raises(CatalogError, match="not in catalog"):
+        cat.read("t2")
+    assert cat.tables(v) == ["t1", "t2"]  # time travel pre-drop
+    assert cat.read("t2", v).count() == 1
+    with pytest.raises(CatalogError, match="unknown"):
+        cat.drop_table("t2")
+    # re-register after drop works
+    cat.create_table("t2")
+    assert cat.tables() == ["t1", "t2"]
+    # expiration: old entries gone, latest + horizon survive
+    for i in range(4):
+        cat.sync("t1")
+    latest = cat.latest_version()
+    dropped = cat.expire_entries(keep_last=2)
+    assert dropped and latest not in dropped
+    assert cat.entry()["version"] == latest
+    assert cat.tables() == ["t1", "t2"]
+    with pytest.raises(CatalogError, match="no catalog version"):
+        cat.entry(dropped[0])
+    with pytest.raises(ValueError, match=">= 1"):
+        cat.expire_entries(0)

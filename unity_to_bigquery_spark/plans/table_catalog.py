@@ -97,14 +97,19 @@ class TableCatalog:
         except FileNotFoundError:
             raise CatalogError(f"no catalog version {v} in {self.root}")
 
-    def _cas_entry(self, pins: dict, txn_id: str | None) -> int:
+    def _cas_entry(
+        self, pins: dict, txn_id: str | None, drops: tuple = ()
+    ) -> int:
         """One catalog commit via O_EXCL — the same lost-update-proof
         CAS the table log uses. ``pins`` override/extend the previous
-        entry's table set; everything else carries forward."""
+        entry's table set, ``drops`` remove names; everything else
+        carries forward."""
         for _ in range(20):
             base = self.entry()
             tables = dict(base["tables"])
             tables.update(pins)
+            for n in drops:
+                tables.pop(n, None)
             v = base["version"] + 1
             payload = json.dumps(
                 {"version": v, "tables": tables, "txn_id": txn_id}
@@ -163,6 +168,45 @@ class TableCatalog:
         if name not in self.entry()["tables"]:
             raise CatalogError(f"unknown table {name!r}")
         return VersionedTable(self.spark, self._table_root(name), **table_kwargs)
+
+    def tables(self, catalog_version: int | None = None) -> list[str]:
+        """Registered table names at a catalog version (default
+        latest) — the SHOW TABLES surface."""
+        return sorted(self.entry(catalog_version)["tables"])
+
+    def drop_table(self, name: str) -> int:
+        """Unregister ``name`` — one catalog commit removing its pin
+        (Iceberg REST drop with purge=False: the table's files and log
+        stay on disk; earlier catalog versions still time-travel to
+        it). Raises for an unknown name."""
+        if name not in self.entry()["tables"]:
+            raise CatalogError(f"unknown table {name!r}")
+        return self._cas_entry({}, txn_id=None, drops=(name,))
+
+    def expire_entries(self, keep_last: int = 100) -> list[int]:
+        """Bound the catalog log: delete entry files older than the
+        most recent ``keep_last`` (the latest always survives).
+        Catalog time travel below the horizon is gone — the same
+        trade as VersionedTable.expire_snapshots. Txn-id dedup
+        degrades gracefully: recover() of an intent whose entry was
+        expired re-CASes a pins-at-current-heads entry (publishes are
+        idempotent because successful branches are gone), so
+        exactly-once on table STATE is preserved."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_version()
+        versions = sorted(
+            int(n[:-5])
+            for n in os.listdir(os.path.join(self.root, _CATALOG_DIR))
+            if n.endswith(".json")
+        )
+        horizon = versions[-keep_last:] if keep_last <= len(versions) else versions
+        dropped = []
+        for v in versions:
+            if v not in horizon and v != latest:
+                os.remove(self._entry_path(v))
+                dropped.append(v)
+        return dropped
 
     def sync(self, *names: str) -> int:
         """Catalog commit pinning the CURRENT head of the given tables
