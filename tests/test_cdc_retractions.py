@@ -643,10 +643,13 @@ def test_continuous_aggregate_minmax_append_only(spark, root, tmp_path):
 
 def test_continuous_aggregate_minmax_paged_catchup_pins_rescan(spark, root, tmp_path):
     """Paged refresh: page 1 ends at a version where group 0's max was
-    deleted, page 2 adds a bigger value. The page-1 rescan must read
-    the source AT the page boundary, not head — otherwise the rollup
-    double-counts the later insert."""
+    deleted, page 2 adds a bigger value. Asserts the rollup equals the
+    PINNED-version recompute after EACH page (ADVICE r11: the head-only
+    assert let the page-2 insert mask a wrong page-1 state — page 1 is
+    the NULL-state same-window insert+delete case, so the rescan must
+    fire with no stored extremum)."""
     from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+    import pyspark.sql.functions as F
 
     src = VersionedTable(spark, root)
     agg = ContinuousAggregate(
@@ -661,16 +664,62 @@ def test_continuous_aggregate_minmax_paged_catchup_pins_rescan(spark, root, tmp_
     src.commit_append(spark.createDataFrame(
         [(3, 0, 99.0)], "id INT, g INT, x DOUBLE"
     ))  # v3
-    agg.refresh(max_commits=2)  # pages (0,2] then (2,3]
-    import pyspark.sql.functions as F
 
-    want = sorted(map(tuple, src.read().groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
-        F.max(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("hi6"),
-    ).collect()))
-    got = sorted(map(tuple, agg.read().select("g", "n", "s6", "hi6").collect()))
-    assert got == want, f"\ngot  {got}\nwant {want}"
+    def pinned_want(version):
+        return sorted(map(tuple, src.read(version=version).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("s6"),
+            F.max(F.floor(F.col("x") * 1e6 + 0.5).cast("long")).alias("hi6"),
+        ).collect()))
+
+    def got():
+        return sorted(map(tuple, agg.read().select("g", "n", "s6", "hi6").collect()))
+
+    # page 1: (0, 2] — group 0 has NO stored state, insert 8.0 and its
+    # delete land in the same window; rollup must show hi6 = 5.0
+    assert agg._refresh_window(0, 2) == 2
+    assert got() == pinned_want(2), f"\npage-1 got {got()}\nwant {pinned_want(2)}"
+    # page 2: (2, 3]
+    assert agg._refresh_window(2, 3) == 3
+    assert got() == pinned_want(3), f"\npage-2 got {got()}\nwant {pinned_want(3)}"
+
+
+def test_continuous_aggregate_minmax_null_state_same_window_delete(
+    spark, root, tmp_path
+):
+    """ADVICE r11 high repro: brand-new key, append (5.0, 8.0) then
+    delete 8.0, ONE refresh window — rollup must report the live
+    extremum 5.0, not the deleted 8.0. Also covers tombstone revival
+    (n back to >0 with NULL stored extrema) and the min side."""
+    from unity_to_bigquery_spark.plans.incremental_agg import ContinuousAggregate
+
+    src = VersionedTable(spark, root)
+    agg = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"), key="g",
+        measures={"s6": "x"}, min_measures={"lo6": "x"},
+        max_measures={"hi6": "x"}, handle_deletes=True,
+    )
+    src.commit_append(spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 8.0), (3, 0, 2.0)], "id INT, g INT, x DOUBLE"
+    ))
+    # kill both the max (8.0) and the min (2.0) before the first refresh
+    src.commit_delete_where(
+        spark.createDataFrame([(2,), (3,)], "id INT"), "id"
+    )
+    agg.refresh()
+    rows = agg.read().select("g", "n", "lo6", "hi6").collect()
+    assert [tuple(r) for r in rows] == [(0, 1, 5000000, 5000000)], rows
+    # tombstone the key, then revive with a same-window insert+delete
+    src.commit_delete_where(spark.createDataFrame([(1,)], "id INT"), "id")
+    agg.refresh()
+    assert agg.read().count() == 0
+    src.commit_append(spark.createDataFrame(
+        [(10, 0, 4.0), (11, 0, 9.0)], "id INT, g INT, x DOUBLE"
+    ))
+    src.commit_delete_where(spark.createDataFrame([(11,)], "id INT"), "id")
+    agg.refresh()
+    rows = agg.read().select("g", "n", "lo6", "hi6").collect()
+    assert [tuple(r) for r in rows] == [(0, 1, 4000000, 4000000)], rows
 
 
 def test_continuous_aggregate_measure_name_validation(spark, root, tmp_path):

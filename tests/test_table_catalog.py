@@ -297,3 +297,46 @@ def test_tables_drop_and_expire_entries(spark, cat):
         cat.entry(dropped[0])
     with pytest.raises(ValueError, match=">= 1"):
         cat.expire_entries(0)
+
+
+def test_recover_skips_dropped_table_intents(spark, cat):
+    """ADVICE r11: a pending intent naming a since-dropped table must
+    not wedge recover() (catalog_txn_sink calls it every micro-batch).
+    The dropped member is skipped, surviving members still publish, the
+    txn id still lands (replay-skip intact), the intent file clears."""
+    cat.create_table("t1")
+    cat.create_table("t2")
+    tx = cat.transaction()
+    tx.write("t1").commit_append(_df(spark, [(1, "a")]))
+    tx.write("t2").commit_append(_df(spark, [(9, "z")]))
+    tx.commit()
+    # crash mid-commit: intent written, nothing published yet
+    tx2 = cat.transaction()
+    tx2.write("t1").commit_append(_df(spark, [(3, "c")]))
+    tx2.write("t2").commit_append(_df(spark, [(7, "x")]))
+    ip = cat._intent_path(tx2.txn_id)
+    with open(ip, "x") as fh:
+        json.dump({"txn_id": tx2.txn_id, "tables": tx2._staged}, fh)
+    cat.drop_table("t2")
+    done = cat.recover()  # pre-fix: raised CatalogError forever
+    assert done == [tx2.txn_id]
+    assert not os.path.exists(ip)
+    assert cat.entry()["txn_id"] == tx2.txn_id  # replay-skip preserved
+    assert cat.read("t1").count() == 2  # surviving member published
+    assert cat.tables() == ["t1"]
+    assert cat.recover() == []  # idempotent, still no wedge
+
+    # all-members-dropped intent: empty-pins CAS still records the txn
+    cat.create_table("t3")
+    cat.create_table("t4")
+    tx3 = cat.transaction()
+    tx3.write("t3").commit_append(_df(spark, [(5, "e")]))
+    tx3.write("t4").commit_append(_df(spark, [(6, "f")]))
+    ip3 = cat._intent_path(tx3.txn_id)
+    with open(ip3, "x") as fh:
+        json.dump({"txn_id": tx3.txn_id, "tables": tx3._staged}, fh)
+    cat.drop_table("t3")
+    cat.drop_table("t4")
+    assert cat.recover() == [tx3.txn_id]
+    assert cat.entry()["txn_id"] == tx3.txn_id
+    assert not os.path.exists(ip3)

@@ -181,18 +181,28 @@ class ContinuousAggregate:
         Churn-carried rows (a rewrite re-emitting an unchanged extremum
         as delete+insert) over-trigger the rescan — correct, just paid
         when a rewrite touches an extremum row's file."""
+        # Fire the rescan whenever a delete-side extremum ties-or-beats
+        # the PROVISIONAL extremum (null-skipping least/greatest of
+        # stored state and insert-side). Comparing against c_out alone
+        # (pre-r12 form) missed keys with NULL state — a brand-new key
+        # or tombstone revival whose insert+delete land in the SAME
+        # window kept the deleted value as the extremum (ADVICE r11
+        # high). Strictly-beaten provisionals stay provably exact: if
+        # del_lo > least(c,out) the window's min insert was never
+        # deleted (a same-window delete of value v forces del_lo <= v),
+        # so the provisional survives.
         need = F.lit(False)
         for out in self.min_measures:
+            prov = F.least(F.col(f"c_{out}"), F.col(out))
             need = need | (
-                F.col(f"c_{out}").isNotNull()
-                & F.col(f"__del_lo_{out}").isNotNull()
-                & (F.col(f"__del_lo_{out}") <= F.col(f"c_{out}"))
+                F.col(f"__del_lo_{out}").isNotNull()
+                & (prov.isNull() | (F.col(f"__del_lo_{out}") <= prov))
             )
         for out in self.max_measures:
+            prov = F.greatest(F.col(f"c_{out}"), F.col(out))
             need = need | (
-                F.col(f"c_{out}").isNotNull()
-                & F.col(f"__del_hi_{out}").isNotNull()
-                & (F.col(f"__del_hi_{out}") >= F.col(f"c_{out}"))
+                F.col(f"__del_hi_{out}").isNotNull()
+                & (prov.isNull() | (F.col(f"__del_hi_{out}") >= prov))
             )
         merged = merged.withColumn("__rescan", need & (F.col("n") > 0))
         # bounded driver probe: the rescan key set is delta-sized; its

@@ -283,11 +283,23 @@ class TableCatalog:
             txn_id = intent["txn_id"]
             if txn_id not in committed:
                 pins = {}
+                registered = self.entry()["tables"]
                 for tname, bname in intent["tables"].items():
+                    if tname not in registered:
+                        # dropped via drop_table() since the intent was
+                        # written — its staged branch is unreachable and
+                        # its pin meaningless; skip rather than raise so
+                        # recover() (called every micro-batch by
+                        # catalog_txn_sink) never wedges on a stale
+                        # intent (ADVICE r11)
+                        continue
                     t = self.table(tname)
                     if bname in t.branches():
                         t.publish_branch(bname)
                     pins[tname] = t.latest_version()
+                # CAS even with empty pins: the entry's txn_id is what
+                # makes a replayed sink batch skip — dropping the intent
+                # without recording the txn would double-apply on replay
                 self._cas_entry(pins, txn_id=txn_id)
             os.remove(self._intent_path(txn_id))
             done.append(txn_id)

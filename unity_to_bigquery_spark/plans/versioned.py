@@ -4134,6 +4134,16 @@ class VersionedTable:
         base_names = {f.name for f in base_struct.fields}
         src_fields = list(source.schema.fields)
         src_names = {f.name for f in src_fields}
+        reserved = {"__t_present", "__s_present", "__clause", self.ROW_ID_COL}
+        clash = sorted(reserved & (src_names | base_names))
+        if clash:
+            # presence markers / clause index ride the join inputs; a
+            # user column with one of these names would silently corrupt
+            # the match classification (VERDICT r11) — refuse loudly
+            raise ValueError(
+                f"merge source/target may not carry reserved column(s) "
+                f"{clash} — rename them before merging"
+            )
         extra_fields = [f for f in src_fields if f.name not in base_names]
         star_writes = any(
             cl["set"] is None and cl["action"] in ("update", "insert")
@@ -4165,125 +4175,168 @@ class VersionedTable:
         schema_out = out_struct.simpleString() if widen else snap["schema"]
 
         rewrite_target = bool(matched or nmbs)
-        if nmbs:
-            touched = list(snap["files"])
-        else:
-            bounds = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).first()
-            touched, _ = (
-                self._prune(snap, key, _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"]))
-                if bounds["lo"] is not None
-                else ([], 0)
-            )
-        touched_set = set(touched)
-        if rewrite_target:
-            untouched = [f for f in snap["files"] if f not in touched_set]
-        else:
-            untouched = list(snap["files"])  # insert-only: rewrite nothing
-        tgt = (
-            self._scan_live(snap, touched)
-            if touched
-            else self.spark.createDataFrame([], base_struct)
-        )
-
-        if matched and touched:
-            dup = (
-                source.groupBy(F.col(skey).alias("__k"))
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-            )
-            bad = (
-                dup.join(
-                    tgt.select(F.col(key).alias("__k")), on="__k", how="left_semi"
-                ).limit(5).collect()
-            )
-            if bad:
-                raise MergeCardinalityError(
-                    "merge source has multiple rows per key for matched "
-                    f"target keys, e.g. {[r['__k'] for r in bad]} — the "
-                    "UPDATE/DELETE would be ambiguous; dedup the source"
-                )
-
-        t_side = tgt.withColumn("__t_present", F.lit(1)).alias("t")
-        s_side = source.withColumn("__s_present", F.lit(1)).alias("s")
-        joined = t_side.join(
-            s_side, F.col(f"t.{key}") == F.col(f"s.{skey}"), "full_outer"
-        )
-        t_has = F.col("__t_present").isNotNull()
-        s_has = F.col("__s_present").isNotNull()
-
-        KEEP, DROP = -1, -2
-        idx_of = {id(cl): i for i, cl in enumerate(clauses)}
-
-        def selector(group: list, fallback: int):
-            w = None
-            for cl in group:
-                cond = F.lit(True) if cl["condition"] is None else F.expr(cl["condition"])
-                i = F.lit(idx_of[id(cl)])
-                w = F.when(cond, i) if w is None else w.when(cond, i)
-            return F.lit(fallback) if w is None else w.otherwise(F.lit(fallback))
-
-        # insert-only mode keeps files untouched, so matched / target-only
-        # rows must NOT re-emit through the rewrite (they'd duplicate)
-        matched_fb = KEEP if rewrite_target else DROP
-        nmbs_fb = KEEP if rewrite_target else DROP
-        clause_col = (
-            F.when(t_has & s_has, selector(matched, matched_fb))
-            .when(s_has & ~t_has, selector(not_matched, DROP))
-            .otherwise(selector(nmbs, nmbs_fb))
-        )
-        drop_idxs = [DROP] + [
-            idx_of[id(cl)] for cl in clauses if cl["action"] == "delete"
-        ]
-        kept = joined.withColumn("__clause", clause_col).filter(
-            ~F.col("__clause").isin(drop_idxs)
-        )
-
-        def t_ref(c, dtype):
-            return F.col(f"t.{c}") if c in base_names else F.lit(None).cast(dtype)
-
-        def s_ref(c, dtype):
-            return F.col(f"s.{c}") if c in src_names else F.lit(None).cast(dtype)
-
-        def clause_val(c, dtype, cl):
-            st = cl["set"]
-            if cl["action"] == "update":
-                if st is None:
-                    return s_ref(c, dtype) if c in src_names else t_ref(c, dtype)
-                return F.expr(st[c]) if c in st else t_ref(c, dtype)
-            # insert
-            if st is None:
-                return s_ref(c, dtype)
-            return F.expr(st[c]) if c in st else F.lit(None).cast(dtype)
-
-        out_exprs = []
-        for fld in out_struct.fields:
-            c, dtype = fld.name, fld.dataType
-            col = None
-            for cl in clauses:
-                if cl["action"] == "delete":
-                    continue
-                v = clause_val(c, dtype, cl)
-                cond = F.col("__clause") == idx_of[id(cl)]
-                col = F.when(cond, v) if col is None else col.when(cond, v)
-            keep_v = t_ref(c, dtype)  # __clause == KEEP
-            col = keep_v if col is None else col.otherwise(keep_v)
-            out_exprs.append(col.cast(dtype).alias(c))
-        rewritten = kept.select(*out_exprs)
-        self._enforce(rewritten)
-        staged = self._write_files(rewritten)
-        base = self.manifest()
-        if base["version"] != snap["version"]:
-            raise ConcurrentWriteError(
-                "commit landed during merge; re-run against the new log"
-            )
+        # the source plan is evaluated up to three times below (key
+        # bounds, cardinality probe, the join) — persist it for the
+        # call's duration so an expensive upstream plan computes once
+        # (VERDICT r11; unpersisted in the finally)
+        source = source.persist()
         try:
-            return self._publish_once(
-                base, untouched + staged, "merge", schema_out, txn=txn
+            lineage = self._has_lineage(snap)
+            if nmbs:
+                touched = list(snap["files"])
+            else:
+                bounds = source.agg(
+                    F.min(skey).alias("lo"), F.max(skey).alias("hi")
+                ).first()
+                touched, _ = (
+                    self._prune(
+                        snap, key, _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"])
+                    )
+                    if bounds["lo"] is not None
+                    else ([], 0)
+                )
+            touched_set = set(touched)
+            if rewrite_target:
+                untouched = [f for f in snap["files"] if f not in touched_set]
+            else:
+                untouched = list(snap["files"])  # insert-only: rewrite nothing
+            # lineage rides the scan so updates/carried rows KEEP their
+            # row ids through the rewrite (Delta row tracking through
+            # MERGE — ADVICE r11: a fresh-id rewrite made keyless-CDC
+            # consumers see spurious churn on every touched file's
+            # unchanged carried neighbors)
+            tgt = self._scan_live(snap, touched, with_lineage=lineage)
+
+            if matched and touched:
+                dup = (
+                    source.groupBy(F.col(skey).alias("__k"))
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") > 1)
+                )
+                bad = (
+                    dup.join(
+                        tgt.select(F.col(key).alias("__k")), on="__k", how="left_semi"
+                    ).limit(5).collect()
+                )
+                if bad:
+                    raise MergeCardinalityError(
+                        "merge source has multiple rows per key for matched "
+                        f"target keys, e.g. {[r['__k'] for r in bad]} — the "
+                        "UPDATE/DELETE would be ambiguous; dedup the source"
+                    )
+
+            t_side = tgt.withColumn("__t_present", F.lit(1)).alias("t")
+            s_side = source.withColumn("__s_present", F.lit(1)).alias("s")
+            joined = t_side.join(
+                s_side, F.col(f"t.{key}") == F.col(f"s.{skey}"), "full_outer"
             )
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                "commit landed during merge; re-run against the new log"
-            ) from None
+            t_has = F.col("__t_present").isNotNull()
+            s_has = F.col("__s_present").isNotNull()
+
+            KEEP, DROP = -1, -2
+            idx_of = {id(cl): i for i, cl in enumerate(clauses)}
+
+            def selector(group: list, fallback: int):
+                w = None
+                for cl in group:
+                    cond = (
+                        F.lit(True) if cl["condition"] is None
+                        else F.expr(cl["condition"])
+                    )
+                    i = F.lit(idx_of[id(cl)])
+                    w = F.when(cond, i) if w is None else w.when(cond, i)
+                return F.lit(fallback) if w is None else w.otherwise(F.lit(fallback))
+
+            # insert-only mode keeps files untouched, so matched /
+            # target-only rows must NOT re-emit through the rewrite
+            # (they'd duplicate)
+            matched_fb = KEEP if rewrite_target else DROP
+            nmbs_fb = KEEP if rewrite_target else DROP
+            clause_col = (
+                F.when(t_has & s_has, selector(matched, matched_fb))
+                .when(s_has & ~t_has, selector(not_matched, DROP))
+                .otherwise(selector(nmbs, nmbs_fb))
+            )
+            drop_idxs = [DROP] + [
+                idx_of[id(cl)] for cl in clauses if cl["action"] == "delete"
+            ]
+            kept = joined.withColumn("__clause", clause_col).filter(
+                ~F.col("__clause").isin(drop_idxs)
+            )
+
+            def t_ref(c, dtype):
+                return F.col(f"t.{c}") if c in base_names else F.lit(None).cast(dtype)
+
+            def s_ref(c, dtype):
+                return F.col(f"s.{c}") if c in src_names else F.lit(None).cast(dtype)
+
+            def clause_val(c, dtype, cl):
+                st = cl["set"]
+                if cl["action"] == "update":
+                    if st is None:
+                        return s_ref(c, dtype) if c in src_names else t_ref(c, dtype)
+                    return F.expr(st[c]) if c in st else t_ref(c, dtype)
+                # insert
+                if st is None:
+                    return s_ref(c, dtype)
+                return F.expr(st[c]) if c in st else F.lit(None).cast(dtype)
+
+            out_exprs = []
+            for fld in out_struct.fields:
+                c, dtype = fld.name, fld.dataType
+                col = None
+                for cl in clauses:
+                    if cl["action"] == "delete":
+                        continue
+                    v = clause_val(c, dtype, cl)
+                    cond = F.col("__clause") == idx_of[id(cl)]
+                    col = F.when(cond, v) if col is None else col.when(cond, v)
+                keep_v = t_ref(c, dtype)  # __clause == KEEP
+                col = keep_v if col is None else col.otherwise(keep_v)
+                out_exprs.append(col.cast(dtype).alias(c))
+            if lineage:
+                # target-born rows (update/keep) carry their id; insert
+                # rows are t-NULL in the full outer join, so they stage
+                # id-less and get fresh ids at publish (__row_base)
+                out_exprs.append(F.col(f"t.{self.ROW_ID_COL}").alias(self.ROW_ID_COL))
+            rewritten = kept.select(*out_exprs)
+            self._enforce(rewritten)
+            if lineage:
+                # split the stage: files with materialized ids skip base
+                # allocation, id-less insert rows must NOT share a file
+                # with them (an all-NULL __row_id column has no footer
+                # stats, a mixed one does — and a stats-bearing file
+                # never gets a __row_base). Persist: both writes and the
+                # publish-time stats read one computed plan.
+                rewritten = rewritten.persist()
+                carried = rewritten.filter(F.col(self.ROW_ID_COL).isNotNull())
+                fresh = rewritten.filter(
+                    F.col(self.ROW_ID_COL).isNull()
+                ).drop(self.ROW_ID_COL)
+                staged = self._write_files(carried)
+                carried_stats = dict(self._staged_stats)
+                staged += self._write_files(fresh)
+                self._staged_stats.update(carried_stats)
+            else:
+                staged = self._write_files(rewritten)
+            base = self.manifest()
+            if base["version"] != snap["version"]:
+                raise ConcurrentWriteError(
+                    "commit landed during merge; re-run against the new log"
+                )
+            try:
+                return self._publish_once(
+                    base, untouched + staged, "merge", schema_out, txn=txn
+                )
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    "commit landed during merge; re-run against the new log"
+                ) from None
+        finally:
+            source.unpersist()
+            _rw = locals().get("rewritten")
+            if locals().get("lineage") and _rw is not None:
+                _rw.unpersist()
 
     def clone_linked(
         self, dest_root: str, version: int | None = None
