@@ -3148,3 +3148,187 @@ def test_merge_reserved_column_guard(spark, root):
     )
     with pytest.raises(ValueError, match="reserved column"):
         t.merge(bad2, "k", [when_matched_update()])
+
+
+# ---- round 12: predicate-driven phase-1 pruning + delete txn -----------------
+
+
+def test_conjunct_parser():
+    c = VersionedTable._conjuncts
+    p = VersionedTable._parse_simple_conjunct
+    assert c("a = 1 AND b > 2") == ["a = 1", "b > 2"]
+    # AND inside parens / strings never splits
+    assert c("(a = 1 AND b = 2) OR c = 3") == ["(a = 1 AND b = 2) OR c = 3"]
+    assert c("v = 'x AND y' AND k = 1") == ["v = 'x AND y'", "k = 1"]
+    assert c("brand = 'it''s' and k<2") == ["brand = 'it''s'", "k<2"]
+    assert p("k = 5") == ("k", "=", 5)
+    assert p("5 <= k") == ("k", ">=", 5)
+    assert p("(price < 10.5)") == ("price", "<", 10.5)
+    assert p("v = 'it''s'") == ("v", "=", "it's")
+    assert p("k IN (1, 2, 3)") == ("k", "in", [1, 2, 3])
+    assert p("name in ('a','b')") == ("name", "in", ["a", "b"])
+    # unprunable shapes -> None (conservative)
+    for frag in ["upper(v) = 'X'", "k = other_col", "k + 1 = 5",
+                 "k BETWEEN 1 AND 5", "k IS NULL", "NOT (k = 1)",
+                 "k = DATE '2020-01-01'"]:
+        assert p(frag) is None, frag
+
+
+def test_update_delete_where_phase1_prunes_files(spark, root):
+    """VERDICT r11 #5: the find-touched-files phase of a selective
+    UPDATE/DELETE must plan against stats-surviving candidates, not
+    every live file."""
+    t = VersionedTable(spark, root, bloom_index_cols=("k",),
+                       distinct_index_cols=("tag",))
+    # 4 files with disjoint k ranges and per-file tags
+    for lo, tag in [(0, "a"), (100, "b"), (200, "c"), (300, "d")]:
+        t.commit_append(spark.createDataFrame(
+            [(lo + i, tag, float(i)) for i in range(10)],
+            "k INT, tag STRING, x DOUBLE",
+        ))
+    assert len(t.manifest()["files"]) >= 4
+    nfiles = len(t.manifest()["files"])
+    # range conjunct prunes to one file's range
+    cand, skipped = t.prune_files_condition("k >= 200 AND k <= 205")
+    assert skipped >= nfiles - len(cand) and len(cand) < nfiles
+    # equality via distinct set
+    cand2, _ = t.prune_files_condition("tag = 'b' AND x < 100.0")
+    assert len(cand2) < nfiles
+    # IN list
+    cand3, _ = t.prune_files_condition("k IN (1, 2)")
+    assert len(cand3) < nfiles
+    # unprunable predicate keeps everything
+    cand4, sk4 = t.prune_files_condition("upper(tag) = 'B'")
+    assert len(cand4) == nfiles and sk4 == 0
+    # and the actual DML is still exact over the pruned plan
+    t.update_where({"x": "x + 1000.0"}, "k >= 200 AND k <= 205")
+    got = {r.k for r in t.read().filter("x >= 1000.0").collect()}
+    assert got == set(range(200, 206))
+    v = t.latest_version()
+    # predicate that no file can satisfy -> no-op without any scan
+    assert t.update_where({"x": "0.0"}, "k = 99999") == v
+    assert t.delete_rows_where("k = 99999") == v
+    t.delete_rows_where("tag = 'd'", mode="rewrite")
+    assert t.read().filter("tag = 'd'").count() == 0
+    assert t.read().count() == 30
+
+
+def test_delete_rows_where_txn_exactly_once(spark, root):
+    """VERDICT r11 #6: txn parity on both delete routes."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(10)]))
+    # MoR route
+    v1 = t.delete_rows_where("k = 3", txn=("deleter", 1))
+    assert t.read().count() == 9
+    # replay: rows k<5 WOULD match more rows now, but the txn no-ops
+    assert t.delete_rows_where("k < 5", txn=("deleter", 1)) == v1
+    assert t.read().count() == 9
+    # rewrite route with the next batch id
+    v2 = t.delete_rows_where("k >= 8", mode="rewrite", txn=("deleter", 2))
+    assert v2 > v1 and t.read().count() == 7
+    assert t.delete_rows_where("k >= 0", mode="rewrite", txn=("deleter", 2)) == v2
+    assert t.read().count() == 7
+    # commit_delete_positions replay no-op too
+    pos = spark.createDataFrame([("nope.parquet", 0)], "file STRING, pos LONG")
+    assert t.commit_delete_positions(pos, txn=("deleter", 2)) == v2
+
+
+# ---- round 12: SQL DML front doors + WHEN-split fix --------------------------
+
+from unity_to_bigquery_spark.plans.versioned import (  # noqa: E402
+    parse_delete_sql,
+    parse_insert_sql,
+    parse_update_sql,
+)
+
+
+def test_parse_update_delete_insert_sql_grammar():
+    assigns, cond = parse_update_sql(
+        "UPDATE t SET v = upper(v), x = x + 1 WHERE k > 3 AND v <> 'WHERE'"
+    )
+    assert assigns == {"v": "upper(v)", "x": "x + 1"}
+    assert cond == "k > 3 AND v <> 'WHERE'"
+    # no WHERE -> every row; WHERE inside a string literal never splits
+    assert parse_update_sql("UPDATE t SET v = 'a WHERE b'") == (
+        {"v": "'a WHERE b'"}, "true",
+    )
+    assert parse_delete_sql("DELETE FROM t WHERE k IN (1, 2)") == "k IN (1, 2)"
+    assert parse_delete_sql("DELETE FROM t;") == "true"
+    cols, rows = parse_insert_sql(
+        "INSERT INTO t (k, v) VALUES (1, 'a'), (2, upper('b'))"
+    )
+    assert cols == ["k", "v"]
+    assert rows == [["1", "'a'"], ["2", "upper('b')"]]
+    cols2, rows2 = parse_insert_sql("INSERT INTO t VALUES (7, 'x, y')")
+    assert cols2 is None and rows2 == [["7", "'x, y'"]]
+    for bad, msg in [
+        ("UPDATE t WHERE k = 1", "expected"),
+        ("UPDATE t SET WHERE k = 1", "bad assignment|no SET"),
+        ("UPDATE t SET v = 1 WHERE ", "empty WHERE"),
+        ("DELETE t WHERE k = 1", "expected"),
+        ("DELETE FROM t HAVING k = 1", "trailing"),
+        ("INSERT INTO t SELECT * FROM s", "expected"),
+        ("INSERT INTO t (a, b) VALUES (1)", "count mismatch"),
+        ("INSERT INTO t VALUES (1, 2), (3)", "ragged"),
+        ("INSERT INTO t VALUES 1, 2", "parenthesized"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            if bad.startswith("UPDATE"):
+                parse_update_sql(bad)
+            elif bad.startswith("DELETE"):
+                parse_delete_sql(bad)
+            else:
+                parse_insert_sql(bad)
+
+
+def test_sql_dml_executes_like_programmatic(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.insert_sql("INSERT INTO t (k, v) VALUES (4, 'd'), (5, concat('e', 'e'))")
+    assert _mrows(t) == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "ee")}
+    # omitted column lands NULL
+    t.insert_sql("INSERT INTO t (k) VALUES (6)")
+    assert (6, None) in _mrows(t)
+    t.update_sql("UPDATE t SET v = upper(v) WHERE k <= 2")
+    assert {(1, "A"), (2, "B")} <= _mrows(t)
+    t.delete_sql("DELETE FROM t WHERE k >= 5")
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4}
+    # txn riding through: replay no-ops
+    v = t.update_sql("UPDATE t SET v = 'Z' WHERE k = 1", txn=("app", 9))
+    assert t.update_sql("UPDATE t SET v = 'Q' WHERE k = 1", txn=("app", 9)) == v
+    assert (1, "Z") in _mrows(t)
+    v2 = t.delete_sql("DELETE FROM t WHERE k = 4", txn=("app", 10))
+    assert t.delete_sql("DELETE FROM t WHERE k >= 0", txn=("app", 10)) == v2
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    v3 = t.insert_sql("INSERT INTO t (k, v) VALUES (8, 'h')", txn=("app", 11))
+    assert t.insert_sql("INSERT INTO t (k, v) VALUES (8, 'h')", txn=("app", 11)) == v3
+    assert t.read().filter("k = 8").count() == 1
+    # unknown column / untyped table refusals
+    with pytest.raises(ValueError, match="unknown column"):
+        t.insert_sql("INSERT INTO t (nope) VALUES (1)")
+    t2 = VersionedTable(spark, root + "_fresh")
+    with pytest.raises(ValueError, match="never-committed"):
+        t2.insert_sql("INSERT INTO t VALUES (1, 'a')")
+
+
+def test_merge_sql_case_when_condition(spark, root):
+    """VERDICT r11: a CASE WHEN inside a clause condition (and a
+    'WHEN MATCHED' string literal) must parse — the old bare-WHEN split
+    broke both."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "when matched")]))
+    src = _df(spark, [(1, "keep"), (2, "flip"), (3, "x")])
+    t.merge_sql(src, """
+        MERGE INTO tbl USING src ON t.k = s.k
+        WHEN MATCHED AND CASE WHEN s.v = 'flip' THEN true ELSE false END
+            THEN UPDATE SET v = 'FLIPPED'
+        WHEN MATCHED AND t.v = 'when matched' THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'WHEN MATCHED')
+    """)
+    assert _mrows(t) == {(1, "a"), (2, "FLIPPED")}
+    # string-literal WHEN in an INSERT value
+    t.merge_sql(_df(spark, [(9, "z")]), """
+        MERGE INTO tbl USING src ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'WHEN MATCHED THEN')
+    """)
+    assert (9, "WHEN MATCHED THEN") in _mrows(t)

@@ -2790,6 +2790,19 @@ def p_versioned_update_where(spark, sf_dir):
         raise RuntimeError("update_where rewrote provably-untouched files")
     if set(m1["files"]) & (set(m0["files"]) - clean):
         raise RuntimeError("update_where carried a matching file unrewritten")
+    # round 12 (VERDICT r11 #5): phase 1 is stats-pruned for simple
+    # conjuncts — a range predicate no file can satisfy must skip every
+    # candidate from the MANIFEST alone, and the DML short-circuits to
+    # a no-op commit-free return without scanning a byte
+    cand, skipped = t.prune_files_condition("o_orderkey <= -1")
+    if cand or skipped != len(m1["files"]):
+        raise RuntimeError(
+            f"phase-1 pruning failed: {len(cand)} candidates, "
+            f"{skipped} skipped of {len(m1['files'])}"
+        )
+    v = t.latest_version()
+    if t.update_where({"o_totalprice": "0.0"}, "o_orderkey <= -1") != v:
+        raise RuntimeError("pruned-to-zero update was not a no-op")
     return (
         t.read()
         .groupBy(F.col("o_orderpriority").alias("prio"))
@@ -2946,6 +2959,96 @@ def p_versioned_merge_sql(spark, sf_dir):
     return (
         t.read()
         .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
+
+
+@query(
+    "p_versioned_sql_dml",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0)
+      UNION ALL SELECT '9-SQL', 100.25
+      UNION ALL SELECT '9-SQL', 200.5
+      UNION ALL SELECT '9-SQL', 300.0
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM base GROUP BY prio
+    """,
+    doc=(
+        "SQL DML front doors (round 12, VERDICT r11 #3): INSERT INTO "
+        "... VALUES, UPDATE ... SET ... WHERE, and DELETE FROM ... "
+        "WHERE statements composed on one VersionedTable — each parsed "
+        "by parse_insert/update/delete_sql and executed through the "
+        "existing engines (commit_append / update_where / "
+        "delete_rows_where). A programmatic twin runs the same three "
+        "operations through the native APIs and the two final states "
+        "are asserted IDENTICAL in-query (exceptAll both ways) before "
+        "the aggregate is compared with DuckDB."
+    ),
+    tags=("pipeline", "versioned", "sql"),
+)
+def p_versioned_sql_dml(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = _tmp(f"versioned_sqldml_{base}")
+    path2 = _tmp(f"versioned_sqldml_twin_{base}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path2, ignore_errors=True)
+    ins = (
+        "INSERT INTO t (o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice, o_orderpriority) VALUES "
+        "(-1, 0, 'X', CAST(100.25 AS DOUBLE), '9-SQL'), "
+        "(-2, 0, 'X', CAST(200.5 AS DOUBLE), '9-SQL'), "
+        "(-3, 0, 'X', CAST(300.0 AS DOUBLE), '9-SQL')"
+    )
+    upd_set = {"o_totalprice": "o_totalprice * CAST(2 AS DOUBLE)"}
+    upd_cond = "o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0"
+    del_cond = "o_orderpriority = '5-LOW' AND o_orderkey % 2 = 0"
+    t = VersionedTable(spark, path)
+    t.commit_append(orders)
+    t.insert_sql(ins)
+    t.update_sql(
+        "UPDATE t SET o_totalprice = o_totalprice * CAST(2 AS DOUBLE) "
+        f"WHERE {upd_cond}"
+    )
+    t.delete_sql(f"DELETE FROM t WHERE {del_cond}")
+    # programmatic twin: identical semantics through the native APIs
+    t2 = VersionedTable(spark, path2)
+    t2.commit_append(orders)
+    t2.commit_append(
+        spark.sql(
+            "SELECT CAST(-1 AS BIGINT) o_orderkey, CAST(0 AS BIGINT) "
+            "o_custkey, 'X' o_orderstatus, CAST(100.25 AS DOUBLE) "
+            "o_totalprice, CAST(NULL AS TIMESTAMP) o_orderdate, "
+            "'9-SQL' o_orderpriority "
+            "UNION ALL SELECT -2, 0, 'X', CAST(200.5 AS DOUBLE), NULL, '9-SQL' "
+            "UNION ALL SELECT -3, 0, 'X', CAST(300.0 AS DOUBLE), NULL, '9-SQL'"
+        )
+    )
+    t2.update_where(upd_set, upd_cond)
+    t2.delete_rows_where(del_cond)
+    a, b = t.read(), t2.read()
+    if a.exceptAll(b).count() or b.exceptAll(a).count():
+        raise RuntimeError("SQL DML state diverged from programmatic twin")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
