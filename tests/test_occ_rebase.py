@@ -1,0 +1,276 @@
+"""Round-12 optimistic conflict resolution (VERDICT r11 #1):
+merge/update_where/delete_rows_where/compact no longer abort on ANY
+concurrent commit — interleaved commits that are provably disjoint from
+the op's read/write set (by manifest stats) REBASE the staged files
+onto the new head with zero recompute, Delta's commit-protocol conflict
+classes re-expressed over the manifest log. Overlapping commits still
+abort loudly (data wins).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from unity_to_bigquery_spark.plans.versioned import (
+    ConcurrentWriteError,
+    VersionedTable,
+    when_matched_update,
+    when_not_matched_insert,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, pairs, schema="k INT, v STRING"):
+    # one FILE per append: the conflict tests reason about which exact
+    # file a concurrent writer touched
+    return spark.createDataFrame(pairs, schema).coalesce(1)
+
+
+def _rows(t):
+    return sorted((r.k, r.v) for r in t.read().collect())
+
+
+def _race(monkeypatch, t, action, times=1):
+    """Arrange for ``action()`` (a concurrent writer) to land between
+    this handle's staging write and its publish."""
+    orig = t._write_files
+    state = {"left": times}
+
+    def write_then_race(df):
+        staged = orig(df)
+        if state["left"] > 0:
+            state["left"] -= 1
+            action()
+        return staged
+
+    monkeypatch.setattr(t, "_write_files", write_then_race)
+
+
+# ---- merge -------------------------------------------------------------------
+
+
+def test_merge_rebases_over_disjoint_append(spark, root, monkeypatch):
+    """The headline: an append of OTHER keys during a merge lands BOTH
+    effects — no abort, no recompute."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.merge(_df(spark, [(2, "B"), (5, "e")]), "k",
+            [when_matched_update(), when_not_matched_insert()])
+    assert _rows(t) == [(1, "a"), (2, "B"), (3, "c"), (5, "e"), (100, "racer")]
+    assert t.manifest()["op"] == "merge"
+
+
+def test_merge_aborts_on_overlapping_append(spark, root, monkeypatch):
+    """An append whose key range intersects the merge source bounds
+    must still abort (the merge should have seen those rows)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(3, "overlap")])
+    ))
+    with pytest.raises(ConcurrentWriteError, match="overlap the merge source"):
+        t.merge(_df(spark, [(2, "B"), (5, "e")]), "k",
+                [when_matched_update(), when_not_matched_insert()])
+    # the racer's commit survives; the merge left nothing behind
+    assert _rows(VersionedTable(spark, root)) == [(1, "a"), (2, "b"), (3, "overlap")]
+
+
+def test_merge_aborts_when_touched_file_rewritten(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+
+    def concurrent_rewrite():
+        VersionedTable(spark, root).update_where({"v": "'X'"}, "k = 1")
+
+    _race(monkeypatch, t, concurrent_rewrite)
+    with pytest.raises(ConcurrentWriteError, match="rewritten concurrently"):
+        t.merge(_df(spark, [(2, "B")]), "k", [when_matched_update()])
+    assert _rows(VersionedTable(spark, root)) == [(1, "X"), (2, "b")]
+
+
+def test_merge_rebases_over_disjoint_eq_delete(spark, root, monkeypatch):
+    """A concurrent equality delete whose keys can't hit the merge's
+    touched files rebases; one whose keys overlap aborts."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))      # file A: k 1..2
+    t.commit_append(_df(spark, [(100, "x"), (101, "y")]))  # file B: k 100..101
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_delete_where(
+        spark.createDataFrame([(101,)], "k INT"), "k"
+    ))
+    t.merge(_df(spark, [(1, "A")]), "k", [when_matched_update()])
+    assert _rows(t) == [(1, "A"), (2, "b"), (100, "x")]
+
+    t2root = root + "_overlap"
+    t2 = VersionedTable(spark, t2root)
+    t2.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t2, lambda: VersionedTable(spark, t2root).commit_delete_where(
+        spark.createDataFrame([(2,)], "k INT"), "k"
+    ))
+    with pytest.raises(ConcurrentWriteError, match="equality delete"):
+        t2.merge(_df(spark, [(1, "A")]), "k", [when_matched_update()])
+
+
+def test_merge_cdc_exact_across_rebase(spark, root, monkeypatch):
+    """Sequencing/CDC across a rebase: the racer's commit and the
+    rebased merge each emit exactly their own diff, in order."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))  # v1
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.merge(_df(spark, [(2, "B"), (5, "e")]), "k",
+            [when_matched_update(), when_not_matched_insert()])
+    h = VersionedTable(spark, root)
+    assert h.latest_version() == 3  # v2 = racer append, v3 = merge
+    racer_feed = [(r.k, r._change_type)
+                  for r in h.changes_with_type(1, 2).collect()]
+    assert racer_feed == [(100, "insert")]
+    merge_feed = sorted(
+        (r.k, r._change_type) for r in h.changes_with_type(2, 3).collect()
+    )
+    # file A rewrote: 1 carries as delete+insert of equal value is NOT
+    # emitted (rewrite diff) — expect update pair for 2 and insert 5
+    ks = {k for k, _ in merge_feed}
+    assert 100 not in ks and 5 in ks and 2 in ks
+    assert ("5", ) != ()  # keep flake quiet about tuple literal
+    # final state folds exactly
+    assert _rows(h) == [(1, "a"), (2, "B"), (5, "e"), (100, "racer")]
+
+
+def test_merge_insert_only_rebases_and_checks_keys(spark, root, monkeypatch):
+    """Insert-only merges rewrite nothing; a disjoint concurrent append
+    rebases, an overlapping one aborts (duplicate-insert risk)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.merge(_df(spark, [(5, "e")]), "k", [when_not_matched_insert()])
+    assert _rows(t) == [(1, "a"), (5, "e"), (100, "racer")]
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(6, "dup-risk")])
+    ))
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(_df(spark, [(6, "f")]), "k", [when_not_matched_insert()])
+
+
+# ---- update_where / delete_rows_where ----------------------------------------
+
+
+def test_update_where_rebases_over_disjoint_append(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.update_where({"v": "upper(v)"}, "k <= 2")
+    assert _rows(t) == [(1, "A"), (2, "B"), (100, "racer")]
+
+
+def test_update_where_aborts_on_possibly_matching_append(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    # overlapping key range
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(0, "in-range")])
+    ))
+    with pytest.raises(ConcurrentWriteError, match="may match"):
+        t.update_where({"v": "upper(v)"}, "k <= 2")
+    # unprunable predicate: ANY append conflicts (conservative)
+    t2 = VersionedTable(spark, root + "_u")
+    t2.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t2, lambda: VersionedTable(spark, root + "_u").commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    with pytest.raises(ConcurrentWriteError, match="may match"):
+        t2.update_where({"v": "upper(v)"}, "k % 2 = 0")
+
+
+def test_delete_rows_where_rebases_over_disjoint_append(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(10)]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.delete_rows_where("k <= 4", mode="rewrite")
+    assert {r.k for r in t.read().collect()} == {5, 6, 7, 8, 9, 100}
+
+
+def test_update_where_aborts_on_metadata_move(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).add_constraint(
+        "c1", "k >= 0"
+    ))
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        t.update_where({"v": "upper(v)"}, "k <= 2")
+
+
+# ---- compact ------------------------------------------------------------------
+
+
+def test_compact_rebases_over_append(spark, root, monkeypatch):
+    """OPTIMIZE no longer loses to appends: the racer's file rides
+    through the rebase untouched, the compacted files replace the rest."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a")]))
+    t.commit_append(_df(spark, [(2, "b")]))
+    t.commit_append(_df(spark, [(3, "c")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_append(
+        _df(spark, [(100, "racer")])
+    ))
+    t.compact(target_files=1)
+    h = VersionedTable(spark, root)
+    assert _rows(h) == [(1, "a"), (2, "b"), (3, "c"), (100, "racer")]
+    assert h.manifest()["op"] == "compact"
+    # racer's file carried verbatim + 1 compacted file
+    assert len(h.manifest()["files"]) == 2
+
+
+def test_compact_aborts_on_concurrent_delete(spark, root, monkeypatch):
+    """A MoR delete landing mid-compaction would silently miss the
+    compacted rows (their file version postdates the delete) — abort."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    _race(monkeypatch, t, lambda: VersionedTable(spark, root).commit_delete_where(
+        spark.createDataFrame([(2,)], "k INT"), "k"
+    ))
+    with pytest.raises(ConcurrentWriteError, match="equality delete"):
+        t.compact(target_files=1)
+    assert _rows(VersionedTable(spark, root)) == [(1, "a")]
+
+
+def test_compact_aborts_on_concurrent_pos_delete(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+
+    def pos_delete():
+        VersionedTable(spark, root).delete_rows_where("k = 2", mode="mor")
+
+    _race(monkeypatch, t, pos_delete)
+    with pytest.raises(ConcurrentWriteError, match="positional delete"):
+        t.compact(target_files=1)
+    assert _rows(VersionedTable(spark, root)) == [(1, "a")]
+
+
+def test_rebase_chain_two_racers(spark, root, monkeypatch):
+    """Two interleaved disjoint commits analyze and rebase in one
+    pass; the result folds all three writers."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+
+    def two_appends():
+        h = VersionedTable(spark, root)
+        h.commit_append(_df(spark, [(100, "r1")]))
+        h.commit_append(_df(spark, [(200, "r2")]))
+
+    _race(monkeypatch, t, two_appends)
+    t.update_where({"v": "upper(v)"}, "k <= 2")
+    assert _rows(t) == [(1, "A"), (2, "B"), (100, "r1"), (200, "r2")]

@@ -268,7 +268,11 @@ def test_compact_preserves_content_and_reduces_files(spark, root):
     assert all("k" in st[f] for f in t.manifest()["files"])
 
 
-def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
+def test_compact_rebases_over_concurrent_append(spark, root, monkeypatch):
+    """Round 12 (VERDICT r11 #1): an append sneaking in mid-compaction
+    no longer aborts OPTIMIZE — the staged compacted files rebase onto
+    the new head and the racer's file carries through untouched (the
+    deeper conflict battery lives in test_occ_rebase.py)."""
     t = VersionedTable(spark, root)
     t.commit_append(_df(spark, [(1, "a")]))
     orig = t._write_files
@@ -280,10 +284,10 @@ def test_compact_aborts_on_concurrent_commit(spark, root, monkeypatch):
         return staged
 
     monkeypatch.setattr(t, "_write_files", write_then_race)
-    with pytest.raises(ConcurrentWriteError):
-        t.compact()
-    # the racing append survived; nothing was lost
-    assert (99, "sneak") in _rows(VersionedTable(spark, root).read())
+    t.compact()
+    h = VersionedTable(spark, root)
+    assert _rows(h.read()) == [(1, "a"), (99, "sneak")]
+    assert h.manifest()["op"] == "compact"
 
 
 def test_merge_schema_additive_evolution(spark, root):
@@ -2743,18 +2747,22 @@ def test_delete_rows_where_mor_and_rewrite_routes(spark, root):
         t2.delete_rows_where("k = 1", mode="bogus")
 
 
-def test_delete_rows_where_auto_threshold_flips(spark, root, monkeypatch):
+def test_delete_rows_where_auto_stays_mor(spark, root):
+    """Round 12 (VERDICT r11 #2): deletion vectors removed the 100k
+    copy-on-write cliff — auto stays merge-on-read at ANY match count;
+    rewrite remains opt-in."""
     t = VersionedTable(spark, root)
     t.commit_append(_df(spark, [(i, "x") for i in range(30)]))
-    monkeypatch.setattr(VersionedTable, "DELETE_MOR_MAX_ROWS", 5)
     files0 = set(t.manifest()["files"])
-    t.delete_rows_where("k % 2 = 0")  # 15 matches > 5 -> rewrite
+    t.delete_rows_where("k % 2 = 0")  # 15 matches: still MoR under auto
     m = t.manifest()
-    assert not m.get("pos_deletes")
-    assert not (set(m["files"]) >= files0)  # files actually rewritten
+    assert set(m["files"]) == files0  # zero data files rewritten
+    assert m.get("pos_deletes") and m["pos_deletes"][0].get("dv")
     assert t.read().count() == 15
-    t.delete_rows_where("k = 1")  # 1 match -> MoR
-    assert t.manifest().get("pos_deletes")
+    assert t.snapshot_rows() == 15  # counts answer from the manifest
+    t.delete_rows_where("k = 1", mode="rewrite")  # opt-in copy-on-write
+    m2 = t.manifest()
+    assert not (set(m2["files"]) >= files0)
     assert t.read().count() == 14
 
 
@@ -3332,3 +3340,80 @@ def test_merge_sql_case_when_condition(spark, root):
         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'WHEN MATCHED THEN')
     """)
     assert (9, "WHEN MATCHED THEN") in _mrows(t)
+
+
+# ---- round 12: deletion vectors ----------------------------------------------
+
+from unity_to_bigquery_spark.plans.versioned import _dv_decode, _dv_encode  # noqa: E402
+
+
+def test_dv_codec_roundtrip():
+    import numpy as np
+
+    for positions in (
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536, 65537],
+        [7, 7, 7],                      # dups collapse
+        list(range(0, 300000, 7)),      # spans many buckets
+        [2**40, 2**40 + 1, 5],          # high ordinals
+    ):
+        got = _dv_decode(_dv_encode(positions)).tolist()
+        assert got == sorted(set(positions)), positions
+    # compactness: ~2 bytes per ordinal + bucket headers
+    blob = _dv_encode(list(range(100_000)))
+    assert len(blob) < 100_000 * 2 + 16 * 8
+    with pytest.raises(ValueError, match="2\\^48"):
+        _dv_encode([-1])
+    assert _dv_decode(b"").size == 0
+
+
+def test_dv_entries_are_net_new_disjoint(spark, root):
+    """Overlapping positional deletes across commits store each ordinal
+    ONCE: counts stay additive, snapshot_rows exact, re-deleting
+    everything already dead is a metadata no-op."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(10)]).coalesce(1))
+    f = t.manifest()["files"][0]
+    pos = lambda ps: spark.createDataFrame(  # noqa: E731
+        [(f, p) for p in ps], "file STRING, pos LONG"
+    )
+    v1 = t.commit_delete_positions(pos([1, 2, 3]))
+    assert t.snapshot_rows() == 7
+    e1 = t.manifest()["pos_deletes"][0]
+    assert e1["dv"] is True and e1["counts"] == {f: 3}
+    # overlap {2,3} + new {4}: entry stores ONLY the net-new ordinal
+    t.commit_delete_positions(pos([2, 3, 4]))
+    e2 = t.manifest()["pos_deletes"][1]
+    assert e2["counts"] == {f: 1}
+    assert t.snapshot_rows() == 6
+    assert sorted(r.k for r in t.read().collect()) == [0, 5, 6, 7, 8, 9]
+    # fully-dead set: no new commit at all
+    v = t.latest_version()
+    assert t.commit_delete_positions(pos([1, 4])) == v
+    assert t.latest_version() == v
+    # validation still loud
+    with pytest.raises(ValueError, match="not in the live manifest"):
+        t.commit_delete_positions(
+            spark.createDataFrame([("nope.parquet", 0)], "file STRING, pos LONG")
+        )
+    assert v1 == 2
+
+
+def test_dv_compact_purges_and_cdc_exact(spark, root):
+    """compact materializes DVs (files rewritten without dead rows,
+    entries shed); CDC emits exact retraction rows for a DV commit."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, f"v{i}") for i in range(6)]).coalesce(1))
+    v0 = t.latest_version()
+    t.delete_rows_where("k IN (2, 4)")
+    feed = sorted(
+        (r.k, r._change_type) for r in t.changes_with_type(v0).collect()
+    )
+    assert feed == [(2, "delete"), (4, "delete")]
+    assert t.manifest()["pos_deletes"]
+    t.compact(target_files=1)
+    m = t.manifest()
+    assert not m.get("pos_deletes")
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 5]
+    assert t.snapshot_rows() == 4

@@ -411,6 +411,51 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _dv_encode(positions) -> bytes:
+    """DELETION-VECTOR encoding (round 12, VERDICT r11 #2) — a
+    roaring-lite bitmap over a file's deleted row ordinals: ordinals
+    group by their high 32 bits >> 16 into buckets, each bucket stored
+    as ``<uint32 high><uint32 count><count × uint16 low>`` (little
+    endian). ~2 bytes per deleted row, numpy-vectorized both ways, no
+    dependencies — the Delta DV / Iceberg puffin role: the manifest
+    never carries (file, pos) PAIRS, so planner cost is O(1) in
+    deleted-row count."""
+    import struct
+
+    import numpy as np
+
+    a = np.unique(np.asarray(positions, dtype=np.int64))
+    if a.size and (a[0] < 0 or a[-1] >= (1 << 48)):
+        raise ValueError("deletion-vector ordinals must be in [0, 2^48)")
+    highs = a >> 16
+    lows = (a & 0xFFFF).astype("<u2")
+    out = []
+    for h in np.unique(highs):
+        sel = lows[highs == h]
+        out.append(struct.pack("<II", int(h), sel.size))
+        out.append(sel.tobytes())
+    return b"".join(out)
+
+
+def _dv_decode(blob: bytes):
+    """Inverse of :func:`_dv_encode`: sorted int64 ordinal array."""
+    import struct
+
+    import numpy as np
+
+    res = []
+    off, n_total = 0, len(blob)
+    while off < n_total:
+        h, n = struct.unpack_from("<II", blob, off)
+        off += 8
+        lows = np.frombuffer(blob, dtype="<u2", count=n, offset=off)
+        off += 2 * n
+        res.append((np.int64(h) << 16) | lows.astype(np.int64))
+    if not res:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(res)
+
+
 def _scan_top_keyword(s: str, matcher) -> list[int]:
     """Indices where ``matcher(s, i)`` fires at paren depth 0 outside
     single/double-quoted literals — the keyword scanner behind the SQL
@@ -1730,22 +1775,64 @@ class VersionedTable:
         the union of the manifest's position-delete pairs. Pairs
         targeting files outside ``files`` simply never match."""
         pos = m.get("pos_deletes", [])
-        if not pos or not files or not any(
-            t in set(files) for d in pos for t in d["targets"]
-        ):
+        fset = set(files)
+        relevant = [
+            d for d in pos if any(t in fset for t in d["targets"])
+        ]
+        if not relevant or not files:
             return self._scan(m, files, with_lineage=with_lineage)
         df = self._scan(m, files, with_lineage=with_lineage, with_meta=True)
-        pairs = None
-        for d in pos:
-            p = self.spark.read.parquet(os.path.join(self.root, DATA_DIR, d["file"]))
-            pairs = p if pairs is None else pairs.unionByName(p)
-        pairs = pairs.select(
-            F.col("file").alias("__rel"), F.col("pos").alias("__pos")
-        ).distinct()
+        pairs = self._pairs_of(relevant, targets=fset)
         out_cols = [c for c in df.columns if c not in ("__rel", "__pos")]
         return df.join(
             F.broadcast(pairs), ["__rel", "__pos"], "left_anti"
         ).select(*out_cols)
+
+    def _pairs_of(
+        self, entries: list, targets: set | None = None
+    ) -> DataFrame:
+        """(__rel, __pos) pairs of positional-delete entries, both
+        formats: DV entries (round 12 — parquet sidecars of
+        (file, dv BINARY, n)) decode their roaring-lite bitmaps
+        EXECUTOR-side via mapInPandas, so driver cost never scales with
+        deleted-row count; legacy (file, pos) pair parquets read
+        directly. ``targets`` prunes to the files being scanned before
+        any decode."""
+        import pandas as pd  # noqa: F401 — mapInPandas yields frames
+
+        tlist = sorted(targets) if targets is not None else None
+        parts = []
+        dv = [d for d in entries if d.get("dv")]
+        legacy = [d for d in entries if not d.get("dv")]
+        if dv:
+            sdf = self.spark.read.parquet(
+                *[os.path.join(self.root, DATA_DIR, d["file"]) for d in dv]
+            ).select("file", "dv")
+            if tlist is not None:
+                sdf = sdf.filter(F.col("file").isin(tlist))
+
+            def explode(batches):
+                import pandas as _pd
+
+                for pdf in batches:
+                    for f, blob in zip(pdf["file"], pdf["dv"]):
+                        ords = _dv_decode(bytes(blob))
+                        yield _pd.DataFrame({"file": f, "pos": ords})
+
+            parts.append(sdf.mapInPandas(explode, "file string, pos long"))
+        if legacy:
+            p = self.spark.read.parquet(
+                *[os.path.join(self.root, DATA_DIR, d["file"]) for d in legacy]
+            ).select("file", "pos")
+            if tlist is not None:
+                p = p.filter(F.col("file").isin(tlist))
+            parts.append(p)
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra)
+        return out.select(
+            F.col("file").alias("__rel"), F.col("pos").alias("__pos")
+        ).distinct()
 
     def _scan_live(
         self, m: dict, files: list[str], with_lineage: bool = False
@@ -2066,16 +2153,10 @@ class VersionedTable:
         return frames
 
     def _pos_pairs(self, entries: list) -> DataFrame:
-        """Union of positional-delete pair files as a distinct
-        (__rel, __pos) DataFrame (pair files are tiny by construction —
-        always broadcast)."""
-        pairs = None
-        for d in entries:
-            p = self.spark.read.parquet(os.path.join(self.root, DATA_DIR, d["file"]))
-            pairs = p if pairs is None else pairs.unionByName(p)
-        return pairs.select(
-            F.col("file").alias("__rel"), F.col("pos").alias("__pos")
-        ).distinct()
+        """Union of positional-delete entries as a distinct
+        (__rel, __pos) DataFrame — DV sidecars decoded executor-side,
+        legacy pair files read directly (:meth:`_pairs_of`)."""
+        return self._pairs_of(entries)
 
     # live-content-identical rewrites: the live view before == after,
     # so they emit no change rows (Delta CDF's OPTIMIZE behavior)
@@ -2415,26 +2496,40 @@ class VersionedTable:
         return total - sub - self._live_pos_pair_count(m)
 
     def _live_pos_pair_count(self, m: dict) -> int:
-        """Distinct (file, pos) pairs across a manifest's pos-delete
-        entries whose target file is in the live list — exactly the
-        rows ``_scan_pos``'s anti-join removes (it dedups the unioned
-        pairs the same way). Driver-side pyarrow over the tiny pair
-        files; zero data-file IO."""
+        """Live deleted-ordinal count across a manifest's pos-delete
+        entries — exactly the rows ``_scan_pos``'s anti-join removes.
+        DV entries (round 12) answer from their manifest ``counts``
+        alone — O(target files), ZERO IO, flat in deleted-row count
+        (entries are net-new disjoint by construction, so counts sum
+        additively). Legacy pair-file entries (pre-r12 logs, possibly
+        overlapping each other) still driver-read and dedup their
+        pairs."""
         pos = m.get("pos_deletes", [])
         if not pos:
             return 0
-        import pyarrow.parquet as pq
-
         live = set(m["files"])
-        pairs: set[tuple] = set()
+        total = 0
+        legacy = []
         for d in pos:
-            tbl = pq.read_table(
-                os.path.join(self.root, DATA_DIR, d["file"]),
-                columns=["file", "pos"],
-            )
-            fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
-            pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
-        return len(pairs)
+            if d.get("dv") and "counts" in d:
+                total += sum(
+                    int(n) for f, n in d["counts"].items() if f in live
+                )
+            else:
+                legacy.append(d)
+        if legacy:
+            import pyarrow.parquet as pq
+
+            pairs: set[tuple] = set()
+            for d in legacy:
+                tbl = pq.read_table(
+                    os.path.join(self.root, DATA_DIR, d["file"]),
+                    columns=["file", "pos"],
+                )
+                fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+                pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
+            total += len(pairs)
+        return total
 
     def snapshot_minmax(
         self, col: str, version: int | None = None
@@ -2550,19 +2645,30 @@ class VersionedTable:
                     if f in live and fvv.get(f, 0) <= d["version"]:
                         per_file_sub[f] = per_file_sub.get(f, 0) + int(n)
         elif pos:
-            import pyarrow.parquet as _pq
-
             live = set(m["files"])
-            pairs: set = set()
+            legacy = []
             for d in pos:
-                tbl = _pq.read_table(
-                    os.path.join(self.root, DATA_DIR, d["file"]),
-                    columns=["file", "pos"],
-                )
-                fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
-                pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
-            for f, _p in pairs:
-                per_file_sub[f] = per_file_sub.get(f, 0) + 1
+                if d.get("dv") and "counts" in d:
+                    # DV entries: per-target counts straight from the
+                    # manifest — zero IO, disjoint by construction
+                    for f, n in d["counts"].items():
+                        if f in live:
+                            per_file_sub[f] = per_file_sub.get(f, 0) + int(n)
+                else:
+                    legacy.append(d)
+            if legacy:
+                import pyarrow.parquet as _pq
+
+                pairs: set = set()
+                for d in legacy:
+                    tbl = _pq.read_table(
+                        os.path.join(self.root, DATA_DIR, d["file"]),
+                        columns=["file", "pos"],
+                    )
+                    fs, ps = tbl.column(0).to_pylist(), tbl.column(1).to_pylist()
+                    pairs.update((f, p) for f, p in zip(fs, ps) if f in live)
+                for f, _p in pairs:
+                    per_file_sub[f] = per_file_sub.get(f, 0) + 1
         fields = [fld["name"] for fld in spec]
         stats = m.get("stats", {})
         agg: dict = {}
@@ -4006,6 +4112,183 @@ class VersionedTable:
                 continue
         raise ConcurrentWriteError("replace_where could not publish after 20 attempts")
 
+    # ---- optimistic conflict resolution (round 12, VERDICT r11 #1) ------
+
+    _META_CONFLICT_KEYS = (
+        "schema", "partition_spec", "partition_col", "column_mapping",
+        "constraints", "sort_order", "row_lineage",
+    )
+    # an equality-delete key file bigger than this is not driver-read
+    # during conflict analysis — conservatively conflict instead
+    _REBASE_EQ_KEY_CAP = 50_000
+    _MAX_REBASE = 5
+
+    @classmethod
+    def _commit_delta(cls, parent: dict, child: dict) -> dict:
+        """What one interleaved commit changed, for conflict analysis:
+        added/removed data files, NEW merge-on-read delete entries, and
+        whether table-level metadata moved."""
+        pf, cf = set(parent["files"]), set(child["files"])
+        old_eq = {d["file"] for d in parent.get("deletes", [])}
+        old_pos = {d["file"] for d in parent.get("pos_deletes", [])}
+        return {
+            "added": cf - pf,
+            "removed": pf - cf,
+            "new_eq_deletes": [
+                d for d in child.get("deletes", []) if d["file"] not in old_eq
+            ],
+            "new_pos_deletes": [
+                d for d in child.get("pos_deletes", [])
+                if d["file"] not in old_pos
+            ],
+            "meta_moved": any(
+                parent.get(k) != child.get(k) for k in cls._META_CONFLICT_KEYS
+            ),
+            "stats": child.get("stats", {}),
+            "schema": child.get("schema"),
+            "column_mapping": child.get("column_mapping"),
+            "partition_spec": child.get("partition_spec"),
+            "partition_col": child.get("partition_col"),
+            "version": child["version"],
+        }
+
+    def _added_pseudo_manifest(self, d: dict) -> dict:
+        """A prunable pseudo-manifest over ONE interleaved commit's
+        added files (version key is a tuple so the Arrow stat-array
+        cache never collides with a real snapshot's entries)."""
+        return {
+            "version": ("rebase", d["version"]),
+            "files": sorted(d["added"]),
+            "stats": d["stats"],
+            "schema": d["schema"],
+            "column_mapping": d["column_mapping"],
+            "partition_spec": d["partition_spec"],
+            "partition_col": d["partition_col"],
+        }
+
+    def _eq_delete_overlaps(
+        self, snap: dict, entries: list, touched: list[str]
+    ) -> bool:
+        """Can any of these NEW equality-delete entries kill a row in
+        one of this op's ``touched`` files? Rows rewritten into staged
+        files carry a NEWER file version than the delete, so a delete
+        that should have applied would silently miss them — that is the
+        conflict. Checked by driver-reading the (small by contract)
+        delete key sets and pruning them against the touched files'
+        stats; unreadable/oversized key sets conflict conservatively."""
+        if not touched:
+            return False
+        import pyarrow.parquet as pq
+
+        pseudo = {
+            "version": ("rebase-touched", snap["version"]),
+            "files": list(touched),
+            "stats": snap.get("stats", {}),
+            "schema": snap.get("schema"),
+            "column_mapping": snap.get("column_mapping"),
+        }
+        for d in entries:
+            try:
+                pf = pq.ParquetFile(os.path.join(self.root, DATA_DIR, d["file"]))
+                if pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP:
+                    return True
+                keys = pf.read([d["key"]]).column(0).to_pylist()
+            except Exception:  # noqa: BLE001 — unreadable: conservative
+                return True
+            kept, _ = self._prune_eq(pseudo, d["key"], keys)
+            if kept:
+                return True
+        return False
+
+    def _publish_rewrite(
+        self,
+        snap: dict,
+        touched: list[str] | set[str],
+        staged: list[str],
+        op: str,
+        schema: str,
+        txn: tuple[str, int] | None = None,
+        added_conflict=None,
+    ) -> int:
+        """Delta-style OPTIMISTIC publish of a rewrite staged against
+        ``snap`` (round 12, VERDICT r11 #1): the final file list is the
+        HEAD's live files minus this op's ``touched`` plus ``staged``.
+        A commit landing between snapshot and publish no longer aborts
+        wholesale — each interleaved commit is checked for LOGICAL
+        conflicts against this op's read/write set:
+
+        - it removed/rewrote one of our ``touched`` files → abort
+          (two writers rewrote the same rows);
+        - it added a positional delete targeting a touched file, or an
+          equality delete whose keys can hit a touched file's rows
+          (:meth:`_eq_delete_overlaps`) → abort (row liveness we
+          materialized changed under us);
+        - it moved table metadata (schema / partition spec / mapping /
+          constraints / sort order / lineage) → abort;
+        - it added data files: op-specific — ``added_conflict(delta)``
+          returns a reason string when the new files could hold rows
+          this op's predicate/keys should have seen (write
+          serializability), ``None`` when provably disjoint by
+          manifest stats.
+
+        Every non-conflicting interleaving REBASES: the already-staged
+        files republish against the new head with ZERO recompute, and
+        both writers' effects land — a disjoint append during a merge
+        is not an abort anymore. Bounded at ``_MAX_REBASE`` attempts
+        (each attempt only analyzes commits it hasn't seen), then
+        ConcurrentWriteError. This is Delta's commit-protocol conflict
+        detection (ConcurrentAppend/DeleteRead/DeleteDelete classes)
+        re-expressed over the manifest log."""
+        touched_set = set(touched)
+        base = snap
+        for _ in range(self._MAX_REBASE):
+            head = self.manifest()
+            if head["version"] != base["version"]:
+                prev = base
+                for v in range(base["version"] + 1, head["version"] + 1):
+                    child = self.manifest(v)
+                    d = self._commit_delta(prev, child)
+                    reason = None
+                    if d["meta_moved"]:
+                        reason = "table metadata changed concurrently"
+                    elif d["removed"] & touched_set:
+                        reason = (
+                            "a file this op rewrites was removed/"
+                            "rewritten concurrently"
+                        )
+                    elif any(
+                        set(e["targets"]) & touched_set
+                        for e in d["new_pos_deletes"]
+                    ):
+                        reason = (
+                            "a concurrent positional delete targets a "
+                            "file this op rewrites"
+                        )
+                    elif d["new_eq_deletes"] and self._eq_delete_overlaps(
+                        snap, d["new_eq_deletes"], sorted(touched_set)
+                    ):
+                        reason = (
+                            "a concurrent equality delete can apply to "
+                            "rows this op rewrites"
+                        )
+                    elif d["added"] and added_conflict is not None:
+                        reason = added_conflict(d)
+                    if reason:
+                        raise ConcurrentWriteError(
+                            f"{op}: {reason}; re-run against the new log"
+                        )
+                    prev = child
+            untouched = [f for f in head["files"] if f not in touched_set]
+            try:
+                return self._publish_once(
+                    head, untouched + staged, op, schema, txn=txn
+                )
+            except FileExistsError:
+                base = head  # next pass only analyzes the NEW commits
+        raise ConcurrentWriteError(
+            f"{op} lost {self._MAX_REBASE} rebase races; re-run"
+        )
+
     def _publish_once(
         self,
         base: dict,
@@ -4558,10 +4841,9 @@ class VersionedTable:
                     else ([], 0)
                 )
             touched_set = set(touched)
-            if rewrite_target:
-                untouched = [f for f in snap["files"] if f not in touched_set]
-            else:
-                untouched = list(snap["files"])  # insert-only: rewrite nothing
+            # (file carry is decided at publish: _publish_rewrite takes
+            # head-live minus touched — insert-only passes touched=∅ so
+            # it rewrites nothing)
             # lineage rides the scan so updates/carried rows KEEP their
             # row ids through the rewrite (Delta row tracking through
             # MERGE — ADVICE r11: a fresh-id rewrite made keyless-CDC
@@ -4681,19 +4963,40 @@ class VersionedTable:
                 self._staged_stats.update(carried_stats)
             else:
                 staged = self._write_files(rewritten)
-            base = self.manifest()
-            if base["version"] != snap["version"]:
-                raise ConcurrentWriteError(
-                    "commit landed during merge; re-run against the new log"
-                )
-            try:
-                return self._publish_once(
-                    base, untouched + staged, "merge", schema_out, txn=txn
-                )
-            except FileExistsError:
-                raise ConcurrentWriteError(
-                    "commit landed during merge; re-run against the new log"
-                ) from None
+
+            # optimistic publish (round 12): a concurrent commit whose
+            # added files provably cannot match this merge rebases in;
+            # a BY SOURCE merge read the whole table, so ANY added file
+            # conflicts; otherwise files outside the source key bounds
+            # are disjoint by stats
+            if nmbs:
+                def added_conflict(d):
+                    return (
+                        "a concurrent commit added files while a "
+                        "NOT MATCHED BY SOURCE merge read the full table"
+                    )
+            elif bounds["lo"] is None:
+                added_conflict = None  # empty source: nothing to miss
+            else:
+                lo, hi = _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"])
+
+                def added_conflict(d):
+                    kept, _ = self._prune(
+                        self._added_pseudo_manifest(d), key, lo, hi
+                    )
+                    if kept:
+                        return (
+                            "a concurrent commit added files whose "
+                            f"{key} range can overlap the merge source"
+                        )
+                    return None
+
+            return self._publish_rewrite(
+                snap,
+                touched_set if rewrite_target else set(),
+                staged, "merge", schema_out, txn=txn,
+                added_conflict=added_conflict,
+            )
         finally:
             source.unpersist()
             _rw = locals().get("rewritten")
@@ -4929,8 +5232,6 @@ class VersionedTable:
         )
         if not touched:
             return snap["version"]
-        tset = frozenset(touched)
-        untouched = [f for f in snap["files"] if f not in tset]
         scan = self._scan_live(
             snap, touched, with_lineage=self._has_lineage(snap)
         )
@@ -4950,27 +5251,24 @@ class VersionedTable:
         rewritten = scan.select(*out_cols)
         self._enforce(rewritten)
         staged = self._write_files(rewritten)
-        base = self.manifest()
-        if base["version"] != snap["version"]:
-            raise ConcurrentWriteError(
-                "commit landed during update_where; re-run against the new log"
-            )
-        try:
-            return self._publish_once(
-                base, untouched + staged, "update_where",
-                snap["schema"], txn=txn,
-            )
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                "commit landed during update_where; re-run against the new log"
-            ) from None
 
-    # above this many matching rows, delete_rows_where flips from
-    # merge-on-read positional deletes to a copy-on-write rewrite of
-    # the touched files (the Delta deletion-vector vs rewrite policy):
-    # pos-delete pair files are driver-read at plan time by contract,
-    # so they must stay delete-sized
-    DELETE_MOR_MAX_ROWS = 100_000
+        # optimistic publish (round 12): concurrent adds rebase in when
+        # manifest stats prove no added file can hold a matching row
+        def added_conflict(d):
+            kept, _ = self._prune_condition(
+                self._added_pseudo_manifest(d), condition
+            )
+            if kept:
+                return (
+                    "a concurrent commit added files that may match "
+                    "the update predicate"
+                )
+            return None
+
+        return self._publish_rewrite(
+            snap, touched, staged, "update_where", snap["schema"],
+            txn=txn, added_conflict=added_conflict,
+        )
 
     def delete_rows_where(
         self,
@@ -4981,18 +5279,20 @@ class VersionedTable:
         """Predicate DELETE — Delta's ``DELETE FROM t WHERE cond``
         (round 11), completing the delete surface (``commit_delete_where``
         is key-list equality, this is an arbitrary row predicate).
-        Routing, decided from the MATCH COUNT like Delta's
-        deletion-vector policy:
 
-        - ``mode='mor'`` (or auto with few matches): the matching rows'
-          exact (file, pos) ordinals land as ONE positional-delete
-          commit — zero data files rewritten, a handful of rows erased
-          from a 100 TB table costs one tiny pair file;
-        - ``mode='rewrite'`` (or auto past ``DELETE_MOR_MAX_ROWS``):
-          the touched files rewrite without their matching rows
-          (copy-on-write), untouched files carry byte-identical —
-          a mass delete must not create a pair file the planner
-          driver-reads forever.
+        - ``mode='mor'`` / ``'auto'``: the matching rows' exact
+          (file, pos) ordinals land as ONE deletion-vector commit
+          (round 12, VERDICT r11 #2 — per-file roaring-lite bitmaps,
+          ~2 bytes/row, planner cost flat in deleted-row count) — zero
+          data files rewritten AT ANY MATCH COUNT. The pre-r12 100k
+          copy-on-write cliff (``DELETE_MOR_MAX_ROWS``) is gone: it
+          existed because pair files were driver-read; DVs answer
+          counts from the manifest. ``compact`` is the purge path,
+          exactly Delta's DV lifecycle.
+        - ``mode='rewrite'``: opt-in copy-on-write — the touched files
+          rewrite without their matching rows, untouched files carry
+          byte-identical (use for read-amplification control or
+          erasure SLAs where the bytes must go now).
 
         NULL conditions delete nothing (SQL semantics). CDC: the MoR
         route emits exact pos-delete retractions; the rewrite route
@@ -5020,9 +5320,7 @@ class VersionedTable:
             n = matches.count()
             if n == 0:
                 return snap["version"]
-            route = mode
-            if mode == "auto":
-                route = "mor" if n <= self.DELETE_MOR_MAX_ROWS else "rewrite"
+            route = "mor" if mode == "auto" else mode
             if route == "mor":
                 return self.commit_delete_positions(
                     matches.select(
@@ -5035,8 +5333,6 @@ class VersionedTable:
                 r["__rel"]
                 for r in matches.select("__rel").distinct().collect()
             )
-            tset = frozenset(touched)
-            untouched = [f for f in snap["files"] if f not in tset]
             scan = self._scan_live(
                 snap, touched, with_lineage=self._has_lineage(snap)
             )
@@ -5044,22 +5340,24 @@ class VersionedTable:
                 ~F.coalesce(F.expr(condition), F.lit(False))
             )
             staged = self._write_files(survivors)
-            base = self.manifest()
-            if base["version"] != snap["version"]:
-                raise ConcurrentWriteError(
-                    "commit landed during delete_rows_where; re-run "
-                    "against the new log"
+
+            # optimistic publish (round 12): same added-file rule as
+            # update_where — files that may hold matching rows conflict
+            def added_conflict(d):
+                kept, _ = self._prune_condition(
+                    self._added_pseudo_manifest(d), condition
                 )
-            try:
-                return self._publish_once(
-                    base, untouched + staged, "delete_rows_where",
-                    snap.get("schema"), txn=txn,
-                )
-            except FileExistsError:
-                raise ConcurrentWriteError(
-                    "commit landed during delete_rows_where; re-run "
-                    "against the new log"
-                ) from None
+                if kept:
+                    return (
+                        "a concurrent commit added files that may "
+                        "match the delete predicate"
+                    )
+                return None
+
+            return self._publish_rewrite(
+                snap, touched, staged, "delete_rows_where",
+                snap.get("schema"), txn=txn, added_conflict=added_conflict,
+            )
         finally:
             matches.unpersist()
 
@@ -5167,16 +5465,11 @@ class VersionedTable:
         for sig, gfiles in sorted(groups.items()):
             df = self._scan(m, gfiles, with_meta=True)
             gset = set(gfiles)
-            if pos and any(t in gset for d in pos for t in d["targets"]):
-                pairs = None
-                for d in pos:
-                    p = self.spark.read.parquet(
-                        os.path.join(self.root, DATA_DIR, d["file"])
-                    )
-                    pairs = p if pairs is None else pairs.unionByName(p)
-                pairs = pairs.select(
-                    F.col("file").alias("__rel"), F.col("pos").alias("__pos")
-                ).distinct()
+            rel_pos = [
+                d for d in pos if any(t in gset for t in d["targets"])
+            ]
+            if rel_pos:
+                pairs = self._pairs_of(rel_pos, targets=gset)
                 df = df.join(F.broadcast(pairs), ["__rel", "__pos"], "left_anti")
             for i in sig:
                 d = deletes[i]
@@ -5189,73 +5482,144 @@ class VersionedTable:
     def commit_delete_positions(
         self, pos_df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int:
-        """POSITIONAL-delete commit (Iceberg v2 position deletes / the
-        row-level half of Delta deletion vectors): ``pos_df`` carries
-        (file STRING, pos BIGINT) — the manifest-relative data file and
-        the 0-based ROW INDEX within it — staged as one small parquet;
-        every data file stays untouched. Reads attach Spark's
-        ``_metadata.file_path``/``row_index`` to the scan and broadcast
-        ANTI-JOIN the pairs, so erasing specific rows of a 100 TB table
-        costs one tiny file write. Unlike equality deletes the entry
-        names its TARGET files, so it needs no version sequencing: a
-        rewrite that sheds every target drops the entry (the rewrite
-        materialized the deletion). Referenced files are validated
-        against the live manifest — a typo'd path is an error, not a
-        silent no-op. ``txn`` gives streaming sinks the standard
-        exactly-once idempotence (replay of an already-recorded
-        (app, version) returns without staging anything)."""
+        """POSITIONAL-delete commit as DELETION VECTORS (round 12,
+        VERDICT r11 #2 — Delta DVs / Iceberg puffin blobs): ``pos_df``
+        carries (file STRING, pos BIGINT) — the manifest-relative data
+        file and the 0-based ROW INDEX within it. The pairs are
+        NET-NEW-filtered against the prior entries' pairs (so entries
+        are pairwise DISJOINT by construction), grouped per target
+        file, and each file's ordinals encode as a roaring-lite bitmap
+        (:func:`_dv_encode`, ~2 bytes/row) in ONE parquet sidecar of
+        (file, dv BINARY, n). Every data file stays untouched; reads
+        decode the bitmaps executor-side and anti-join on
+        ``_metadata.row_index``.
+
+        Why DVs, not pair files: the manifest entry carries only the
+        target list and per-target COUNTS, so PLANNER cost —
+        ``snapshot_rows``'s metadata COUNT(*), conflict analysis,
+        manifest size — is O(target files), flat in deleted-row count;
+        the old pair-file contract driver-read every pair and forced
+        the 100k copy-on-write cliff (``delete_rows_where`` auto now
+        stays merge-on-read at ANY match count; ``compact`` remains
+        the purge path, exactly Delta's DV lifecycle). Net-new
+        filtering keeps counts additive and CDC/restore exact: a new
+        entry IS exactly the newly-killed ordinals, a dropped entry
+        revives exactly its own.
+
+        Unlike equality deletes the entry names its TARGET files, so
+        it needs no version sequencing: a rewrite that sheds every
+        target drops the entry (the rewrite materialized the
+        deletion). Referenced files are validated against the live
+        manifest — a typo'd path is an error, not a silent no-op.
+        ``txn`` gives streaming sinks the standard exactly-once
+        idempotence."""
         if txn is not None and (
             self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]
         ):
             return self.latest_version()
-        txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
-        target = os.path.join(self.root, DATA_DIR, txn_dir)
         pairs = pos_df.select(
             F.col("file").cast("string"), F.col("pos").cast("long")
-        ).distinct()
-        pairs.coalesce(1).write.mode("error").parquet(target)
-        # bounded driver-side read-back: delete sets are small by
-        # construction (the whole point of merge-on-read deletes)
-        targets = sorted(
-            r.file for r in self.spark.read.parquet(target).select("file").distinct().collect()
-        )
-        if not targets:
-            raise ValueError("commit_delete_positions with an empty pair set")
-        rel = [
-            os.path.relpath(os.path.join(dp, f), os.path.join(self.root, DATA_DIR))
-            for dp, _dirs, fs in os.walk(target)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-        self._staged_stats = {}
-        for _ in range(20):
-            base = self.manifest()
-            if txn is not None and (
-                base.get("txns", {}).get(txn[0], -1) >= txn[1]
-            ):
-                return base["version"]  # raced replay: already recorded
-            live = set(base["files"])
-            missing = [t for t in targets if t not in live]
-            if missing:
-                raise ValueError(
-                    f"positional delete targets not in the live manifest: {missing}"
+        ).distinct().persist()
+        try:
+            # driver-side TARGET list (file-count-sized, never pairs)
+            targets = sorted(
+                r.file for r in pairs.select("file").distinct().collect()
+            )
+            if not targets:
+                raise ValueError("commit_delete_positions with an empty pair set")
+
+            def encode_group(pdf):
+                import pandas as _pd
+
+                return _pd.DataFrame({
+                    "file": [pdf["file"].iloc[0]],
+                    "dv": [_dv_encode(pdf["pos"].to_numpy())],
+                    "n": [int(_pd.unique(pdf["pos"]).size)],
+                })
+
+            for _ in range(20):
+                base = self.manifest()
+                if txn is not None and (
+                    base.get("txns", {}).get(txn[0], -1) >= txn[1]
+                ):
+                    return base["version"]  # raced replay: already recorded
+                live = set(base["files"])
+                missing = [t for t in targets if t not in live]
+                if missing:
+                    raise ValueError(
+                        f"positional delete targets not in the live manifest: {missing}"
+                    )
+                # net-new vs THIS base's entries (recomputed per retry —
+                # a racing delete of overlapping ordinals never double-
+                # counts; same discipline as _retraction_counts)
+                prior = [
+                    d for d in base.get("pos_deletes", [])
+                    if any(t in live and t in set(targets) for t in d["targets"])
+                ]
+                net = pairs
+                if prior:
+                    net = net.join(
+                        F.broadcast(
+                            self._pairs_of(prior, targets=set(targets)).select(
+                                F.col("__rel").alias("file"),
+                                F.col("__pos").alias("pos"),
+                            )
+                        ),
+                        ["file", "pos"], "left_anti",
+                    )
+                txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
+                target_dir = os.path.join(self.root, DATA_DIR, txn_dir)
+                (
+                    net.groupBy("file")
+                    .applyInPandas(encode_group, "file string, dv binary, n long")
+                    .coalesce(1)
+                    .write.mode("error").parquet(target_dir)
                 )
-            entry = [
-                {"file": r, "targets": targets, "version": base["version"] + 1}
-                for r in rel
-            ]
-            try:
-                return self._publish_once(
-                    base,
-                    base["files"],
-                    "delete_positions",
-                    base.get("schema"),
-                    pos_deletes_override=base.get("pos_deletes", []) + entry,
-                    txn=txn,
-                )
-            except FileExistsError:
-                continue  # file list untouched: blind-retryable
-        raise ConcurrentWriteError("positional delete could not publish after 20 attempts")
+                counts = {
+                    r.file: int(r.n)
+                    for r in self.spark.read.parquet(target_dir)
+                    .select("file", "n").collect()
+                }
+                if not counts:
+                    # every ordinal already dead: nothing to commit
+                    return base["version"]
+                rel = [
+                    os.path.relpath(
+                        os.path.join(dp, f),
+                        os.path.join(self.root, DATA_DIR),
+                    )
+                    for dp, _dirs, fs in os.walk(target_dir)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+                if len(rel) != 1:
+                    raise RuntimeError(
+                        f"DV sidecar stage produced {len(rel)} files"
+                    )
+                entry = [{
+                    "file": rel[0],
+                    "targets": sorted(counts),
+                    "version": base["version"] + 1,
+                    "dv": True,
+                    "counts": counts,
+                }]
+                self._staged_stats = {}
+                try:
+                    return self._publish_once(
+                        base,
+                        base["files"],
+                        "delete_positions",
+                        base.get("schema"),
+                        pos_deletes_override=base.get("pos_deletes", []) + entry,
+                        txn=txn,
+                    )
+                except FileExistsError:
+                    continue  # net-new set recomputes against the new base
+            raise ConcurrentWriteError(
+                "positional delete could not publish after 20 attempts"
+            )
+        finally:
+            pairs.unpersist()
 
     def commit_replace_keys(
         self,
@@ -5445,19 +5809,14 @@ class VersionedTable:
         else:
             df = df.coalesce(target_files)
         staged = self._write_files(df)
-        base = self.manifest()
-        if base["version"] != snap["version"]:
-            raise ConcurrentWriteError(
-                "commit landed during compaction; re-run against the new log"
-            )
-        try:
-            return self._publish_once(
-                base, staged, "compact", snap.get("schema") or df.schema.simpleString()
-            )
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                "commit landed during compaction; re-run against the new log"
-            ) from None
+        # optimistic publish (round 12): an append during compaction is
+        # never a conflict — the rebase carries the new files alongside
+        # the compacted ones (added_conflict=None); a concurrent rewrite
+        # or MoR delete of a compacted file still aborts, data wins
+        return self._publish_rewrite(
+            snap, list(snap["files"]), staged, "compact",
+            snap.get("schema") or df.schema.simpleString(),
+        )
 
     def _compact_scoped(
         self, snap: dict, target_files: int, where: dict
@@ -5509,23 +5868,13 @@ class VersionedTable:
         if so and so.get("type") == "zorder":
             df = df.sortWithinPartitions(*so["cols"])
         staged = self._write_files(df)
-        base = self.manifest()
-        if base["version"] != snap["version"]:
-            raise ConcurrentWriteError(
-                "commit landed during scoped compaction; re-run against "
-                "the new log"
-            )
-        try:
-            return self._publish_once(
-                base, keep + staged,
-                f"compact_parts({sorted(where.items())})",
-                snap.get("schema") or df.schema.simpleString(),
-            )
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                "commit landed during scoped compaction; re-run against "
-                "the new log"
-            ) from None
+        # optimistic publish (round 12): appends rebase in, scope-file
+        # rewrites/deletes abort — same rules as full compact
+        return self._publish_rewrite(
+            snap, scope, staged,
+            f"compact_parts({sorted(where.items())})",
+            snap.get("schema") or df.schema.simpleString(),
+        )
 
     def cluster_by(self, cols: list[str], target_files: int = 8, bits: int = 4) -> int:
         """Rewrite the snapshot Z-ORDERED on ``cols`` (numeric): each

@@ -522,16 +522,33 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 for p, k, rk in partition.match_any
             ]
             def _ordinals(pairs):
+                # both positional-delete formats: DV sidecars
+                # (file, dv BINARY) decode their roaring-lite bitmaps
+                # (round 12); legacy (file, pos) pair files read rows
+                from unity_to_bigquery_spark.plans.versioned import _dv_decode
+
                 out: set[int] = set()
                 for p, rel in pairs:
-                    pt = pq.read_table(p, columns=["file", "pos"])
-                    out.update(
-                        pos
-                        for fname, pos in zip(
+                    pf = pq.ParquetFile(p)
+                    names = pf.schema_arrow.names
+                    if "dv" in names:
+                        pt = pq.read_table(p, columns=["file", "dv"])
+                        for fname, blob in zip(
                             pt.column(0).to_pylist(), pt.column(1).to_pylist()
+                        ):
+                            if fname == rel:
+                                out.update(
+                                    int(x) for x in _dv_decode(bytes(blob))
+                                )
+                    else:
+                        pt = pq.read_table(p, columns=["file", "pos"])
+                        out.update(
+                            pos
+                            for fname, pos in zip(
+                                pt.column(0).to_pylist(), pt.column(1).to_pylist()
+                            )
+                            if fname == rel
                         )
-                        if fname == rel
-                    )
                 return out
 
             dead_pos = _ordinals(partition.pos_anti)
