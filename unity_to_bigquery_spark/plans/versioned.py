@@ -1550,6 +1550,13 @@ class VersionedTable:
                 "next_field_id": base.get("next_field_id"),
                 "retired_phys": base.get("retired_phys", []),
             }
+            cd = base.get("column_defaults") or {}
+            if old in cd:
+                # a column default follows its column's logical name
+                self._defaults_override = {
+                    **{k: v for k, v in cd.items() if k != old},
+                    new: cd[old],
+                }
             try:
                 return self._publish_once(
                     base, base["files"], f"rename_column({old}->{new})",
@@ -1559,8 +1566,197 @@ class VersionedTable:
                 continue
             finally:
                 self._mapping_state_override = _UNSET
+                self._defaults_override = _UNSET
         raise ConcurrentWriteError(
             "rename_column could not publish after 20 attempts"
+        )
+
+    # ---- nested-field evolution (round 12, VERDICT r11 #4) ---------------
+
+    @staticmethod
+    def _nested_entry(cm: list, col: str) -> dict | None:
+        for e in cm:
+            if e["name"] == col:
+                return e
+        return None
+
+    def _ensure_nested_fields(self, base: dict, col: str) -> tuple[list, dict]:
+        """Column mapping with the struct column ``col``'s per-FIELD id
+        mapping initialized from the current schema (identity phys
+        names, fresh ids) — the nested mirror of enable_column_mapping.
+        Returns (new_cm, entry). Caller publishes via
+        _mapping_state_override."""
+        from pyspark.sql.types import StructType
+
+        cm = [dict(e) for e in base["column_mapping"]]
+        entry = self._nested_entry(cm, col)
+        if entry is None:
+            raise ValueError(f"no column {col!r}")
+        st = StructType.fromDDL(base["schema"])
+        fld = next(f for f in st.fields if f.name == col)
+        if not isinstance(fld.dataType, StructType):
+            raise ValueError(
+                f"{col!r} is {fld.dataType.simpleString()}, not a struct"
+            )
+        if "fields" not in entry:
+            entry["fields"] = [
+                {"id": i + 1, "name": sf.name, "phys": sf.name}
+                for i, sf in enumerate(fld.dataType.fields)
+            ]
+        return cm, entry
+
+    def rename_nested_field(self, col: str, old: str, new: str) -> int:
+        """Metadata-only RENAME of a struct member (VERDICT r11 #4 —
+        Iceberg field-ID evolution inside nested types): the field
+        keeps its id and physical name; old files read through the
+        per-field mapping (``_scan`` rebuilds the struct phys→logical),
+        new files store physical names (``_write_files`` rebuilds
+        logical→phys), time travel below this version reads the old
+        name, and CDC windows crossing it normalize to the target
+        version's nested names by field id. One level of nesting
+        (struct of primitives — the ``events.props`` shape); deeper
+        nesting raises at the struct check."""
+        from pyspark.sql.types import StructField, StructType
+
+        self.enable_column_mapping()
+        for _ in range(20):
+            base = self.manifest()
+            cm, entry = self._ensure_nested_fields(base, col)
+            names = {n["name"] for n in entry["fields"]}
+            if old not in names:
+                raise ValueError(f"no nested field {col}.{old}")
+            if new in names:
+                raise ValueError(f"nested field {col}.{new} already exists")
+            for n in entry["fields"]:
+                if n["name"] == old:
+                    n["name"] = new
+            st = StructType.fromDDL(base["schema"])
+            out = []
+            for f in st.fields:
+                if f.name != col:
+                    out.append(f)
+                    continue
+                out.append(StructField(col, StructType([
+                    StructField(new if sf.name == old else sf.name,
+                                sf.dataType, sf.nullable)
+                    for sf in f.dataType.fields
+                ]), f.nullable))
+            self._mapping_state_override = {
+                "column_mapping": cm,
+                "next_field_id": base.get("next_field_id"),
+                "retired_phys": base.get("retired_phys", []),
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"rename_nested_field({col}.{old}->{new})",
+                    StructType(out).simpleString(),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "rename_nested_field could not publish after 20 attempts"
+        )
+
+    def add_nested_field(self, col: str, name: str, dtype: str) -> int:
+        """Metadata-only ADD of a struct member: appended at the end of
+        the struct; files written before read NULL for it (parquet
+        nested-schema fill, same semantics as top-level additive
+        widening). The new field's physical name auto-suffixes if a
+        historical sibling retired it."""
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType.fromDDL(f"`x` {dtype}").fields[0].dataType
+        self.enable_column_mapping()
+        for _ in range(20):
+            base = self.manifest()
+            cm, entry = self._ensure_nested_fields(base, col)
+            if name in {n["name"] for n in entry["fields"]}:
+                raise ValueError(f"nested field {col}.{name} already exists")
+            used_phys = {n["phys"] for n in entry["fields"]}
+            ph = name if name not in used_phys else f"{name}_x{uuid.uuid4().hex[:6]}"
+            nid = max((n["id"] for n in entry["fields"]), default=0) + 1
+            entry["fields"].append({"id": nid, "name": name, "phys": ph})
+            st = StructType.fromDDL(base["schema"])
+            out = []
+            for f in st.fields:
+                if f.name != col:
+                    out.append(f)
+                    continue
+                out.append(StructField(col, StructType(
+                    list(f.dataType.fields) + [StructField(name, target, True)]
+                ), f.nullable))
+            self._mapping_state_override = {
+                "column_mapping": cm,
+                "next_field_id": base.get("next_field_id"),
+                "retired_phys": base.get("retired_phys", []),
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"add_nested_field({col}.{name}:{target.simpleString()})",
+                    StructType(out).simpleString(),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "add_nested_field could not publish after 20 attempts"
+        )
+
+    def promote_nested_field(self, col: str, name: str, new_type: str) -> int:
+        """Metadata-only SAFE type promotion of a struct member
+        (int→long, float→double, decimal precision-up — the
+        promote_column set applied one level down). Old files read
+        through the widened nested schema via Spark 4's parquet
+        primitive widening (probed empirically in the test battery,
+        same as top-level promotion)."""
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType.fromDDL(f"`x` {new_type}").fields[0].dataType
+        for _ in range(20):
+            base = self.manifest()
+            if base.get("schema") is None:
+                raise ValueError("promote_nested_field on a never-committed table")
+            st = StructType.fromDDL(base["schema"])
+            fld = next((f for f in st.fields if f.name == col), None)
+            if fld is None or not isinstance(fld.dataType, StructType):
+                raise ValueError(f"{col!r} is not a struct column")
+            sub = next(
+                (sf for sf in fld.dataType.fields if sf.name == name), None
+            )
+            if sub is None:
+                raise ValueError(f"no nested field {col}.{name}")
+            if sub.dataType == target:
+                return base["version"]
+            if not _is_safe_widening(sub.dataType, target):
+                raise ValueError(
+                    f"promote_nested_field: {sub.dataType.simpleString()} -> "
+                    f"{target.simpleString()} is not a safe promotion"
+                )
+            out = []
+            for f in st.fields:
+                if f.name != col:
+                    out.append(f)
+                    continue
+                out.append(StructField(col, StructType([
+                    StructField(sf.name, target if sf.name == name
+                                else sf.dataType, sf.nullable)
+                    for sf in f.dataType.fields
+                ]), f.nullable))
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"promote_nested_field({col}.{name}:{target.simpleString()})",
+                    StructType(out).simpleString(),
+                )
+            except FileExistsError:
+                continue
+        raise ConcurrentWriteError(
+            "promote_nested_field could not publish after 20 attempts"
         )
 
     def drop_column(self, name: str) -> int:
@@ -1590,6 +1786,11 @@ class VersionedTable:
                 "next_field_id": base.get("next_field_id"),
                 "retired_phys": base.get("retired_phys", []) + [entry["phys"]],
             }
+            cd = base.get("column_defaults") or {}
+            if name in cd:
+                self._defaults_override = {
+                    k: v for k, v in cd.items() if k != name
+                }
             try:
                 return self._publish_once(
                     base, base["files"], f"drop_column({name})", new_schema
@@ -1598,6 +1799,7 @@ class VersionedTable:
                 continue
             finally:
                 self._mapping_state_override = _UNSET
+                self._defaults_override = _UNSET
         raise ConcurrentWriteError(
             "drop_column could not publish after 20 attempts"
         )
@@ -1712,24 +1914,109 @@ class VersionedTable:
             return df
         logical = StructType.fromDDL(schema_str)
         phys = {e["name"]: e["phys"] for e in (cm or [])}
-        read_fields = [
-            StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
-            for f in logical.fields
-        ]
-        out_cols = [
-            F.col(phys.get(f.name, f.name)).alias(f.name)
-            for f in logical.fields
-        ]
+        nested_cm = {
+            e["name"]: {n["name"]: n["phys"] for n in e["fields"]}
+            for e in (cm or [])
+            if e.get("fields")
+        }
+        read_fields = []
+        out_cols = []
+        for f in logical.fields:
+            pname = phys.get(f.name, f.name)
+            sub_phys = nested_cm.get(f.name)
+            if sub_phys and isinstance(f.dataType, StructType):
+                # nested field-ID mapping (round 12): read PHYSICAL
+                # member names, rebuild the logical struct; a member
+                # with identity mapping short-circuits to a plain alias
+                phys_dtype = StructType([
+                    StructField(
+                        sub_phys.get(sf.name, sf.name), sf.dataType, sf.nullable
+                    )
+                    for sf in f.dataType.fields
+                ])
+                read_fields.append(StructField(pname, phys_dtype, f.nullable))
+                if all(sub_phys.get(sf.name, sf.name) == sf.name
+                       for sf in f.dataType.fields):
+                    out_cols.append(F.col(pname).alias(f.name))
+                else:
+                    src = F.col(pname)
+                    rebuilt = F.struct(*[
+                        src.getField(sub_phys.get(sf.name, sf.name))
+                        .alias(sf.name)
+                        for sf in f.dataType.fields
+                    ])
+                    out_cols.append(
+                        F.when(src.isNull(), F.lit(None).cast(f.dataType))
+                        .otherwise(rebuilt)
+                        .alias(f.name)
+                    )
+            else:
+                read_fields.append(StructField(pname, f.dataType, f.nullable))
+                out_cols.append(F.col(pname).alias(f.name))
         if with_lineage:
             read_fields.append(StructField(self.ROW_ID_COL, LongType()))
         df = self.spark.read.schema(StructType(read_fields)).parquet(*paths)
-        if with_lineage or with_meta:
+        # INITIAL DEFAULTS (round 12, VERDICT r11 #7 — Iceberg v3
+        # initial-default / Delta ADD COLUMN ... DEFAULT): a file added
+        # BEFORE a default-bearing column existed (file_versions <
+        # default's add version) reads the default, not NULL; files
+        # written after read their stored values (an explicit NULL
+        # stays NULL — this is not COALESCE). Decided from the manifest
+        # alone: the schema at a file's add version couldn't contain
+        # the column, and every rewrite materializes what it read.
+        defaults = m.get("column_defaults") or {}
+        active = [
+            (i, fld, defaults[fld.name])
+            for i, fld in enumerate(logical.fields)
+            if fld.name in defaults
+        ]
+        need_flags = []
+        if active:
+            fvm = m.get("file_versions", {})
+            all_files = set(files)
+            for i, fld, dinfo in active:
+                pre = {
+                    f for f in files if fvm.get(f, 0) < int(dinfo["version"])
+                }
+                if not pre:
+                    continue
+                dv_expr = F.expr(dinfo["sql"]).cast(fld.dataType)
+                if pre == all_files:
+                    out_cols[i] = dv_expr.alias(fld.name)
+                else:
+                    need_flags.append((i, fld, dv_expr, pre))
+        if need_flags and not (with_lineage or with_meta):
+            df = df.withColumn(
+                "__rel",
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
+                ),
+            )
+        elif with_lineage or with_meta:
             df = df.withColumn(
                 "__rel",
                 F.substring_index(
                     F.col("_metadata.file_path"), "/" + DATA_DIR + "/", -1
                 ),
             ).withColumn("__idx", F.col("_metadata.row_index"))
+        if need_flags:
+            flag_schema = "__rel STRING, " + ", ".join(
+                f"__def_{j} BOOLEAN" for j in range(len(need_flags))
+            )
+            flag_rows = [
+                tuple([f] + [f in pre for *_x, pre in need_flags])
+                for f in files
+            ]
+            df = df.join(
+                F.broadcast(self.spark.createDataFrame(flag_rows, flag_schema)),
+                "__rel", "left",
+            )
+            for j, (i, fld, dv_expr, _pre) in enumerate(need_flags):
+                out_cols[i] = (
+                    F.when(F.col(f"__def_{j}"), dv_expr)
+                    .otherwise(F.col(phys.get(fld.name, fld.name)))
+                    .alias(fld.name)
+                )
         if with_lineage:
             stats = m.get("stats", {})
             bases = [
@@ -2163,6 +2450,71 @@ class VersionedTable:
     _CDC_NOOP_OPS = ("compact", "cluster_by")
 
     @staticmethod
+    def _cdc_nested_rename_map(from_cm: list | None, to_cm: list) -> dict:
+        """{frame_column_name: {old_member: new_member}} for struct
+        MEMBERS whose logical name changed between two mappings
+        (matched by top-level then nested field id) — the one-level-
+        down mirror of :meth:`_cdc_rename_map` (round 12). Frames from
+        commits before the nested mapping existed carry the
+        then-current member names, which are exactly the immutable
+        physical names."""
+        out: dict = {}
+        if not from_cm:
+            for e in to_cm:
+                sub = {
+                    n["phys"]: n["name"]
+                    for n in e.get("fields", [])
+                    if n["phys"] != n["name"]
+                }
+                if sub:
+                    out[e["phys"]] = sub
+            return out
+        to_by_id = {e["id"]: e for e in to_cm}
+        for e in from_cm:
+            te = to_by_id.get(e["id"])
+            if te is None or not te.get("fields"):
+                continue
+            if not e.get("fields"):
+                sub = {
+                    n["phys"]: n["name"]
+                    for n in te["fields"]
+                    if n["phys"] != n["name"]
+                }
+            else:
+                t_names = {n["id"]: n["name"] for n in te["fields"]}
+                sub = {}
+                for n in e["fields"]:
+                    tn = t_names.get(n["id"])
+                    if tn is not None and tn != n["name"]:
+                        sub[n["name"]] = tn
+            if sub:
+                out[e["name"]] = sub
+        return out
+
+    @staticmethod
+    def _apply_nested_renames(df: DataFrame, col: str, sub_map: dict) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        if col not in df.columns:
+            return df
+        dt = df.schema[col].dataType
+        if not isinstance(dt, StructType):
+            return df
+        src = F.col(col)
+        new_dt = StructType([
+            StructField(sub_map.get(sf.name, sf.name), sf.dataType, sf.nullable)
+            for sf in dt.fields
+        ])
+        rebuilt = F.struct(*[
+            src.getField(sf.name).alias(sub_map.get(sf.name, sf.name))
+            for sf in dt.fields
+        ])
+        return df.withColumn(
+            col,
+            F.when(src.isNull(), F.lit(None).cast(new_dt)).otherwise(rebuilt),
+        )
+
+    @staticmethod
     def _cdc_rename_map(from_cm: list | None, to_cm: list) -> dict:
         """{old_logical: target_logical} for fields whose logical name
         changed between two mappings (matched by field id). Frames from
@@ -2270,7 +2622,16 @@ class VersionedTable:
             # dropped by to_version stay under their historical name
             # and the union NULL-fills, same as additive widening)
             if to_cm:
-                ren = self._cdc_rename_map(m_v.get("column_mapping"), to_cm)
+                from_cm = m_v.get("column_mapping")
+                # nested member renames FIRST (they key on this
+                # commit's top-level names), then top-level renames
+                nested_ren = self._cdc_nested_rename_map(from_cm, to_cm)
+                for col_name, sub_map in nested_ren.items():
+                    new_frames = [
+                        self._apply_nested_renames(f, col_name, sub_map)
+                        for f in new_frames
+                    ]
+                ren = self._cdc_rename_map(from_cm, to_cm)
                 if ren:
                     new_frames = [
                         f.withColumnsRenamed(ren) for f in new_frames
@@ -3708,6 +4069,38 @@ class VersionedTable:
                         ren[c] = ph
             if ren:
                 df = df.withColumnsRenamed(ren)
+            # nested field-ID mapping (round 12): struct members store
+            # PHYSICAL names too — a post-rename append must not write
+            # the new logical name (reads ask for phys and would NULL)
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+
+            for e in cm:
+                subm = {
+                    n["name"]: n["phys"] for n in e.get("fields", [])
+                }
+                if not subm or all(k == v for k, v in subm.items()):
+                    continue
+                pcol = mapped.get(e["name"], e["name"])
+                if pcol not in df.columns:
+                    continue
+                dt = df.schema[pcol].dataType
+                if not isinstance(dt, _ST):
+                    continue
+                src = F.col(pcol)
+                phys_dt = _ST([
+                    _SF(subm.get(sf.name, sf.name), sf.dataType, sf.nullable)
+                    for sf in dt.fields
+                ])
+                rebuilt = F.struct(*[
+                    src.getField(sf.name).alias(subm.get(sf.name, sf.name))
+                    for sf in dt.fields
+                ])
+                df = df.withColumn(
+                    pcol,
+                    F.when(src.isNull(), F.lit(None).cast(phys_dt))
+                    .otherwise(rebuilt),
+                )
             _tr_map = {**mapped, **self._staged_new_phys}
             dcols = tuple(_tr_map.get(c, c) for c in self.distinct_index_cols)
             bcols = tuple(_tr_map.get(c, c) for c in self.bloom_index_cols)
@@ -3999,6 +4392,61 @@ class VersionedTable:
                 continue
         raise ConcurrentWriteError(
             "promote_column could not publish after 20 attempts"
+        )
+
+    def add_column(
+        self, name: str, dtype: str, default: str | None = None
+    ) -> int:
+        """METADATA-ONLY ``ADD COLUMN [DEFAULT <sql>]`` (round 12,
+        VERDICT r11 #7 — Delta ``ALTER TABLE ADD COLUMN ... DEFAULT`` /
+        Iceberg v3 initial defaults): widen the manifest schema with a
+        new nullable column; no file is touched. With ``default`` (a
+        constant SQL expression, validated row-free at declare time),
+        every file written BEFORE this commit reads the default instead
+        of NULL (``_scan``'s initial-default fill, decided from
+        file_versions alone), while files written after read their
+        stored values — an explicitly-written NULL stays NULL, exactly
+        Iceberg's initial-default semantics, NOT a COALESCE.
+        ``insert_sql`` also uses it as the write default for omitted
+        columns. Time travel below this version never sees the column;
+        CHECK constraints compose (they evaluate over the scan, which
+        fills defaults first)."""
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType.fromDDL(f"`x` {dtype}").fields[0].dataType
+        if default is not None:
+            # row-free validation: must be a constant expression that
+            # casts to the declared type (ANSI: a bad literal raises)
+            self.spark.sql(
+                f"SELECT CAST(({default}) AS {target.simpleString()})"
+            ).first()
+        for _ in range(20):
+            base = self.manifest()
+            if base.get("schema") is None:
+                raise ValueError("add_column on a never-committed table")
+            cur = StructType.fromDDL(base["schema"])
+            if name in cur.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            new_schema = StructType(
+                cur.fields + [StructField(name, target, True)]
+            ).simpleString()
+            if default is not None:
+                self._defaults_override = {
+                    **(base.get("column_defaults") or {}),
+                    name: {"sql": default, "version": base["version"] + 1},
+                }
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"add_column({name}:{target.simpleString()})",
+                    new_schema,
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._defaults_override = _UNSET
+        raise ConcurrentWriteError(
+            "add_column could not publish after 20 attempts"
         )
 
     def commit_overwrite(
@@ -4321,6 +4769,11 @@ class VersionedTable:
             if getattr(self, "_constraints_override", None) is not None
             else base.get("constraints", {})
         )
+        cd_override = getattr(self, "_defaults_override", _UNSET)
+        column_defaults = (
+            cd_override if cd_override is not _UNSET
+            else base.get("column_defaults")
+        )
         override = getattr(self, "_partition_override", _UNSET)
         partition_col = (
             override if override is not _UNSET
@@ -4547,6 +5000,11 @@ class VersionedTable:
                     "retired_phys": retired_phys,
                 }
                 if column_mapping is not None
+                else {}
+            ),
+            **(
+                {"column_defaults": column_defaults}
+                if column_defaults
                 else {}
             ),
             **(
@@ -5167,7 +5625,12 @@ class VersionedTable:
                 f"insert_sql names unknown column(s) {unknown} "
                 f"(table columns: {names})"
             )
-        by_col = dict.fromkeys(names, "NULL")
+        # write defaults (round 12): an omitted column with a declared
+        # default lands the default, not NULL — Delta INSERT semantics
+        cd = snap.get("column_defaults") or {}
+        by_col = {
+            n: (cd[n]["sql"] if n in cd else "NULL") for n in names
+        }
         sel_rows = []
         for r in rows:
             vals = {**by_col, **dict(zip(cols, r))}

@@ -3142,6 +3142,130 @@ def p_versioned_occ_rebase(spark, sf_dir):
 
 
 @query(
+    "p_versioned_add_column_default",
+    oracle="""
+    WITH pre AS (
+      SELECT o_orderpriority AS prio, 2.5 AS bonus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), post AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(o_custkey % 10 AS DOUBLE) END
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), final AS (
+      SELECT * FROM pre UNION ALL SELECT * FROM post
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(bonus) AS BIGINT) AS n_bonus,
+           CAST(SUM(CAST(FLOOR(bonus * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bonus2
+    FROM final GROUP BY prio
+    """,
+    doc=(
+        "ADD COLUMN ... DEFAULT (round 12, VERDICT r11 #7 — Iceberg v3 "
+        "initial defaults): files written BEFORE the column existed "
+        "read the declared default (2.5) through the widened manifest "
+        "schema with zero file rewrites; files written after read "
+        "their stored values INCLUDING explicit NULLs (initial-default "
+        "semantics, not COALESCE — the oracle's CASE emits real NULLs "
+        "that must survive). Aggregate spans both generations."
+    ),
+    tags=("pipeline", "versioned", "evolution"),
+)
+def p_versioned_add_column_default(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_addcol_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    files_pre = set(t.manifest()["files"])
+    t.add_column("bonus", "double", default="CAST(2.5 AS DOUBLE)")
+    if set(t.manifest()["files"]) != files_pre:
+        raise RuntimeError("add_column touched data files (must be metadata-only)")
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "bonus",
+            F.when(F.col("o_custkey") % 5 == 0, F.lit(None)).otherwise(
+                (F.col("o_custkey") % 10).cast("double")
+            ),
+        )
+    )
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("bonus").alias("n_bonus"),
+            F.sum(
+                F.floor(F.col("bonus") * 100.0 + 0.5).cast("long")
+            ).alias("bonus2"),
+        )
+    )
+
+
+@query(
+    "p_versioned_nested_evolution",
+    oracle="""
+    SELECT o_orderstatus AS cat, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_custkey % 100 AS BIGINT)) AS BIGINT) AS units
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc=(
+        "NESTED-FIELD evolution (round 12, VERDICT r11 #4): ingest a "
+        "struct column, then RENAME a member (metadata-only, field-ID "
+        "mapping — old files read through it), PROMOTE a member "
+        "int->long (Spark-4 nested reader widening), and keep "
+        "ingesting through the evolved layout; the read spans both "
+        "generations and must aggregate identically to DuckDB over "
+        "the flat source. Metadata-only-ness asserted in-query."
+    ),
+    tags=("pipeline", "versioned", "evolution"),
+)
+def p_versioned_nested_evolution(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_nested_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    # generation 1: original member names (val INT)
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).selectExpr(
+            "o_orderkey",
+            "struct(o_orderstatus AS cat, CAST(o_custkey % 100 AS INT) AS val)"
+            " AS props",
+        )
+    )
+    files_pre = set(t.manifest()["files"])
+    t.rename_nested_field("props", "val", "units")
+    t.promote_nested_field("props", "units", "long")
+    if set(t.manifest()["files"]) != files_pre:
+        raise RuntimeError("nested evolution touched data files")
+    # generation 2: evolved member names/types
+    t.commit_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).selectExpr(
+            "o_orderkey",
+            "struct(o_orderstatus AS cat, CAST(o_custkey % 100 AS BIGINT)"
+            " AS units) AS props",
+        )
+    )
+    return (
+        t.read()
+        .groupBy(F.col("props.cat").alias("cat"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("props.units").alias("units"),
+        )
+    )
+
+
+@query(
     "p_versioned_clone",
     oracle="""
     WITH w1 AS (SELECT * FROM orders WHERE o_orderkey % 3 < 2),
