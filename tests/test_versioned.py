@@ -3568,3 +3568,44 @@ def test_nested_rename_cdc_normalizes_to_head(spark, root):
     assert {(r.k, r.props.language) for r in t.read().collect()} == {
         (11, "en"), (2, "fr")
     }
+
+
+def test_execute_dml_dispatcher(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    t.execute_dml("INSERT INTO t (k, v) VALUES (3, 'c')")
+    t.execute_dml("UPDATE t SET v = upper(v) WHERE k = 1")
+    t.execute_dml("DELETE FROM t WHERE k = 2")
+    t.execute_dml(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        source=_df(spark, [(3, "C"), (4, "d")]),
+    )
+    assert _mrows(t) == {(1, "A"), (3, "C"), (4, "d")}
+    with pytest.raises(ValueError, match="needs source"):
+        t.execute_dml("MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        t.execute_dml("SELECT 1")
+
+
+def test_cluster_by_rebases_over_append(spark, root, monkeypatch):
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame(
+        [(i, i % 7) for i in range(40)], "k INT, v INT"
+    ))
+    orig = t._write_files
+
+    def write_then_race(df):
+        staged = orig(df)
+        VersionedTable(spark, root).commit_append(
+            spark.createDataFrame([(999, 0)], "k INT, v INT")
+        )
+        return staged
+
+    monkeypatch.setattr(t, "_write_files", write_then_race)
+    t.cluster_by(["k", "v"], target_files=2)
+    h = VersionedTable(spark, root)
+    assert h.read().count() == 41
+    assert (999, 0) in {(r.k, r.v) for r in h.read().collect()}
+    assert h.manifest()["op"] == "cluster_by"
+    assert h.manifest()["sort_order"]["type"] == "zorder"

@@ -5580,6 +5580,35 @@ class VersionedTable:
             source_key=skey, txn=txn, merge_schema=merge_schema,
         )
 
+    def execute_dml(
+        self,
+        stmt: str,
+        source: DataFrame | None = None,
+        txn: tuple[str, int] | None = None,
+        **kwargs,
+    ) -> int:
+        """One front door for every DML statement (round 12): dispatch
+        on the leading keyword to :meth:`update_sql` / :meth:`delete_sql`
+        / :meth:`insert_sql` / :meth:`merge_sql` (MERGE additionally
+        needs ``source``). ``kwargs`` pass through (``mode`` for
+        DELETE, ``merge_schema`` for MERGE)."""
+        head = stmt.lstrip().split(None, 1)
+        kw = head[0].upper() if head else ""
+        if kw == "UPDATE":
+            return self.update_sql(stmt, txn=txn, **kwargs)
+        if kw == "DELETE":
+            return self.delete_sql(stmt, txn=txn, **kwargs)
+        if kw == "INSERT":
+            return self.insert_sql(stmt, txn=txn, **kwargs)
+        if kw == "MERGE":
+            if source is None:
+                raise ValueError("MERGE needs source= (the USING DataFrame)")
+            return self.merge_sql(source, stmt, txn=txn, **kwargs)
+        raise ValueError(
+            f"execute_dml: unsupported statement {kw or stmt!r} "
+            "(UPDATE / DELETE / INSERT / MERGE)"
+        )
+
     def update_sql(self, stmt: str, txn: tuple[str, int] | None = None) -> int:
         """SQL front door over :meth:`update_where` (round 12, VERDICT
         r11 #3): ``UPDATE <t> SET col = expr, ... [WHERE cond]``. The
@@ -6351,8 +6380,9 @@ class VersionedTable:
         width_bucket + shiftleft + repartitionByRange (all codegen; the
         one shuffle is the range exchange every global sort pays).
 
-        Publish/concurrency semantics are compact()'s: content is
-        row-identical, a racing commit aborts the clustering, data wins.
+        Publish/concurrency semantics are compact()'s (round 12:
+        optimistic — a concurrent APPEND rebases in untouched, a
+        rewrite or MoR delete of a clustered file aborts, data wins).
 
         Round 10 (VERDICT r9 #4): the clustering spec is RECORDED in
         the manifest as the table's persisted ``sort_order`` —
@@ -6367,22 +6397,14 @@ class VersionedTable:
         )
         clustered = self._zorder_plan(df, cols, bits, target_files)
         staged = self._write_files(clustered)
-        base = self.manifest()
-        if base["version"] != snap["version"]:
-            raise ConcurrentWriteError(
-                "commit landed during clustering; re-run against the new log"
-            )
         self._sort_order_override = {
             "type": "zorder", "cols": list(cols), "bits": int(bits),
         }
         try:
-            return self._publish_once(
-                base, staged, "cluster_by", snap.get("schema") or df.schema.simpleString()
+            return self._publish_rewrite(
+                snap, list(snap["files"]), staged, "cluster_by",
+                snap.get("schema") or df.schema.simpleString(),
             )
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                "commit landed during clustering; re-run against the new log"
-            ) from None
         finally:
             self._sort_order_override = _UNSET
 
