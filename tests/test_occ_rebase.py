@@ -139,7 +139,6 @@ def test_merge_cdc_exact_across_rebase(spark, root, monkeypatch):
     # emitted (rewrite diff) — expect update pair for 2 and insert 5
     ks = {k for k, _ in merge_feed}
     assert 100 not in ks and 5 in ks and 2 in ks
-    assert ("5", ) != ()  # keep flake quiet about tuple literal
     # final state folds exactly
     assert _rows(h) == [(1, "a"), (2, "B"), (5, "e"), (100, "racer")]
 
@@ -274,3 +273,44 @@ def test_rebase_chain_two_racers(spark, root, monkeypatch):
     _race(monkeypatch, t, two_appends)
     t.update_where({"v": "upper(v)"}, "k <= 2")
     assert _rows(t) == [(1, "A"), (2, "B"), (100, "r1"), (200, "r2")]
+
+
+def test_live_concurrent_writers_all_land(spark, tmp_path):
+    """LIVE thread concurrency (no staged race harness): disjoint
+    updaters on separate key-range files plus blind appenders, all
+    racing real CAS publishes — every writer's effect lands, none
+    aborts, final state exact. The bounded-retry path (_MAX_REBASE)
+    absorbs chained interleavings."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "tbl")
+    t0 = VersionedTable(spark, root)
+    # 4 disjoint key-range files
+    for lo in (0, 100, 200, 300):
+        t0.commit_append(_df(spark, [(lo + i, "x") for i in range(10)]))
+
+    def updater(lo):
+        VersionedTable(spark, root).update_where(
+            {"v": f"'U{lo}'"}, f"k >= {lo} AND k <= {lo + 9}"
+        )
+        return lo
+
+    def appender(i):
+        VersionedTable(spark, root).commit_append(
+            _df(spark, [(1000 + i, f"a{i}")])
+        )
+        return i
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [ex.submit(updater, lo) for lo in (0, 100, 200, 300)]
+        futs += [ex.submit(appender, i) for i in (1, 2)]
+        for f in futs:
+            f.result(timeout=300)  # raises if any writer aborted
+
+    h = VersionedTable(spark, root)
+    rows = {(r.k, r.v) for r in h.read().collect()}
+    assert len(rows) == 42
+    for lo in (0, 100, 200, 300):
+        assert all((lo + i, f"U{lo}") in rows for i in range(10)), lo
+    assert (1001, "a1") in rows and (1002, "a2") in rows
+    assert h.latest_version() == 10  # 4 ingests + 4 updates + 2 appends

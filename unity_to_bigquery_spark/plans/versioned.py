@@ -5604,9 +5604,27 @@ class VersionedTable:
             if source is None:
                 raise ValueError("MERGE needs source= (the USING DataFrame)")
             return self.merge_sql(source, stmt, txn=txn, **kwargs)
+        if kw == "ALTER":
+            import re
+
+            am = re.match(
+                r"(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+ADD\s+COLUMN\s+"
+                r"(?P<name>\w+)\s+(?P<dtype>\w+(?:\([\d,\s]*\))?)"
+                r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
+                stmt,
+            )
+            if am is None:
+                raise ValueError(
+                    "execute_dml: only 'ALTER TABLE <t> ADD COLUMN "
+                    f"<name> <type> [DEFAULT <expr>]' is supported, got {stmt!r}"
+                )
+            return self.add_column(
+                am["name"], am["dtype"],
+                default=am["default"].strip() if am["default"] else None,
+            )
         raise ValueError(
             f"execute_dml: unsupported statement {kw or stmt!r} "
-            "(UPDATE / DELETE / INSERT / MERGE)"
+            "(UPDATE / DELETE / INSERT / MERGE / ALTER TABLE ADD COLUMN)"
         )
 
     def update_sql(self, stmt: str, txn: tuple[str, int] | None = None) -> int:
