@@ -2228,3 +2228,57 @@ def test_versioned_stream_reads_a_branch(spark, tmp_path):
         VersionedTableStreamReader(
             {"path": str(tmp_path / "tbl"), "branch": "nope"}
         )
+
+
+def test_dml_sink_streaming_deleter_exactly_once(spark, tmp_path):
+    """Round 12: a foreachBatch GDPR-deleter through the SQL DML front
+    door with txn exactly-once — per-batch DELETE statements apply
+    once; a manual replay of an already-recorded batch no-ops even
+    though new matching rows landed in between."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import dml_sink
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in range(50)], "k INT, user STRING"
+    ))
+    # erasure-request stream: 3 single-row files naming users to erase
+    src = str(tmp_path / "requests")
+    for i, u in enumerate(["u1", "u3", "u4"]):
+        spark.createDataFrame([(u,)], "user STRING").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def stmt(batch_df, batch_id):
+        users = sorted(r.user for r in batch_df.collect())
+        if not users:
+            return None
+        quoted = ", ".join(f"'{u}'" for u in users)
+        return f"DELETE FROM t WHERE user IN ({quoted})"
+
+    sink = dml_sink(t, "gdpr", stmt)
+    q = (
+        spark.readStream.schema("user STRING")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.user for r in t.read().collect()} == {"u0", "u2"}
+    assert t.read().count() == 20
+    # replay protection: new u1 rows land, then batch 0's statement
+    # replays with its original txn id — must be a no-op
+    t.commit_append(spark.createDataFrame(
+        [(100, "u1")], "k INT, user STRING"
+    ))
+    last = t.manifest()["txns"]["gdpr"]
+    v = t.latest_version()
+    sink2 = dml_sink(t, "gdpr", lambda b, i: "DELETE FROM t WHERE user = 'u1'")
+    sink2(spark.createDataFrame([("u1",)], "user STRING"), 0)
+    assert t.latest_version() == v  # replay no-op
+    assert t.read().filter("user = 'u1'").count() == 1
+    # a NEW batch id applies
+    sink2(spark.createDataFrame([("u1",)], "user STRING"), last + 1)
+    assert t.read().filter("user = 'u1'").count() == 0

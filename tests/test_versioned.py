@@ -3609,3 +3609,47 @@ def test_cluster_by_rebases_over_append(spark, root, monkeypatch):
     assert (999, 0) in {(r.k, r.v) for r in h.read().collect()}
     assert h.manifest()["op"] == "cluster_by"
     assert h.manifest()["sort_order"]["type"] == "zorder"
+
+
+def test_drop_nested_field_and_readd(spark, root):
+    """Round 12: metadata-only nested DROP — reads stop requesting the
+    member (nested schema pruning); a re-added same-name member gets a
+    fresh physical slot so historical values never resurrect."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_props_df(spark, [(1, "en", 3), (2, "fr", 5)]))
+    files0 = set(t.manifest()["files"])
+    t.drop_nested_field("props", "score")
+    assert set(t.manifest()["files"]) == files0
+    assert [f.name for f in t.read().schema["props"].dataType.fields] == ["lang"]
+    # re-add same name: old files must read NULL, not the old values
+    t.add_nested_field("props", "score", "int")
+    got = {(r.k, r.props.score) for r in t.read().collect()}
+    assert got == {(1, None), (2, None)}
+    entry = next(
+        e for e in t.manifest()["column_mapping"] if e["name"] == "props"
+    )
+    assert "score" in entry.get("retired_fields", [])
+    new_phys = next(n["phys"] for n in entry["fields"] if n["name"] == "score")
+    assert new_phys != "score"  # fresh physical slot
+    t.drop_nested_field("props", "lang")  # two members: fine
+    with pytest.raises(ValueError, match="last member"):
+        t.drop_nested_field("props", "score")
+
+
+def test_auto_compact_dv_dead_fraction(spark, root):
+    """Round 12: the DV lifecycle's purge trigger — ONE deletion-vector
+    entry holding >20% dead rows trips auto_compact even though the
+    entry COUNT is far below the threshold."""
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame(
+        [(i, "x") for i in range(100)], "k INT, v STRING"
+    ).coalesce(1))
+    t.delete_rows_where("k % 3 = 0")  # 34 dead rows in one DV entry
+    m = t.manifest()
+    assert len(m["pos_deletes"]) == 1
+    assert t.auto_compact(max_delete_entries=8) is True
+    m2 = t.manifest()
+    assert m2["op"] == "compact" and not m2.get("pos_deletes")
+    assert t.read().count() == 66
+    # healthy table: no-op
+    assert t.auto_compact() is False

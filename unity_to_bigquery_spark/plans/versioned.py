@@ -1675,7 +1675,9 @@ class VersionedTable:
             cm, entry = self._ensure_nested_fields(base, col)
             if name in {n["name"] for n in entry["fields"]}:
                 raise ValueError(f"nested field {col}.{name} already exists")
-            used_phys = {n["phys"] for n in entry["fields"]}
+            used_phys = {n["phys"] for n in entry["fields"]} | set(
+                entry.get("retired_fields", [])
+            )
             ph = name if name not in used_phys else f"{name}_x{uuid.uuid4().hex[:6]}"
             nid = max((n["id"] for n in entry["fields"]), default=0) + 1
             entry["fields"].append({"id": nid, "name": name, "phys": ph})
@@ -1705,6 +1707,60 @@ class VersionedTable:
                 self._mapping_state_override = _UNSET
         raise ConcurrentWriteError(
             "add_nested_field could not publish after 20 attempts"
+        )
+
+    def drop_nested_field(self, col: str, name: str) -> int:
+        """Metadata-only DROP of a struct member: the physical column
+        stays in old files but no read under this or any later mapping
+        requests it (Spark's nested-schema pruning — zero IO for the
+        dropped member); the member's physical name retires INSIDE the
+        struct's entry so a future same-name member never collides."""
+        from pyspark.sql.types import StructField, StructType
+
+        self.enable_column_mapping()
+        for _ in range(20):
+            base = self.manifest()
+            cm, entry = self._ensure_nested_fields(base, col)
+            victim = next(
+                (n for n in entry["fields"] if n["name"] == name), None
+            )
+            if victim is None:
+                raise ValueError(f"no nested field {col}.{name} to drop")
+            if len(entry["fields"]) == 1:
+                raise ValueError(
+                    f"cannot drop the last member of struct {col!r} — "
+                    "drop_column the struct itself"
+                )
+            entry["fields"] = [n for n in entry["fields"] if n["name"] != name]
+            entry["retired_fields"] = entry.get("retired_fields", []) + [
+                victim["phys"]
+            ]
+            st = StructType.fromDDL(base["schema"])
+            out = []
+            for f in st.fields:
+                if f.name != col:
+                    out.append(f)
+                    continue
+                out.append(StructField(col, StructType([
+                    sf for sf in f.dataType.fields if sf.name != name
+                ]), f.nullable))
+            self._mapping_state_override = {
+                "column_mapping": cm,
+                "next_field_id": base.get("next_field_id"),
+                "retired_phys": base.get("retired_phys", []),
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"drop_nested_field({col}.{name})",
+                    StructType(out).simpleString(),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._mapping_state_override = _UNSET
+        raise ConcurrentWriteError(
+            "drop_nested_field could not publish after 20 attempts"
         )
 
     def promote_nested_field(self, col: str, name: str, new_type: str) -> int:
@@ -6865,6 +6921,7 @@ class VersionedTable:
         max_files_per_partition: int = 4,
         max_delete_entries: int = 8,
         target_files: int = 1,
+        max_dead_fraction: float = 0.2,
     ) -> bool:
         """Threshold auto-OPTIMIZE for refresh-maintained derived-state
         tables (VERDICT r7 #4): compact when the live snapshot carries
@@ -6873,11 +6930,16 @@ class VersionedTable:
         partition per page), or when merge-on-read delete entries
         exceed ``max_delete_entries`` (every read pays one anti-join
         group per distinct delete state — retraction-aware refreshes
-        accrue one entry per non-append page). Content-identical
-        (compact is a regular commit; txn bookmarks carry forward);
-        returns True when a compaction ran. On a healthy table this is
-        manifest arithmetic only — safe to call after every refresh,
-        which is exactly how the derived indexes use it."""
+        accrue one entry per non-append page), or — round 12, the DV
+        lifecycle — when the DEAD-ROW FRACTION under deletion vectors
+        exceeds ``max_dead_fraction`` (one DV entry can hold a million
+        dead ordinals the scan anti-joins forever; entry COUNT no
+        longer measures read amplification, the manifest's additive
+        per-target counts do — zero IO). Content-identical (compact is
+        a regular commit; txn bookmarks carry forward); returns True
+        when a compaction ran. On a healthy table this is manifest
+        arithmetic only — safe to call after every refresh, which is
+        exactly how the derived indexes use it."""
         m = self.manifest()
         if not m["files"]:
             return False
@@ -6891,9 +6953,18 @@ class VersionedTable:
             for f in m["files"]
         }) or 1
         debt = len(m.get("deletes", [])) + len(m.get("pos_deletes", []))
+        dead_frac = 0.0
+        if m.get("pos_deletes") and not m.get("deletes"):
+            stats = m.get("stats", {})
+            total = sum(
+                int(stats.get(f, {}).get("__nrows", 0)) for f in m["files"]
+            )
+            if total:
+                dead_frac = self._live_pos_pair_count(m) / total
         if (
             len(m["files"]) > max_files_per_partition * nparts
             or debt > max_delete_entries
+            or dead_frac > max_dead_fraction
         ):
             self.compact(target_files=target_files)
             return True
