@@ -3042,7 +3042,8 @@ def p_versioned_sql_dml(spark, sf_dir):
     t2.update_where(upd_set, upd_cond)
     t2.delete_rows_where(del_cond)
     a, b = t.read(), t2.read()
-    if a.exceptAll(b).count() or b.exceptAll(a).count():
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    if diff.limit(1).count():
         raise RuntimeError("SQL DML state diverged from programmatic twin")
     return (
         t.read()
@@ -3261,6 +3262,109 @@ def p_versioned_nested_evolution(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("props.units").alias("units"),
+        )
+    )
+
+
+@query(
+    "p_versioned_streamed_dml",
+    oracle="""
+    SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(
+             CASE WHEN o_custkey % 10 = 1 THEN o_totalprice * 2
+                  ELSE o_totalprice END * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM orders WHERE o_custkey % 10 NOT IN (3, 7)
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "STREAMING SQL DML (round 12 — dml_sink composing the SQL "
+        "front doors with txn exactly-once): a checkpointed stream of "
+        "erasure/reprice REQUESTS drives per-batch DELETE and UPDATE "
+        "statements against a live table (the GDPR-deleter shape). "
+        "Batch 1 deletes two custkey buckets (lands as deletion "
+        "vectors — zero files rewritten, asserted in-query), batch 2 "
+        "doubles another bucket's prices (stats-pruned predicate "
+        "phase). A re-drain of the same checkpoint is a no-op and a "
+        "manual replay of batch 0's statement with its recorded txn "
+        "id no-ops too — exactly-once through the DML path, asserted "
+        "in-query. Final state ≡ DuckDB applying both effects."
+    ),
+    tags=("pipeline", "versioned", "sql", "streaming"),
+)
+def p_versioned_streamed_dml(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+    from unity_to_bigquery_spark.streaming.stream import dml_sink
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    base = _tmp(f"versioned_sdml_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedTable(spark, os.path.join(base, "tbl"))
+    t.commit_append(orders)
+    files0 = set(t.manifest()["files"])
+    req = VersionedTable(spark, os.path.join(base, "req"))
+
+    def stmt(batch_df, batch_id):
+        rows = batch_df.collect()  # request batches are tiny by contract
+        dels = sorted({int(r.arg) for r in rows if r.op == "delete"})
+        boosts = sorted({int(r.arg) for r in rows if r.op == "boost"})
+        if dels:
+            in_list = ", ".join(map(str, dels))
+            return f"DELETE FROM t WHERE o_custkey % 10 IN ({in_list})"
+        if boosts:
+            return (
+                "UPDATE t SET o_totalprice = o_totalprice * "
+                f"CAST(2 AS DOUBLE) WHERE o_custkey % 10 = {boosts[0]}"
+            )
+        return None
+
+    sink = dml_sink(t, "req-dml", stmt)
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", req.root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: erasure requests -> one DELETE batch (DV route)
+    req.commit_append(
+        spark.createDataFrame([("delete", 3), ("delete", 7)], "op STRING, arg INT")
+    )
+    drain()
+    if set(t.manifest()["files"]) != files0 or not t.manifest().get("pos_deletes"):
+        raise RuntimeError("streamed DELETE did not land as deletion vectors")
+    # wave 2: reprice requests -> one UPDATE batch
+    req.commit_append(
+        spark.createDataFrame([("boost", 1)], "op STRING, arg INT")
+    )
+    drain()
+    v = t.latest_version()
+    # re-drain: checkpoint replays nothing, table untouched
+    drain()
+    if t.latest_version() != v:
+        raise RuntimeError("checkpoint re-drain mutated the table")
+    # manual replay of batch 0's statement with its original txn id
+    sink(spark.createDataFrame([("delete", 1)], "op STRING, arg INT"), 0)
+    if t.latest_version() != v:
+        raise RuntimeError("txn replay was not a no-op")
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
         )
     )
 
