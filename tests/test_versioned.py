@@ -1589,8 +1589,9 @@ def test_branch_isolated_writes_and_fast_forward_publish(spark, root):
 
 def test_branch_publish_races_and_cherry_pick(spark, root):
     """Publish vs a racing main commit: an append-only branch
-    cherry-picks onto the moved main; a non-append branch refuses
-    (ConcurrentWriteError) instead of tearing state."""
+    cherry-picks onto the moved main; a non-append branch over a
+    PURE-APPEND main movement now REBASES (round 12) when its delete
+    keys are provably disjoint from the interleaved files."""
     t = VersionedTable(spark, root)
     t.commit_append(_df(spark, [(1, "a")]))
     t.create_branch("adds")
@@ -1598,21 +1599,68 @@ def test_branch_publish_races_and_cherry_pick(spark, root):
     t.commit_append(_df(spark, [(9, "z")]))  # main moves past the fork
     t.publish_branch("adds")
     assert _rows(t.read().select("k", "v")) == [(1, "a"), (2, "b"), (9, "z")]
-    # non-append branch + moved main -> loud refusal
+    # non-append branch + pure-append main movement -> sound REBASE
+    # (pre-r12 this refused wholesale): the branch's delete of k=9
+    # applies to the fork rows, the interleaved append (k=10) rides
     t.create_branch("dels")
     b = t.branch("dels")
     b.commit_delete_where(spark.createDataFrame([(9,)], "k INT"), "k")
-    t.commit_append(_df(spark, [(10, "y")]))
-    with pytest.raises(ConcurrentWriteError, match="non-append"):
-        t.publish_branch("dels")
-    # main untouched by the failed publish
-    assert _rows(t.read().select("k", "v")) == [
-        (1, "a"), (2, "b"), (9, "z"), (10, "y")
-    ]
-    t.drop_branch("dels")
+    t.commit_append(_df(spark, [(10, "y")]).coalesce(1))
+    v0 = t.latest_version()
+    t.publish_branch("dels")
+    assert _rows(t.read().select("k", "v")) == [(1, "a"), (2, "b"), (10, "y")]
+    # CDC across the rebased publish: exactly the delete of 9
+    feed = [(r.k, r._change_type)
+            for r in t.changes_with_type(v0).collect()]
+    assert feed == [(9, "delete")]
     # empty branch publish is a no-op
     t.create_branch("noop")
     assert t.publish_branch("noop") == t.latest_version()
+
+
+def test_branch_rebase_refusals_and_rewrite_case(spark, root):
+    """Round-12 WAP rebase boundaries: a concurrent append CARRYING a
+    to-be-deleted key refuses (serializability for keyed deletes); a
+    non-append MAIN movement refuses; a branch REWRITE (update_where)
+    rebases over appends with its removed files dropped and rewritten
+    files landed."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    # (a) overlap: branch deletes k=2 while main appends another k=2
+    t.create_branch("ov")
+    t.branch("ov").commit_delete_where(
+        spark.createDataFrame([(2,)], "k INT"), "k"
+    )
+    t.commit_append(_df(spark, [(2, "dup")]).coalesce(1))
+    with pytest.raises(ConcurrentWriteError, match="appended concurrently"):
+        t.publish_branch("ov")
+    t.drop_branch("ov")
+    # (b) non-append main movement refuses
+    t.create_branch("nb")
+    t.branch("nb").commit_delete_where(
+        spark.createDataFrame([(1,)], "k INT"), "k"
+    )
+    t.delete_rows_where("v = 'dup'", mode="rewrite")
+    with pytest.raises(ConcurrentWriteError, match="not a pure append"):
+        t.publish_branch("nb")
+    t.drop_branch("nb")
+    # (c) branch REWRITE over pure appends rebases
+    t.create_branch("up")
+    t.branch("up").update_where({"v": "upper(v)"}, "k <= 2")
+    t.commit_append(_df(spark, [(50, "m")]).coalesce(1))
+    t.publish_branch("up")
+    assert _rows(t.read().select("k", "v")) == [
+        (1, "A"), (2, "B"), (50, "m")
+    ]
+    # (d) row lineage refuses the rebase path
+    r2 = root + "_lin"
+    t2 = VersionedTable(spark, r2, row_lineage=True)
+    t2.commit_append(_df(spark, [(1, "a")]).coalesce(1))
+    t2.create_branch("lb")
+    t2.branch("lb").update_where({"v": "'X'"}, "k = 1")
+    t2.commit_append(_df(spark, [(9, "z")]).coalesce(1))
+    with pytest.raises(ConcurrentWriteError, match="row lineage"):
+        t2.publish_branch("lb")
 
 
 def test_branch_vacuum_protection_and_drop_gc(spark, root):

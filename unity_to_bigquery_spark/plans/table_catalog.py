@@ -335,15 +335,19 @@ class CatalogTransaction:
 
         Isolation scope, stated honestly: all-or-nothing holds against
         crashes at ANY point and against concurrent append-only
-        activity (publishes cherry-pick). A concurrent NON-APPEND
-        rewrite landing on a member table mid-publish makes that
-        table's publish raise ``ConcurrentWriteError`` — the intent
-        then keeps the transaction visible and ``recover()`` retries /
-        surfaces it loudly rather than half-forgetting it. Engines
-        whose catalog owns every table pointer (Iceberg REST) reject
-        such races before any publish; with per-table logs the honest
-        contract is: serialize conflicting rewriters per table, or
-        abort-and-rebase on conflict."""
+        activity (append-only branches cherry-pick; round 12:
+        non-append branches REBASE over pure-append interleavings too,
+        when their delete keys are stats-provably disjoint —
+        ``VersionedTable._publish_branch_rebase``). A concurrent
+        NON-APPEND rewrite landing on a member table mid-publish still
+        makes that table's publish raise ``ConcurrentWriteError`` —
+        the intent then keeps the transaction visible and
+        ``recover()`` retries / surfaces it loudly rather than
+        half-forgetting it. Engines whose catalog owns every table
+        pointer (Iceberg REST) reject such races before any publish;
+        with per-table logs the honest contract is: serialize
+        conflicting rewriters per table, or abort-and-rebase on
+        conflict."""
         if self._done:
             raise CatalogError("transaction already committed/aborted")
         if not self._staged:

@@ -6675,6 +6675,149 @@ class VersionedTable:
             pass
         shutil.rmtree(self._branch_mdir(name), ignore_errors=True)
 
+    def _publish_branch_rebase(
+        self, name: str, base_v: int, head_v: int, bh: dict, cur: dict
+    ) -> int | None:
+        """NON-APPEND branch publish over a moved main (round 12 — the
+        narrow sound case the pre-r12 code refused wholesale): when
+        every interleaved MAIN commit since the fork is a PURE APPEND
+        and the branch's new delete keys are stats-provably disjoint
+        from both the interleaved files and the branch's own added
+        files, the branch's net effect rebases onto current main in
+        ONE commit: main keeps its appends, the branch's removed files
+        drop, its added files land, and its new equality-delete entries
+        re-sequence AT THE FORK VERSION so they apply exactly to the
+        fork-base files they were computed against.
+
+        Isolation, stated honestly: this publish preserves the
+        branch's SNAPSHOT semantics (its effects are defined against
+        the fork snapshot — exactly what write-audit-publish means);
+        the key-disjointness check additionally gives keyed deletes
+        the _publish_rewrite-grade serializability guarantee (a
+        concurrent append carrying a to-be-deleted key aborts). A
+        branch PREDICATE op's predicate is not recoverable from its
+        staged effect, so rows appended concurrently that would have
+        matched it survive — same contract as Iceberg's WAP
+        cherry-pick. Anything outside the narrow case raises
+        ConcurrentWriteError with the specific reason; returns None on
+        a lost CAS race (caller re-checks)."""
+        def refuse(reason: str):
+            raise ConcurrentWriteError(
+                f"publish({name}): main moved past the fork v{base_v} "
+                f"and the branch carries non-append commits; rebase "
+                f"refused — {reason}. Re-branch from the new head and "
+                "replay."
+            )
+
+        if self._has_lineage(cur) or self._has_lineage(bh):
+            refuse(
+                "row lineage is enabled (branch-materialized row ids "
+                "could collide with main's interleaved allocations)"
+            )
+        if bh.get("schema") != cur.get("schema"):
+            refuse("schemas diverged")
+        base_m = self.manifest(base_v)
+        # interleaved main commits must be pure appends
+        prev = base_m
+        interleaved_added: set[str] = set()
+        for v in range(base_v + 1, cur["version"] + 1):
+            child = self.manifest(v)
+            d = self._commit_delta(prev, child)
+            if d["meta_moved"]:
+                refuse(f"main commit v{v} changed table metadata")
+            if d["removed"] or d["new_eq_deletes"] or d["new_pos_deletes"]:
+                refuse(f"main commit v{v} is not a pure append")
+            interleaved_added |= d["added"]
+            prev = child
+        base_files = set(base_m["files"])
+        removed_b = base_files - set(bh["files"])
+        added_b = [f for f in bh["files"] if f not in base_files]
+        if set(added_b) & set(cur["files"]):
+            return cur["version"]  # already published (replayed publish)
+        base_eq = {d["file"] for d in base_m.get("deletes", [])}
+        new_eq = [
+            d for d in bh.get("deletes", []) if d["file"] not in base_eq
+        ]
+        base_pos = {d["file"] for d in base_m.get("pos_deletes", [])}
+        new_pos = [
+            d for d in bh.get("pos_deletes", []) if d["file"] not in base_pos
+        ]
+        # the branch's delete keys must be provably unable to hit rows
+        # it didn't read: main's interleaved appends (serializability)
+        # and the branch's own added files (re-sequencing at base_v
+        # must not change which rows die)
+        if new_eq:
+            pseudo_inter = {
+                "version": ("rebase-pb", cur["version"]),
+                "files": sorted(interleaved_added),
+                "stats": cur.get("stats", {}),
+                "schema": cur.get("schema"),
+                "column_mapping": cur.get("column_mapping"),
+            }
+            pseudo_branch = {
+                "version": ("rebase-pb-b", head_v),
+                "files": list(added_b),
+                "stats": bh.get("stats", {}),
+                "schema": bh.get("schema"),
+                "column_mapping": bh.get("column_mapping"),
+            }
+            import pyarrow.parquet as pq
+
+            for d in new_eq:
+                try:
+                    pf = pq.ParquetFile(
+                        os.path.join(self.root, DATA_DIR, d["file"])
+                    )
+                    if pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP:
+                        refuse("a branch delete key set is too large to analyze")
+                    keys = pf.read([d["key"]]).column(0).to_pylist()
+                except ConcurrentWriteError:
+                    raise
+                except Exception:  # noqa: BLE001 — unreadable: conservative
+                    refuse("a branch delete key file is unreadable")
+                if self._prune_eq(pseudo_inter, d["key"], keys)[0]:
+                    refuse(
+                        "a branch delete's keys may hit rows appended "
+                        "concurrently on main"
+                    )
+                if self._prune_eq(pseudo_branch, d["key"], keys)[0]:
+                    refuse(
+                        "a branch delete's keys may hit the branch's own "
+                        "added files (re-sequencing would change liveness)"
+                    )
+        # kept = main's entries minus the ones the branch shed
+        # (pure-append interleavings add none, so cur's sets == base's)
+        shed_eq = base_eq - {d["file"] for d in bh.get("deletes", [])}
+        shed_pos = base_pos - {d["file"] for d in bh.get("pos_deletes", [])}
+        final_eq = [
+            d for d in cur.get("deletes", []) if d["file"] not in shed_eq
+        ] + [{**d, "version": base_v} for d in new_eq]
+        final_pos = [
+            d for d in cur.get("pos_deletes", []) if d["file"] not in shed_pos
+        ] + new_pos
+        final_files = [
+            f for f in cur["files"] if f not in removed_b
+        ] + added_b
+        self._staged_stats = {
+            f: {
+                k: v
+                for k, v in bh.get("stats", {}).get(f, {}).items()
+                if k != "__row_base"
+            }
+            for f in added_b
+        }
+        try:
+            return self._publish_once(
+                cur, final_files, f"publish({name})", cur.get("schema"),
+                deletes_override=final_eq,
+                pos_deletes_override=final_pos,
+                txns_merge=bh.get("txns", {}),
+            )
+        except FileExistsError:
+            return None
+        finally:
+            self._staged_stats = {}
+
     def publish_branch(self, name: str, retain: bool = False) -> int:
         """Atomically land a branch's state on main — the publish half
         of write-audit-publish.
@@ -6726,11 +6869,14 @@ class VersionedTable:
                 # cherry-pick: only sound when the branch only ADDED rows
                 bbranch = self.branch(name)
                 if not bbranch.window_is_append_only(base_v, head_v):
-                    raise ConcurrentWriteError(
-                        f"main moved past the fork point v{base_v} and "
-                        f"branch {name!r} carries non-append commits — "
-                        "re-branch from the new head and replay"
+                    v = self._publish_branch_rebase(
+                        name, base_v, head_v, bh, cur
                     )
+                    if v is None:
+                        continue  # lost the CAS race: re-check
+                    if not retain:
+                        self.drop_branch(name)
+                    return v
                 if bh.get("schema") != cur.get("schema"):
                     raise ConcurrentWriteError(
                         f"cherry-pick schema mismatch: main={cur.get('schema')} "
