@@ -3701,3 +3701,29 @@ def test_auto_compact_dv_dead_fraction(spark, root):
     assert t.read().count() == 66
     # healthy table: no-op
     assert t.auto_compact() is False
+
+
+def test_branch_rebase_reinsert_shape_refuses(spark, root):
+    """A branch that deletes a key then RE-INSERTS it (replace_keys
+    shape) cannot rebase — re-sequencing the delete at the publish
+    version would kill the re-inserted rows."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.create_branch("rk")
+    b = t.branch("rk")
+    b.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    b.commit_append(_df(spark, [(2, "b2")]).coalesce(1))  # re-insert
+    assert _rows(b.read()) == [(1, "a"), (2, "b2")]
+    t.commit_append(_df(spark, [(100, "m")]).coalesce(1))  # main moves
+    with pytest.raises(ConcurrentWriteError, match="re-inserted after"):
+        t.publish_branch("rk")
+    # fast-forward (main NOT moved) still handles the same shape fine
+    r2 = root + "_ff"
+    t2 = VersionedTable(spark, r2)
+    t2.commit_append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t2.create_branch("rk")
+    b2 = t2.branch("rk")
+    b2.commit_delete_where(spark.createDataFrame([(2,)], "k INT"), "k")
+    b2.commit_append(_df(spark, [(2, "b2")]).coalesce(1))
+    t2.publish_branch("rk")
+    assert _rows(t2.read()) == [(1, "a"), (2, "b2")]

@@ -6680,14 +6680,18 @@ class VersionedTable:
     ) -> int | None:
         """NON-APPEND branch publish over a moved main (round 12 — the
         narrow sound case the pre-r12 code refused wholesale): when
-        every interleaved MAIN commit since the fork is a PURE APPEND
-        and the branch's new delete keys are stats-provably disjoint
-        from both the interleaved files and the branch's own added
-        files, the branch's net effect rebases onto current main in
-        ONE commit: main keeps its appends, the branch's removed files
-        drop, its added files land, and its new equality-delete entries
-        re-sequence AT THE FORK VERSION so they apply exactly to the
-        fork-base files they were computed against.
+        every interleaved MAIN commit since the fork is a PURE APPEND,
+        the branch's net effect rebases onto current main in ONE
+        commit: main keeps its appends, the branch's removed files
+        drop, its added files land, and its new equality-delete
+        entries RE-SEQUENCE AT THE PUBLISH VERSION. That re-sequencing
+        is exact because of two stats checks: (a) an entry's keys
+        cannot hit main's interleaved files (the delete would start
+        applying to rows it never read — refused), and (b) they cannot
+        hit branch files added AFTER the delete in the branch's own
+        numbering (the re-insert shape, whose rows must survive —
+        refused); branch files added BEFORE it may overlap freely —
+        they hold exactly the rows the audit killed.
 
         Isolation, stated honestly: this publish preserves the
         branch's SNAPSHOT semantics (its effects are defined against
@@ -6742,11 +6746,13 @@ class VersionedTable:
         new_pos = [
             d for d in bh.get("pos_deletes", []) if d["file"] not in base_pos
         ]
-        # the branch's delete keys must be provably unable to hit rows
-        # it didn't read: main's interleaved appends (serializability)
-        # and the branch's own added files (re-sequencing at base_v
-        # must not change which rows die)
+        # re-sequencing checks (docstring): (a) keys vs interleaved
+        # main appends; (b) keys vs branch files added AFTER the entry
+        # in branch numbering (re-insert shape)
         if new_eq:
+            import pyarrow.parquet as pq
+
+            bfv = bh.get("file_versions", {})
             pseudo_inter = {
                 "version": ("rebase-pb", cur["version"]),
                 "files": sorted(interleaved_added),
@@ -6754,15 +6760,6 @@ class VersionedTable:
                 "schema": cur.get("schema"),
                 "column_mapping": cur.get("column_mapping"),
             }
-            pseudo_branch = {
-                "version": ("rebase-pb-b", head_v),
-                "files": list(added_b),
-                "stats": bh.get("stats", {}),
-                "schema": bh.get("schema"),
-                "column_mapping": bh.get("column_mapping"),
-            }
-            import pyarrow.parquet as pq
-
             for d in new_eq:
                 try:
                     pf = pq.ParquetFile(
@@ -6780,18 +6777,32 @@ class VersionedTable:
                         "a branch delete's keys may hit rows appended "
                         "concurrently on main"
                     )
-                if self._prune_eq(pseudo_branch, d["key"], keys)[0]:
-                    refuse(
-                        "a branch delete's keys may hit the branch's own "
-                        "added files (re-sequencing would change liveness)"
-                    )
+                post = [
+                    f for f in added_b
+                    if bfv.get(f, head_v) > d["version"]
+                ]
+                if post:
+                    pseudo_post = {
+                        "version": ("rebase-pb-b", head_v, d["version"]),
+                        "files": post,
+                        "stats": bh.get("stats", {}),
+                        "schema": bh.get("schema"),
+                        "column_mapping": bh.get("column_mapping"),
+                    }
+                    if self._prune_eq(pseudo_post, d["key"], keys)[0]:
+                        refuse(
+                            "a branch delete's keys may hit branch rows "
+                            "re-inserted after it (re-sequencing would "
+                            "change liveness)"
+                        )
         # kept = main's entries minus the ones the branch shed
         # (pure-append interleavings add none, so cur's sets == base's)
         shed_eq = base_eq - {d["file"] for d in bh.get("deletes", [])}
         shed_pos = base_pos - {d["file"] for d in bh.get("pos_deletes", [])}
+        publish_v = cur["version"] + 1
         final_eq = [
             d for d in cur.get("deletes", []) if d["file"] not in shed_eq
-        ] + [{**d, "version": base_v} for d in new_eq]
+        ] + [{**d, "version": publish_v} for d in new_eq]
         final_pos = [
             d for d in cur.get("pos_deletes", []) if d["file"] not in shed_pos
         ] + new_pos

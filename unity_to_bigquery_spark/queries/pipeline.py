@@ -1301,6 +1301,81 @@ def p_versioned_wap_publish(spark, sf_dir):
 
 
 @query(
+    "p_versioned_wap_rebase",
+    oracle="""
+    WITH audited AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ), racer AS (
+      SELECT '9-RACER' AS o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 50 = 0
+    ), final AS (
+      SELECT * FROM audited UNION ALL SELECT * FROM racer
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc=(
+        "WAP REBASE publish (round 12 — the multi-writer WAP shape the "
+        "pre-r12 code refused wholesale): while an audit branch holds "
+        "the ingested rows PLUS a quality equality-delete, main keeps "
+        "ingesting (a disjoint-key append lands between the fork and "
+        "the publish). publish_branch detects the pure-append "
+        "interleaving, proves the audit delete's keys can't hit the "
+        "interleaved file (manifest stats), and lands the branch's net "
+        "effect in ONE commit — the audited state AND the concurrent "
+        "ingest both survive, asserted in-query (main moved mid-audit; "
+        "no ConcurrentWriteError; final state ≡ DuckDB computing both "
+        "writers' effects)."
+    ),
+    tags=("pipeline", "versioned", "branch", "wap", "occ"),
+)
+def p_versioned_wap_rebase(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp(f"versioned_wapr_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    t.commit_append(orders.limit(0))  # typed empty main at v1
+    t.create_branch("ingest")
+    b = t.branch("ingest")
+    b.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    b.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    b.commit_delete_where(
+        b.read().filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+        key="o_orderkey",
+    )
+    # main keeps ingesting WHILE the audit holds the branch: a
+    # disjoint-key append moves main past the fork point
+    racer = (
+        orders.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("o_orderpriority", F.lit("9-RACER"))
+    )
+    t.commit_append(racer)
+    v_moved = t.latest_version()
+    t.publish_branch("ingest")  # pre-r12: ConcurrentWriteError here
+    if t.latest_version() != v_moved + 1 or t.manifest()["op"] != "publish(ingest)":
+        raise RuntimeError("publish did not rebase onto the moved main")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("total2"),
+        )
+    )
+
+
+@query(
     "p_versioned_partition_overwrite",
     oracle="""
     SELECT event_type,
