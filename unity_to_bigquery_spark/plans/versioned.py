@@ -6675,6 +6675,38 @@ class VersionedTable:
             pass
         shutil.rmtree(self._branch_mdir(name), ignore_errors=True)
 
+    def _keys_hit_ranges_spark(self, d: dict, files: list, m_src: dict) -> bool:
+        """Distributed twin of the _prune_eq range check for key sets
+        too large to driver-read: ONE Spark job joining the delete-key
+        parquet against the candidate files' broadcast [min, max]
+        ranges. A file with no recorded range for the key column is a
+        conservative hit."""
+        col = self._phys_name(m_src, d["key"])
+        stats = m_src.get("stats", {})
+        ranges = []
+        for f in files:
+            rng = stats.get(f, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                return True  # unbounded candidate: conservative hit
+            ranges.append((rng[0], rng[1]))
+        if not ranges:
+            return False
+        try:
+            keys_df = self.spark.read.parquet(
+                os.path.join(self.root, DATA_DIR, d["file"])
+            ).select(d["key"])
+            kt = keys_df.schema.fields[0].dataType.simpleString()
+            rdf = self.spark.createDataFrame(ranges, f"lo {kt}, hi {kt}")
+            hit = keys_df.join(
+                F.broadcast(rdf),
+                (F.col(d["key"]) >= F.col("lo"))
+                & (F.col(d["key"]) <= F.col("hi")),
+                "inner",
+            ).limit(1)
+            return bool(hit.count())
+        except Exception:  # noqa: BLE001 — stat/key type mismatch
+            return True    # (ISO-string temporal ranges etc.): conservative
+
     def _publish_branch_rebase(
         self, name: str, base_v: int, head_v: int, bh: dict, cur: dict
     ) -> int | None:
@@ -6748,53 +6780,63 @@ class VersionedTable:
         ]
         # re-sequencing checks (docstring): (a) keys vs interleaved
         # main appends; (b) keys vs branch files added AFTER the entry
-        # in branch numbering (re-insert shape)
+        # in branch numbering (re-insert shape). Small key sets check
+        # driver-side against the full stat suite (_prune_eq: distinct
+        # sets + ranges); big ones (a mass audit delete is normal —
+        # the ×10 smoke hit the 50k cap) run ONE tiny Spark job
+        # joining the key file against the candidate files' broadcast
+        # ranges — same conservative semantics, never driver-sized.
         if new_eq:
             import pyarrow.parquet as pq
 
             bfv = bh.get("file_versions", {})
-            pseudo_inter = {
-                "version": ("rebase-pb", cur["version"]),
-                "files": sorted(interleaved_added),
-                "stats": cur.get("stats", {}),
-                "schema": cur.get("schema"),
-                "column_mapping": cur.get("column_mapping"),
-            }
             for d in new_eq:
                 try:
                     pf = pq.ParquetFile(
                         os.path.join(self.root, DATA_DIR, d["file"])
                     )
-                    if pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP:
-                        refuse("a branch delete key set is too large to analyze")
-                    keys = pf.read([d["key"]]).column(0).to_pylist()
+                    big = pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP
+                    keys = (
+                        None if big
+                        else pf.read([d["key"]]).column(0).to_pylist()
+                    )
                 except ConcurrentWriteError:
                     raise
                 except Exception:  # noqa: BLE001 — unreadable: conservative
                     refuse("a branch delete key file is unreadable")
-                if self._prune_eq(pseudo_inter, d["key"], keys)[0]:
-                    refuse(
-                        "a branch delete's keys may hit rows appended "
-                        "concurrently on main"
-                    )
+                checks = [(
+                    sorted(interleaved_added), cur,
+                    "a branch delete's keys may hit rows appended "
+                    "concurrently on main",
+                )]
                 post = [
                     f for f in added_b
                     if bfv.get(f, head_v) > d["version"]
                 ]
                 if post:
-                    pseudo_post = {
-                        "version": ("rebase-pb-b", head_v, d["version"]),
-                        "files": post,
-                        "stats": bh.get("stats", {}),
-                        "schema": bh.get("schema"),
-                        "column_mapping": bh.get("column_mapping"),
-                    }
-                    if self._prune_eq(pseudo_post, d["key"], keys)[0]:
-                        refuse(
-                            "a branch delete's keys may hit branch rows "
-                            "re-inserted after it (re-sequencing would "
-                            "change liveness)"
-                        )
+                    checks.append((
+                        post, bh,
+                        "a branch delete's keys may hit branch rows "
+                        "re-inserted after it (re-sequencing would "
+                        "change liveness)",
+                    ))
+                for files, m_src, msg in checks:
+                    if not files:
+                        continue
+                    if keys is not None:
+                        pseudo = {
+                            "version": (
+                                "rebase-pb", m_src["version"], d["file"]
+                            ),
+                            "files": files,
+                            "stats": m_src.get("stats", {}),
+                            "schema": m_src.get("schema"),
+                            "column_mapping": m_src.get("column_mapping"),
+                        }
+                        if self._prune_eq(pseudo, d["key"], keys)[0]:
+                            refuse(msg)
+                    elif self._keys_hit_ranges_spark(d, files, m_src):
+                        refuse(msg)
         # kept = main's entries minus the ones the branch shed
         # (pure-append interleavings add none, so cur's sets == base's)
         shed_eq = base_eq - {d["file"] for d in bh.get("deletes", [])}
