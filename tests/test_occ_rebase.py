@@ -314,3 +314,55 @@ def test_live_concurrent_writers_all_land(spark, tmp_path):
         assert all((lo + i, f"U{lo}") in rows for i in range(10)), lo
     assert (1001, "a1") in rows and (1002, "a2") in rows
     assert h.latest_version() == 10  # 4 ingests + 4 updates + 2 appends
+
+
+def test_big_eq_delete_key_set_uses_spark_range_check(spark, tmp_path, monkeypatch):
+    """Key sets past the driver-read cap analyze via the one-job Spark
+    range join instead of conflicting wholesale: disjoint big deletes
+    rebase, overlapping ones abort."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "a"), (2, "b")]))      # low file
+    t.commit_append(_df(spark, [(5000, "x"), (5001, "y")]))  # high file
+    monkeypatch.setattr(VersionedTable, "_REBASE_EQ_KEY_CAP", 10)
+    # concurrent mass delete (100 keys > cap) entirely in the HIGH range
+    def racer():
+        VersionedTable(spark, root).commit_delete_where(
+            spark.createDataFrame([(5000 + i,) for i in range(100)], "k INT"),
+            "k",
+        )
+    _race(monkeypatch, t, racer)
+    t.update_where({"v": "upper(v)"}, "k <= 2")  # touches the LOW file only
+    assert _rows(t) == [(1, "A"), (2, "B")]
+    # overlapping big delete aborts
+    t2root = root + "_ov"
+    t2 = VersionedTable(spark, t2root)
+    t2.commit_append(_df(spark, [(1, "a"), (2, "b")]))
+    def racer2():
+        VersionedTable(spark, t2root).commit_delete_where(
+            spark.createDataFrame([(i,) for i in range(100)], "k INT"), "k"
+        )
+    _race(monkeypatch, t2, racer2)
+    with pytest.raises(ConcurrentWriteError, match="equality delete"):
+        t2.update_where({"v": "upper(v)"}, "k <= 2")
+
+
+def test_dv_sidecar_vacuum_lifecycle(spark, tmp_path):
+    """DV sidecars are vacuum-protected while their entry lives and
+    GC'd (ungraced) once compaction sheds the entry."""
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(i, "x") for i in range(10)]))
+    t.delete_rows_where("k IN (1, 2)")
+    side = t.manifest()["pos_deletes"][0]["file"]
+    path = _os.path.join(root, "data", side)
+    assert _os.path.exists(path)
+    t.commit_append(_df(spark, [(100, "y")]))
+    t.vacuum(keep_last=1, orphan_grace_sec=0)
+    assert _os.path.exists(path)  # entry live: protected
+    t.compact(target_files=1)     # materializes + sheds the entry
+    t.vacuum(keep_last=1, orphan_grace_sec=0)
+    assert not _os.path.exists(path)
+    assert sorted(r.k for r in t.read().collect()) == [0] + list(range(3, 10)) + [100]

@@ -4677,9 +4677,12 @@ class VersionedTable:
         one of this op's ``touched`` files? Rows rewritten into staged
         files carry a NEWER file version than the delete, so a delete
         that should have applied would silently miss them — that is the
-        conflict. Checked by driver-reading the (small by contract)
-        delete key sets and pruning them against the touched files'
-        stats; unreadable/oversized key sets conflict conservatively."""
+        conflict. Small key sets driver-read and prune against the
+        touched files' full stat suite (_prune_eq); big ones (a racing
+        mass delete) run the ONE-job Spark range join
+        (:meth:`_keys_hit_ranges_spark`) — same conservative
+        semantics, never driver-sized. Unreadable key files conflict
+        conservatively."""
         if not touched:
             return False
         import pyarrow.parquet as pq
@@ -4694,13 +4697,16 @@ class VersionedTable:
         for d in entries:
             try:
                 pf = pq.ParquetFile(os.path.join(self.root, DATA_DIR, d["file"]))
-                if pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP:
-                    return True
-                keys = pf.read([d["key"]]).column(0).to_pylist()
+                big = pf.metadata.num_rows > self._REBASE_EQ_KEY_CAP
+                keys = (
+                    None if big else pf.read([d["key"]]).column(0).to_pylist()
+                )
             except Exception:  # noqa: BLE001 — unreadable: conservative
                 return True
-            kept, _ = self._prune_eq(pseudo, d["key"], keys)
-            if kept:
+            if keys is None:
+                if self._keys_hit_ranges_spark(d, list(touched), snap):
+                    return True
+            elif self._prune_eq(pseudo, d["key"], keys)[0]:
                 return True
         return False
 
