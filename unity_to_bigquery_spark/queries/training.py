@@ -697,3 +697,62 @@ def p_k_anonymity(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("suppress", F.col("n") < 5)
     )
+
+
+@query(
+    "p_sequence_packing_global",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    )
+    SELECT CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN FLOOR((cum - 1) / 4096.0)
+                              > FLOOR((cum - n_chars) / 4096.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+    FROM c GROUP BY 1
+    """,
+    doc=(
+        "GLOBAL sequence packing (round 12 — the single-stream twin of "
+        "p_sequence_packing's per-source layout): ALL documents "
+        "concatenate in a deterministic total order and cut into "
+        "fixed 4096-char context windows; per window the packer "
+        "reports how many documents START there, the character mass, "
+        "and how many documents CROSS the window boundary (the "
+        "attention-mask / document-leakage accounting every packing "
+        "pipeline audits). The global prefix sum runs through "
+        "operators/enumerate.global_cumsum — per-partition running "
+        "sums plus a partition-count-sized broadcast offset table, "
+        "NEVER a single-task global window (rule 9's scale cliff), so "
+        "the plan survives a 100-TB corpus; the oracle's single-node "
+        "window is the exact semantic twin."
+    ),
+    tags=("training", "packing", "llm"),
+)
+def p_sequence_packing_global(spark, sf_dir):
+    from unity_to_bigquery_spark.operators.enumerate import global_cumsum
+
+    L = 4096.0
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    c = global_cumsum(docs, ["doc_id"], "n_chars", "cum")
+    first_w = F.floor((F.col("cum") - F.col("n_chars")) / F.lit(L))
+    last_w = F.floor((F.col("cum") - 1) / F.lit(L))
+    return (
+        c.select(
+            first_w.alias("window_id"),
+            F.col("n_chars"),
+            F.when(last_w > first_w, F.lit(1)).otherwise(F.lit(0)).alias("__x"),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum("__x").alias("n_cross"),
+        )
+    )
