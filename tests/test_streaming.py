@@ -2282,3 +2282,18 @@ def test_dml_sink_streaming_deleter_exactly_once(spark, tmp_path):
     # a NEW batch id applies
     sink2(spark.createDataFrame([("u1",)], "user STRING"), last + 1)
     assert t.read().filter("user = 'u1'").count() == 0
+
+
+def test_dml_sink_blank_statement_skips(spark, tmp_path):
+    """ADVICE r12 (low): an empty/whitespace statement from stmt_fn
+    skips the batch like None instead of IndexError-ing the stream."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.streaming.stream import dml_sink
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    v0 = t.latest_version()
+    batch = spark.createDataFrame([(1,)], "x INT")
+    for stmt in (None, "", "   \n\t"):
+        dml_sink(t, "app", lambda b, i, s=stmt: s)(batch, 0)
+    assert t.latest_version() == v0

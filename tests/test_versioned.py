@@ -3727,3 +3727,100 @@ def test_branch_rebase_reinsert_shape_refuses(spark, root):
     b2.commit_append(_df(spark, [(2, "b2")]).coalesce(1))
     t2.publish_branch("rk")
     assert _rows(t2.read()) == [(1, "a"), (2, "b2")]
+
+
+# ---- round 13: ADVICE fixes + ALTER TABLE DDL completeness -------------------
+
+
+def test_conjuncts_double_quote_and_backtick():
+    """ADVICE r12 (medium): Spark treats double-quoted text as a string
+    literal by default, and backticks quote identifiers — an AND inside
+    either must never split (a mis-split would parse an inner fragment
+    as a prunable conjunct and silently skip files)."""
+    c = VersionedTable._conjuncts
+    assert c('note = "x AND k = 5 AND y" AND j = 2') == [
+        'note = "x AND k = 5 AND y"', "j = 2",
+    ]
+    assert c('v = "a""b AND c" AND k = 1') == ['v = "a""b AND c"', "k = 1"]
+    assert c("`weird AND name` = 1 AND k = 2") == [
+        "`weird AND name` = 1", "k = 2",
+    ]
+
+
+def test_execute_dml_alter_dispatcher(spark, root):
+    """VERDICT r12 #2: the full ALTER TABLE grammar dispatches onto the
+    existing evolution engines (top-level + nested via dotted names)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(_props_df(spark, [(1, "en", 3), (2, "fr", 5)]))
+    files0 = set(t.manifest()["files"])
+    t.execute_dml("ALTER TABLE t ADD COLUMN note STRING DEFAULT 'n/a'")
+    t.execute_dml("ALTER TABLE t RENAME COLUMN note TO remark")
+    t.execute_dml("ALTER TABLE t RENAME COLUMN props.lang TO language")
+    t.execute_dml("ALTER TABLE t ADD COLUMN props.rank BIGINT")
+    t.execute_dml("ALTER TABLE t ALTER COLUMN props.score TYPE BIGINT")
+    t.execute_dml("ALTER TABLE t ALTER COLUMN k SET DATA TYPE BIGINT")
+    got = {
+        (r.k, r.remark, r.props.language, r.props.score, r.props.rank)
+        for r in t.read().collect()
+    }
+    assert got == {(1, "n/a", "en", 3, None), (2, "n/a", "fr", 5, None)}
+    sch = dict((f.name, f.dataType.simpleString()) for f in t.read().schema)
+    assert sch["k"] == "bigint"
+    t.execute_dml("ALTER TABLE t DROP COLUMN props.rank")
+    t.execute_dml("ALTER TABLE t DROP COLUMN remark")
+    assert set(t.read().columns) == {"k", "props"}
+    assert [f.name for f in t.read().schema["props"].dataType.fields] == [
+        "language", "score",
+    ]
+    # every statement above was metadata-only
+    assert set(t.manifest()["files"]) == files0
+    with pytest.raises(ValueError, match="supported grammar"):
+        t.execute_dml("ALTER TABLE t CLUSTER BY (k)")
+    with pytest.raises(ValueError, match="one nesting level"):
+        t.execute_dml("ALTER TABLE t DROP COLUMN a.b.c")
+    with pytest.raises(ValueError, match="DEFAULT is not supported"):
+        t.execute_dml("ALTER TABLE t ADD COLUMN props.w INT DEFAULT 1")
+
+
+def test_struct_default_with_nested_rename(spark, root):
+    from pyspark.sql import functions as sf
+
+    """ADVICE r12 (low): a struct column with BOTH a declared default
+    and a later nested-member rename — post-add files must read through
+    the field-ID rebuild (logical member names), not the raw physical
+    struct."""
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame([(1,), (2,)], "k INT"))
+    t.add_column(
+        "props", "struct<lang:string,score:int>",
+        default="named_struct('lang', 'xx', 'score', 0)",
+    )
+    t.commit_append(
+        _props_df(spark, [(3, "en", 7)]).select(
+            "k", sf.col("props").cast("struct<lang:string,score:int>")
+        )
+    )
+    t.rename_nested_field("props", "score", "pts")
+    got = {(r.k, r.props.lang, r.props.pts) for r in t.read().collect()}
+    assert got == {(1, "xx", 0), (2, "xx", 0), (3, "en", 7)}
+
+
+def test_branch_rebase_restamps_pos_delete_versions(spark, root):
+    """ADVICE r12 (low): pos-delete entries carried through a branch
+    rebase re-stamp at the publish version (their branch-local numbers
+    reference commits that don't exist on main)."""
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.createDataFrame([(i, "x") for i in range(20)], "k INT, v STRING")
+        .coalesce(1)
+    )
+    t.create_branch("wap")
+    b = t.branch("wap")
+    b.delete_rows_where("k = 3", mode="mor")   # pos-delete on the branch
+    t.commit_append(_df(spark, [(100, "y")]).coalesce(1))  # main moves
+    v = t.publish_branch("wap")
+    m = t.manifest()
+    assert m["pos_deletes"], "expected a carried pos-delete entry"
+    assert all(d["version"] == v for d in m["pos_deletes"])
+    ks = {r.k for r in t.read().select("k").collect()}
+    assert 3 not in ks and 100 in ks and len(ks) == 20

@@ -1977,6 +1977,7 @@ class VersionedTable:
         }
         read_fields = []
         out_cols = []
+        raw_exprs = []  # UNALIASED twin of out_cols (default fill reuses it)
         for f in logical.fields:
             pname = phys.get(f.name, f.name)
             sub_phys = nested_cm.get(f.name)
@@ -1993,6 +1994,7 @@ class VersionedTable:
                 read_fields.append(StructField(pname, phys_dtype, f.nullable))
                 if all(sub_phys.get(sf.name, sf.name) == sf.name
                        for sf in f.dataType.fields):
+                    raw_exprs.append(F.col(pname))
                     out_cols.append(F.col(pname).alias(f.name))
                 else:
                     src = F.col(pname)
@@ -2001,13 +2003,15 @@ class VersionedTable:
                         .alias(sf.name)
                         for sf in f.dataType.fields
                     ])
-                    out_cols.append(
+                    raw = (
                         F.when(src.isNull(), F.lit(None).cast(f.dataType))
                         .otherwise(rebuilt)
-                        .alias(f.name)
                     )
+                    raw_exprs.append(raw)
+                    out_cols.append(raw.alias(f.name))
             else:
                 read_fields.append(StructField(pname, f.dataType, f.nullable))
+                raw_exprs.append(F.col(pname))
                 out_cols.append(F.col(pname).alias(f.name))
         if with_lineage:
             read_fields.append(StructField(self.ROW_ID_COL, LongType()))
@@ -2068,9 +2072,13 @@ class VersionedTable:
                 "__rel", "left",
             )
             for j, (i, fld, dv_expr, _pre) in enumerate(need_flags):
+                # otherwise() must reuse the UNALIASED rebuild (nested
+                # field-ID mapping), not re-derive F.col(phys) — a
+                # struct with both a default and a later member rename
+                # would otherwise read physical member names (ADVICE r12)
                 out_cols[i] = (
                     F.when(F.col(f"__def_{j}"), dv_expr)
-                    .otherwise(F.col(phys.get(fld.name, fld.name)))
+                    .otherwise(raw_exprs[i])
                     .alias(fld.name)
                 )
         if with_lineage:
@@ -3528,18 +3536,21 @@ class VersionedTable:
     @staticmethod
     def _conjuncts(condition: str) -> list[str]:
         """Split a SQL boolean expression on TOP-LEVEL ``AND`` —
-        respecting parentheses and single-quoted strings (an ``AND``
-        inside either never splits). Purely syntactic; each piece is
-        still an opaque SQL fragment."""
+        respecting parentheses and single-/double-/backtick-quoted
+        spans (an ``AND`` inside any never splits; Spark SQL treats
+        double-quoted text as a string literal by default, so it must
+        be skipped exactly like single quotes — ADVICE r12). Purely
+        syntactic; each piece is still an opaque SQL fragment."""
         out, depth, i, start, n = [], 0, 0, 0, len(condition)
         up = condition.upper()
         while i < n:
             c = condition[i]
-            if c == "'":
+            if c in ("'", '"', "`"):
+                q = c
                 i += 1
                 while i < n:
-                    if condition[i] == "'":
-                        if i + 1 < n and condition[i + 1] == "'":
+                    if condition[i] == q:
+                        if i + 1 < n and condition[i + 1] == q:
                             i += 2
                             continue
                         break
@@ -5667,26 +5678,100 @@ class VersionedTable:
                 raise ValueError("MERGE needs source= (the USING DataFrame)")
             return self.merge_sql(source, stmt, txn=txn, **kwargs)
         if kw == "ALTER":
-            import re
-
-            am = re.match(
-                r"(?is)^\s*ALTER\s+TABLE\s+[\w.]+\s+ADD\s+COLUMN\s+"
-                r"(?P<name>\w+)\s+(?P<dtype>\w+(?:\([\d,\s]*\))?)"
-                r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
-                stmt,
-            )
-            if am is None:
-                raise ValueError(
-                    "execute_dml: only 'ALTER TABLE <t> ADD COLUMN "
-                    f"<name> <type> [DEFAULT <expr>]' is supported, got {stmt!r}"
-                )
-            return self.add_column(
-                am["name"], am["dtype"],
-                default=am["default"].strip() if am["default"] else None,
-            )
+            return self._execute_alter(stmt)
         raise ValueError(
             f"execute_dml: unsupported statement {kw or stmt!r} "
-            "(UPDATE / DELETE / INSERT / MERGE / ALTER TABLE ADD COLUMN)"
+            "(UPDATE / DELETE / INSERT / MERGE / ALTER TABLE ...)"
+        )
+
+    _ALTER_GRAMMAR = (
+        "ALTER TABLE <t> ADD COLUMN <name> <type> [DEFAULT <expr>] | "
+        "RENAME COLUMN <name> TO <new> | DROP COLUMN <name> | "
+        "ALTER COLUMN <name> [SET DATA] TYPE <type>  "
+        "(a dotted <name> like payload.member targets a struct field)"
+    )
+
+    def _execute_alter(self, stmt: str) -> int:
+        """ALTER TABLE dispatcher (round 13, VERDICT r12 #2) — SQL
+        front doors onto the EXISTING evolution engines, top-level and
+        nested (dotted names route to the nested-field quartet):
+
+        - ``ADD COLUMN name type [DEFAULT expr]`` → :meth:`add_column`
+          / :meth:`add_nested_field` (no DEFAULT on nested)
+        - ``RENAME COLUMN old TO new`` → :meth:`rename_column` /
+          :meth:`rename_nested_field`
+        - ``DROP COLUMN name`` → :meth:`drop_column` /
+          :meth:`drop_nested_field`
+        - ``ALTER COLUMN name [SET DATA] TYPE t`` →
+          :meth:`promote_column` / :meth:`promote_nested_field`
+
+        Parsing is pure; metadata-only semantics, field-ID mapping, and
+        safety checks are the engines'."""
+        import re
+
+        ident = r"[\w.]+"
+        dtype = r"\w+(?:\([\d,\s]*\))?"
+        body_m = re.match(
+            rf"(?is)^\s*ALTER\s+TABLE\s+{ident}\s+(?P<body>.+?)\s*;?\s*$",
+            stmt,
+        )
+        body = body_m["body"] if body_m else ""
+
+        def split_name(name: str) -> tuple[str | None, str]:
+            parts = name.split(".")
+            if len(parts) == 1:
+                return None, parts[0]
+            if len(parts) == 2:
+                return parts[0], parts[1]
+            raise ValueError(
+                f"execute_dml: only one nesting level supported, got {name!r}"
+            )
+
+        m = re.match(
+            rf"(?is)^ADD\s+COLUMN\s+(?P<name>{ident})\s+(?P<dtype>{dtype})"
+            r"(?:\s+DEFAULT\s+(?P<default>.+?))?$",
+            body,
+        )
+        if m:
+            col, name = split_name(m["name"])
+            if col is None:
+                return self.add_column(
+                    name, m["dtype"],
+                    default=m["default"].strip() if m["default"] else None,
+                )
+            if m["default"]:
+                raise ValueError(
+                    "execute_dml: DEFAULT is not supported on nested fields"
+                )
+            return self.add_nested_field(col, name, m["dtype"])
+        m = re.match(
+            rf"(?is)^RENAME\s+COLUMN\s+(?P<old>{ident})\s+TO\s+(?P<new>\w+)$",
+            body,
+        )
+        if m:
+            col, old = split_name(m["old"])
+            if col is None:
+                return self.rename_column(old, m["new"])
+            return self.rename_nested_field(col, old, m["new"])
+        m = re.match(rf"(?is)^DROP\s+COLUMN\s+(?P<name>{ident})$", body)
+        if m:
+            col, name = split_name(m["name"])
+            if col is None:
+                return self.drop_column(name)
+            return self.drop_nested_field(col, name)
+        m = re.match(
+            rf"(?is)^ALTER\s+COLUMN\s+(?P<name>{ident})\s+"
+            rf"(?:SET\s+DATA\s+)?TYPE\s+(?P<dtype>{dtype})$",
+            body,
+        )
+        if m:
+            col, name = split_name(m["name"])
+            if col is None:
+                return self.promote_column(name, m["dtype"])
+            return self.promote_nested_field(col, name, m["dtype"])
+        raise ValueError(
+            f"execute_dml: unsupported ALTER statement {stmt!r} — "
+            f"supported grammar: {self._ALTER_GRAMMAR}"
         )
 
     def update_sql(self, stmt: str, txn: tuple[str, int] | None = None) -> int:
@@ -6853,7 +6938,11 @@ class VersionedTable:
         ] + [{**d, "version": publish_v} for d in new_eq]
         final_pos = [
             d for d in cur.get("pos_deletes", []) if d["file"] not in shed_pos
-        ] + new_pos
+        ] + [{**d, "version": publish_v} for d in new_pos]
+        # carried pos entries re-stamp at the publish version like the
+        # eq entries — their branch-local numbers reference commits
+        # that don't exist on main (ADVICE r12; pos entries sequence by
+        # explicit targets so this is consistency, not correctness)
         final_files = [
             f for f in cur["files"] if f not in removed_b
         ] + added_b

@@ -255,7 +255,9 @@ def dml_sink(table, app_id: str, stmt_fn):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         stmt = stmt_fn(batch_df, batch_id)
-        if stmt is None:
+        if stmt is None or not str(stmt).strip():
+            # blank statement == None: skip the batch rather than die
+            # with an opaque IndexError on the split (ADVICE r12)
             return
         kw = stmt.lstrip().split(None, 1)[0].upper()
         if kw == "MERGE":
