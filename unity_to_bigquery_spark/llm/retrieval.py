@@ -89,6 +89,24 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col(text), " "))).alias("sum_dl"),
     )
+    return bm25_score_topk(qp, dfs, stats, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def bm25_score_topk(
+    qp: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared BM25 scoring tail: (id, dl, term, tf) postings ×
+    broadcast (term, df) × broadcast 1-row (n_docs, sum_dl) → top-k.
+    Factored out (round 13) so the one-shot :func:`bm25_topk` and the
+    persisted ``BM25Index`` serve path score through the SAME
+    expression tree — identical doubles, identical fold, bit-identical
+    fixed-point results on an equal corpus."""
     scored = qp.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(

@@ -1395,6 +1395,100 @@ class VersionedTable:
         """Snapshot read at a wall-clock instant (timestampAsOf)."""
         return self.read(self.version_at(ts))
 
+    # ---- SQL READ front door (round 13, VERDICT r12 #1) ----------------
+
+    def to_view(
+        self, name: str, version: int | None = None, ts: float | None = None
+    ) -> DataFrame:
+        """Register a snapshot of this table as a temp view so
+        ``spark.sql("SELECT ...")`` works against it — the JVM-native
+        front door: the view wraps the PROGRAMMATIC :meth:`read`
+        (explicit-file-list parquet scan, merge-on-read deletes,
+        column mapping, defaults), so SQL reads get native scans, not
+        the Python Data Source row path. The view is a PINNED snapshot
+        (the file list resolved once); re-register after new commits to
+        see them — exactly a lakehouse's snapshot-isolation contract."""
+        if version is not None and ts is not None:
+            raise ValueError("version and ts are mutually exclusive")
+        df = self.read(self.version_at(ts) if ts is not None else version)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def table_changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Delta's ``table_changes(t, v1, v2)`` TVF analogue — the CDF
+        relation over ``(since_version, to_version]`` (alias of
+        :meth:`changes_with_type`; the ``spark.read`` spelling is
+        ``format("versioned_table").option("readChangeFeed", "true")``)."""
+        return self.changes_with_type(since_version, to_version)
+
+    def sql(self, query: str, view: str = "t") -> DataFrame:
+        """Run a SQL SELECT against this table with time-travel syntax:
+        every reference to ``<view>`` may carry ``VERSION AS OF <n>`` or
+        ``TIMESTAMP AS OF '<iso>'|<epoch>`` (Delta/Spark-3.3 time-travel
+        SQL), each resolving to its own pinned snapshot view; a bare
+        ``<view>`` reads the latest snapshot. The scan is literal-aware
+        (a quoted ``'... VERSION AS OF ...'`` string never rewrites).
+
+        Example::
+
+            t.sql("SELECT count(*) AS n FROM t VERSION AS OF 3")
+            t.sql("SELECT a.k FROM t a JOIN t TIMESTAMP AS OF 1700000000 b "
+                  "ON a.k = b.k")
+        """
+        import datetime as _dt
+        import re
+
+        pat = re.compile(
+            rf"\b{re.escape(view)}\s+"
+            r"(?:(VERSION)\s+AS\s+OF\s+(\d+)|"
+            r"(TIMESTAMP)\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))",
+            re.IGNORECASE,
+        )
+
+        def in_literal(pos: int) -> bool:
+            # count unescaped single quotes before pos ('' escapes)
+            return query.count("'", 0, pos) % 2 == 1
+
+        out, last, used_plain = [], 0, False
+        registered: dict[str, None] = {}
+        for mo in pat.finditer(query):
+            if in_literal(mo.start()):
+                continue
+            if mo.group(1):  # VERSION AS OF n
+                v = int(mo.group(2))
+                vname = f"{view}__v{v}"
+                if vname not in registered:
+                    self.to_view(vname, version=v)
+                    registered[vname] = None
+            else:  # TIMESTAMP AS OF lit
+                lit = mo.group(4)
+                if lit.startswith("'"):
+                    s = lit[1:-1].replace("''", "'")
+                    dt = _dt.datetime.fromisoformat(s)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_dt.timezone.utc)
+                    ts = dt.timestamp()
+                else:
+                    ts = float(lit)
+                v = self.version_at(ts)
+                vname = f"{view}__v{v}"
+                if vname not in registered:
+                    self.to_view(vname, version=v)
+                    registered[vname] = None
+            out.append(query[last:mo.start()])
+            out.append(vname)
+            last = mo.end()
+        out.append(query[last:])
+        rewritten = "".join(out)
+        # bare references read the latest snapshot
+        if re.search(rf"\b{re.escape(view)}\b", rewritten):
+            self.to_view(view)
+            used_plain = True
+        _ = used_plain
+        return self.spark.sql(rewritten)
+
     def changes_between(
         self, ts_from: float, ts_to: float, with_type: bool = False
     ) -> DataFrame:
@@ -4481,12 +4575,27 @@ class VersionedTable:
         from pyspark.sql.types import StructField, StructType
 
         target = StructType.fromDDL(f"`x` {dtype}").fields[0].dataType
+        default_value = _UNSET
         if default is not None:
             # row-free validation: must be a constant expression that
-            # casts to the declared type (ANSI: a bad literal raises)
-            self.spark.sql(
+            # casts to the declared type (ANSI: a bad literal raises).
+            # The evaluated constant ALSO lands in the manifest (round
+            # 13) so the session-less batch relation (sources/
+            # versioned_batch.py) can fill pre-add files without a
+            # SparkSession — JSON-encodable values only (temporal/
+            # decimal defaults stay programmatic-read-only).
+            import json
+
+            val = self.spark.sql(
                 f"SELECT CAST(({default}) AS {target.simpleString()})"
-            ).first()
+            ).first()[0]
+            if hasattr(val, "asDict"):
+                val = val.asDict(recursive=True)
+            try:
+                json.dumps(val)
+                default_value = val
+            except TypeError:
+                default_value = _UNSET
         for _ in range(20):
             base = self.manifest()
             if base.get("schema") is None:
@@ -4498,9 +4607,12 @@ class VersionedTable:
                 cur.fields + [StructField(name, target, True)]
             ).simpleString()
             if default is not None:
+                entry = {"sql": default, "version": base["version"] + 1}
+                if default_value is not _UNSET:
+                    entry["value"] = default_value
                 self._defaults_override = {
                     **(base.get("column_defaults") or {}),
-                    name: {"sql": default, "version": base["version"] + 1},
+                    name: entry,
                 }
             try:
                 return self._publish_once(

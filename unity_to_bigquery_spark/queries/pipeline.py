@@ -3521,3 +3521,194 @@ def p_versioned_clone(spark, sf_dir):
             ).alias("total2"),
         )
     )
+
+
+@query(
+    "p_versioned_sql_select",
+    oracle="""
+    SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT cust) AS BIGINT) AS ncust,
+           CAST(SUM(CAST(FLOOR(price * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total2
+    FROM (
+      SELECT o_orderpriority, o_custkey AS cust, o_totalprice AS price
+      FROM orders WHERE NOT (o_orderkey % 10 = 7)
+    ) GROUP BY o_orderpriority
+    """,
+    doc=(
+        "SQL READ front door (round 13, VERDICT r12 #1): the lakehouse "
+        "is SELECT-able. The table commits in key-range chunks, MoR-"
+        "deletes a predicate, and renames a column; then (a) "
+        "VersionedTable.sql() with VERSION AS OF time-travel syntax "
+        "must equal the programmatic read(version) aggregate; (b) the "
+        "batch DSv2 relation (spark.read.format('versioned_table')) "
+        "with pushdown=true must return exactly the programmatic rows "
+        "for a range predicate AND plan FEWER InputPartitions than the "
+        "live file count (manifest-stats file pruning through the "
+        "DSv2 path, asserted in-query); (c) the batch change-feed "
+        "relation (readChangeFeed=true) must equal changes_with_type "
+        "over the same window — batch CDF and streaming CDC share the "
+        "planner, so batch and stream provably agree on one table. "
+        "The returned aggregate runs through spark.sql on the "
+        "registered view and is oracled against DuckDB."
+    ),
+    tags=("pipeline", "versioned", "sql"),
+)
+def p_versioned_sql_select(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import register
+
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = _tmp(f"versioned_sqlselect_{base}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(spark, path)
+    # 4 key-range chunks -> disjoint per-file o_orderkey range stats
+    # (what makes the DSv2 pushdown pruning assertable)
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    cuts = [0, hi // 4, hi // 2, (3 * hi) // 4, hi]
+    for lo_c, hi_c in zip(cuts, cuts[1:]):
+        chunk = orders.filter(
+            (F.col("o_orderkey") > lo_c) & (F.col("o_orderkey") <= hi_c)
+        ).coalesce(1)
+        t.commit_append(chunk)
+    # cut 0 is exclusive at the low end: commit any orderkey <= 0 rows
+    rest = orders.filter(F.col("o_orderkey") <= 0)
+    if rest.limit(1).count():
+        t.commit_append(rest.coalesce(1))
+    v_full = t.latest_version()
+    t.delete_rows_where("o_orderkey % 10 = 7", mode="mor")
+    t.rename_column("o_custkey", "cust")
+
+    # (a) VERSION AS OF via the SQL front door == programmatic read
+    sql_asof = t.sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t VERSION AS OF {v_full}"
+    ).first().n
+    prog_asof = t.read(v_full).count()
+    if sql_asof != prog_asof:
+        raise RuntimeError(
+            f"VERSION AS OF diverged: sql={sql_asof} read()={prog_asof}"
+        )
+
+    # (b) DSv2 pushdown point/range read == programmatic, FEWER partitions
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        lo_k, hi_k = cuts[1] + 1, cuts[2]  # exactly the 2nd chunk's range
+        ds = (
+            spark.read.format("versioned_table")
+            .option("path", path)
+            .option("pushdown", "true")
+            .load()
+            .filter(
+                (F.col("o_orderkey") >= lo_k) & (F.col("o_orderkey") <= hi_k)
+            )
+        )
+        nparts = ds.rdd.getNumPartitions()
+        nfiles = len(t.manifest()["files"])
+        if not nparts < nfiles:
+            raise RuntimeError(
+                f"DSv2 pushdown did not prune: {nparts} partitions over "
+                f"{nfiles} live files"
+            )
+        prog = t.read().filter(
+            (F.col("o_orderkey") >= lo_k) & (F.col("o_orderkey") <= hi_k)
+        )
+        diff = ds.exceptAll(prog).unionAll(prog.exceptAll(ds))
+        if diff.limit(1).count():
+            raise RuntimeError("DSv2 snapshot diverged from programmatic read")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+    # (c) batch CDF relation == changes_with_type over the delete window
+    cdf = (
+        spark.read.format("versioned_table")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v_full)
+        .load()
+    )
+    bat = t.changes_with_type(v_full)
+    cdiff = cdf.exceptAll(bat).unionAll(bat.exceptAll(cdf))
+    if cdiff.limit(1).count():
+        raise RuntimeError("batch CDF diverged from changes_with_type")
+
+    # the oracled aggregate runs THROUGH the SQL front door
+    t.to_view("t_sql_select")
+    return spark.sql(
+        "SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT cust) AS BIGINT) AS ncust, "
+        "SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total2 "
+        "FROM t_sql_select GROUP BY o_orderpriority"
+    )
+
+
+@query(
+    "p_versioned_spj_bucket_join",
+    oracle="""
+    SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc=(
+        "STORAGE-PARTITIONED JOIN (round 13, VERDICT r12 #4 — the "
+        "Iceberg SPJ role): orders and customer land in two "
+        "VersionedTables hidden-partitioned bucket(8, cust) on the "
+        "join key; storage_partitioned_join plans per-bucket "
+        "co-partitions from the part: manifest tuples alone (no scan) "
+        "and joins each bucket pair with the smaller side broadcast — "
+        "asserted in-query: the physical plan contains ZERO table "
+        "shuffle exchanges, and the result equals the plain "
+        "shuffled join (exceptAll both ways). At 100 TB this replaces "
+        "a 2×table shuffle with per-bucket broadcasts of min(side)/n."
+    ),
+    tags=("pipeline", "versioned", "join", "spj"),
+)
+def p_versioned_spj_bucket_join(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.spj import (
+        assert_no_shuffle,
+        storage_partitioned_join,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), "c_mktsegment"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"versioned_spj_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    to = VersionedTable(
+        spark, os.path.join(ws, "orders"), partition_spec=["bucket(8, cust)"]
+    )
+    tc = VersionedTable(
+        spark, os.path.join(ws, "cust"), partition_spec=["bucket(8, cust)"]
+    )
+    to.commit_append(orders)
+    tc.commit_append(cust)
+    j = storage_partitioned_join(to, tc, "cust")
+    assert_no_shuffle(j)
+    plain = to.read().join(tc.read(), "cust")
+    diff = j.exceptAll(plain).unionAll(plain.exceptAll(j))
+    if diff.limit(1).count():
+        raise RuntimeError("SPJ result diverged from the plain join")
+    return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        ).alias("total2"),
+    )

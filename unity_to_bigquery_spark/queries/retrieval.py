@@ -294,3 +294,97 @@ def t_zipf_slope(spark, sf_dir):
         .cast("long")
         .alias("intercept6"),
     )
+
+
+@query(
+    "t_index_bm25_topk",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+    ),
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM live),
+    ex AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+    qp AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM ex
+      WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM qp GROUP BY term),
+    st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS sum_dl FROM ws),
+    scored AS (
+      SELECT qp.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (qp.tf * 2.2)
+               / (qp.tf + 1.2 * (0.25 + 0.75 * qp.dl
+                                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      FROM qp JOIN dfs ON qp.term = dfs.term CROSS JOIN st
+    )
+    SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS bm25_6, COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_6 DESC, doc_id LIMIT 10
+    """,
+    doc=(
+        "PERSISTED BM25 INDEX (round 13, VERDICT r12 #3 — the missing "
+        "derived-state family member for ranked retrieval): postings "
+        "built ONCE into a bucket-partitioned VersionedTable, document "
+        "frequencies and corpus length maintained INCREMENTALLY as "
+        "ContinuousAggregates over the postings' own change feed "
+        "(two-level IVM), refresh ∝ the delta including RETRACTIONS "
+        "(an append page pure-appends; a delete page folds "
+        "changes_final_state into one commit_replace_keys). The query "
+        "builds over a partial corpus, refreshes through an append AND "
+        "a delete commit, asserts the serve path read FEWER state "
+        "files than live (bucket pruning) and that the served top-10 "
+        "is IDENTICAL to the one-shot bm25_topk on the equal live "
+        "corpus (bit-identical fixed-point scores — shared scoring "
+        "tree), then returns the served frame, oracled against DuckDB "
+        "computing BM25 on the final live corpus."
+    ),
+    tags=("llm", "retrieval", "topk", "versioned"),
+)
+def t_index_bm25_topk(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.bm25_index import BM25Index
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = os.path.join(
+        tempfile.gettempdir(), "u2bq_spark_roundtrips", f"bm25index_{base}"
+    )
+    shutil.rmtree(ws, ignore_errors=True)
+    src = VersionedTable(spark, os.path.join(ws, "docs"))
+    src.commit_append(docs.filter(F.col("doc_id") % 7 != 3))
+    ix = BM25Index(spark, os.path.join(ws, "ix"), src, n_buckets=16)
+    ix.build()
+    # append the held-out slice, then a retraction commit
+    src.commit_append(docs.filter(F.col("doc_id") % 7 == 3))
+    src.commit_delete_where(
+        docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"), "doc_id"
+    )
+    ix.refresh()
+    served = ix.topk(BM25_TERMS, k=10)
+    # serve-path bucket pruning: the 3 query terms hash to <= 3 of 16
+    # buckets — the scan must plan against a strict subset of state files
+    m = ix.postings.manifest()
+    pruned, _ = ix.postings._prune_eq(
+        m, "bucket", sorted({ix._bucket_py(t) for t in BM25_TERMS})
+    )
+    if not len(pruned) < len(m["files"]):
+        raise RuntimeError(
+            f"BM25 serve did not bucket-prune: {len(pruned)} of "
+            f"{len(m['files'])} state files"
+        )
+    # identity vs the one-shot operator on the equal live corpus
+    oneshot = bm25_topk(src.read(), BM25_TERMS, k=10)
+    if [tuple(r) for r in served.collect()] != [
+        tuple(r) for r in oneshot.collect()
+    ]:
+        raise RuntimeError("BM25Index.topk diverged from bm25_topk")
+    return served

@@ -51,25 +51,76 @@ from pyspark.sql.datasource import (
 )
 
 
+def detached_table(root: str, branch: str | None = None):
+    """A VersionedTable handle usable WITHOUT a SparkSession (manifest
+    JSON/parquet-checkpoint IO only) — what the Python Data Source API's
+    planner worker and executors get. Branch handles continue main's
+    version numbering, so every offset/pinning mechanism works
+    unchanged."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    t = VersionedTable.__new__(VersionedTable)
+    t.root = root
+    if not branch:
+        return t
+    t.spark = None
+    t.partition_col = None
+    t.partition_spec = None
+    t.distinct_index_cols = ()
+    t.bloom_index_cols = ()
+    t.bloom_bits = 8192
+    t.bloom_hashes = 3
+    bs = t.branches()
+    if branch not in bs:
+        raise ValueError(
+            f"no branch {branch!r} in {root} (existing: {sorted(bs)})"
+        )
+    return t.branch(branch)
+
+
+def _opt_version_pin(options, t) -> int | None:
+    """Resolve the batch time-travel options to a manifest version:
+    ``versionAsOf`` (int) or ``timestampAsOf`` (epoch seconds float) —
+    Delta's reader-option spelling. None = latest."""
+    v = options.get("versionasof", options.get("versionAsOf"))
+    ts = options.get("timestampasof", options.get("timestampAsOf"))
+    if v is not None and ts is not None:
+        raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        return t.version_at(float(ts))
+    return None
+
+
 class VersionedTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "versioned_table"
 
     def schema(self) -> str:
-        from unity_to_bigquery_spark.plans.versioned import VersionedTable
-
         # runs in the planner's Python worker: NO SparkSession exists, so
         # no StructType.fromDDL — return the manifest's DDL string and
         # let the JVM parse it
         root = self.options["path"]
-        t = VersionedTable.__new__(VersionedTable)
-        t.root = root
-        m = t.manifest()
+        t = detached_table(root, self.options.get("branch"))
+        pin = _opt_version_pin(self.options, t)
+        cdf = (
+            str(self.options.get("readchangefeed",
+                self.options.get("readChangeFeed", "false"))).lower() == "true"
+        )
+        if cdf:
+            # batch CDF pins its schema at the END version (Delta
+            # table_changes semantics: output columns are the latest
+            # schema in the window; column mapping translates old files)
+            pin = self.options.get("endingversion",
+                                   self.options.get("endingVersion"))
+            pin = int(pin) if pin is not None else None
+        m = t.manifest(pin)
         if not m.get("schema"):
             raise ValueError(
                 f"versioned_table at {root} is empty/schemaless — commit data "
-                "before streaming from it"
+                "before reading from it"
             )
         ddl = m["schema"]
         if str(self.options.get("emit_row_ids", "false")).lower() == "true":
@@ -83,7 +134,9 @@ class VersionedTableDataSource(DataSource):
                 )
             assert ddl.startswith("struct<") and ddl.endswith(">")
             ddl = ddl[:-1] + ",__row_id:bigint>"
-        if str(self.options.get("emit_change_types", "false")).lower() == "true":
+        if cdf or str(
+            self.options.get("emit_change_types", "false")
+        ).lower() == "true":
             # splice the CDC columns into the simpleString DDL
             assert ddl.startswith("struct<") and ddl.endswith(">")
             ddl = ddl[:-1] + ",_change_type:string,_commit_version:bigint>"
@@ -91,6 +144,15 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema):
         return VersionedTableStreamReader(self.options)
+
+    def reader(self, schema):
+        # batch half (round 13, VERDICT r12 #1): snapshot / time-travel
+        # / change-feed relations over the same table the stream reads
+        from unity_to_bigquery_spark.sources.versioned_batch import (
+            make_batch_reader,
+        )
+
+        return make_batch_reader(self.options)
 
 
 def _ddl_field_names(ddl: str) -> list[str]:
@@ -124,6 +186,39 @@ def _phys_fields(m: dict) -> list[str]:
     names = _ddl_field_names(m["schema"])
     phys = {e["name"]: e["phys"] for e in (m.get("column_mapping") or [])}
     return [phys.get(n, n) for n in names]
+
+
+def pos_ordinals(pairs) -> set[int]:
+    """Executor-side union of positional-delete ordinals for one target
+    file, over (pairfile_path, target_rel) pairs — handles BOTH formats
+    (rule 28): DV sidecars (``dv`` BINARY column ⇒ roaring-lite decode)
+    and legacy (file, pos) row pairs. The one true loader's pyarrow
+    twin (the session-side loader is ``VersionedTable._pairs_of``)."""
+    import pyarrow.parquet as pq
+
+    from unity_to_bigquery_spark.plans.versioned import _dv_decode
+
+    out: set[int] = set()
+    for p, rel in pairs:
+        pf = pq.ParquetFile(p)
+        names = pf.schema_arrow.names
+        if "dv" in names:
+            pt = pq.read_table(p, columns=["file", "dv"])
+            for fname, blob in zip(
+                pt.column(0).to_pylist(), pt.column(1).to_pylist()
+            ):
+                if fname == rel:
+                    out.update(int(x) for x in _dv_decode(bytes(blob)))
+        else:
+            pt = pq.read_table(p, columns=["file", "pos"])
+            out.update(
+                pos
+                for fname, pos in zip(
+                    pt.column(0).to_pylist(), pt.column(1).to_pylist()
+                )
+                if fname == rel
+            )
+    return out
 
 
 class _FilePartition(InputPartition):
@@ -521,38 +616,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), rk)
                 for p, k, rk in partition.match_any
             ]
-            def _ordinals(pairs):
-                # both positional-delete formats: DV sidecars
-                # (file, dv BINARY) decode their roaring-lite bitmaps
-                # (round 12); legacy (file, pos) pair files read rows
-                from unity_to_bigquery_spark.plans.versioned import _dv_decode
-
-                out: set[int] = set()
-                for p, rel in pairs:
-                    pf = pq.ParquetFile(p)
-                    names = pf.schema_arrow.names
-                    if "dv" in names:
-                        pt = pq.read_table(p, columns=["file", "dv"])
-                        for fname, blob in zip(
-                            pt.column(0).to_pylist(), pt.column(1).to_pylist()
-                        ):
-                            if fname == rel:
-                                out.update(
-                                    int(x) for x in _dv_decode(bytes(blob))
-                                )
-                    else:
-                        pt = pq.read_table(p, columns=["file", "pos"])
-                        out.update(
-                            pos
-                            for fname, pos in zip(
-                                pt.column(0).to_pylist(), pt.column(1).to_pylist()
-                            )
-                            if fname == rel
-                        )
-                return out
-
-            dead_pos = _ordinals(partition.pos_anti)
-            match_pos = _ordinals(partition.pos_match) if partition.pos_match else None
+            dead_pos = pos_ordinals(partition.pos_anti)
+            match_pos = pos_ordinals(partition.pos_match) if partition.pos_match else None
             table = pq.read_table(partition.path)
             tail = (partition.change, partition.version)
 
