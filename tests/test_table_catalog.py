@@ -340,3 +340,94 @@ def test_recover_skips_dropped_table_intents(spark, cat):
     assert cat.recover() == [tx3.txn_id]
     assert cat.entry()["txn_id"] == tx3.txn_id
     assert not os.path.exists(ip3)
+
+
+# ---- round 13: catalog SQL front door (VERDICT r12 #6) -----------------------
+
+
+def _sql_cat(spark, tmp_path):
+    from unity_to_bigquery_spark.plans.table_catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "sqlcat"))
+    cat.execute_sql("CREATE TABLE users")
+    cat.table("users").commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "uid INT, name STRING"
+        )
+    )
+    cat.sync("users")
+    return cat
+
+
+def test_catalog_sql_ctas_and_dml(spark, tmp_path):
+    from unity_to_bigquery_spark.plans.table_catalog import CatalogError
+
+    cat = _sql_cat(spark, tmp_path)
+    cat.execute_sql("CREATE TABLE vips AS SELECT uid, name FROM users WHERE uid >= 2")
+    assert sorted((r.uid, r.name) for r in cat.read("vips").collect()) == [
+        (2, "b"), (3, "c"),
+    ]
+    cat.execute_sql("INSERT INTO vips SELECT uid, 'x' AS name FROM users WHERE uid = 1")
+    cat.execute_sql("UPDATE vips SET name = upper(name) WHERE uid = 2")
+    cat.execute_sql("DELETE FROM vips WHERE uid = 3")
+    assert sorted((r.uid, r.name) for r in cat.read("vips").collect()) == [
+        (1, "x"), (2, "B"),
+    ]
+    # MERGE resolves USING from the catalog; unaliased names reference
+    cat.execute_sql(
+        "MERGE INTO vips USING users ON vips.uid = users.uid "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert cat.read("vips").count() == 3
+    # SELECT front door + grammar rejections
+    assert cat.execute_sql("SELECT COUNT(*) AS n FROM vips").first().n == 3
+    with pytest.raises(CatalogError, match="already exists"):
+        cat.execute_sql("CREATE TABLE users")
+    cat.execute_sql("CREATE TABLE IF NOT EXISTS users")  # idempotent form
+    with pytest.raises(CatalogError, match="unknown table"):
+        cat.execute_sql("DROP TABLE nope")
+    cat.execute_sql("DROP TABLE IF EXISTS nope")  # no-op form
+    cat.execute_sql("DROP TABLE vips")
+    assert "vips" not in cat.tables()
+
+
+def test_catalog_sql_ctas_snapshot_consistency(spark, tmp_path):
+    """CTAS reads the catalog PINS — a direct (unsynced) write is
+    invisible to it, exactly the snapshot-consistent-read contract."""
+    cat = _sql_cat(spark, tmp_path)
+    cat.table("users").commit_append(
+        spark.createDataFrame([(99, "direct")], "uid INT, name STRING")
+    )  # no sync: catalog still pins the 3-row version
+    cat.execute_sql("CREATE TABLE snap AS SELECT uid FROM users")
+    assert cat.read("snap").count() == 3
+    cat.sync("users")
+    cat.execute_sql("CREATE TABLE snap2 AS SELECT uid FROM users")
+    assert cat.read("snap2").count() == 4
+
+
+def test_catalog_sql_script_txn(spark, tmp_path):
+    from unity_to_bigquery_spark.plans.table_catalog import CatalogError
+
+    cat = _sql_cat(spark, tmp_path)
+    cat.execute_sql("CREATE TABLE audit AS SELECT uid FROM users WHERE uid = 1")
+    v0 = cat.latest_version()
+    res = cat.execute_script(
+        "BEGIN; DELETE FROM users WHERE uid = 2; "
+        "INSERT INTO audit (uid) VALUES (2); COMMIT"
+    )
+    # one catalog commit for the whole transaction
+    assert cat.latest_version() == v0 + 1 and res[-1] == v0 + 1
+    assert cat.read("users").count() == 2 and cat.read("audit").count() == 2
+    # rollback leaves nothing
+    cat.execute_script("BEGIN; DELETE FROM users WHERE uid >= 0; ROLLBACK")
+    assert cat.read("users").count() == 2
+    # unterminated transaction aborts loudly
+    with pytest.raises(CatalogError, match="open transaction"):
+        cat.execute_script("BEGIN; DELETE FROM users WHERE uid = 1")
+    assert cat.read("users").count() == 2
+    with pytest.raises(CatalogError, match="COMMIT without BEGIN"):
+        cat.execute_script("COMMIT")
+    # a ';' inside a string literal never splits
+    cat.execute_sql("CREATE TABLE notes AS SELECT uid, 'x' AS s FROM users")
+    cat.execute_script("UPDATE notes SET s = 'a;b' WHERE uid = 1")
+    assert cat.read("notes").filter("uid = 1").first().s == "a;b"

@@ -408,11 +408,52 @@ def test_cluster_by_zorder_enables_multi_column_skipping(spark, root):
     # pruned reads stay exact
     assert _rows(t.read_pruned("v", 0, 7)) == _rows(t.read().filter("v BETWEEN 0 AND 7"))
     assert _rows(t.read_pruned("k", 50, 63)) == _rows(t.read().filter("k >= 50"))
-    # non-numeric clustering rejected
+    # non-numeric, non-string clustering rejected
     t2 = VersionedTable(spark, root + "2")
-    t2.commit_append(_df(spark, [(1, "a")]))
-    with pytest.raises(ValueError, match="numeric"):
+    t2.commit_append(
+        spark.createDataFrame([(1, [1, 2])], "k INT, v ARRAY<INT>")
+    )
+    with pytest.raises(ValueError, match="numeric or string"):
         t2.cluster_by(["v"])
+
+
+def test_cluster_by_string_rank_buckets(spark, root):
+    """STRING clustering (round 13): equal-frequency rank buckets from
+    the distinct set — after cluster_by on (category, k), BOTH the
+    string and the numeric dimension prune, and the rewrite is
+    row-identical. compact() re-applies the persisted string spec."""
+    t = VersionedTable(spark, root)
+    cats = ["ar", "de", "en", "fr", "ja", "ko", "pt", "zh"]
+    rows = [(k, cats[(k * 5) % 8]) for k in range(128)]
+    half = len(rows) // 2
+    t.commit_append(
+        spark.createDataFrame(rows[:half], "k INT, category STRING").coalesce(1)
+    )
+    t.commit_append(
+        spark.createDataFrame(rows[half:], "k INT, category STRING").coalesce(1)
+    )
+    _, skipped_before = t.prune_files("category", "en", "en")
+    assert skipped_before == 0
+    before = _rows(t.read())
+    t.cluster_by(["category", "k"], target_files=8)
+    assert _rows(t.read()) == before
+    _, skipped_cat = t.prune_files("category", "en", "en")
+    _, skipped_k = t.prune_files("k", 0, 15)
+    assert skipped_cat > 0 and skipped_k > 0
+    assert _rows(t.read_pruned("category", "en", "en")) == _rows(
+        t.read().filter("category = 'en'")
+    )
+    # sort order persisted; compact keeps the clustering effective
+    assert t.manifest()["sort_order"]["cols"] == ["category", "k"]
+    t.commit_append(
+        spark.createDataFrame([(999, "en")], "k INT, category STRING")
+    )
+    t.compact(target_files=8)
+    _, skipped_after = t.prune_files("category", "en", "en")
+    assert skipped_after > 0
+    assert _rows(t.read_pruned("category", "ja", "ja")) == _rows(
+        t.read().filter("category = 'ja'")
+    )
 
 
 def test_equality_deletes_merge_on_read(spark, root):
@@ -1652,15 +1693,41 @@ def test_branch_rebase_refusals_and_rewrite_case(spark, root):
     assert _rows(t.read().select("k", "v")) == [
         (1, "A"), (2, "B"), (50, "m")
     ]
-    # (d) row lineage refuses the rebase path
+    # (d) row lineage REBASES via re-minting (round 13, VERDICT r12
+    # #7 — pre-r13 this refused wholesale): carried rewrite ids stay
+    # (materialized pre-fork), branch-NEW rows re-mint past main's
+    # interleaved allocation, no collision
     r2 = root + "_lin"
     t2 = VersionedTable(spark, r2, row_lineage=True)
     t2.commit_append(_df(spark, [(1, "a")]).coalesce(1))
     t2.create_branch("lb")
-    t2.branch("lb").update_where({"v": "'X'"}, "k = 1")
-    t2.commit_append(_df(spark, [(9, "z")]).coalesce(1))
-    with pytest.raises(ConcurrentWriteError, match="row lineage"):
-        t2.publish_branch("lb")
+    b = t2.branch("lb")
+    b.update_where({"v": "'X'"}, "k = 1")
+    b.commit_append(_df(spark, [(7, "n")]).coalesce(1))
+    t2.commit_append(_df(spark, [(9, "z")]).coalesce(1))  # same id range!
+    t2.publish_branch("lb")
+    got = {
+        (r.k, r.v, r["__row_id"])
+        for r in t2.read_with_lineage().collect()
+    }
+    assert got == {(1, "X", 0), (9, "z", 1), (7, "n", 2)}
+    # keyless CDC across the publish commit: the k=1 update keeps its
+    # pre-fork id 0 (delete+insert pair), the branch-new row carries
+    # its RE-MINTED id — lineage is CDC-exact through the publish
+    feed = {
+        (r.k, r["__row_id"], r._change_type)
+        for r in t2.changes_with_type(t2.latest_version() - 1).collect()
+    }
+    assert feed == {(1, 0, "delete"), (1, 0, "insert"), (7, 2, "insert")}
+    # (e) the one unsound lineage shape still refuses: a branch rewrite
+    # of a BRANCH-ADDED file froze on-branch-minted ids into data bytes
+    t2.create_branch("lb2")
+    b2 = t2.branch("lb2")
+    b2.commit_append(_df(spark, [(20, "q")]).coalesce(1))
+    b2.update_where({"v": "'Q'"}, "k = 20")  # materializes branch ids
+    t2.commit_append(_df(spark, [(30, "w")]).coalesce(1))
+    with pytest.raises(ConcurrentWriteError, match="on-branch-minted"):
+        t2.publish_branch("lb2")
 
 
 def test_branch_vacuum_protection_and_drop_gc(spark, root):
@@ -3824,3 +3891,80 @@ def test_branch_rebase_restamps_pos_delete_versions(spark, root):
     assert all(d["version"] == v for d in m["pos_deletes"])
     ks = {r.k for r in t.read().select("k").collect()}
     assert 3 not in ks and 100 in ks and len(ks) == 20
+
+
+# ---- round 13: generated columns (VERDICT r12 #5) -----------------------------
+
+from unity_to_bigquery_spark.plans.versioned import (  # noqa: E402
+    ConstraintViolationError,
+)
+
+
+def test_generated_column_lifecycle(spark, root):
+    """Backfill for pre-add files, materialization on write, staged-row
+    validation, UPDATE recompute, insert_sql omission, and pruning via
+    the materialized column's stats."""
+    t = VersionedTable(spark, root, distinct_index_cols=("cat",))
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k INT, x DOUBLE"
+        ).coalesce(1)
+    )
+    t.add_generated_column(
+        "cat", "string", "CASE WHEN k < 100 THEN 'lo' ELSE 'hi' END"
+    )
+    # pre-add file computes at scan
+    assert {r.cat for r in t.read().collect()} == {"lo"}
+    # pure-hi and pure-lo post-add files -> distinct stats prune
+    t.commit_append(
+        spark.createDataFrame([(200 + i, 1.0) for i in range(5)],
+                              "k INT, x DOUBLE").coalesce(1)
+    )
+    t.commit_append(
+        spark.createDataFrame([(20 + i, 1.0) for i in range(5)],
+                              "k INT, x DOUBLE").coalesce(1)
+    )
+    assert t.read().filter("k = 201").first().cat == "hi"
+    cand, skipped = t.prune_files_condition("cat = 'hi'")
+    assert skipped == 1 and len(cand) == 2  # pre-add file kept (no stats)
+    # provided-and-wrong raises; provided-and-right lands
+    with pytest.raises(ConstraintViolationError, match="generated column"):
+        t.commit_append(
+            spark.createDataFrame([(5, 1.0, "hi")], "k INT, x DOUBLE, cat STRING")
+        )
+    t.commit_append(
+        spark.createDataFrame([(5, 1.0, "lo")], "k INT, x DOUBLE, cat STRING")
+    )
+    # UPDATE recomputes when the source column moves
+    t.update_where({"k": "k + 1000"}, "k = 20")
+    assert t.read().filter("k = 1020").first().cat == "hi"
+    # insert_sql omits generated columns and the write path computes
+    t.insert_sql("INSERT INTO t (k, x) VALUES (999, CAST(0.0 AS DOUBLE))")
+    assert t.read().filter("k = 999").first().cat == "hi"
+    # SQL front door + dependency guards
+    with pytest.raises(ValueError, match="reference it"):
+        t.rename_column("k", "kk")
+    with pytest.raises(ValueError, match="reference it"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="other generated"):
+        t.add_generated_column("cat2", "string", "upper(cat)")
+    t.drop_column("cat")
+    t.rename_column("k", "kk")  # free after the dependent drop
+    assert set(t.read().columns) == {"kk", "x"}
+
+
+def test_generated_column_sql_and_merge(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(spark.createDataFrame([(1, 2.0)], "k INT, x DOUBLE"))
+    t.execute_dml(
+        "ALTER TABLE t ADD COLUMN x2 DOUBLE GENERATED ALWAYS AS "
+        "(x * CAST(2 AS DOUBLE))"
+    )
+    t.insert_sql("INSERT INTO t (k, x) VALUES (2, CAST(3.0 AS DOUBLE))")
+    assert sorted((r.k, r.x2) for r in t.read().collect()) == [(1, 4.0), (2, 6.0)]
+    # merge recomputes on updated rows
+    src = spark.createDataFrame([(1, 10.0), (3, 5.0)], "k INT, x DOUBLE")
+    t.merge(src, "k", [when_matched_update(), when_not_matched_insert()])
+    assert sorted((r.k, r.x2) for r in t.read().collect()) == [
+        (1, 20.0), (2, 6.0), (3, 10.0),
+    ]

@@ -260,6 +260,190 @@ class TableCatalog:
             return t.changes_with_type(lo, hi, max_commits=max(1, hi - lo))
         return t.changes(lo, hi)
 
+    # ---- SQL front door (round 13, VERDICT r12 #6) ---------------------------
+
+    def _sql_over_catalog(self, select: str) -> DataFrame:
+        """Run a SELECT with every catalog table registered as a temp
+        view at its CURRENT CATALOG PIN — one consistent world, so a
+        CTAS source join never mixes transaction halves (never-written
+        tables, pin 0, are skipped)."""
+        e = self.entry()
+        for n, pin in e["tables"].items():
+            if pin > 0:
+                VersionedTable(self.spark, self._table_root(n)).read(
+                    pin
+                ).createOrReplaceTempView(n)
+        return self.spark.sql(select)
+
+    @staticmethod
+    def _stmt_table(stmt: str) -> tuple[str, str]:
+        """(KEYWORD, table_name) of a DML/DDL statement."""
+        import re
+
+        m = re.match(
+            r"(?is)^\s*(UPDATE|DELETE\s+FROM|INSERT\s+INTO|MERGE\s+INTO|"
+            r"ALTER\s+TABLE)\s+(\w+)",
+            stmt,
+        )
+        if m is None:
+            raise CatalogError(f"cannot find target table in {stmt!r}")
+        return m.group(1).split()[0].upper(), m.group(2)
+
+    def execute_sql(
+        self,
+        stmt: str,
+        txn: "CatalogTransaction | None" = None,
+        source: DataFrame | None = None,
+    ):
+        """One catalog-level SQL statement:
+
+        - ``CREATE TABLE [IF NOT EXISTS] <name> [AS SELECT ...]`` —
+          registers the table; the CTAS SELECT runs over catalog-pinned
+          views of every registered table and lands as the first
+          commit. DDL registration is immediate (implicit-commit DDL,
+          like most databases) even inside a transaction; CTAS DATA
+          respects the transaction.
+        - ``DROP TABLE [IF EXISTS] <name>``.
+        - ``INSERT INTO <t> SELECT ...`` — the append form the
+          table-level front door doesn't cover (its INSERT is
+          VALUES-only): the SELECT runs over catalog views.
+        - ``UPDATE / DELETE / INSERT ... VALUES / MERGE / ALTER`` —
+          dispatched to the table's own ``execute_dml``; a MERGE whose
+          ``USING <name>`` names a catalog table resolves the source
+          from the catalog automatically (or pass ``source=``).
+        - ``SELECT ...`` — returns the DataFrame over catalog views.
+
+        With ``txn`` (a :class:`CatalogTransaction`): writes stage on
+        the transaction's branches and land all-or-nothing at its
+        commit. Without: each write lands directly and the catalog pin
+        syncs immediately."""
+        import re
+
+        s = stmt.strip().rstrip(";")
+        head = s.split(None, 1)
+        kw = head[0].upper() if head else ""
+        if kw == "SELECT" or kw == "WITH":
+            return self._sql_over_catalog(s)
+        if kw == "CREATE":
+            m = re.match(
+                r"(?is)^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+                r"(?P<name>\w+)\s*(?:AS\s+(?P<select>(?:SELECT|WITH)\s.+))?$",
+                s,
+            )
+            if m is None:
+                raise CatalogError(
+                    f"unsupported CREATE statement {stmt!r} — grammar: "
+                    "CREATE TABLE [IF NOT EXISTS] <name> [AS SELECT ...]"
+                )
+            name = m["name"]
+            exists = name in self.entry()["tables"]
+            if exists and not m["ine"] and not m["select"]:
+                raise CatalogError(f"table {name!r} already exists")
+            if exists and m["select"]:
+                raise CatalogError(
+                    f"CTAS target {name!r} already exists (drop it first)"
+                )
+            df = self._sql_over_catalog(m["select"]) if m["select"] else None
+            self.create_table(name)
+            if df is not None:
+                handle = txn.write(name) if txn else self.table(name)
+                handle.commit_append(df)
+                if txn is None:
+                    self.sync(name)
+            return name
+        if kw == "DROP":
+            m = re.match(
+                r"(?is)^DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)$",
+                s,
+            )
+            if m is None:
+                raise CatalogError(f"unsupported DROP statement {stmt!r}")
+            if m["name"] not in self.entry()["tables"]:
+                if m["ie"]:
+                    return None
+                raise CatalogError(f"unknown table {m['name']!r}")
+            return self.drop_table(m["name"])
+        _, name = self._stmt_table(s)
+        handle = txn.write(name) if txn else self.table(name)
+        if kw == "INSERT":
+            m = re.match(
+                rf"(?is)^INSERT\s+INTO\s+{name}\s+(?P<select>(?:SELECT|WITH)\s.+)$",
+                s,
+            )
+            if m:  # INSERT INTO ... SELECT (catalog-level form)
+                handle.commit_append(self._sql_over_catalog(m["select"]))
+                if txn is None:
+                    self.sync(name)
+                return name
+        if kw == "MERGE" and source is None:
+            mu = re.search(r"(?is)\bUSING\s+(\w+)\b", s)
+            if mu and mu.group(1) in self.entry()["tables"]:
+                source = self.read(mu.group(1))
+        res = handle.execute_dml(s, source=source) if kw == "MERGE" else (
+            handle.execute_dml(s)
+        )
+        if txn is None:
+            self.sync(name)
+        return res
+
+    def execute_script(self, text: str) -> list:
+        """Multi-statement script with BEGIN/COMMIT batching:
+        statements between ``BEGIN`` and ``COMMIT`` stage on ONE
+        :class:`CatalogTransaction` and land atomically at the COMMIT
+        (``ROLLBACK`` aborts them). Statements outside a transaction
+        execute immediately. Splitting is quote-aware (a ``;`` inside a
+        string literal never splits). Returns per-statement results."""
+        stmts, cur, i, n = [], [], 0, len(text)
+        while i < n:
+            c = text[i]
+            if c == "'":
+                cur.append(c)
+                i += 1
+                while i < n:
+                    cur.append(text[i])
+                    if text[i] == "'":
+                        if i + 1 < n and text[i + 1] == "'":
+                            cur.append(text[i + 1])
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == ";":
+                stmts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        stmts.append("".join(cur))
+        results, txn = [], None
+        for raw in stmts:
+            s = raw.strip()
+            if not s:
+                continue
+            kw = s.split(None, 1)[0].upper()
+            if kw == "BEGIN":
+                if txn is not None:
+                    raise CatalogError("nested BEGIN")
+                txn = self.transaction()
+                results.append(None)
+            elif kw == "COMMIT":
+                if txn is None:
+                    raise CatalogError("COMMIT without BEGIN")
+                results.append(txn.commit())
+                txn = None
+            elif kw == "ROLLBACK":
+                if txn is None:
+                    raise CatalogError("ROLLBACK without BEGIN")
+                txn.abort()
+                results.append(None)
+                txn = None
+            else:
+                results.append(self.execute_sql(s, txn=txn))
+        if txn is not None:
+            txn.abort()
+            raise CatalogError("script ended inside an open transaction")
+        return results
+
     # ---- transactions ------------------------------------------------------
 
     def transaction(self) -> "CatalogTransaction":

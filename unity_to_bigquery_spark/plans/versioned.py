@@ -411,6 +411,18 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _ident_in_sql(ident: str, sql: str) -> bool:
+    """Does a SQL fragment reference ``ident`` as a bare identifier?
+    Word-boundary match with single-quoted literals blanked first —
+    conservative (a backticked or qualified reference still matches by
+    word), used for generated-column dependency tracking where a false
+    positive only REFUSES a rename earlier than strictly needed."""
+    import re
+
+    blanked = re.sub(r"'(?:[^']|'')*'", "''", sql)
+    return re.search(rf"\b{re.escape(ident)}\b", blanked) is not None
+
+
 def _dv_encode(positions) -> bytes:
     """DELETION-VECTOR encoding (round 12, VERDICT r11 #2) — a
     roaring-lite bitmap over a file's deleted row ordinals: ordinals
@@ -692,7 +704,10 @@ def parse_merge_sql(stmt: str) -> tuple[tuple[str, str], list[dict]]:
             "merge_sql: expected 'MERGE INTO <t> [alias] USING <s> "
             f"[alias] ON <cond> WHEN ...', got {head!r}"
         )
-    ta, sa = hm["ta"] or "t", hm["sa"] or "s"
+    # unaliased tables are referenceable by NAME (standard SQL; what
+    # the catalog front door emits — round 13) with 't'/'s' still
+    # accepted as the documented legacy spellings
+    ta, sa = hm["ta"] or hm["tgt"].split(".")[-1], hm["sa"] or hm["src"].split(".")[-1]
 
     def requalify(expr: str | None) -> str | None:
         if expr is None or (ta == "t" and sa == "s"):
@@ -710,6 +725,8 @@ def parse_merge_sql(stmt: str) -> tuple[tuple[str, str], list[dict]]:
             f"(<alias>.<col> = <alias>.<col>), got {hm['on']!r}"
         )
     by_alias = {om.group(1): om.group(2), om.group(3): om.group(4)}
+    if set(by_alias) != {ta, sa} and set(by_alias) == {"t", "s"} and ta != sa:
+        ta, sa = "t", "s"  # legacy spelling: table names decorative
     if set(by_alias) != {ta, sa}:
         raise ValueError(
             f"merge_sql ON must reference both aliases {ta!r}/{sa!r}, "
@@ -1628,6 +1645,22 @@ class VersionedTable:
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
             self._mapping_guard(base, old, "rename_column")
+            gens = base.get("generated_columns") or {}
+            dep = [
+                gname for gname, g in gens.items()
+                if gname != old and old in g.get("refs", [])
+            ]
+            if dep:
+                raise ValueError(
+                    f"cannot rename {old!r}: generated column(s) {dep} "
+                    "reference it (drop them first)"
+                )
+            if old in gens:
+                # the generated entry follows its column's logical name
+                self._gens_override = {
+                    **{k: v for k, v in gens.items() if k != old},
+                    new: gens[old],
+                }
             st = StructType.fromDDL(base["schema"])
             new_schema = StructType(
                 [
@@ -1661,6 +1694,7 @@ class VersionedTable:
             finally:
                 self._mapping_state_override = _UNSET
                 self._defaults_override = _UNSET
+                self._gens_override = _UNSET
         raise ConcurrentWriteError(
             "rename_column could not publish after 20 attempts"
         )
@@ -1927,6 +1961,20 @@ class VersionedTable:
             if len(cm) == 1:
                 raise ValueError("cannot drop the last column")
             self._mapping_guard(base, name, "drop_column")
+            gens = base.get("generated_columns") or {}
+            dep = [
+                gname for gname, g in gens.items()
+                if gname != name and name in g.get("refs", [])
+            ]
+            if dep:
+                raise ValueError(
+                    f"cannot drop {name!r}: generated column(s) {dep} "
+                    "reference it (drop them first)"
+                )
+            if name in gens:
+                self._gens_override = {
+                    k: v for k, v in gens.items() if k != name
+                }
             st = StructType.fromDDL(base["schema"])
             new_schema = StructType(
                 [f for f in st.fields if f.name != name]
@@ -1950,6 +1998,7 @@ class VersionedTable:
             finally:
                 self._mapping_state_override = _UNSET
                 self._defaults_override = _UNSET
+                self._gens_override = _UNSET
         raise ConcurrentWriteError(
             "drop_column could not publish after 20 attempts"
         )
@@ -2139,7 +2188,26 @@ class VersionedTable:
                     out_cols[i] = dv_expr.alias(fld.name)
                 else:
                     need_flags.append((i, fld, dv_expr, pre))
-        if need_flags and not (with_lineage or with_meta):
+        # GENERATED-column backfill (round 13): files predating an
+        # add_generated_column compute the expression at scan (decided
+        # per file from file_versions, like initial defaults); files
+        # written after read their MATERIALIZED values. The expression
+        # references LOGICAL names, so the fill runs in a second
+        # projection stage after the phys->logical select.
+        gens = m.get("generated_columns") or {}
+        gen_need = []
+        if gens:
+            fvm_g = m.get("file_versions", {})
+            for fld in logical.fields:
+                g = gens.get(fld.name)
+                if g is None:
+                    continue
+                pre = {
+                    f for f in files if fvm_g.get(f, 0) < int(g["version"])
+                }
+                if pre:
+                    gen_need.append((fld, g["sql"], pre))
+        if (need_flags or gen_need) and not (with_lineage or with_meta):
             df = df.withColumn(
                 "__rel",
                 F.substring_index(
@@ -2195,7 +2263,29 @@ class VersionedTable:
         if with_meta:
             out_cols.append(F.col("__rel"))
             out_cols.append(F.col("__idx").alias("__pos"))
-        return df.select(*out_cols)
+        if not gen_need:
+            return df.select(*out_cols)
+        gflag_schema = "__rel STRING, " + ", ".join(
+            f"__genf_{j} BOOLEAN" for j in range(len(gen_need))
+        )
+        gflag_rows = [
+            tuple([f] + [f in pre for *_x, pre in gen_need]) for f in files
+        ]
+        df = df.join(
+            F.broadcast(self.spark.createDataFrame(gflag_rows, gflag_schema)),
+            "__rel", "left",
+        )
+        out = df.select(
+            *out_cols, *(F.col(f"__genf_{j}") for j in range(len(gen_need)))
+        )
+        for j, (fld, sql, _pre) in enumerate(gen_need):
+            out = out.withColumn(
+                fld.name,
+                F.when(
+                    F.col(f"__genf_{j}"), F.expr(sql).cast(fld.dataType)
+                ).otherwise(F.col(fld.name)),
+            )
+        return out.drop(*(f"__genf_{j}" for j in range(len(gen_need))))
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its explicit
@@ -3967,7 +4057,7 @@ class VersionedTable:
             f"part:{fld['name']}": _spec_apply(fld, filters[fld["col"]])
             for fld in spec
         }
-        self._enforce(df)
+        df = self._enforce(df)
         staged = self._write_files(df)
         staged_stats = self._staged_stats
         for f in staged:
@@ -4338,17 +4428,60 @@ class VersionedTable:
         """Active CHECK constraints: {name: SQL boolean expression}."""
         return dict(self.manifest().get("constraints", {}))
 
-    def _enforce(self, df: DataFrame) -> None:
-        """Reject the commit if any incoming row violates a constraint.
-        SQL CHECK semantics: NULL passes (violation = expr IS FALSE).
-        One extra pass over the incoming batch per constraint-bearing
-        commit — the same price Delta pays; it never scans the table."""
-        for name, expr in self.manifest().get("constraints", {}).items():
+    def _enforce(
+        self, df: DataFrame, recompute_generated: bool = False
+    ) -> DataFrame:
+        """Write-side validation + generated-column materialization
+        (round 13 extends the CHECK pass — VERDICT r12 #5). Returns the
+        frame to write:
+
+        - GENERATED columns (Delta ``GENERATED ALWAYS AS``): a missing
+          generated column is COMPUTED from its expression; a provided
+          one is VALIDATED row-by-row against the expression (null-safe
+          equality) and a mismatch raises — staged-row validation, the
+          same one-batch pass CHECK constraints pay.
+        - CHECK constraints: NULL passes (violation = expr IS FALSE).
+
+        Neither ever scans the table — only the incoming batch."""
+        m = self.manifest()
+        from pyspark.sql.types import StructType
+
+        for name, g in (m.get("generated_columns") or {}).items():
+            gexpr = F.expr(g["sql"])
+            dt = next(
+                (
+                    f.dataType
+                    for f in StructType.fromDDL(m["schema"]).fields
+                    if f.name == name
+                ),
+                None,
+            ) if m.get("schema") else None
+            if dt is not None:
+                gexpr = gexpr.cast(dt)
+            if recompute_generated and name in df.columns:
+                # rewrite paths (UPDATE/MERGE): the staged rows carry
+                # the PRE-update generated value — Delta recomputes
+                # generated columns whose source columns changed; so do
+                # we, unconditionally (same result when nothing moved)
+                df = df.drop(name)
+            if name not in df.columns:
+                df = df.withColumn(name, gexpr)
+                continue
+            bad = (
+                df.filter(~F.col(name).eqNullSafe(gexpr)).limit(1).collect()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"generated column {name!r} (ALWAYS AS {g['sql']}) "
+                    f"received a non-matching value, e.g. {bad[0].asDict()}"
+                )
+        for name, expr in m.get("constraints", {}).items():
             bad = df.filter(~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
             if bad:
                 raise ConstraintViolationError(
                     f"constraint {name!r} ({expr}) violated, e.g. {bad[0].asDict()}"
                 )
+        return df
 
     def add_constraint(self, name: str, expr: str) -> int:
         """Add a CHECK constraint: validates ALL current rows first
@@ -4425,7 +4558,7 @@ class VersionedTable:
         same txn commit once."""
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        self._enforce(df)
+        df = self._enforce(df)
         staged = self._write_files(df)
         schema = self._logical_schema_str(df)
         for _ in range(20):
@@ -4628,6 +4761,82 @@ class VersionedTable:
             "add_column could not publish after 20 attempts"
         )
 
+    def add_generated_column(self, name: str, dtype: str, expr: str) -> int:
+        """METADATA-ONLY ``ADD COLUMN ... GENERATED ALWAYS AS (expr)``
+        (round 13, VERDICT r12 #5 — Delta generated columns): widen the
+        schema with a column whose value is DERIVED from the row's
+        other columns.
+
+        - **Write enforcement**: every write path materializes the
+          column — a frame missing it gets it computed; a frame
+          providing it is validated row-by-row against the expression
+          (staged-row validation, like CHECK constraints) and a
+          mismatch raises. UPDATE/MERGE rewrites RECOMPUTE it (source
+          columns may have moved).
+        - **Backfill**: files written BEFORE this commit (decided from
+          ``file_versions``, like ADD COLUMN DEFAULT) compute the
+          expression at scan over their own rows — no rewrite.
+        - **Pruning**: because writes materialize the column, its
+          range/distinct stats land in the manifest like any data
+          column, so ``prune_files_condition``/DML phase 1 skip files
+          on generated-column predicates with zero extra machinery;
+          pre-backfill files (no stats) are conservatively kept.
+
+        The expression may reference only non-generated table columns;
+        renaming or dropping a referenced column is refused while the
+        generated column lives."""
+        from pyspark.sql.types import StructField, StructType
+
+        target = StructType.fromDDL(f"`x` {dtype}").fields[0].dataType
+        for _ in range(20):
+            base = self.manifest()
+            if base.get("schema") is None:
+                raise ValueError(
+                    "add_generated_column on a never-committed table"
+                )
+            cur = StructType.fromDDL(base["schema"])
+            if name in cur.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            gens = dict(base.get("generated_columns") or {})
+            # row-free validation: expr must compile and cast over the
+            # CURRENT schema (evaluated on an empty typed frame)
+            probe = self.spark.createDataFrame([], base["schema"])
+            probe.select(F.expr(expr).cast(target)).schema  # noqa: B018
+            refs = {
+                c for c in cur.fieldNames()
+                if _ident_in_sql(c, expr)
+            }
+            gen_refs = refs & set(gens)
+            if gen_refs:
+                raise ValueError(
+                    f"generated column {name!r} may not reference other "
+                    f"generated columns ({sorted(gen_refs)})"
+                )
+            new_schema = StructType(
+                cur.fields + [StructField(name, target, True)]
+            ).simpleString()
+            self._gens_override = {
+                **gens,
+                name: {
+                    "sql": expr,
+                    "version": base["version"] + 1,
+                    "refs": sorted(refs),
+                },
+            }
+            try:
+                return self._publish_once(
+                    base, base["files"],
+                    f"add_generated_column({name})",
+                    new_schema,
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._gens_override = _UNSET
+        raise ConcurrentWriteError(
+            "add_generated_column could not publish after 20 attempts"
+        )
+
     def commit_overwrite(
         self, df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int:
@@ -4646,7 +4855,7 @@ class VersionedTable:
         and advance its source-version bookmark in one atomic commit."""
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        self._enforce(df)
+        df = self._enforce(df)
         staged = self._write_files(df)
         schema = self._logical_schema_str(df)
         for _ in range(20):
@@ -4670,7 +4879,7 @@ class VersionedTable:
         pc = self.current_partition_col()
         if not pc:
             raise ValueError("replace_where requires a partitioned table")
-        self._enforce(df)
+        df = self._enforce(df)
         staged = self._write_files(df)
         wanted = {f"{_PART_DIR_PREFIX}{pc}={v}" for v in partition_values}
         spec_prefix = f"{_PART_DIR_PREFIX}{pc}="
@@ -4959,6 +5168,11 @@ class VersionedTable:
             cd_override if cd_override is not _UNSET
             else base.get("column_defaults")
         )
+        g_override = getattr(self, "_gens_override", _UNSET)
+        generated_columns = (
+            g_override if g_override is not _UNSET
+            else base.get("generated_columns")
+        )
         override = getattr(self, "_partition_override", _UNSET)
         partition_col = (
             override if override is not _UNSET
@@ -5193,6 +5407,11 @@ class VersionedTable:
                 else {}
             ),
             **(
+                {"generated_columns": generated_columns}
+                if generated_columns
+                else {}
+            ),
+            **(
                 {"row_lineage": True, "next_row_id": next_row_id}
                 if row_lineage
                 else {}
@@ -5277,7 +5496,7 @@ class VersionedTable:
         snap = self.manifest()
         if txn is not None and snap.get("txns", {}).get(txn[0], -1) >= txn[1]:
             return snap["version"]
-        self._enforce(updates)  # survivors already passed at their commit
+        updates = self._enforce(updates, recompute_generated=True)  # survivors already passed at their commit
         schema_out = snap.get("schema") or updates.schema.simpleString()
         if updates.schema.simpleString() != schema_out:
             if not merge_schema:
@@ -5587,7 +5806,7 @@ class VersionedTable:
                 # id-less and get fresh ids at publish (__row_base)
                 out_exprs.append(F.col(f"t.{self.ROW_ID_COL}").alias(self.ROW_ID_COL))
             rewritten = kept.select(*out_exprs)
-            self._enforce(rewritten)
+            rewritten = self._enforce(rewritten, recompute_generated=True)
             if lineage:
                 # split the stage: files with materialized ids skip base
                 # allocation, id-less insert rows must NOT share a file
@@ -5797,7 +6016,7 @@ class VersionedTable:
         )
 
     _ALTER_GRAMMAR = (
-        "ALTER TABLE <t> ADD COLUMN <name> <type> [DEFAULT <expr>] | "
+        "ALTER TABLE <t> ADD COLUMN <name> <type> [DEFAULT <expr> | GENERATED ALWAYS AS (<expr>)] | "
         "RENAME COLUMN <name> TO <new> | DROP COLUMN <name> | "
         "ALTER COLUMN <name> [SET DATA] TYPE <type>  "
         "(a dotted <name> like payload.member targets a struct field)"
@@ -5841,19 +6060,23 @@ class VersionedTable:
 
         m = re.match(
             rf"(?is)^ADD\s+COLUMN\s+(?P<name>{ident})\s+(?P<dtype>{dtype})"
-            r"(?:\s+DEFAULT\s+(?P<default>.+?))?$",
+            r"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<gen>.+)\)"
+            r"|\s+DEFAULT\s+(?P<default>.+?))?$",
             body,
         )
         if m:
             col, name = split_name(m["name"])
             if col is None:
+                if m["gen"]:
+                    return self.add_generated_column(name, m["dtype"], m["gen"].strip())
                 return self.add_column(
                     name, m["dtype"],
                     default=m["default"].strip() if m["default"] else None,
                 )
-            if m["default"]:
+            if m["default"] or m["gen"]:
                 raise ValueError(
-                    "execute_dml: DEFAULT is not supported on nested fields"
+                    "execute_dml: DEFAULT/GENERATED are not supported on "
+                    "nested fields"
                 )
             return self.add_nested_field(col, name, m["dtype"])
         m = re.match(
@@ -5937,6 +6160,15 @@ class VersionedTable:
         by_col = {
             n: (cd[n]["sql"] if n in cd else "NULL") for n in names
         }
+        # GENERATED columns (round 13): when omitted, leave them OUT of
+        # the built rows entirely — commit_append's _enforce computes
+        # them from the row (an explicit NULL here would read as a
+        # provided-and-wrong value and correctly raise)
+        gens = set(snap.get("generated_columns") or {})
+        build_fields = [
+            f for f in schema.fields
+            if not (f.name in gens and f.name not in cols)
+        ]
         sel_rows = []
         for r in rows:
             vals = {**by_col, **dict(zip(cols, r))}
@@ -5944,7 +6176,7 @@ class VersionedTable:
                 "SELECT " + ", ".join(
                     f"CAST(({vals[f.name]}) AS {f.dataType.simpleString()}) "
                     f"AS {f.name}"
-                    for f in schema.fields
+                    for f in build_fields
                 )
             )
         df = self.spark.sql(" UNION ALL ".join(sel_rows))
@@ -6018,7 +6250,7 @@ class VersionedTable:
         if self._has_lineage(snap):
             out_cols.append(F.col(self.ROW_ID_COL))
         rewritten = scan.select(*out_cols)
-        self._enforce(rewritten)
+        rewritten = self._enforce(rewritten, recompute_generated=True)
         staged = self._write_files(rewritten)
 
         # optimistic publish (round 12): concurrent adds rebase in when
@@ -6420,7 +6652,7 @@ class VersionedTable:
         """
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        self._enforce(df)
+        df = self._enforce(df)
         staged = self._write_files(df)
         staged_stats = self._staged_stats
         txn_dir = f"txn-{uuid.uuid4().hex[:12]}"
@@ -6476,26 +6708,40 @@ class VersionedTable:
         self, df: DataFrame, cols: list[str], bits: int, target_files: int
     ) -> DataFrame:
         """The Z-order rewrite plan: bucket each column into 2^bits
-        width buckets over its table-wide [min, max], interleave the
-        bucket bits into one locality key, range-partition + sort on
-        it. One bounds action + the range-exchange shuffle every
-        global sort pays; all expressions codegen."""
+        buckets — numerics by WIDTH over the table-wide [min, max],
+        strings by FREQUENCY rank (round 13: nb-1 quantile boundary
+        values from the ranked distinct set; bucket = a codegen chain
+        of <=-comparisons against the broadcast-literal boundaries) —
+        interleave the bucket bits into one locality key,
+        range-partition + sort on it. One bounds action (plus, per
+        string column, a distinct-rank job — rewrite-time cost only)
+        + the range-exchange shuffle every global sort pays; the
+        per-row expressions all codegen."""
         bounds = df.agg(
             *[F.min(c).alias(f"lo_{c}") for c in cols],
             *[F.max(c).alias(f"hi_{c}") for c in cols],
         ).first()
+        dtypes = dict(df.dtypes)
         zkey = F.lit(0).cast("long")
         nb = 1 << bits
         for j, c in enumerate(cols):
             lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-            if lo is None or not isinstance(lo, (int, float)):
+            if lo is None:
                 raise ValueError(
-                    f"cluster_by needs non-null numeric columns; got {c}"
+                    f"cluster_by needs non-null columns; got {c}"
                 )
-            # width_bucket -> 1..nb (hi inclusive lands in nb); 0-base it
-            b = (
-                F.width_bucket(F.col(c), F.lit(lo), F.lit(hi + 1e-9), F.lit(nb)) - 1
-            ).cast("long")
+            if dtypes.get(c) == "string":
+                b = self._rank_bucket_expr(df, c, nb)
+            elif not isinstance(lo, (int, float)):
+                raise ValueError(
+                    f"cluster_by needs numeric or string columns; got {c} "
+                    f"({dtypes.get(c)})"
+                )
+            else:
+                # width_bucket -> 1..nb (hi inclusive lands in nb); 0-base it
+                b = (
+                    F.width_bucket(F.col(c), F.lit(lo), F.lit(hi + 1e-9), F.lit(nb)) - 1
+                ).cast("long")
             for i in range(bits):
                 # bit i of column j interleaves to position i*len(cols)+j
                 zkey = zkey.bitwiseOR(
@@ -6510,6 +6756,54 @@ class VersionedTable:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+
+    def _rank_bucket_expr(self, df: DataFrame, c: str, nb: int):
+        """EQUAL-FREQUENCY bucket id (0-based long) for a STRING
+        clustering column: the distinct values are totally ordered via
+        ``global_enumerate`` (never a single-task window), the nb-1
+        quantile boundary values are collected (bounded: nb-1 rows by
+        construction), and the per-row bucket is the count of
+        boundaries <= value — a chain of string comparisons against
+        literals, fully codegen. Width buckets don't exist for
+        strings; frequency ranks give balanced buckets on ANY value
+        distribution (better than width even for skewed numerics, but
+        the numeric path keeps width buckets — cheaper and pinned).
+
+        Cost: one distinct + rank job per string column, paid at
+        REWRITE time only (cluster_by / compact re-apply), ∝ distinct
+        cardinality, not table size."""
+        from unity_to_bigquery_spark.operators.enumerate import (
+            global_enumerate,
+        )
+
+        d = df.select(c).where(F.col(c).isNotNull()).distinct()
+        ranked = global_enumerate(d, [F.col(c).asc()], position_col="__p")
+        m = ranked.count()
+        if m <= 1:
+            return F.lit(0).cast("long")
+        # bucket id = ((rank-1) * nb) DIV m: SPREADS over the full
+        # 0..nb-1 range even when m < nb (a compressed 0..m-1 id would
+        # zero the high bits, and the interleave would let the OTHER
+        # column dominate the sort — measured: 5 langs × 16 buckets
+        # clustered nothing until the spread). Per occupied bucket we
+        # keep its FIRST value; the per-row bucket is a CASE chain over
+        # those <= nb boundary literals, highest first.
+        firsts = sorted(
+            (r["__v"], int(r["__b"]))
+            for r in ranked.select(
+                F.expr(f"CAST(((__p - 1) * {nb}) DIV {m} AS INT)").alias(
+                    "__b"
+                ),
+                F.col(c).alias("__v"),
+            )
+            .groupBy("__b")
+            .agg(F.min("__v").alias("__v"))
+            .collect()
+        )
+        b = F.lit(firsts[0][1]).cast("long")
+        for v, bucket_id in firsts[1:]:
+            b = F.when(F.col(c) >= F.lit(v), F.lit(bucket_id).cast("long")).otherwise(b)
+        return b
 
     def compact(
         self, target_files: int = 1, where: dict | None = None
@@ -6948,11 +7242,6 @@ class VersionedTable:
                 "replay."
             )
 
-        if self._has_lineage(cur) or self._has_lineage(bh):
-            refuse(
-                "row lineage is enabled (branch-materialized row ids "
-                "could collide with main's interleaved allocations)"
-            )
         if bh.get("schema") != cur.get("schema"):
             refuse("schemas diverged")
         base_m = self.manifest(base_v)
@@ -6973,6 +7262,31 @@ class VersionedTable:
         added_b = [f for f in bh["files"] if f not in base_files]
         if set(added_b) & set(cur["files"]):
             return cur["version"]  # already published (replayed publish)
+        if self._has_lineage(cur) or self._has_lineage(bh):
+            # ROW-LINEAGE rebase (round 13, VERDICT r12 #7 — pre-r13
+            # this refused wholesale): branch and moved main both drew
+            # implicit-id ranges from the fork's next_row_id, so
+            # branch-allocated __row_base stats are STRIPPED below and
+            # _publish_once RE-MINTS fresh ranges from main's head
+            # inside the CAS retry (the cherry-pick path's existing
+            # mechanism) — ids are CDC-stable on main from the publish
+            # commit on, which is the keyless-CDC contract (pre-publish
+            # branch ids are branch-local, like Iceberg WAP). The ONE
+            # shape re-minting can't fix: a branch REWRITE of a
+            # branch-added file froze on-branch-minted ids into a
+            # materialized __row_id column (data bytes, not stats) —
+            # detected by its id range reaching past the fork's
+            # allocation head, and refused.
+            fork_next = int(base_m.get("next_row_id", 0))
+            for f in added_b:
+                rid = bh.get("stats", {}).get(f, {}).get("__row_id")
+                if rid is not None and rid[1] is not None and int(rid[1]) >= fork_next:
+                    refuse(
+                        f"branch file {f} materializes on-branch-minted "
+                        f"row ids (range {rid} >= fork allocation head "
+                        f"{fork_next}); they cannot re-mint without a "
+                        "data rewrite"
+                    )
         base_eq = {d["file"] for d in base_m.get("deletes", [])}
         new_eq = [
             d for d in bh.get("deletes", []) if d["file"] not in base_eq

@@ -3712,3 +3712,300 @@ def p_versioned_spj_bucket_join(spark, sf_dir):
             F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
         ).alias("total2"),
     )
+
+
+@query(
+    "p_versioned_generated_columns",
+    oracle="""
+    SELECT substring(o_orderpriority, 1, 1) AS prio_code,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total2
+    FROM orders GROUP BY substring(o_orderpriority, 1, 1)
+    """,
+    doc=(
+        "GENERATED COLUMNS (round 13, VERDICT r12 #5 — Delta GENERATED "
+        "ALWAYS AS): prio_code derives from o_orderpriority. The first "
+        "chunk commits BEFORE the column exists (backfill: the scan "
+        "computes the expression per pre-add file, like initial "
+        "defaults); later chunks commit one priority per file and the "
+        "write path MATERIALIZES the column, so its distinct-set stats "
+        "land in the manifest — asserted in-query: prune_files_"
+        "condition on the GENERATED column skips every other "
+        "priority's files; a staged frame carrying a wrong generated "
+        "value raises before anything lands. The returned per-code "
+        "aggregate reads through the backfill+materialized mix and is "
+        "oracled against DuckDB computing the expression directly."
+    ),
+    tags=("pipeline", "versioned", "schema"),
+)
+def p_versioned_generated_columns(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"versioned_gencol_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    t = VersionedTable(spark, ws, distinct_index_cols=("prio_code",))
+    prios = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    prios.sort()
+    first, rest = prios[0], prios[1:]
+    # chunk 1 predates the column: exercised as BACKFILL
+    t.commit_append(
+        orders.filter(F.col("o_orderpriority") == first).coalesce(1)
+    )
+    t.add_generated_column(
+        "prio_code", "string", "substring(o_orderpriority, 1, 1)"
+    )
+    for p in rest:  # one priority per file: prunable distinct stats
+        t.commit_append(
+            orders.filter(F.col("o_orderpriority") == p).coalesce(1)
+        )
+    probe = rest[-1][0]  # first char of a post-add priority
+    cand, skipped = t.prune_files_condition(f"prio_code = '{probe}'")
+    if not (skipped >= len(rest) - 1 and len(cand) < len(t.manifest()["files"])):
+        raise RuntimeError(
+            f"generated-column pruning failed: kept {len(cand)} of "
+            f"{len(t.manifest()['files'])} files (skipped {skipped})"
+        )
+    # staged-row validation: a wrong provided value must raise
+    bad = spark.createDataFrame(
+        [(-1, "1-URGENT", 1.0, "9")],
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE, "
+        "prio_code STRING",
+    )
+    try:
+        t.commit_append(bad)
+        raise RuntimeError("wrong generated value did not raise")
+    except ConstraintViolationError:
+        pass
+    return t.read().groupBy("prio_code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+        ).alias("total2"),
+    )
+
+
+@query(
+    "p_catalog_sql_ctas",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS prio, COUNT(*) AS n0
+      FROM orders GROUP BY o_orderpriority
+    ), with_txn AS (
+      SELECT prio, n0 FROM base
+      UNION ALL SELECT '9-TXN', 1
+    ), now AS (
+      SELECT o_orderpriority AS prio, COUNT(*) AS n_now
+      FROM orders WHERE o_orderkey % 10 != 3 GROUP BY o_orderpriority
+    )
+    SELECT w.prio, CAST(w.n0 AS BIGINT) AS n0,
+           CAST(COALESCE(now.n_now, 0) AS BIGINT) AS n_now
+    FROM with_txn w LEFT JOIN now ON w.prio = now.prio
+    """,
+    doc=(
+        "CATALOG SQL (round 13, VERDICT r12 #6): CREATE TABLE AS "
+        "SELECT runs over catalog-PINNED views (snapshot-consistent "
+        "CTAS), and execute_script batches the statements between "
+        "BEGIN and COMMIT onto ONE CatalogTransaction — a cross-table "
+        "DELETE + INSERT lands all-or-nothing at a single catalog "
+        "commit point (and a ROLLBACK script leaves nothing, asserted "
+        "in-query). The result joins the CTAS-time rollup against the "
+        "post-transaction live counts, both read through catalog pins."
+    ),
+    tags=("pipeline", "catalog", "sql"),
+)
+def p_catalog_sql_ctas(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.table_catalog import TableCatalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"catalog_sql_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    cat = TableCatalog(spark, ws)
+    cat.execute_sql("CREATE TABLE orders_t")
+    cat.table("orders_t").commit_append(orders)
+    cat.sync("orders_t")
+    cat.execute_sql(
+        "CREATE TABLE pri_counts AS SELECT o_orderpriority AS prio, "
+        "COUNT(*) AS n0 FROM orders_t GROUP BY o_orderpriority"
+    )
+    # cross-table all-or-nothing script
+    cat.execute_script(
+        "BEGIN; "
+        "DELETE FROM orders_t WHERE o_orderkey % 10 = 3; "
+        "INSERT INTO pri_counts (prio, n0) VALUES ('9-TXN', CAST(1 AS BIGINT)); "
+        "COMMIT"
+    )
+    # a rolled-back script must leave NOTHING
+    n_before = cat.read("pri_counts").count()
+    cat.execute_script("BEGIN; DELETE FROM pri_counts WHERE n0 >= 0; ROLLBACK")
+    if cat.read("pri_counts").count() != n_before:
+        raise RuntimeError("ROLLBACK leaked catalog state")
+    return cat.execute_sql(
+        "SELECT p.prio, p.n0, "
+        "CAST(COALESCE(now.n_now, 0) AS BIGINT) AS n_now "
+        "FROM pri_counts p LEFT JOIN ("
+        "  SELECT o_orderpriority AS prio, COUNT(*) AS n_now "
+        "  FROM orders_t GROUP BY o_orderpriority"
+        ") now ON p.prio = now.prio"
+    )
+
+
+@query(
+    "p_mv_autorewrite_realtime",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS fx
+      FROM orders WHERE o_orderkey % 7 != 3
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(fx) AS BIGINT) AS rev_fx,
+           CAST(FLOOR(SUM(fx) / COUNT(*)) AS BIGINT) AS avg_fx,
+           CAST(MIN(fx) AS BIGINT) AS lo_fx,
+           CAST(MAX(fx) AS BIGINT) AS hi_fx
+    FROM live GROUP BY prio
+    """,
+    doc=(
+        "MATERIALIZED-VIEW AUTO-REWRITE + REAL-TIME SERVING (round 13 "
+        "headline): a ContinuousAggregate rollup of orders by priority "
+        "refreshes after the FIRST chunk only; two more appends and a "
+        "predicate DELETE land unfolded. MaterializedViewCatalog."
+        "answer_sql routes the canonical aggregate to the rollup "
+        "(asserted in-query: used_view=True AND the view bookmark is "
+        "strictly behind the source head, so read_realtime's CDC fold "
+        "— signed deltas + the key-scoped extremum rescan — did the "
+        "freshness work; a non-matching GROUP BY falls back with "
+        "used_view=False and bit-identical fixed-point results, also "
+        "asserted). The served answer must equal DuckDB recomputing "
+        "the aggregate over the final live rows — fresh data at "
+        "rollup+delta cost, never a table rescan."
+    ),
+    tags=("pipeline", "versioned", "mv"),
+)
+def p_mv_autorewrite_realtime(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_agg import (
+        ContinuousAggregate,
+    )
+    from unity_to_bigquery_spark.plans.mv_rewrite import (
+        MaterializedViewCatalog,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"mv_rewrite_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    t = VersionedTable(spark, os.path.join(ws, "src"))
+    mv = ContinuousAggregate(
+        spark, t, os.path.join(ws, "agg"), "o_orderpriority",
+        measures={"rev_fx": "o_totalprice"},
+        min_measures={"lo_fx": "o_totalprice"},
+        max_measures={"hi_fx": "o_totalprice"},
+        handle_deletes=True,
+    )
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    mv.refresh()  # everything after this stays UNFOLDED
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    t.delete_rows_where("o_orderkey % 7 = 3")
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("orders_v", t)
+    cat.register_view("orders_by_prio", "orders_v", mv)
+    sql = (
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS rev_fx, AVG(o_totalprice) AS avg_fx, "
+        "MIN(o_totalprice) AS lo_fx, MAX(o_totalprice) AS hi_fx "
+        "FROM orders_v GROUP BY o_orderpriority"
+    )
+    served, used = cat.answer_sql(sql)
+    if not used or mv.last_refreshed() >= t.latest_version():
+        raise RuntimeError(
+            f"rewrite did not exercise realtime serving (used={used}, "
+            f"bookmark={mv.last_refreshed()}, head={t.latest_version()})"
+        )
+    other, used_other = cat.answer_sql(
+        "SELECT o_orderkey, COUNT(*) AS n FROM orders_v GROUP BY o_orderkey"
+    )
+    if used_other:
+        raise RuntimeError("non-matching shape must fall back")
+    fell, used_fb = MaterializedViewCatalog(spark), None
+    fell.register_table("orders_v", t)
+    direct, used_fb = fell.answer_sql(sql)
+    if used_fb or sorted(map(tuple, served.collect())) != sorted(
+        map(tuple, direct.collect())
+    ):
+        raise RuntimeError("rewrite and direct scan diverged")
+    return served.select(
+        F.col("o_orderpriority").alias("prio"),
+        "n", "rev_fx", "avg_fx", "lo_fx", "hi_fx",
+    )
+
+
+@query(
+    "p_versioned_cluster_string",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE lang = 'fr' GROUP BY source
+    """,
+    doc=(
+        "STRING Z-ORDER (round 13): cluster_by on (lang, n_chars) — "
+        "the string dimension buckets by FREQUENCY RANK over the "
+        "distinct set (global_enumerate boundaries, codegen comparison "
+        "chain; width buckets don't exist for strings) interleaved "
+        "with the numeric width buckets. Asserted in-query: after the "
+        "rewrite, footer-stats pruning on lang = 'fr' skips files "
+        "(it skips NOTHING before — appends are doc_id-ordered so "
+        "every file spans all langs), and the pruned read equals the "
+        "full filter. Returned per-source rollup of the pruned read "
+        "is oracled against DuckDB on the raw table."
+    ),
+    tags=("pipeline", "versioned", "clustering"),
+)
+def p_versioned_cluster_string(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"versioned_cluster_str_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    t = VersionedTable(spark, ws)
+    n = docs.count()
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(1))
+    t.commit_append(docs.filter(F.col("doc_id") % 2 == 1).coalesce(1))
+    _, skipped_before = t.prune_files("lang", "fr", "fr")
+    if skipped_before != 0:
+        raise RuntimeError("fixture files pruned before clustering?")
+    t.cluster_by(["lang", "n_chars"], target_files=8)
+    if t.read().count() != n:
+        raise RuntimeError("cluster_by changed row count")
+    _, skipped = t.prune_files("lang", "fr", "fr")
+    if skipped == 0:
+        raise RuntimeError("string clustering enabled no pruning")
+    pruned = t.read_pruned("lang", "fr", "fr").filter(F.col("lang") == "fr")
+    return pruned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
