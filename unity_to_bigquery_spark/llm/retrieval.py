@@ -236,3 +236,66 @@ def textrank_keywords(
         F.floor(F.col("r") * 1000000.0 + 0.5).cast("long").alias("rank6"),
     )
     return scored.orderBy(F.desc("rank6"), "word").limit(topk)
+
+
+def rrf_fuse(
+    ranked: Sequence[tuple[str, DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """HYBRID-RETRIEVAL fusion by RECIPROCAL RANK FUSION (round 13):
+    ``ranked`` is a sequence of ``(name, df, score_col)`` result lists
+    (each df: one row per id, higher score = better); the fused score
+    is the classic  Σ_lists 1/(c + rank)  [Cormack et al., the BM25+
+    dense-retrieval fusion every RAG stack runs], kept cross-engine
+    exact as INTEGER arithmetic: each list contributes
+    ``1000000 DIV (c + rank)`` (exact integer floor division — no
+    float division anywhere), an id missing from a list contributes 0.
+
+    Ranks come from :func:`operators.enumerate.global_enumerate` over
+    (score DESC, id ASC) — dense contiguous 1-based ranks with the
+    unique-id tiebreak, never a single-task global window, so fusing
+    two CORPUS-SIZED score lists scales (the lists a 100-TB hybrid
+    stack fuses are top-k'd upstream, but nothing here requires it).
+    The lists land on a full outer join keyed on id (ids appear once
+    per list, so the join fans nothing out); output is top-``k`` by
+    (rrf6 DESC, id ASC) with per-list ranks exposed (0 = missing).
+    """
+    from functools import reduce
+
+    from unity_to_bigquery_spark.operators.enumerate import global_enumerate
+
+    sides = []
+    for name, df, score_col in ranked:
+        sides.append(
+            global_enumerate(
+                df.select(id_col, score_col),
+                [F.col(score_col).desc(), F.col(id_col).asc()],
+                position_col=f"rank_{name}",
+            ).select(id_col, f"rank_{name}")
+        )
+    fused = reduce(lambda a, b: a.join(b, id_col, "full"), sides)
+    contribs = [
+        F.coalesce(
+            F.expr(f"CAST(1000000 DIV ({int(c)} + rank_{name}) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        )
+        for name, _df, _s in ranked
+    ]
+    rrf = reduce(lambda a, b: a + b, contribs)
+    return (
+        fused.withColumn("rrf6", rrf.cast("long"))
+        .select(
+            id_col,
+            "rrf6",
+            *(
+                F.coalesce(F.col(f"rank_{name}"), F.lit(0))
+                .cast("long")
+                .alias(f"rank_{name}")
+                for name, _df, _s in ranked
+            ),
+        )
+        .orderBy(F.desc("rrf6"), F.asc(id_col))
+        .limit(k)
+    )

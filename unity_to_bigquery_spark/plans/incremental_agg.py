@@ -266,6 +266,24 @@ class ContinuousAggregate:
     def _refresh_window(self, last: int, now: int) -> int:
         """Fold source commits in ``(last, now]`` as one atomic merge
         commit stamped txn=(app, now)."""
+        updates = self._folded_state(last, now)
+        # merge_upsert executes this updates plan twice (key-bounds agg
+        # for file pruning, then the file write). A persist() of
+        # updates was tried to dedupe that (r6) and measured SLOWER at
+        # sf0.1 (min-of-3 2.65 s vs 1.9-2.0 s unpersisted, alternating
+        # A/B in one session): the delta is toy-sized here, so the
+        # extra cache stage per refresh costs more than the re-scan
+        # saves. At real scale the delta fold is aggregate-sized (one
+        # row per touched key) either way — revisit persist only if a
+        # wide-key workload shows the double execution in job timings.
+        self.table.merge_upsert(updates, self.key, txn=(_APP, now))
+        return now
+
+    def _folded_state(self, last: int, now: int) -> DataFrame:
+        """The post-fold rollup rows for every key the ``(last, now]``
+        delta touches — the state ``_refresh_window`` commits, as a
+        pure plan (shared by ``read_realtime``, which unions it with
+        the untouched stored rows instead of committing)."""
         has_extrema = bool(self.min_measures or self.max_measures)
         if self.handle_deletes:
             d = self._delta_agg_signed(
@@ -340,17 +358,37 @@ class ContinuousAggregate:
                 updates = self._merge_extrema(merged, now).select(*cols)
             else:
                 updates = d.select(*cols)
-        # merge_upsert executes this updates plan twice (key-bounds agg
-        # for file pruning, then the file write). A persist() of
-        # updates was tried to dedupe that (r6) and measured SLOWER at
-        # sf0.1 (min-of-3 2.65 s vs 1.9-2.0 s unpersisted, alternating
-        # A/B in one session): the delta is toy-sized here, so the
-        # extra cache stage per refresh costs more than the re-scan
-        # saves. At real scale the delta fold is aggregate-sized (one
-        # row per touched key) either way — revisit persist only if a
-        # wide-key workload shows the double execution in job timings.
-        self.table.merge_upsert(updates, self.key, txn=(_APP, now))
-        return now
+        return updates
+
+    def read_realtime(self) -> DataFrame:
+        """REAL-TIME serving (round 13 — TimescaleDB real-time
+        continuous aggregates): the rollup with every source commit
+        PAST the last refresh folded in at read time, without
+        committing anything. Stored rows whose keys the unfolded delta
+        never touches pass through verbatim; touched keys run the
+        exact ``_refresh_window`` fold (signed deltas, extrema
+        least/greatest with the key-scoped rescan fallback) as a plan
+        over the CDC window, so the result ALWAYS equals a full groupBy
+        of the live source — fresh data with refresh-sized cost, not
+        table-sized. A no-lag call degenerates to ``read()``.
+
+        Cost ∝ the unfolded window (delta files + touched-key state),
+        like one refresh; a long-idle backlog is better folded via
+        ``refresh()`` first (which pages and commits), then served."""
+        last = self.last_refreshed()
+        now = self.source.latest_version()
+        if now <= last:
+            return self.read()
+        updates = self._folded_state(last, now).select(*self._out_cols)
+        out = updates
+        if self.table.manifest()["files"]:
+            untouched = self.table.read().join(
+                updates.select(self.key), on=self.key, how="left_anti"
+            )
+            out = untouched.select(*self._out_cols).unionByName(updates)
+        if self.handle_deletes:
+            out = out.filter(F.col("n") != 0)
+        return out
 
     def read(self) -> DataFrame:
         df = self.table.read()

@@ -388,3 +388,95 @@ def t_index_bm25_topk(spark, sf_dir):
     ]:
         raise RuntimeError("BM25Index.topk diverged from bm25_topk")
     return served
+
+
+@query(
+    "t_hybrid_rrf_topk",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    ex AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM ws),
+    qp AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM ex
+      WHERE term IN ('hash', 'join', 'scan') GROUP BY doc_id, dl, term
+    ),
+    dfs AS (SELECT term, COUNT(*) AS df FROM qp GROUP BY term),
+    st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS sum_dl FROM ws),
+    scored AS (
+      SELECT qp.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (qp.tf * 2.2)
+               / (qp.tf + 1.2 * (0.25 + 0.75 * qp.dl
+                                 / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      FROM qp JOIN dfs ON qp.term = dfs.term CROSS JOIN st
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS bm25_6
+      FROM scored GROUP BY doc_id ORDER BY bm25_6 DESC, doc_id LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_6 DESC, doc_id) AS r
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(FLOOR(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       s -> s[1]::DOUBLE * s[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7
+    ),
+    ct AS (SELECT doc_id, cos6 FROM cs ORDER BY cos6 DESC, doc_id LIMIT 50),
+    ctr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id) AS r
+      FROM ct
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c2.doc_id) AS doc_id,
+             COALESCE(1000000 // (60 + b.r), 0)
+               + COALESCE(1000000 // (60 + c2.r), 0) AS rrf6,
+             COALESCE(b.r, 0) AS rank_bm25,
+             COALESCE(c2.r, 0) AS rank_cos
+      FROM bmr b FULL OUTER JOIN ctr c2 ON b.doc_id = c2.doc_id
+    )
+    SELECT doc_id, CAST(rrf6 AS BIGINT) AS rrf6,
+           CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+           CAST(rank_cos AS BIGINT) AS rank_cos
+    FROM fused ORDER BY rrf6 DESC, doc_id LIMIT 10
+    """,
+    doc=(
+        "HYBRID RETRIEVAL (round 13): reciprocal-rank fusion of the "
+        "BM25 keyword top-50 (fixed bag-of-terms probe) and the exact "
+        "cosine top-50 for a fixed query embedding — the BM25+dense "
+        "fusion every RAG stack runs, as one engine operator "
+        "(llm/retrieval.rrf_fuse). Fusion score is pure integer "
+        "arithmetic (1000000 DIV (60+rank) per list, 0 when absent) "
+        "so both engines agree bit-for-bit; ranks come from "
+        "global_enumerate (never a single-task global window), the "
+        "lists meet on a full outer join keyed on id, and the final "
+        "top-10 carries the doc-id tiebreak."
+    ),
+    tags=("llm", "retrieval", "hybrid"),
+)
+def t_hybrid_rrf_topk(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.llm.retrieval import rrf_fuse
+    from unity_to_bigquery_spark.llm.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, BM25_TERMS, k=50).select("doc_id", "bm25_6")
+    cos = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 7), k=50)
+        .select(F.col("vec_id").alias("doc_id"), "cos6")
+    )
+    return rrf_fuse(
+        [("bm25", bm, "bm25_6"), ("cos", cos, "cos6")],
+        id_col="doc_id", k=10,
+    )
