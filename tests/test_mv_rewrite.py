@@ -138,7 +138,6 @@ def test_rewrite_grammar_rejections(spark, root):
     cat.register_table("tt", t)
     for bad in (
         "SELECT k, COUNT(*) AS n FROM tt",                      # no GROUP BY
-        "SELECT k, SUM(x) AS s FROM tt WHERE x > 0 GROUP BY k",  # WHERE
         "SELECT k, SUM(x + 1) AS s FROM tt GROUP BY k",          # expression
         "SELECT k, COUNT(x) AS n FROM tt GROUP BY k",            # COUNT(col)
         "SELECT COUNT(*) AS n FROM tt GROUP BY k",               # key not selected
@@ -149,6 +148,44 @@ def test_rewrite_grammar_rejections(spark, root):
         cat.answer_sql("SELECT k, COUNT(*) AS n FROM nope GROUP BY k")
 
 
+def test_where_on_dims_serves_from_view(spark, root):
+    t, agg = _make2(spark, root)
+    t.commit_append(
+        _df2(spark, [("p", "u", 1.0), ("p", "v", 5.0), ("q", "u", 2.0)])
+    )
+    agg.refresh()
+    t.commit_append(_df2(spark, [("q", "v", 10.0)]))  # unfolded
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("tt", t)
+    cat.register_view("tt_ab", "tt", agg)
+    fb = MaterializedViewCatalog(spark)
+    fb.register_table("tt", t)
+    # dim-only WHERE (incl. one filter col OUTSIDE the group cols)
+    sql = (
+        "SELECT a, COUNT(*) AS n, SUM(x) AS s FROM tt "
+        "WHERE b = 'u' AND a != 'zz' GROUP BY a"
+    )
+    served, used = cat.answer_sql(sql)
+    direct, used_fb = fb.answer_sql(sql)
+    assert used is True and used_fb is False
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    ) == [("p", 1, 1000000), ("q", 1, 2000000)]
+    # measure-column WHERE, OR, and NOT all fall back (never wrong)
+    for fb_sql in (
+        "SELECT a, COUNT(*) AS n FROM tt WHERE x > 1.5 GROUP BY a",
+        "SELECT a, COUNT(*) AS n FROM tt WHERE b = 'u' OR b = 'v' GROUP BY a",
+        "SELECT a, COUNT(*) AS n FROM tt WHERE NOT b = 'u' GROUP BY a",
+    ):
+        _, u = cat.answer_sql(fb_sql)
+        assert u is False, fb_sql
+    # an AND inside a string literal must not split the conjunct
+    served2, used2 = cat.answer_sql(
+        "SELECT a, COUNT(*) AS n FROM tt WHERE b = 'u AND v' GROUP BY a"
+    )
+    assert used2 is True and served2.count() == 0
+
+
 def test_register_view_validates_source(spark, root):
     t, agg = _make(spark, root)
     other = VersionedTable(spark, root + "_other")
@@ -156,3 +193,131 @@ def test_register_view_validates_source(spark, root):
     cat.register_table("other", other)
     with pytest.raises(ValueError, match="aggregates"):
         cat.register_view("v", "other", agg)
+
+
+# ---- composite keys + dim-subset rewrite (round 13) --------------------------
+
+
+def _df2(spark, rows):
+    return spark.createDataFrame(rows, "a STRING, b STRING, x DOUBLE")
+
+
+def _fx2_groupby(t, *dims):
+    fx = F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")
+    return sorted(
+        tuple(r)
+        for r in t.read()
+        .groupBy(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fx).alias("s"),
+            F.min(fx).alias("lo"),
+            F.max(fx).alias("hi"),
+        )
+        .collect()
+    )
+
+
+def _make2(spark, root):
+    t = VersionedTable(spark, root + "_src")
+    agg = ContinuousAggregate(
+        spark, t, root + "_agg", ["a", "b"],
+        measures={"s": "x"},
+        min_measures={"lo": "x"},
+        max_measures={"hi": "x"},
+        handle_deletes=True,
+    )
+    return t, agg
+
+
+def test_composite_key_lifecycle_equals_recompute(spark, root):
+    t, agg = _make2(spark, root)
+    t.commit_append(
+        _df2(spark, [("p", "u", 1.5), ("p", "v", 2.5), ("q", "u", 9.0)])
+    )
+    agg.refresh()
+    rows = sorted(
+        tuple(r)
+        for r in agg.read().select("a", "b", "n", "s", "lo", "hi").collect()
+    )
+    assert rows == _fx2_groupby(t, "a", "b")
+    # synthesized merge key never leaks into reads
+    assert ContinuousAggregate.CKEY not in agg.read().columns
+    assert ContinuousAggregate.CKEY not in agg.read_realtime().columns
+    # unfolded append + extremum-killing delete, realtime
+    t.commit_append(_df2(spark, [("p", "u", 7.0), ("r", "w", 3.0)]))
+    t.delete_rows_where("x = 9.0 OR x = 7.0")
+    rt = sorted(
+        tuple(r)
+        for r in agg.read_realtime()
+        .select("a", "b", "n", "s", "lo", "hi")
+        .collect()
+    )
+    assert rt == _fx2_groupby(t, "a", "b")
+    # interleaved refresh converges to the same state
+    agg.refresh()
+    assert sorted(
+        tuple(r)
+        for r in agg.read().select("a", "b", "n", "s", "lo", "hi").collect()
+    ) == rt
+
+
+def test_composite_null_dims_do_not_collide(spark, root):
+    t, agg = _make2(spark, root)
+    t.commit_append(
+        _df2(spark, [("p", None, 1.0), ("p", "", 2.0), (None, "p", 4.0)])
+    )
+    agg.refresh()
+    fx = F.floor(F.col("x") * 1000000.0 + F.lit(0.5)).cast("long")
+    want = {
+        tuple(r)
+        for r in t.read()
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(fx).alias("s"),
+            F.min(fx).alias("lo"),
+            F.max(fx).alias("hi"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in agg.read().select("a", "b", "n", "s", "lo", "hi").collect()
+    }
+    assert got == want
+    assert agg.read().count() == 3  # NULL, '' and swapped dims all distinct
+
+
+def test_subset_rewrite_reaggregates_from_rollup(spark, root):
+    t, agg = _make2(spark, root)
+    t.commit_append(
+        _df2(spark, [("p", "u", 1.0), ("p", "v", 5.0), ("q", "u", 2.0)])
+    )
+    agg.refresh()
+    t.commit_append(_df2(spark, [("p", "u", 10.0)]))  # unfolded
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("tt", t)
+    cat.register_view("tt_ab", "tt", agg)
+    # exact-set match (order permuted) serves directly
+    d0, used0 = cat.answer_sql(
+        "SELECT b, a, COUNT(*) AS n FROM tt GROUP BY b, a"
+    )
+    assert used0 and d0.count() == 3
+    # strict subset: re-aggregated from the rollup, still realtime
+    sql = (
+        "SELECT a, COUNT(*) AS n, SUM(x) AS s, AVG(x) AS m, "
+        "MIN(x) AS lo, MAX(x) AS hi FROM tt GROUP BY a"
+    )
+    served, used = cat.answer_sql(sql)
+    assert used is True
+    direct = MaterializedViewCatalog(spark)
+    direct.register_table("tt", t)
+    fell, used_fb = direct.answer_sql(sql)
+    assert used_fb is False
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, fell.collect())
+    )
+    # a group col OUTSIDE the view's dims falls back
+    _, used2 = cat.answer_sql("SELECT x, COUNT(*) AS n FROM tt GROUP BY x")
+    assert used2 is False

@@ -52,6 +52,15 @@ class ContinuousAggregate:
     entry of ``measures`` ({out_col: source_double_col}), and optional
     fixed-point ``min_measures`` / ``max_measures`` extrema.
 
+    ``key`` may be a LIST of columns (round 13 — composite dims, the
+    GROUP BY a, b rollup): one row per dim tuple, stored alongside a
+    synthesized single string merge key (``CKEY``: unit-separator join
+    of the stringified dims) so merge_upsert, key-range file pruning
+    and the extremum-rescan semi-join run unchanged; the rescan's
+    source-file pruning uses the FIRST dim's range (conservative).
+    A composite rollup also answers GROUP BY over any dim SUBSET by
+    re-aggregation (plans/mv_rewrite.py routes this automatically).
+
     With the default ``handle_deletes=False`` the source must be
     append-only (``changes()`` is add-only CDC). ``handle_deletes=True``
     switches the refresh to the full change feed
@@ -65,12 +74,19 @@ class ContinuousAggregate:
     full groupBy of the live snapshot.
     """
 
+    #: composite-key encoding (round 13): unit-separator join of the
+    #: stringified dims, NULL as the 0x1e sentinel — one stored merge
+    #: key so merge_upsert/key-range pruning stay single-column
+    CKEY = "__ckey"
+    _SEP = "\x1f"
+    _NULL = "\x1e"
+
     def __init__(
         self,
         spark: SparkSession,
         source: VersionedTable,
         root: str,
-        key: str,
+        key: str | list[str] | tuple[str, ...],
         measures: dict[str, str],
         handle_deletes: bool = False,
         min_measures: dict[str, str] | None = None,
@@ -78,7 +94,15 @@ class ContinuousAggregate:
     ):
         self.spark = spark
         self.source = source
-        self.key = key
+        # COMPOSITE KEYS (round 13): a list of dims rolls up one row
+        # per dim TUPLE; storage carries the dims plus a synthesized
+        # string CKEY column (the merge/prune key), so the whole
+        # single-key machinery — merge_upsert, key-range file pruning,
+        # the extremum-rescan semi-join — runs unchanged on CKEY.
+        self.keys = [key] if isinstance(key, str) else list(key)
+        if len(self.keys) != len(set(self.keys)):
+            raise ValueError(f"duplicate key columns: {self.keys}")
+        self.key = self.keys[0] if len(self.keys) == 1 else self.CKEY
         self.measures = dict(measures)
         self.min_measures = dict(min_measures or {})
         self.max_measures = dict(max_measures or {})
@@ -87,12 +111,13 @@ class ContinuousAggregate:
             | (set(self.measures) & set(self.max_measures))
             | (set(self.min_measures) & set(self.max_measures))
         )
-        if overlap or "n" in (
+        outs = (
             set(self.measures) | set(self.min_measures) | set(self.max_measures)
-        ):
+        )
+        if overlap or "n" in outs or self.CKEY in outs | set(self.keys):
             raise ValueError(
-                f"measure output names must be distinct and not 'n' "
-                f"(clash: {sorted(overlap) or ['n']})"
+                f"measure output names must be distinct, not 'n' and not "
+                f"{self.CKEY!r} (clash: {sorted(overlap) or ['n']})"
             )
         self.handle_deletes = handle_deletes
         self.table = VersionedTable(spark, root)
@@ -100,9 +125,34 @@ class ContinuousAggregate:
     @property
     def _out_cols(self) -> list[str]:
         return [
-            self.key, "n",
+            *self.keys, "n",
             *self.measures, *self.min_measures, *self.max_measures,
         ]
+
+    @property
+    def _state_cols(self) -> list[str]:
+        """Stored columns: the user-facing ones plus, for composite
+        keys, the synthesized merge key."""
+        cols = self._out_cols
+        return cols if self.key != self.CKEY else [self.CKEY, *cols]
+
+    @property
+    def _key_cols(self) -> list[str]:
+        return [self.key] if self.key != self.CKEY else [self.CKEY, *self.keys]
+
+    def _with_ckey(self, df: DataFrame) -> DataFrame:
+        if self.key != self.CKEY:
+            return df
+        return df.withColumn(
+            self.CKEY,
+            F.concat_ws(
+                self._SEP,
+                *(
+                    F.coalesce(F.col(k).cast("string"), F.lit(self._NULL))
+                    for k in self.keys
+                ),
+            ),
+        )
 
     def last_refreshed(self) -> int:
         """Source version already folded into the aggregate (0 = none)."""
@@ -114,7 +164,9 @@ class ContinuousAggregate:
             *(F.min(_fx(src)).alias(out) for out, src in self.min_measures.items()),
             *(F.max(_fx(src)).alias(out) for out, src in self.max_measures.items()),
         ]
-        return delta.groupBy(self.key).agg(F.count(F.lit(1)).alias("n"), *aggs)
+        return self._with_ckey(
+            delta.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("n"), *aggs)
+        )
 
     def _delta_agg_signed(self, feed: DataFrame) -> DataFrame:
         """Signed fold of a change feed: retraction rows contribute -1
@@ -149,7 +201,9 @@ class ContinuousAggregate:
                 for out, src in self.max_measures.items()
             ),
         ]
-        return feed.groupBy(self.key).agg(F.sum(sign).alias("n"), *aggs)
+        return self._with_ckey(
+            feed.groupBy(*self.keys).agg(F.sum(sign).alias("n"), *aggs)
+        )
 
     def refresh(self, max_commits: int | None = None) -> int:
         """Fold all source commits since the last refresh into the
@@ -210,7 +264,10 @@ class ContinuousAggregate:
         # scan to the files that can hold those keys
         b = (
             merged.filter(F.col("__rescan"))
-            .agg(F.min(self.key).alias("lo"), F.max(self.key).alias("hi"))
+            .agg(
+                F.min(self.keys[0]).alias("lo"),
+                F.max(self.keys[0]).alias("hi"),
+            )
             .first()
         )
         prov_min = {
@@ -225,7 +282,7 @@ class ContinuousAggregate:
             ).alias(out)
             for out in self.max_measures
         }
-        passthrough = [self.key, "n", *self.measures]
+        passthrough = [*self._key_cols, "n", *self.measures]
         if b is None or b["lo"] is None:
             return merged.select(
                 *passthrough, *prov_min.values(), *prov_max.values()
@@ -233,8 +290,12 @@ class ContinuousAggregate:
         # pinned at the fold boundary, NOT head: a paged catch-up must
         # see exactly the state this window's commits produced, or the
         # page-compose invariant breaks
-        live = self.source.read_pruned(
-            self.key, b["lo"], b["hi"], version=to_version
+        # prune by the FIRST dim's range (the one stored in the source;
+        # conservative for composite keys), then exact-match on the key
+        live = self._with_ckey(
+            self.source.read_pruned(
+                self.keys[0], b["lo"], b["hi"], version=to_version
+            )
         )
         actual = (
             live.join(
@@ -291,7 +352,7 @@ class ContinuousAggregate:
             )
         else:
             d = self._delta_agg(self.source.changes(last, now))
-        cols = self._out_cols
+        cols = self._state_cols
         if self.table.manifest()["files"]:
             cur = self.table.read()
             state_cols = [
@@ -301,7 +362,7 @@ class ContinuousAggregate:
             merged = d.alias("d").join(
                 cur.alias("c"), on=self.key, how="left"
             ).select(
-                F.col(f"d.{self.key}").alias(self.key),
+                *[F.col(f"d.{k}").alias(k) for k in self._key_cols],
                 (F.coalesce(F.col("c.n"), F.lit(0)) + F.col("d.n")).alias("n"),
                 *[
                     (F.coalesce(F.col(f"c.{m}"), F.lit(0)) + F.col(f"d.{m}")).alias(m)
@@ -325,7 +386,7 @@ class ContinuousAggregate:
                     updates = self._merge_extrema(merged, now).select(*cols)
                 else:
                     updates = merged.select(
-                        self.key, "n", *self.measures,
+                        *self._key_cols, "n", *self.measures,
                         *[
                             F.least(F.col(f"c_{m}"), F.col(m)).alias(m)
                             for m in self.min_measures
@@ -349,7 +410,7 @@ class ContinuousAggregate:
                     for m in (*self.min_measures, *self.max_measures)
                 ]
                 merged = d.select(
-                    self.key, "n", *self.measures,
+                    *self._key_cols, "n", *self.measures,
                     *self.min_measures, *self.max_measures,
                     *[F.col(f"__del_lo_{m}") for m in self.min_measures],
                     *[F.col(f"__del_hi_{m}") for m in self.max_measures],
@@ -379,19 +440,21 @@ class ContinuousAggregate:
         now = self.source.latest_version()
         if now <= last:
             return self.read()
-        updates = self._folded_state(last, now).select(*self._out_cols)
+        updates = self._folded_state(last, now).select(*self._state_cols)
         out = updates
         if self.table.manifest()["files"]:
             untouched = self.table.read().join(
                 updates.select(self.key), on=self.key, how="left_anti"
             )
-            out = untouched.select(*self._out_cols).unionByName(updates)
+            out = untouched.select(*self._state_cols).unionByName(updates)
         if self.handle_deletes:
             out = out.filter(F.col("n") != 0)
-        return out
+        return out.select(*self._out_cols)
 
     def read(self) -> DataFrame:
         df = self.table.read()
+        if self.key == self.CKEY:
+            df = df.drop(self.CKEY)
         if self.handle_deletes:
             # tombstones (fully-retracted keys) are storage detail,
             # never a result row — filtered here so the rollup equals a

@@ -54,8 +54,47 @@ _AGG_RE = re.compile(
 )
 _SQL_RE = re.compile(
     r"(?is)^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
-    r"\s+GROUP\s+BY\s+(?P<group>\w+)\s*;?\s*$"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)\s*;?\s*$"
 )
+_CONJ_COL_RE = re.compile(
+    r"(?is)^\s*(\w+)\s*(?:=|!=|<>|<=|>=|<|>|\bIN\b|\bBETWEEN\b)"
+)
+
+
+def _split_and(cond: str) -> list[str] | None:
+    """Split a predicate on top-level ANDs (quote/paren-aware).
+    Returns None when the predicate contains a top-level OR/NOT —
+    those can't be checked conjunct-by-conjunct, so the caller treats
+    the query as not view-servable (fallback, never wrong answers)."""
+    parts, start, depth, i, n = [], 0, 0, 0, len(cond)
+    bad = False
+    while i < n:
+        c = cond[i]
+        if c == "'":
+            i += 1
+            while i < n and cond[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c.isalpha()
+            and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_"))
+        ):
+            wm = re.match(r"[A-Za-z_]+", cond[i:])
+            w = wm.group(0).upper()
+            if w == "AND":
+                parts.append(cond[start:i])
+                start = i + 3
+            elif w in ("OR", "NOT"):
+                bad = True
+            i += len(wm.group(0)) - 1
+        i += 1
+    parts.append(cond[start:])
+    return None if bad else [p.strip() for p in parts if p.strip()]
 
 
 class MaterializedViewCatalog:
@@ -85,29 +124,32 @@ class MaterializedViewCatalog:
     # ---- matching ----------------------------------------------------------
 
     @staticmethod
-    def _parse(sql: str) -> tuple[str, str, list[tuple[str, str, str]]]:
-        """-> (table, group_col, [(fn, arg, alias), ...]); the group
-        column must be selected bare. Raises on anything outside the
-        canonical rewrite shape (WHERE/HAVING/JOIN/expressions)."""
+    def _parse(
+        sql: str,
+    ) -> tuple[str, list[str], list[tuple[str, str, str]], str | None]:
+        """-> (table, group_cols, [(fn, arg, alias), ...], where); every
+        group column must be selected bare. Raises on anything outside
+        the canonical rewrite shape (HAVING/JOIN/expressions)."""
         m = _SQL_RE.match(sql)
         if m is None:
             raise ValueError(
                 f"not a rewritable aggregate shape: {sql!r} — grammar: "
-                "SELECT <key>, AGG(col) AS alias[, ...] FROM <table> "
-                "GROUP BY <key> with AGG in COUNT/SUM/MIN/MAX/AVG"
+                "SELECT <keys...>, AGG(col) AS alias[, ...] FROM <table> "
+                "GROUP BY <keys...> with AGG in COUNT/SUM/MIN/MAX/AVG"
             )
-        table, group = m["table"], m["group"]
+        table = m["table"]
+        group = [g.strip() for g in m["group"].split(",")]
         aggs: list[tuple[str, str, str]] = []
-        saw_key = False
+        seen_keys: set[str] = set()
         for item in (s.strip() for s in _split_commas(m["items"])):
-            if item == group:
-                saw_key = True
+            if item in group:
+                seen_keys.add(item)
                 continue
             am = _AGG_RE.match(item)
             if am is None:
                 raise ValueError(
-                    f"unsupported select item {item!r} (only the bare "
-                    "group key and aliased COUNT/SUM/MIN/MAX/AVG)"
+                    f"unsupported select item {item!r} (only bare "
+                    "group keys and aliased COUNT/SUM/MIN/MAX/AVG)"
                 )
             fn = am["fn"].upper()
             if (fn == "COUNT") != (am["arg"] == "*"):
@@ -116,15 +158,29 @@ class MaterializedViewCatalog:
                     "take a bare column"
                 )
             aggs.append((fn, am["arg"], am["alias"]))
-        if not saw_key:
-            raise ValueError(f"group key {group!r} must be selected bare")
-        return table, group, aggs
+        if seen_keys != set(group):
+            raise ValueError(
+                f"every group key {group} must be selected bare "
+                f"(missing: {sorted(set(group) - seen_keys)})"
+            )
+        return table, group, aggs, m["where"]
 
     def _match(
-        self, table: str, group: str, aggs: list[tuple[str, str, str]]
+        self,
+        table: str,
+        group: list[str],
+        aggs: list[tuple[str, str, str]],
+        filter_cols: set[str] = frozenset(),
     ) -> ContinuousAggregate | None:
+        """A view covers the query when the query's group columns AND
+        every WHERE-filtered column are a SUBSET of the view's dims
+        (equal group set -> direct serve; strict subset -> the classic
+        rollup re-aggregation: COUNT = SUM(n), SUM = SUM, MIN/MAX of
+        the per-tuple extrema — still rollup-sized work; dim filters
+        apply to the rollup rows, exact because the dims partition the
+        base rows) and every aggregate is derivable."""
         for _name, tname, mv in self._views:
-            if tname != table or mv.key != group:
+            if tname != table or not set(group) | set(filter_cols) <= set(mv.keys):
                 continue
             sums = {src: out for out, src in mv.measures.items()}
             mins = {src: out for out, src in mv.min_measures.items()}
@@ -150,31 +206,68 @@ class MaterializedViewCatalog:
         it (real-time by default — exact w.r.t. the LIVE source even
         with unfolded commits); otherwise the identical fixed-point
         aggregate runs directly over the table's snapshot read."""
-        table, group, aggs = self._parse(sql)
+        table, group, aggs, where = self._parse(sql)
         if table not in self._tables:
             raise ValueError(f"unknown table {table!r}")
-        mv = self._match(table, group, aggs)
+        mv = None
+        if where is None:
+            mv = self._match(table, group, aggs)
+        else:
+            # a WHERE is view-servable iff it is a pure AND of
+            # per-dim conjuncts (each naming one view dim) — then
+            # filtering the rollup rows ≡ filtering the base rows
+            conj = _split_and(where)
+            if conj is not None:
+                cols = [_CONJ_COL_RE.match(c) for c in conj]
+                if all(cols):
+                    mv = self._match(
+                        table, group, aggs,
+                        {m.group(1) for m in cols},
+                    )
         if mv is not None:
             state = mv.read_realtime() if realtime else mv.read()
+            if where is not None:
+                state = state.filter(F.expr(where))
             sums = {src: out for out, src in mv.measures.items()}
             mins = {src: out for out, src in mv.min_measures.items()}
             maxs = {src: out for out, src in mv.max_measures.items()}
-            cols = [F.col(group)]
+            if set(group) == set(mv.keys):
+                cols = [*(F.col(g) for g in group)]
+                for fn, arg, alias in aggs:
+                    if fn == "COUNT":
+                        cols.append(F.col("n").alias(alias))
+                    elif fn == "SUM":
+                        cols.append(F.col(sums[arg]).alias(alias))
+                    elif fn == "AVG":
+                        cols.append(
+                            F.floor(F.col(sums[arg]) / F.col("n"))
+                            .cast("long").alias(alias)
+                        )
+                    elif fn == "MIN":
+                        cols.append(F.col(mins[arg]).alias(alias))
+                    else:
+                        cols.append(F.col(maxs[arg]).alias(alias))
+                return state.select(*cols), True
+            # STRICT SUBSET of the view's dims: re-aggregate the rollup
+            # (SUM of partial counts/sums, MIN/MAX of partial extrema —
+            # exact because the partials partition the rows; still
+            # rollup-sized input, never the base table)
+            exprs = []
             for fn, arg, alias in aggs:
                 if fn == "COUNT":
-                    cols.append(F.col("n").alias(alias))
+                    exprs.append(F.sum("n").alias(alias))
                 elif fn == "SUM":
-                    cols.append(F.col(sums[arg]).alias(alias))
+                    exprs.append(F.sum(sums[arg]).alias(alias))
                 elif fn == "AVG":
-                    cols.append(
-                        F.floor(F.col(sums[arg]) / F.col("n"))
+                    exprs.append(
+                        F.floor(F.sum(sums[arg]) / F.sum("n"))
                         .cast("long").alias(alias)
                     )
                 elif fn == "MIN":
-                    cols.append(F.col(mins[arg]).alias(alias))
+                    exprs.append(F.min(mins[arg]).alias(alias))
                 else:
-                    cols.append(F.col(maxs[arg]).alias(alias))
-            return state.select(*cols), True
+                    exprs.append(F.max(maxs[arg]).alias(alias))
+            return state.groupBy(*group).agg(*exprs), True
         # fallback: same fixed-point semantics straight off the table
         exprs = []
         for fn, arg, alias in aggs:
@@ -191,10 +284,10 @@ class MaterializedViewCatalog:
                 exprs.append(F.min(_fx(arg)).alias(alias))
             else:
                 exprs.append(F.max(_fx(arg)).alias(alias))
-        return (
-            self._tables[table].read().groupBy(group).agg(*exprs),
-            False,
-        )
+        base = self._tables[table].read()
+        if where is not None:
+            base = base.filter(F.expr(where))
+        return base.groupBy(*group).agg(*exprs), False
 
 
 def _split_commas(s: str) -> list[str]:

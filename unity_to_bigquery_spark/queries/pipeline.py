@@ -4009,3 +4009,111 @@ def p_versioned_cluster_string(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@query(
+    "p_mv_rollup_subset",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS fx
+      FROM orders WHERE o_orderkey % 11 != 5
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(fx) AS BIGINT) AS rev_fx,
+           CAST(MIN(fx) AS BIGINT) AS lo_fx,
+           CAST(MAX(fx) AS BIGINT) AS hi_fx
+    FROM live GROUP BY status
+    """,
+    doc=(
+        "COMPOSITE-KEY ROLLUP + DIM-SUBSET REWRITE (round 13): the "
+        "ContinuousAggregate is keyed on (o_orderpriority, "
+        "o_orderstatus) — composite dims over a synthesized merge key "
+        "— refreshed once, then an append and a predicate DELETE land "
+        "unfolded. The query asks GROUP BY o_orderstatus ONLY: "
+        "answer_sql matches the dim SUBSET and re-aggregates the "
+        "rollup (COUNT=SUM(n), SUM=SUM, MIN/MAX of partial extrema — "
+        "rollup-sized input, never the base table), served REAL-TIME. "
+        "Asserted in-query: used_view=True, bookmark strictly behind "
+        "head, and the full-dims GROUP BY also serves (exact-set "
+        "match) with per-tuple rows ≡ a direct fixed-point groupBy."
+    ),
+    tags=("pipeline", "versioned", "mv"),
+)
+def p_mv_rollup_subset(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.incremental_agg import (
+        ContinuousAggregate,
+    )
+    from unity_to_bigquery_spark.plans.mv_rewrite import (
+        MaterializedViewCatalog,
+    )
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"mv_subset_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    t = VersionedTable(spark, os.path.join(ws, "src"))
+    mv = ContinuousAggregate(
+        spark, t, os.path.join(ws, "agg"),
+        ["o_orderpriority", "o_orderstatus"],
+        measures={"rev_fx": "o_totalprice"},
+        min_measures={"lo_fx": "o_totalprice"},
+        max_measures={"hi_fx": "o_totalprice"},
+        handle_deletes=True,
+    )
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    mv.refresh()  # everything below stays UNFOLDED
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_rows_where("o_orderkey % 11 = 5")
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("orders_v", t)
+    cat.register_view("by_prio_status", "orders_v", mv)
+    # full-dims serve: per-tuple rows must equal the direct groupBy
+    full_sql = (
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+        "FROM orders_v GROUP BY o_orderpriority, o_orderstatus"
+    )
+    full, used_full = cat.answer_sql(full_sql)
+    fb = MaterializedViewCatalog(spark)
+    fb.register_table("orders_v", t)
+    direct, _ = fb.answer_sql(full_sql)
+    if not used_full or sorted(map(tuple, full.collect())) != sorted(
+        map(tuple, direct.collect())
+    ):
+        raise RuntimeError("full-dims serve diverged from direct scan")
+    served, used = cat.answer_sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS rev_fx, "
+        "MIN(o_totalprice) AS lo_fx, MAX(o_totalprice) AS hi_fx "
+        "FROM orders_v GROUP BY o_orderstatus"
+    )
+    if not used or mv.last_refreshed() >= t.latest_version():
+        raise RuntimeError(
+            f"subset rewrite did not serve realtime (used={used})"
+        )
+    # a WHERE on a view dim (not in the group set) also serves from
+    # the rollup; a WHERE on a measure column must fall back
+    wsql = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders_v "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+    )
+    wdf, wused = cat.answer_sql(wsql)
+    wdirect, _ = fb.answer_sql(wsql)
+    if not wused or sorted(map(tuple, wdf.collect())) != sorted(
+        map(tuple, wdirect.collect())
+    ):
+        raise RuntimeError("WHERE-on-dim rewrite diverged or fell back")
+    _, mused = cat.answer_sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders_v "
+        "WHERE o_totalprice > 0 GROUP BY o_orderstatus"
+    )
+    if mused:
+        raise RuntimeError("WHERE on a measure column must fall back")
+    return served.select(
+        F.col("o_orderstatus").alias("status"),
+        "n", "rev_fx", "lo_fx", "hi_fx",
+    )
