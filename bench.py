@@ -112,6 +112,16 @@ PINNED_OFF_STDOUT = (
     "p_versioned_time_travel_ts",
     "p_versioned_join_advisor",
     "p_versioned_metadata_tables",
+    # round-13 pins
+    "p_versioned_sql_select",
+    "p_versioned_spj_bucket_join",
+    "t_index_bm25_topk",
+    "p_versioned_generated_columns",
+    "p_catalog_sql_ctas",
+    "p_mv_autorewrite_realtime",
+    "t_hybrid_rrf_topk",
+    "p_versioned_cluster_string",
+    "p_mv_rollup_subset",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -186,6 +196,18 @@ PINS = {
     "p_versioned_time_travel_ts": 1.60,       # draws 1.57/1.60 (later 4.5/6.2 draws were a traced ambient spike, rule 14)
     "p_versioned_join_advisor": 2.14,         # draws 1.90/1.80 pre- and 2.14 post-unique()-optimization (ambient spike draws excluded per rule 14)
     "p_versioned_metadata_tables": 5.04,      # draws 5.04/5.42 (two ~84-partition month-layout writes by design; the metadata answers are zero-IO)
+    # round-13 pins, two same-session draws each (BASELINE.md
+    # §round-13 pins); the versioned/index demos' cost is their
+    # multi-commit build+serve job count by design
+    "p_versioned_sql_select": 11.12,          # draws 11.12/13.16 (DSv2 Python-source reads ×4 incl. CDF + pushdown twins)
+    "p_versioned_spj_bucket_join": 5.27,      # draws 5.51/5.27 (two bucketed table builds + per-bucket union join)
+    "t_index_bm25_topk": 17.44,               # draws 19.82/17.44 (postings build + 2 CDC refreshes over 10k docs by design)
+    "p_versioned_generated_columns": 2.91,    # draws 3.01/2.91
+    "p_catalog_sql_ctas": 2.93,               # draws 3.06/2.93
+    "p_mv_autorewrite_realtime": 7.09,        # draws 7.18/7.09 (3 commits + delete + 3 realtime folds)
+    "t_hybrid_rrf_topk": 2.39,                # draws 2.39/2.59
+    "p_versioned_cluster_string": 2.37,       # draws 2.37/2.93
+    "p_mv_rollup_subset": 12.98,              # draws 12.98/13.23 (composite-key refresh + 6 answer_sql paths, each an independent realtime fold by design)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a
