@@ -321,3 +321,36 @@ def test_subset_rewrite_reaggregates_from_rollup(spark, root):
     # a group col OUTSIDE the view's dims falls back
     _, used2 = cat.answer_sql("SELECT x, COUNT(*) AS n FROM tt GROUP BY x")
     assert used2 is False
+
+
+def test_having_order_limit_tail(spark, root):
+    t, agg = _make(spark, root)
+    t.commit_append(
+        _df(spark, [("a", 1.0), ("a", 2.0), ("b", 9.0), ("c", 4.0), ("c", 1.0)])
+    )
+    agg.refresh()
+    t.commit_append(_df(spark, [("b", 1.0)]))  # unfolded
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("tt", t)
+    cat.register_view("tt_k", "tt", agg)
+    fb = MaterializedViewCatalog(spark)
+    fb.register_table("tt", t)
+    sql = (
+        "SELECT k, COUNT(*) AS n, SUM(x) AS s FROM tt GROUP BY k "
+        "HAVING n >= 2 ORDER BY s DESC LIMIT 2"
+    )
+    served, used = cat.answer_sql(sql)
+    direct, used_fb = fb.answer_sql(sql)
+    assert used is True and used_fb is False
+    got = [tuple(r) for r in served.collect()]
+    assert got == [tuple(r) for r in direct.collect()]
+    # a=3.0, b=10.0, c=5.0 all have n>=2; top-2 by s desc = b, c
+    assert got == [("b", 2, 10000000), ("c", 2, 5000000)]
+    # LIMIT without ORDER BY has no total order -> refused
+    with pytest.raises(ValueError, match="ORDER BY"):
+        cat.answer_sql("SELECT k, COUNT(*) AS n FROM tt GROUP BY k LIMIT 1")
+    # ORDER BY ties broken by the appended group-key tiebreak
+    tie, _ = cat.answer_sql(
+        "SELECT k, COUNT(*) AS n FROM tt GROUP BY k ORDER BY n DESC LIMIT 2"
+    )
+    assert [r.k for r in tie.collect()] == ["a", "b"]

@@ -55,7 +55,11 @@ _AGG_RE = re.compile(
 _SQL_RE = re.compile(
     r"(?is)^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"\s+GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)\s*;?\s*$"
+    r"\s+GROUP\s+BY\s+(?P<group>\w+(?:\s*,\s*\w+)*)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>\w+(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$"
 )
 _CONJ_COL_RE = re.compile(
     r"(?is)^\s*(\w+)\s*(?:=|!=|<>|<=|>=|<|>|\bIN\b|\bBETWEEN\b)"
@@ -126,10 +130,11 @@ class MaterializedViewCatalog:
     @staticmethod
     def _parse(
         sql: str,
-    ) -> tuple[str, list[str], list[tuple[str, str, str]], str | None]:
-        """-> (table, group_cols, [(fn, arg, alias), ...], where); every
+    ) -> tuple[str, list[str], list[tuple[str, str, str]], str | None, dict]:
+        """-> (table, group_cols, [(fn, arg, alias), ...], where, post)
+        where ``post`` carries the HAVING/ORDER BY/LIMIT tail. Every
         group column must be selected bare. Raises on anything outside
-        the canonical rewrite shape (HAVING/JOIN/expressions)."""
+        the canonical rewrite shape (JOIN/expressions)."""
         m = _SQL_RE.match(sql)
         if m is None:
             raise ValueError(
@@ -163,7 +168,12 @@ class MaterializedViewCatalog:
                 f"every group key {group} must be selected bare "
                 f"(missing: {sorted(set(group) - seen_keys)})"
             )
-        return table, group, aggs, m["where"]
+        post = {
+            "having": m["having"],
+            "order": m["order"],
+            "limit": int(m["limit"]) if m["limit"] else None,
+        }
+        return table, group, aggs, m["where"], post
 
     def _match(
         self,
@@ -196,6 +206,37 @@ class MaterializedViewCatalog:
                 return mv
         return None
 
+    @staticmethod
+    def _post(df: DataFrame, group: list[str], post: dict) -> DataFrame:
+        """HAVING / ORDER BY / LIMIT tail, applied IDENTICALLY on the
+        view-serve and direct-scan paths (they share the output schema,
+        so equality is preserved by construction). HAVING references
+        output aliases or group columns; ORDER BY gets the group
+        columns appended as the unique total-order tiebreak, so a
+        LIMIT is deterministic cross-engine."""
+        if post.get("having"):
+            df = df.filter(F.expr(post["having"]))
+        order = post.get("order")
+        limit = post.get("limit")
+        if order:
+            cols = []
+            named = set()
+            for item in order.split(","):
+                toks = item.split()
+                named.add(toks[0])
+                cols.append(
+                    F.col(toks[0]).desc()
+                    if len(toks) > 1 and toks[1].upper() == "DESC"
+                    else F.col(toks[0]).asc()
+                )
+            cols.extend(F.col(g).asc() for g in group if g not in named)
+            df = df.orderBy(*cols)
+        if limit is not None:
+            if not order:
+                raise ValueError("LIMIT requires ORDER BY (total order)")
+            df = df.limit(limit)
+        return df
+
     # ---- serving -----------------------------------------------------------
 
     def answer_sql(
@@ -206,7 +247,7 @@ class MaterializedViewCatalog:
         it (real-time by default — exact w.r.t. the LIVE source even
         with unfolded commits); otherwise the identical fixed-point
         aggregate runs directly over the table's snapshot read."""
-        table, group, aggs, where = self._parse(sql)
+        table, group, aggs, where, post = self._parse(sql)
         if table not in self._tables:
             raise ValueError(f"unknown table {table!r}")
         mv = None
@@ -247,7 +288,7 @@ class MaterializedViewCatalog:
                         cols.append(F.col(mins[arg]).alias(alias))
                     else:
                         cols.append(F.col(maxs[arg]).alias(alias))
-                return state.select(*cols), True
+                return self._post(state.select(*cols), group, post), True
             # STRICT SUBSET of the view's dims: re-aggregate the rollup
             # (SUM of partial counts/sums, MIN/MAX of partial extrema —
             # exact because the partials partition the rows; still
@@ -267,7 +308,10 @@ class MaterializedViewCatalog:
                     exprs.append(F.min(mins[arg]).alias(alias))
                 else:
                     exprs.append(F.max(maxs[arg]).alias(alias))
-            return state.groupBy(*group).agg(*exprs), True
+            return (
+                self._post(state.groupBy(*group).agg(*exprs), group, post),
+                True,
+            )
         # fallback: same fixed-point semantics straight off the table
         exprs = []
         for fn, arg, alias in aggs:
@@ -287,7 +331,10 @@ class MaterializedViewCatalog:
         base = self._tables[table].read()
         if where is not None:
             base = base.filter(F.expr(where))
-        return base.groupBy(*group).agg(*exprs), False
+        return (
+            self._post(base.groupBy(*group).agg(*exprs), group, post),
+            False,
+        )
 
 
 def _split_commas(s: str) -> list[str]:
