@@ -354,3 +354,33 @@ def test_having_order_limit_tail(spark, root):
         "SELECT k, COUNT(*) AS n FROM tt GROUP BY k ORDER BY n DESC LIMIT 2"
     )
     assert [r.k for r in tie.collect()] == ["a", "b"]
+
+
+def test_read_realtime_to_version_pin(spark, root):
+    t, agg = _make(spark, root)
+    t.commit_append(_df(spark, [("a", 1.0)]))
+    agg.refresh()
+    v1 = t.latest_version()
+    t.commit_append(_df(spark, [("a", 2.0)]))
+    v2 = t.latest_version()
+    t.commit_append(_df(spark, [("a", 4.0)]))
+    # pin mid-history: fold stops exactly at v2
+    got = {(r.k, r.n, r.s) for r in agg.read_realtime(to_version=v2).collect()}
+    assert got == {("a", 2, 3000000)}
+    # pin at the bookmark degenerates to the stored state
+    assert {(r.k, r.n) for r in agg.read_realtime(to_version=v1).collect()} == {
+        ("a", 1)
+    }
+    # bookmark past the pin refuses
+    agg.refresh()
+    with pytest.raises(ValueError, match="cannot serve as of"):
+        agg.read_realtime(to_version=v1)
+    # answer_sql with version= skips the too-fresh view but still
+    # answers from the pinned snapshot
+    cat = MaterializedViewCatalog(spark)
+    cat.register_table("tt", t)
+    cat.register_view("tt_k", "tt", agg)
+    df, used = cat.answer_sql(
+        "SELECT k, COUNT(*) AS n FROM tt GROUP BY k", version=v1
+    )
+    assert used is False and df.first().n == 1

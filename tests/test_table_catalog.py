@@ -431,3 +431,53 @@ def test_catalog_sql_script_txn(spark, tmp_path):
     cat.execute_sql("CREATE TABLE notes AS SELECT uid, 'x' AS s FROM users")
     cat.execute_script("UPDATE notes SET s = 'a;b' WHERE uid = 1")
     assert cat.read("notes").filter("uid = 1").first().s == "a;b"
+
+
+# ---- round 13: MV serving through the catalog SELECT front door --------------
+
+
+def test_catalog_select_serves_from_attached_view(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from unity_to_bigquery_spark.plans.incremental_agg import (
+        ContinuousAggregate,
+    )
+    from unity_to_bigquery_spark.plans.table_catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("ev")
+    t = cat.table("ev")
+    t.commit_append(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("a", 3.0)], "k STRING, x DOUBLE"
+        )
+    )
+    cat.sync("ev")
+    agg = ContinuousAggregate(
+        spark, t, str(tmp_path / "agg"), "k",
+        measures={"s": "x"}, handle_deletes=True,
+    )
+    agg.refresh()
+    cat.attach_view("ev_by_k", "ev", agg)
+    sql = "SELECT k, COUNT(*) AS n, SUM(x) AS s FROM ev GROUP BY k"
+    served = cat.execute_sql(sql)
+    assert {(r.k, r.n, r.s) for r in served.collect()} == {
+        ("a", 2, 4000000), ("b", 1, 2000000)
+    }
+    # head moves PAST the pin: the served answer stays AT THE PIN
+    # (snapshot consistency), not at the live head
+    t.commit_append(spark.createDataFrame([("a", 9.0)], "k STRING, x DOUBLE"))
+    pinned = {(r.k, r.n) for r in cat.execute_sql(sql).collect()}
+    assert pinned == {("a", 2), ("b", 1)}  # unsynced commit invisible
+    cat.sync("ev")
+    fresh = {(r.k, r.n) for r in cat.execute_sql(sql).collect()}
+    assert fresh == {("a", 3), ("b", 1)}  # pin advanced, fold catches up
+    # view bookmark PAST the pin -> falls back to the pinned scan with
+    # the same answer (never wrong, only slower)
+    t.commit_append(spark.createDataFrame([("c", 1.0)], "k STRING, x DOUBLE"))
+    agg.refresh()  # bookmark now ahead of the catalog pin
+    assert agg.last_refreshed() > cat.entry()["tables"]["ev"]
+    again = {(r.k, r.n) for r in cat.execute_sql(sql).collect()}
+    assert again == fresh
+    # non-matching shape still runs over pinned views
+    assert cat.execute_sql("SELECT COUNT(*) AS n FROM ev").first().n == 4

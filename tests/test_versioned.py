@@ -3968,3 +3968,92 @@ def test_generated_column_sql_and_merge(spark, root):
     assert sorted((r.k, r.x2) for r in t.read().collect()) == [
         (1, 20.0), (2, 6.0), (3, 10.0),
     ]
+
+
+# ---- round 13: OPTIMIZE / VACUUM SQL front door ------------------------------
+
+
+def test_maintenance_sql_front_door(spark, root, tmp_path):
+    t = VersionedTable(spark, root)
+    for i in range(3):
+        t.commit_append(_df(spark, [(i, "x")]).coalesce(1))
+    assert len(t.manifest()["files"]) == 3
+    t.execute_dml("OPTIMIZE t")
+    assert len(t.manifest()["files"]) == 1
+    assert t.read().count() == 3
+    # ZORDER form records the persisted sort order (incl. a string col)
+    t.execute_dml("OPTIMIZE t ZORDER BY (k, v)")
+    assert t.manifest()["sort_order"]["cols"] == ["k", "v"]
+    # VACUUM with explicit version retention GCs the pre-compact files
+    before = set(t.manifest()["files"])
+    dropped = t.execute_dml("VACUUM t RETAIN 1 VERSIONS")
+    assert set(t.manifest()["files"]) == before and t.read().count() == 3
+    assert isinstance(dropped, list)
+    # partition-scoped OPTIMIZE WHERE (one compacted tuple, one untouched)
+    r2 = str(tmp_path / "pt")
+    p = VersionedTable(spark, r2, partition_spec=["v"])
+    for i in range(2):
+        p.commit_append(_df(spark, [(i, "a"), (i, "b")]).coalesce(1))
+    files_b = [f for f in p.manifest()["files"] if "__p_v=b" in f]
+    p.execute_dml("OPTIMIZE t WHERE v = 'a'")
+    m = p.manifest()
+    assert [f for f in m["files"] if "__p_v=b" in f] == files_b
+    assert len([f for f in m["files"] if "__p_v=a" in f]) == 1
+    # rejections name the grammar
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.execute_dml("OPTIMIZE t WHERE k = 1 ZORDER BY (k)")
+    with pytest.raises(ValueError, match="grammar"):
+        t.execute_dml("VACUUM t RETAIN 3 HOURS")
+    with pytest.raises(ValueError, match="col = literal"):
+        t.execute_dml("OPTIMIZE t WHERE k > 1")
+
+
+# ---- round 13: ingest expectations + quarantine ------------------------------
+
+
+def test_ingest_expectations_quarantine_lifecycle(spark, root):
+    t = VersionedTable(spark, root)
+    t.commit_append(_df(spark, [(1, "ok")]))
+    t.add_expectation("k_positive", "k > 0", on_violation="quarantine")
+    t.add_expectation("v_short", "length(v) <= 3", on_violation="drop")
+    # a mixed batch: clean / quarantined / dropped / doubly-bad
+    t.commit_append(
+        _df(spark, [(2, "a"), (-5, "b"), (3, "toolong"), (-9, "toolong")])
+    )
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [(1, "ok"), (2, "a")]
+    q = {
+        (r.k, r.v, r["__violated"])
+        for r in t.quarantine_table().read().collect()
+    }
+    # only quarantine-routed rows land there; tags name EVERY violated
+    # expectation (sorted), incl. the doubly-bad row
+    assert q == {(-5, "b", "k_positive"), (-9, "toolong", "k_positive,v_short")}
+    # NULL passes (CHECK semantics)
+    t2 = VersionedTable(spark, root + "_null")
+    t2.add_expectation("k_positive", "k > 0")
+    t2.commit_append(
+        spark.createDataFrame([(None, "n")], "k INT, v STRING")
+    )
+    assert t2.read().count() == 1
+    # a clean batch commits no quarantine version (probe short-circuit)
+    qv = t.quarantine_table().latest_version()
+    t.commit_append(_df(spark, [(10, "z")]))
+    assert t.quarantine_table().latest_version() == qv
+    # rewrite paths never re-route landed rows: tighten the gate, then
+    # UPDATE a pre-existing row that now violates it — row stays
+    t.drop_expectation("k_positive")
+    t.add_expectation("k_small", "k < 100", on_violation="quarantine")
+    t.update_where({"k": "k + 1000"}, "k = 10")
+    assert (1010, "z") in {(r.k, r.v) for r in t.read().collect()}
+    # expectations survive in the manifest + SQL INSERT routes through
+    assert set(t.expectations()) == {"v_short", "k_small"}
+    t.insert_sql("INSERT INTO t (k, v) VALUES (500, 'q')")
+    assert (500, "q") not in {(r.k, r.v) for r in t.read().collect()}
+    assert (500, "q") in {
+        (r.k, r.v) for r in t.quarantine_table().read().collect()
+    }
+    # rejections
+    with pytest.raises(ValueError, match="drop.*quarantine"):
+        t.add_expectation("x", "k > 0", on_violation="fail")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_expectation("v_short", "true")

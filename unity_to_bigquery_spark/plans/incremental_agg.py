@@ -421,7 +421,7 @@ class ContinuousAggregate:
                 updates = d.select(*cols)
         return updates
 
-    def read_realtime(self) -> DataFrame:
+    def read_realtime(self, to_version: int | None = None) -> DataFrame:
         """REAL-TIME serving (round 13 — TimescaleDB real-time
         continuous aggregates): the rollup with every source commit
         PAST the last refresh folded in at read time, without
@@ -435,10 +435,24 @@ class ContinuousAggregate:
 
         Cost ∝ the unfolded window (delta files + touched-key state),
         like one refresh; a long-idle backlog is better folded via
-        ``refresh()`` first (which pages and commits), then served."""
+        ``refresh()`` first (which pages and commits), then served.
+
+        ``to_version`` pins the serve to an OLDER source version (the
+        snapshot-consistent-read shape the TableCatalog needs): the
+        fold stops at that version. Refused when the rollup's bookmark
+        is already PAST it — stored partials can't be unfolded."""
         last = self.last_refreshed()
-        now = self.source.latest_version()
-        if now <= last:
+        now = (
+            self.source.latest_version()
+            if to_version is None
+            else int(to_version)
+        )
+        if now < last:
+            raise ValueError(
+                f"rollup already folded through source version {last}; "
+                f"cannot serve as of older version {now}"
+            )
+        if now == last:
             return self.read()
         updates = self._folded_state(last, now).select(*self._state_cols)
         out = updates

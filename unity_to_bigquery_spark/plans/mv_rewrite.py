@@ -240,13 +240,19 @@ class MaterializedViewCatalog:
     # ---- serving -----------------------------------------------------------
 
     def answer_sql(
-        self, sql: str, realtime: bool = True
+        self, sql: str, realtime: bool = True, version: int | None = None
     ) -> tuple[DataFrame, bool]:
         """Answer the aggregate; returns ``(df, used_view)``. When a
         registered rollup covers the shape, the answer is served from
         it (real-time by default — exact w.r.t. the LIVE source even
         with unfolded commits); otherwise the identical fixed-point
-        aggregate runs directly over the table's snapshot read."""
+        aggregate runs directly over the table's snapshot read.
+
+        ``version`` pins BOTH paths to that source snapshot (the
+        TableCatalog's snapshot-consistent integration): the view
+        serves via ``read_realtime(to_version=version)`` and is
+        skipped when its bookmark is already past the pin; the
+        fallback reads the pinned snapshot."""
         table, group, aggs, where, post = self._parse(sql)
         if table not in self._tables:
             raise ValueError(f"unknown table {table!r}")
@@ -265,8 +271,16 @@ class MaterializedViewCatalog:
                         table, group, aggs,
                         {m.group(1) for m in cols},
                     )
+        if mv is not None and version is not None and (
+            mv.last_refreshed() > version
+        ):
+            mv = None  # rollup folded past the pin: cannot unfold
         if mv is not None:
-            state = mv.read_realtime() if realtime else mv.read()
+            state = (
+                mv.read_realtime(to_version=version)
+                if realtime or version is not None
+                else mv.read()
+            )
             if where is not None:
                 state = state.filter(F.expr(where))
             sums = {src: out for out, src in mv.measures.items()}
@@ -328,7 +342,7 @@ class MaterializedViewCatalog:
                 exprs.append(F.min(_fx(arg)).alias(alias))
             else:
                 exprs.append(F.max(_fx(arg)).alias(alias))
-        base = self._tables[table].read()
+        base = self._tables[table].read(version)
         if where is not None:
             base = base.filter(F.expr(where))
         return (

@@ -69,6 +69,8 @@ class TableCatalog:
     """A directory of VersionedTables plus a catalog commit log of
     consistent {table → version} pin sets."""
 
+    _mv = None
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -262,6 +264,50 @@ class TableCatalog:
 
     # ---- SQL front door (round 13, VERDICT r12 #6) ---------------------------
 
+    # ---- materialized-view serving through the catalog (round 13) --------
+
+    def attach_view(self, view_name: str, table_name: str, agg) -> None:
+        """Register a :class:`ContinuousAggregate` rollup of a catalog
+        table so that ``execute_sql`` SELECTs matching its shape serve
+        from the rollup instead of scanning — AT THE CATALOG PIN:
+        the view folds its unfolded CDC window exactly to the pinned
+        table version (``read_realtime(to_version=pin)``), so the
+        served answer is identical to the pinned-view scan the SELECT
+        path would run. A view whose refresh bookmark has moved PAST
+        the pin is skipped (stored partials can't be unfolded), as is
+        any shape the rewrite grammar can't prove — the SELECT then
+        falls through to the ordinary pinned-view path. Never a
+        different answer, only a different cost."""
+        from unity_to_bigquery_spark.plans.mv_rewrite import (
+            MaterializedViewCatalog,
+        )
+
+        if table_name not in self.entry()["tables"]:
+            raise CatalogError(f"unknown table {table_name!r}")
+        if self._mv is None:
+            self._mv = MaterializedViewCatalog(self.spark)
+        if table_name not in self._mv._tables:
+            self._mv.register_table(
+                table_name, VersionedTable(self.spark, self._table_root(table_name))
+            )
+        self._mv.register_view(view_name, table_name, agg)
+
+    def _try_mv(self, select: str) -> DataFrame | None:
+        if self._mv is None:
+            return None
+        try:
+            table, _g, _a, _w, _p = self._mv._parse(select)
+        except ValueError:
+            return None
+        pin = self.entry()["tables"].get(table)
+        if not pin:
+            return None
+        try:
+            df, used = self._mv.answer_sql(select, version=pin)
+        except ValueError:
+            return None
+        return df if used else None
+
     def _sql_over_catalog(self, select: str) -> DataFrame:
         """Run a SELECT with every catalog table registered as a temp
         view at its CURRENT CATALOG PIN — one consistent world, so a
@@ -323,6 +369,9 @@ class TableCatalog:
         head = s.split(None, 1)
         kw = head[0].upper() if head else ""
         if kw == "SELECT" or kw == "WITH":
+            served = self._try_mv(s)
+            if served is not None:
+                return served
             return self._sql_over_catalog(s)
         if kw == "CREATE":
             m = re.match(

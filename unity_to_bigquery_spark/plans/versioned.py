@@ -4057,7 +4057,7 @@ class VersionedTable:
             f"part:{fld['name']}": _spec_apply(fld, filters[fld["col"]])
             for fld in spec
         }
-        df = self._enforce(df)
+        df = self._enforce(df, ingest=True)
         staged = self._write_files(df)
         staged_stats = self._staged_stats
         for f in staged:
@@ -4429,7 +4429,10 @@ class VersionedTable:
         return dict(self.manifest().get("constraints", {}))
 
     def _enforce(
-        self, df: DataFrame, recompute_generated: bool = False
+        self,
+        df: DataFrame,
+        recompute_generated: bool = False,
+        ingest: bool = False,
     ) -> DataFrame:
         """Write-side validation + generated-column materialization
         (round 13 extends the CHECK pass — VERDICT r12 #5). Returns the
@@ -4442,9 +4445,53 @@ class VersionedTable:
           same one-batch pass CHECK constraints pay.
         - CHECK constraints: NULL passes (violation = expr IS FALSE).
 
-        Neither ever scans the table — only the incoming batch."""
+        Neither ever scans the table — only the incoming batch.
+
+        With ``ingest=True`` (append/overwrite/replace/insert paths —
+        NEVER rewrites of already-landed rows), INGEST EXPECTATIONS
+        (round 13, :meth:`add_expectation`) route first: rows failing a
+        ``drop`` expectation are discarded, rows failing a
+        ``quarantine`` one are appended to :meth:`quarantine_table`
+        tagged with the violated names; generated columns and CHECK
+        constraints then see only the surviving rows."""
         m = self.manifest()
         from pyspark.sql.types import StructType
+
+        exp = (m.get("expectations") or {}) if ingest else {}
+        if exp:
+            viol = {
+                name: ~F.coalesce(F.expr(e["sql"]), F.lit(True))
+                for name, e in exp.items()
+            }
+            from functools import reduce as _reduce
+
+            any_v = _reduce(lambda a, b: a | b, viol.values())
+            qnames = [
+                n for n, e in exp.items()
+                if e["on_violation"] == "quarantine"
+            ]
+            if qnames:
+                q_pred = _reduce(lambda a, b: a | b, (viol[n] for n in qnames))
+                tags = F.concat_ws(
+                    ",",
+                    F.array_compact(
+                        F.array(
+                            *(
+                                F.when(viol[n], F.lit(n))
+                                for n in sorted(exp)
+                            )
+                        )
+                    ),
+                )
+                bad = df.filter(q_pred).withColumn(self.VIOLATION_COL, tags)
+                # one bounded probe decides whether a quarantine commit
+                # happens at all (an empty append would still publish a
+                # version — noise in the review queue's log)
+                if bad.limit(1).count() > 0:
+                    self.quarantine_table().commit_append(
+                        bad, merge_schema=True
+                    )
+            df = df.filter(~any_v)
 
         for name, g in (m.get("generated_columns") or {}).items():
             gexpr = F.expr(g["sql"])
@@ -4532,6 +4579,101 @@ class VersionedTable:
                 self._constraints_override = None
         raise ConcurrentWriteError("drop_constraint could not publish after 20 attempts")
 
+    # ---- ingest expectations (round 13 — Delta Live Tables
+    #      expect_or_drop / expect-with-quarantine) -----------------------
+
+    QUARANTINE_DIR = "quarantine"
+    VIOLATION_COL = "__violated"
+
+    def expectations(self) -> dict:
+        """Active ingest expectations: {name: {sql, on_violation}}."""
+        return {
+            k: dict(v)
+            for k, v in (self.manifest().get("expectations") or {}).items()
+        }
+
+    def quarantine_table(self) -> "VersionedTable":
+        """The quarantine sub-table (rows diverted by ``quarantine``
+        expectations, schema = incoming rows + ``__violated`` naming
+        the failed expectations). A full VersionedTable of its own
+        under ``<root>/quarantine`` — time travel, CDC, vacuum all
+        work; the parent's vacuum walks only ``<root>/data`` and never
+        touches it."""
+        return VersionedTable(
+            self.spark, os.path.join(self.root, self.QUARANTINE_DIR)
+        )
+
+    def add_expectation(
+        self, name: str, expr: str, on_violation: str = "quarantine"
+    ) -> int:
+        """Register an INGEST expectation (DLT ``expect_or_drop`` /
+        quarantine pattern): rows of an INCOMING batch whose ``expr``
+        evaluates to FALSE (NULL passes — CHECK semantics) are routed
+        away before the commit instead of failing it —
+        ``on_violation='drop'`` discards them, ``'quarantine'``
+        appends them to :meth:`quarantine_table` tagged with the
+        violated expectation names.
+
+        Scope: ingest paths only (append / overwrite / replace_where /
+        insert). Rewrite paths (UPDATE / MERGE / compact) never
+        re-route rows already in the table — expectations gate what
+        ENTERS; CHECK constraints (:meth:`add_constraint`) remain the
+        hard invariant over what lands. Quarantine writes are
+        at-least-once under crash-retry (the main commit's ``txn``
+        idempotency is unaffected); the quarantine feed is an
+        operational review queue, not an exactly-once ledger.
+
+        Unlike add_constraint this validates NO existing rows — it
+        gates future ingest only (metadata-only commit)."""
+        if on_violation not in ("drop", "quarantine"):
+            raise ValueError(
+                f"on_violation must be 'drop' or 'quarantine', got "
+                f"{on_violation!r} (a failing action is add_constraint)"
+            )
+        for _ in range(20):
+            base = self.manifest()
+            exp = dict(base.get("expectations") or {})
+            if name in exp:
+                raise ValueError(f"expectation {name!r} already exists")
+            if base.get("schema"):
+                probe = self.spark.createDataFrame([], base["schema"])
+                probe.select(F.expr(expr).cast("boolean")).schema  # noqa: B018
+            exp[name] = {"sql": expr, "on_violation": on_violation}
+            self._expectations_override = exp
+            try:
+                return self._publish_once(
+                    base, base["files"], f"add_expectation({name})",
+                    base.get("schema"),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._expectations_override = _UNSET
+        raise ConcurrentWriteError(
+            "add_expectation could not publish after 20 attempts"
+        )
+
+    def drop_expectation(self, name: str) -> int:
+        for _ in range(20):
+            base = self.manifest()
+            exp = dict(base.get("expectations") or {})
+            if name not in exp:
+                raise ValueError(f"no expectation {name!r}")
+            del exp[name]
+            self._expectations_override = exp
+            try:
+                return self._publish_once(
+                    base, base["files"], f"drop_expectation({name})",
+                    base.get("schema"),
+                )
+            except FileExistsError:
+                continue
+            finally:
+                self._expectations_override = _UNSET
+        raise ConcurrentWriteError(
+            "drop_expectation could not publish after 20 attempts"
+        )
+
     def commit_append(
         self,
         df: DataFrame,
@@ -4558,7 +4700,7 @@ class VersionedTable:
         same txn commit once."""
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        df = self._enforce(df)
+        df = self._enforce(df, ingest=True)
         staged = self._write_files(df)
         schema = self._logical_schema_str(df)
         for _ in range(20):
@@ -4567,7 +4709,14 @@ class VersionedTable:
                 for f in staged:  # lost an idempotency race: discard our stage
                     os.remove(os.path.join(self.root, DATA_DIR, f))
                 return base["version"]
-            if base["version"] and base.get("schema") != schema:
+            # schema None with version > 0 = only metadata-only commits
+            # so far (e.g. add_expectation before first data) — the
+            # first data commit sets the schema like version 0 would
+            if (
+                base["version"]
+                and base.get("schema") is not None
+                and base.get("schema") != schema
+            ):
                 if not merge_schema:
                     raise ValueError(
                         f"schema mismatch: table={base.get('schema')} append={schema}"
@@ -4855,7 +5004,7 @@ class VersionedTable:
         and advance its source-version bookmark in one atomic commit."""
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        df = self._enforce(df)
+        df = self._enforce(df, ingest=True)
         staged = self._write_files(df)
         schema = self._logical_schema_str(df)
         for _ in range(20):
@@ -4879,7 +5028,7 @@ class VersionedTable:
         pc = self.current_partition_col()
         if not pc:
             raise ValueError("replace_where requires a partitioned table")
-        df = self._enforce(df)
+        df = self._enforce(df, ingest=True)
         staged = self._write_files(df)
         wanted = {f"{_PART_DIR_PREFIX}{pc}={v}" for v in partition_values}
         spec_prefix = f"{_PART_DIR_PREFIX}{pc}="
@@ -4952,7 +5101,7 @@ class VersionedTable:
 
     _META_CONFLICT_KEYS = (
         "schema", "partition_spec", "partition_col", "column_mapping",
-        "constraints", "sort_order", "row_lineage",
+        "constraints", "expectations", "sort_order", "row_lineage",
     )
     # an equality-delete key file bigger than this is not driver-read
     # during conflict analysis — conservatively conflict instead
@@ -5172,6 +5321,11 @@ class VersionedTable:
         generated_columns = (
             g_override if g_override is not _UNSET
             else base.get("generated_columns")
+        )
+        e_override = getattr(self, "_expectations_override", _UNSET)
+        expectations = (
+            e_override if e_override is not _UNSET
+            else base.get("expectations")
         )
         override = getattr(self, "_partition_override", _UNSET)
         partition_col = (
@@ -5409,6 +5563,11 @@ class VersionedTable:
             **(
                 {"generated_columns": generated_columns}
                 if generated_columns
+                else {}
+            ),
+            **(
+                {"expectations": expectations}
+                if expectations
                 else {}
             ),
             **(
@@ -6010,9 +6169,90 @@ class VersionedTable:
             return self.merge_sql(source, stmt, txn=txn, **kwargs)
         if kw == "ALTER":
             return self._execute_alter(stmt)
+        if kw in ("OPTIMIZE", "VACUUM"):
+            return self._execute_maintenance(stmt)
         raise ValueError(
             f"execute_dml: unsupported statement {kw or stmt!r} "
-            "(UPDATE / DELETE / INSERT / MERGE / ALTER TABLE ...)"
+            "(UPDATE / DELETE / INSERT / MERGE / ALTER TABLE / "
+            "OPTIMIZE / VACUUM ...)"
+        )
+
+    def _execute_maintenance(self, stmt: str):
+        """Delta-SQL maintenance statements (round 13 — the SQL front
+        door onto the EXISTING compact/cluster_by/vacuum engines):
+
+        - ``OPTIMIZE <t> [WHERE <cond>]`` — :meth:`compact` (the WHERE
+          accepts the partition-scoped dict form's SQL spelling
+          ``col = value`` conjuncts);
+        - ``OPTIMIZE <t> ZORDER BY (a, b [, ...])`` — :meth:`cluster_by`
+          (numeric width buckets / string rank buckets, persisted
+          sort_order);
+        - ``VACUUM <t> [RETAIN <n> VERSIONS]`` — :meth:`vacuum` with
+          the version-retention horizon (this log retains by VERSION
+          COUNT plus tags/branches, not wall-clock hours — the grammar
+          says what the engine does).
+        """
+        import re
+
+        s = stmt.strip().rstrip(";")
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+(?P<t>[\w.]+)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+ZORDER\s+BY\s*\((?P<z>[\w\s,]+)\))?$",
+            s,
+        )
+        if m and s.upper().startswith("OPTIMIZE"):
+            if m["z"]:
+                if m["where"]:
+                    raise ValueError(
+                        "OPTIMIZE: ZORDER BY and WHERE are mutually "
+                        "exclusive (cluster_by rewrites the snapshot)"
+                    )
+                cols = [c.strip() for c in m["z"].split(",") if c.strip()]
+                return self.cluster_by(cols)
+            if m["where"]:
+                cond = m["where"]
+                cuts = _scan_top_keyword(cond, _kw_matcher("AND"))
+                conjs = []
+                pos = 0
+                for c in cuts:
+                    conjs.append(cond[pos:c])
+                    pos = c + 3
+                conjs.append(cond[pos:])
+                where: dict = {}
+                for conj in conjs:
+                    em = re.match(
+                        r"(?is)^\s*(\w+)\s*=\s*(?:'([^']*)'|(\S+))\s*$", conj
+                    )
+                    if em is None:
+                        raise ValueError(
+                            f"OPTIMIZE WHERE accepts only col = literal "
+                            f"conjuncts, got {conj!r}"
+                        )
+                    v: object = (
+                        em.group(2) if em.group(2) is not None else em.group(3)
+                    )
+                    if em.group(2) is None:
+                        try:
+                            v = int(v)  # type: ignore[arg-type]
+                        except ValueError:
+                            pass
+                    where[em.group(1)] = v
+                return self.compact(where=where)
+            return self.compact()
+        m = re.match(
+            r"(?is)^VACUUM\s+(?P<t>[\w.]+)"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?$",
+            s,
+        )
+        if m:
+            if m["n"] is not None:
+                return self.vacuum(keep_last=int(m["n"]))
+            return self.vacuum()
+        raise ValueError(
+            f"unsupported maintenance statement {stmt!r} — grammar: "
+            "OPTIMIZE <t> [WHERE <col = lit AND ...> | ZORDER BY (cols)] "
+            "| VACUUM <t> [RETAIN <n> VERSIONS]"
         )
 
     _ALTER_GRAMMAR = (
@@ -6652,7 +6892,7 @@ class VersionedTable:
         """
         if txn is not None and self.manifest().get("txns", {}).get(txn[0], -1) >= txn[1]:
             return self.latest_version()
-        df = self._enforce(df)
+        df = self._enforce(df, ingest=True)
         staged = self._write_files(df)
         staged_stats = self._staged_stats
         txn_dir = f"txn-{uuid.uuid4().hex[:12]}"

@@ -4117,3 +4117,79 @@ def p_mv_rollup_subset(spark, sf_dir):
         F.col("o_orderstatus").alias("status"),
         "n", "rev_fx", "lo_fx", "hi_fx",
     )
+
+
+@query(
+    "p_versioned_expectations",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderpriority AS tag FROM orders
+      WHERE o_orderpriority <> '5-LOW' AND o_orderstatus <> 'P'
+    ), quar AS (
+      SELECT CASE WHEN o_orderstatus = 'P'
+                  THEN 'prio_ok,status_ok' ELSE 'prio_ok' END AS tag
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT bucket, tag, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'live' AS bucket, tag FROM live
+      UNION ALL SELECT 'quarantine' AS bucket, tag FROM quar
+    ) GROUP BY bucket, tag
+    """,
+    doc=(
+        "INGEST EXPECTATIONS + QUARANTINE (round 13 — Delta Live "
+        "Tables expect_or_drop / expect-with-quarantine): two "
+        "expectations gate the orders ingest — prio_ok (violations "
+        "QUARANTINE to the <root>/quarantine sub-table, tagged with "
+        "every violated name) and status_ok (violations DROP). Two "
+        "batches commit; the result unions the LIVE per-priority "
+        "counts with the QUARANTINE per-tag counts, both read back "
+        "from versioned storage and oracled against DuckDB applying "
+        "the same predicates to the raw table. Drop-only rows appear "
+        "nowhere; doubly-bad rows carry both tags; the clean-batch "
+        "probe publishes no empty quarantine commits (asserted "
+        "in-query)."
+    ),
+    tags=("pipeline", "versioned", "quality"),
+)
+def p_versioned_expectations(spark, sf_dir):
+    import shutil
+
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ws = _tmp(f"versioned_expect_{base}")
+    shutil.rmtree(ws, ignore_errors=True)
+    t = VersionedTable(spark, ws)
+    t.add_expectation(
+        "prio_ok", "o_orderpriority <> '5-LOW'", on_violation="quarantine"
+    )
+    t.add_expectation(
+        "status_ok", "o_orderstatus <> 'P'", on_violation="drop"
+    )
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.commit_append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    q = t.quarantine_table()
+    qv = q.latest_version()
+    # a fully-clean batch must not publish an empty quarantine commit
+    t.commit_append(
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        ).limit(0)
+    )
+    if q.latest_version() != qv:
+        raise RuntimeError("clean batch published an empty quarantine commit")
+    live = t.read().select(
+        F.lit("live").alias("bucket"),
+        F.col("o_orderpriority").alias("tag"),
+    )
+    quar = q.read().select(
+        F.lit("quarantine").alias("bucket"),
+        F.col("__violated").alias("tag"),
+    )
+    return live.unionByName(quar).groupBy("bucket", "tag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
