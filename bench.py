@@ -122,6 +122,7 @@ PINNED_OFF_STDOUT = (
     "t_hybrid_rrf_topk",
     "p_versioned_cluster_string",
     "p_mv_rollup_subset",
+    "p_versioned_expectations",
 )
 
 # BASELINE.md pinned per-query baselines (sec, sf0.1) — the gate is
@@ -208,6 +209,7 @@ PINS = {
     "t_hybrid_rrf_topk": 2.39,                # draws 2.39/2.59
     "p_versioned_cluster_string": 2.37,       # draws 2.37/2.93
     "p_mv_rollup_subset": 12.98,              # draws 12.98/13.23 (composite-key refresh + 6 answer_sql paths, each an independent realtime fold by design)
+    "p_versioned_expectations": 1.94,         # draws 1.94/2.24 (3 gated ingest commits + quarantine read-back; ×10 smoke 1.0×)
 }
 
 # Rerunning more than this many breaches means the whole sweep ran on a

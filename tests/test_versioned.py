@@ -3845,7 +3845,7 @@ def test_execute_dml_alter_dispatcher(spark, root):
         t.execute_dml("ALTER TABLE t CLUSTER BY (k)")
     with pytest.raises(ValueError, match="one nesting level"):
         t.execute_dml("ALTER TABLE t DROP COLUMN a.b.c")
-    with pytest.raises(ValueError, match="DEFAULT is not supported"):
+    with pytest.raises(ValueError, match="DEFAULT/GENERATED are not supported"):
         t.execute_dml("ALTER TABLE t ADD COLUMN props.w INT DEFAULT 1")
 
 
