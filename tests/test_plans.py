@@ -143,6 +143,16 @@ BNLJ_ALLOWED = {
     # build side of the grid near-join; the candidate join itself is
     # an equi-join on the cell key
     "j_spatial_grid_join",
+    # round 13: the persisted-index serve reads the 1-ROW corpus_stats
+    # TABLE (n_docs, sum_dl) and crosses it on — the stored-rollup
+    # twin of t_bm25_topk's scalar aggregate (a table scan, so the
+    # HashAggregate(keys=[]) scalar proof cannot see it)
+    "t_index_bm25_topk",
+    # round 13: hybrid fusion inherits BOTH documented shapes — the
+    # dense side is sim_cosine_topk's broadcast 1-row query-batch
+    # crossJoin, the keyword side is t_bm25_topk's 1-row corpus-stats
+    # scalar; the RRF fusion join itself is a full-outer EQUI-join
+    "t_hybrid_rrf_topk",
 }
 
 
