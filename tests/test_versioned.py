@@ -4057,3 +4057,39 @@ def test_ingest_expectations_quarantine_lifecycle(spark, root):
         t.add_expectation("x", "k > 0", on_violation="fail")
     with pytest.raises(ValueError, match="already exists"):
         t.add_expectation("v_short", "true")
+
+
+def test_expectation_on_generated_column(spark, root):
+    """Expectations may gate on DERIVED features: the generated column
+    materializes before routing, so quarantined rows carry the
+    computed value; surviving provided-and-wrong values still raise."""
+    t = VersionedTable(spark, root)
+    t.commit_append(
+        spark.createDataFrame([(10, 2.0)], "k INT, x DOUBLE")
+    )
+    t.add_generated_column("x2", "double", "x * CAST(2 AS DOUBLE)")
+    t.add_expectation("x2_small", "x2 < 10.0", on_violation="quarantine")
+    t.commit_append(
+        spark.createDataFrame([(11, 3.0), (12, 50.0)], "k INT, x DOUBLE")
+    )
+    assert {r.k for r in t.read().collect()} == {10, 11}
+    q = t.quarantine_table().read().collect()
+    assert [(r.k, r.x2, r["__violated"]) for r in q] == [(12, 100.0, "x2_small")]
+    # surviving rows with a provided-and-wrong generated value raise
+    from unity_to_bigquery_spark.plans.versioned import (
+        ConstraintViolationError as CVE,
+    )
+    with pytest.raises(CVE, match="generated column"):
+        t.commit_append(
+            spark.createDataFrame(
+                [(13, 1.0, 5.0)], "k INT, x DOUBLE, x2 DOUBLE"
+            )  # 5.0 passes x2_small but is NOT x*2 -> validation raises
+        )
+    # a provided-and-wrong value that ALSO fails the expectation is
+    # captured raw in quarantine (review queue), not raised
+    t.commit_append(
+        spark.createDataFrame([(14, 1.0, 99.0)], "k INT, x DOUBLE, x2 DOUBLE")
+    )
+    assert (14, 99.0) in {
+        (r.k, r.x2) for r in t.quarantine_table().read().collect()
+    }

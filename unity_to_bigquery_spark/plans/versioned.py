@@ -4449,13 +4449,44 @@ class VersionedTable:
 
         With ``ingest=True`` (append/overwrite/replace/insert paths —
         NEVER rewrites of already-landed rows), INGEST EXPECTATIONS
-        (round 13, :meth:`add_expectation`) route first: rows failing a
-        ``drop`` expectation are discarded, rows failing a
-        ``quarantine`` one are appended to :meth:`quarantine_table`
-        tagged with the violated names; generated columns and CHECK
-        constraints then see only the surviving rows."""
+        (round 13, :meth:`add_expectation`) route after generated
+        columns MATERIALIZE (so an expectation may gate on a derived
+        feature — quarantined rows carry the computed value) but
+        before generated VALIDATION and CHECK constraints, which see
+        only the surviving rows: rows failing a ``drop`` expectation
+        are discarded, rows failing a ``quarantine`` one are appended
+        to :meth:`quarantine_table` tagged with the violated names."""
         m = self.manifest()
         from pyspark.sql.types import StructType
+
+        def _gen_expr(name: str, g: dict):
+            gexpr = F.expr(g["sql"])
+            dt = next(
+                (
+                    f.dataType
+                    for f in StructType.fromDDL(m["schema"]).fields
+                    if f.name == name
+                ),
+                None,
+            ) if m.get("schema") else None
+            return gexpr.cast(dt) if dt is not None else gexpr
+
+        gens = m.get("generated_columns") or {}
+        # materialize MISSING generated columns first — expectations
+        # and constraints may reference them; provided ones validate
+        # AFTER expectation routing (a provided-and-wrong value on a
+        # row an expectation quarantines is captured raw, not raised)
+        computed_here = []
+        for name, g in gens.items():
+            if recompute_generated and name in df.columns:
+                # rewrite paths (UPDATE/MERGE): the staged rows carry
+                # the PRE-update generated value — Delta recomputes
+                # generated columns whose source columns changed; so do
+                # we, unconditionally (same result when nothing moved)
+                df = df.drop(name)
+            if name not in df.columns:
+                df = df.withColumn(name, _gen_expr(name, g))
+                computed_here.append(name)
 
         exp = (m.get("expectations") or {}) if ingest else {}
         if exp:
@@ -4493,29 +4524,13 @@ class VersionedTable:
                     )
             df = df.filter(~any_v)
 
-        for name, g in (m.get("generated_columns") or {}).items():
-            gexpr = F.expr(g["sql"])
-            dt = next(
-                (
-                    f.dataType
-                    for f in StructType.fromDDL(m["schema"]).fields
-                    if f.name == name
-                ),
-                None,
-            ) if m.get("schema") else None
-            if dt is not None:
-                gexpr = gexpr.cast(dt)
-            if recompute_generated and name in df.columns:
-                # rewrite paths (UPDATE/MERGE): the staged rows carry
-                # the PRE-update generated value — Delta recomputes
-                # generated columns whose source columns changed; so do
-                # we, unconditionally (same result when nothing moved)
-                df = df.drop(name)
-            if name not in df.columns:
-                df = df.withColumn(name, gexpr)
+        for name, g in gens.items():
+            if name in computed_here:
                 continue
             bad = (
-                df.filter(~F.col(name).eqNullSafe(gexpr)).limit(1).collect()
+                df.filter(~F.col(name).eqNullSafe(_gen_expr(name, g)))
+                .limit(1)
+                .collect()
             )
             if bad:
                 raise ConstraintViolationError(
