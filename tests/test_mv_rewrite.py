@@ -384,3 +384,40 @@ def test_read_realtime_to_version_pin(spark, root):
         "SELECT k, COUNT(*) AS n FROM tt GROUP BY k", version=v1
     )
     assert used is False and df.first().n == 1
+
+
+def test_streamed_maintenance_composite_key(spark, root, tmp_path):
+    """The live-MV streaming sink drives a COMPOSITE-key rollup:
+    drained state ≡ the batch-refresh twin, realtime serving stays
+    exact mid-stream shapes included (append + delete commits)."""
+    from unity_to_bigquery_spark.streaming.stream import (
+        continuous_aggregate_stream,
+    )
+
+    t, agg = _make2(spark, root)
+    t.commit_append(
+        _df2(spark, [("p", "u", 1.0), ("p", "v", 2.0), ("q", "u", 3.0)])
+    )
+    t.delete_rows_where("x = 2.0")
+    t.commit_append(_df2(spark, [("p", "u", 7.0)]))
+    q = continuous_aggregate_stream(agg, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert agg.last_refreshed() == t.latest_version()
+    got = {
+        (r.a, r.b, r.n, r.s)
+        for r in agg.read().select("a", "b", "n", "s").collect()
+    }
+    assert got == {("p", "u", 2, 8000000), ("q", "u", 1, 3000000)}
+    # the drained state equals a from-scratch batch twin
+    twin = ContinuousAggregate(
+        spark, t, str(tmp_path / "twin"), ["a", "b"],
+        measures={"s": "x"},
+        min_measures={"lo": "x"},
+        max_measures={"hi": "x"},
+        handle_deletes=True,
+    )
+    twin.refresh()
+    assert got == {
+        (r.a, r.b, r.n, r.s)
+        for r in twin.read().select("a", "b", "n", "s").collect()
+    }
