@@ -481,3 +481,29 @@ def test_catalog_select_serves_from_attached_view(spark, tmp_path):
     assert again == fresh
     # non-matching shape still runs over pinned views
     assert cat.execute_sql("SELECT COUNT(*) AS n FROM ev").first().n == 4
+
+
+def test_catalog_show_and_describe(spark, tmp_path):
+    from unity_to_bigquery_spark.plans.table_catalog import (
+        CatalogError,
+        TableCatalog,
+    )
+
+    cat = _sql_cat(spark, tmp_path)
+    rows = cat.execute_sql("SHOW TABLES").collect()
+    assert [(r.table_name,) for r in rows] == [("users",)]
+    assert rows[0].pinned_version >= 1
+    sch = {
+        (r.col_name, r.data_type)
+        for r in cat.execute_sql("DESCRIBE users").collect()
+    }
+    assert sch == {("uid", "int"), ("name", "string")}
+    hist = cat.execute_sql("DESCRIBE HISTORY users").collect()
+    assert [r.version for r in hist][-1] == 1 and hist[-1].op == "append"
+    # never-written tables describe as empty, not an error
+    cat.execute_sql("CREATE TABLE empty_t")
+    assert cat.execute_sql("DESCRIBE empty_t").count() == 0
+    with pytest.raises(CatalogError, match="unknown table"):
+        cat.execute_sql("DESCRIBE nope")
+    with pytest.raises(CatalogError, match="SHOW TABLES"):
+        cat.execute_sql("SHOW PARTITIONS users")

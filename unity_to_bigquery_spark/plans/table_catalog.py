@@ -357,7 +357,12 @@ class TableCatalog:
           dispatched to the table's own ``execute_dml``; a MERGE whose
           ``USING <name>`` names a catalog table resolves the source
           from the catalog automatically (or pass ``source=``).
-        - ``SELECT ...`` — returns the DataFrame over catalog views.
+        - ``SELECT ...`` — returns the DataFrame over catalog views
+          (served from an attached rollup when one matches the shape —
+          :meth:`attach_view`).
+        - ``SHOW TABLES`` / ``DESCRIBE [HISTORY] <t>`` — registered
+          tables with pins / the table's schema / its commit history
+          (``meta_snapshots``), all metadata-only.
 
         With ``txn`` (a :class:`CatalogTransaction`): writes stage on
         the transaction's branches and land all-or-nothing at its
@@ -368,6 +373,47 @@ class TableCatalog:
         s = stmt.strip().rstrip(";")
         head = s.split(None, 1)
         kw = head[0].upper() if head else ""
+        if kw == "SHOW":
+            if not re.match(r"(?is)^SHOW\s+TABLES$", s):
+                raise CatalogError(
+                    f"unsupported SHOW statement {stmt!r} (SHOW TABLES)"
+                )
+            e = self.entry()
+            return self.spark.createDataFrame(
+                [(n, int(v)) for n, v in sorted(e["tables"].items())],
+                "table_name STRING, pinned_version INT",
+            )
+        if kw == "DESCRIBE" or kw == "DESC":
+            m = re.match(
+                r"(?is)^DESC(?:RIBE)?\s+(?:(?P<hist>HISTORY)\s+)?"
+                r"(?P<name>\w+)$",
+                s,
+            )
+            if m is None:
+                raise CatalogError(
+                    f"unsupported DESCRIBE statement {stmt!r} — grammar: "
+                    "DESCRIBE [HISTORY] <table>"
+                )
+            if m["name"] not in self.entry()["tables"]:
+                raise CatalogError(f"unknown table {m['name']!r}")
+            t = VersionedTable(self.spark, self._table_root(m["name"]))
+            if m["hist"]:
+                return t.meta_snapshots()
+            from pyspark.sql.types import StructType
+
+            schema = t.manifest().get("schema")
+            fields = (
+                [
+                    (f.name, f.dataType.simpleString())
+                    for f in StructType.fromDDL(schema).fields
+                ]
+                if schema
+                else []
+            )
+            return self.spark.createDataFrame(
+                fields or [("", "")],
+                "col_name STRING, data_type STRING",
+            ).filter("col_name != ''")
         if kw == "SELECT" or kw == "WITH":
             served = self._try_mv(s)
             if served is not None:
