@@ -79,8 +79,17 @@ def bm25_topk(
     tiebreak on the top-k.
     """
     ex = exploded_terms(docs, text=text, id_col=id_col)
+    # Repartition the (tiny, post-filter) matching-token stream by the
+    # DOC id before the (id, dl, term) aggregate: HashPartitioning(id)
+    # satisfies the clustered distribution of BOTH this aggregate AND
+    # the final per-document sum in bm25_score_topk, so the whole
+    # score path runs with ONE wide exchange instead of two (2
+    # Exchange -> 1; optimization round r13, guide §2.4). The id key is
+    # skew-free (each doc contributes at most its own matching-token
+    # count), unlike a term key.
     qp = (
         ex.filter(F.col("term").isin(list(terms)))
+        .repartition(F.col(id_col))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -107,7 +116,12 @@ def bm25_score_topk(
     persisted ``BM25Index`` serve path score through the SAME
     expression tree — identical doubles, identical fold, bit-identical
     fixed-point results on an equal corpus."""
-    scored = qp.join(F.broadcast(dfs), "term").crossJoin(F.broadcast(stats))
+    # ONE broadcast build instead of two (optimization round r13): the
+    # per-term df rows and the 1-row corpus stats merge into a single
+    # tiny broadcast relation (n_query_terms rows), halving the
+    # broadcast-exchange jobs on the serve path. Join output rows and
+    # every scoring expression are unchanged — bit-identical scores.
+    scored = qp.join(F.broadcast(dfs.crossJoin(stats)), "term")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

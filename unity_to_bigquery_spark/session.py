@@ -67,6 +67,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Ad-hoc conf passthrough for A/B measurement and cluster tuning:
+    # "k1=v1;k2=v2". Applied before extra_conf so programmatic callers
+    # still win.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
