@@ -40,8 +40,8 @@ def _race(monkeypatch, t, action, times=1):
     orig = t._write_files
     state = {"left": times}
 
-    def write_then_race(df):
-        staged = orig(df)
+    def write_then_race(df, **kw):
+        staged = orig(df, **kw)
         if state["left"] > 0:
             state["left"] -= 1
             action()

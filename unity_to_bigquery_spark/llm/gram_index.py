@@ -93,8 +93,22 @@ class GramIndex:
         n_occ, bucket, src_version. The hash happens in the cutting
         projection — window text never reaches an exchange."""
         k, stride = self.k, self.stride
+        # Repartition by doc BEFORE the window explode (CLAUDE.md rule
+        # 5 / r13-opt): build/refresh inputs are often one or two
+        # parquet files (the demo sources commit coalesce(1) for
+        # positional determinism), so without this the md5-per-window
+        # extraction — the index's dominant compute — runs on 1-2
+        # cores. The exchange is a net WIN, not an extra one:
+        # hash(doc_id) satisfies the groupBy(doc_id, gh) clustered
+        # distribution (subset rule), so the post-explode aggregation
+        # exchange disappears and the one shuffle left carries raw
+        # text bytes instead of the wider exploded gram-row stream.
+        n_part = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
         grams = (
             docs.filter(F.col(self.len_col) >= k)
+            .repartition(n_part, self.id_col)
             .select(
                 self.id_col,
                 self.text_col,

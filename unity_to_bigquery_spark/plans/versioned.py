@@ -4272,10 +4272,26 @@ class VersionedTable:
                     out[name] = [min(cur[0], lo), max(cur[1], hi)]
         return out
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(self, df: DataFrame, distribute: bool = True) -> list[str]:
         """Stage immutable data files under a unique txn directory;
         returns root-relative paths. Nothing is visible to readers
-        until a manifest referencing these files is published."""
+        until a manifest referencing these files is published.
+
+        ``distribute`` (spec'd tables only) hash-clusters rows by the
+        partition-dir values before the write — Iceberg's
+        ``write.distribution-mode=hash``. Without it a partitionBy
+        write fans out to (input tasks x live partition tuples) small
+        files, each opened/closed serially inside its task (measured
+        r13-opt: 3 single-input-task commits staged 305 files, ~23 ms
+        per file, ~2.8 s per commit wall). The explicit partition
+        count (the shuffle.partitions conf, the session's documented
+        scale knob) stops AQE coalescing the tiny-demo exchange back
+        to 1-2 tasks; with it, files-per-commit == live tuples and the
+        writes run in parallel. Pre-arranged writers (compact /
+        cluster_by rewrites, which repartition+sort themselves) pass
+        ``distribute=False``. A pathologically hot partition value
+        still lands in one task — the same trade Iceberg hash mode
+        makes; range/salted distribution is the documented escape."""
         txn = uuid.uuid4().hex[:12]
         target = os.path.join(self.root, DATA_DIR, f"txn-{txn}")
         # The grading/host session may predate our factory's conf:
@@ -4291,6 +4307,11 @@ class VersionedTable:
                 dir_col = _PART_DIR_PREFIX + fld["name"]
                 df = df.withColumn(dir_col, _spec_expr(fld, df))
                 dir_cols.append(dir_col)
+            if distribute:
+                df = df.repartition(
+                    int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+                    *dir_cols,
+                )
         else:
             dir_cols = []
         # column mapping: files store PHYSICAL names. Mapped columns
@@ -7126,7 +7147,7 @@ class VersionedTable:
             df = self._zorder_plan(df, so["cols"], so["bits"], target_files)
         else:
             df = df.coalesce(target_files)
-        staged = self._write_files(df)
+        staged = self._write_files(df, distribute=False)
         # optimistic publish (round 12): an append during compaction is
         # never a conflict — the rebase carries the new files alongside
         # the compacted ones (added_conflict=None); a concurrent rewrite
@@ -7185,7 +7206,7 @@ class VersionedTable:
         so = snap.get("sort_order")
         if so and so.get("type") == "zorder":
             df = df.sortWithinPartitions(*so["cols"])
-        staged = self._write_files(df)
+        staged = self._write_files(df, distribute=False)
         # optimistic publish (round 12): appends rebase in, scope-file
         # rewrites/deletes abort — same rules as full compact
         return self._publish_rewrite(
@@ -7222,7 +7243,7 @@ class VersionedTable:
             snap, snap["files"], with_lineage=self._has_lineage(snap)
         )
         clustered = self._zorder_plan(df, cols, bits, target_files)
-        staged = self._write_files(clustered)
+        staged = self._write_files(clustered, distribute=False)
         self._sort_order_override = {
             "type": "zorder", "cols": list(cols), "bits": int(bits),
         }
