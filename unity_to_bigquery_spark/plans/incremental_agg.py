@@ -337,7 +337,15 @@ class ContinuousAggregate:
         # saves. At real scale the delta fold is aggregate-sized (one
         # row per touched key) either way — revisit persist only if a
         # wide-key workload shows the double execution in job timings.
-        self.table.merge_upsert(updates, self.key, txn=(_APP, now))
+        # r13 optimization round: for APPEND-ONLY windows the probe is
+        # gone entirely — the window's added files bound the touched
+        # keys from manifest stats alone (single source-column keys;
+        # the synthesized CKEY has no source stats), so the fold plan
+        # executes exactly once, at the write.
+        kb = None
+        if self.key != self.CKEY and self.source.window_is_append_only(last, now):
+            kb = self.source.window_added_stat_bounds(self.key, last, now)
+        self.table.merge_upsert(updates, self.key, txn=(_APP, now), key_bounds=kb)
         return now
 
     def _folded_state(self, last: int, now: int) -> DataFrame:
@@ -346,7 +354,18 @@ class ContinuousAggregate:
         pure plan (shared by ``read_realtime``, which unions it with
         the untouched stored rows instead of committing)."""
         has_extrema = bool(self.min_measures or self.max_measures)
-        if self.handle_deletes:
+        # Append-only windows take the UNSIGNED path even under
+        # handle_deletes (r13 optimization round): the manifest proves
+        # no commit in (last, now] retracts anything, so the typed feed
+        # is all inserts, the signed fold degenerates to the plain one
+        # (__del_* all NULL) and _merge_extrema's rescan probe — a
+        # driver job that re-executes the whole fold plan — can never
+        # fire. Bit-identical by construction; skips one full fold
+        # execution + one job per append-page refresh.
+        use_signed = self.handle_deletes and not self.source.window_is_append_only(
+            last, now
+        )
+        if use_signed:
             d = self._delta_agg_signed(
                 self.source.changes_with_type(last, now, max_commits=now - last)
             )
@@ -372,17 +391,17 @@ class ContinuousAggregate:
                 *[
                     F.col(f"d.__del_lo_{m}")
                     for m in self.min_measures
-                    if self.handle_deletes
+                    if use_signed
                 ],
                 *[
                     F.col(f"d.__del_hi_{m}")
                     for m in self.max_measures
-                    if self.handle_deletes
+                    if use_signed
                 ],
                 *state_cols,
             )
             if has_extrema:
-                if self.handle_deletes:
+                if use_signed:
                     updates = self._merge_extrema(merged, now).select(*cols)
                 else:
                     updates = merged.select(
@@ -399,7 +418,7 @@ class ContinuousAggregate:
             else:
                 updates = merged.select(*cols)
         else:
-            if has_extrema and self.handle_deletes:
+            if has_extrema and use_signed:
                 # first fold may still contain deletes (e.g. a window
                 # spanning append+delete commits): NULL state columns
                 # make the rescan predicate vacuous, least/greatest of

@@ -3010,6 +3010,39 @@ class VersionedTable:
                 return False
         return True
 
+    def window_added_stat_bounds(
+        self, col: str, since_version: int, to_version: int
+    ) -> tuple | None:
+        """Conservative ``(lo, hi)`` of ``col`` over every file ADDED by
+        commits in ``(since, to]``, from manifest stats alone — no Spark
+        job (r13 optimization round). For an APPEND-ONLY window these
+        files hold exactly the window's touched rows, so the bounds are
+        a sound superset of any window-derived key set — what
+        ``merge_upsert(key_bounds=...)`` needs for file pruning without
+        executing the updates plan a second time. Returns ``None`` when
+        unknown (a window file lacks stats for ``col``) so callers fall
+        back to the probing job; ``(None, None)`` when the window added
+        no files (empty delta)."""
+        lo = hi = None
+        prev = (
+            set(self.manifest(since_version)["files"])
+            if since_version > 0
+            else set()
+        )
+        for v in range(since_version + 1, to_version + 1):
+            m = self.manifest(v)
+            cur = set(m["files"])
+            stats = m.get("stats", {})
+            pcol = self._phys_name(m, col)
+            for f in cur - prev:
+                s = stats.get(f, {}).get(pcol)
+                if s is None:
+                    return None
+                lo = s[0] if lo is None or s[0] < lo else lo
+                hi = s[1] if hi is None or s[1] > hi else hi
+            prev = cur
+        return (lo, hi)
+
     def changes_final_state(
         self,
         key: str,
@@ -5656,6 +5689,7 @@ class VersionedTable:
         key: str,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        key_bounds: tuple | None = None,
     ) -> int:
         """Row-level MERGE (upsert by ``key``): rows whose key matches an
         update are replaced, unmatched existing rows are untouched,
@@ -5701,15 +5735,27 @@ class VersionedTable:
                     "(pass merge_schema=True for additive evolution)"
                 )
             schema_out = self._merged_schema(snap["schema"], updates)
-        bounds = updates.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
-        ).first()
+        # ``key_bounds`` (r13 optimization round): a caller who can
+        # bound the updates' key range from metadata (e.g. an IVM
+        # refresh whose window is append-only bounds it with
+        # window_added_stat_bounds) skips the probing job below — which
+        # EXECUTES the whole updates plan once just for min/max — and
+        # the fold plan runs exactly once, at the write. Bounds must be
+        # a conservative superset: pruning only selects candidate
+        # files, the anti-join still decides exact rows.
+        if key_bounds is not None:
+            lo, hi = key_bounds
+        else:
+            bounds = updates.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            lo, hi = bounds["lo"], bounds["hi"]
         # _iso_norm: timestamp/date keys arrive as driver datetimes but
         # manifest stats store ISO strings — normalize before pruning or
         # the comparison TypeErrors (ADVICE r2).
         touched, _ = (
-            self._prune(snap, key, _iso_norm(bounds["lo"]), _iso_norm(bounds["hi"]))
-            if bounds["lo"] is not None
+            self._prune(snap, key, _iso_norm(lo), _iso_norm(hi))
+            if lo is not None
             else ([], 0)
         )
         untouched = [f for f in snap["files"] if f not in set(touched)]
