@@ -6706,6 +6706,17 @@ class VersionedTable:
             if f.endswith(".parquet")
         ]
         staged_keys = self.spark.read.parquet(target)
+        # key bounds from the staged delete file's OWN parquet footer
+        # (r13 optimization round): the file is already on disk, so the
+        # min/max the retraction count needs for pruning is a driver-
+        # side footer read, not a Spark job. Missing stats (exotic key
+        # types) fall back to the probing job inside _retraction_counts.
+        staged_bounds = None
+        fst = self._file_stats(os.path.join(self.root, DATA_DIR, rel[0]))
+        if fst.get("__nrows") == 0:
+            staged_bounds = (None, None)  # empty delete: retracts nothing
+        elif len(rel) == 1 and key in fst:
+            staged_bounds = tuple(fst[key])
         for _ in range(20):
             base = self.manifest()
             if not base["files"]:
@@ -6715,7 +6726,9 @@ class VersionedTable:
             # per retry, so a racing delete of overlapping keys can
             # never double-count (the loser recounts live rows under
             # the winner's entry). Powers metadata-only COUNT(*).
-            counts = self._retraction_counts(base, staged_keys, key)
+            counts = self._retraction_counts(
+                base, staged_keys, key, bounds=staged_bounds
+            )
             entry = [
                 {"file": r, "key": key, "version": base["version"] + 1} for r in rel
             ]
@@ -6741,7 +6754,7 @@ class VersionedTable:
     _RC_FILE_CAP = 10_000
 
     def _retraction_counts(
-        self, base: dict, keys_df: DataFrame, key: str
+        self, base: dict, keys_df: DataFrame, key: str, bounds: tuple | None = None
     ) -> dict | None:
         """Per-live-file count of rows a new equality delete retracts
         under ``base``: candidate files pruned by the key bounds, prior
@@ -6749,10 +6762,16 @@ class VersionedTable:
         re-counted), broadcast semi-join against the staged key set,
         grouped by file. Returns {} when nothing matches, None past the
         candidate cap."""
-        b = keys_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        if b is None or b["lo"] is None:
+        if bounds is not None:
+            lo, hi = bounds
+        else:
+            b = keys_df.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            lo, hi = (None, None) if b is None else (b["lo"], b["hi"])
+        if lo is None:
             return {}
-        cand, _ = self._prune(base, key, _iso_norm(b["lo"]), _iso_norm(b["hi"]))
+        cand, _ = self._prune(base, key, _iso_norm(lo), _iso_norm(hi))
         if not cand:
             return {}
         if len(cand) > self._RC_FILE_CAP:
