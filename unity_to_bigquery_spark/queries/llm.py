@@ -2240,10 +2240,12 @@ def m_warc_extract_verified(spark, sf_dir):
         "MEMBER-RANGE partitions from the index — executors seek "
         "straight to their byte span, so one archive splits across "
         "tasks and planning never touches archive bytes. "
-        "members_per_partition=40 forces multiple partitions per "
-        "file (split-correctness is what the oracle hashes: every "
-        "record must appear exactly once across partition "
-        "boundaries). Body integrity pinned via per-record first/"
+        "members_per_partition=300 still forces multiple partitions "
+        "per ~625-record file (split-correctness is what the oracle "
+        "hashes: every record must appear exactly once across "
+        "partition boundaries); 40 made ~125 near-empty Python-source "
+        "tasks whose per-task worker handshake dominated (r13 "
+        "optimization round). Body integrity pinned via per-record first/"
         "last-byte probes (hex->conv on BINARY) and lengths; full "
         "byte sums are m_warc_extract_verified's job."
     ),
@@ -2275,7 +2277,7 @@ def m_warc_source_scan(spark, sf_dir):
     df = (
         spark.read.format("warc")
         .option("path", root)
-        .option("members_per_partition", "40")
+        .option("members_per_partition", "300")
         .load()
     )
     resp = df.filter(F.col("warc_type") == "response")
@@ -4118,10 +4120,12 @@ def m_flac_decode_verified(spark, sf_dir):
         "hands executors member ranges; each member read verifies the "
         "local header against its CD entry, inflates (STORED + raw-"
         "deflate), and checks CRC-32 and size. "
-        "members_per_partition=40 forces multiple partitions per "
-        "archive, so split-correctness (every member exactly once "
-        "across partition boundaries) is what the oracle hashes, "
-        "alongside first/last-byte content probes."
+        "members_per_partition=300 still forces multiple partitions "
+        "per ~2.2k-member archive, so split-correctness (every member "
+        "exactly once across partition boundaries) is what the oracle "
+        "hashes, alongside first/last-byte content probes; 40 made "
+        "~440 near-empty Python-source tasks whose per-task worker "
+        "handshake dominated the scan (r13 optimization round)."
     ),
     tags=("multimodal", "source", "datasource"),
 )
@@ -4150,7 +4154,7 @@ def m_zip_source_scan(spark, sf_dir):
     df = (
         spark.read.format("zipindex")
         .option("path", root)
-        .option("members_per_partition", "40")
+        .option("members_per_partition", "300")
         .load()
     )
     return (
@@ -5037,7 +5041,7 @@ def p_crawl_corpus(spark, sf_dir):
     resp = (
         spark.read.format("warc")
         .option("path", root)
-        .option("members_per_partition", "40")
+        .option("members_per_partition", "300")
         .load()
         .filter(F.col("warc_type") == "response")
     )
