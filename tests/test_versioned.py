@@ -277,8 +277,8 @@ def test_compact_rebases_over_concurrent_append(spark, root, monkeypatch):
     t.commit_append(_df(spark, [(1, "a")]))
     orig = t._write_files
 
-    def write_then_race(df):
-        staged = orig(df)
+    def write_then_race(df, **kw):
+        staged = orig(df, **kw)
         # an append sneaks in after compaction read its snapshot
         VersionedTable(spark, root).commit_append(_df(spark, [(99, "sneak")]))
         return staged
@@ -350,8 +350,8 @@ def test_merge_upsert_into_empty_and_aborts_on_race(spark, root, monkeypatch):
     assert v == 1 and _rows(t.read()) == [(1, "a")]
     orig = t._write_files
 
-    def write_then_race(df):
-        staged = orig(df)
+    def write_then_race(df, **kw):
+        staged = orig(df, **kw)
         VersionedTable(spark, root).commit_append(_df(spark, [(50, "sneak")]))
         return staged
 
@@ -1885,12 +1885,14 @@ def test_month_year_transforms(spark, root):
     stats = [m["stats"][f] for f in m["files"]]
     months = sorted(s["part:ts_month"] for s in stats)
     years = sorted({s["part:ts_year"] for s in stats})
-    # 2023-12 = (2023-1970)*12+11 = 647; 2024-01 = 648; 2024-02 = 649
-    assert months == ["647", "648", "649", "649"]
+    # 2023-12 = (2023-1970)*12+11 = 647; 2024-01 = 648; 2024-02 = 649.
+    # Partitioned commits hash-distribute by the partition dirs (r13
+    # opt): ONE file per live partition tuple — both Feb rows share 649
+    assert months == ["647", "648", "649"]
     assert years == ["2023", "2024"]
     # pruning: a Feb-2024 date keeps only month-649 files, result exact
     kept, skipped = t.prune_files_parts({"ts": dt.date(2024, 2, 15)})
-    assert skipped == 2 and len(kept) == 2
+    assert skipped == 2 and len(kept) == 1
     got = sorted(
         r.k for r in t.read_pruned_parts({"ts": dt.date(2024, 2, 29)}).collect()
     )
@@ -3710,8 +3712,8 @@ def test_cluster_by_rebases_over_append(spark, root, monkeypatch):
     ))
     orig = t._write_files
 
-    def write_then_race(df):
-        staged = orig(df)
+    def write_then_race(df, **kw):
+        staged = orig(df, **kw)
         VersionedTable(spark, root).commit_append(
             spark.createDataFrame([(999, 0)], "k INT, v INT")
         )
