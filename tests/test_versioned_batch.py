@@ -156,6 +156,37 @@ def test_sql_front_door_time_travel(spark, root):
     assert t.table_changes(2).count() == 1
 
 
+def test_batch_arrow_fast_path_no_fallback(spark, root):
+    """The vectorized executor (_read_arrow) must handle the full
+    non-struct semantics set DIRECTLY — eq-deletes (null keys never
+    match), positional deletes, rename, additive evolution NULL-fill,
+    initial default, int→long promotion — with no silent row-loop
+    fallback (this calls it without the try/except)."""
+    from unity_to_bigquery_spark.sources.versioned_batch import (
+        make_batch_reader,
+    )
+
+    t = _mk(spark, root)
+    t.delete_rows_where("k = 3", mode="mor")  # positional
+    t.commit_delete_where(spark.createDataFrame([(102,)], "k INT"), "k")
+    t.add_column("note", "string", default="'n/a'")
+    t.commit_append(
+        spark.createDataFrame(
+            [(999, "z", 0.0, "real")],
+            "k INT, tag STRING, x DOUBLE, note STRING",
+        ).coalesce(1)
+    )
+    t.rename_column("tag", "label")
+    t.promote_column("k", "bigint")
+    reader = make_batch_reader({"path": root}, t.read().schema)
+    assert reader._pa_schema is not None
+    rows = set()
+    for part in reader.partitions():
+        out = reader._read_arrow(part)  # raises on any fallback shape
+        rows |= {tuple(r.values()) for r in out.to_pylist()}
+    assert rows == {tuple(r) for r in t.read().collect()}
+
+
 def test_batch_empty_snapshot_and_schemaless(spark, root, tmp_path):
     t = _mk(spark, root, nchunks=1)
     t.delete_rows_where("k >= 0", mode="rewrite")

@@ -121,7 +121,7 @@ class VersionedTableBatchReader(DataSourceReader):
     """Snapshot/time-travel batch reader (one InputPartition per live
     file). Never defines ``pushFilters`` — see module docstring."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         import os
 
         from unity_to_bigquery_spark.plans.versioned import DATA_DIR
@@ -136,6 +136,18 @@ class VersionedTableBatchReader(DataSourceReader):
             )
         self._files = list(self._m["files"])
         self._data_dir = os.path.join(self.root, DATA_DIR)
+        # Arrow fast path (guide §4.2): the declared StructType, when
+        # Spark hands it over, converts (pure-Python) to the arrow
+        # schema the JVM expects, letting read() yield RecordBatches
+        # instead of per-row tuples. None → row path.
+        self._pa_schema = None
+        if schema is not None:
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                self._pa_schema = to_arrow_schema(schema)
+            except Exception:  # noqa: BLE001 — unconvertible type
+                self._pa_schema = None
 
     # -- plan ----------------------------------------------------------
     def partitions(self):
@@ -203,11 +215,71 @@ class VersionedTableBatchReader(DataSourceReader):
         ]
 
     # -- execute -------------------------------------------------------
+    def _read_arrow(self, partition):
+        """Vectorized executor (guide §4.2): dead-ordinal take + eq-
+        delete anti-filter + column assembly in pyarrow, returning one
+        fully-materialized Table cast to the declared arrow schema (so
+        any unsupported shape raises BEFORE a batch is yielded and the
+        caller can fall back to the row loop). Struct rebuilds and
+        struct defaults stay on the row path — their dict→tuple
+        semantics don't map to a plain cast."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if partition.struct_specs:
+            raise ValueError("struct rebuild: row path")
+        tbl = pq.read_table(partition.path)
+        if partition.pos_anti:
+            dead = pos_ordinals(partition.pos_anti)
+            if dead:
+                tbl = tbl.take(
+                    [i for i in range(tbl.num_rows) if i not in dead]
+                )
+        for p, k, rk in partition.anti:
+            keys = pq.read_table(p, columns=[k]).column(0)
+            keys = keys.combine_chunks().drop_null()
+            col = tbl.column(rk)
+            if keys.type != col.type:
+                keys = keys.cast(col.type)
+            # NULL row values never match (SQL join-on-key semantics):
+            # the key set is null-free, so is_in(null) is false/null —
+            # fill_null(False) keeps those rows, same as the row loop
+            hit = pc.fill_null(pc.is_in(col, value_set=keys), False)
+            tbl = tbl.filter(pc.invert(hit))
+        n = tbl.num_rows
+        target = self._pa_schema
+        cols = []
+        for i, pf in enumerate(partition.fields):
+            ftype = target.field(i).type
+            if i in partition.fills:
+                v = partition.fills[i]
+                if isinstance(v, (tuple, dict)):
+                    raise ValueError("struct default: row path")
+                cols.append(
+                    pa.nulls(n, ftype)
+                    if v is None
+                    else pc.cast(pa.array([v] * n), ftype)
+                )
+            elif pf not in tbl.column_names:
+                cols.append(pa.nulls(n, ftype))  # additive evolution
+            else:
+                cols.append(tbl.column(pf).cast(ftype))
+        return pa.table(cols, schema=target)
+
     def read(self, partition):
         import pyarrow.parquet as pq
 
         if partition.path is None:
             return
+        if self._pa_schema is not None:
+            try:
+                out = self._read_arrow(partition)
+            except Exception:  # noqa: BLE001 — fall back row-at-a-time
+                out = None
+            if out is not None:
+                yield from out.to_batches()
+                return
         anti = [
             (set(pq.read_table(p, columns=[k]).column(0).to_pylist()), rk)
             for p, k, rk in partition.anti
@@ -324,11 +396,11 @@ class VersionedTableCDFReader(DataSourceReader):
         return self._sr.read(partition)
 
 
-def make_batch_reader(options):
+def make_batch_reader(options, schema=None):
     if str(
         options.get("readchangefeed", options.get("readChangeFeed", "false"))
     ).lower() == "true":
         return VersionedTableCDFReader(options)
     if str(options.get("pushdown", "false")).lower() == "true":
-        return PushdownSnapshotReader(options)
-    return VersionedTableBatchReader(options)
+        return PushdownSnapshotReader(options, schema)
+    return VersionedTableBatchReader(options, schema)

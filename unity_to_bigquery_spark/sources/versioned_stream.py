@@ -152,7 +152,7 @@ class VersionedTableDataSource(DataSource):
             make_batch_reader,
         )
 
-        return make_batch_reader(self.options)
+        return make_batch_reader(self.options, schema)
 
 
 def _ddl_field_names(ddl: str) -> list[str]:
