@@ -3758,13 +3758,18 @@ def p_release_funnel(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.filter(F.col("n_chars").between(100, 10000))
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_surv = (
+        quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     scrub_rm = (
         minhash_lsh_pairs_df(docs, k=16, bands=4)
         .filter(F.col("jaccard6") >= 850000)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
-        .withColumn("__rm", F.lit(True))
     )
+    scrubbed = exact_surv.join(scrub_rm, "doc_id", "left_anti")
     sh = with_shingles(docs, n=3).select("doc_id", F.explode("sh").alias("s"))
     is_bench = F.col("doc_id") % 97 == 0
     bench = sh.filter(is_bench).select("s").distinct()
@@ -3773,50 +3778,22 @@ def p_release_funnel(spark, sf_dir):
         .join(F.broadcast(bench), "s", "left_semi")
         .select("doc_id")
         .distinct()
-        .withColumn("__ct", F.lit(True))
     )
-    # One pass computes every surviving-stage flag per quality doc
-    # (union-of-5-counts recomputed the window dedup per branch and the
-    # LSH scrub twice — Catalyst does no CSE across union branches).
-    # Same subsets by construction: exact = rn 1 per content hash among
-    # quality docs; scrubbed = exact minus LSH removals; final =
-    # scrubbed minus held-out docs minus shingle-contaminated.
-    flags = (
-        quality.select(
-            "doc_id", (F.row_number().over(w) == 1).alias("__exact")
+    final = (
+        scrubbed.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+    )
+
+    def stage(i, name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).alias("stage"), F.lit(name).alias("name"), "n_docs"
         )
-        .join(scrub_rm, "doc_id", "left")
-        .join(contaminated, "doc_id", "left")
-        .select(
-            F.col("__exact"),
-            (F.col("__exact") & F.col("__rm").isNull()).alias("__scrubbed"),
-            (
-                F.col("__exact")
-                & F.col("__rm").isNull()
-                & ~is_bench
-                & F.col("__ct").isNull()
-            ).alias("__final"),
-        )
-    )
-    counts = flags.agg(
-        F.count(F.lit(1)).cast("long").alias("__n2"),
-        F.coalesce(F.sum(F.col("__exact").cast("long")), F.lit(0))
-        .cast("long")
-        .alias("__n3"),
-        F.coalesce(F.sum(F.col("__scrubbed").cast("long")), F.lit(0))
-        .cast("long")
-        .alias("__n4"),
-        F.coalesce(F.sum(F.col("__final").cast("long")), F.lit(0))
-        .cast("long")
-        .alias("__n5"),
-    )
-    raw = docs.agg(F.count(F.lit(1)).cast("long").alias("__n1"))
-    return raw.crossJoin(counts).selectExpr(
-        "stack(5, 1, 'raw', __n1,"
-        " 2, 'quality_filter', __n2,"
-        " 3, 'exact_dedup', __n3,"
-        " 4, 'neardup_scrub', __n4,"
-        " 5, 'decontaminated_release', __n5) AS (stage, name, n_docs)"
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "quality_filter", quality))
+        .unionByName(stage(3, "exact_dedup", exact_surv))
+        .unionByName(stage(4, "neardup_scrub", scrubbed))
+        .unionByName(stage(5, "decontaminated_release", final))
     )
 
 
