@@ -2297,3 +2297,52 @@ def test_dml_sink_blank_statement_skips(spark, tmp_path):
     for stmt in (None, "", "   \n\t"):
         dml_sink(t, "app", lambda b, i, s=stmt: s)(batch, 0)
     assert t.latest_version() == v0
+
+
+def test_stream_arrow_fast_path_no_fallback(spark, tmp_path):
+    """The vectorized stream executor (_read_arrow) must handle the CDC
+    semantics set DIRECTLY — insert frames, delete retractions
+    (match_any), eq-anti exclusion, pos-delete ordinals, row-lineage
+    ids (phys AND base+ordinal) — with no silent row-loop fallback
+    (calls it without the try/except) and bit-equal rows vs the row
+    loop itself."""
+    from unity_to_bigquery_spark.plans.versioned import VersionedTable
+    from unity_to_bigquery_spark.sources.versioned_stream import (
+        VersionedTableDataSource,
+        VersionedTableStreamReader,
+        _CDCFilePartition,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(spark, root, row_lineage=True)
+    t.commit_append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k INT, v STRING"
+        ).coalesce(1)
+    )
+    t.commit_delete_where(
+        spark.createDataFrame([(3,), (7,)], "k INT"), "k"
+    )
+    t.delete_rows_where("k = 11", mode="mor")  # positional
+    t.merge_upsert(
+        spark.createDataFrame([(2, "V2"), (99, "new")], "k INT, v STRING"),
+        key="k",
+    )
+    opts = {"path": root, "emit_change_types": "true", "emit_row_ids": "true"}
+    ds = VersionedTableDataSource(opts)
+    schema_ddl = ds.schema()
+    struct = spark.createDataFrame([], schema_ddl).schema
+    sr = VersionedTableStreamReader(opts, struct)
+    assert sr._pa_schema is not None
+    parts = sr._cdc_partitions(0, t.latest_version(), t.manifest())
+    assert any(isinstance(p, _CDCFilePartition) for p in parts)
+    got = set()
+    for p in parts:
+        out = sr._read_arrow(p)  # raises on any fallback shape
+        got |= {tuple(r.values()) for r in out.to_pylist()}
+        # bit-equality against the row loop for the same partition
+        row_sr = VersionedTableStreamReader(opts)  # no schema: row path
+        assert {tuple(r) for r in row_sr.read(p)} == {
+            tuple(r.values()) for r in out.to_pylist()
+        }
+    assert got  # the window is non-trivial

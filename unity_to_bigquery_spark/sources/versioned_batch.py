@@ -368,12 +368,12 @@ class VersionedTableCDFReader(DataSourceReader):
     executor path — batch CDF and streamed CDC cannot diverge because
     they are the same code."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         root = options["path"]
         so = {"path": root, "emit_change_types": "true"}
         if options.get("branch"):
             so["branch"] = options["branch"]
-        self._sr = VersionedTableStreamReader(so)
+        self._sr = VersionedTableStreamReader(so, schema)
         self.v1 = int(
             options.get("startingversion", options.get("startingVersion", 0))
         )
@@ -400,7 +400,7 @@ def make_batch_reader(options, schema=None):
     if str(
         options.get("readchangefeed", options.get("readChangeFeed", "false"))
     ).lower() == "true":
-        return VersionedTableCDFReader(options)
+        return VersionedTableCDFReader(options, schema)
     if str(options.get("pushdown", "false")).lower() == "true":
         return PushdownSnapshotReader(options, schema)
     return VersionedTableBatchReader(options, schema)

@@ -143,7 +143,7 @@ class VersionedTableDataSource(DataSource):
         return ddl
 
     def streamReader(self, schema):
-        return VersionedTableStreamReader(self.options)
+        return VersionedTableStreamReader(self.options, schema)
 
     def reader(self, schema):
         # batch half (round 13, VERDICT r12 #1): snapshot / time-travel
@@ -262,8 +262,20 @@ class _CDCFilePartition(InputPartition):
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.root = options["path"]
+        # Arrow fast path (guide §4.2): when Spark hands the parsed
+        # StructType over, read() yields RecordBatches assembled in
+        # pyarrow instead of per-row tuples (a generator of batches IS
+        # an iterator — the partition-reader contract, rule 14e, holds)
+        self._pa_schema = None
+        if schema is not None:
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                self._pa_schema = to_arrow_schema(schema)
+            except Exception:  # noqa: BLE001 — unconvertible type
+                self._pa_schema = None
         # Delta's skipChangeCommits analogue: deliver added files and
         # IGNORE delete commits in range (consumer accepts that rows
         # retracted after delivery are not re-retracted) instead of
@@ -603,9 +615,128 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             m_prev = m_v
         return parts
 
+    def _read_arrow(self, partition):
+        """Vectorized executor (guide §4.2): ordinal take + is_in eq
+        filters + column assembly in pyarrow, returning ONE fully-
+        materialized Table cast to the declared arrow schema — any
+        unsupported shape raises BEFORE a batch is yielded so read()
+        can fall back to the row loop. Semantics mirror the row path
+        exactly: positional filters key on ORIGINAL file ordinals
+        (tracked through every filter), NULL key values never match,
+        columns missing from old files NULL-fill, int row_base ids are
+        base + original ordinal."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        target = self._pa_schema
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        ords = pa.array(range(n), type=pa.int64())
+        is_cdc = isinstance(partition, _CDCFilePartition)
+
+        def _keyset(p, k, coltype):
+            keys = pq.read_table(p, columns=[k]).column(0)
+            keys = keys.combine_chunks().drop_null()
+            return keys.cast(coltype) if keys.type != coltype else keys
+
+        if is_cdc:
+            dead = pos_ordinals(partition.pos_anti)
+            match_pos = (
+                pos_ordinals(partition.pos_match)
+                if partition.pos_match
+                else None
+            )
+            if dead or match_pos is not None:
+                sel = [
+                    i
+                    for i in range(n)
+                    if i not in dead
+                    and (match_pos is None or i in match_pos)
+                ]
+                tbl = tbl.take(sel)
+                ords = pa.array(sel, type=pa.int64())
+            hit_any = None
+            for p, k, rk in partition.anti:
+                if rk not in tbl.column_names:
+                    continue  # missing column reads NULL: never matches
+                col = tbl.column(rk)
+                hit = pc.fill_null(
+                    pc.is_in(col, value_set=_keyset(p, k, col.type)), False
+                )
+                hit_any = hit if hit_any is None else pc.or_(hit_any, hit)
+            if hit_any is not None:
+                keep = pc.invert(hit_any)
+                tbl = tbl.filter(keep)
+                ords = pc.filter(ords, keep)
+            if partition.match_any:
+                mm = None
+                for p, k, rk in partition.match_any:
+                    if rk not in tbl.column_names:
+                        continue
+                    col = tbl.column(rk)
+                    hit = pc.fill_null(
+                        pc.is_in(col, value_set=_keyset(p, k, col.type)),
+                        False,
+                    )
+                    mm = hit if mm is None else pc.or_(mm, hit)
+                if mm is None:  # no matchable column: nothing emits
+                    tbl = tbl.slice(0, 0)
+                    ords = ords.slice(0, 0)
+                else:
+                    tbl = tbl.filter(mm)
+                    ords = pc.filter(ords, mm)
+
+        nn = tbl.num_rows
+        cols, i = [], 0
+        for pf in partition.fields:
+            ftype = target.field(i).type
+            if pf in tbl.column_names:
+                cols.append(tbl.column(pf).cast(ftype))
+            else:
+                cols.append(pa.nulls(nn, ftype))  # additive evolution
+            i += 1
+        rb = partition.row_base
+        if rb is not None:
+            ftype = target.field(i).type
+            if rb == "phys":
+                cols.append(
+                    tbl.column("__row_id").cast(ftype)
+                    if "__row_id" in tbl.column_names
+                    else pa.nulls(nn, ftype)
+                )
+            elif isinstance(rb, int):
+                cols.append(pc.add(ords, rb).cast(ftype))
+            else:  # pre-lineage file sentinel
+                cols.append(pa.nulls(nn, ftype))
+            i += 1
+        if is_cdc:
+            cols.append(
+                pc.cast(pa.array([partition.change] * nn), target.field(i).type)
+            )
+            i += 1
+            cols.append(
+                pc.cast(
+                    pa.array([partition.version] * nn), target.field(i).type
+                )
+            )
+            i += 1
+        if i != len(target.names):
+            raise ValueError("schema arity mismatch: row path")
+        return pa.table(cols, schema=target)
+
     def read(self, partition):
         # executor-side parquet read; column order pinned to the schema
         import pyarrow.parquet as pq
+
+        if self._pa_schema is not None:
+            try:
+                out = self._read_arrow(partition)
+            except Exception:  # noqa: BLE001 — fall back row-at-a-time
+                out = None
+            if out is not None:
+                yield from out.to_batches()
+                return
 
         if isinstance(partition, _CDCFilePartition):
             anti = [
