@@ -67,15 +67,17 @@ def test_batch_version_and_timestamp_asof(spark, root):
 
 def test_batch_pushdown_prunes_partitions(spark, root):
     """pushdown=true narrows the planned InputPartitions via manifest
-    range stats; rows stay exact (Spark re-applies every filter)."""
+    range stats; rows stay exact (Spark re-applies every filter).
+    pack_rows=0 disables the round-14 multi-file packing so partition
+    count == planned FILE count and pruning is directly assertable."""
     t = _mk(spark, root, nchunks=4)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
-        full = _ds(spark, root, pushdown="true")
+        full = _ds(spark, root, pushdown="true", pack_rows=0)
         assert full.rdd.getNumPartitions() == 4
         # inclusive bounds: strict < conservatively prunes as <= (rule
         # 30 — fixture MIN edges), so <= 199 is the 1-file predicate
-        pruned = _ds(spark, root, pushdown="true").filter(
+        pruned = _ds(spark, root, pushdown="true", pack_rows=0).filter(
             (F.col("k") >= 100) & (F.col("k") <= 199)
         )
         assert pruned.rdd.getNumPartitions() == 1
@@ -83,15 +85,58 @@ def test_batch_pushdown_prunes_partitions(spark, root):
             100 + i for i in range(8)
         ]
         # IN-list + equality paths
-        eq = _ds(spark, root, pushdown="true").filter(F.col("k") == 205)
+        eq = _ds(spark, root, pushdown="true", pack_rows=0).filter(
+            F.col("k") == 205
+        )
         assert eq.rdd.getNumPartitions() == 1
         assert [r.k for r in eq.collect()] == [205]
-        inl = _ds(spark, root, pushdown="true").filter(
+        inl = _ds(spark, root, pushdown="true", pack_rows=0).filter(
             F.col("k").isin(5, 305)
         )
         assert inl.rdd.getNumPartitions() == 2
+        # default packing composes WITH pruning: the two stats-
+        # surviving tiny files pack into ONE planned partition, and
+        # rows stay exact
+        packed = _ds(spark, root, pushdown="true").filter(
+            F.col("k").isin(5, 305)
+        )
+        assert packed.rdd.getNumPartitions() == 1
+        assert sorted(r.k for r in packed.collect()) == [5, 305]
     finally:
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_batch_multi_file_partition_packing(spark, root):
+    """Round 14 (VERDICT r13 #2): per-file specs bin-pack into
+    row-budgeted InputPartitions — partition count tracks rows, not
+    file count — while rows stay exactly the per-file union (MoR
+    deletes, rename, evolution all apply per file inside one task)."""
+    t = _mk(spark, root, nchunks=6)
+    t.delete_rows_where("k = 3", mode="mor")
+    t.commit_delete_where(spark.createDataFrame([(102,)], "k INT"), "k")
+    t.rename_column("tag", "label")
+    expect = {tuple(r) for r in t.read().collect()}
+    # default budget (1M rows): 6 tiny files -> ONE planned partition
+    ds = _ds(spark, root)
+    assert ds.rdd.getNumPartitions() == 1
+    assert {tuple(r) for r in ds.collect()} == expect
+    # explicit budget: ~2 files per bin (8192 open-charge + 8 rows)
+    ds2 = _ds(spark, root, pack_rows=17000)
+    assert ds2.rdd.getNumPartitions() == 3
+    assert {tuple(r) for r in ds2.collect()} == expect
+    # packing off: one partition per live file (pre-r14 layout)
+    ds0 = _ds(spark, root, pack_rows=0)
+    assert ds0.rdd.getNumPartitions() == 6
+    assert {tuple(r) for r in ds0.collect()} == expect
+    # CDF relation packs too, and stays exact
+    cdf = _ds(spark, root, readChangeFeed="true", startingVersion=0)
+    bat = t.changes_with_type(0)
+    assert sorted(map(tuple, cdf.collect())) == sorted(
+        map(tuple, bat.collect())
+    )
+    assert cdf.rdd.getNumPartitions() < _ds(
+        spark, root, readChangeFeed="true", startingVersion=0, pack_rows=0
+    ).rdd.getNumPartitions()
 
 
 def test_batch_cdf_matches_changes_with_type(spark, root):
@@ -182,8 +227,9 @@ def test_batch_arrow_fast_path_no_fallback(spark, root):
     assert reader._pa_schema is not None
     rows = set()
     for part in reader.partitions():
-        out = reader._read_arrow(part)  # raises on any fallback shape
-        rows |= {tuple(r.values()) for r in out.to_pylist()}
+        for spec in getattr(part, "items", [part]):  # packed (r14)
+            out = reader._read_arrow(spec)  # raises on any fallback shape
+            rows |= {tuple(r.values()) for r in out.to_pylist()}
     assert rows == {tuple(r) for r in t.read().collect()}
 
 

@@ -3623,14 +3623,20 @@ def p_versioned_sql_select(spark, sf_dir):
             (F.col("o_orderkey") >= lo_k) & (F.col("o_orderkey") <= hi_k)
         )
         # persist: each side of the two-way exceptAll is referenced
-        # twice — without it the Python-source scan executes twice
+        # twice — without it the Python-source scan executes twice.
+        # try/finally (ADVICE r13): a failing compare must not leak
+        # the persisted blocks into the rest of the session.
         ds = ds.persist()
         prog = prog.persist()
-        diff = ds.exceptAll(prog).unionAll(prog.exceptAll(ds))
-        if diff.limit(1).count():
-            raise RuntimeError("DSv2 snapshot diverged from programmatic read")
-        ds.unpersist()
-        prog.unpersist()
+        try:
+            diff = ds.exceptAll(prog).unionAll(prog.exceptAll(ds))
+            if diff.limit(1).count():
+                raise RuntimeError(
+                    "DSv2 snapshot diverged from programmatic read"
+                )
+        finally:
+            ds.unpersist()
+            prog.unpersist()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
@@ -3648,11 +3654,13 @@ def p_versioned_sql_select(spark, sf_dir):
     bat = t.changes_with_type(v_full)
     cdf = cdf.persist()
     bat = bat.persist()
-    cdiff = cdf.exceptAll(bat).unionAll(bat.exceptAll(cdf))
-    if cdiff.limit(1).count():
-        raise RuntimeError("batch CDF diverged from changes_with_type")
-    cdf.unpersist()
-    bat.unpersist()
+    try:
+        cdiff = cdf.exceptAll(bat).unionAll(bat.exceptAll(cdf))
+        if cdiff.limit(1).count():
+            raise RuntimeError("batch CDF diverged from changes_with_type")
+    finally:
+        cdf.unpersist()
+        bat.unpersist()
 
     # the oracled aggregate runs THROUGH the SQL front door
     t.to_view("t_sql_select")

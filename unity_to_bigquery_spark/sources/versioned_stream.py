@@ -8,8 +8,9 @@ the reference's ``continueFrom`` protocol, Unity_to_BigQuery.py:63-66).
 Scale/design notes:
 - ``partitions(start, end)`` is manifest arithmetic only (file-list
   set difference on the driver — same as ``VersionedTable.changes``);
-  one InputPartition per added data file, so file reads parallelize
-  across executors.
+  per-file specs are bin-packed into row-budgeted InputPartitions
+  (round 14 — see ``_PackedPartition``), so file reads parallelize
+  across executors without paying a Python-worker task per tiny file.
 - ``read()`` executes executor-side via pyarrow. Rows cross the
   Python→JVM boundary (the Data Source API's contract) — fine for
   incremental tails, which are delta-sized by definition; a bulk
@@ -230,6 +231,91 @@ class _FilePartition(InputPartition):
         self.row_base = row_base
 
 
+class _PackedPartition(InputPartition):
+    """Several per-file specs read by ONE task (round 14, VERDICT r13
+    #2). The Python Data Source runner pays a per-InputPartition cost —
+    task scheduling, worker handoff, plan/partition pickling — measured
+    here at ~0.1-0.8 s per task for microseconds of per-file work on
+    small files (the r13 archive-source lesson, guide §4/§6). Packing
+    per-file specs into row-budgeted partitions makes partition count
+    track DATA VOLUME, not file count; ``read()`` loops the contained
+    specs, so per-file delete/ordinal/lineage semantics are untouched
+    and rows are the exact union of the per-file reads (row order
+    across files inside one partition is the concatenation order —
+    no reader contract orders rows across partitions either)."""
+
+    def __init__(self, items: list):
+        self.items = items
+
+
+# Packing knobs. Budget default 1M rows per planned partition: at
+# typical row widths that is ~100-200 MB of parquet — the guide §6
+# scan-split sizing. Each file is additionally charged _PACK_OPEN_ROWS
+# (the openCostInBytes analogue) so thousands of tiny files still
+# split into bounded-count partitions, and a stats-less file is
+# assumed _PACK_UNKNOWN_ROWS (conservative: packs less).
+_PACK_DEFAULT_ROWS = 1 << 20
+_PACK_OPEN_ROWS = 8192
+_PACK_UNKNOWN_ROWS = 1 << 17
+
+
+def pack_budget_rows(options) -> int:
+    """Rows per planned InputPartition: reader option ``pack_rows``
+    wins, else ``$SPARK_GRAFT_DSV2_ROWS_PER_PART`` (the cluster-tuning
+    hook), else the 1M default. ``0`` disables packing (one partition
+    per file — the pre-r14 layout, kept for tests that assert per-file
+    pruning)."""
+    import os
+
+    v = options.get("pack_rows")
+    if v is None:
+        v = os.environ.get(
+            "SPARK_GRAFT_DSV2_ROWS_PER_PART", _PACK_DEFAULT_ROWS
+        )
+    return int(v)
+
+
+def pack_partitions(parts: list, budget: int, rows_of) -> list:
+    """Greedy in-order bin-pack of per-file specs into row-budgeted
+    partitions. Order-preserving and deterministic (manifest order in,
+    manifest order out); singleton bins stay bare specs so dedicated
+    executor tests keep driving per-file reads directly."""
+    if budget <= 0 or len(parts) <= 1:
+        return parts
+    bins: list[list] = []
+    cur: list = []
+    acc = 0
+    for p in parts:
+        w = _PACK_OPEN_ROWS + int(rows_of(p) or _PACK_UNKNOWN_ROWS)
+        if cur and acc + w > budget:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(p)
+        acc += w
+    if cur:
+        bins.append(cur)
+    return [b[0] if len(b) == 1 else _PackedPartition(b) for b in bins]
+
+
+_ARROW_FALLBACK_WARNED = False
+
+
+def warn_arrow_fallback(exc: Exception) -> None:
+    """ADVICE r13: a silent arrow→row-loop demotion must be observable.
+    One warning per Python worker process, on executor stderr (where
+    UDF prints land — guide §4.6)."""
+    global _ARROW_FALLBACK_WARNED
+    if not _ARROW_FALLBACK_WARNED:
+        _ARROW_FALLBACK_WARNED = True
+        import sys
+
+        print(
+            "versioned_table: arrow fast path fell back to the row loop: "
+            f"{exc!r}",
+            file=sys.stderr,
+        )
+
+
 class _CDCFilePartition(InputPartition):
     """One data file's contribution to one commit's change rows.
 
@@ -306,6 +392,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # backlog would build a 10k-scale batch — opting OUT of pacing
         # (0 = unbounded) is the deliberate choice now, not the default.
         self.max_versions = int(options.get("max_versions_per_batch", "64"))
+        # multi-file InputPartitions (round 14): rows per planned
+        # partition; 0 = one partition per (file, commit) contribution
+        self._pack_rows = pack_budget_rows(options)
         # Delta's startingVersion analogue: begin the stream AFTER this
         # manifest version (consume (starting_version, ...]) — the
         # bounded-bootstrap recipe for long histories: backfill with the
@@ -409,7 +498,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._consumed = max(getattr(self, "_consumed", 0) or 0, hi)
         m_end = self._t.manifest(hi)
         if self.emit_changes:
-            return self._cdc_partitions(lo, hi, m_end)
+            return self._pack(
+                self._cdc_partitions(lo, hi, m_end),
+                self._t.manifest(lo),
+                m_end,
+            )
         # Append-only path: walk PER COMMIT (not end-vs-base file diff —
         # ADVICE r5: an end-vs-base diff re-delivers rows whenever a
         # rewrite in the window churns files). Per commit:
@@ -463,7 +556,30 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 if f not in prev_files
             )
             m_prev = m_v
-        return parts
+        return self._pack(parts, self._t.manifest(lo), m_end)
+
+    def _pack(self, parts: list, *manifests: dict) -> list:
+        """Bin-pack per-file specs into row-budgeted InputPartitions
+        (round 14 — see _PackedPartition). Per-spec weight is the
+        file's ``__nrows`` manifest stat under any of the given
+        manifests (window start + end covers every file except ones
+        both added AND removed strictly inside the window, which fall
+        back to the conservative unknown weight)."""
+        import os
+
+        from unity_to_bigquery_spark.plans.versioned import DATA_DIR
+
+        if self._pack_rows <= 0 or len(parts) <= 1:
+            return parts
+        rows: dict[str, int] = {}
+        for m in manifests:
+            for f, s in (m.get("stats") or {}).items():
+                n = s.get("__nrows")
+                if n is not None:
+                    rows[os.path.join(self.root, DATA_DIR, f)] = int(n)
+        return pack_partitions(
+            parts, self._pack_rows, lambda p: rows.get(p.path)
+        )
 
     def _row_base_of(self, m: dict, f: str):
         """Lineage marker for one file under its listing manifest:
@@ -625,6 +741,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         (tracked through every filter), NULL key values never match,
         columns missing from old files NULL-fill, int row_base ids are
         base + original ordinal."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -632,7 +749,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         target = self._pa_schema
         tbl = pq.read_table(partition.path)
         n = tbl.num_rows
-        ords = pa.array(range(n), type=pa.int64())
+        ords = pa.array(np.arange(n, dtype=np.int64))
         is_cdc = isinstance(partition, _CDCFilePartition)
 
         def _keyset(p, k, coltype):
@@ -648,14 +765,24 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 else None
             )
             if dead or match_pos is not None:
-                sel = [
-                    i
-                    for i in range(n)
-                    if i not in dead
-                    and (match_pos is None or i in match_pos)
-                ]
-                tbl = tbl.take(sel)
-                ords = pa.array(sel, type=pa.int64())
+                # vectorized ordinal selection (VERDICT r13 #8): a
+                # boolean mask built from the ordinal sets, no O(rows)
+                # Python loop
+                mask = np.ones(n, dtype=bool)
+                if dead:
+                    idx = np.fromiter(dead, dtype=np.int64, count=len(dead))
+                    mask[idx[idx < n]] = False
+                if match_pos is not None:
+                    m2 = np.zeros(n, dtype=bool)
+                    if match_pos:
+                        idx = np.fromiter(
+                            match_pos, dtype=np.int64, count=len(match_pos)
+                        )
+                        m2[idx[idx < n]] = True
+                    mask &= m2
+                keep = pa.array(mask)
+                tbl = tbl.filter(keep)
+                ords = pc.filter(ords, keep)
             hit_any = None
             for p, k, rk in partition.anti:
                 if rk not in tbl.column_names:
@@ -726,17 +853,42 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return pa.table(cols, schema=target)
 
     def read(self, partition):
-        # executor-side parquet read; column order pinned to the schema
-        import pyarrow.parquet as pq
+        # executor-side parquet read; column order pinned to the
+        # schema. Packed partitions (round 14) loop their per-file
+        # specs; the arrow path materializes EVERY spec's table before
+        # yielding the first batch so a late fallback can never mix
+        # RecordBatches with row tuples in one partition's output.
+        import pyarrow as pa
 
+        specs = (
+            partition.items
+            if isinstance(partition, _PackedPartition)
+            else [partition]
+        )
         if self._pa_schema is not None:
             try:
-                out = self._read_arrow(partition)
-            except Exception:  # noqa: BLE001 — fall back row-at-a-time
-                out = None
-            if out is not None:
-                yield from out.to_batches()
+                tables = [self._read_arrow(s) for s in specs]
+            except (  # narrowed (ADVICE r13): environment errors
+                ValueError,  # (missing file, permissions) re-raise
+                KeyError,    # instead of paying a doubled read
+                TypeError,
+                NotImplementedError,
+                pa.ArrowException,
+            ) as exc:
+                warn_arrow_fallback(exc)
+                tables = None
+            if tables is not None:
+                for t in tables:
+                    yield from t.to_batches()
                 return
+        for s in specs:
+            yield from self._read_rows(s)
+
+    def _read_rows(self, partition):
+        """Row-at-a-time executor for ONE per-file spec — the fallback
+        for shapes the arrow path refuses (struct rebuilds) and the
+        bit-equality reference the arrow tests compare against."""
+        import pyarrow.parquet as pq
 
         if isinstance(partition, _CDCFilePartition):
             anti = [
